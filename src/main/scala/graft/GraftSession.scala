@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table plumbing shared by Verify, Bench and the specs.
+  *
+  * Local mode runs one JVM with N executor threads, so shuffle
+  * partitions are sized to the core count rather than the 200
+  * default; on a real cluster these come from the submit conf and
+  * AQE coalesces from there.
+  */
+object GraftSession {
+  def configured(builder: SparkSession.Builder, cores: String): SparkSession = {
+    val spark = builder
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def local(cores: Int = 4): SparkSession =
+    configured(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores.toString)
+}
+
+/** Parquet table loaders for the driver-generated star schema. */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
