@@ -1,23 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds.
+  * Each query is forced with a count() after a warm-up of the
+  * session (first query pays JVM/codegen warm-up; order is sorted so
+  * the measurement set is stable across rounds). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.configured(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
+    // warm the session: JVM + parquet footer caches, tiny plan
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

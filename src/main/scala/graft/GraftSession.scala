@@ -17,6 +17,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.ts is parquet TIMESTAMP(NANOS) which Spark's
+      // reader rejects; read as long ns and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
@@ -40,7 +43,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** events.ts arrives as long nanoseconds (see nanosAsLong in
+    * GraftSession); convert with integer division — going through a
+    * double would lose precision above 2^53 ns. Micros truncation
+    * matches DuckDB's CAST(ts_ns AS TIMESTAMP). */
+  def events(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Analytics
+import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,12 +13,26 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Analytics.q1Agg _)
+    // A: ingestion (reference surface)
+    "ingest_manifest"  -> (Ingest.ingestManifest _),
+    "zipcsv_read"      -> (Ingest.zipcsvRead _),
+    "decision_parse"   -> (Ingest.decisionParse _),
+    "snowflake_decode" -> (Ingest.snowflakeDecode _),
+    "dedup_upsert"     -> (Ingest.dedupUpsert _),
+    "ingest_stats"     -> (Ingest.ingestStats _),
+    // B: query surface
+    "q1_agg"           -> (Analytics.q1Agg _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
     * absent here get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> Analytics.q1AggSql
+    "ingest_manifest"  -> Ingest.ingestManifestSql,
+    "zipcsv_read"      -> Ingest.zipcsvReadSql,
+    "decision_parse"   -> Ingest.decisionParseSql,
+    "snowflake_decode" -> Ingest.snowflakeDecodeSql,
+    "dedup_upsert"     -> Ingest.dedupUpsertSql,
+    "ingest_stats"     -> Ingest.ingestStatsSql,
+    "q1_agg"           -> Analytics.q1AggSql
   )
 }

@@ -1,0 +1,193 @@
+package graft.ingest
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SparkEntry-facing ingestion queries (SURVEY.md §2 A*). Each maps
+  * a reference behavior onto the driver's testdata tables.
+  */
+object Ingest {
+
+  /** A1: manifest spanning the events table's date extent. */
+  def ingestManifest(s: SparkSession, dir: String): DataFrame =
+    Manifest.spanning(Tables.events(s, dir), "ts")
+
+  val ingestManifestSql: String =
+    """WITH r AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+      |s AS (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS d FROM r)
+      |SELECT CAST(d AS DATE) AS d,
+      |       'sor-discord-netherlands-bv-' || strftime(CAST(d AS DATE), '%Y-%m-%d') || '-full.zip' AS file
+      |FROM s""".stripMargin
+
+  /** A2: documents → CSV members inside a nested zip fixture →
+    * ZipCsv.read roundtrip. The oracle is the original table: the
+    * zip/CSV/quote/header-map path must reproduce it exactly. */
+  def zipcsvRead(s: SparkSession, dir: String): DataFrame = {
+    val fixture = ZipFixture.ensure(s, dir)
+    ZipCsv.read(s, fixture, Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .drop("_src")
+  }
+
+  val zipcsvReadSql: String =
+    """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
+      |       CAST(n_chars AS VARCHAR) AS n_chars
+      |FROM documents""".stripMargin
+
+  /** A3: typed Decision-field parsing (ts / array / tri-state bool)
+    * over strings synthesized from events — exercises the
+    * null-on-malformed, JSON-else-singleton, and yes/no/null paths.
+    * Timestamps are emitted as formatted strings (tz-representation
+    * neutral for the oracle compare). */
+  def decisionParse(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"),
+      when(col("event_id") % 11 === 0, lit("bogus"))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("ts_str"),
+      when(col("event_id") % 4 === 0, concat(lit("[\""), col("event_type"), lit("\",\"extra\"]")))
+        .when(col("event_id") % 4 === 1, col("event_type"))
+        .when(col("event_id") % 4 === 2, lit(""))
+        .otherwise(lit("[not json")).as("arr_str"),
+      when(col("event_id") % 3 === 0, lit("Yes"))
+        .when(col("event_id") % 3 === 1, lit("no"))
+        .otherwise(lit("dunno")).as("bool_str"))
+    val arr = DecisionParser.parseArray(col("arr_str"))
+    e.select(
+      col("event_id"),
+      date_format(DecisionParser.parseTs(col("ts_str")), "yyyy-MM-dd HH:mm:ss").as("parsed_ts"),
+      when(arr.isNull, lit(null).cast("string")).otherwise(concat_ws("|", arr)).as("parsed_arr"),
+      DecisionParser.parseBool(col("bool_str")).as("parsed_bool"))
+  }
+
+  val decisionParseSql: String =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 11 = 0 THEN 'bogus'
+      |         ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') END AS ts_str,
+      |    CASE WHEN event_id % 4 = 0 THEN '["' || event_type || '","extra"]'
+      |         WHEN event_id % 4 = 1 THEN event_type
+      |         WHEN event_id % 4 = 2 THEN ''
+      |         ELSE '[not json' END AS arr_str,
+      |    CASE WHEN event_id % 3 = 0 THEN 'Yes'
+      |         WHEN event_id % 3 = 1 THEN 'no'
+      |         ELSE 'dunno' END AS bool_str
+      |  FROM events)
+      |SELECT event_id,
+      |  strftime(try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+      |  CASE WHEN arr_str = '' THEN NULL
+      |       WHEN json_valid(arr_str) AND json_type(arr_str::JSON) = 'ARRAY'
+      |         THEN array_to_string(CAST(arr_str::JSON AS VARCHAR[]), '|')
+      |       ELSE arr_str END AS parsed_arr,
+      |  CASE WHEN lower(bool_str) = 'yes' THEN TRUE
+      |       WHEN lower(bool_str) = 'no' THEN FALSE
+      |       ELSE NULL END AS parsed_bool
+      |FROM e""".stripMargin
+
+  /** A4: snowflake decode over ids synthesized from events
+    * (snowflake = event_id << 22 so decoded ms = event_id + epoch). */
+  def snowflakeDecode(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"),
+      concat_ws("-", shiftleft(col("event_id"), 22).cast("string"),
+        col("user_id").cast("string"), lit("user")).as("platform_uid"))
+    val (ms, id, tp) = DecisionParser.platformUidCols(col("platform_uid"))
+    e.select(col("event_id"), col("platform_uid"),
+      ms.as("snowflake_ms"), id.as("entity_id"), tp.as("entity_type"))
+  }
+
+  val snowflakeDecodeSql: String =
+    """SELECT event_id,
+      |  CAST(event_id << 22 AS VARCHAR) || '-' || CAST(user_id AS VARCHAR) || '-user' AS platform_uid,
+      |  ((event_id << 22) >> 22) + 1420070400000 AS snowflake_ms,
+      |  CAST(user_id AS VARCHAR) AS entity_id,
+      |  'user' AS entity_type
+      |FROM events""".stripMargin
+
+  /** A5: last-write-wins upsert semantics — latest event per user
+    * (created_at analog = ts, unique tiebreak = event_id). */
+  def dedupUpsert(s: SparkSession, dir: String): DataFrame =
+    Upsert.lastWriteWins(Tables.events(s, dir), Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  val dedupUpsertSql: String =
+    """SELECT event_id, user_id, event_type, value FROM (
+      |  SELECT event_id, user_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** A6: run stats — per-source-file row counts (main.go:157-165's
+    * rows-inserted/table-size report, from the plan side). */
+  def ingestStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .groupBy(col("file")).agg(count(lit(1)).as("n_rows"))
+
+  val ingestStatsSql: String =
+    "SELECT 'lineitem.parquet' AS file, count(*) AS n_rows FROM lineitem"
+}
+
+/** Deterministic zip fixture for A2: the documents table written as
+  * properly-quoted CSV, split across one plain member and a nested
+  * zip with two members (exercising both extraction paths), plus a
+  * shuffled-column-order header on one member (exercising the
+  * header map). Built once per (sf, row-count) under target/fixtures.
+  */
+object ZipFixture {
+  def ensure(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val n = docs.count()
+    val out = Paths.get(s"/root/repo/target/fixtures/zipcsv_${dir.replaceAll("[^0-9.]", "")}_$n")
+    val zipPath = out.resolve("dump.zip")
+    if (Files.exists(zipPath)) return out.toString
+    Files.createDirectories(out)
+
+    // fixture generation is driver-side by design (it fabricates the
+    // input archives a cluster would fetch from object storage)
+    val rows = docs.orderBy("doc_id").collect()
+    def csv(header: Seq[String], rs: Seq[org.apache.spark.sql.Row]): Array[Byte] = {
+      val sb = new StringBuilder(header.mkString(","))
+      sb.append('\n')
+      val srcIdx = Seq("doc_id", "text", "lang", "source", "n_chars")
+      rs.foreach { r =>
+        sb.append(header.map(h => Csv.quote(String.valueOf(r.get(srcIdx.indexOf(h)))))
+          .mkString(","))
+        sb.append('\n')
+      }
+      sb.toString.getBytes(StandardCharsets.UTF_8)
+    }
+    val (aRows, rest) = rows.splitAt(rows.length / 3)
+    val (bRows, cRows) = rest.splitAt(rest.length / 2)
+
+    val nested = new ByteArrayOutputStream()
+    val nz = new ZipOutputStream(nested)
+    nz.putNextEntry(new ZipEntry("part_b.csv"))
+    nz.write(csv(Seq("doc_id", "text", "lang", "source", "n_chars"), bRows))
+    nz.closeEntry()
+    nz.putNextEntry(new ZipEntry("part_c.csv"))
+    // shuffled header order: the header map must realign it
+    nz.write(csv(Seq("n_chars", "source", "lang", "text", "doc_id"), cRows))
+    nz.closeEntry()
+    nz.close()
+
+    val zout = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
+    zout.putNextEntry(new ZipEntry("part_a.csv"))
+    zout.write(csv(Seq("doc_id", "text", "lang", "source", "n_chars"), aRows))
+    zout.closeEntry()
+    zout.putNextEntry(new ZipEntry("inner.zip"))
+    zout.write(nested.toByteArray)
+    zout.closeEntry()
+    zout.putNextEntry(new ZipEntry("readme.txt"))
+    zout.write("not a csv".getBytes(StandardCharsets.UTF_8))
+    zout.closeEntry()
+    zout.close()
+    out.toString
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.{Csv, Ingest}
+
+class IngestSpec extends SparkSpec {
+
+  test("Csv parser: quotes, escapes, embedded commas/newlines, blank lines") {
+    val text = "a,b,c\n1,\"x,y\",\"he said \"\"hi\"\"\"\n\n2,\"multi\nline\",z\r\n"
+    val recs = Csv.records(text)
+    assert(recs == Vector(
+      Vector("a", "b", "c"),
+      Vector("1", "x,y", "he said \"hi\""),
+      Vector("2", "multi\nline", "z")))
+  }
+
+  test("Csv.quote roundtrips through Csv.records") {
+    val fields = Vector("plain", "with,comma", "with\"quote", "with\nnewline", "")
+    val line = fields.map(Csv.quote).mkString(",")
+    assert(Csv.records(line + "\n") == Vector(fields))
+  }
+
+  test("zipcsv_read roundtrips the documents table through zip+nested zip") {
+    val got = SparkEntry.queries("zipcsv_read")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(got.count() == docs.count())
+    // spot-check realignment of the shuffled-header member
+    val j = got.select(col("doc_id").cast("long").as("doc_id"), col("lang").as("got_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    assert(j.filter(col("got_lang") =!= col("lang")).count() == 0)
+  }
+
+  test("ingest_manifest covers the events date span, one file per day") {
+    val m = SparkEntry.queries("ingest_manifest")(spark, sf).collect()
+    assert(m.length >= 28) // events span ~1 month
+    assert(m.map(_.getString(1)).forall(f =>
+      f.startsWith("sor-discord-netherlands-bv-") && f.endsWith("-full.zip")))
+    assert(m.map(_.getDate(0)).distinct.length == m.length)
+  }
+
+  test("decision_parse: malformed ts → null, array fallback, tri-state bool") {
+    val rows = SparkEntry.queries("decision_parse")(spark, sf)
+      .orderBy("event_id").collect()
+    val bogus = rows.filter(_.getLong(0) % 11 == 0)
+    assert(bogus.forall(_.isNullAt(1)))
+    val jsonArr = rows.filter(_.getLong(0) % 4 == 0)
+    assert(jsonArr.forall(_.getString(2).endsWith("|extra")))
+    val empty = rows.filter(_.getLong(0) % 4 == 2)
+    assert(empty.forall(_.isNullAt(2)))
+    val yes = rows.filter(_.getLong(0) % 3 == 0)
+    assert(yes.forall(_.getBoolean(3)))
+    val dunno = rows.filter(_.getLong(0) % 3 == 2)
+    assert(dunno.forall(_.isNullAt(3)))
+  }
+
+  test("snowflake_decode recovers event_id + discord epoch") {
+    val rows = SparkEntry.queries("snowflake_decode")(spark, sf)
+      .select("event_id", "snowflake_ms").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 1420070400000L))
+  }
+
+  test("dedup_upsert keeps exactly one latest row per user") {
+    val d = SparkEntry.queries("dedup_upsert")(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(d.count() == users)
+    assert(d.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("ingest_stats counts rows per file") {
+    val r = SparkEntry.queries("ingest_stats")(spark, sf).collect()
+    assert(r.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
+  }
+}
