@@ -21,7 +21,18 @@ object SparkEntry {
     "dedup_upsert"     -> (Ingest.dedupUpsert _),
     "ingest_stats"     -> (Ingest.ingestStats _),
     // B: query surface
-    "q1_agg"           -> (Analytics.q1Agg _)
+    "q1_agg"           -> (Analytics.q1Agg _),
+    "q3_join_topn"     -> (Analytics.q3JoinTopn _),
+    "q5_multijoin"     -> (Analytics.q5Multijoin _),
+    "topn_per_group"   -> (Analytics.topnPerGroup _),
+    "windowed_counts"  -> (Analytics.windowedCounts _),
+    "sessionize"       -> (Analytics.sessionize _),
+    "semi_anti_join"   -> (Analytics.semiAntiJoin _),
+    "rollup_agg"       -> (Analytics.rollupAgg _),
+    "pivot_events"     -> (Analytics.pivotEvents _),
+    "percentiles"      -> (Analytics.percentiles _),
+    "array_explode_agg" -> (Analytics.arrayExplodeAgg _),
+    "json_extract"     -> (Analytics.jsonExtract _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -33,6 +44,17 @@ object SparkEntry {
     "snowflake_decode" -> Ingest.snowflakeDecodeSql,
     "dedup_upsert"     -> Ingest.dedupUpsertSql,
     "ingest_stats"     -> Ingest.ingestStatsSql,
-    "q1_agg"           -> Analytics.q1AggSql
+    "q1_agg"           -> Analytics.q1AggSql,
+    "q3_join_topn"     -> Analytics.q3JoinTopnSql,
+    "q5_multijoin"     -> Analytics.q5MultijoinSql,
+    "topn_per_group"   -> Analytics.topnPerGroupSql,
+    "windowed_counts"  -> Analytics.windowedCountsSql,
+    "sessionize"       -> Analytics.sessionizeSql,
+    "semi_anti_join"   -> Analytics.semiAntiJoinSql,
+    "rollup_agg"       -> Analytics.rollupAggSql,
+    "pivot_events"     -> Analytics.pivotEventsSql,
+    "percentiles"      -> Analytics.percentilesSql,
+    "array_explode_agg" -> Analytics.arrayExplodeAggSql,
+    "json_extract"     -> Analytics.jsonExtractSql
   )
 }

@@ -1,21 +1,25 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** Query surface over the star schema (SURVEY.md §2 B*).
   *
   * All plans are declarative DataFrame compositions: filters and
-  * projections reach the parquet scan, dimension joins are
-  * broadcast, fact joins shuffle once on their key. Float aggregates
-  * are rounded on both the Spark and oracle side to dodge
-  * summation-order drift (doubles are not associative).
+  * projections reach the parquet scan, dimension joins broadcast,
+  * fact joins shuffle once on their key, aggregations get map-side
+  * partial aggregation. Float aggregates are rounded identically on
+  * the Spark and oracle side (double sums aren't associative, so
+  * raw bit-equality across engines is not a meaningful target).
   */
 object Analytics {
 
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
   /** B1: grouped aggregation, TPC-H Q1 shape. Single shuffle with
-    * map-side partial aggregation; scan reads only the 7 needed cols. */
+    * partial aggregation; scan reads only the 7 needed columns. */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -23,14 +27,14 @@ object Analytics {
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
         round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(sum(revenue), 4).as("sum_disc_price"),
+        round(sum(revenue * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  def q1AggSql: String =
+  val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 4) AS sum_qty,
       |  round(sum(l_extendedprice), 4) AS sum_base_price,
@@ -43,4 +47,230 @@ object Analytics {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B2: TPC-H Q3 shape — dim-filtered fact/fact join + agg +
+    * top-N. customer is small → broadcast into orders; the
+    * orders⋈lineitem join shuffles once on the order key. */
+  def q3JoinTopn(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(revenue), 4).as("rev"))
+      .select(col("l_orderkey"), col("rev"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopnSql: String =
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** B3: TPC-H Q5 shape — 6-way join; all four dimension tables
+    * broadcast, lineitem⋈orders is the only shuffled join. */
+  def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val r = region(s, dir).filter(col("r_name") === "ASIA")
+    val n = nation(s, dir).join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val sup = supplier(s, dir).join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    val c = customer(s, dir)
+    val o = orders(s, dir).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(revenue), 4).as("rev"))
+      .orderBy(col("rev").desc, col("n_name"))
+  }
+
+  val q5MultijoinSql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY rev DESC, n_name""".stripMargin
+
+  /** B4: top-3 orders per priority by total price (window rank).
+    * Single shuffle on the partition key. */
+  def topnPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  val topnPerGroupSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3""".stripMargin
+
+  /** B5: event-time tumbling windows (batch twin of the streaming
+    * agg): hourly event counts + value sums per type. */
+  def windowedCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val windowedCountsSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** B6: gap-based sessionization (30 min) via lag + running sum —
+    * one shuffle on user_id, both windows share it. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSess = when(
+      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+      .otherwise(0)
+    events(s, dir)
+      .withColumn("new_sess", newSess)
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        round(sum(col("value")), 4).as("sess_value"))
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+      |           - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |t AS (
+      |  SELECT user_id, value, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM g)
+      |SELECT user_id, sess_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+      |  round(sum(value), 4) AS sess_value
+      |FROM t GROUP BY user_id, sess_id""".stripMargin
+
+  /** B7: semi + anti join — customers who placed orders (EXISTS)
+    * but never an urgent one (NOT EXISTS). Both sides shuffle on
+    * the customer key; semi/anti keep only the probe columns, so no
+    * row-width blowup. */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val semiAntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** B8: ROLLUP grouping sets over return flag / line status. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+
+  val rollupAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** B9: pivot event_type → count columns per user. */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** B10: exact interpolated percentiles per event type. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(max(col("value")), 4).as("p100"))
+
+  val percentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(max(value), 4) AS p100
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** B11: array explode + re-agg — word frequencies over documents
+    * (the Decision `text[]` analog). */
+  def arrayExplodeAgg(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+
+  val arrayExplodeAggSql: String =
+    """SELECT word, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin
+
+  /** B12: JSON field extraction from the events props column. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k FROM (
+      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type""".stripMargin
 }

@@ -1,19 +1,16 @@
 package graft
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 class AnalyticsSpec extends SparkSpec {
 
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
   test("q1_agg groups by flag/status and sums") {
-    val rows = SparkEntry.queries("q1_agg")(spark, sf).collect()
+    val rows = run("q1_agg").collect()
     assert(rows.nonEmpty)
-    val schema = rows.head.schema.fieldNames.toSeq
-    assert(schema == Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-      "sum_disc_price", "sum_charge", "avg_qty", "avg_disc", "count_order"))
-    // group keys are unique
     val keys = rows.map(r => (r.getString(0), r.getString(1)))
     assert(keys.distinct.length == keys.length)
-    // count_order sums to the filtered row count
     val expected = Tables.lineitem(spark, sf)
       .filter("l_shipdate <= timestamp'1998-09-02 00:00:00'").count()
     assert(rows.map(_.getLong(8)).sum == expected)
@@ -23,8 +20,80 @@ class AnalyticsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every queries key with an oracle has matching column sets are aliased") {
-    // Each oracle-able query must declare SQL; keys must be a subset.
+  test("oracle keys are a subset of query keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q5_multijoin returns per-nation revenue for ASIA only") {
+    val rows = run("q5_multijoin").collect()
+    assert(rows.nonEmpty && rows.length <= 5) // 5 nations per region
+  }
+
+  test("topn_per_group returns at most 3 per priority, ranked") {
+    val rows = run("topn_per_group").collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    assert(byPrio.size == 5)
+    byPrio.values.foreach { g =>
+      assert(g.length <= 3)
+      val prices = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("windowed_counts partitions all events into hourly buckets") {
+    val n = run("windowed_counts").agg(sum("n")).collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("sessionize: session counts sum to event count; gaps split sessions") {
+    val sess = run("sessionize")
+    assert(sess.agg(sum("n_events")).collect()(0).getLong(0) ==
+      Tables.events(spark, sf).count())
+    // at least one user has >1 session in a month of events
+    assert(sess.groupBy("user_id").count().filter(col("count") > 1).count() > 0)
+  }
+
+  test("semi_anti_join: order-holders without urgent orders, non-empty") {
+    val got = run("semi_anti_join").count()
+    assert(got > 0)
+    val urgentCustomers = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    val orderCustomers = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(got == orderCustomers - urgentCustomers)
+  }
+
+  test("rollup_agg contains grand total row equal to full count") {
+    val all = run("rollup_agg")
+      .filter(col("flag") === "ALL" && col("status") === "ALL").collect()
+    assert(all.length == 1)
+    assert(all(0).getAs[Long]("n") == Tables.lineitem(spark, sf).count())
+  }
+
+  test("pivot_events row sums equal per-user event counts") {
+    val p = run("pivot_events")
+    val total = p.select((col("click") + col("view") + col("purchase") +
+      col("signup") + col("error")).as("t")).agg(sum("t")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("percentiles are ordered p50 <= p90 <= p100") {
+    run("percentiles").collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
+  test("array_explode_agg returns top words") {
+    val rows = run("array_explode_agg").collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-(_: Long))))
+  }
+
+  test("json_extract parses props.k") {
+    val rows = run("json_extract").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => !r.isNullAt(1) && r.getLong(2) >= 0))
   }
 }
