@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Analytics
+import graft.queries.{Analytics, TextOps}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -32,7 +32,12 @@ object SparkEntry {
     "pivot_events"     -> (Analytics.pivotEvents _),
     "percentiles"      -> (Analytics.percentiles _),
     "array_explode_agg" -> (Analytics.arrayExplodeAgg _),
-    "json_extract"     -> (Analytics.jsonExtract _)
+    "json_extract"     -> (Analytics.jsonExtract _),
+    // E: text analysis
+    "lang_id"          -> (TextOps.langId _),
+    "text_quality"     -> (TextOps.textQuality _),
+    "token_count"      -> (TextOps.tokenCount _),
+    "doc_fingerprint"  -> (TextOps.docFingerprintQ _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -55,6 +60,10 @@ object SparkEntry {
     "pivot_events"     -> Analytics.pivotEventsSql,
     "percentiles"      -> Analytics.percentilesSql,
     "array_explode_agg" -> Analytics.arrayExplodeAggSql,
-    "json_extract"     -> Analytics.jsonExtractSql
+    "json_extract"     -> Analytics.jsonExtractSql,
+    // doc_fingerprint is rows-only: xxhash64 has no DuckDB twin.
+    "lang_id"          -> TextOps.langIdSql,
+    "text_quality"     -> TextOps.textQualitySql,
+    "token_count"      -> TextOps.tokenCountSql
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.queries.TextOps
+
+class TextOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // Real-language fixtures: the synthetic corpus has no language
+  // signal, so the accuracy claim for E1 is checked here.
+  private val fixtures = Seq(
+    ("en", "the quick brown fox jumped over the lazy dog and it was fast"),
+    ("en", "it is a truth that a single man in possession of a fortune was in want of a wife"),
+    ("fr", "le chat est dans la maison et les enfants jouent dans le jardin pour une heure"),
+    ("fr", "une baguette et des croissants pour le petit déjeuner est une bonne idée"),
+    ("es", "el perro es grande y los gatos son pequeños en la casa que tenemos por ahora"),
+    ("es", "una taza de café con leche es lo que quiero por la mañana en el campo"),
+    ("de", "der hund ist groß und die katze ist klein aber nicht zu klein für ein haus"),
+    ("de", "das wetter ist heute schön und wir gehen mit der familie zu einem see"),
+    ("zh", "我 有 一 只 猫 它 是 我 的 朋友 就 在 这 里 和 我 一起"),
+    ("zh", "这 是 一 个 很 好 的 地方 我 们 都 喜欢 在 这 里 吃饭 他 也 是"))
+
+  test("lang_id: >=90% accuracy on real-language fixtures") {
+    import spark.implicits._
+    val df = fixtures.toDF("truth", "text")
+    val scores = TextFns.langs.map(l => l -> TextFns.langScore(col("text"), l))
+    val pred = df.select(col("truth"),
+      TextFns.langPredict(scores).as("pred"))
+    val acc = pred.filter(col("truth") === col("pred")).count().toDouble / fixtures.size
+    assert(acc >= 0.9, s"accuracy $acc")
+  }
+
+  test("lang_id over documents: scores bounded by token count, pred deterministic") {
+    val out = run("lang_id")
+    assert(out.count() == Tables.documents(spark, sf).count())
+    val bad = out.join(Tables.documents(spark, sf), "doc_id")
+      .filter(col("s_en") > size(split(col("text"), " ")))
+    assert(bad.count() == 0)
+  }
+
+  test("text_quality: ratios in [0,1], quality in [0,1]") {
+    val rows = run("text_quality").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("punct_ratio")
+      val q = r.getAs[Double]("quality")
+      assert(pr >= 0 && pr <= 1); assert(q >= 0 && q <= 1)
+    }
+  }
+
+  test("token_count: re_tokens >= ws_tokens on alnum text; hand-checked case") {
+    import spark.implicits._
+    val out = Seq("Hello, world! 42 times.").toDF("text")
+      .select(TextFns.wsTokenCount(col("text")).as("ws"),
+        TextFns.reTokenCount(col("text")).as("re"))
+      .collect()(0)
+    // Hello , world ! 42 times . → 7 lexer tokens; 4 ws tokens
+    assert(out.getAs[Int]("ws") == 4 && out.getAs[Int]("re") == 7)
+    val rows = run("token_count").collect()
+    assert(rows.forall(r => r.getAs[Int]("re_tokens") >= r.getAs[Int]("ws_tokens")))
+  }
+
+  test("doc_fingerprint: deterministic, order-sensitive, low collision") {
+    import spark.implicits._
+    val df = Seq("a b c", "a b c", "c b a", "a b d").toDF("text")
+      .select(TextFns.docFingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))       // deterministic
+    assert(fps(0) != fps(2))       // order matters
+    assert(fps(0) != fps(3))       // content matters
+    val n = run("doc_fingerprint").count()
+    val distinct = run("doc_fingerprint").select("fp").distinct().count()
+    assert(distinct > n * 9 / 10)  // near-unique on the corpus
+  }
+}
