@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, TextOps}
+import graft.operators.Dedup
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -37,7 +38,13 @@ object SparkEntry {
     "lang_id"          -> (TextOps.langId _),
     "text_quality"     -> (TextOps.textQuality _),
     "token_count"      -> (TextOps.tokenCount _),
-    "doc_fingerprint"  -> (TextOps.docFingerprintQ _)
+    "doc_fingerprint"  -> (TextOps.docFingerprintQ _),
+    // C: dedup
+    "dedup_exact"      -> (Dedup.dedupExact _),
+    "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_simhash"    -> (Dedup.dedupSimhash _),
+    "ngram_jaccard"    -> (Dedup.ngramJaccard _),
+    "dedup_embedding"  -> (Dedup.dedupEmbedding _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -64,6 +71,11 @@ object SparkEntry {
     // doc_fingerprint is rows-only: xxhash64 has no DuckDB twin.
     "lang_id"          -> TextOps.langIdSql,
     "text_quality"     -> TextOps.textQualitySql,
-    "token_count"      -> TextOps.tokenCountSql
+    "token_count"      -> TextOps.tokenCountSql,
+    // dedup_simhash is rows-only: sketch has no cross-engine twin.
+    "dedup_exact"      -> Dedup.dedupExactSql,
+    "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
+    "ngram_jaccard"    -> Dedup.ngramJaccardSql,
+    "dedup_embedding"  -> Dedup.dedupEmbeddingSql
   )
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.HashFns._
+import graft.functions.VecFns
+
+/** Deduplication operators over `documents` / `embeddings`
+  * (SURVEY.md §2 C*). The shared shape: signatures are computed
+  * map-only (one scan), candidates come from a groupBy/join on
+  * (band, bucket) keys — shuffle volume ∝ docs × bands, never
+  * docs² — and only candidate pairs pay the exact-verify cost.
+  */
+object Dedup {
+
+  /** (doc_id, gs: distinct 3-gram shingles) — shared scan shape. */
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"), shingles(col("text")).as("gs"))
+
+  /** C1: exact dedup — group on md5(text) (32-byte keys shuffle, not
+    * full documents), keep the minimum doc_id per group. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** C2: MinHash + banded LSH near-dup pairs. Signature: map-only.
+    * Candidates: self-join on exploded band keys (bounded fanout).
+    * Verify: exact Jaccard over shingle sets, keep ≥ 0.5. At J ≥ 0.9
+    * the 16×4 banding catches a pair w.p. 1-(1-0.9⁴)¹⁶ ≈ 1-4e-8, so
+    * the oracle can be the exact all-pairs answer. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val g = grams(s, dir)
+    val sig = g.select(col("doc_id"), minhashSig(shingleHashes(col("gs"))).as("sig"))
+    val bands = sig.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    verifyJaccard(cand, g)
+  }
+
+  /** Exact-Jaccard verify of candidate (ia, ib) pairs against the
+    * shingle sets; emits pairs with J ≥ 0.5. */
+  private def verifyJaccard(cand: DataFrame, g: DataFrame): DataFrame =
+    cand
+      .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
+      .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")
+      .withColumn("j",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("j") >= 0.5)
+      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
+
+  /** DuckDB twin of the 3-gram shingling in [[graft.functions.HashFns.shingles]]. */
+  private val gramsCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                        for i in range(1, len(toks) - 1)])
+      |    ELSE [array_to_string(toks, ' ')] END AS gs
+      |  FROM toks)""".stripMargin
+
+  /** Exact all-pairs Jaccard ≥ 0.5 — the oracle for both the LSH path
+    * (C2, recall ≈ 1 at the corpus's J levels) and the exact
+    * postings-join path (C4). */
+  private val jaccardPairsSql: String =
+    gramsCte + "\n" +
+      """SELECT ia, ib, round(j, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |      len(list_distinct(list_concat(a.gs, b.gs))) AS j
+        |  FROM g a, g b WHERE a.doc_id < b.doc_id)
+        |WHERE j >= 0.5""".stripMargin
+
+  val dedupMinhashLshSql: String = jaccardPairsSql
+
+  /** C4: exact n-gram Jaccard pairs via a postings self-join —
+    * shuffle ∝ Σ posting-list sizes, not docs². Standalone exact twin
+    * of C2's verify stage. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = grams(s, dir)
+    val posts = g.select(col("doc_id"), explode(col("gs")).as("gram"))
+    val sizes = g.select(col("doc_id"), size(col("gs")).as("sz"))
+    posts.as("x")
+      .join(posts.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
+      .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String = jaccardPairsSql
+
+  /** C3: SimHash near-dup pairs at hamming ≤ 7. 8×8-bit bands are
+    * both the sketch and the LSH bucket keys; any pair at hamming ≤ 7
+    * shares ≥1 band (pigeonhole), so candidate generation is exact
+    * for the emitted set. Rows-only for the driver (no cross-engine
+    * xxhash64); recall vs the planted near-dups is spec-checked. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = documents(s, dir).select(col("doc_id"), simhashBands(col("text")).as("sb"))
+    val bands = sigs.select(col("doc_id"), posexplode(col("sb")))
+      .toDF("doc_id", "idx", "v")
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.idx") === col("y.idx") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("ia"), col("sb").as("sba")), "ia")
+      .join(sigs.select(col("doc_id").as("ib"), col("sb").as("sbb")), "ib")
+      .withColumn("hamming", bandHamming(col("sba"), col("sbb")))
+      .filter(col("hamming") <= 7)
+      .select(col("ia"), col("ib"), col("hamming"))
+  }
+
+  /** C5: embedding-cosine near-dup pairs ≥ 0.4, exact all-pairs —
+    * the oracle baseline at verify scale. The 100 TB path prunes
+    * candidates through [[VecFns.hyperplaneBucket]] first (see
+    * ann_lsh, D2); exact cosine in double with left-to-right
+    * accumulation matches the oracle bit-for-bit. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", VecFns.cosine(col("x.embedding"), col("y.embedding")))
+      .filter(col("cos") >= 0.4)
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  val dedupEmbeddingSql: String =
+    """SELECT va, vb, round(c, 4) AS cos FROM (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+      |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+      |WHERE c >= 0.4""".stripMargin
+}

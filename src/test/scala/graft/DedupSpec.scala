@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFns, VecFns}
+
+class DedupSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("dedup_exact keeps min id per planted duplicate group") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+    val byKeep = df.collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n")).toMap
+    assert(byKeep == Map(1L -> 2L, 3L -> 1L))
+    // corpus has no exact dups: groups == docs
+    assert(run("dedup_exact").count() == Tables.documents(spark, sf).count())
+  }
+
+  test("minhash signature approximates jaccard on crafted pair") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 36).map(i => s"w$i") ++ Seq("x1", "x2", "x3", "x4")).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"), HashFns.minhashSig(
+        HashFns.shingleHashes(HashFns.shingles(col("text")))).as("sig"))
+    val Array(s1, s2) = df.orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val est = s1.zip(s2).count { case (x, y) => x == y }.toDouble / HashFns.NumHashes
+    // true 3-shingle jaccard of the pair ≈ 34/44 ≈ 0.77
+    assert(est > 0.5 && est < 0.95, s"estimate $est")
+  }
+
+  test("dedup_minhash_lsh finds exactly the exact-jaccard pairs (recall 1 here)") {
+    val lsh = run("dedup_minhash_lsh").select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("ngram_jaccard").select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)       // the corpus has planted near-dups
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("dedup_simhash recall vs planted near-dups >= 0.9, no self/dup pairs") {
+    val sim = run("dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = run("ngram_jaccard").select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.forall { case (a, b) => a < b })
+    val recall = planted.count(sim.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall (found ${sim.size}, planted ${planted.size})")
+  }
+
+  test("dedup_embedding: pairs symmetric-free, cos in [0.4, 1]") {
+    val rows = run("dedup_embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.4 && c <= 1.0)
+    }
+  }
+
+  test("cosine kernel: orthogonal -> 0, identical -> 1") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f), Array(0f, 1f), Array(1f, 0f)))
+      .toDF("a", "b", "c")
+      .select(VecFns.cosine(col("a"), col("b")).as("ab"),
+        VecFns.cosine(col("a"), col("c")).as("ac"))
+    val r = df.collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 1) < 1e-12)
+  }
+}
