@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, TextOps}
-import graft.operators.Dedup
+import graft.operators.{Ann, Dedup}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -44,7 +44,11 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash"    -> (Dedup.dedupSimhash _),
     "ngram_jaccard"    -> (Dedup.ngramJaccard _),
-    "dedup_embedding"  -> (Dedup.dedupEmbedding _)
+    "dedup_embedding"  -> (Dedup.dedupEmbedding _),
+    // D: similarity search
+    "ann_bruteforce"   -> (Ann.annBruteforce _),
+    "ann_lsh"          -> (Ann.annLsh _),
+    "ann_ivf"          -> (Ann.annIvf _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -76,6 +80,9 @@ object SparkEntry {
     "dedup_exact"      -> Dedup.dedupExactSql,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
     "ngram_jaccard"    -> Dedup.ngramJaccardSql,
-    "dedup_embedding"  -> Dedup.dedupEmbeddingSql
+    "dedup_embedding"  -> Dedup.dedupEmbeddingSql,
+    // ann_lsh is rows-only: hyperplanes derive from xxhash64.
+    "ann_bruteforce"   -> Ann.annBruteforceSql,
+    "ann_ivf"          -> Ann.annIvfSql
   )
 }

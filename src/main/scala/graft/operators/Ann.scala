@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VecFns
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2 D*). Probe set = `vec_id < NumQueries` (broadcast);
+  * k = [[K]] neighbors per probe, ranked by cosine with vec_id
+  * tiebreak so every engine orders identically.
+  *
+  * Scale shape: probes broadcast to every scan task (map-side
+  * scoring, no shuffle of the big side for scoring); top-k runs in
+  * two phases — a partition-local rank first, so only k rows per
+  * (query, partition) reach the final per-query rank instead of the
+  * whole corpus funneling through #queries reducers.
+  */
+object Ann {
+
+  val K = 5
+  val NumQueries = 10
+  val IvfCentroids = 16
+  val IvfProbes = 2
+  val LshTables = 8
+  val LshBits = 4
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  /** Two-phase top-k: partition-local rank (spreads across all
+    * reducers), then the global per-query rank sees ≤ k rows per
+    * upstream partition. */
+  private def topK(scored: DataFrame): DataFrame = {
+    val partial = Window.partitionBy(col("qid"), col("pid"))
+      .orderBy(col("cos").desc, col("nb"))
+    val full = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prk", row_number().over(partial))
+      .filter(col("prk") <= K)
+      .withColumn("rnk", row_number().over(full))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("nb"), col("rnk"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Shared cosine expression (double, left-to-right — matches the
+    * oracle bit-for-bit). */
+  private val cosSql: String =
+    """list_dot_product(qe::DOUBLE[], ne::DOUBLE[]) /
+      |      (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *
+      |       sqrt(list_dot_product(ne::DOUBLE[], ne::DOUBLE[])))""".stripMargin
+
+  /** D1: exact top-k cosine neighbors — the recall baseline. */
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val scored = vecs(s, dir)
+      .join(broadcast(probes(s, dir)), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nb"),
+        VecFns.cosine(col("qe"), col("embedding")).as("cos"))
+    topK(scored)
+  }
+
+  val annBruteforceSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+       |s AS (SELECT qid, e.vec_id AS nb, $cosSql AS c
+       |      FROM q, (SELECT vec_id, embedding AS ne FROM embeddings) e
+       |      WHERE e.vec_id <> qid)
+       |SELECT qid, nb, rnk, round(c, 4) AS cos FROM (
+       |  SELECT qid, nb, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
+       |  FROM s) WHERE rnk <= $K""".stripMargin
+
+  /** D2: random-hyperplane LSH. Each vector lands in [[LshTables]]
+    * buckets ([[LshBits]] sign bits each, map-only); candidates are
+    * bucket collisions with any probe — an equi-join on (table,
+    * bucket), so scoring touches ~1/2^bits of the corpus per table
+    * instead of all of it. Recall vs D1 is spec-checked; rows-only
+    * for the driver (hyperplanes derive from xxhash64). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select((col(idCol) +: col(vecCol) +:
+        (0 until LshTables).map(t =>
+          VecFns.hyperplaneBucket(col(vecCol), LshBits, seed = t).as(s"b$t"))): _*)
+        .select(col(idCol), col(vecCol), explode(array(
+          (0 until LshTables).map(t => struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
+        .select(col(idCol), col(vecCol), col("tb.t"), col("tb.b"))
+    val qb = buckets(probes(s, dir), "qid", "qe")
+    val eb = buckets(vecs(s, dir), "vec_id", "embedding")
+    val cand = qb.join(eb, Seq("t", "b"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("vec_id").as("nb"), col("embedding"))
+      .dropDuplicates("qid", "nb")
+    val scored = cand.select(col("qid"), col("nb"),
+      VecFns.cosine(col("qe"), col("embedding")).as("cos"))
+    topK(scored)
+  }
+
+  /** D3: IVF — inverted file over [[IvfCentroids]] deterministic seed
+    * centroids (vec_id < 16, one assignment pass: "k-means-ish").
+    * Assignment is a broadcast join + per-vector argmax; queries
+    * probe their [[IvfProbes]] nearest cells and only those cells'
+    * vectors are scored. Fully oracle-able: seeds are deterministic
+    * and assignment arithmetic is the same double cosine. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val cent = vecs(s, dir).filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def nearestCells(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+      df.join(broadcast(cent), lit(true))
+        .withColumn("ccos", VecFns.cosine(col(vecCol), col("ce")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .select(col(idCol), col(vecCol), col("cid"))
+    }
+    val assign = nearestCells(vecs(s, dir), "vec_id", "embedding", 1)
+    val qcells = nearestCells(probes(s, dir), "qid", "qe", IvfProbes)
+    // assignment is unique per vector (rn = 1), so (qid, nb) can't
+    // repeat across probed cells — no dedup shuffle needed
+    val scored = qcells.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nb"),
+        VecFns.cosine(col("qe"), col("embedding")).as("cos"))
+    topK(scored)
+  }
+
+  val annIvfSql: String = {
+    val centCos =
+      """list_dot_product(ve::DOUBLE[], ce::DOUBLE[]) /
+        |        (sqrt(list_dot_product(ve::DOUBLE[], ve::DOUBLE[])) *
+        |         sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[])))""".stripMargin
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $IvfCentroids),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $centCos DESC, cid) AS rn
+       |    FROM (SELECT vec_id, embedding AS ve FROM embeddings) e, cent) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT qid, qe, cid FROM (
+       |    SELECT q.qid, q.qe, cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_dot_product(qe::DOUBLE[], ce::DOUBLE[]) /
+       |        (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *
+       |         sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))) DESC, cid) AS rn
+       |    FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries) q, cent)
+       |  WHERE rn <= $IvfProbes),
+       |cand AS (
+       |  SELECT qid, qe, e.vec_id AS nb, e.embedding AS ne
+       |  FROM qcells JOIN assign a ON a.cid = qcells.cid
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> qid)
+       |SELECT qid, nb, rnk, round(c, 4) AS cos FROM (
+       |  SELECT qid, nb, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
+       |  FROM (SELECT qid, nb, $cosSql AS c FROM cand))
+       |WHERE rnk <= $K""".stripMargin
+  }
+}
