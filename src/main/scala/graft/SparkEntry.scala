@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, TextOps}
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, Multimodal}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -21,6 +21,8 @@ object SparkEntry {
     "snowflake_decode" -> (Ingest.snowflakeDecode _),
     "dedup_upsert"     -> (Ingest.dedupUpsert _),
     "ingest_stats"     -> (Ingest.ingestStats _),
+    "jdbc_sink"        -> (Ingest.jdbcSink _),
+    "stream_ingest"    -> (Ingest.streamIngest _),
     // B: query surface
     "q1_agg"           -> (Analytics.q1Agg _),
     "q3_join_topn"     -> (Analytics.q3JoinTopn _),
@@ -48,7 +50,11 @@ object SparkEntry {
     // D: similarity search
     "ann_bruteforce"   -> (Ann.annBruteforce _),
     "ann_lsh"          -> (Ann.annLsh _),
-    "ann_ivf"          -> (Ann.annIvf _)
+    "ann_ivf"          -> (Ann.annIvf _),
+    // F: multimodal plumbing
+    "mm_schema"        -> (Multimodal.mmSchema _),
+    "mm_decode"        -> (Multimodal.mmDecode _),
+    "mm_framesample"   -> (Multimodal.mmFramesample _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -60,6 +66,8 @@ object SparkEntry {
     "snowflake_decode" -> Ingest.snowflakeDecodeSql,
     "dedup_upsert"     -> Ingest.dedupUpsertSql,
     "ingest_stats"     -> Ingest.ingestStatsSql,
+    "jdbc_sink"        -> Ingest.jdbcSinkSql,
+    "stream_ingest"    -> Ingest.streamIngestSql,
     "q1_agg"           -> Analytics.q1AggSql,
     "q3_join_topn"     -> Analytics.q3JoinTopnSql,
     "q5_multijoin"     -> Analytics.q5MultijoinSql,
@@ -83,6 +91,9 @@ object SparkEntry {
     "dedup_embedding"  -> Dedup.dedupEmbeddingSql,
     // ann_lsh is rows-only: hyperplanes derive from xxhash64.
     "ann_bruteforce"   -> Ann.annBruteforceSql,
-    "ann_ivf"          -> Ann.annIvfSql
+    "ann_ivf"          -> Ann.annIvfSql,
+    "mm_schema"        -> Multimodal.mmSchemaSql,
+    "mm_decode"        -> Multimodal.mmDecodeSql,
+    "mm_framesample"   -> Multimodal.mmFramesampleSql
   )
 }

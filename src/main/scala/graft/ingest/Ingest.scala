@@ -131,6 +131,42 @@ object Ingest {
 
   val ingestStatsSql: String =
     "SELECT 'lineitem.parquet' AS file, count(*) AS n_rows FROM lineitem"
+
+  /** A7: the sink's batching plan — rows ordered by key, chunked
+    * into [[JdbcBatch]]-row transactions (utils.go:88-119's 1000-row
+    * batches, sized down so verify sees several). The JDBC writer
+    * itself is [[graft.sinks.JdbcUpsertSink]] (no DB in the test
+    * container; statement text + batching math are spec-tested). */
+  val JdbcBatch = 100
+  def jdbcSink(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("batch_id", floor((row_number().over(w) - 1) / JdbcBatch))
+      .groupBy(col("batch_id")).agg(count(lit(1)).as("n_rows"))
+  }
+
+  val jdbcSinkSql: String =
+    s"""SELECT batch_id, count(*) AS n_rows FROM (
+       |  SELECT (row_number() OVER (ORDER BY doc_id) - 1) // $JdbcBatch AS batch_id
+       |  FROM documents) GROUP BY batch_id""".stripMargin
+
+  /** A8: streaming ingest — runs the actual Structured Streaming
+    * pipeline (file source → watermark → dedup-within-watermark →
+    * windowed counts) to a memory sink and returns the result. All
+    * input fits the first micro-batch here, so the watermark drops
+    * nothing and the batch twin is the oracle. */
+  def streamIngest(s: SparkSession, dir: String): DataFrame = {
+    val name = "stream_ingest_mem"
+    val q = graft.streaming.StreamIngest.runToMemory(s, dir, name)
+    q.stop()
+    s.table(name)
+  }
+
+  val streamIngestSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
 }
 
 /** Deterministic zip fixture for A2: the documents table written as

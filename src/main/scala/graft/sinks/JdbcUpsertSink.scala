@@ -1,0 +1,75 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Batched transactional JDBC upsert sink — the reference's insert
+  * path (utils.go:88-119: 1000-row batches inside a transaction,
+  * `ON CONFLICT (key) DO UPDATE` last-write-wins; main.go:177-208:
+  * plain insert first, retry as upsert on duplicate-key).
+  *
+  * Spark-first shape: the DataFrame is deduped/partitioned upstream
+  * (see ingest.Upsert); each partition opens one connection and
+  * writes its rows in `batchSize` chunks, committing once per
+  * partition — N executors write N independent transactions, the
+  * per-partition idempotence coming from the upsert statement. No
+  * driver-side collect at any scale.
+  *
+  * The container has no database, so `write` is exercised only at
+  * the SQL-building and batching-math level (spec); the JDBC calls
+  * are the standard driver-manager path.
+  */
+object JdbcUpsertSink {
+
+  /** `INSERT … ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c` for
+    * every non-key column — last write wins, like the reference. */
+  def upsertSql(table: String, columns: Seq[String], key: String): String = {
+    require(columns.contains(key), s"key $key not in $columns")
+    val collist = columns.mkString(", ")
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    val updates = columns.filterNot(_ == key)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"INSERT INTO $table ($collist) VALUES ($placeholders) " +
+      s"ON CONFLICT ($key) DO UPDATE SET $updates"
+  }
+
+  /** Plain insert (the optimistic first attempt, main.go:177-189). */
+  def insertSql(table: String, columns: Seq[String]): String =
+    s"INSERT INTO ${table} (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+
+  /** Row count of each `batchSize` chunk of `n` rows — the batching
+    * math, shared by `write` and the driver-facing query. */
+  def batchSizes(n: Long, batchSize: Int): Seq[Long] =
+    (0L until (n + batchSize - 1) / batchSize)
+      .map(b => math.min(batchSize.toLong, n - b * batchSize))
+
+  /** Upsert `df` into `table` over JDBC, one transaction per
+    * partition, `batchSize`-row executeBatch chunks. */
+  def write(df: DataFrame, url: String, table: String, key: String,
+            batchSize: Int = 1000, props: java.util.Properties = new java.util.Properties): Unit = {
+    val columns = df.columns.toSeq
+    val sql = upsertSql(table, columns, key)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          var inBatch = 0
+          rows.foreach { row =>
+            columns.indices.foreach(i => st.setObject(i + 1, row.get(i)))
+            st.addBatch()
+            inBatch += 1
+            if (inBatch == batchSize) { st.executeBatch(); inBatch = 0 }
+          }
+          if (inBatch > 0) st.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.JdbcUpsertSink
+import graft.streaming.StreamIngest
+
+class SinkStreamSpec extends SparkSpec {
+
+  test("upsertSql: every non-key column gets EXCLUDED, key drives conflict") {
+    val sql = JdbcUpsertSink.upsertSql("decisions", Seq("uuid", "reason", "ts"), "uuid")
+    assert(sql == "INSERT INTO decisions (uuid, reason, ts) VALUES (?, ?, ?) " +
+      "ON CONFLICT (uuid) DO UPDATE SET reason = EXCLUDED.reason, ts = EXCLUDED.ts")
+    assertThrows[IllegalArgumentException] {
+      JdbcUpsertSink.upsertSql("t", Seq("a", "b"), "missing")
+    }
+  }
+
+  test("batchSizes: 1000-row chunking matches the reference's batching") {
+    assert(JdbcUpsertSink.batchSizes(2500, 1000) == Seq(1000L, 1000L, 500L))
+    assert(JdbcUpsertSink.batchSizes(1000, 1000) == Seq(1000L))
+    assert(JdbcUpsertSink.batchSizes(0, 1000).isEmpty)
+  }
+
+  test("jdbc_sink query: batch sizes sum to row count, all full but last") {
+    val rows = SparkEntry.queries("jdbc_sink")(spark, sf)
+      .orderBy("batch_id").collect()
+    val sizes = rows.map(_.getAs[Long]("n_rows"))
+    assert(sizes.sum == Tables.documents(spark, sf).count())
+    assert(sizes.init.forall(_ == Ingest.JdbcBatch))
+    assert(sizes.last <= Ingest.JdbcBatch)
+  }
+
+  test("stream_ingest: real streaming run equals the batch twin") {
+    val streamed = SparkEntry.queries("stream_ingest")(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.agg(sum("n")).collect()(0).getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
+
+  private object Ingest { val JdbcBatch = graft.ingest.Ingest.JdbcBatch }
+}
