@@ -24,6 +24,9 @@ object GraftSession {
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native codegen'd kernels (see graft.plans); idempotent
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => graft.plans.VecDotProduct(exprs(0), exprs(1)), "built-in")
     spark
   }
 

@@ -1,11 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hash/sketch kernels for dedup (SURVEY.md §2 C*): shingling,
-  * MinHash, SimHash. All pure `functions._` higher-order
-  * compositions — map-only, codegen'd, no UDFs — so signature
+  * MinHash, SimHash. All pure `functions._` compositions — no UDFs —
+  * so signature
   * computation costs one scan at any scale; only the (band, bucket)
   * keys ever shuffle.
   */
@@ -40,14 +40,40 @@ object HashFns {
   def shingleHashes(sh: Column): Column =
     transform(sh, s => pmod(xxhash64(s), lit(P)))
 
-  /** MinHash signature: [[NumHashes]] minima over the shingle hash
-    * set under the fixed hash family. */
+  /** MinHash signature as a higher-order fold — one pass over the
+    * hash set with element-wise `least`. Fine for ad-hoc per-row use
+    * (specs, small inputs); the OPERATOR path uses [[minhashSigAgg]]
+    * instead: this nested-lambda form is interpreted, and its first
+    * execution pays a pathological codegen-compile/fallback (~150 s
+    * measured on a fresh session at sf0.1).
+    *
+    * (The k-outer/shingles-inner form `transform(0..k, i =>
+    * array_min(transform(hashes, …)))` is worse still — after
+    * CollapseProject it re-evaluates the whole shingling pipeline k
+    * times per row.) */
   def minhashSig(hashes: Column): Column = {
     val a = typedLit(A)
     val b = typedLit(B)
-    transform(sequence(lit(0), lit(NumHashes - 1)), i =>
-      array_min(transform(hashes, h =>
-        pmod(element_at(a, i + 1) * h + element_at(b, i + 1), lit(P)))))
+    val idx = typedLit((0 until NumHashes).map(_.toLong))
+    aggregate(hashes, typedLit(Seq.fill(NumHashes)(P)),
+      (acc, h) => zip_with(acc, idx,
+        (m, i) => least(m, pmod(element_at(a, (i + 1).cast("int")) * h +
+          element_at(b, (i + 1).cast("int")), lit(P)))))
+  }
+
+  /** MinHash signatures via explode + groupBy — the classic
+    * formulation: `posts` is (id, h) with one row per (doc, shingle
+    * hash); the result is (id, sig). The [[NumHashes]] minima are
+    * plain scalar `min` aggregates (whole-stage codegen, partial
+    * map-side combine), so signature cost is one shuffle of the
+    * postings keyed by id — the same shuffle the LSH band join
+    * needs anyway at scale. */
+  def minhashSigAgg(posts: DataFrame, idCol: String, hCol: String): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min(pmod(lit(A(i)) * col(hCol) + lit(B(i)), lit(P))).as(s"s$i"))
+    posts.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
   }
 
   /** LSH band keys: signature → [[Bands]] strings "band:v1-v2-v3-v4".
@@ -85,8 +111,34 @@ object HashFns {
         (acc, s) => acc * 2 + when(s > 0, 1L).otherwise(0L)))
   }
 
-  /** Hamming distance between two simhash band arrays. */
-  def bandHamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, c) => acc + c)
+  /** SimHash band values via explode + groupBy (see [[minhashSigAgg]]
+    * for why the operator path avoids the HOF form): `posts` is
+    * (id, h) with one row per (doc, token hash); result is (id, sb).
+    * The 64 signed bit-sums are scalar codegen'd aggregates; each
+    * band then folds its bits with plain arithmetic. */
+  def simhashBandsAgg(posts: DataFrame, idCol: String, hCol: String,
+                      numBands: Int = 8): DataFrame = {
+    require(64 % numBands == 0)
+    val r = 64 / numBands
+    val sums = (0 until 64).map(i =>
+      sum(when(col(hCol).bitwiseAND(lit(Pow2(i))) =!= 0, 1L).otherwise(-1L)).as(s"c$i"))
+    val bandCols = (0 until numBands).map { bnd =>
+      (0 until r).foldLeft(lit(0L)) { (acc, j) =>
+        acc * 2 + when(col(s"c${bnd * r + j}") > 0, 1L).otherwise(0L)
+      }.as(s"b$bnd")
+    }
+    posts.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), array((0 until numBands).map(i => col(s"b$i")): _*).as("sb"))
+  }
+
+  /** Hamming distance between two simhash band arrays. Flattened to
+    * scalar element_at/xor/bit_count (all codegen'd) — this sits in
+    * the post-join hot filter over millions of candidate pairs, where
+    * an interpreted HOF fold costs more than the join itself. */
+  def bandHamming(a: Column, b: Column, numBands: Int = 8): Column =
+    (0 until numBands)
+      .map(i => bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1))).cast("long"))
+      .reduce(_ + _)
 }

@@ -14,9 +14,13 @@ import graft.functions.VecFns
   */
 object Dedup {
 
-  /** (doc_id, gs: distinct 3-gram shingles) — shared scan shape. */
+  /** (doc_id, gs: distinct 3-gram shingles), persisted — every
+    * consumer uses it at least twice (signature + verify sides), and
+    * shingling is the expensive per-row kernel. MEMORY_AND_DISK: at
+    * corpus scale the executor-local spill keeps it bounded. */
   private def grams(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"), shingles(col("text")).as("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** C1: exact dedup — group on md5(text) (32-byte keys shuffle, not
     * full documents), keep the minimum doc_id per group. */
@@ -36,7 +40,10 @@ object Dedup {
     * the oracle can be the exact all-pairs answer. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val g = grams(s, dir)
-    val sig = g.select(col("doc_id"), minhashSig(shingleHashes(col("gs"))).as("sig"))
+    // signature via explode + scalar min-aggregates (minhashSigAgg):
+    // one postings shuffle keyed by doc, everything codegen'd
+    val posts = g.select(col("doc_id"), explode(shingleHashes(col("gs"))).as("h"))
+    val sig = minhashSigAgg(posts, "doc_id", "h")
     val bands = sig.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
@@ -109,20 +116,30 @@ object Dedup {
     * for the emitted set. Rows-only for the driver (no cross-engine
     * xxhash64); recall vs the planted near-dups is spec-checked. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = documents(s, dir).select(col("doc_id"), simhashBands(col("text")).as("sb"))
-    val bands = sigs.select(col("doc_id"), posexplode(col("sb")))
-      .toDF("doc_id", "idx", "v")
-    val cand = bands.as("x")
+    // sketch via explode + scalar sum-aggregates (simhashBandsAgg);
+    // persisted (tiny: numBands longs/doc) since it feeds both sides
+    // of the self-join
+    val toks = documents(s, dir).select(col("doc_id"),
+      explode(transform(graft.functions.TextFns.wsTokens(lower(col("text"))),
+        t => xxhash64(t))).as("h"))
+    val sigs = simhashBandsAgg(toks, "doc_id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // carry the full sketch through the band explode so the verify
+    // stage needs no extra joins back to sigs
+    val bands = sigs.select(col("doc_id"), col("sb"), posexplode(col("sb")))
+      .toDF("doc_id", "sb", "idx", "v")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.idx") === col("y.idx") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-      .distinct()
-    cand
-      .join(sigs.select(col("doc_id").as("ia"), col("sb").as("sba")), "ia")
-      .join(sigs.select(col("doc_id").as("ib"), col("sb").as("sbb")), "ib")
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+        col("x.sb").as("sba"), col("y.sb").as("sbb"))
+      // hamming BEFORE the dedup shuffle: the skewed buckets of a
+      // low-entropy corpus emit millions of candidates, and the 4-xor
+      // hamming kills most of them map-side
       .withColumn("hamming", bandHamming(col("sba"), col("sbb")))
       .filter(col("hamming") <= 7)
+      .dropDuplicates("ia", "ib")
       .select(col("ia"), col("ib"), col("hamming"))
   }
 
@@ -132,9 +149,15 @@ object Dedup {
     * ann_lsh, D2); exact cosine in double with left-to-right
     * accumulation matches the oracle bit-for-bit. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    // norms once per vector (N sqrt-dots), not once per pair (N²/2 ×3):
+    // sqrt(dot(a,a))·sqrt(dot(b,b)) is the same doubles either way,
+    // so the oracle still matches bit-for-bit
     val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VecFns.norm(col("embedding")))
+    val denom = col("x.nrm") * col("y.nrm")
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", VecFns.cosine(col("x.embedding"), col("y.embedding")))
+      .withColumn("cos", when(denom === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("x.embedding"), col("y.embedding")) / denom))
       .filter(col("cos") >= 0.4)
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
         round(col("cos"), 4).as("cos"))

@@ -32,6 +32,20 @@ class DedupSpec extends SparkSpec {
     assert(est > 0.5 && est < 0.95, s"estimate $est")
   }
 
+  test("minhashSigAgg (operator path) == minhashSig (HOF path)") {
+    import org.apache.spark.sql.functions.explode
+    val g = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), HashFns.shingleHashes(
+        HashFns.shingles(col("text"))).as("hs"))
+    val hof = g.select(col("doc_id"), HashFns.minhashSig(col("hs")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = HashFns.minhashSigAgg(
+      g.select(col("doc_id"), explode(col("hs")).as("h")), "doc_id", "h")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hof.keySet == agg.keySet)
+    hof.foreach { case (id, sig) => assert(sig == agg(id), s"doc $id") }
+  }
+
   test("dedup_minhash_lsh finds exactly the exact-jaccard pairs (recall 1 here)") {
     val lsh = run("dedup_minhash_lsh").select("ia", "ib").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
