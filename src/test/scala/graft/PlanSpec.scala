@@ -1,0 +1,50 @@
+package graft
+
+/** Physical-plan shape assertions (SURVEY.md §5): the properties that
+  * make these plans survive a 100× scale-up are checked here, so a
+  * regression (lost pushdown, surprise cartesian, extra shuffle)
+  * fails the suite, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!scanLine.contains("l_orderkey"), "scan reads columns q1 never touches")
+  }
+
+  test("q5_multijoin: dimension joins broadcast, no shuffle-side blowup") {
+    val p = plan("q5_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sessionize: both windows and the final agg share one user_id shuffle") {
+    val p = plan("sessionize")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges\n$p")
+  }
+
+  test("semi_anti_join: planned as semi/anti hash joins, not full joins") {
+    val p = plan("semi_anti_join")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
+  test("no query plans a CartesianProduct (BNLJ-with-condition is the allowed exact-pairs form)") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), s"cartesian in $name")
+    }
+  }
+
+  test("dedup/ann candidate generation is equi-join (hash/merge), LSH never all-pairs") {
+    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name generates candidates non-equi:\n$p")
+    }
+  }
+}
