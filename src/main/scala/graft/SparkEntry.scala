@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, TextOps}
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, AsofJoin, Dedup, Multimodal}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -36,6 +36,7 @@ object SparkEntry {
     "percentiles"      -> (Analytics.percentiles _),
     "array_explode_agg" -> (Analytics.arrayExplodeAgg _),
     "json_extract"     -> (Analytics.jsonExtract _),
+    "asof_join"        -> (AsofJoin.asofJoinQ _),
     // E: text analysis
     "lang_id"          -> (TextOps.langId _),
     "text_quality"     -> (TextOps.textQuality _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "percentiles"      -> Analytics.percentilesSql,
     "array_explode_agg" -> Analytics.arrayExplodeAggSql,
     "json_extract"     -> Analytics.jsonExtractSql,
+    "asof_join"        -> AsofJoin.asofJoinSql,
     // doc_fingerprint is rows-only: xxhash64 has no DuckDB twin.
     "lang_id"          -> TextOps.langIdSql,
     "text_quality"     -> TextOps.textQualitySql,
