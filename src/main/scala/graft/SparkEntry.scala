@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, TextOps}
-import graft.operators.{Ann, AsofJoin, Dedup, Multimodal}
+import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, RangeJoin}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -37,6 +37,7 @@ object SparkEntry {
     "array_explode_agg" -> (Analytics.arrayExplodeAgg _),
     "json_extract"     -> (Analytics.jsonExtract _),
     "asof_join"        -> (AsofJoin.asofJoinQ _),
+    "range_join"       -> (RangeJoin.rangeJoinQ _),
     // E: text analysis
     "lang_id"          -> (TextOps.langId _),
     "text_quality"     -> (TextOps.textQuality _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "array_explode_agg" -> Analytics.arrayExplodeAggSql,
     "json_extract"     -> Analytics.jsonExtractSql,
     "asof_join"        -> AsofJoin.asofJoinSql,
+    "range_join"       -> RangeJoin.rangeJoinSql,
     // doc_fingerprint is rows-only: xxhash64 has no DuckDB twin.
     "lang_id"          -> TextOps.langIdSql,
     "text_quality"     -> TextOps.textQualitySql,

@@ -25,6 +25,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Map(10L -> Some(100L), 11L -> Some(101L), 12L -> None, 13L -> None))
   }
 
+  test("range_join: bucketed count equals direct inequality-join count") {
+    val out = SparkEntry.queries("range_join")(spark, sf)
+    val errors = Tables.events(spark, sf).filter(col("event_type") === "error")
+    assert(out.count() == errors.count())
+    // independent check: plain (slow) inequality join on a sample user
+    val e = Tables.events(spark, sf)
+    val direct = e.filter(col("event_type") === "error").as("x")
+      .join(e.filter(col("event_type") === "click").as("y"),
+        col("y.user_id") === col("x.user_id") &&
+          col("y.ts") > col("x.ts") - expr("INTERVAL 3600 SECOND") &&
+          col("y.ts") <= col("x.ts"), "left_outer")
+      .groupBy(col("x.event_id").as("error_id"))
+      .agg(count(col("y.event_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(direct(r.getLong(0)) == r.getLong(1), s"error ${r.getLong(0)}")
+    }
+    assert(out.agg(sum("n_clicks")).collect()(0).getLong(0) > 0)
+  }
+
   test("asof_join query: every matched click precedes its purchase; match is the max prior click") {
     val out = SparkEntry.queries("asof_join")(spark, sf)
     val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
