@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, TextOps}
-import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, RangeJoin}
+import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, RangeJoin, ScalePatterns}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -38,6 +38,9 @@ object SparkEntry {
     "json_extract"     -> (Analytics.jsonExtract _),
     "asof_join"        -> (AsofJoin.asofJoinQ _),
     "range_join"       -> (RangeJoin.rangeJoinQ _),
+    "skew_agg"         -> (ScalePatterns.skewAgg _),
+    "bucketed_join"    -> (ScalePatterns.bucketedJoin _),
+    "pruned_scan"      -> (ScalePatterns.prunedScan _),
     // E: text analysis
     "lang_id"          -> (TextOps.langId _),
     "text_quality"     -> (TextOps.textQuality _),
@@ -84,6 +87,9 @@ object SparkEntry {
     "json_extract"     -> Analytics.jsonExtractSql,
     "asof_join"        -> AsofJoin.asofJoinSql,
     "range_join"       -> RangeJoin.rangeJoinSql,
+    "skew_agg"         -> ScalePatterns.skewAggSql,
+    "bucketed_join"    -> ScalePatterns.bucketedJoinSql,
+    "pruned_scan"      -> ScalePatterns.prunedScanSql,
     // doc_fingerprint is rows-only: xxhash64 has no DuckDB twin.
     "lang_id"          -> TextOps.langIdSql,
     "text_quality"     -> TextOps.textQualitySql,

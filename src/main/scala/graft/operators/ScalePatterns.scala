@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scale patterns as first-class operators (SURVEY.md §5): each
+  * demonstrates — with an exact oracle, since none of them changes
+  * the RESULT — the plan shape that survives 100× data growth.
+  */
+object ScalePatterns {
+
+  val Salts = 16
+
+  /** Salted two-phase aggregation: groupBy on a low-cardinality /
+    * skewed key first aggregates on (key, salt) — spreading each hot
+    * key over [[Salts]] reducers — then combines partials. Result is
+    * identical to the direct groupBy (sums are associative), so the
+    * oracle is the plain GROUP BY. */
+  def skewAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 4).as("sum_value"))
+
+  val skewAggSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Bucketed co-located join: orders and lineitem written bucketed
+    * by the join key (one-time fixture, like a warehouse's bucketed
+    * tables), then joined WITHOUT a shuffle — the spec asserts the
+    * join plan has no Exchange. At 100 TB this is the difference
+    * between re-shuffling the fact table per query and reading
+    * co-located buckets. Result (and oracle) = the plain join. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureBucketed(s, dir)
+    val o = s.table("orders_b")
+    val l = s.table("lineitem_b")
+    // merge hint: at toy scale AQE would broadcast instead, hiding
+    // the property under test — bucketed SMJ with no exchange/sort
+    l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  round(sum(l_extendedprice), 4) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** One-time bucketed-table fixture per sf dir (16 buckets on the
+    * join key, sorted within buckets → shuffle-free sort-merge). */
+  def ensureBucketed(s: SparkSession, dir: String): Unit = synchronized {
+    val tag = dir.replaceAll("[^0-9]", "")
+    if (!s.catalog.tableExists("orders_b") ||
+        s.conf.getOption("graft.bucketed.tag").getOrElse("") != tag) {
+      // the warehouse dir outlives the in-memory catalog across JVMs;
+      // clear both so saveAsTable never hits LOCATION_ALREADY_EXISTS
+      Seq("orders_b", "lineitem_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        deleteRec(new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t))
+      }
+      orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+      lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+      s.conf.set("graft.bucketed.tag", tag)
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** Partition-pruned scan: events written date-partitioned (the
+    * daily-dump staging layout from SURVEY §5), then aggregated with
+    * a partition filter — the scan touches only matching partitions
+    * (spec asserts the pruning). Oracle = same filter on the flat
+    * table. */
+  def prunedScan(s: SparkSession, dir: String): DataFrame = {
+    ensurePartitioned(s, dir)
+    s.read.parquet(partDir(dir))
+      .filter(col("d") >= "2024-01-10" && col("d") <= "2024-01-12")
+      .groupBy(col("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("d").cast("string").as("d"), col("event_type"), col("n"))
+  }
+
+  val prunedScanSql: String =
+    """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, event_type, count(*) AS n
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  def partDir(dir: String): String =
+    s"/root/repo/target/fixtures/events_by_day_${dir.replaceAll("[^0-9]", "")}"
+
+  def ensurePartitioned(s: SparkSession, dir: String): Unit = synchronized {
+    val out = partDir(dir)
+    if (!new java.io.File(out).exists()) {
+      events(s, dir)
+        .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("d").parquet(out)
+    }
+  }
+}

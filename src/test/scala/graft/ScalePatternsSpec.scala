@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ScalePatterns
+
+class ScalePatternsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("skew_agg: salted two-phase result equals direct groupBy") {
+    val salted = run("skew_agg").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == direct)
+  }
+
+  test("bucketed_join: SMJ over bucketed scans, no shuffle or sort before the join") {
+    val df = run("bucketed_join")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"))
+    // the only hash exchange is the final small agg — the join inputs
+    // read co-located buckets directly
+    val shuffles = "Exchange hashpartitioning\\((?:l_orderkey|o_orderkey)".r.findAllIn(p).length
+    assert(shuffles == 0, s"bucketed join shuffled its inputs:\n$p")
+    assert(df.agg(sum("n_lines")).collect()(0).getLong(0) ==
+      Tables.lineitem(spark, sf).count())
+  }
+
+  test("pruned_scan: only the 3 filtered date partitions are read") {
+    val df = run("pruned_scan")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:"), "no partition filter in scan")
+    // inputFiles reflects the pre-pruning index; the physical scan's
+    // selected partitions are what actually gets read
+    val top = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = top.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val parts = scans.head.selectedPartitions.partitionCount
+    assert(parts == 3, s"scan reads $parts partitions, expected 3")
+  }
+}
