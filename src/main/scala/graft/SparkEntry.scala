@@ -23,6 +23,10 @@ object SparkEntry {
     "ingest_stats"     -> (Ingest.ingestStats _),
     "jdbc_sink"        -> (Ingest.jdbcSink _),
     "stream_ingest"    -> (Ingest.streamIngest _),
+    "stream_sessionize" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.StreamSessionize.runToMemory(s, dir, "stream_sess_mem")
+      s.table("stream_sess_mem")
+    }),
     // B: query surface
     "q1_agg"           -> (Analytics.q1Agg _),
     "q3_join_topn"     -> (Analytics.q3JoinTopn _),
@@ -73,6 +77,8 @@ object SparkEntry {
     "ingest_stats"     -> Ingest.ingestStatsSql,
     "jdbc_sink"        -> Ingest.jdbcSinkSql,
     "stream_ingest"    -> Ingest.streamIngestSql,
+    // streaming twin of B6 — same oracle
+    "stream_sessionize" -> Analytics.sessionizeSql,
     "q1_agg"           -> Analytics.q1AggSql,
     "q3_join_topn"     -> Analytics.q3JoinTopnSql,
     "q5_multijoin"     -> Analytics.q5MultijoinSql,

@@ -40,5 +40,16 @@ class SinkStreamSpec extends SparkSpec {
       Tables.events(spark, sf).count())
   }
 
+  test("stream_sessionize: stateful streaming sessions equal the batch query") {
+    val streamed = SparkEntry.queries("stream_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    val batch = SparkEntry.queries("sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    assert(streamed.size == batch.size)
+    batch.foreach { case (k, v) => assert(streamed(k) == v, s"session $k") }
+  }
+
   private object Ingest { val JdbcBatch = graft.ingest.Ingest.JdbcBatch }
 }
