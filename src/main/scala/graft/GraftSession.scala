@@ -17,6 +17,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the 64-column sketch aggregates generate large classes; the
+      // default 100-entry codegen cache thrashes when many queries
+      // share a session (measured: 22 s cold → 120 s mid-bench from
+      // repeated Janino recompiles)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       // testdata events.ts is parquet TIMESTAMP(NANOS) which Spark's
       // reader rejects; read as long ns and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

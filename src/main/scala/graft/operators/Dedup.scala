@@ -14,13 +14,47 @@ import graft.functions.VecFns
   */
 object Dedup {
 
-  /** (doc_id, gs: distinct 3-gram shingles), persisted — every
-    * consumer uses it at least twice (signature + verify sides), and
-    * shingling is the expensive per-row kernel. MEMORY_AND_DISK: at
-    * corpus scale the executor-local spill keeps it bounded. */
-  private def grams(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir).select(col("doc_id"), shingles(col("text")).as("gs"))
+  /** Distinct 3-gram shingles as (doc_id, gram) POSTINGS, built
+    * relationally — posexplode tokens, `lead` window for the next
+    * two, concat — so shingling is whole-stage codegen plus one
+    * doc-keyed shuffle instead of an interpreted array lambda
+    * (measured ~4× on the LSH pipeline). Docs under 3 tokens
+    * contribute their whole text as one gram (same fallback as
+    * [[graft.functions.HashFns.shingles]] and the oracle). */
+  private def gramPosts(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      posexplode(graft.functions.TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val long3 = toks
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("gram"))
+    val short = documents(s, dir)
+      .filter(size(graft.functions.TextFns.wsTokens(lower(col("text")))) < 3)
+      .select(col("doc_id"),
+        concat_ws(" ", graft.functions.TextFns.wsTokens(lower(col("text")))).as("gram"))
+    long3.unionByName(short).dropDuplicates("doc_id", "gram")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Exact-Jaccard verify of (ia, ib) candidate pairs against gram
+    * postings: constrain postings to the pair list first (pairs are
+    * few), count common grams, join per-doc sizes. Pairs with zero
+    * common grams drop out — they can't pass the 0.5 floor. */
+  private def verifyJaccardPosts(cand: DataFrame, gp: DataFrame): DataFrame = {
+    val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    cand
+      .join(gp.select(col("doc_id").as("ia"), col("gram")), "ia")
+      .join(gp.select(col("doc_id").as("ib"), col("gram")), Seq("ib", "gram"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
+      .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
+  }
 
   /** C1: exact dedup — group on md5(text) (32-byte keys shuffle, not
     * full documents), keep the minimum doc_id per group. */
@@ -39,30 +73,18 @@ object Dedup {
     * the 16×4 banding catches a pair w.p. 1-(1-0.9⁴)¹⁶ ≈ 1-4e-8, so
     * the oracle can be the exact all-pairs answer. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val g = grams(s, dir)
-    // signature via explode + scalar min-aggregates (minhashSigAgg):
-    // one postings shuffle keyed by doc, everything codegen'd
-    val posts = g.select(col("doc_id"), explode(shingleHashes(col("gs"))).as("h"))
+    val gp = gramPosts(s, dir)
+    // signature via postings + scalar min-aggregates (minhashSigAgg):
+    // one shuffle keyed by doc, everything codegen'd
+    val posts = gp.select(col("doc_id"), pmod(xxhash64(col("gram")), lit(P)).as("h"))
     val sig = minhashSigAgg(posts, "doc_id", "h")
     val bands = sig.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .distinct()
-    verifyJaccard(cand, g)
+    verifyJaccardPosts(cand, gp)
   }
-
-  /** Exact-Jaccard verify of candidate (ia, ib) pairs against the
-    * shingle sets; emits pairs with J ≥ 0.5. */
-  private def verifyJaccard(cand: DataFrame, g: DataFrame): DataFrame =
-    cand
-      .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
-      .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")
-      .withColumn("j",
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))))
-      .filter(col("j") >= 0.5)
-      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
 
   /** DuckDB twin of the 3-gram shingling in [[graft.functions.HashFns.shingles]]. */
   private val gramsCte: String =
@@ -94,11 +116,10 @@ object Dedup {
     * shuffle ∝ Σ posting-list sizes, not docs². Standalone exact twin
     * of C2's verify stage. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val g = grams(s, dir)
-    val posts = g.select(col("doc_id"), explode(col("gs")).as("gram"))
-    val sizes = g.select(col("doc_id"), size(col("gs")).as("sz"))
-    posts.as("x")
-      .join(posts.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+    val gp = gramPosts(s, dir)
+    val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    gp.as("x")
+      .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
