@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_simhash"    -> (Dedup.dedupSimhash _),
     "ngram_jaccard"    -> (Dedup.ngramJaccard _),
     "dedup_embedding"  -> (Dedup.dedupEmbedding _),
+    "dedup_clusters"   -> (Dedup.dedupClusters _),
     // D: similarity search
     "ann_bruteforce"   -> (Ann.annBruteforce _),
     "ann_lsh"          -> (Ann.annLsh _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
     "ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "dedup_embedding"  -> Dedup.dedupEmbeddingSql,
+    "dedup_clusters"   -> Dedup.dedupClustersSql,
     // ann_lsh is rows-only: hyperplanes derive from xxhash64.
     "ann_bruteforce"   -> Ann.annBruteforceSql,
     "ann_ivf"          -> Ann.annIvfSql,

@@ -164,6 +164,60 @@ object Dedup {
       .select(col("ia"), col("ib"), col("hamming"))
   }
 
+  /** C6: near-dup CLUSTERS — connected components over the verified
+    * MinHash pairs, then a canonical keeper per cluster (min doc_id).
+    * Iterative min-label propagation: each round is a distributed
+    * join + min-aggregate; the driver only checks convergence (label
+    * changes = 0), it never holds data. Rounds needed = component
+    * diameter — near-dup clusters are shallow, so this converges in
+    * 2-4 rounds; the hard cap is a runaway guard. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir).select(col("ia"), col("ib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .unionByName(pairs.select(col("ib").as("ia"), col("ia").as("ib")))
+    var labels = documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbor = edges
+        .join(labels.select(col("doc_id").as("ib"), col("cluster_id").as("nl")), "ib")
+        .groupBy(col("ia").as("doc_id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  val dedupClustersSql: String =
+    gramsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," + """
+      |p AS (
+      |  SELECT ia, ib FROM (
+      |    SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |      len(list_intersect(a.gs, b.gs))::DOUBLE /
+      |        len(list_distinct(list_concat(a.gs, b.gs))) AS j
+      |    FROM g a, g b WHERE a.doc_id < b.doc_id)
+      |  WHERE j >= 0.5),
+      |e AS (SELECT ia, ib FROM p UNION ALL SELECT ib, ia FROM p),
+      |reach AS (
+      |  SELECT doc_id AS a, doc_id AS b FROM documents
+      |  UNION
+      |  SELECT reach.a, e.ib FROM reach JOIN e ON reach.b = e.ia),
+      |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM lab""".stripMargin
+
   /** C5: embedding-cosine near-dup pairs ≥ 0.4, exact all-pairs —
     * the oracle baseline at verify scale. The 100 TB path prunes
     * candidates through [[VecFns.hyperplaneBucket]] first (see

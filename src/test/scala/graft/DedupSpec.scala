@@ -65,6 +65,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (found ${sim.size}, planted ${planted.size})")
   }
 
+  test("dedup_clusters: pair endpoints share a cluster, canonical id is cluster min") {
+    val clusters = run("dedup_clusters").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters.size == Tables.documents(spark, sf).count())
+    // every near-dup pair landed in one cluster
+    run("dedup_minhash_lsh").collect().foreach { r =>
+      assert(clusters(r.getLong(0))._1 == clusters(r.getLong(1))._1)
+    }
+    // cluster id is the minimum member, sizes are consistent
+    val byCluster = clusters.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.values.forall(_._2 == members.size))
+    }
+    assert(byCluster.size < clusters.size) // at least one real merge
+  }
+
   test("dedup_embedding: pairs symmetric-free, cos in [0.4, 1]") {
     val rows = run("dedup_embedding").collect()
     assert(rows.nonEmpty)
