@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, TextOps}
-import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, RangeJoin, ScalePatterns}
+import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, RangeJoin, ScalePatterns, TrainPrep}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -45,6 +45,8 @@ object SparkEntry {
     "skew_agg"         -> (ScalePatterns.skewAgg _),
     "bucketed_join"    -> (ScalePatterns.bucketedJoin _),
     "pruned_scan"      -> (ScalePatterns.prunedScan _),
+    "sample_split"     -> (TrainPrep.sampleSplit _),
+    "seq_pack"         -> (TrainPrep.seqPack _),
     // E: text analysis
     "lang_id"          -> (TextOps.langId _),
     "text_quality"     -> (TextOps.textQuality _),
@@ -97,6 +99,8 @@ object SparkEntry {
     "skew_agg"         -> ScalePatterns.skewAggSql,
     "bucketed_join"    -> ScalePatterns.bucketedJoinSql,
     "pruned_scan"      -> ScalePatterns.prunedScanSql,
+    "sample_split"     -> TrainPrep.sampleSplitSql,
+    "seq_pack"         -> TrainPrep.seqPackSql,
     // doc_fingerprint is rows-only: xxhash64 has no DuckDB twin.
     "lang_id"          -> TextOps.langIdSql,
     "text_quality"     -> TextOps.textQualitySql,
