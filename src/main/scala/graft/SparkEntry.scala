@@ -52,6 +52,7 @@ object SparkEntry {
     "text_quality"     -> (TextOps.textQuality _),
     "token_count"      -> (TextOps.tokenCount _),
     "doc_fingerprint"  -> (TextOps.docFingerprintQ _),
+    "bm25_topk"        -> (TextOps.bm25Topk _),
     // C: dedup
     "dedup_exact"      -> (Dedup.dedupExact _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "lang_id"          -> TextOps.langIdSql,
     "text_quality"     -> TextOps.textQualitySql,
     "token_count"      -> TextOps.tokenCountSql,
+    "bm25_topk"        -> TextOps.bm25TopkSql,
     // dedup_simhash is rows-only: sketch has no cross-engine twin.
     "dedup_exact"      -> Dedup.dedupExactSql,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,

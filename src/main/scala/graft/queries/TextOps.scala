@@ -100,4 +100,60 @@ object TextOps {
     * rows-only for the driver; semantics are property-tested. */
   def docFingerprintQ(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"), docFingerprint(col("text")).as("fp"))
+
+  /** G10 inputs: a fixed keyword query against the corpus. */
+  val Bm25Query: Seq[String] = Seq("query", "join", "filter")
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 10
+
+  /** G10: BM25 ranked retrieval — top-[[TopK]] docs for [[Bm25Query]].
+    * Fully relational: token postings → tf per (doc, term), df per
+    * term, dl/avgdl, then the BM25 formula as plain column
+    * arithmetic. Postings for the tf side are pre-filtered to the
+    * query terms, so the expensive join is query-sized, not
+    * corpus-sized; df/dl are one aggregate each. Deterministic
+    * tiebreak (score desc, doc_id) keeps the limit stable. */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val posts = docs.select(col("doc_id"),
+      explode(wsTokens(lower(col("text")))).as("tok"))
+    val dl = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val n = docs.count()
+    val avgdl = dl.agg(sum(col("dl"))).collect()(0).getLong(0).toDouble / n
+    val qposts = posts.filter(col("tok").isin(Bm25Query: _*))
+    val tf = qposts.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = df.withColumn("idf",
+      log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    tf.join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl)))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  val bm25TopkSql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH posts AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM posts GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |                 (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM posts
+       |       WHERE tok IN ($terms) GROUP BY 1, 2),
+       |idf AS (SELECT tok, ln((stats.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+       |        FROM tf, stats GROUP BY tok, stats.n)
+       |SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+       |  SELECT tf.doc_id,
+       |    idf.idf * (tf.tf * ($K1 + 1)) /
+       |      (tf.tf + $K1 * (1 - $B + $B * dl.dl / stats.avgdl)) AS contrib
+       |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), stats)
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+  }
 }

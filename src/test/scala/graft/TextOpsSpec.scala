@@ -62,6 +62,19 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Int]("re_tokens") >= r.getAs[Int]("ws_tokens")))
   }
 
+  test("bm25_topk: scores positive and descending, hits contain query terms") {
+    val rows = run("bm25_topk").collect()
+    assert(rows.length == TextOps.TopK)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0))
+    val hitIds = rows.map(_.getLong(0)).toSet
+    val withTerms = Tables.documents(spark, sf)
+      .filter(TextOps.Bm25Query.map(t => col("text").contains(t)).reduce(_ || _))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(withTerms))
+  }
+
   test("doc_fingerprint: deterministic, order-sensitive, low collision") {
     import spark.implicits._
     val df = Seq("a b c", "a b c", "c b a", "a b d").toDF("text")
