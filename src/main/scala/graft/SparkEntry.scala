@@ -47,6 +47,7 @@ object SparkEntry {
     "pruned_scan"      -> (ScalePatterns.prunedScan _),
     "sample_split"     -> (TrainPrep.sampleSplit _),
     "seq_pack"         -> (TrainPrep.seqPack _),
+    "decontaminate"    -> (TrainPrep.decontaminate _),
     // E: text analysis
     "lang_id"          -> (TextOps.langId _),
     "text_quality"     -> (TextOps.textQuality _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "pruned_scan"      -> ScalePatterns.prunedScanSql,
     "sample_split"     -> TrainPrep.sampleSplitSql,
     "seq_pack"         -> TrainPrep.seqPackSql,
+    "decontaminate"    -> TrainPrep.decontaminateSql,
     // doc_fingerprint is rows-only: xxhash64 has no DuckDB twin.
     "lang_id"          -> TextOps.langIdSql,
     "text_quality"     -> TextOps.textQualitySql,

@@ -35,6 +35,59 @@ object TrainPrep {
       |      FROM documents)
       |GROUP BY 1, 2""".stripMargin
 
+  val NGram = 13
+
+  /** G11: train/test decontamination — test-split documents sharing
+    * any [[NGram]]-gram span with a train-split document. 13-grams
+    * are long enough that only real contamination (near-duplicate
+    * passages) collides. Shape: n-gram postings via lead windows
+    * (codegen'd), split membership from the same arithmetic hash as
+    * [[sampleSplit]], one equi-join on the gram — shuffle ∝ postings,
+    * never test×train. Emits (doc_id, n_shared, n_grams, ratio). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val splitH = pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100))
+    val toks = documents(s, dir).select(col("doc_id"), splitH.as("h"),
+      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withLeads = (1 until NGram).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"w$i", lead(col("w"), i).over(w))
+    }
+    val gramCols = col("w") +: (1 until NGram).map(i => col(s"w$i"))
+    val posts = withLeads
+      .filter(col(s"w${NGram - 1}").isNotNull)
+      .select(col("doc_id"), col("h"), concat_ws(" ", gramCols: _*).as("gram"))
+      .dropDuplicates("doc_id", "gram")
+    val trainGrams = posts.filter(col("h") < 80).select(col("gram")).distinct()
+    val test = posts.filter(col("h") >= 90)
+    val nGrams = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    test.join(trainGrams, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(nGrams, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4).as("ratio"))
+  }
+
+  val decontaminateSql: String = {
+    val gramExpr = (0 until NGram).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, (doc_id * 2654435761 % 1000000007) % 100 AS h,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |posts AS (
+       |  SELECT DISTINCT doc_id, h, gram FROM (
+       |    SELECT doc_id, h, unnest([$gramExpr
+       |      for i in range(1, len(toks) - ${NGram - 2})]) AS gram
+       |    FROM t WHERE len(toks) >= $NGram)),
+       |train_grams AS (SELECT DISTINCT gram FROM posts WHERE h < 80),
+       |test AS (SELECT * FROM posts WHERE h >= 90),
+       |ng AS (SELECT doc_id, count(*) AS n_grams FROM test GROUP BY 1),
+       |sh AS (SELECT test.doc_id, count(*) AS n_shared
+       |       FROM test JOIN train_grams USING (gram) GROUP BY 1)
+       |SELECT doc_id, n_shared, n_grams,
+       |  round(n_shared::DOUBLE / n_grams, 4) AS ratio
+       |FROM sh JOIN ng USING (doc_id)""".stripMargin
+  }
+
   val SeqLen = 512
 
   /** G9: sequence packing — docs concatenate greedily (in doc_id

@@ -22,6 +22,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(again == bySplit)
   }
 
+  test("decontaminate: flagged docs are test-split docs overlapping train near-dups") {
+    val out = run("decontaminate").collect()
+    out.foreach { r =>
+      val ratio = r.getAs[Double]("ratio")
+      assert(ratio > 0 && ratio <= 1)
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_grams"))
+      // flagged docs must be in the test split (same hash as sample_split)
+      assert((r.getLong(0) * 2654435761L % 1000000007L) % 100 >= 90)
+    }
+    // cross-check vs the near-dup pairs: most test docs whose near-dup
+    // partner landed in train should be flagged. Not all — a 0.9
+    // 3-gram-jaccard edit pattern can break every 13-token run, which
+    // is the sharper criterion working as intended.
+    def split(id: Long) = (id * 2654435761L % 1000000007L) % 100
+    val pairs = run("dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val straddling = pairs.collect {
+      case (a, b) if split(a) < 80 && split(b) >= 90 => b
+      case (a, b) if split(b) < 80 && split(a) >= 90 => a
+    }.toSet
+    val flagged = out.map(_.getLong(0)).toSet
+    assert(straddling.count(flagged) * 2 >= straddling.size,
+      s"flagged ${straddling.count(flagged)} of ${straddling.size} straddling near-dups")
+  }
+
   test("seq_pack: bins contiguous from 0, tokens conserved, fill near budget") {
     val rows = run("seq_pack").orderBy("bin").collect()
     val bins = rows.map(_.getLong(0))
