@@ -176,8 +176,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
       .unionByName(pairs.select(col("ib").as("ia"), col("ia").as("ib")))
-    var labels = documents(s, dir)
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // propagate only over pair endpoints — non-members can never
+    // change label, so the per-round join/convergence frames shrink
+    // from corpus-sized to component-member-sized
+    var labels = edges.select(col("ia").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -194,8 +197,12 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
+    // singletons rejoin with cluster = own id
+    val all = documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = all.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
