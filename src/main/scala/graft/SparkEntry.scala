@@ -48,6 +48,7 @@ object SparkEntry {
     "sample_split"     -> (TrainPrep.sampleSplit _),
     "seq_pack"         -> (TrainPrep.seqPack _),
     "decontaminate"    -> (TrainPrep.decontaminate _),
+    "curate"           -> (TrainPrep.curate _),
     // E: text analysis
     "lang_id"          -> (TextOps.langId _),
     "text_quality"     -> (TextOps.textQuality _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "sample_split"     -> TrainPrep.sampleSplitSql,
     "seq_pack"         -> TrainPrep.seqPackSql,
     "decontaminate"    -> TrainPrep.decontaminateSql,
+    "curate"           -> TrainPrep.curateSql,
     // doc_fingerprint is rows-only: xxhash64 has no DuckDB twin.
     "lang_id"          -> TextOps.langIdSql,
     "text_quality"     -> TextOps.textQualitySql,

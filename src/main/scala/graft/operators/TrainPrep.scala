@@ -35,6 +35,50 @@ object TrainPrep {
       |      FROM documents)
       |GROUP BY 1, 2""".stripMargin
 
+  /** G12: corpus curation — the composed selection a pipeline ships:
+    * keep each exact-dup group's canonical doc (min id), require a
+    * minimum quality score (length × punctuation, same formula as
+    * text_quality) and token count, then report per-split/per-lang
+    * survivor counts. One scan + one dedup shuffle; every stage is a
+    * column predicate, so Catalyst folds the whole filter chain into
+    * the scan side of the dedup. */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val nTok = greatest(TextFns.wsTokenCount(col("text")), lit(1))
+    val punctRatio = TextFns.punctCount(col("text")).cast("double") / length(col("text"))
+    val quality = least(nTok, lit(100)).cast("double") / 100 * (lit(1) - punctRatio)
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val h = pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100))
+    docs.join(keepers, "doc_id")
+      .withColumn("q", quality)
+      .withColumn("n_tok", nTok)
+      .filter(col("q") >= 0.5 && col("n_tok") >= 50)
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      // integer metrics only: an avg of the structured quality
+      // rationals lands exactly on round-half boundaries, where
+      // summation order flips the 4th digit between engines
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  val curateSql: String =
+    """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |scored AS (
+      |  SELECT d.doc_id, lang,
+      |    least(greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 100)::DOUBLE
+      |      / 100 * (1 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) AS q,
+      |    greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS n_tok,
+      |    (d.doc_id * 2654435761 % 1000000007) % 100 AS h
+      |  FROM documents d JOIN keep USING (doc_id))
+      |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+      |  lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+      |FROM scored WHERE q >= 0.5 AND n_tok >= 50
+      |GROUP BY 1, 2""".stripMargin
+
   val NGram = 13
 
   /** G11: train/test decontamination — test-split documents sharing

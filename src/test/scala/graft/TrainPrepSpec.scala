@@ -47,6 +47,14 @@ class TrainPrepSpec extends SparkSpec {
       s"flagged ${straddling.count(flagged)} of ${straddling.size} straddling near-dups")
   }
 
+  test("curate: survivors bounded by corpus, all splits represented, quality floor holds") {
+    val rows = run("curate").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total > 0 && total <= Tables.documents(spark, sf).count())
+    assert(rows.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    assert(rows.forall(r => r.getAs[Long]("n_tokens") >= 50 * r.getAs[Long]("n_docs")))
+  }
+
   test("seq_pack: bins contiguous from 0, tokens conserved, fill near budget") {
     val rows = run("seq_pack").orderBy("bin").collect()
     val bins = rows.map(_.getLong(0))
