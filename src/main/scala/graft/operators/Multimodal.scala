@@ -46,7 +46,7 @@ object Multimodal {
     """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
       |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
       |            ELSE 'video/mp4' END AS mime,
-      |  count(*) AS n_items, sum(strlen(text)) AS total_bytes
+      |  count(*) AS n_items, sum(strlen(text))::BIGINT AS total_bytes
       |FROM documents GROUP BY 1""".stripMargin
 
   /** One decoded record — the typed batch-output schema. */

@@ -30,7 +30,7 @@ object TrainPrep {
 
   val sampleSplitSql: String =
     """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
-      |  lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+      |  lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
       |FROM (SELECT lang, n_chars, (doc_id * 2654435761 % 1000000007) % 100 AS h
       |      FROM documents)
       |GROUP BY 1, 2""".stripMargin
@@ -75,7 +75,7 @@ object TrainPrep {
       |    (d.doc_id * 2654435761 % 1000000007) % 100 AS h
       |  FROM documents d JOIN keep USING (doc_id))
       |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
-      |  lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+      |  lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
       |FROM scored WHERE q >= 0.5 AND n_tok >= 50
       |GROUP BY 1, 2""".stripMargin
 
@@ -154,10 +154,10 @@ object TrainPrep {
   }
 
   val seqPackSql: String =
-    s"""SELECT bin, count(*) AS n_docs, sum(n_tok) AS n_tokens FROM (
+    s"""SELECT bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens FROM (
        |  SELECT doc_id, n_tok,
-       |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $SeqLen AS bin
+       |    (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $SeqLen)::BIGINT AS bin
        |  FROM (SELECT doc_id,
        |          len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
        |        FROM documents))

@@ -160,7 +160,10 @@ object Analytics {
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
-        round(sum(col("value")), 4).as("sess_value"))
+        // sum as DECIMAL(18,4): exact and order-independent, so the
+        // value is bit-identical across engines regardless of
+        // summation order (round(sum(double),4) is not)
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sess_value"))
   }
 
   val sessionizeSql: String =
@@ -173,11 +176,11 @@ object Analytics {
       |t AS (
       |  SELECT user_id, value, ts,
       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+      |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS sess_id
       |  FROM g)
       |SELECT user_id, sess_id, count(*) AS n_events,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
-      |  round(sum(value), 4) AS sess_value
+      |  sum(value::DECIMAL(18,4))::DOUBLE AS sess_value
       |FROM t GROUP BY user_id, sess_id""".stripMargin
 
   /** B7: semi + anti join — customers who placed orders (EXISTS)

@@ -55,8 +55,11 @@ object StreamSessionize {
     out.groupBy(_._1).map { case (s, evs) =>
       Sess(user, s, evs.size.toLong,
         sdf.format(new java.util.Date(evs.map(_._2.ts.getTime).min)),
-        BigDecimal(evs.map(_._2.value).sum)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        // per-value DECIMAL(18,4) cast then exact decimal sum — the
+        // same arithmetic as the batch query's
+        // sum(value.cast(decimal(18,4))).cast(double)
+        evs.map(e => BigDecimal(e._2.value)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
     }.iterator
   }
 

@@ -15,6 +15,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def kind(arrow_type):
+    """Collapse an Arrow column type to its hash-relevant kind:
+    integer widths are equivalent, but decimal/float/int differ
+    (DuckDB HUGEINT surfaces as decimal128(38,0))."""
+    t = str(arrow_type)
+    if t.startswith(("int", "uint")):
+        return "INT"
+    if t.startswith("decimal"):
+        return "DECIMAL"
+    if t in ("float", "double", "halffloat"):
+        return "FLOAT"
+    return t
+
+
 def norm(rows):
     out = []
     for row in rows:
@@ -36,19 +50,31 @@ def main(sf_dir, out_dir):
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
-            got = got_rel.fetchall()
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp = exp_rel.fetchall()
+            got_tbl = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").arrow()
+            got_cols = got_tbl.schema.names
+            got_types = {f.name: kind(f.type) for f in got_tbl.schema}
+            got = [tuple(r.values()) for r in got_tbl.to_pylist()]
+            exp_tbl = con.execute(sql).arrow()
+            exp_cols = exp_tbl.schema.names
+            exp_types = {f.name: kind(f.type) for f in exp_tbl.schema}
+            exp = [tuple(r.values()) for r in exp_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failed.append(name)
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            failed.append(name)
+            continue
+        # the driver's hash is representation-sensitive across type
+        # KINDS (int vs decimal vs float), though not int widths — a
+        # DuckDB HUGEINT/DECIMAL vs Spark BIGINT is a hash mismatch
+        # even when every value is equal
+        tdiff = {c: (got_types[c], exp_types[c]) for c in got_cols
+                 if got_types.get(c) != exp_types.get(c)}
+        if tdiff:
+            print(f"FAIL {name}: type-kind mismatch {tdiff}")
             failed.append(name)
             continue
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
