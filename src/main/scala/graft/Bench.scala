@@ -3,9 +3,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds.
-  * Each query is forced with a count() after a warm-up of the
-  * session (first query pays JVM/codegen warm-up; order is sorted so
-  * the measurement set is stable across rounds). */
+  *
+  * Each query is forced with a `noop`-format write — full
+  * materialization of every output column, unlike count(), under
+  * which Catalyst prunes the projected expressions and map-only
+  * queries measure as bare scan time. One-time fixtures (bucketed
+  * tables, partitioned events, the zipcsv archive) are built BEFORE
+  * the timed loop so timings measure plans, not fixture IO. A query
+  * that throws is reported in a separate "failed" list (timing -1),
+  * never as a normal-looking number. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,15 +20,24 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
     // warm the session: JVM + parquet footer caches, tiny plan
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // one-time fixtures outside the timed path
+    operators.ScalePatterns.ensureBucketed(spark, sfDir)
+    operators.ScalePatterns.ensurePartitioned(spark, sfDir)
+    ingest.ZipFixture.ensure(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

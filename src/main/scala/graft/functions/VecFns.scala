@@ -40,4 +40,23 @@ object VecFns {
       when(dot(v, plane) >= 0, 1L << r).otherwise(0L)
     }.reduce(_ + _)
   }
+
+  /** Banded sign-LSH keys: `bands` bands of `bits` sign bits each
+    * (bits·bands ≤ 64 hyperplanes), every key tagged with its band
+    * index — key = (band << bits) | bandBits — so one single-column
+    * equi-join means "same band AND same bucket". Geometry is
+    * threshold-driven: P(vectors at angle θ share ≥1 band) =
+    * 1-(1-(1-θ/π)^bits)^bands. Tight near-dup thresholds (cos ≥ 0.9,
+    * θ ≈ 26°) want wide selective bands (8×8); a weak threshold like
+    * cos ≥ 0.4 (θ ≈ 66°) needs narrow permissive ones — 2-bit × 32
+    * bands keeps the per-pair miss probability ≈ 9e-8. */
+  def bandedSignKeys(v: Column, bits: Int, bands: Int, seed: Int = 7): Column = {
+    require(bits * bands <= 64, "at most 64 sign planes")
+    val bucket = hyperplaneBucket(v, bits * bands, seed)
+    val mask = (1L << bits) - 1
+    array((0 until bands).map { b =>
+      lit(b.toLong << bits) +
+        shiftrightunsigned(bucket, bits * b).bitwiseAND(lit(mask))
+    }: _*)
+  }
 }

@@ -14,13 +14,25 @@ import graft.functions.VecFns
   */
 object Dedup {
 
+  /** Document-frequency cap on grams: grams shared by more than
+    * [[DfCap]] docs are dropped from the postings (and from the
+    * Jaccard universe, oracle included). A single stopword trigram
+    * shared by 10⁴ docs otherwise produces 10⁸ rows on one join key —
+    * the classic hot-key blowup of postings self-joins. The df filter
+    * is itself one gram-keyed aggregate, the same shuffle the
+    * self-join pays anyway. Max observed df at sf0.1 is 25, so the
+    * cap is inert at verify scale (pairs identical, spec-checked);
+    * it exists to bound per-key fanout at 100 TB. */
+  val DfCap = 1000
+
   /** Distinct 3-gram shingles as (doc_id, gram) POSTINGS, built
     * relationally — posexplode tokens, `lead` window for the next
     * two, concat — so shingling is whole-stage codegen plus one
     * doc-keyed shuffle instead of an interpreted array lambda
     * (measured ~4× on the LSH pipeline). Docs under 3 tokens
     * contribute their whole text as one gram (same fallback as
-    * [[graft.functions.HashFns.shingles]] and the oracle). */
+    * [[graft.functions.HashFns.shingles]] and the oracle). Grams
+    * over [[DfCap]] are excluded. */
   private def gramPosts(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir).select(col("doc_id"),
       posexplode(graft.functions.TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
@@ -35,7 +47,11 @@ object Dedup {
       .filter(size(graft.functions.TextFns.wsTokens(lower(col("text")))) < 3)
       .select(col("doc_id"),
         concat_ws(" ", graft.functions.TextFns.wsTokens(lower(col("text")))).as("gram"))
-    long3.unionByName(short).dropDuplicates("doc_id", "gram")
+    val posts = long3.unionByName(short).dropDuplicates("doc_id", "gram")
+    val lowDf = posts.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= DfCap)
+      .select(col("gram"))
+    posts.join(lowDf, "gram").select(col("doc_id"), col("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -72,10 +88,13 @@ object Dedup {
     * Verify: exact Jaccard over shingle sets, keep ≥ 0.5. At J ≥ 0.9
     * the 16×4 banding catches a pair w.p. 1-(1-0.9⁴)¹⁶ ≈ 1-4e-8, so
     * the oracle can be the exact all-pairs answer. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val gp = gramPosts(s, dir)
-    // signature via postings + scalar min-aggregates (minhashSigAgg):
-    // one shuffle keyed by doc, everything codegen'd
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshPairs(gramPosts(s, dir))
+
+  /** The C2 pipeline from postings: MinHash signatures (scalar
+    * min-aggregates — one doc-keyed shuffle, codegen'd), banded
+    * candidates, exact-Jaccard verify. */
+  private def lshPairs(gp: DataFrame): DataFrame = {
     val posts = gp.select(col("doc_id"), pmod(xxhash64(col("gram")), lit(P)).as("h"))
     val sig = minhashSigAgg(posts, "doc_id", "h")
     val bands = sig.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
@@ -98,17 +117,29 @@ object Dedup {
       |    ELSE [array_to_string(toks, ' ')] END AS gs
       |  FROM toks)""".stripMargin
 
-  /** Exact all-pairs Jaccard ≥ 0.5 — the oracle for both the LSH path
+  /** DuckDB twin of the capped postings ([[gramPosts]]) + exact
+    * Jaccard verify, as appendable CTEs: `jp` is (ia, ib, j) for all
+    * pairs with ≥1 shared (low-df) gram. */
+  private val pairsCtes: String =
+    s""",
+       |posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+       |keepg AS (SELECT gram FROM posts GROUP BY gram HAVING count(*) <= $DfCap),
+       |p2 AS (SELECT doc_id, gram FROM posts JOIN keepg USING (gram)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM p2 GROUP BY 1),
+       |jp AS (
+       |  SELECT ia, ib, cnt::DOUBLE / (sa.sz + sb.sz - cnt) AS j
+       |  FROM (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
+       |        FROM p2 a JOIN p2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) i
+       |  JOIN sizes sa ON i.ia = sa.doc_id
+       |  JOIN sizes sb ON i.ib = sb.doc_id)""".stripMargin
+
+  /** Exact Jaccard ≥ 0.5 pairs — the oracle for both the LSH path
     * (C2, recall ≈ 1 at the corpus's J levels) and the exact
     * postings-join path (C4). */
   private val jaccardPairsSql: String =
-    gramsCte + "\n" +
-      """SELECT ia, ib, round(j, 4) AS jaccard FROM (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |    len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |      len(list_distinct(list_concat(a.gs, b.gs))) AS j
-        |  FROM g a, g b WHERE a.doc_id < b.doc_id)
-        |WHERE j >= 0.5""".stripMargin
+    gramsCte + pairsCtes + "\n" +
+      "SELECT ia, ib, round(j, 4) AS jaccard FROM jp WHERE j >= 0.5"
 
   val dedupMinhashLshSql: String = jaccardPairsSql
 
@@ -172,8 +203,11 @@ object Dedup {
     * diameter — near-dup clusters are shallow, so this converges in
     * 2-4 rounds; the hard cap is a runaway guard. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, dir).select(col("ia"), col("ib"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val gp = gramPosts(s, dir)
+    val pairs = lshPairs(gp).select(col("ia"), col("ib")).persist(lvl)
+    pairs.count() // materialize so the postings cache can go now
+    gp.unpersist()
     val edges = pairs
       .unionByName(pairs.select(col("ib").as("ia"), col("ia").as("ib")))
     // propagate only over pair endpoints — non-members can never
@@ -181,6 +215,7 @@ object Dedup {
     // from corpus-sized to component-member-sized
     var labels = edges.select(col("ia").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .persist(lvl)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -190,16 +225,30 @@ object Dedup {
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(lvl)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
+        .filter(col("cluster_id") =!= col("old")).count() // materializes next
+      labels.unpersist() // superseded — next no longer needs it
       labels = next
+      if (rounds % 4 == 3) {
+        // truncate the accumulated join lineage so plan size and
+        // recovery cost stay O(1) across rounds
+        val cp = labels.localCheckpoint()
+        labels.unpersist()
+        labels = cp
+      }
       converged = changed == 0
       rounds += 1
     }
+    // converged labels are component-member-sized (small); checkpoint
+    // them eagerly so every upstream cache can be released before the
+    // caller ever materializes the result
+    val fin = labels.localCheckpoint()
+    labels.unpersist()
+    pairs.unpersist()
     // singletons rejoin with cluster = own id
     val all = documents(s, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left_outer")
+      .join(fin, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     val sizes = all.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     all.join(sizes, "cluster_id")
@@ -207,14 +256,8 @@ object Dedup {
   }
 
   val dedupClustersSql: String =
-    gramsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," + """
-      |p AS (
-      |  SELECT ia, ib FROM (
-      |    SELECT a.doc_id AS ia, b.doc_id AS ib,
-      |      len(list_intersect(a.gs, b.gs))::DOUBLE /
-      |        len(list_distinct(list_concat(a.gs, b.gs))) AS j
-      |    FROM g a, g b WHERE a.doc_id < b.doc_id)
-      |  WHERE j >= 0.5),
+    gramsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairsCtes + "," + """
+      |p AS (SELECT ia, ib FROM jp WHERE j >= 0.5),
       |e AS (SELECT ia, ib FROM p UNION ALL SELECT ib, ia FROM p),
       |reach AS (
       |  SELECT doc_id AS a, doc_id AS b FROM documents
@@ -225,22 +268,56 @@ object Dedup {
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM lab""".stripMargin
 
-  /** C5: embedding-cosine near-dup pairs ≥ 0.4, exact all-pairs —
-    * the oracle baseline at verify scale. The 100 TB path prunes
-    * candidates through [[VecFns.hyperplaneBucket]] first (see
-    * ann_lsh, D2); exact cosine in double with left-to-right
-    * accumulation matches the oracle bit-for-bit. */
+  /** C5 cosine threshold and its LSH band geometry. At the weak
+    * verify threshold (0.4 ⇒ θ ≈ 66.4°, per-plane agree p = 1-θ/π ≈
+    * 0.631) a 2-bit band matches w.p. 0.631² ≈ 0.398; missing all 32
+    * bands is (1-0.398)³² ≈ 9e-8 per qualifying pair — recall 1 in
+    * practice, so the exact all-pairs answer remains the oracle. A
+    * production near-dup threshold (≥ 0.9) would use wider bands
+    * (8×8) for a far stronger prune; see
+    * [[graft.functions.VecFns.bandedSignKeys]]. */
+  val CosFloor = 0.4
+  val CosBandBits = 2
+  val CosBands = 32
+
+  /** C5: embedding-cosine near-dup pairs ≥ [[CosFloor]]. Candidates
+    * come from banded sign-LSH bucket collisions — one explode + one
+    * equi-join on the (band, bucket) key, never an all-pairs loop —
+    * and only candidates pay the exact cosine, computed in double
+    * with left-to-right accumulation so it matches the all-pairs
+    * oracle bit-for-bit. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     // norms once per vector (N sqrt-dots), not once per pair (N²/2 ×3):
     // sqrt(dot(a,a))·sqrt(dot(b,b)) is the same doubles either way,
     // so the oracle still matches bit-for-bit
     val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VecFns.norm(col("embedding")))
+    val keys = e.select(col("vec_id"),
+      explode(VecFns.bandedSignKeys(col("embedding"), CosBandBits, CosBands)).as("bk"))
+    val cand = keys.as("x")
+      .join(keys.as("y"), col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val ex = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val ey = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val denom = col("na") * col("nb")
+    cand.join(ex, "va").join(ey, "vb")
+      .withColumn("cos", when(denom === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
+      .filter(col("cos") >= CosFloor)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** The exact all-pairs form of C5 — the spec's recall baseline for
+    * the LSH-pruned operator (never the operator itself: O(N²)). */
+  def dedupEmbeddingAllPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VecFns.norm(col("embedding")))
     val denom = col("x.nrm") * col("y.nrm")
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos", when(denom === 0, lit(0.0))
         .otherwise(VecFns.dot(col("x.embedding"), col("y.embedding")) / denom))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= CosFloor)
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
         round(col("cos"), 4).as("cos"))
   }

@@ -134,32 +134,41 @@ object TrainPrep {
 
   val SeqLen = 512
 
+  /** Shard count for [[seqPack]] — at 100 TB this is thousands; 8
+    * keeps verify output inspectable while still exercising the
+    * shard-local window path. */
+  val PackShards = 8
+
   /** G9: sequence packing — docs concatenate greedily (in doc_id
     * order) into fixed-budget training sequences: a running token
     * cumsum assigns each doc to bin floor(cumsum_before / SeqLen).
-    * One global-ordering window at verify scale; at 100 TB the same
-    * math runs per shard (partitionBy(shard) — packing is
-    * shard-local by design, like any real pipeline). Emits per-bin
-    * doc counts and token fill. */
+    * Packing is SHARD-LOCAL by design (as in any real pipeline): the
+    * deterministic doc_id hash routes each doc to one of
+    * [[PackShards]] shards and the cumsum window partitions by
+    * shard, so no "global window / single partition" stage exists at
+    * any scale. Emits per-(shard, bin) doc counts and token fill. */
   def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val shard = pmod(col("doc_id") * 2654435761L % 1000000007L, lit(PackShards))
     val toks = documents(s, dir)
-      .select(col("doc_id"), TextFns.wsTokenCount(col("text")).cast("long").as("n_tok"))
-    val w = Window.orderBy(col("doc_id"))
+      .select(col("doc_id"), shard.as("shard"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
       .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("bin", floor(col("before") / SeqLen))
-      .groupBy(col("bin"))
+      .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
   val seqPackSql: String =
-    s"""SELECT bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens FROM (
-       |  SELECT doc_id, n_tok,
-       |    (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+    s"""SELECT shard, bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens FROM (
+       |  SELECT doc_id, shard, n_tok,
+       |    (coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $SeqLen)::BIGINT AS bin
        |  FROM (SELECT doc_id,
+       |          (doc_id * 2654435761 % 1000000007) % $PackShards AS shard,
        |          len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
        |        FROM documents))
-       |GROUP BY bin""".stripMargin
+       |GROUP BY shard, bin""".stripMargin
 }

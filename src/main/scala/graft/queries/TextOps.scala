@@ -108,29 +108,34 @@ object TextOps {
   val TopK = 10
 
   /** G10: BM25 ranked retrieval — top-[[TopK]] docs for [[Bm25Query]].
-    * Fully relational: token postings → tf per (doc, term), df per
-    * term, dl/avgdl, then the BM25 formula as plain column
-    * arithmetic. Postings for the tf side are pre-filtered to the
-    * query terms, so the expensive join is query-sized, not
-    * corpus-sized; df/dl are one aggregate each. Deterministic
-    * tiebreak (score desc, doc_id) keeps the limit stable. */
+    * Fully relational AND a single lazy plan: token postings → tf per
+    * (doc, term), df per term, dl per doc, and the corpus stats
+    * (n, avgdl) as a one-row aggregate broadcast-cross-joined into
+    * the scoring — no driver-side count()/collect() per invocation.
+    * Postings for the tf side are pre-filtered to the query terms, so
+    * the expensive join is query-sized, not corpus-sized.
+    * Deterministic tiebreak (score desc, doc_id) keeps the limit
+    * stable. */
   def bm25Topk(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val posts = docs.select(col("doc_id"),
       explode(wsTokens(lower(col("text")))).as("tok"))
     val dl = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val n = docs.count()
-    val avgdl = dl.agg(sum(col("dl"))).collect()(0).getLong(0).toDouble / n
+    // one-row corpus stats, same double arithmetic as the old
+    // driver-side form: n as double, avgdl = sum(dl)/n
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sumdl")))
+      .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
     val qposts = posts.filter(col("tok").isin(Bm25Query: _*))
     val tf = qposts.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val idf = df.withColumn("idf",
-      log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val idf = df.crossJoin(broadcast(stats)).withColumn("idf",
+      log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
     tf.join(broadcast(idf), "tok")
       .join(dl, "doc_id")
       .withColumn("contrib",
         col("idf") * (col("tf") * (K1 + 1)) /
-          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl)))
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))

@@ -92,6 +92,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_embedding LSH prune has recall 1 vs the all-pairs baseline") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val pruned = pairs(run("dedup_embedding"))
+    val exact = pairs(graft.operators.Dedup.dedupEmbeddingAllPairs(spark, sf))
+    assert(exact.nonEmpty)
+    assert(pruned == exact,
+      s"pruned=${pruned.size} exact=${exact.size} missed=${(exact.keySet -- pruned.keySet).take(5)}")
+  }
+
+  test("gram df-cap is inert at verify scale (max df well under the cap)") {
+    val maxDf = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(HashFns.shingles(col("text"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).collect()(0).getLong(0)
+    assert(maxDf <= graft.operators.Dedup.DfCap,
+      s"df-cap would drop grams at this sf (max df $maxDf)")
+  }
+
   test("cosine kernel: orthogonal -> 0, identical -> 1") {
     import spark.implicits._
     val df = Seq((Array(1f, 0f), Array(0f, 1f), Array(1f, 0f)))

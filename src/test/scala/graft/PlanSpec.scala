@@ -41,10 +41,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup/ann candidate generation is equi-join (hash/merge), LSH never all-pairs") {
-    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh").foreach { name =>
+    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "dedup_embedding").foreach { name =>
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name generates candidates non-equi:\n$p")
     }
+  }
+
+  test("seq_pack packs shard-locally — no global no-partition window") {
+    val p = SparkEntry.queries("seq_pack")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("windowspecdefinition(shard"),
+      s"seq_pack window is not partitioned by shard:\n$p")
   }
 }

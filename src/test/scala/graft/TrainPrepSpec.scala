@@ -55,17 +55,20 @@ class TrainPrepSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("n_tokens") >= 50 * r.getAs[Long]("n_docs")))
   }
 
-  test("seq_pack: bins contiguous from 0, tokens conserved, fill near budget") {
-    val rows = run("seq_pack").orderBy("bin").collect()
-    val bins = rows.map(_.getLong(0))
-    assert(bins.head == 0 && bins.sameElements(bins.head to bins.last))
-    val totalTok = rows.map(_.getLong(2)).sum
+  test("seq_pack: per-shard bins contiguous from 0, tokens conserved") {
+    val rows = run("seq_pack").orderBy("shard", "bin").collect()
+    val byShard = rows.groupBy(_.getLong(0))
+    assert(byShard.nonEmpty && byShard.size <= graft.operators.TrainPrep.PackShards)
+    byShard.foreach { case (sh, rs) =>
+      val bins = rs.map(_.getLong(1)).sorted
+      assert(bins.head == 0 && bins.sameElements(bins.head to bins.last),
+        s"shard $sh bins not contiguous: ${bins.mkString(",")}")
+    }
+    val totalTok = rows.map(_.getAs[Long]("n_tokens")).sum
     val expected = Tables.documents(spark, sf)
       .select(sum(graft.functions.TextFns.wsTokenCount(col("text")).cast("long")))
       .collect()(0).getLong(0)
     assert(totalTok == expected)
-    // every bin except the last holds at least the budget boundary:
-    // a doc lands in bin k iff its preceding cumsum is in [512k, 512k+512)
-    assert(rows.init.forall(_.getLong(2) > 0))
+    assert(rows.forall(_.getAs[Long]("n_tokens") > 0))
   }
 }
