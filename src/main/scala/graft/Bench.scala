@@ -24,6 +24,8 @@ object Bench {
     operators.ScalePatterns.ensureBucketed(spark, sfDir)
     operators.ScalePatterns.ensurePartitioned(spark, sfDir)
     ingest.ZipFixture.ensure(spark, sfDir)
+    ingest.FetchFixture.ensure(spark, sfDir)
+    ingest.DecisionFixture.ensure(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

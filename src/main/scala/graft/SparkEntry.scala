@@ -23,6 +23,10 @@ object SparkEntry {
     "ingest_stats"     -> (Ingest.ingestStats _),
     "jdbc_sink"        -> (Ingest.jdbcSink _),
     "stream_ingest"    -> (Ingest.streamIngest _),
+    "fetch_ingest"     -> (Ingest.fetchIngest _),
+    "table_sizes"      -> (Ingest.tableSizes _),
+    "decision_roundtrip" -> (graft.ingest.Decisions.decisionRoundtrip _),
+    "decision_quality" -> (graft.ingest.Decisions.decisionQuality _),
     "stream_sessionize" -> ((s: SparkSession, dir: String) => {
       graft.streaming.StreamSessionize.runToMemory(s, dir, "stream_sess_mem")
       s.table("stream_sess_mem")
@@ -59,6 +63,7 @@ object SparkEntry {
     "dedup_exact"      -> (Dedup.dedupExact _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash"    -> (Dedup.dedupSimhash _),
+    "dedup_simhash_wide" -> (Dedup.dedupSimhashWide _),
     "ngram_jaccard"    -> (Dedup.ngramJaccard _),
     "dedup_embedding"  -> (Dedup.dedupEmbedding _),
     "dedup_clusters"   -> (Dedup.dedupClusters _),
@@ -83,6 +88,11 @@ object SparkEntry {
     "ingest_stats"     -> Ingest.ingestStatsSql,
     "jdbc_sink"        -> Ingest.jdbcSinkSql,
     "stream_ingest"    -> Ingest.streamIngestSql,
+    "fetch_ingest"     -> Ingest.fetchIngestSql,
+    // table_sizes is rows-only: parquet file sizes are invisible to
+    // the oracle's table views (spec asserts filesystem equality).
+    "decision_roundtrip" -> graft.ingest.Decisions.decisionRoundtripSql,
+    "decision_quality" -> graft.ingest.Decisions.decisionQualitySql,
     // streaming twin of B6 — same oracle
     "stream_sessionize" -> Analytics.sessionizeSql,
     "q1_agg"           -> Analytics.q1AggSql,

@@ -133,6 +133,36 @@ object HashFns {
       .select(col(idCol), array((0 until numBands).map(i => col(s"b$i")): _*).as("sb"))
   }
 
+  /** SimHash over a WIDE sketch: `hCols.size` independent 64-bit
+    * token-hash lanes (sketch = 64·lanes bits) folded into `numBands`
+    * band keys of 64·lanes/numBands bits each. The point of widening
+    * (the roadmap note on [[simhashBands]]): the pigeonhole guarantee
+    * needs bands > hamming radius, but bucket SELECTIVITY needs wide
+    * bands — a wider sketch buys both. 128-bit/8-band = 16-bit
+    * buckets (65536 values per band, vs 256 for 64-bit/8-band) while
+    * still covering radius 7 exactly — the hot-bucket fix at
+    * web-scale corpus sizes. Same codegen'd scalar-aggregate shape
+    * as [[simhashBandsAgg]]. */
+  def simhashBandsAggWide(posts: DataFrame, idCol: String, hCols: Seq[String],
+                          numBands: Int = 8): DataFrame = {
+    val totalBits = 64 * hCols.size
+    require(totalBits % numBands == 0)
+    val r = totalBits / numBands
+    val sums = (0 until totalBits).map { k =>
+      sum(when(col(hCols(k / 64)).bitwiseAND(lit(Pow2(k % 64))) =!= 0, 1L)
+        .otherwise(-1L)).as(s"c$k")
+    }
+    val bandCols = (0 until numBands).map { bnd =>
+      (0 until r).foldLeft(lit(0L)) { (acc, j) =>
+        acc * 2 + when(col(s"c${bnd * r + j}") > 0, 1L).otherwise(0L)
+      }.as(s"b$bnd")
+    }
+    posts.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), array((0 until numBands).map(i => col(s"b$i")): _*).as("sb"))
+  }
+
   /** Hamming distance between two simhash band arrays. Flattened to
     * scalar element_at/xor/bit_count (all codegen'd) — this sits in
     * the post-join hot filter over millions of candidate pairs, where

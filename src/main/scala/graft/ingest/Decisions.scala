@@ -1,0 +1,297 @@
+package graft.ingest
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Snowflake
+
+/** The reference's FULL 40-column Decision record, end-to-end:
+  * synthesize all 36 CSV fields from `events` (deterministically, so
+  * the oracle can re-derive them), write them through the zip-of-CSV
+  * fixture, re-read with [[ZipCsv]], parse every field with the
+  * [[DecisionParser]] kernels (types.go:22-65, utils.go:184-297),
+  * drop-and-count missing-UUID rows (utils.go:174-177's warning, as
+  * a metric instead of a log line), and last-write-wins upsert on
+  * uuid (utils.go:99-105) — created_at DESC, the reference's
+  * ON CONFLICT UPDATE semantics.
+  *
+  * Both the Spark plan and the DuckDB oracle SQL are generated from
+  * the ONE field table below, so the 40-column surface can't drift
+  * between engines. (`incompatible_content_illegal` exists in the Go
+  * struct but is never parsed from CSV — reproduced faithfully as a
+  * typed null.)
+  */
+object Decisions {
+
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+  private val DuckFmt = "%Y-%m-%d %H:%M:%S"
+
+  sealed trait Kind
+  case object U extends Kind // uuid: pk, sometimes missing
+  case object S extends Kind // plain string
+  case object A extends Kind // array (JSON / singleton / empty / malformed)
+  case object T extends Kind // timestamp, null on malformed
+  case object B extends Kind // tri-state bool
+  case object P extends Kind // platform_uid (+3 derived cols)
+  case object C extends Kind // created_at: always-valid timestamp
+
+  /** (csv header, kind) in the reference's struct order
+    * (types.go:22-65; CSV keys utils.go:206-246). */
+  val Fields: Seq[(String, Kind)] = Seq(
+    "uuid" -> U,
+    "decision_visibility" -> A,
+    "decision_visibility_other" -> S,
+    "end_date_visibility_restriction" -> T,
+    "decision_monetary" -> A,
+    "decision_monetary_other" -> S,
+    "end_date_monetary_restriction" -> T,
+    "decision_provision" -> A,
+    "end_date_service_restriction" -> T,
+    "decision_account" -> A,
+    "end_date_account_restriction" -> T,
+    "account_type" -> S,
+    "decision_ground" -> S,
+    "decision_ground_reference_url" -> S,
+    "illegal_content_legal_ground" -> S,
+    "illegal_content_explanation" -> S,
+    "incompatible_content_ground" -> S,
+    "incompatible_content_explanation" -> S,
+    "category" -> S,
+    "category_addition" -> S,
+    "category_specification" -> A,
+    "category_specification_other" -> S,
+    "content_type" -> A,
+    "content_type_other" -> S,
+    "content_language" -> S,
+    "content_date" -> T,
+    "territorial_scope" -> A,
+    "application_date" -> T,
+    "decision_facts" -> S,
+    "source_type" -> S,
+    "source_identity" -> S,
+    "automated_detection" -> B,
+    "automated_decision" -> S,
+    "platform_name" -> S,
+    "platform_uid" -> P,
+    "created_at" -> C)
+
+  val FieldNames: Seq[String] = Fields.map(_._1)
+
+  // ---- deterministic synthesis from events (structural variety per
+  // kind: valid / empty / malformed branches keyed on event_id + the
+  // field's position, so every parse path fires on every field) ----
+
+  private def synthCol(name: String, kind: Kind, i: Int): Column = kind match {
+    case U => when(col("event_id") % 97 === 0, lit(""))
+      .otherwise(concat(lit("u"), (col("event_id") % 9000).cast("string")))
+    case S => concat(lit(name + "_"), ((col("event_id") + i) % 7).cast("string"))
+    case A => when((col("event_id") + i) % 4 === 0,
+        concat(lit("[\""), col("event_type"), lit("\",\"x" + i + "\"]")))
+      .when((col("event_id") + i) % 4 === 1, col("event_type"))
+      .when((col("event_id") + i) % 4 === 2, lit(""))
+      .otherwise(lit("[bad"))
+    case T => when((col("event_id") + i) % 11 === 0, lit("bogus"))
+      .otherwise(date_format(col("ts"), Fmt))
+    case B => when((col("event_id") + i) % 3 === 0, lit("Yes"))
+      .when((col("event_id") + i) % 3 === 1, lit("no"))
+      .otherwise(lit("dunno"))
+    case P => when(col("event_id") % 13 === 0, lit("oneword"))
+      .otherwise(concat_ws("-", shiftleft(col("event_id"), 22).cast("string"),
+        col("user_id").cast("string"), lit("user")))
+    case C => date_format(col("ts"), Fmt)
+  }
+
+  private def synthSql(name: String, kind: Kind, i: Int): String = kind match {
+    case U => "CASE WHEN event_id % 97 = 0 THEN '' " +
+      "ELSE 'u' || CAST(event_id % 9000 AS VARCHAR) END"
+    case S => s"'${name}_' || CAST((event_id + $i) % 7 AS VARCHAR)"
+    case A => s"""CASE WHEN (event_id + $i) % 4 = 0 THEN '["' || event_type || '","x$i"]'
+                 |  WHEN (event_id + $i) % 4 = 1 THEN event_type
+                 |  WHEN (event_id + $i) % 4 = 2 THEN ''
+                 |  ELSE '[bad' END""".stripMargin
+    case T => s"CASE WHEN (event_id + $i) % 11 = 0 THEN 'bogus' " +
+      s"ELSE strftime(CAST(ts AS TIMESTAMP), '$DuckFmt') END"
+    case B => s"CASE WHEN (event_id + $i) % 3 = 0 THEN 'Yes' " +
+      s"WHEN (event_id + $i) % 3 = 1 THEN 'no' ELSE 'dunno' END"
+    case P => "CASE WHEN event_id % 13 = 0 THEN 'oneword' " +
+      "ELSE CAST(event_id << 22 AS VARCHAR) || '-' || CAST(user_id AS VARCHAR) || '-user' END"
+    case C => s"strftime(CAST(ts AS TIMESTAMP), '$DuckFmt')"
+  }
+
+  /** The synthesized 36-string-column frame (pre-CSV). */
+  def synth(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id") +:
+        Fields.zipWithIndex.map { case ((n, k), i) => synthCol(n, k, i).as(n) }: _*)
+
+  private val synthCte: String =
+    "WITH synth AS (SELECT event_id,\n" +
+      Fields.zipWithIndex.map { case ((n, k), i) => s"  ${synthSql(n, k, i)} AS $n" }
+        .mkString(",\n") + "\n  FROM events)"
+
+  // ---- typed parse (one expression list per engine, from the same
+  // table; arrays emit '|'-joined strings, timestamps re-format, so
+  // every output column is representation-stable across engines) ----
+
+  private def parseCols(name: String, kind: Kind): Seq[(String, Column)] = kind match {
+    case U | S => Seq(name -> col(name))
+    case A =>
+      val a = DecisionParser.parseArray(col(name))
+      Seq(name -> when(a.isNull, lit(null).cast("string")).otherwise(concat_ws("|", a)))
+    case T | C => Seq(name -> date_format(DecisionParser.parseTs(col(name)), Fmt))
+    case B => Seq(name -> DecisionParser.parseBool(col(name)))
+    case P =>
+      val (ms, id, tp) = DecisionParser.platformUidCols(col(name))
+      Seq(name -> col(name), "snowflake_ms" -> ms, "entity_id" -> id, "entity_type" -> tp)
+  }
+
+  private def parseSqls(name: String, kind: Kind): Seq[String] = kind match {
+    case U | S => Seq(name)
+    case A => Seq(
+      s"""CASE WHEN $name = '' THEN NULL
+         |  WHEN json_valid($name) AND json_type($name::JSON) = 'ARRAY'
+         |    THEN array_to_string(CAST($name::JSON AS VARCHAR[]), '|')
+         |  ELSE $name END AS $name""".stripMargin)
+    case T | C => Seq(s"strftime(try_strptime($name, '$DuckFmt'), '$DuckFmt') AS $name")
+    case B => Seq(s"CASE WHEN lower($name) = 'yes' THEN TRUE " +
+      s"WHEN lower($name) = 'no' THEN FALSE ELSE NULL END AS $name")
+    case P =>
+      val parts = s"string_split($name, '-')"
+      Seq(name,
+        s"CASE WHEN len($parts) >= 3 THEN (try_cast($parts[1] AS BIGINT) >> 22) " +
+          s"+ ${Snowflake.DiscordEpochMs} END AS snowflake_ms",
+        s"CASE WHEN len($parts) >= 3 THEN $parts[2] END AS entity_id",
+        s"CASE WHEN len($parts) >= 3 THEN $parts[3] END AS entity_type")
+  }
+
+  /** Parse a 36-string-column frame into the 40-column Decision
+    * surface (36 parsed + 3 platform_uid-derived + the never-parsed
+    * `incompatible_content_illegal` as typed null). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(Fields.flatMap { case (n, k) => parseCols(n, k) }
+      .map { case (n, c) => c.as(n) } :+
+      lit(null).cast("boolean").as("incompatible_content_illegal"): _*)
+
+  private val parsedSelect: String =
+    Fields.flatMap { case (n, k) => parseSqls(n, k) }
+      .mkString(",\n    ") +
+      ",\n    CAST(NULL AS BOOLEAN) AS incompatible_content_illegal"
+
+  /** Output column order (the 40-column contract). */
+  val OutCols: Seq[String] =
+    Fields.flatMap {
+      case (n, P) => Seq(n, "snowflake_ms", "entity_id", "entity_type")
+      case (n, _) => Seq(n)
+    } :+ "incompatible_content_illegal"
+
+  // ---- queries ----
+
+  /** A9: the full round-trip — synthesized 36-field CSV → zip →
+    * [[ZipCsv.read]] → typed parse → drop missing-UUID rows → LWW
+    * upsert on uuid (created_at DESC, platform_uid tiebreak). */
+  def decisionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val fixture = DecisionFixture.ensure(s, dir)
+    val raw = ZipCsv.read(s, fixture, FieldNames).drop("_src")
+    val parsed = parse(raw).filter(col("uuid") =!= "")
+    val w = Window.partitionBy(col("uuid"))
+      .orderBy(col("created_at").desc, col("platform_uid").desc)
+    parsed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(OutCols.map(col): _*)
+  }
+
+  val decisionRoundtripSql: String =
+    s"""$synthCte,
+       |parsed AS (
+       |  SELECT
+       |    $parsedSelect
+       |  FROM synth)
+       |SELECT ${OutCols.mkString(", ")} FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY uuid
+       |    ORDER BY created_at DESC, platform_uid DESC) AS rn
+       |  FROM parsed WHERE uuid <> '')
+       |WHERE rn = 1""".stripMargin
+
+  /** A10: bad-record accounting over the parsed frame — the
+    * reference logs these row-by-row (utils.go:174-177); a pipeline
+    * needs them as an alertable metric: total rows, missing UUIDs,
+    * malformed timestamps, unparseable platform uids, surviving
+    * distinct keys. */
+  def decisionQuality(s: SparkSession, dir: String): DataFrame = {
+    val fixture = DecisionFixture.ensure(s, dir)
+    val parsed = parse(ZipCsv.read(s, fixture, FieldNames).drop("_src"))
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("uuid") === "", 1L).otherwise(0L)).as("n_missing_uuid"),
+      sum(when(col("end_date_visibility_restriction").isNull, 1L).otherwise(0L))
+        .as("n_bad_ts"),
+      sum(when(col("entity_id").isNull, 1L).otherwise(0L)).as("n_bad_uid"),
+      count_distinct(when(col("uuid") =!= "", col("uuid"))).as("n_keys"))
+  }
+
+  val decisionQualitySql: String =
+    s"""$synthCte,
+       |parsed AS (
+       |  SELECT
+       |    $parsedSelect
+       |  FROM synth)
+       |SELECT count(*) AS n_rows,
+       |  sum(CASE WHEN uuid = '' THEN 1 ELSE 0 END)::BIGINT AS n_missing_uuid,
+       |  sum(CASE WHEN end_date_visibility_restriction IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_bad_ts,
+       |  sum(CASE WHEN entity_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_bad_uid,
+       |  count(DISTINCT CASE WHEN uuid <> '' THEN uuid END) AS n_keys
+       |FROM parsed""".stripMargin
+}
+
+/** Zip-of-CSV fixture carrying the full 36-field Decision records:
+  * two members split by row, the second with reversed header order
+  * (the header map must realign it, utils.go:167-171), one nested
+  * zip member. Built once per (sf, row-count) under target/fixtures.
+  */
+object DecisionFixture {
+  def ensure(s: SparkSession, dir: String): String = {
+    val df = Decisions.synth(s, dir)
+    val n = df.count()
+    val out = Paths.get(s"/root/repo/target/fixtures/decisions_${dir.replaceAll("[^0-9.]", "")}_$n")
+    val zipPath = out.resolve("decisions.zip")
+    if (Files.exists(zipPath)) return out.toString
+    Files.createDirectories(out)
+    // driver-side by design: fabricates the dump archives a cluster
+    // would fetch from object storage
+    val names = Decisions.FieldNames
+    val rows = df.orderBy("event_id").collect()
+    def csv(header: Seq[String], rs: Seq[org.apache.spark.sql.Row]): Array[Byte] = {
+      val sb = new StringBuilder(header.mkString(","))
+      sb.append('\n')
+      rs.foreach { r =>
+        // field 0 is event_id; CSV carries only the 36 Decision cols
+        sb.append(header.map(h => Csv.quote(String.valueOf(r.get(names.indexOf(h) + 1))))
+          .mkString(","))
+        sb.append('\n')
+      }
+      sb.toString.getBytes(StandardCharsets.UTF_8)
+    }
+    val (aRows, bRows) = rows.splitAt(rows.length / 2)
+    val nested = new java.io.ByteArrayOutputStream()
+    val nz = new ZipOutputStream(nested)
+    nz.putNextEntry(new ZipEntry("day_b.csv"))
+    nz.write(csv(names.reverse, bRows))
+    nz.closeEntry()
+    nz.close()
+    val zout = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
+    zout.putNextEntry(new ZipEntry("day_a.csv"))
+    zout.write(csv(names, aRows))
+    zout.closeEntry()
+    zout.putNextEntry(new ZipEntry("inner.zip"))
+    zout.write(nested.toByteArray)
+    zout.closeEntry()
+    zout.close()
+    out.toString
+  }
+}

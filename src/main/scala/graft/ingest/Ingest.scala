@@ -151,6 +151,67 @@ object Ingest {
        |  SELECT (row_number() OVER (ORDER BY doc_id) - 1) // $JdbcBatch AS batch_id
        |  FROM documents) GROUP BY batch_id""".stripMargin
 
+  /** A9: the manifest-driven download loop (main.go:146-154,
+    * 176-186) against a local file:// mirror — three published CSV
+    * parts (documents keyed by doc_id % 3) plus one never-published
+    * file (the 403-analog → permanent_fail, no retry). Emits
+    * per-file fetch status, attempts, parsed row count, byte size —
+    * bytes-under-management is the reference's table-size report
+    * (main.go:161-165) seen from the ingest side. The oracle
+    * recomputes BOTH counts and exact byte sizes from the documents
+    * table (header 32 bytes + per-row field bytes + separators; the
+    * corpus contains no characters needing CSV quoting, which the
+    * fixture writer would quote and the oracle would then count). */
+  def fetchIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = Fetch.fetchArchives(
+      FetchManifest.manifest(s, dir), "url")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("attempts", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_bytes", org.apache.spark.sql.types.LongType, nullable = false)))
+    base.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+      it.map { r =>
+        val url = r.getString(0)
+        // positional: mapPartitions rows carry no schema for getAs-by-name
+        val content = if (r.isNullAt(4)) null else r.getAs[Array[Byte]](4)
+        val nRows =
+          if (content == null) 0L
+          else (Csv.records(new String(content, StandardCharsets.UTF_8)).length - 1).toLong
+        org.apache.spark.sql.Row(url.substring(url.lastIndexOf('/') + 1),
+          r.getString(1), r.getInt(2), nRows, r.getLong(3))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  val fetchIngestSql: String =
+    """WITH b AS (
+      |  SELECT doc_id % 3 AS part, count(*) AS n_rows,
+      |    sum(strlen(CAST(doc_id AS VARCHAR)) + strlen(text) + strlen(lang)
+      |        + strlen(source) + strlen(CAST(n_chars AS VARCHAR)) + 5) AS body
+      |  FROM documents GROUP BY 1)
+      |SELECT 'part_' || CAST(part AS VARCHAR) || '.csv' AS file,
+      |  'fetched' AS status, 1 AS attempts,
+      |  n_rows::BIGINT AS n_rows, (body + 32)::BIGINT AS n_bytes
+      |FROM b
+      |UNION ALL
+      |SELECT 'part_404.csv', 'permanent_fail', 1, 0::BIGINT, 0::BIGINT""".stripMargin
+
+  /** A10: bytes under management per parquet file (the
+    * pg_size_pretty table-size stat, main.go:161-165) from the file
+    * index's `_metadata` column — zero extra IO. File sizes are
+    * invisible to the oracle's table views → rows-only for the
+    * driver; the spec asserts exact equality with the filesystem. */
+  def tableSizes(s: SparkSession, dir: String): DataFrame =
+    Seq("lineitem", "orders", "events", "documents").map { t =>
+      Tables.t(s, dir, t)
+        .select(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("file"),
+          col("_metadata.file_size").as("n_bytes"))
+        .groupBy(col("file"), col("n_bytes")).agg(count(lit(1)).as("n_rows"))
+    }.reduce(_ unionByName _)
+      .select(col("file"), col("n_rows"), col("n_bytes"))
+
   /** A8: streaming ingest — runs the actual Structured Streaming
     * pipeline (file source → watermark → dedup-within-watermark →
     * windowed counts) to a memory sink and returns the result. All

@@ -195,6 +195,37 @@ object Dedup {
       .select(col("ia"), col("ib"), col("hamming"))
   }
 
+  /** C3-wide: the 128-bit simhash variant — two independent xxhash64
+    * lanes per token, 8 bands of 16 bits (65536 buckets per band vs
+    * the 64-bit form's 256). The hamming radius scales with the
+    * sketch (15/128 ≈ 7/64, the same similarity threshold): radius
+    * ≤ 7 is still pigeonhole-guaranteed by the 8 bands; 8-15 is
+    * probabilistic (a clean band must exist) with high empirical
+    * recall — the Manku-style trade a web-scale corpus makes to keep
+    * buckets fine where 16×8-bit banding would fall back to 256
+    * values per band. Rows-only (no cross-engine xxhash64); recall
+    * vs planted near-dups is spec-checked like C3's. */
+  def dedupSimhashWide(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+        explode(graft.functions.TextFns.wsTokens(lower(col("text")))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h0"),
+        xxhash64(col("t"), lit(1)).as("h1"))
+    val sigs = simhashBandsAggWide(toks, "doc_id", Seq("h0", "h1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("doc_id"), col("sb"), posexplode(col("sb")))
+      .toDF("doc_id", "sb", "idx", "v")
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.idx") === col("y.idx") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+        col("x.sb").as("sba"), col("y.sb").as("sbb"))
+      .withColumn("hamming", bandHamming(col("sba"), col("sbb")))
+      .filter(col("hamming") <= 15)
+      .dropDuplicates("ia", "ib")
+      .select(col("ia"), col("ib"), col("hamming"))
+  }
+
   /** C6: near-dup CLUSTERS — connected components over the verified
     * MinHash pairs, then a canonical keeper per cluster (min doc_id).
     * Iterative min-label propagation: each round is a distributed

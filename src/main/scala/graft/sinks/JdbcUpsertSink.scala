@@ -56,20 +56,77 @@ object JdbcUpsertSink {
         val conn: Connection = DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
-          val st = conn.prepareStatement(sql)
-          var inBatch = 0
-          rows.foreach { row =>
-            columns.indices.foreach(i => st.setObject(i + 1, row.get(i)))
-            st.addBatch()
-            inBatch += 1
-            if (inBatch == batchSize) { st.executeBatch(); inBatch = 0 }
-          }
-          if (inBatch > 0) st.executeBatch()
+          execBatches(conn, sql, rows, columns.size, batchSize)
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e
         } finally conn.close()
       }
     }
+  }
+
+  /** SQLSTATE for unique-violation — what the reference string-matches
+    * to decide "retry as upsert" (main.go:191-201, "SQLSTATE 23505"). */
+  val DuplicateKeySqlState = "23505"
+
+  /** Is this (possibly wrapped) failure a duplicate-key conflict?
+    * Checks the SQLException state, the reference's message
+    * substring, and the cause chain (JDBC drivers and Spark both
+    * wrap). */
+  @annotation.tailrec
+  def isDuplicateKey(e: Throwable): Boolean = e match {
+    case null => false
+    case s: java.sql.SQLException if s.getSQLState == DuplicateKeySqlState => true
+    case _ if e.getMessage != null && e.getMessage.contains(DuplicateKeySqlState) => true
+    case _ if e.getCause eq e => false
+    case _ => isDuplicateKey(e.getCause)
+  }
+
+  /** The reference's optimistic control flow (main.go:176-201): try
+    * the plain INSERT first (cheapest when the day's dump is new);
+    * on a duplicate-key conflict roll back and replay the same rows
+    * as ON-CONFLICT upserts. Per partition the rows are buffered for
+    * the possible second pass — the direct analog of the reference
+    * holding one zip's decisions; a partition is the unit of retry
+    * exactly as a zip is there. */
+  def writeOptimistic(df: DataFrame, url: String, table: String, key: String,
+                      batchSize: Int = 1000,
+                      props: java.util.Properties = new java.util.Properties): Unit = {
+    val columns = df.columns.toSeq
+    val ins = insertSql(table, columns)
+    val ups = upsertSql(table, columns, key)
+    df.foreachPartition { rows: Iterator[Row] =>
+      val buf = rows.toArray
+      if (buf.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          try {
+            execBatches(conn, ins, buf.iterator, columns.size, batchSize)
+            conn.commit()
+          } catch {
+            case e: Throwable if isDuplicateKey(e) =>
+              conn.rollback()
+              execBatches(conn, ups, buf.iterator, columns.size, batchSize)
+              conn.commit()
+          }
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
+  private def execBatches(conn: Connection, sql: String, rows: Iterator[Row],
+                          nCols: Int, batchSize: Int): Unit = {
+    val st = conn.prepareStatement(sql)
+    var inBatch = 0
+    rows.foreach { row =>
+      (0 until nCols).foreach(i => st.setObject(i + 1, row.get(i)))
+      st.addBatch()
+      inBatch += 1
+      if (inBatch == batchSize) { st.executeBatch(); inBatch = 0 }
+    }
+    if (inBatch > 0) st.executeBatch()
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Decisions
+
+class DecisionsSpec extends SparkSpec {
+
+  private lazy val rt = SparkEntry.queries("decision_roundtrip")(spark, sf)
+  private lazy val q = SparkEntry.queries("decision_quality")(spark, sf).collect()(0)
+
+  test("round-trip emits the full 40-column Decision surface") {
+    assert(rt.columns.length == 40)
+    assert(rt.columns.toSeq == Decisions.OutCols)
+    // one row per surviving uuid, no blanks
+    val n = rt.count()
+    assert(n > 0)
+    assert(rt.select("uuid").distinct().count() == n)
+    assert(rt.filter(col("uuid") === "").count() == 0)
+  }
+
+  test("LWW upsert keeps the latest created_at per uuid") {
+    val parsed = Decisions.parse(
+      graft.ingest.ZipCsv.read(spark,
+        graft.ingest.DecisionFixture.ensure(spark, sf), Decisions.FieldNames)
+        .drop("_src"))
+      .filter(col("uuid") =!= "")
+    val latest = parsed.groupBy("uuid").agg(max("created_at").as("m"))
+    val joined = rt.join(latest, "uuid")
+      .filter(col("created_at") =!= col("m")).count()
+    assert(joined == 0, "kept a non-latest version for some uuid")
+    // dups were actually planted and collapsed
+    assert(parsed.count() > rt.count() ||
+      parsed.select("uuid").distinct().count() == parsed.count())
+  }
+
+  test("quality metrics: counts line up with synthesis rates") {
+    val events = Tables.events(spark, sf)
+    val total = events.count()
+    assert(q.getAs[Long]("n_rows") == total)
+    assert(q.getAs[Long]("n_missing_uuid") ==
+      events.filter(col("event_id") % 97 === 0).count())
+    // end_date_visibility_restriction is field index 3
+    assert(q.getAs[Long]("n_bad_ts") ==
+      events.filter((col("event_id") + 3) % 11 === 0).count())
+    assert(q.getAs[Long]("n_bad_uid") ==
+      events.filter(col("event_id") % 13 === 0).count())
+    assert(q.getAs[Long]("n_keys") == rt.count())
+  }
+
+  test("parse branches: array/ts/bool/uid kernels fire on every path") {
+    val r = rt.orderBy("uuid").limit(200).collect()
+    val vis = r.map(_.getAs[String]("decision_visibility"))
+    assert(vis.exists(v => v != null && v.contains("|")))   // JSON array path
+    assert(vis.contains(null))                               // empty path
+    assert(vis.exists(v => v != null && v == "[bad"))        // fallback path
+    val det = r.map(_.getAs[java.lang.Boolean]("automated_detection"))
+    assert(det.contains(true) && det.contains(false) && det.contains(null))
+    val ms = r.map(_.getAs[java.lang.Long]("snowflake_ms"))
+    assert(ms.exists(_ != null) && ms.contains(null))
+    // snowflake decode round-trips the event epoch
+    val ok = rt.filter(col("entity_type") === "user").limit(5).collect()
+    ok.foreach { row =>
+      val uid = row.getAs[String]("platform_uid").split("-")(0).toLong
+      assert(row.getAs[Long]("snowflake_ms") ==
+        (uid >> 22) + graft.functions.Snowflake.DiscordEpochMs)
+    }
+  }
+}

@@ -65,6 +65,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (found ${sim.size}, planted ${planted.size})")
   }
 
+  test("dedup_simhash_wide (128-bit): recall vs planted near-dups >= 0.9, tighter than 64-bit") {
+    val wide = run("dedup_simhash_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = run("ngram_jaccard").select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.forall { case (a, b) => a < b })
+    val recall = planted.count(wide.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall (found ${wide.size}, planted ${planted.size})")
+    // radius 7 over 128 bits is a stricter relative threshold than
+    // over 64 — the wide variant should not be looser
+    val narrow = run("dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.size <= narrow.size * 2,
+      s"wide=${wide.size} vs narrow=${narrow.size}: wide unexpectedly loose")
+  }
+
   test("dedup_clusters: pair endpoints share a cluster, canonical id is cluster min") {
     val clusters = run("dedup_clusters").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -41,7 +41,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup/ann candidate generation is equi-join (hash/merge), LSH never all-pairs") {
-    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "dedup_embedding").foreach { name =>
+    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_wide",
+        "ann_lsh", "dedup_embedding").foreach { name =>
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name generates candidates non-equi:\n$p")
