@@ -41,18 +41,23 @@ object VecFns {
     }.reduce(_ + _)
   }
 
-  /** Banded sign-LSH keys: `bands` bands of `bits` sign bits each
-    * (bits·bands ≤ 64 hyperplanes), every key tagged with its band
-    * index — key = (band << bits) | bandBits — so one single-column
-    * equi-join means "same band AND same bucket". Geometry is
-    * threshold-driven: P(vectors at angle θ share ≥1 band) =
-    * 1-(1-(1-θ/π)^bits)^bands. Tight near-dup thresholds (cos ≥ 0.9,
-    * θ ≈ 26°) want wide selective bands (8×8); a weak threshold like
-    * cos ≥ 0.4 (θ ≈ 66°) needs narrow permissive ones — 2-bit × 32
-    * bands keeps the per-pair miss probability ≈ 9e-8. */
-  def bandedSignKeys(v: Column, bits: Int, bands: Int, seed: Int = 7): Column = {
+  /** Banded sign-LSH keys from an already-computed
+    * [[hyperplaneBucket]] COLUMN: `bands` bands of `bits` bits each,
+    * every key tagged with its band index — key = (band << bits) |
+    * bandBits — so one single-column equi-join means "same band AND
+    * same bucket". Geometry is threshold-driven: P(vectors at angle
+    * θ share ≥1 band) = 1-(1-(1-θ/π)^bits)^bands. Tight near-dup
+    * thresholds (cos ≥ 0.9, θ ≈ 26°) want wide selective bands
+    * (8×8); a weak threshold like cos ≥ 0.4 (θ ≈ 66°) needs narrow
+    * permissive ones (2-bit × 32, per-pair miss ≈ 9e-8).
+    *
+    * Takes the bucket as a Column on purpose: Catalyst expressions
+    * are trees, not DAGs — inlining the 64-plane projection here
+    * would copy it into every band key (bands × planes dot products
+    * per row; measured 19 ms/row once codegen falls back). Project
+    * the bucket into a column first, then slice. */
+  def bandKeysFromBucket(bucket: Column, bits: Int, bands: Int): Column = {
     require(bits * bands <= 64, "at most 64 sign planes")
-    val bucket = hyperplaneBucket(v, bits * bands, seed)
     val mask = (1L << bits) - 1
     array((0 until bands).map { b =>
       lit(b.toLong << bits) +

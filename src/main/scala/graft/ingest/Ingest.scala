@@ -132,24 +132,33 @@ object Ingest {
   val ingestStatsSql: String =
     "SELECT 'lineitem.parquet' AS file, count(*) AS n_rows FROM lineitem"
 
-  /** A7: the sink's batching plan — rows ordered by key, chunked
-    * into [[JdbcBatch]]-row transactions (utils.go:88-119's 1000-row
-    * batches, sized down so verify sees several). The JDBC writer
-    * itself is [[graft.sinks.JdbcUpsertSink]] (no DB in the test
-    * container; statement text + batching math are spec-tested). */
+  /** A7: the sink's batching plan — rows chunked into
+    * [[JdbcBatch]]-row transactions (utils.go:88-119's 1000-row
+    * batches, sized down so verify sees several). Batching is
+    * WRITER-LOCAL, exactly like [[graft.sinks.JdbcUpsertSink]]'s
+    * per-partition transactions: a deterministic key hash routes
+    * each row to one of [[JdbcShards]] writers and the row_number
+    * window partitions by writer — no global single-partition window
+    * at any scale. (No DB in the test container; statement text +
+    * batching math are spec-tested.) */
   val JdbcBatch = 100
+  val JdbcShards = 8
   def jdbcSink(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val shard = pmod(col("doc_id") * 2654435761L % 1000000007L, lit(JdbcShards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("writer")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
-      .select(col("doc_id"))
+      .select(col("doc_id"), shard.as("writer"))
       .withColumn("batch_id", floor((row_number().over(w) - 1) / JdbcBatch))
-      .groupBy(col("batch_id")).agg(count(lit(1)).as("n_rows"))
+      .groupBy(col("writer"), col("batch_id")).agg(count(lit(1)).as("n_rows"))
   }
 
   val jdbcSinkSql: String =
-    s"""SELECT batch_id, count(*) AS n_rows FROM (
-       |  SELECT (row_number() OVER (ORDER BY doc_id) - 1) // $JdbcBatch AS batch_id
-       |  FROM documents) GROUP BY batch_id""".stripMargin
+    s"""SELECT writer, batch_id, count(*) AS n_rows FROM (
+       |  SELECT writer,
+       |    (row_number() OVER (PARTITION BY writer ORDER BY doc_id) - 1) // $JdbcBatch AS batch_id
+       |  FROM (SELECT doc_id, (doc_id * 2654435761 % 1000000007) % $JdbcShards AS writer
+       |        FROM documents)) GROUP BY writer, batch_id""".stripMargin
 
   /** A9: the manifest-driven download loop (main.go:146-154,
     * 176-186) against a local file:// mirror — three published CSV

@@ -233,12 +233,51 @@ object Dedup {
     * changes = 0), it never holds data. Rounds needed = component
     * diameter — near-dup clusters are shallow, so this converges in
     * 2-4 rounds; the hard cap is a runaway guard. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Edge-count bound under which the converged-component finish
+    * runs as a driver-side union-find instead of distributed rounds.
+    * Rationale (measured at sf0.1): near-dup components are tiny and
+    * shallow — 256 pairs — while ONE distributed label-propagation
+    * round costs ~10 s of fixed scheduling/codegen overhead
+    * regardless of data. Real CC implementations finish their
+    * contracted graphs the same way; past the bound (edge list no
+    * longer trivially driver-sized) the iterative path engages. */
+  val LocalClusterEdges: Long = 2000000L
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersImpl(s, dir, LocalClusterEdges)
+
+  private[graft] def dedupClustersImpl(s: SparkSession, dir: String,
+                                       localLimit: Long): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val gp = gramPosts(s, dir)
     val pairs = lshPairs(gp).select(col("ia"), col("ib")).persist(lvl)
-    pairs.count() // materialize so the postings cache can go now
+    val nPairs = pairs.count() // materialize so the postings cache can go now
     gp.unpersist()
+
+    if (nPairs <= localLimit) {
+      // driver union-find over the (small) edge list; min id per
+      // component for the deterministic canonical label
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val members = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val labelRows = members.map(m => (m, find(m)))
+      import s.implicits._
+      val fin = labelRows.toSeq.toDF("doc_id", "cluster_id")
+      return withSingletons(s, dir, fin)
+    }
+
     val edges = pairs
       .unionByName(pairs.select(col("ib").as("ia"), col("ia").as("ib")))
     // propagate only over pair endpoints — non-members can never
@@ -277,9 +316,13 @@ object Dedup {
     val fin = labels.localCheckpoint()
     labels.unpersist()
     pairs.unpersist()
-    // singletons rejoin with cluster = own id
+    withSingletons(s, dir, fin)
+  }
+
+  /** Rejoin singleton docs (cluster = own id) and attach sizes. */
+  private def withSingletons(s: SparkSession, dir: String, labels: DataFrame): DataFrame = {
     val all = documents(s, dir).select(col("doc_id"))
-      .join(fin, Seq("doc_id"), "left_outer")
+      .join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     val sizes = all.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     all.join(sizes, "cluster_id")
@@ -299,32 +342,83 @@ object Dedup {
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM lab""".stripMargin
 
-  /** C5 cosine threshold and its LSH band geometry. At the weak
-    * verify threshold (0.4 ⇒ θ ≈ 66.4°, per-plane agree p = 1-θ/π ≈
-    * 0.631) a 2-bit band matches w.p. 0.631² ≈ 0.398; missing all 32
-    * bands is (1-0.398)³² ≈ 9e-8 per qualifying pair — recall 1 in
-    * practice, so the exact all-pairs answer remains the oracle. A
-    * production near-dup threshold (≥ 0.9) would use wider bands
-    * (8×8) for a far stronger prune; see
-    * [[graft.functions.VecFns.bandedSignKeys]]. */
+  /** C5 cosine threshold, blocking factor, and LSH band geometry.
+    *
+    * Regime math (drives which candidate generator the operator
+    * uses): at the verify threshold 0.4 (θ ≈ 66.4°, per-plane agree
+    * p ≈ 0.631) recall-1 banding needs 2-bit × 32 bands (per-pair
+    * miss ≈ 9e-8) — but a random near-orthogonal pair then still
+    * collides in ≥1 band w.p. ≈ 1-(1-0.25)³² ≈ 0.9999, i.e. LSH
+    * CANNOT prune a weak threshold (measured at sf0.1: 2.0M of 2.0M
+    * pairs survived banding, and the band join + distinct cost 25 s
+    * to prune nothing). So the exact operator generates each pair
+    * exactly ONCE via a balanced blocked equi-join; the banded-LSH
+    * form ([[dedupEmbeddingLsh]]) is the scale path for thresholds
+    * high enough to prune (≥ ~0.7, where 8×8 banding kills random
+    * pairs at ~1e-5 per band). */
   val CosFloor = 0.4
+  val CosBlocks = 32
   val CosBandBits = 2
   val CosBands = 32
 
-  /** C5: embedding-cosine near-dup pairs ≥ [[CosFloor]]. Candidates
-    * come from banded sign-LSH bucket collisions — one explode + one
-    * equi-join on the (band, bucket) key, never an all-pairs loop —
-    * and only candidates pay the exact cosine, computed in double
-    * with left-to-right accumulation so it matches the all-pairs
-    * oracle bit-for-bit. */
+  /** C5: embedding-cosine near-dup pairs ≥ [[CosFloor]], exact.
+    *
+    * All-pairs expressed as a BALANCED COMPOSITE-KEY EQUI-JOIN, not
+    * a nested loop: a deterministic vec_id hash assigns each vector
+    * to one of [[CosBlocks]] blocks; the left side replicates each
+    * vector to keys (its block, b ≥ it), the right side to keys
+    * (b ≤ it, its block), so an unordered pair meets on exactly one
+    * (block-low, block-high) key — no distinct, no fanout skew
+    * (every key yields ≈ (N/blocks)² rows), shuffle ∝ N·blocks.
+    * Cosine is computed in double with left-to-right accumulation —
+    * bit-identical to the all-pairs oracle. (Exact all-pairs is
+    * Θ(N²) dots no matter the plan; this shape makes the work
+    * distribute with bounded per-task memory, and CosBlocks scales
+    * with N — keep block size ≈ a few hundred. A corpus where N²
+    * itself is infeasible uses [[dedupEmbeddingLsh]] at a pruning
+    * threshold instead.) */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     // norms once per vector (N sqrt-dots), not once per pair (N²/2 ×3):
     // sqrt(dot(a,a))·sqrt(dot(b,b)) is the same doubles either way,
     // so the oracle still matches bit-for-bit
     val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VecFns.norm(col("embedding")))
+      .withColumn("blk", pmod(col("vec_id") * 2654435761L % 1000000007L, lit(CosBlocks)))
+    val lhs = e.select(
+      col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"),
+      col("blk").as("ba"), explode(sequence(col("blk"), lit(CosBlocks - 1L))).as("bb"))
+    val rhs = e.select(
+      col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"),
+      explode(sequence(lit(0L), col("blk"))).as("ba"), col("blk").as("bb"))
+    val denom = col("na") * col("nb")
+    // same-block pairs appear in both orders (dedup with va < vb);
+    // cross-block pairs appear exactly once, in block order — restore
+    // id order with least/greatest (cos is symmetric)
+    lhs.join(rhs, Seq("ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col("va") < col("vb"))
+      .withColumn("cos", when(denom === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
+      .filter(col("cos") >= CosFloor)
+      .select(least(col("va"), col("vb")).as("va"),
+        greatest(col("va"), col("vb")).as("vb"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** The banded sign-LSH form of C5 — candidates from (band, bucket)
+    * collisions, exact cosine only on candidates. THE 100 TB path
+    * for thresholds that prune (see the regime note on [[CosFloor]]);
+    * at the verify threshold its recall-1 geometry is the permissive
+    * [[CosBandBits]]×[[CosBands]], spec-checked equal to the exact
+    * operator. The bucket is materialized as a column BEFORE band
+    * slicing — inlining it would copy the 64-plane projection
+    * subtree into every band key (measured 19 ms/row interpreted). */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VecFns.norm(col("embedding")))
     val keys = e.select(col("vec_id"),
-      explode(VecFns.bandedSignKeys(col("embedding"), CosBandBits, CosBands)).as("bk"))
+        VecFns.hyperplaneBucket(col("embedding"), CosBandBits * CosBands).as("bucket"))
+      .select(col("vec_id"),
+        explode(VecFns.bandKeysFromBucket(col("bucket"), CosBandBits, CosBands)).as("bk"))
     val cand = keys.as("x")
       .join(keys.as("y"), col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
@@ -337,20 +431,6 @@ object Dedup {
         .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
       .filter(col("cos") >= CosFloor)
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
-  }
-
-  /** The exact all-pairs form of C5 — the spec's recall baseline for
-    * the LSH-pruned operator (never the operator itself: O(N²)). */
-  def dedupEmbeddingAllPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", VecFns.norm(col("embedding")))
-    val denom = col("x.nrm") * col("y.nrm")
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", when(denom === 0, lit(0.0))
-        .otherwise(VecFns.dot(col("x.embedding"), col("y.embedding")) / denom))
-      .filter(col("cos") >= CosFloor)
-      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
-        round(col("cos"), 4).as("cos"))
   }
 
   val dedupEmbeddingSql: String =

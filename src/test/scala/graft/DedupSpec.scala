@@ -98,6 +98,14 @@ class DedupSpec extends SparkSpec {
     assert(byCluster.size < clusters.size) // at least one real merge
   }
 
+  test("dedup_clusters: local union-find finish equals the distributed iterative path") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = rows(run("dedup_clusters"))
+    val dist = rows(graft.operators.Dedup.dedupClustersImpl(spark, sf, 0L))
+    assert(local == dist, s"local=${local.size} dist=${dist.size}")
+  }
+
   test("dedup_embedding: pairs symmetric-free, cos in [0.4, 1]") {
     val rows = run("dedup_embedding").collect()
     assert(rows.nonEmpty)
@@ -108,14 +116,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("dedup_embedding LSH prune has recall 1 vs the all-pairs baseline") {
+  test("dedup_embedding LSH variant has recall 1 vs the blocked exact operator") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
-    val pruned = pairs(run("dedup_embedding"))
-    val exact = pairs(graft.operators.Dedup.dedupEmbeddingAllPairs(spark, sf))
+    val exact = pairs(run("dedup_embedding"))
+    val lsh = pairs(graft.operators.Dedup.dedupEmbeddingLsh(spark, sf))
     assert(exact.nonEmpty)
-    assert(pruned == exact,
-      s"pruned=${pruned.size} exact=${exact.size} missed=${(exact.keySet -- pruned.keySet).take(5)}")
+    assert(lsh == exact,
+      s"lsh=${lsh.size} exact=${exact.size} missed=${(exact.keySet -- lsh.keySet).take(5)}")
   }
 
   test("gram df-cap is inert at verify scale (max df well under the cap)") {

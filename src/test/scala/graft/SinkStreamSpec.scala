@@ -21,13 +21,18 @@ class SinkStreamSpec extends SparkSpec {
     assert(JdbcUpsertSink.batchSizes(0, 1000).isEmpty)
   }
 
-  test("jdbc_sink query: batch sizes sum to row count, all full but last") {
+  test("jdbc_sink query: per-writer batch sizes sum to row count, all full but last") {
     val rows = SparkEntry.queries("jdbc_sink")(spark, sf)
-      .orderBy("batch_id").collect()
-    val sizes = rows.map(_.getAs[Long]("n_rows"))
-    assert(sizes.sum == Tables.documents(spark, sf).count())
-    assert(sizes.init.forall(_ == Ingest.JdbcBatch))
-    assert(sizes.last <= Ingest.JdbcBatch)
+      .orderBy("writer", "batch_id").collect()
+    val byWriter = rows.groupBy(_.getAs[Long]("writer"))
+    assert(byWriter.nonEmpty && byWriter.size <= Ingest.JdbcShards)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.documents(spark, sf).count())
+    byWriter.values.foreach { ws =>
+      val sizes = ws.sortBy(_.getAs[Long]("batch_id")).map(_.getAs[Long]("n_rows"))
+      assert(sizes.init.forall(_ == Ingest.JdbcBatch))
+      assert(sizes.last <= Ingest.JdbcBatch)
+    }
   }
 
   test("stream_ingest: real streaming run equals the batch twin") {
@@ -51,5 +56,8 @@ class SinkStreamSpec extends SparkSpec {
     batch.foreach { case (k, v) => assert(streamed(k) == v, s"session $k") }
   }
 
-  private object Ingest { val JdbcBatch = graft.ingest.Ingest.JdbcBatch }
+  private object Ingest {
+    val JdbcBatch = graft.ingest.Ingest.JdbcBatch
+    val JdbcShards = graft.ingest.Ingest.JdbcShards
+  }
 }
