@@ -50,6 +50,9 @@ object SparkEntry {
     "bucketed_join"    -> (ScalePatterns.bucketedJoin _),
     "pruned_scan"      -> (ScalePatterns.prunedScan _),
     "sample_split"     -> (TrainPrep.sampleSplit _),
+    "stratified_sample" -> (TrainPrep.stratifiedSample _),
+    "vocab_topk"       -> (TrainPrep.vocabTopk _),
+    "mix_sources"      -> (Dedup.mixSources _),
     "seq_pack"         -> (TrainPrep.seqPack _),
     "decontaminate"    -> (TrainPrep.decontaminate _),
     "curate"           -> (TrainPrep.curate _),
@@ -113,6 +116,9 @@ object SparkEntry {
     "bucketed_join"    -> ScalePatterns.bucketedJoinSql,
     "pruned_scan"      -> ScalePatterns.prunedScanSql,
     "sample_split"     -> TrainPrep.sampleSplitSql,
+    "stratified_sample" -> TrainPrep.stratifiedSampleSql,
+    "vocab_topk"       -> TrainPrep.vocabTopkSql,
+    "mix_sources"      -> Dedup.mixSourcesSql,
     "seq_pack"         -> TrainPrep.seqPackSql,
     "decontaminate"    -> TrainPrep.decontaminateSql,
     "curate"           -> TrainPrep.curateSql,

@@ -342,6 +342,49 @@ object Dedup {
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM lab""".stripMargin
 
+  /** G15: cross-source near-dup resolution — when two docs from
+    * different sources are near-duplicates (exact Jaccard ≥ 0.5,
+    * same pair set as C2/C4), keep the copy from the
+    * higher-priority source (numeric suffix of `source`, lower =
+    * higher priority; ties → keep the smaller doc_id). A doc that
+    * loses ANY pair is dropped. This is the "prefer curated over
+    * crawled" merge a multi-source corpus build runs after pairwise
+    * dedup. Emits per-source survivor counts. Shape: the C4 postings
+    * join + one broadcast-size join to doc sources + one anti-join —
+    * nothing beyond the dedup shuffles it reuses. */
+  def mixSources(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val src = docs.select(col("doc_id"),
+      col("source").substr(lit(4), lit(8)).cast("int").as("pri"))
+    val pairs = ngramJaccard(s, dir).select(col("ia"), col("ib"))
+      .join(src.select(col("doc_id").as("ia"), col("pri").as("pa")), "ia")
+      .join(src.select(col("doc_id").as("ib"), col("pri").as("pb")), "ib")
+    val losers = pairs.select(
+      when(col("pa") < col("pb"), col("ib"))
+        .when(col("pa") > col("pb"), col("ia"))
+        .otherwise(col("ib")) // same priority: keep smaller id (ia < ib)
+        .as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  }
+
+  val mixSourcesSql: String =
+    gramsCte + pairsCtes + "," + """
+      |pr AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS pri, source, n_chars
+      |       FROM documents),
+      |losers AS (
+      |  SELECT DISTINCT CASE WHEN a.pri < b.pri THEN jp.ib
+      |                       WHEN a.pri > b.pri THEN jp.ia
+      |                       ELSE jp.ib END AS doc_id
+      |  FROM jp JOIN pr a ON jp.ia = a.doc_id
+      |          JOIN pr b ON jp.ib = b.doc_id
+      |  WHERE jp.j >= 0.5)
+      |SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |GROUP BY source""".stripMargin
+
   /** C5 cosine threshold, blocking factor, and LSH band geometry.
     *
     * Regime math (drives which candidate generator the operator

@@ -79,6 +79,62 @@ object TrainPrep {
       |FROM scored WHERE q >= 0.5 AND n_tok >= 50
       |GROUP BY 1, 2""".stripMargin
 
+  /** G13 per-language keep-rates (percent) — the "data mixing"
+    * weights a training pipeline applies to rebalance sources. */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 80, "fr" -> 50, "es" -> 50, "de" -> 30, "zh" -> 20)
+
+  /** G13: deterministic stratified sampling — keep a per-language
+    * fraction of docs, membership decided by an arithmetic doc_id
+    * hash (a different multiplier than the split hash, so sample and
+    * split membership stay independent). No RNG: portable across
+    * engines, stable across runs/repartitions — how a real pipeline
+    * downsamples a dominant language. Emits per-lang kept counts +
+    * chars. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * 1103515245L % 1000000007L, lit(100))
+    val rate = SampleRates.foldLeft(lit(0)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents(s, dir)
+      .filter(h < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("n_chars"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val rateCase = SampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS n_chars
+       |FROM (SELECT lang, n_chars,
+       |        (doc_id * 1103515245 % 1000000007) % 100 AS h,
+       |        $rateCase AS rate
+       |      FROM documents)
+       |WHERE h < rate GROUP BY lang""".stripMargin
+  }
+
+  val VocabK = 200
+
+  /** G14: vocabulary build — term frequency (total occurrences) and
+    * document frequency per token, top-[[VocabK]] by tf with a
+    * deterministic tiebreak. One explode + one groupBy (map-side
+    * partial aggregation does the heavy lifting; the shuffle carries
+    * one row per distinct token per partition, not per occurrence) —
+    * the vocab/BPE-seed step of a tokenizer pipeline. */
+  def vocabTopk(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.wsTokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(VocabK)
+
+  val vocabTopkSql: String =
+    s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+       |      FROM documents)
+       |GROUP BY tok ORDER BY tf DESC, tok LIMIT $VocabK""".stripMargin
+
   val NGram = 13
 
   /** G11: train/test decontamination — test-split documents sharing

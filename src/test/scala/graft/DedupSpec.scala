@@ -135,6 +135,21 @@ class DedupSpec extends SparkSpec {
       s"df-cap would drop grams at this sf (max df $maxDf)")
   }
 
+  test("mix_sources: losers are exactly the lower-priority side of each near-dup pair") {
+    val survivors = run("mix_sources").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    val total = Tables.documents(spark, sf).count()
+    val pairs = run("ngram_jaccard").collect()
+    assert(pairs.nonEmpty)
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1).drop(3).toInt).toMap
+    val losers = pairs.map { p =>
+      val (ia, ib) = (p.getLong(0), p.getLong(1))
+      if (src(ia) < src(ib)) ib else if (src(ia) > src(ib)) ia else ib
+    }.toSet
+    assert(survivors.values.sum == total - losers.size)
+  }
+
   test("cosine kernel: orthogonal -> 0, identical -> 1") {
     import spark.implicits._
     val df = Seq((Array(1f, 0f), Array(0f, 1f), Array(1f, 0f)))

@@ -55,6 +55,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("n_tokens") >= 50 * r.getAs[Long]("n_docs")))
   }
 
+  test("stratified_sample: kept fraction tracks per-lang rate, deterministic") {
+    val total = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("stratified_sample").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    graft.operators.TrainPrep.SampleRates.foreach { case (lang, rate) =>
+      val frac = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(frac - rate / 100.0) < 0.25,
+        s"$lang kept $frac vs rate ${rate / 100.0}")
+    }
+    // deterministic: two runs identical
+    assert(kept == run("stratified_sample").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap)
+  }
+
+  test("vocab_topk: tf >= df >= 1, ordered by tf desc, hand-checked count") {
+    val rows = run("vocab_topk").collect()
+    assert(rows.nonEmpty && rows.length <= graft.operators.TrainPrep.VocabK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tf") >= r.getAs[Long]("df") && r.getAs[Long]("df") >= 1)
+    }
+    val tfs = rows.map(_.getAs[Long]("tf"))
+    assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b })
+    val top = rows.head
+    val expect = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.wsTokens(lower(col("text")))).as("t"))
+      .filter(col("t") === top.getString(0)).count()
+    assert(top.getAs[Long]("tf") == expect)
+  }
+
   test("seq_pack: per-shard bins contiguous from 0, tokens conserved") {
     val rows = run("seq_pack").orderBy("shard", "bin").collect()
     val byShard = rows.groupBy(_.getLong(0))
