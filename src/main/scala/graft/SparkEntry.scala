@@ -27,6 +27,7 @@ object SparkEntry {
     "table_sizes"      -> (Ingest.tableSizes _),
     "decision_roundtrip" -> (graft.ingest.Decisions.decisionRoundtrip _),
     "decision_quality" -> (graft.ingest.Decisions.decisionQuality _),
+    "stream_decisions" -> (graft.streaming.StreamDecisions.run _),
     "stream_sessionize" -> ((s: SparkSession, dir: String) => {
       graft.streaming.StreamSessionize.runToMemory(s, dir, "stream_sess_mem")
       s.table("stream_sess_mem")
@@ -96,6 +97,8 @@ object SparkEntry {
     // the oracle's table views (spec asserts filesystem equality).
     "decision_roundtrip" -> graft.ingest.Decisions.decisionRoundtripSql,
     "decision_quality" -> graft.ingest.Decisions.decisionQualitySql,
+    // streaming twin of the Decision pipeline — same oracle
+    "stream_decisions" -> graft.ingest.Decisions.decisionRoundtripSql,
     // streaming twin of B6 — same oracle
     "stream_sessionize" -> Analytics.sessionizeSql,
     "q1_agg"           -> Analytics.q1AggSql,

@@ -124,11 +124,15 @@ object Decisions {
     case C => s"strftime(CAST(ts AS TIMESTAMP), '$DuckFmt')"
   }
 
-  /** The synthesized 36-string-column frame (pre-CSV). */
-  def synth(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
+  /** The synthesized 36-string-column frame (pre-CSV), from any
+    * events-shaped frame (batch or streaming). */
+  def synthFrom(events: DataFrame): DataFrame =
+    events.select(
       col("event_id") +:
         Fields.zipWithIndex.map { case ((n, k), i) => synthCol(n, k, i).as(n) }: _*)
+
+  def synth(s: SparkSession, dir: String): DataFrame =
+    synthFrom(Tables.events(s, dir))
 
   private val synthCte: String =
     "WITH synth AS (SELECT event_id,\n" +

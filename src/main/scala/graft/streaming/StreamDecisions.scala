@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.ingest.{Decisions, Upsert}
+
+/** The reference's ACTUAL production shape, end-to-end in Structured
+  * Streaming (BASELINE "spark_approach: Structured Streaming + JDBC
+  * sink"): a watched source of new records → the full 40-column
+  * typed Decision parse → per-micro-batch last-write-wins → an
+  * ON-CONFLICT upsert sink (main.go's worker loop + processDecisions,
+  * expressed as `foreachBatch` + [[graft.sinks.JdbcUpsertSink]]
+  * semantics).
+  *
+  * The container has no database, so the sink writes into
+  * [[StreamDecisions.Store]], an in-memory uuid-keyed stand-in for
+  * the Postgres table with the same overwrite semantics — the
+  * foreachBatch body is exactly what a production pipeline runs with
+  * `JdbcUpsertSink.write(lww, url, …)` in the Store's place. All
+  * verify input arrives in one micro-batch, so the result equals the
+  * batch [[Decisions.decisionRoundtrip]] and shares its oracle.
+  * (The archive unzip leg is a batch concern — A2/A9; file streams
+  * watch already-extracted staging.)
+  */
+object StreamDecisions {
+
+  /** uuid-keyed stand-in for the sink database table. */
+  object Store {
+    val rows = new scala.collection.concurrent.TrieMap[String, Row]()
+    @volatile var schema: StructType = _
+  }
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    Store.rows.clear()
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val parsed = Decisions.parse(Decisions.synthFrom(raw).drop("event_id"))
+      .filter(col("uuid") =!= "")
+    val q = parsed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-batch LWW, then ON CONFLICT (uuid) DO UPDATE into the
+        // store — the JdbcUpsertSink control flow with the DB faked
+        val lww = Upsert.lastWriteWins(batch, Seq("uuid"),
+          Seq(col("created_at").desc, col("platform_uid").desc))
+        Store.schema = lww.schema
+        lww.collect().foreach(r => Store.rows.put(r.getAs[String]("uuid"), r))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(Store.rows.values.toSeq).asJava),
+      Store.schema)
+  }
+}

@@ -47,6 +47,15 @@ class DecisionsSpec extends SparkSpec {
     assert(q.getAs[Long]("n_keys") == rt.count())
   }
 
+  test("stream_decisions: the streaming upsert pipeline equals the batch round-trip") {
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("uuid") -> r.toSeq.map(String.valueOf)).toMap
+    val streamed = keyed(SparkEntry.queries("stream_decisions")(spark, sf))
+    val batch = keyed(rt)
+    assert(streamed.size == batch.size && streamed.keySet == batch.keySet)
+    batch.foreach { case (k, v) => assert(streamed(k) == v, s"uuid $k") }
+  }
+
   test("parse branches: array/ts/bool/uid kernels fire on every path") {
     val r = rt.orderBy("uuid").limit(200).collect()
     val vis = r.map(_.getAs[String]("decision_visibility"))
