@@ -63,6 +63,8 @@ object SparkEntry {
     "token_count"      -> (TextOps.tokenCount _),
     "doc_fingerprint"  -> (TextOps.docFingerprintQ _),
     "bm25_topk"        -> (TextOps.bm25Topk _),
+    "scrub_pii"        -> (TextOps.scrubPii _),
+    "chunk_docs"       -> (TrainPrep.chunkDocs _),
     // C: dedup
     "dedup_exact"      -> (Dedup.dedupExact _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -130,6 +132,8 @@ object SparkEntry {
     "text_quality"     -> TextOps.textQualitySql,
     "token_count"      -> TextOps.tokenCountSql,
     "bm25_topk"        -> TextOps.bm25TopkSql,
+    "scrub_pii"        -> TextOps.scrubPiiSql,
+    "chunk_docs"       -> TrainPrep.chunkDocsSql,
     // dedup_simhash is rows-only: sketch has no cross-engine twin.
     "dedup_exact"      -> Dedup.dedupExactSql,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,

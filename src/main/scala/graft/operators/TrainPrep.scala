@@ -113,6 +113,48 @@ object TrainPrep {
        |WHERE h < rate GROUP BY lang""".stripMargin
   }
 
+  val ChunkLen = 500
+  val ChunkStride = 400
+
+  /** G16: context-window chunking — split each document into
+    * [[ChunkLen]]-char windows advancing by [[ChunkStride]]
+    * (100-char overlap), the step that turns documents into
+    * training-context rows. Pure column algebra: the chunk count is
+    * arithmetic on n_chars, offsets come from one `sequence` +
+    * `posexplode` — map-only, fanout = chars/stride, no shuffle
+    * before the final stats agg. Emits per-doc chunk stats (count,
+    * total/last chunk size) so the oracle is exact. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .withColumn("n_chunks", when(col("len") <= ChunkLen, lit(1L))
+        .otherwise(ceil((col("len") - ChunkLen).cast("double") / ChunkStride) + 1L))
+    d.select(col("doc_id"), col("n_chunks"), col("len"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("off"))
+      .select(col("doc_id"), col("n_chunks"),
+        least(lit(ChunkLen.toLong),
+          col("len") - col("off") * ChunkStride).as("chunk_len"))
+      .groupBy(col("doc_id"), col("n_chunks"))
+      .agg(count(lit(1)).as("emitted"),
+        sum(col("chunk_len")).as("chunk_chars"),
+        min(col("chunk_len")).as("min_chunk"))
+  }
+
+  val chunkDocsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, length(text) AS len,
+       |    CASE WHEN length(text) <= $ChunkLen THEN 1
+       |         ELSE CAST(ceil((length(text) - $ChunkLen)::DOUBLE / $ChunkStride) AS BIGINT) + 1
+       |    END AS n_chunks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_chunks,
+       |    least($ChunkLen, len - unnest(range(0, n_chunks)) * $ChunkStride) AS chunk_len
+       |  FROM d)
+       |SELECT doc_id, n_chunks, count(*) AS emitted,
+       |  sum(chunk_len)::BIGINT AS chunk_chars, min(chunk_len) AS min_chunk
+       |FROM c GROUP BY doc_id, n_chunks""".stripMargin
+
   val VocabK = 200
 
   /** G14: vocabulary build — term frequency (total occurrences) and

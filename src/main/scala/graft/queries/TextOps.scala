@@ -101,6 +101,63 @@ object TextOps {
   def docFingerprintQ(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"), docFingerprint(col("text")).as("fp"))
 
+  /** Cross-engine-safe PII patterns (no lookaround — identical
+    * semantics in Java regex and RE2). */
+  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+  /** G17: PII scrubbing — mask email/phone tokens before training.
+    * The corpus is synthetic and PII-free, so the query PLANTS
+    * deterministic PII first (an email for doc_id%7==0, a phone for
+    * doc_id%11==0) and then proves the scrub relationally: per-doc
+    * match counts, residual matches after masking (must be 0), and
+    * the masked length. Map-only — two regex passes per row, no
+    * shuffle at any scale. */
+  def scrubPii(s: SparkSession, dir: String): DataFrame = {
+    val txt = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" +31-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("txt"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    documents(s, dir)
+      .withColumn("txt", txt)
+      .withColumn("scrubbed", scrubbed)
+      .select(col("doc_id"),
+        regexp_count(col("txt"), lit(EmailRe)).as("n_email"),
+        regexp_count(col("txt"), lit(PhoneRe)).as("n_phone"),
+        (regexp_count(col("scrubbed"), lit(EmailRe)) +
+          regexp_count(col("scrubbed"), lit(PhoneRe))).as("n_residual"),
+        length(col("scrubbed")).as("len_after"))
+  }
+
+  val scrubPiiSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 7 = 0
+       |                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |                 ELSE '' END
+       |         || CASE WHEN doc_id % 11 = 0
+       |                 THEN ' +31-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |                 ELSE '' END AS txt
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, txt,
+       |    regexp_replace(regexp_replace(txt, '$EmailRe', '<EMAIL>', 'g'),
+       |                   '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+       |  FROM p)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(txt, '$EmailRe')) AS n_email,
+       |  len(regexp_extract_all(txt, '$PhoneRe')) AS n_phone,
+       |  len(regexp_extract_all(scrubbed, '$EmailRe'))
+       |    + len(regexp_extract_all(scrubbed, '$PhoneRe')) AS n_residual,
+       |  length(scrubbed) AS len_after
+       |FROM s""".stripMargin
+
   /** G10 inputs: a fixed keyword query against the corpus. */
   val Bm25Query: Seq[String] = Seq("query", "join", "filter")
   val K1 = 1.2

@@ -62,6 +62,16 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Int]("re_tokens") >= r.getAs[Int]("ws_tokens")))
   }
 
+  test("scrub_pii: planted PII found at planting rates, zero residual after masking") {
+    val rows = run("scrub_pii").collect()
+    assert(rows.forall(_.getAs[Int]("n_residual") == 0))
+    val emails = rows.map(_.getAs[Int]("n_email")).sum
+    val phones = rows.map(_.getAs[Int]("n_phone")).sum
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    assert(emails >= ids.count(_ % 7 == 0))
+    assert(phones >= ids.count(_ % 11 == 0))
+  }
+
   test("bm25_topk: scores positive and descending, hits contain query terms") {
     val rows = run("bm25_topk").collect()
     assert(rows.length == TextOps.TopK)

@@ -85,6 +85,22 @@ class TrainPrepSpec extends SparkSpec {
     assert(top.getAs[Long]("tf") == expect)
   }
 
+  test("chunk_docs: one row per doc, emitted == n_chunks, bounded chunk sizes") {
+    val rows = run("chunk_docs").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("emitted") == r.getAs[Long]("n_chunks"))
+      val minC = r.getAs[Long]("min_chunk")
+      assert(minC >= 1 && minC <= graft.operators.TrainPrep.ChunkLen)
+      // overlap accounting: total chunk chars exceed the doc length
+      // by exactly (n_chunks - 1) * overlap for multi-chunk docs
+      val overlap = graft.operators.TrainPrep.ChunkLen - graft.operators.TrainPrep.ChunkStride
+      if (r.getAs[Long]("n_chunks") > 1)
+        assert(r.getAs[Long]("chunk_chars") >
+          (r.getAs[Long]("n_chunks") - 1) * overlap)
+    }
+  }
+
   test("seq_pack: per-shard bins contiguous from 0, tokens conserved") {
     val rows = run("seq_pack").orderBy("shard", "bin").collect()
     val byShard = rows.groupBy(_.getLong(0))
