@@ -253,18 +253,20 @@ object Decisions {
        |FROM parsed""".stripMargin
 }
 
-/** Zip-of-CSV fixture carrying the full 36-field Decision records:
-  * two members split by row, the second with reversed header order
-  * (the header map must realign it, utils.go:167-171), one nested
-  * zip member. Built once per (sf, row-count) under target/fixtures.
+/** Zip-of-CSV fixtures carrying the full 36-field Decision records —
+  * TWO archives (one per synthetic "day", so the binaryFile scan has
+  * archive-level parallelism exactly like the reference's
+  * worker-per-dump): day_a.zip holds a plain CSV member; day_b.zip
+  * holds a nested zip whose member uses reversed header order (the
+  * header map must realign it, utils.go:167-171). Built once per
+  * (sf, row-count) under target/fixtures.
   */
 object DecisionFixture {
   def ensure(s: SparkSession, dir: String): String = {
     val df = Decisions.synth(s, dir)
     val n = df.count()
-    val out = Paths.get(s"/root/repo/target/fixtures/decisions_${dir.replaceAll("[^0-9.]", "")}_$n")
-    val zipPath = out.resolve("decisions.zip")
-    if (Files.exists(zipPath)) return out.toString
+    val out = Paths.get(s"/root/repo/target/fixtures/decisions2_${dir.replaceAll("[^0-9.]", "")}_$n")
+    if (Files.exists(out.resolve("day_b.zip"))) return out.toString
     Files.createDirectories(out)
     // driver-side by design: fabricates the dump archives a cluster
     // would fetch from object storage
@@ -282,20 +284,22 @@ object DecisionFixture {
       sb.toString.getBytes(StandardCharsets.UTF_8)
     }
     val (aRows, bRows) = rows.splitAt(rows.length / 2)
+    val za = new ZipOutputStream(new FileOutputStream(out.resolve("day_a.zip").toFile))
+    za.putNextEntry(new ZipEntry("day_a.csv"))
+    za.write(csv(names, aRows))
+    za.closeEntry()
+    za.close()
     val nested = new java.io.ByteArrayOutputStream()
     val nz = new ZipOutputStream(nested)
     nz.putNextEntry(new ZipEntry("day_b.csv"))
     nz.write(csv(names.reverse, bRows))
     nz.closeEntry()
     nz.close()
-    val zout = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
-    zout.putNextEntry(new ZipEntry("day_a.csv"))
-    zout.write(csv(names, aRows))
-    zout.closeEntry()
-    zout.putNextEntry(new ZipEntry("inner.zip"))
-    zout.write(nested.toByteArray)
-    zout.closeEntry()
-    zout.close()
+    val zb = new ZipOutputStream(new FileOutputStream(out.resolve("day_b.zip").toFile))
+    zb.putNextEntry(new ZipEntry("inner.zip"))
+    zb.write(nested.toByteArray)
+    zb.closeEntry()
+    zb.close()
     out.toString
   }
 }
