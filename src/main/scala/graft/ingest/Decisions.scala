@@ -157,10 +157,16 @@ object Decisions {
 
   private def parseSqls(name: String, kind: Kind): Seq[String] = kind match {
     case U | S => Seq(name)
+    // TRY_CAST twice (text→JSON→VARCHAR[]) instead of
+    // json_valid/json_type guards: DuckDB's vectorized CASE/AND does
+    // not reliably short-circuit at larger row counts, so a plain
+    // ::JSON cast on a fallback-branch value aborts the whole query
+    // (seen at sf0.1, not sf0.01). TRY_CAST never errors and NULLs
+    // exactly the reference's Unmarshal-failure fallback cases.
     case A => Seq(
       s"""CASE WHEN $name = '' THEN NULL
-         |  WHEN json_valid($name) AND json_type($name::JSON) = 'ARRAY'
-         |    THEN array_to_string(CAST($name::JSON AS VARCHAR[]), '|')
+         |  WHEN TRY_CAST(TRY_CAST($name AS JSON) AS VARCHAR[]) IS NOT NULL
+         |    THEN array_to_string(TRY_CAST(TRY_CAST($name AS JSON) AS VARCHAR[]), '|')
          |  ELSE $name END AS $name""".stripMargin)
     case T | C => Seq(s"strftime(try_strptime($name, '$DuckFmt'), '$DuckFmt') AS $name")
     case B => Seq(s"CASE WHEN lower($name) = 'yes' THEN TRUE " +

@@ -80,8 +80,8 @@ object Ingest {
       |SELECT event_id,
       |  strftime(try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
       |  CASE WHEN arr_str = '' THEN NULL
-      |       WHEN json_valid(arr_str) AND json_type(arr_str::JSON) = 'ARRAY'
-      |         THEN array_to_string(CAST(arr_str::JSON AS VARCHAR[]), '|')
+      |       WHEN TRY_CAST(TRY_CAST(arr_str AS JSON) AS VARCHAR[]) IS NOT NULL
+      |         THEN array_to_string(TRY_CAST(TRY_CAST(arr_str AS JSON) AS VARCHAR[]), '|')
       |       ELSE arr_str END AS parsed_arr,
       |  CASE WHEN lower(bool_str) = 'yes' THEN TRUE
       |       WHEN lower(bool_str) = 'no' THEN FALSE
