@@ -91,14 +91,19 @@ object JdbcUpsertSink {
     * exactly as a zip is there. */
   def writeOptimistic(df: DataFrame, url: String, table: String, key: String,
                       batchSize: Int = 1000,
-                      props: java.util.Properties = new java.util.Properties): Unit = {
+                      props: java.util.Properties = new java.util.Properties,
+                      // injectable for the no-DB test container; the
+                      // default is the standard driver-manager path
+                      connect: String => Connection = null): Unit = {
+    val mkConn: String => Connection =
+      if (connect != null) connect else u => DriverManager.getConnection(u, props)
     val columns = df.columns.toSeq
     val ins = insertSql(table, columns)
     val ups = upsertSql(table, columns, key)
     df.foreachPartition { rows: Iterator[Row] =>
       val buf = rows.toArray
       if (buf.nonEmpty) {
-        val conn: Connection = DriverManager.getConnection(url, props)
+        val conn: Connection = mkConn(url)
         try {
           conn.setAutoCommit(false)
           try {

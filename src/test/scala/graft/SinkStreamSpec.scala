@@ -56,8 +56,90 @@ class SinkStreamSpec extends SparkSpec {
     batch.foreach { case (k, v) => assert(streamed(k) == v, s"session $k") }
   }
 
+  test("writeOptimistic: duplicate-key insert rolls back and replays as upsert") {
+    import spark.implicits._
+    FakeDb.reset(failInserts = true)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("uuid", "v").coalesce(1)
+    JdbcUpsertSink.writeOptimistic(df, "jdbc:fake", "t", "uuid",
+      batchSize = 2, connect = FakeDb.connect)
+    val log = FakeDb.entries
+    val insertAt = log.indexWhere(_.startsWith("fail:INSERT"))
+    val rollbackAt = log.indexOf("rollback")
+    val upsertAt = log.indexWhere(_.startsWith("exec:INSERT INTO t (uuid, v) VALUES (?, ?) ON CONFLICT"))
+    val commitAt = log.lastIndexOf("commit")
+    assert(insertAt >= 0 && rollbackAt > insertAt && upsertAt > rollbackAt && commitAt > upsertAt,
+      s"bad control flow: $log")
+    // all 3 rows replayed through the upsert in 2 batches of (2, 1)
+    assert(log.count(_.startsWith("exec:INSERT INTO t (uuid, v) VALUES (?, ?) ON CONFLICT")) == 2)
+  }
+
+  test("writeOptimistic: clean insert commits without any upsert replay") {
+    import spark.implicits._
+    FakeDb.reset(failInserts = false)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("uuid", "v").coalesce(1)
+    JdbcUpsertSink.writeOptimistic(df, "jdbc:fake", "t", "uuid",
+      batchSize = 10, connect = FakeDb.connect)
+    val log = FakeDb.entries
+    assert(log.exists(e => e.startsWith("exec:INSERT") && !e.contains("ON CONFLICT")))
+    assert(!log.exists(_.contains("ON CONFLICT")))
+    assert(!log.contains("rollback") && log.contains("commit"))
+  }
+
   private object Ingest {
     val JdbcBatch = graft.ingest.Ingest.JdbcBatch
     val JdbcShards = graft.ingest.Ingest.JdbcShards
+  }
+}
+
+/** Reflection-proxy stand-in for a JDBC connection (no DB in the
+  * container): records prepare/execute/commit/rollback order and can
+  * throw SQLSTATE 23505 on plain inserts to drive the retry path.
+  * Static so the executor-side closure (local mode: same JVM) and
+  * the assertions see the same log. */
+object FakeDb {
+  import java.lang.reflect.{InvocationHandler, Method, Proxy}
+  private val log = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  @volatile var failInserts = false
+
+  def reset(failInserts: Boolean): Unit = { log.clear(); this.failInserts = failInserts }
+
+  def entries: List[String] = {
+    import scala.jdk.CollectionConverters._
+    log.asScala.toList
+  }
+
+  val connect: String => java.sql.Connection = { _ =>
+    def ps(sql: String): java.sql.PreparedStatement = {
+      var inBatch = 0
+      Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[java.sql.PreparedStatement]),
+        new InvocationHandler {
+          def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+            case "addBatch" => inBatch += 1; null
+            case "executeBatch" =>
+              if (failInserts && sql.startsWith("INSERT") && !sql.contains("ON CONFLICT")) {
+                log.add(s"fail:$sql")
+                throw new java.sql.SQLException("duplicate key value", "23505")
+              }
+              log.add(s"exec:$sql"); val n = inBatch; inBatch = 0
+              Array.fill(n)(1)
+            case "setObject" | "close" => null
+            case "toString" => s"ps[$sql]"
+            case _ => null
+          }
+        }).asInstanceOf[java.sql.PreparedStatement]
+    }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Connection]),
+      new InvocationHandler {
+        def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" => ps(args(0).asInstanceOf[String])
+          case "commit" => log.add("commit"); null
+          case "rollback" => log.add("rollback"); null
+          case "setAutoCommit" | "close" => null
+          case "toString" => "fakeconn"
+          case _ => null
+        }
+      }).asInstanceOf[java.sql.Connection]
   }
 }
