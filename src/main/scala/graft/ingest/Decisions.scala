@@ -200,17 +200,61 @@ object Decisions {
       case (n, _) => Seq(n)
     } :+ "incompatible_content_illegal"
 
+  // ---- LWW total order ----
+  // (created_at DESC, platform_uid DESC) alone is not total: distinct
+  // rows can share a uuid, a formatted-second created_at AND the
+  // 'oneword' platform_uid, leaving the winner engine-arbitrary. A
+  // deterministic md5 over every remaining column makes the order
+  // total over DISTINCT rows (rows equal in all 40 columns tie, but
+  // then any winner is the same row), identically on both engines.
+
+  /** Columns feeding the row-hash tiebreak — every output column
+    * except the always-null typed bool. */
+  val TiebreakCols: Seq[String] = OutCols.filterNot(_ == "incompatible_content_illegal")
+
+  /** md5 over all tiebreak columns (null → U+0000 sentinel, U+0001 separator) — the final LWW ordering key. */
+  def rowHash: Column = md5(concat_ws("\u0001",
+    TiebreakCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*).cast("binary"))
+
+  /** DuckDB twin of [[rowHash]] (md5 hex is lowercase in both). */
+  val rowHashSql: String = "md5(concat_ws(chr(1), " +
+    TiebreakCols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(0))").mkString(", ") + "))"
+
+  /** JVM twin of [[rowHash]] for cross-micro-batch comparison on
+    * collected rows (casts mirror Spark's string casts: longs print
+    * bare, booleans lowercase). */
+  def rowHashJvm(r: org.apache.spark.sql.Row): String = {
+    val s = TiebreakCols.map { c =>
+      val v = r.getAs[Any](c)
+      if (v == null) "\u0000" else String.valueOf(v)
+    }.mkString("\u0001")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** The full LWW ordering, newest-first: created_at DESC,
+    * platform_uid DESC, row-hash DESC. */
+  def lwwOrder: Seq[Column] =
+    Seq(col("created_at").desc, col("platform_uid").desc, rowHash.desc)
+
   // ---- queries ----
 
   /** A9: the full round-trip — synthesized 36-field CSV → zip →
     * [[ZipCsv.read]] → typed parse → drop missing-UUID rows → LWW
-    * upsert on uuid (created_at DESC, platform_uid tiebreak). */
+    * upsert on uuid (created_at DESC, platform_uid DESC, row-hash —
+    * a total order, see [[lwwOrder]]). The parse runs AFTER a
+    * repartition: the binaryFile scan yields one task per archive
+    * (two), and the 40-column parse is the expensive stage — at scale
+    * there are thousands of daily archives, but the redistribution
+    * costs one shuffle of raw strings and must not gate on archive
+    * count. */
   def decisionRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val fixture = DecisionFixture.ensure(s, dir)
-    val raw = ZipCsv.read(s, fixture, FieldNames).drop("_src")
+    val shuffleP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val raw = ZipCsv.read(s, fixture, FieldNames).drop("_src").repartition(shuffleP)
     val parsed = parse(raw).filter(col("uuid") =!= "")
-    val w = Window.partitionBy(col("uuid"))
-      .orderBy(col("created_at").desc, col("platform_uid").desc)
+    val w = Window.partitionBy(col("uuid")).orderBy(lwwOrder: _*)
     parsed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(OutCols.map(col): _*)
@@ -224,7 +268,7 @@ object Decisions {
        |  FROM synth)
        |SELECT ${OutCols.mkString(", ")} FROM (
        |  SELECT *, row_number() OVER (PARTITION BY uuid
-       |    ORDER BY created_at DESC, platform_uid DESC) AS rn
+       |    ORDER BY created_at DESC, platform_uid DESC, $rowHashSql DESC) AS rn
        |  FROM parsed WHERE uuid <> '')
        |WHERE rn = 1""".stripMargin
 
@@ -272,40 +316,39 @@ object DecisionFixture {
     val df = Decisions.synth(s, dir)
     val n = df.count()
     val out = Paths.get(s"/root/repo/target/fixtures/decisions2_${dir.replaceAll("[^0-9.]", "")}_$n")
-    if (Files.exists(out.resolve("day_b.zip"))) return out.toString
-    Files.createDirectories(out)
-    // driver-side by design: fabricates the dump archives a cluster
-    // would fetch from object storage
-    val names = Decisions.FieldNames
-    val rows = df.orderBy("event_id").collect()
-    def csv(header: Seq[String], rs: Seq[org.apache.spark.sql.Row]): Array[Byte] = {
-      val sb = new StringBuilder(header.mkString(","))
-      sb.append('\n')
-      rs.foreach { r =>
-        // field 0 is event_id; CSV carries only the 36 Decision cols
-        sb.append(header.map(h => Csv.quote(String.valueOf(r.get(names.indexOf(h) + 1))))
-          .mkString(","))
+    FixtureDir.ensure(out) { tmp =>
+      // driver-side by design: fabricates the dump archives a cluster
+      // would fetch from object storage
+      val names = Decisions.FieldNames
+      val rows = df.orderBy("event_id").collect()
+      def csv(header: Seq[String], rs: Seq[org.apache.spark.sql.Row]): Array[Byte] = {
+        val sb = new StringBuilder(header.mkString(","))
         sb.append('\n')
+        rs.foreach { r =>
+          // field 0 is event_id; CSV carries only the 36 Decision cols
+          sb.append(header.map(h => Csv.quote(String.valueOf(r.get(names.indexOf(h) + 1))))
+            .mkString(","))
+          sb.append('\n')
+        }
+        sb.toString.getBytes(StandardCharsets.UTF_8)
       }
-      sb.toString.getBytes(StandardCharsets.UTF_8)
+      val (aRows, bRows) = rows.splitAt(rows.length / 2)
+      val za = new ZipOutputStream(new FileOutputStream(tmp.resolve("day_a.zip").toFile))
+      za.putNextEntry(new ZipEntry("day_a.csv"))
+      za.write(csv(names, aRows))
+      za.closeEntry()
+      za.close()
+      val nested = new java.io.ByteArrayOutputStream()
+      val nz = new ZipOutputStream(nested)
+      nz.putNextEntry(new ZipEntry("day_b.csv"))
+      nz.write(csv(names.reverse, bRows))
+      nz.closeEntry()
+      nz.close()
+      val zb = new ZipOutputStream(new FileOutputStream(tmp.resolve("day_b.zip").toFile))
+      zb.putNextEntry(new ZipEntry("inner.zip"))
+      zb.write(nested.toByteArray)
+      zb.closeEntry()
+      zb.close()
     }
-    val (aRows, bRows) = rows.splitAt(rows.length / 2)
-    val za = new ZipOutputStream(new FileOutputStream(out.resolve("day_a.zip").toFile))
-    za.putNextEntry(new ZipEntry("day_a.csv"))
-    za.write(csv(names, aRows))
-    za.closeEntry()
-    za.close()
-    val nested = new java.io.ByteArrayOutputStream()
-    val nz = new ZipOutputStream(nested)
-    nz.putNextEntry(new ZipEntry("day_b.csv"))
-    nz.write(csv(names.reverse, bRows))
-    nz.closeEntry()
-    nz.close()
-    val zb = new ZipOutputStream(new FileOutputStream(out.resolve("day_b.zip").toFile))
-    zb.putNextEntry(new ZipEntry("inner.zip"))
-    zb.write(nested.toByteArray)
-    zb.closeEntry()
-    zb.close()
-    out.toString
   }
 }

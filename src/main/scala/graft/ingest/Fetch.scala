@@ -97,22 +97,21 @@ object FetchFixture {
     val docs = Tables.documents(s, dir).select(Cols.head, Cols.tail: _*)
     val n = docs.count()
     val out = Paths.get(s"/root/repo/target/fixtures/fetchcsv_${dir.replaceAll("[^0-9.]", "")}_$n")
-    if (Files.exists(out.resolve("part_0.csv"))) return out.toString
-    Files.createDirectories(out)
-    // driver-side by design: fabricates the remote files a cluster
-    // would fetch from object storage
-    val rows = docs.orderBy("doc_id").collect()
-    (0 until 3).foreach { part =>
-      val sb = new StringBuilder(Cols.mkString(","))
-      sb.append('\n')
-      rows.filter(r => r.getLong(0) % 3 == part).foreach { r =>
-        sb.append(Cols.indices.map(i => Csv.quote(String.valueOf(r.get(i)))).mkString(","))
+    FixtureDir.ensure(out) { tmp =>
+      // driver-side by design: fabricates the remote files a cluster
+      // would fetch from object storage
+      val rows = docs.orderBy("doc_id").collect()
+      (0 until 3).foreach { part =>
+        val sb = new StringBuilder(Cols.mkString(","))
         sb.append('\n')
+        rows.filter(r => r.getLong(0) % 3 == part).foreach { r =>
+          sb.append(Cols.indices.map(i => Csv.quote(String.valueOf(r.get(i)))).mkString(","))
+          sb.append('\n')
+        }
+        Files.write(tmp.resolve(s"part_$part.csv"),
+          sb.toString.getBytes(StandardCharsets.UTF_8))
       }
-      Files.write(out.resolve(s"part_$part.csv"),
-        sb.toString.getBytes(StandardCharsets.UTF_8))
     }
-    out.toString
   }
 }
 

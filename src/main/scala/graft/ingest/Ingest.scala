@@ -251,49 +251,46 @@ object ZipFixture {
       .select("doc_id", "text", "lang", "source", "n_chars")
     val n = docs.count()
     val out = Paths.get(s"/root/repo/target/fixtures/zipcsv_${dir.replaceAll("[^0-9.]", "")}_$n")
-    val zipPath = out.resolve("dump.zip")
-    if (Files.exists(zipPath)) return out.toString
-    Files.createDirectories(out)
-
-    // fixture generation is driver-side by design (it fabricates the
-    // input archives a cluster would fetch from object storage)
-    val rows = docs.orderBy("doc_id").collect()
-    def csv(header: Seq[String], rs: Seq[org.apache.spark.sql.Row]): Array[Byte] = {
-      val sb = new StringBuilder(header.mkString(","))
-      sb.append('\n')
-      val srcIdx = Seq("doc_id", "text", "lang", "source", "n_chars")
-      rs.foreach { r =>
-        sb.append(header.map(h => Csv.quote(String.valueOf(r.get(srcIdx.indexOf(h)))))
-          .mkString(","))
+    FixtureDir.ensure(out) { tmp =>
+      // fixture generation is driver-side by design (it fabricates the
+      // input archives a cluster would fetch from object storage)
+      val rows = docs.orderBy("doc_id").collect()
+      def csv(header: Seq[String], rs: Seq[org.apache.spark.sql.Row]): Array[Byte] = {
+        val sb = new StringBuilder(header.mkString(","))
         sb.append('\n')
+        val srcIdx = Seq("doc_id", "text", "lang", "source", "n_chars")
+        rs.foreach { r =>
+          sb.append(header.map(h => Csv.quote(String.valueOf(r.get(srcIdx.indexOf(h)))))
+            .mkString(","))
+          sb.append('\n')
+        }
+        sb.toString.getBytes(StandardCharsets.UTF_8)
       }
-      sb.toString.getBytes(StandardCharsets.UTF_8)
+      val (aRows, rest) = rows.splitAt(rows.length / 3)
+      val (bRows, cRows) = rest.splitAt(rest.length / 2)
+
+      val nested = new ByteArrayOutputStream()
+      val nz = new ZipOutputStream(nested)
+      nz.putNextEntry(new ZipEntry("part_b.csv"))
+      nz.write(csv(Seq("doc_id", "text", "lang", "source", "n_chars"), bRows))
+      nz.closeEntry()
+      nz.putNextEntry(new ZipEntry("part_c.csv"))
+      // shuffled header order: the header map must realign it
+      nz.write(csv(Seq("n_chars", "source", "lang", "text", "doc_id"), cRows))
+      nz.closeEntry()
+      nz.close()
+
+      val zout = new ZipOutputStream(new FileOutputStream(tmp.resolve("dump.zip").toFile))
+      zout.putNextEntry(new ZipEntry("part_a.csv"))
+      zout.write(csv(Seq("doc_id", "text", "lang", "source", "n_chars"), aRows))
+      zout.closeEntry()
+      zout.putNextEntry(new ZipEntry("inner.zip"))
+      zout.write(nested.toByteArray)
+      zout.closeEntry()
+      zout.putNextEntry(new ZipEntry("readme.txt"))
+      zout.write("not a csv".getBytes(StandardCharsets.UTF_8))
+      zout.closeEntry()
+      zout.close()
     }
-    val (aRows, rest) = rows.splitAt(rows.length / 3)
-    val (bRows, cRows) = rest.splitAt(rest.length / 2)
-
-    val nested = new ByteArrayOutputStream()
-    val nz = new ZipOutputStream(nested)
-    nz.putNextEntry(new ZipEntry("part_b.csv"))
-    nz.write(csv(Seq("doc_id", "text", "lang", "source", "n_chars"), bRows))
-    nz.closeEntry()
-    nz.putNextEntry(new ZipEntry("part_c.csv"))
-    // shuffled header order: the header map must realign it
-    nz.write(csv(Seq("n_chars", "source", "lang", "text", "doc_id"), cRows))
-    nz.closeEntry()
-    nz.close()
-
-    val zout = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
-    zout.putNextEntry(new ZipEntry("part_a.csv"))
-    zout.write(csv(Seq("doc_id", "text", "lang", "source", "n_chars"), aRows))
-    zout.closeEntry()
-    zout.putNextEntry(new ZipEntry("inner.zip"))
-    zout.write(nested.toByteArray)
-    zout.closeEntry()
-    zout.putNextEntry(new ZipEntry("readme.txt"))
-    zout.write("not a csv".getBytes(StandardCharsets.UTF_8))
-    zout.closeEntry()
-    zout.close()
-    out.toString
   }
 }

@@ -31,6 +31,30 @@ object StreamDecisions {
     @volatile var schema: StructType = _
   }
 
+  /** True iff `a` beats `b` under the LWW total order (created_at
+    * DESC, platform_uid DESC, row-hash DESC) — the cross-batch twin
+    * of [[Decisions.lwwOrder]]. created_at is a `yyyy-MM-dd HH:mm:ss`
+    * string, so lexicographic IS chronological. */
+  private[graft] def beats(a: Row, b: Row): Boolean = {
+    def key(r: Row) = (r.getAs[String]("created_at"),
+      r.getAs[String]("platform_uid"), Decisions.rowHashJvm(r))
+    Ordering[(String, String, String)].gt(key(a), key(b))
+  }
+
+  /** ON CONFLICT (uuid) DO UPDATE ... WHERE excluded wins: a row
+    * replaces the stored one only if it beats it, so last-write-wins
+    * holds across micro-batches even when the file source splits the
+    * input (maxFilesPerTrigger, late staging) and a later batch
+    * carries an OLDER row. */
+  private[graft] def mergeBatch(rows: Iterable[Row]): Unit =
+    rows.foreach { r =>
+      val k = r.getAs[String]("uuid")
+      Store.rows.get(k) match {
+        case Some(cur) if !beats(r, cur) => // stored row is newer: keep
+        case _ => Store.rows.put(k, r)
+      }
+    }
+
   def run(s: SparkSession, dir: String): DataFrame = {
     Store.rows.clear()
     val raw = s.readStream
@@ -44,10 +68,9 @@ object StreamDecisions {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // per-batch LWW, then ON CONFLICT (uuid) DO UPDATE into the
         // store — the JdbcUpsertSink control flow with the DB faked
-        val lww = Upsert.lastWriteWins(batch, Seq("uuid"),
-          Seq(col("created_at").desc, col("platform_uid").desc))
+        val lww = Upsert.lastWriteWins(batch, Seq("uuid"), Decisions.lwwOrder)
         Store.schema = lww.schema
-        lww.collect().foreach(r => Store.rows.put(r.getAs[String]("uuid"), r))
+        mergeBatch(lww.collect())
       }
       .start()
     q.processAllAvailable()

@@ -56,6 +56,38 @@ class DecisionsSpec extends SparkSpec {
     batch.foreach { case (k, v) => assert(streamed(k) == v, s"uuid $k") }
   }
 
+  test("rowHashJvm is the exact JVM twin of the Spark-side rowHash column") {
+    val parsed = Decisions.parse(
+      graft.ingest.ZipCsv.read(spark,
+        graft.ingest.DecisionFixture.ensure(spark, sf), Decisions.FieldNames)
+        .drop("_src"))
+      .filter(col("uuid") =!= "")
+    val sample = parsed.withColumn("__h", Decisions.rowHash).limit(100).collect()
+    sample.foreach { r =>
+      assert(Decisions.rowHashJvm(r) == r.getAs[String]("__h"))
+    }
+  }
+
+  test("cross-batch merge keeps the LWW winner regardless of arrival order") {
+    import graft.streaming.StreamDecisions
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    val newer = rt.limit(1).collect()(0).asInstanceOf[GenericRowWithSchema]
+    val caIdx = newer.schema.fieldIndex("created_at")
+    val older = new GenericRowWithSchema(
+      newer.toSeq.toArray.updated(caIdx, "1999-01-01 00:00:00": Any), newer.schema)
+    // newer first, older in a later batch: the put must NOT overwrite
+    StreamDecisions.Store.rows.clear()
+    StreamDecisions.mergeBatch(Seq(newer))
+    StreamDecisions.mergeBatch(Seq(older))
+    assert(StreamDecisions.Store.rows(newer.getAs[String]("uuid")) eq newer)
+    // older first, newer later: the put must overwrite
+    StreamDecisions.Store.rows.clear()
+    StreamDecisions.mergeBatch(Seq(older))
+    StreamDecisions.mergeBatch(Seq(newer))
+    assert(StreamDecisions.Store.rows(newer.getAs[String]("uuid")) eq newer)
+    StreamDecisions.Store.rows.clear()
+  }
+
   test("parse branches: array/ts/bool/uid kernels fire on every path") {
     val r = rt.orderBy("uuid").limit(200).collect()
     val vis = r.map(_.getAs[String]("decision_visibility"))

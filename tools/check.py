@@ -17,8 +17,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def kind(arrow_type):
     """Collapse an Arrow column type to its hash-relevant kind:
-    integer widths are equivalent, but decimal/float/int differ
-    (DuckDB HUGEINT surfaces as decimal128(38,0))."""
+    width-only variants are equivalent (int widths, string vs
+    large_string/string_view, timestamp units), but decimal/float/int
+    differ (DuckDB HUGEINT surfaces as decimal128(38,0))."""
     t = str(arrow_type)
     if t.startswith(("int", "uint")):
         return "INT"
@@ -26,6 +27,12 @@ def kind(arrow_type):
         return "DECIMAL"
     if t in ("float", "double", "halffloat"):
         return "FLOAT"
+    if t in ("string", "large_string", "string_view", "utf8", "large_utf8"):
+        return "STR"
+    if t.startswith("timestamp"):
+        return "TIMESTAMP"
+    if t.startswith(("binary", "large_binary", "binary_view")):
+        return "BIN"
     return t
 
 
