@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, TextOps}
-import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, RangeJoin, ScalePatterns, TrainPrep}
+import graft.queries.{Analytics, Behavior, TextOps}
+import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, RangeJoin, ScalePatterns, Sketches, TrainPrep}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -45,6 +45,13 @@ object SparkEntry {
     "percentiles"      -> (Analytics.percentiles _),
     "array_explode_agg" -> (Analytics.arrayExplodeAgg _),
     "json_extract"     -> (Analytics.jsonExtract _),
+    "funnel"           -> (Behavior.funnel _),
+    "retention"        -> (Behavior.retention _),
+    "rolling_window"   -> (Behavior.rollingWindow _),
+    "cube_agg"         -> (Behavior.cubeAgg _),
+    "kmv_distinct"     -> (Sketches.kmvDistinct _),
+    "sample_quantiles" -> (Sketches.sampleQuantiles _),
+    "scd2_history"     -> (graft.ingest.Decisions.scd2History _),
     "asof_join"        -> (AsofJoin.asofJoinQ _),
     "range_join"       -> (RangeJoin.rangeJoinQ _),
     "skew_agg"         -> (ScalePatterns.skewAgg _),
@@ -77,6 +84,8 @@ object SparkEntry {
     "ann_bruteforce"   -> (Ann.annBruteforce _),
     "ann_lsh"          -> (Ann.annLsh _),
     "ann_ivf"          -> (Ann.annIvf _),
+    "knn_join"         -> (Ann.knnJoin _),
+    "emb_quantize"     -> (Ann.embQuantize _),
     // F: multimodal plumbing
     "mm_schema"        -> (Multimodal.mmSchema _),
     "mm_decode"        -> (Multimodal.mmDecode _),
@@ -115,6 +124,13 @@ object SparkEntry {
     "percentiles"      -> Analytics.percentilesSql,
     "array_explode_agg" -> Analytics.arrayExplodeAggSql,
     "json_extract"     -> Analytics.jsonExtractSql,
+    "funnel"           -> Behavior.funnelSql,
+    "retention"        -> Behavior.retentionSql,
+    "rolling_window"   -> Behavior.rollingWindowSql,
+    "cube_agg"         -> Behavior.cubeAggSql,
+    "kmv_distinct"     -> Sketches.kmvDistinctSql,
+    "sample_quantiles" -> Sketches.sampleQuantilesSql,
+    "scd2_history"     -> graft.ingest.Decisions.scd2HistorySql,
     "asof_join"        -> AsofJoin.asofJoinSql,
     "range_join"       -> RangeJoin.rangeJoinSql,
     "skew_agg"         -> ScalePatterns.skewAggSql,
@@ -143,6 +159,8 @@ object SparkEntry {
     // ann_lsh is rows-only: hyperplanes derive from xxhash64.
     "ann_bruteforce"   -> Ann.annBruteforceSql,
     "ann_ivf"          -> Ann.annIvfSql,
+    "knn_join"         -> Ann.knnJoinSql,
+    "emb_quantize"     -> Ann.embQuantizeSql,
     "mm_schema"        -> Multimodal.mmSchemaSql,
     "mm_decode"        -> Multimodal.mmDecodeSql,
     "mm_framesample"   -> Multimodal.mmFramesampleSql

@@ -301,6 +301,48 @@ object Decisions {
        |  sum(CASE WHEN entity_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_bad_uid,
        |  count(DISTINCT CASE WHEN uuid <> '' THEN uuid END) AS n_keys
        |FROM parsed""".stripMargin
+
+  /** H9: SCD type-2 history — instead of discarding superseded
+    * versions (the LWW upsert), keep EVERY version per uuid with its
+    * validity interval: valid_from = its created_at, valid_to = the
+    * next version's, open-ended for the current row. The version
+    * ordering is the same total order as the LWW winner pick
+    * ([[lwwOrder]] ascending), so history and upsert agree on which
+    * row is "current". One shuffle on uuid; both window functions
+    * share it. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val fixture = DecisionFixture.ensure(s, dir)
+    val shuffleP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val raw = ZipCsv.read(s, fixture, FieldNames).drop("_src").repartition(shuffleP)
+    val parsed = parse(raw).filter(col("uuid") =!= "")
+    val w = Window.partitionBy(col("uuid"))
+      .orderBy(col("created_at").asc, col("platform_uid").asc, rowHash.asc)
+    parsed
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("created_at"), 1).over(w))
+      .select(col("uuid"), col("version"),
+        col("created_at").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        col("platform_name"), col("content_language"))
+  }
+
+  val scd2HistorySql: String =
+    s"""$synthCte,
+       |parsed AS (
+       |  SELECT
+       |    $parsedSelect
+       |  FROM synth)
+       |SELECT uuid, version, valid_from, valid_to,
+       |  valid_to IS NULL AS is_current, platform_name, content_language
+       |FROM (
+       |  SELECT uuid,
+       |    row_number() OVER w AS version,
+       |    created_at AS valid_from,
+       |    lead(created_at) OVER w AS valid_to,
+       |    platform_name, content_language
+       |  FROM parsed WHERE uuid <> ''
+       |  WINDOW w AS (PARTITION BY uuid
+       |    ORDER BY created_at ASC, platform_uid ASC, $rowHashSql ASC))""".stripMargin
 }
 
 /** Zip-of-CSV fixtures carrying the full 36-field Decision records —

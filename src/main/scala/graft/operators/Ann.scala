@@ -165,4 +165,86 @@ object Ann {
        |  FROM (SELECT qid, nb, $cosSql AS c FROM cand))
        |WHERE rnk <= $K""".stripMargin
   }
+
+  /** H7: k-NN JOIN — top-[[K]] cosine neighbors for EVERY vector, not
+    * just a probe set (the pairwise step of dedup-graph / kNN-graph
+    * builds). All-pairs cosine via the C5 balanced blocked equi-join
+    * (each unordered pair computed ONCE — half the dot products of
+    * the naive directed join, no nested loop, bounded per-task
+    * fanout), symmetrized, then the shared two-phase top-k. Exact by
+    * construction; a corpus where N² dots are infeasible swaps the
+    * pair generator for the banded-LSH candidates at a pruning
+    * threshold — the ranking stages are unchanged. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val blocks = Dedup.CosBlocks
+    val e = vecs(s, dir)
+      .withColumn("blk", pmod(col("vec_id") * 2654435761L % 1000000007L, lit(blocks)))
+    val lhs = e.select(
+      col("vec_id").as("va"), col("embedding").as("ea"), col("nn").as("na"),
+      col("blk").as("ba"), explode(sequence(col("blk"), lit(blocks - 1L))).as("bb"))
+    val rhs = e.select(
+      col("vec_id").as("vb"), col("embedding").as("eb"), col("nn").as("nb_"),
+      explode(sequence(lit(0L), col("blk"))).as("ba"), col("blk").as("bb"))
+    val pairs = lhs.join(rhs, Seq("ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        pairCos(col("ea"), col("eb"), col("na"), col("nb_")).as("cos"))
+    // IEEE dot/mul are commutative, so both directions of a pair see
+    // the identical double — symmetrize instead of recomputing
+    val directed = pairs.unionByName(
+      pairs.select(col("vb").as("va"), col("va").as("vb"), col("cos")))
+    topK(directed.select(col("va").as("qid"), col("vb").as("nb"), col("cos")))
+      .withColumnRenamed("qid", "vec_id")
+  }
+
+  val knnJoinSql: String =
+    s"""WITH s AS (
+       |  SELECT a.vec_id, b.vec_id AS nb,
+       |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+       |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+       |SELECT vec_id, nb, rnk, round(c, 4) AS cos FROM (
+       |  SELECT vec_id, nb, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nb) AS rnk
+       |  FROM s) WHERE rnk <= $K""".stripMargin
+
+  /** H8: int8 symmetric quantization of the embedding column — the
+    * compression pass an ANN index build runs before sharding
+    * (scale = max|x|/127 per vector, q = round-half-up, clamp ±127).
+    * Map-only; emits the reconstruction error bound and clip count
+    * per vector so a pipeline can gate on quantization loss. All
+    * arithmetic is deterministic double ops (floor, max — order-free),
+    * so the oracle matches exactly; `round` half-up via floor(x+0.5)
+    * on BOTH sides (engine round() tie rules differ). */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale",
+        greatest(array_max(transform(col("e"), x => abs(x))) / 127.0, lit(1e-30)))
+    def quant(x: Column): Column =
+      greatest(lit(-127.0), least(lit(127.0),
+        floor(x / col("scale") + 0.5).cast("double")))
+    // rounding happens in a SEPARATE outer projection: aliasing the
+    // rounded value as "scale" in the same select would shadow the
+    // input column via lateral-column-alias resolution, silently
+    // quantizing against the rounded scale
+    e.select(col("vec_id"), col("scale"),
+        array_max(transform(col("e"),
+          x => abs(x - quant(x) * col("scale")))).as("max_err"),
+        size(filter(col("e"), x => abs(quant(x)) === 127.0)).as("n_clip"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        round(col("max_err"), 6).as("max_err"), col("n_clip"))
+  }
+
+  val embQuantizeSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, e, greatest(list_max(list_transform(e, x -> abs(x))) / 127.0, 1e-30) AS scale
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  round(list_max(list_transform(e,
+      |    x -> abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale))), 6) AS max_err,
+      |  len(list_filter(e,
+      |    x -> abs(greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) = 127.0)) AS n_clip
+      |FROM v""".stripMargin
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Approximate analytics with ENGINE-PORTABLE determinism (round-3
+  * H-line). The usual sketch stack (HLL, t-digest, reservoir samples)
+  * is seed- and merge-order-dependent, so no cross-engine oracle can
+  * check it. These operators use the repo's portable arithmetic hash
+  * (`x·2654435761 mod 1e9+7` — the same one sample_split relies on)
+  * as the randomness source instead: the estimate is a pure function
+  * of the data, bit-identical in Spark and DuckDB, so the driver's
+  * hash gate applies to APPROXIMATE answers too.
+  *
+  * Scale shape: both operators are one scan + one narrow aggregate;
+  * the KMV candidate set is capped at K rows per group BEFORE the
+  * final aggregation, and the quantile sample is a map-side filter
+  * that drops ~90% of rows before any shuffle.
+  */
+object Sketches {
+
+  /** Hash-space modulus (prime) and the Knuth multiplier. */
+  val M = 1000000007L
+  val Mult = 2654435761L
+
+  /** KMV sketch size. */
+  val K = 64
+
+  /** H1: approximate distinct users per event type via a K-Minimum-
+    * Values sketch — est = (K-1)·M / h_K where h_K is the K-th
+    * smallest hash; exact count when a group has < K distinct hashes.
+    * The exact distinct count rides along so the result exposes the
+    * estimation error. At 100 TB the estimate path shuffles at most
+    * K hashes per group (the per-partition top-K prune is the
+    * classic KMV merge); here both paths share one distinct shuffle.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .select(col("event_type"), pmod(col("user_id") * Mult, lit(M)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val ranked = d.withColumn("rn", row_number().over(w))
+    val hk = ranked.filter(col("rn") === K)
+      .select(col("event_type"), col("h").as("hk"))
+    val exact = events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    exact.join(hk, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_exact"),
+        round(when(col("hk").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((K - 1).toDouble * M) / col("hk")), 4).as("est_distinct"))
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT event_type, (user_id * $Mult) % $M AS h FROM events),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM d),
+       |k AS (SELECT event_type, h AS hk FROM r WHERE rn = $K),
+       |n AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |      FROM events GROUP BY 1)
+       |SELECT n.event_type, n.n_exact,
+       |  round(CASE WHEN k.hk IS NULL THEN n.n_exact::DOUBLE
+       |             ELSE ${(K - 1).toDouble} * $M / k.hk END, 4) AS est_distinct
+       |FROM n LEFT JOIN k USING (event_type)""".stripMargin
+
+  /** Deterministic-sample keep threshold: ~10% of the hash space. */
+  val SampleCut = 100000000L
+
+  /** H2: approximate per-group quantiles from a DETERMINISTIC ~10%
+    * hash-sample of rows — the portable stand-in for reservoir /
+    * t-digest quantile sketches. The sample filter is map-side
+    * (rows drop before any shuffle, the 100 TB property);
+    * quantiles on the sample are exact interpolated percentiles,
+    * so both engines agree bit-for-bit on the same sample. */
+  def sampleQuantiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(pmod(col("event_id") * Mult, lit(M)) < SampleCut)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+
+  val sampleQuantilesSql: String =
+    s"""SELECT event_type, count(*) AS n_sample,
+       |  round(quantile_cont(value, 0.5), 4) AS p50,
+       |  round(quantile_cont(value, 0.9), 4) AS p90
+       |FROM events
+       |WHERE (event_id * $Mult) % $M < $SampleCut
+       |GROUP BY event_type""".stripMargin
+}

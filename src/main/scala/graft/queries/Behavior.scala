@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Behavioral / time-series analytics over `events` (round-3 H-line):
+  * the query shapes a user of the reference's decisions-by-time table
+  * runs for product analytics — ordered funnels, cohort retention,
+  * rolling time windows, CUBE rollups.
+  *
+  * All four are single-scan, shuffle-on-one-key plans: funnel and
+  * retention shuffle on user_id, the rolling window shuffles on
+  * user_id once and sorts within, cube is one aggregate with
+  * map-side partials.
+  */
+object Behavior {
+
+  /** H3: ordered conversion funnel view → click → purchase. Each
+    * stage's timestamp must be STRICTLY after the previous stage's
+    * first occurrence (the standard "first-touch" funnel). One
+    * aggregation per stage, all shuffling on user_id; stage frames
+    * stay user_id-partitioned so the joins are co-partitioned. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.select(count(lit(1)).as("n_view"))
+      .crossJoin(c.select(count(lit(1)).as("n_click")))
+      .crossJoin(p.select(count(lit(1)).as("n_purchase")))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+      |           FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, v.t_view, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      |      GROUP BY 1, 2),
+      |p AS (SELECT c.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      |      GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
+
+  /** H4: cohort retention — users grouped by first-seen date, counted
+    * again at each later active date offset. Two shuffles (cohort
+    * assignment on user_id, matrix on cohort×offset), both map-side
+    * combined. Offsets capped at 14 days to keep the matrix bounded
+    * regardless of corpus span. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    e.join(cohort, "user_id")
+      .withColumn("offset", datediff(col("d"), col("cohort_d")))
+      .filter(col("offset") <= 14)
+      .groupBy(col("cohort_d"), col("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_d"),
+        col("offset"), col("n_users"))
+  }
+
+  val retentionSql: String =
+    """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |cohort AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+      |SELECT strftime(cohort.cohort_d, '%Y-%m-%d') AS cohort_d,
+      |  datediff('day', cohort.cohort_d, e.d) AS "offset",
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN cohort ON e.user_id = cohort.user_id
+      |WHERE datediff('day', cohort.cohort_d, e.d) <= 14
+      |GROUP BY 1, 2""".stripMargin
+
+  /** H5: rolling 7-day event-time window per user (range frame, not
+    * row frame — gaps count): running event count and value sum over
+    * the trailing week. One shuffle on user_id; the sort is within
+    * partitions. Sums are DECIMAL(18,4) — order-independent, so the
+    * result is engine-exact (the sessionize lesson). */
+  def rollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-7L * 86400 + 1, 0)
+    events(s, dir)
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum",
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("roll_n"), col("roll_sum"))
+  }
+
+  // epoch() returns DOUBLE (fractional seconds) — the frame boundary
+  // would differ from Spark's truncating long cast on sub-second
+  // timestamps; epoch_ms // 1000 is the integer-seconds twin.
+  val rollingWindowSql: String =
+    """SELECT user_id, event_id,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+      |  count(*) OVER w AS roll_n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) // 1000
+      |             RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** H6: CUBE grouping sets — all 2^2 subtotal combinations over
+    * (returnflag, linestatus), the B8 ROLLUP's full-lattice sibling.
+    * Spark expands grouping sets in ONE aggregate with partial
+    * aggregation per set; no extra scans. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+
+  val cubeAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+}

@@ -39,6 +39,40 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.4, s"recall@5 $r")
   }
 
+  test("knn_join: every vector gets k ranked neighbors; probe rows equal bruteforce") {
+    val rows = run("knn_join").collect()
+    val n = Tables.embeddings(spark, sf).count()
+    val byV = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(byV.size.toLong == n, "a vector is missing its neighbor list")
+    byV.foreach { case (v, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to Ann.K))
+      assert(rs.forall(_.getAs[Long]("nb") != v))
+    }
+    // on the probe subset the kNN join must agree with ann_bruteforce
+    val knnProbe = rows.filter(_.getAs[Long]("vec_id") < Ann.NumQueries)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rnk")) -> r.getAs[Long]("nb")).toMap
+    val bf = run("ann_bruteforce").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk")) -> r.getAs[Long]("nb")).toMap
+    assert(knnProbe == bf, "knn_join disagrees with bruteforce on the probe set")
+  }
+
+  test("emb_quantize: error bounded by scale/2, clips only at max magnitude") {
+    val rows = run("emb_quantize").collect()
+    assert(rows.length.toLong == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_err")
+      // round-half-up quantization error is ≤ scale/2 everywhere
+      // except clipped elements; by construction |x|max/scale = 127
+      // exactly, so clipped elements also sit within scale/2. Both
+      // values arrive rounded to 6 digits → up to 5e-7 slack each.
+      assert(err <= scale / 2 + 1.1e-6, s"vec ${r.getAs[Long]("vec_id")}: err $err scale $scale")
+      assert(r.getAs[Int]("n_clip") >= 0)
+    }
+    // quantization is lossy but not degenerate: some vector clips
+    assert(rows.map(_.getAs[Int]("n_clip")).sum > 0)
+  }
+
   // alias so the object reference compiles from the test package
   private object Ann { val NumQueries = graft.operators.Ann.NumQueries; val K = graft.operators.Ann.K }
 }

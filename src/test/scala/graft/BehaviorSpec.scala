@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Semantic properties of the round-3 behavioral + sketch operators
+  * (the oracle pins cross-engine equality; these pin MEANING). */
+class BehaviorSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("funnel: stages are monotonically shrinking and subset-consistent") {
+    val r = run("funnel").collect()(0)
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_purchase"))
+    assert(v >= c && c >= p, s"funnel not monotone: $v $c $p")
+    assert(v > 0, "no viewers — vacuous funnel")
+  }
+
+  test("retention: offset-0 count equals cohort size; counts never exceed it") {
+    val rows = run("retention").collect()
+    val byCohort = rows.groupBy(_.getAs[String]("cohort_d"))
+    assert(byCohort.nonEmpty)
+    byCohort.foreach { case (d, rs) =>
+      val day0 = rs.find(_.getAs[Int]("offset") == 0)
+      assert(day0.isDefined, s"cohort $d missing offset 0")
+      val base = day0.get.getAs[Long]("n_users")
+      rs.foreach(r => assert(r.getAs[Long]("n_users") <= base,
+        s"cohort $d offset ${r.getAs[Int]("offset")} exceeds day-0"))
+    }
+  }
+
+  test("rolling_window: frame sums match a per-user brute-force recompute") {
+    val rows = run("rolling_window")
+      .filter(col("user_id") < 5).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("ts"),
+        r.getAs[Long]("roll_n"), r.getAs[Double]("roll_sum")))
+    val evs = Tables.events(spark, sf).filter(col("user_id") < 5)
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("value").cast("decimal(18,4)").as("v"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("tss"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sec"),
+        r.getAs[java.math.BigDecimal]("v"), r.getAs[String]("tss")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, ts, n, sum) =>
+      val mine = evs.filter(e => e._1 == u && e._4 == ts)
+      assert(mine.nonEmpty)
+      val sec = mine.head._2
+      val in = evs.filter(e => e._1 == u && e._2 >= sec - 604799 && e._2 <= sec)
+      assert(in.length.toLong == n, s"user $u at $ts: n")
+      val expect = in.map(_._3.doubleValue).sum
+      assert(math.abs(expect - sum) < 1e-6, s"user $u at $ts: sum $sum vs $expect")
+    }
+  }
+
+  test("cube_agg: lattice totals are consistent (ALL,ALL = grand total)") {
+    val rows = run("cube_agg").collect()
+      .map(r => ((r.getAs[String]("flag"), r.getAs[String]("status")), r.getAs[Long]("n")))
+      .toMap
+    val grand = rows(("ALL", "ALL"))
+    val flags = rows.collect { case ((f, "ALL"), n) if f != "ALL" => n }.sum
+    val statuses = rows.collect { case (("ALL", st), n) if st != "ALL" => n }.sum
+    val cells = rows.collect { case ((f, st), n) if f != "ALL" && st != "ALL" => n }.sum
+    assert(grand == flags && grand == statuses && grand == cells)
+    assert(grand == Tables.lineitem(spark, sf).count())
+  }
+
+  test("kmv_distinct: estimate within 3 standard errors of exact") {
+    // KMV relative standard error ≈ 1/sqrt(K-2)
+    val se = 3.0 / math.sqrt(Sketches.K - 2.0)
+    run("kmv_distinct").collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("est_distinct")
+      assert(est > 0)
+      assert(math.abs(est - exact) <= math.max(se * exact, 1.0),
+        s"${r.getAs[String]("event_type")}: est $est exact $exact")
+    }
+  }
+
+  test("sample_quantiles: sample is ~10% and quantiles bracket the exact ones") {
+    val total = Tables.events(spark, sf).count().toDouble
+    val r = run("sample_quantiles").collect()
+    val nSample = r.map(_.getAs[Long]("n_sample")).sum.toDouble
+    assert(nSample / total > 0.05 && nSample / total < 0.15,
+      s"sample fraction ${nSample / total}")
+    // p50 of a 10% uniform-hash sample should land near the true p50.
+    // sf0.001 has ~20 sampled rows per group — too noisy for a drift
+    // bound, so the accuracy claim runs at sf0.01 (~200 per group).
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = Tables.events(spark, sf01).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50x")).collect()
+      .map(x => x.getAs[String]("event_type") -> x.getAs[Double]("p50x")).toMap
+    SparkEntry.queries("sample_quantiles")(spark, sf01).collect().foreach { row =>
+      val et = row.getAs[String]("event_type")
+      val spread = math.abs(row.getAs[Double]("p50") - exact(et)) / math.max(exact(et).abs, 1e-9)
+      assert(spread < 0.25, s"$et p50 drifted $spread from exact")
+    }
+  }
+}

@@ -88,6 +88,30 @@ class DecisionsSpec extends SparkSpec {
     StreamDecisions.Store.rows.clear()
   }
 
+  test("scd2_history: contiguous versions, one current row agreeing with LWW") {
+    val h = SparkEntry.queries("scd2_history")(spark, sf).collect()
+    val byUuid = h.groupBy(_.getAs[String]("uuid"))
+    byUuid.foreach { case (u, rs) =>
+      val vs = rs.map(_.getAs[Int]("version")).sorted
+      assert(vs.sameElements(1 to rs.length), s"$u: versions not contiguous")
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1, s"$u: current rows != 1")
+      // intervals chain: version i's valid_to = version i+1's valid_from
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"), s"$u: gap")
+        case _ =>
+      }
+      assert(sorted.last.getAs[String]("valid_to") == null)
+    }
+    // the current row per uuid is the LWW winner the upsert keeps
+    val current = h.filter(_.getAs[Boolean]("is_current"))
+      .map(r => r.getAs[String]("uuid") -> r.getAs[String]("valid_from")).toMap
+    val winners = rt.collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[String]("created_at")).toMap
+    assert(current == winners)
+  }
+
   test("parse branches: array/ts/bool/uid kernels fire on every path") {
     val r = rt.orderBy("uuid").limit(200).collect()
     val vis = r.map(_.getAs[String]("decision_visibility"))
