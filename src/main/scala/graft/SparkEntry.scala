@@ -25,6 +25,7 @@ object SparkEntry {
     "stream_ingest"    -> (Ingest.streamIngest _),
     "fetch_ingest"     -> (Ingest.fetchIngest _),
     "table_sizes"      -> (Ingest.tableSizes _),
+    "incremental_upsert" -> (Ingest.incrementalUpsert _),
     "decision_roundtrip" -> (graft.ingest.Decisions.decisionRoundtrip _),
     "decision_quality" -> (graft.ingest.Decisions.decisionQuality _),
     "stream_decisions" -> (graft.streaming.StreamDecisions.run _),
@@ -57,6 +58,8 @@ object SparkEntry {
     "skew_agg"         -> (ScalePatterns.skewAgg _),
     "bucketed_join"    -> (ScalePatterns.bucketedJoin _),
     "pruned_scan"      -> (ScalePatterns.prunedScan _),
+    "zorder_layout"    -> (ScalePatterns.zorderLayout _),
+    "compact_files"    -> (ScalePatterns.compactFiles _),
     "sample_split"     -> (TrainPrep.sampleSplit _),
     "stratified_sample" -> (TrainPrep.stratifiedSample _),
     "vocab_topk"       -> (TrainPrep.vocabTopk _),
@@ -70,6 +73,8 @@ object SparkEntry {
     "token_count"      -> (TextOps.tokenCount _),
     "doc_fingerprint"  -> (TextOps.docFingerprintQ _),
     "bm25_topk"        -> (TextOps.bm25Topk _),
+    "tfidf_topterms"   -> (TextOps.tfidfTopterms _),
+    "dataset_card"     -> (TrainPrep.datasetCard _),
     "scrub_pii"        -> (TextOps.scrubPii _),
     "chunk_docs"       -> (TrainPrep.chunkDocs _),
     // C: dedup
@@ -106,6 +111,9 @@ object SparkEntry {
     "fetch_ingest"     -> Ingest.fetchIngestSql,
     // table_sizes is rows-only: parquet file sizes are invisible to
     // the oracle's table views (spec asserts filesystem equality).
+    // incremental merge must equal the full recompute — same oracle
+    // as dedup_upsert by design (associativity of total-order LWW)
+    "incremental_upsert" -> Ingest.dedupUpsertSql,
     "decision_roundtrip" -> graft.ingest.Decisions.decisionRoundtripSql,
     "decision_quality" -> graft.ingest.Decisions.decisionQualitySql,
     // streaming twin of the Decision pipeline — same oracle
@@ -136,6 +144,9 @@ object SparkEntry {
     "skew_agg"         -> ScalePatterns.skewAggSql,
     "bucketed_join"    -> ScalePatterns.bucketedJoinSql,
     "pruned_scan"      -> ScalePatterns.prunedScanSql,
+    // compact_files is rows-only: file layout is invisible to the
+    // oracle's table views (spec asserts row invariance + layout).
+    "zorder_layout"    -> ScalePatterns.zorderLayoutSql,
     "sample_split"     -> TrainPrep.sampleSplitSql,
     "stratified_sample" -> TrainPrep.stratifiedSampleSql,
     "vocab_topk"       -> TrainPrep.vocabTopkSql,
@@ -148,6 +159,8 @@ object SparkEntry {
     "text_quality"     -> TextOps.textQualitySql,
     "token_count"      -> TextOps.tokenCountSql,
     "bm25_topk"        -> TextOps.bm25TopkSql,
+    "tfidf_topterms"   -> TextOps.tfidfTopTermsSql,
+    "dataset_card"     -> TrainPrep.datasetCardSql,
     "scrub_pii"        -> TextOps.scrubPiiSql,
     "chunk_docs"       -> TrainPrep.chunkDocsSql,
     // dedup_simhash is rows-only: sketch has no cross-engine twin.

@@ -122,6 +122,29 @@ object Ingest {
       |                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1""".stripMargin
 
+  /** H13: incremental upsert maintenance — the daily-delta merge the
+    * reference's loop performs against Postgres, as distributed view
+    * maintenance: base = events before the span midpoint, delta = the
+    * rest; merge = LWW(LWW(base) ∪ delta). Because the LWW ordering
+    * is total, the merge is ASSOCIATIVE — merging any partition of
+    * the input equals the full recompute, which is exactly what makes
+    * day-at-a-time ingestion safe at 100 TB (only the delta and the
+    * compacted state shuffle, never history). Oracle = the full
+    * recompute (dedup_upsert's oracle). */
+  def incrementalUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val cut = e.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(date_add(col("d0"), (datediff(col("d1"), col("d0")) / 2).cast("int"))
+        .cast("timestamp").as("cut"))
+    val tagged = e.crossJoin(broadcast(cut))
+    val base = tagged.filter(col("ts") < col("cut")).drop("cut")
+    val delta = tagged.filter(col("ts") >= col("cut")).drop("cut")
+    val ord = Seq(col("ts").desc, col("event_id").desc)
+    val state0 = Upsert.lastWriteWins(base, Seq("user_id"), ord)
+    Upsert.lastWriteWins(state0.unionByName(delta), Seq("user_id"), ord)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
   /** A6: run stats — per-source-file row counts (main.go:157-165's
     * rows-inserted/table-size report, from the plan side). */
   def ingestStats(s: SparkSession, dir: String): DataFrame =

@@ -113,4 +113,84 @@ object ScalePatterns {
         .write.mode("overwrite").partitionBy("d").parquet(out)
     }
   }
+
+  /** Z-curve bit width per dimension (20-bit z-values). */
+  val ZBits = 10
+
+  /** Interleave the low [[ZBits]] bits of x (even positions) and y
+    * (odd positions) — Morton code, pure codegen'd integer algebra. */
+  private def zInterleave(x: org.apache.spark.sql.Column,
+                          y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * (1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * (1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def zInterleaveSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** H12: Z-order layout — the multi-dimensional clustering a 100 TB
+    * table needs when queries filter on TWO dimensions (user AND
+    * time): sorting by the Morton z-value groups rows into tiles
+    * that are compact in both, so min/max file statistics prune scans
+    * on either predicate. Emits per-z-bucket occupancy and per-
+    * dimension extents; the spec asserts every bucket's extents fit
+    * the tile bound (the pruning guarantee). Map-only + one agg. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      pmod(col("user_id"), lit(1024L)).as("ux"),
+      pmod(col("ts").cast("long"), lit(1024L)).as("ty"))
+    e.withColumn("z", zInterleave(col("ux"), col("ty")))
+      .withColumn("zbucket", shiftright(col("z"), 14))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ux")).as("ux_min"), max(col("ux")).as("ux_max"),
+        min(col("ty")).as("ty_min"), max(col("ty")).as("ty_max"))
+  }
+
+  val zorderLayoutSql: String = {
+    val z = zInterleaveSql("ux", "ty")
+    """WITH e AS (
+      |  SELECT user_id % 1024 AS ux,
+      |    (epoch_ms(CAST(ts AS TIMESTAMP)) // 1000) % 1024 AS ty
+      |  FROM events)
+      |SELECT (ZEXPR) >> 14 AS zbucket, count(*) AS n,
+      |  min(ux) AS ux_min, max(ux) AS ux_max,
+      |  min(ty) AS ty_min, max(ty) AS ty_max
+      |FROM e GROUP BY 1""".stripMargin.replace("ZEXPR", z)
+  }
+
+  def compactDir(dir: String): String =
+    s"/root/repo/target/fixtures/events_compacted_${dir.replaceAll("[^0-9]", "")}"
+
+  /** H11: small-file compaction — the maintenance pass every
+    * long-lived ingest table needs (the reference's Postgres table
+    * gets this from autovacuum; a parquet lake must run it): the
+    * date-partitioned staging layout (one small file per day) is
+    * rewritten into right-sized files, and the operator reports the
+    * layout delta per layout generation: file count, rows, bytes.
+    * Row content is invariant (spec-checked); file sizes are
+    * invisible to the oracle views → rows-only. At scale the rewrite
+    * is one shuffle-free coalescing pass per partition group. */
+  def compactFiles(s: SparkSession, dir: String): DataFrame = {
+    ensurePartitioned(s, dir)
+    val out = compactDir(dir)
+    synchronized {
+      if (!new java.io.File(out).exists()) {
+        s.read.parquet(partDir(dir)).drop("d")
+          .coalesce(4)
+          .write.mode("overwrite").parquet(out)
+      }
+    }
+    def layoutStats(path: String, layout: String): DataFrame =
+      s.read.parquet(path)
+        .groupBy(col("_metadata.file_path").as("fp"), col("_metadata.file_size").as("sz"))
+        .agg(count(lit(1)).as("rows_in_file"))
+        .agg(lit(layout).as("layout"), count(lit(1)).as("n_files"),
+          sum(col("rows_in_file")).as("n_rows"), sum(col("sz")).as("n_bytes"))
+    layoutStats(partDir(dir), "staged_daily")
+      .unionByName(layoutStats(out, "compacted"))
+  }
 }

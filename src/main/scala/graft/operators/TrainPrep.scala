@@ -269,4 +269,32 @@ object TrainPrep {
        |          len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
        |        FROM documents))
        |GROUP BY shard, bin""".stripMargin
+
+  /** H14: dataset card — the one-row datasheet a corpus release
+    * ships with (and a pipeline alerts on): sizes, source/language
+    * breadth, exact-duplicate rate, length distribution. One scan,
+    * one global aggregate; every stat is engine-exact (the dup rate
+    * hashes text with md5, common to both engines). */
+  def datasetCard(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).cast("long").as("total_chars"),
+      (count(lit(1)) - count_distinct(md5(col("text").cast("binary"))))
+        .as("n_dup_texts"),
+      round(avg(col("n_chars")), 4).as("avg_chars"),
+      round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+      round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
+
+  val datasetCardSql: String =
+    """SELECT count(*) AS n_docs,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_texts,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+      |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+      |FROM documents""".stripMargin
 }

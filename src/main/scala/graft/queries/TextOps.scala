@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFns
@@ -198,6 +199,48 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(TopK)
   }
+
+  /** H10: per-document top-[[TfidfK]] TF-IDF terms — the classic
+    * corpus-vectorization pass (keyword extraction / sparse features
+    * for retrieval). One postings shuffle for tf, a term-keyed agg
+    * for df (tiny: vocab-sized, broadcast back), map-side scoring,
+    * then a per-doc window rank. idf = ln(n/df) with the corpus size
+    * as a broadcast one-row aggregate — a single lazy plan, no
+    * driver actions (the bm25 lesson). */
+  val TfidfK = 3
+
+  def tfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val posts = docs.select(col("doc_id"),
+      explode(wsTokens(lower(col("text")))).as("tok"))
+    val tf = posts.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val idf = df.crossJoin(broadcast(n))
+      .withColumn("idf", log(col("n") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(idf.select(col("tok"), col("idf"))), "tok")
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfK)
+      .select(col("doc_id"), col("tok"), col("rnk"), round(col("score"), 4).as("score"))
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH posts AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM posts GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n / df.df) AS score
+       |  FROM tf JOIN df USING (tok), n)
+       |SELECT doc_id, tok, rnk, round(score, 4) AS score FROM (
+       |  SELECT doc_id, tok, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+       |  FROM scored) WHERE rnk <= $TfidfK""".stripMargin
 
   val bm25TopkSql: String = {
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")

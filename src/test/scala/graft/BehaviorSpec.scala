@@ -78,6 +78,72 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("zorder_layout: every z-bucket's extents fit the 128x128 tile bound") {
+    val rows = run("zorder_layout").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // bucket = z >> 14 fixes the top 3 interleaved bits of each
+      // dimension, so a bucket spans < 2^7 in BOTH dimensions — the
+      // min/max pruning guarantee z-ordering exists for
+      assert(r.getAs[Long]("ux_max") - r.getAs[Long]("ux_min") < 128,
+        s"bucket ${r.getAs[Long]("zbucket")}: ux span too wide")
+      assert(r.getAs[Long]("ty_max") - r.getAs[Long]("ty_min") < 128,
+        s"bucket ${r.getAs[Long]("zbucket")}: ty span too wide")
+    }
+  }
+
+  test("compact_files: row-invariant, strictly fewer files after compaction") {
+    val rows = run("compact_files").collect()
+      .map(r => r.getAs[String]("layout") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_bytes"))))
+      .toMap
+    val (bf, br, bb) = rows("staged_daily")
+    val (af, ar, ab) = rows("compacted")
+    assert(br == ar, "compaction changed row count")
+    assert(af < bf, s"no file-count reduction: $bf -> $af")
+    assert(ab > 0 && bb > 0)
+    // content equality, not just counts
+    val before = spark.read.parquet(graft.operators.ScalePatterns.partDir(sf))
+      .drop("d").collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val after = spark.read.parquet(graft.operators.ScalePatterns.compactDir(sf))
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(before.sameElements(after), "compaction changed data")
+  }
+
+  test("incremental_upsert: merge of deltas equals the full recompute") {
+    val inc = run("incremental_upsert").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val full = run("dedup_upsert").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(inc.length == full.length && inc.sameElements(full))
+  }
+
+  test("tfidf_topterms: ranked per doc; rare terms outscore common ones") {
+    val rows = run("tfidf_topterms").collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (d, rs) =>
+      val rks = rs.map(_.getAs[Int]("rnk")).sorted
+      assert(rks.sameElements(1 to rs.length) && rs.length <= 3, s"doc $d ranks")
+      val sc = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, s"doc $d not sorted")
+    }
+    // a token present in EVERY doc has idf=0 → can never be a top term
+    // unless every other token ties at 0; verify scores are positive
+    assert(rows.forall(_.getAs[Double]("score") >= 0))
+  }
+
+  test("dataset_card: stats agree with direct recomputation") {
+    val r = run("dataset_card").collect()(0)
+    val d = Tables.documents(spark, sf)
+    assert(r.getAs[Long]("n_docs") == d.count())
+    assert(r.getAs[Long]("n_langs") == d.select("lang").distinct().count())
+    assert(r.getAs[Long]("n_sources") == d.select("source").distinct().count())
+    val dups = d.count() - d.select(md5(col("text").cast("binary"))).distinct().count()
+    assert(r.getAs[Long]("n_dup_texts") == dups)
+    assert(r.getAs[Double]("p50_chars") <= r.getAs[Double]("p95_chars"))
+  }
+
   test("sample_quantiles: sample is ~10% and quantiles bracket the exact ones") {
     val total = Tables.events(spark, sf).count().toDouble
     val r = run("sample_quantiles").collect()
