@@ -32,6 +32,10 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
         } catch { case scala.util.control.NonFatal(_) => false }
+      // drop caches a query persisted for its own internal reuse:
+      // timings stay independent and executor memory stays flat
+      // across the 70+ query loop
+      spark.sharedState.cacheManager.clearCache()
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

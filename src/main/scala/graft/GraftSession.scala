@@ -32,6 +32,18 @@ object GraftSession {
     // native codegen'd kernels (see graft.plans); idempotent
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => graft.plans.VecDotProduct(exprs(0), exprs(1)), "built-in")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime row-level filters but leaves them off the public
+    // registry; exposing them lets plans build EXPLICIT semi-join
+    // prefilters (the analyzer wraps the bare AggregateFunction)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "built-in")
     spark
   }
 

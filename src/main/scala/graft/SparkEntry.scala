@@ -60,6 +60,7 @@ object SparkEntry {
     "pruned_scan"      -> (ScalePatterns.prunedScan _),
     "zorder_layout"    -> (ScalePatterns.zorderLayout _),
     "compact_files"    -> (ScalePatterns.compactFiles _),
+    "bloom_semi_join"  -> (ScalePatterns.bloomSemiJoin _),
     "sample_split"     -> (TrainPrep.sampleSplit _),
     "stratified_sample" -> (TrainPrep.stratifiedSample _),
     "vocab_topk"       -> (TrainPrep.vocabTopk _),
@@ -147,6 +148,7 @@ object SparkEntry {
     // compact_files is rows-only: file layout is invisible to the
     // oracle's table views (spec asserts row invariance + layout).
     "zorder_layout"    -> ScalePatterns.zorderLayoutSql,
+    "bloom_semi_join"  -> ScalePatterns.bloomSemiJoinSql,
     "sample_split"     -> TrainPrep.sampleSplitSql,
     "stratified_sample" -> TrainPrep.stratifiedSampleSql,
     "vocab_topk"       -> TrainPrep.vocabTopkSql,

@@ -108,9 +108,14 @@ object ScalePatterns {
   def ensurePartitioned(s: SparkSession, dir: String): Unit = synchronized {
     val out = partDir(dir)
     if (!new java.io.File(out).exists()) {
-      events(s, dir)
-        .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
-        .write.mode("overwrite").partitionBy("d").parquet(out)
+      // write to a temp sibling + atomic rename: the output dir
+      // exists from the committer's first moment, so dir-existence
+      // must not be visible until the write is complete
+      graft.ingest.FixtureDir.ensure(java.nio.file.Paths.get(out)) { tmp =>
+        events(s, dir)
+          .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("d").parquet(tmp.toString)
+      }: Unit
     }
   }
 
@@ -162,6 +167,39 @@ object ScalePatterns {
       |FROM e GROUP BY 1""".stripMargin.replace("ZEXPR", z)
   }
 
+  /** H15: bloom-prefiltered semi join — the explicit form of Spark's
+    * runtime row-level filtering: a compact bloom filter built over
+    * the (filtered, small) build side is shipped as a scalar-subquery
+    * constant and applied MAP-SIDE on the probe scan, so only
+    * might-match rows pay the semi-join shuffle; the exact semi join
+    * then removes the bloom's false positives, keeping the result
+    * exact. At 100 TB this is the difference between shuffling the
+    * whole probe table and shuffling the ~matching fraction. Oracle =
+    * the plain EXISTS. (bloom_agg / bloom_contains are Spark's own
+    * BloomFilterAggregate / BloomFilterMightContain, surfaced on the
+    * registry by GraftSession.) */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).createOrReplaceTempView("graft_bloom_build")
+    customer(s, dir).select(col("c_custkey"), col("c_name"))
+      .createOrReplaceTempView("graft_bloom_probe")
+    s.sql("""
+      WITH pre AS (
+        SELECT c_custkey, c_name FROM graft_bloom_probe
+        WHERE bloom_contains(
+          (SELECT bloom_agg(xxhash64(o_custkey), 100000L, 800000L)
+           FROM graft_bloom_build),
+          xxhash64(c_custkey)))
+      SELECT c_custkey, c_name
+      FROM pre LEFT SEMI JOIN graft_bloom_build ON c_custkey = o_custkey""")
+  }
+
+  val bloomSemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')""".stripMargin
+
   def compactDir(dir: String): String =
     s"/root/repo/target/fixtures/events_compacted_${dir.replaceAll("[^0-9]", "")}"
 
@@ -179,9 +217,11 @@ object ScalePatterns {
     val out = compactDir(dir)
     synchronized {
       if (!new java.io.File(out).exists()) {
-        s.read.parquet(partDir(dir)).drop("d")
-          .coalesce(4)
-          .write.mode("overwrite").parquet(out)
+        graft.ingest.FixtureDir.ensure(java.nio.file.Paths.get(out)) { tmp =>
+          s.read.parquet(partDir(dir)).drop("d")
+            .coalesce(4)
+            .write.mode("overwrite").parquet(tmp.toString)
+        }: Unit
       }
     }
     def layoutStats(path: String, layout: String): DataFrame =

@@ -75,9 +75,11 @@ object StreamDecisions {
       .start()
     q.processAllAvailable()
     q.stop()
+    // parallelize instead of a driver-local relation: downstream
+    // consumers (verify's parquet dump, the bench's noop write) then
+    // serialize the table from executor threads, not one driver loop
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
     s.createDataFrame(
-      new java.util.ArrayList[Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(Store.rows.values.toSeq).asJava),
-      Store.schema)
+      s.sparkContext.parallelize(Store.rows.values.toSeq, p), Store.schema)
   }
 }

@@ -49,6 +49,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("knn_join: all-pairs runs as the blocked equi-join, never a nested loop") {
+    val p = plan("knn_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"knn_join pair generation is not an equi-join:\n$p")
+  }
+
+  test("tfidf_topterms: vocab df broadcasts into the scoring join") {
+    val p = plan("tfidf_topterms")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"tfidf scoring join is not broadcast:\n$p")
+  }
+
+  test("rolling_window: one user_id exchange feeds the range frame") {
+    val p = plan("rolling_window")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges")
+  }
+
+  test("zorder_layout: map-only z-values, a single aggregation exchange") {
+    val p = plan("zorder_layout")
+    assert("Exchange".r.findAllIn(p).length <= 2, s"unexpected extra shuffles:\n$p")
+  }
+
+  test("bloom_semi_join: bloom prefilter sits on the probe scan before the semi join") {
+    val p = plan("bloom_semi_join").toLowerCase
+    assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+      s"no bloom prefilter in plan:\n$p")
+    assert(p.contains("leftsemi"), s"no semi join in plan:\n$p")
+  }
+
   test("seq_pack packs shard-locally — no global no-partition window") {
     val p = SparkEntry.queries("seq_pack")(spark, sf)
       .queryExecution.optimizedPlan.toString
