@@ -62,6 +62,10 @@ object StreamDecisions {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // a micro-batch inherits the file split count — one daily dump
+      // file = ONE task for the whole 40-column parse; spread the
+      // narrow raw rows across the executors before the heavy stage
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val parsed = Decisions.parse(Decisions.synthFrom(raw).drop("event_id"))
       .filter(col("uuid") =!= "")
     val q = parsed.writeStream
