@@ -29,6 +29,7 @@ object SparkEntry {
     "decision_roundtrip" -> (graft.ingest.Decisions.decisionRoundtrip _),
     "decision_quality" -> (graft.ingest.Decisions.decisionQuality _),
     "stream_decisions" -> (graft.streaming.StreamDecisions.run _),
+    "stream_late_data" -> (graft.streaming.StreamLateData.run _),
     "stream_sessionize" -> ((s: SparkSession, dir: String) => {
       graft.streaming.StreamSessionize.runToMemory(s, dir, "stream_sess_mem")
       s.table("stream_sess_mem")
@@ -121,6 +122,7 @@ object SparkEntry {
     "stream_decisions" -> graft.ingest.Decisions.decisionRoundtripSql,
     // streaming twin of B6 — same oracle
     "stream_sessionize" -> Analytics.sessionizeSql,
+    "stream_late_data" -> graft.streaming.StreamLateData.sql,
     "q1_agg"           -> Analytics.q1AggSql,
     "q3_join_topn"     -> Analytics.q3JoinTopnSql,
     "q5_multijoin"     -> Analytics.q5MultijoinSql,

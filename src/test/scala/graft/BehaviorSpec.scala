@@ -144,6 +144,30 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_chars") <= r.getAs[Double]("p95_chars"))
   }
 
+  test("stream_late_data: watermark drops late rows, passes on-time, dedups collisions") {
+    // sf0.01: wave B contains late rows (dropped), on-time fresh rows
+    // (passed) AND on-time key collisions (deduped) — all three paths
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("stream_late_data")(spark, dir).collect()
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"),
+        when(col("event_id") % 8 === 0, col("event_id") + 1)
+          .otherwise(col("event_id")).as("k")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Long]("k")))
+    val wm = e.filter(_._1 % 4 != 0).map(_._2).max - 3600 * 1000L
+    val aIds = e.filter(_._1 % 4 != 0).map(_._1).toSet
+    val expectB = e.filter(t => t._1 % 4 == 0 && t._1 % 8 != 0 && t._2 >= wm).map(_._1).toSet
+    val gotIds = out.map(_.getAs[Long]("event_id")).toSet
+    assert(gotIds == aIds ++ expectB)
+    // all three wave-B paths actually fired at this scale
+    assert(expectB.nonEmpty, "no on-time fresh B rows — pass path untested")
+    assert(e.exists(t => t._1 % 4 == 0 && t._2 < wm), "no late B rows — drop path untested")
+    val colliding = e.filter(t => t._1 % 8 == 0 && t._2 >= wm)
+    assert(colliding.nonEmpty, "no on-time colliding B rows — dedup path untested")
+    assert(colliding.forall(t => !gotIds.contains(t._1)), "a colliding B row leaked")
+  }
+
   test("sample_quantiles: sample is ~10% and quantiles bracket the exact ones") {
     val total = Tables.events(spark, sf).count().toDouble
     val r = run("sample_quantiles").collect()
