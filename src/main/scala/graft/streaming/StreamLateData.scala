@@ -59,7 +59,10 @@ object StreamLateData {
 
     val watch = Files.createTempDirectory(
       Paths.get("/root/repo/target"), "stream_late_watch")
-    val mem = "stream_late_mem"
+    // unique per run: concurrent suites each get their own memory
+    // sink and watch dir, so runs never share streaming state
+    val mem = "stream_late_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     val q = s.readStream
       .schema(a.schema)
       .parquet(watch.toString)
@@ -78,6 +81,7 @@ object StreamLateData {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
       // materialize off the transient memory table before cleanup
       .localCheckpoint()
+    s.catalog.dropTempView(mem)
     Files.list(watch).forEach(p => Files.deleteIfExists(p): Unit)
     Files.deleteIfExists(watch)
     out
