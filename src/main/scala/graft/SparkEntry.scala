@@ -57,6 +57,9 @@ object SparkEntry {
     "asof_join"        -> (AsofJoin.asofJoinQ _),
     "range_join"       -> (RangeJoin.rangeJoinQ _),
     "skew_agg"         -> (ScalePatterns.skewAgg _),
+    "skew_join"        -> (ScalePatterns.skewJoin _),
+    "merge_delete"     -> (graft.operators.Maintenance.mergeDelete _),
+    "snapshot_diff"    -> (graft.operators.Maintenance.snapshotDiff _),
     "bucketed_join"    -> (ScalePatterns.bucketedJoin _),
     "pruned_scan"      -> (ScalePatterns.prunedScan _),
     "zorder_layout"    -> (ScalePatterns.zorderLayout _),
@@ -145,6 +148,9 @@ object SparkEntry {
     "asof_join"        -> AsofJoin.asofJoinSql,
     "range_join"       -> RangeJoin.rangeJoinSql,
     "skew_agg"         -> ScalePatterns.skewAggSql,
+    "skew_join"        -> ScalePatterns.skewJoinSql,
+    "merge_delete"     -> graft.operators.Maintenance.mergeDeleteSql,
+    "snapshot_diff"    -> graft.operators.Maintenance.snapshotDiffSql,
     "bucketed_join"    -> ScalePatterns.bucketedJoinSql,
     "pruned_scan"      -> ScalePatterns.prunedScanSql,
     // compact_files is rows-only: file layout is invisible to the

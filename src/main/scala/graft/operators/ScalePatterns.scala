@@ -29,6 +29,38 @@ object ScalePatterns {
     """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** H19: salted skewed JOIN — [[skewAgg]]'s sibling for joins. A
+    * fact table joining on a low-cardinality key (event_type: 5
+    * values) funnels each hot key through ONE reducer in a plain
+    * shuffle join; salting the fact side and replicating the dim
+    * side [[Salts]]× makes the join key (type, salt), spreading every
+    * hot key over [[Salts]] reducers. The dim replication costs
+    * dim×Salts rows — nothing at any scale — and the result equals
+    * the plain join (the oracle). The merge hint keeps it a shuffle
+    * join at toy scale where AQE would broadcast and hide the
+    * property under test. */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+    val dim = e.groupBy(col("event_type"))
+      .agg(length(min(col("event_type"))).cast("long").as("w"))
+    val saltedDim = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(Salts - 1L))))
+    e.join(saltedDim.hint("merge"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("w")), 4).as("weighted"))
+  }
+
+  val skewJoinSql: String =
+    """SELECT e.event_type, count(*) AS n,
+      |  round(sum(e.value * d.w), 4) AS weighted
+      |FROM events e
+      |JOIN (SELECT event_type, length(min(event_type))::BIGINT AS w
+      |      FROM events GROUP BY 1) d
+      |  ON e.event_type = d.event_type
+      |GROUP BY e.event_type""".stripMargin
+
   /** Bucketed co-located join: orders and lineitem written bucketed
     * by the join key (one-time fixture, like a warehouse's bucketed
     * tables), then joined WITHOUT a shuffle — the spec asserts the

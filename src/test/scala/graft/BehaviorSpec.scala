@@ -168,6 +168,63 @@ class BehaviorSpec extends SparkSpec {
     assert(colliding.forall(t => !gotIds.contains(t._1)), "a colliding B row leaked")
   }
 
+  test("merge_delete: deletes gone, updates applied, inserts present, rest intact") {
+    val d = Tables.documents(spark, sf)
+    val out = run("merge_delete").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // no deleted key survives
+    d.filter(col("doc_id") % 10 === 0).collect()
+      .foreach(r => assert(!byId.contains(r.getAs[Long]("doc_id")), "deleted row present"))
+    // every update applied
+    d.filter(col("doc_id") % 10 === 7).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(byId(id).getAs[String]("text") == s"updated $id")
+    }
+    // inserts: one per source, beyond the old id range
+    val maxBase = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val inserted = out.filter(_.getAs[Long]("doc_id") > maxBase)
+    assert(inserted.length == d.select("source").distinct().count())
+    // untouched rows unchanged
+    d.filter(col("doc_id") % 10 === 3).limit(20).collect().foreach { r =>
+      assert(byId(r.getAs[Long]("doc_id")).getAs[String]("text") == r.getAs[String]("text"))
+    }
+  }
+
+  test("snapshot_diff: categories partition both snapshots consistently") {
+    val m = run("snapshot_diff").collect()
+      .groupBy(_.getAs[String]("change"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val nBase = Tables.documents(spark, sf).count()
+    val nAfter = run("merge_delete").count()
+    assert(m.getOrElse("removed", 0L) + m.getOrElse("changed", 0L) +
+      m.getOrElse("unchanged", 0L) == nBase)
+    assert(m.getOrElse("added", 0L) + m.getOrElse("changed", 0L) +
+      m.getOrElse("unchanged", 0L) == nAfter)
+    assert(m.getOrElse("added", 0L) > 0 && m.getOrElse("removed", 0L) > 0 &&
+      m.getOrElse("changed", 0L) > 0)
+  }
+
+  test("skew_join: salted join result equals the plain join") {
+    val salted = run("skew_join").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("weighted")))).toMap
+    val e = Tables.events(spark, sf)
+    val dim = e.groupBy(col("event_type"))
+      .agg(length(min(col("event_type"))).cast("long").as("w"))
+    val plain = e.join(dim, "event_type").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value") * col("w")), 4).as("weighted"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("weighted")))).toMap
+    assert(salted == plain)
+  }
+
+  test("every query returns rows at sf0.001 — no vacuous results") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).limit(1).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
   test("sample_quantiles: sample is ~10% and quantiles bracket the exact ones") {
     val total = Tables.events(spark, sf).count().toDouble
     val r = run("sample_quantiles").collect()
