@@ -16,6 +16,10 @@ run / fork := true
 // line, and the default logger's "[info] " prefix breaks any consumer
 // that json-parses stdout lines.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's trailing "[success] Total time: ..." line must not be
+// the last stdout line either (a consumer parsing the LAST line as
+// JSON sees that banner instead of the bench line).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
