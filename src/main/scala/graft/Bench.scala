@@ -23,6 +23,7 @@ object Bench {
     // one-time fixtures outside the timed path
     operators.ScalePatterns.ensureBucketed(spark, sfDir)
     operators.ScalePatterns.ensurePartitioned(spark, sfDir)
+    operators.ScalePatterns.ensureDrift(spark, sfDir)
     operators.ScalePatterns.compactFiles(spark, sfDir) // builds the compacted layout
     ingest.ZipFixture.ensure(spark, sfDir)
     ingest.FetchFixture.ensure(spark, sfDir)

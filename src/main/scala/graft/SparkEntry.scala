@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Behavior, TextOps}
-import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, RangeJoin, ScalePatterns, Sketches, TrainPrep}
+import graft.operators.{Ann, AsofJoin, CorpusClean, Dedup, KMeansIter, Multimodal, RangeJoin, ScalePatterns, Sketches, TrainPrep}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -99,7 +99,17 @@ object SparkEntry {
     // F: multimodal plumbing
     "mm_schema"        -> (Multimodal.mmSchema _),
     "mm_decode"        -> (Multimodal.mmDecode _),
-    "mm_framesample"   -> (Multimodal.mmFramesample _)
+    "mm_framesample"   -> (Multimodal.mmFramesample _),
+    // I: round-4 additions
+    "line_dedup"       -> (CorpusClean.lineDedup _),
+    "repetition_score" -> (CorpusClean.repetitionScore _),
+    "substring_dedup"  -> (CorpusClean.substringDedup _),
+    "bpe_pairs"        -> (CorpusClean.bpePairs _),
+    "kmeans_iter"      -> (KMeansIter.kmeansIter _),
+    "quantile_bins"    -> (graft.queries.Robust.quantileBins _),
+    "outlier_mad"      -> (graft.queries.Robust.outlierMad _),
+    "schema_drift"     -> (ScalePatterns.schemaDrift _),
+    "stream_join"      -> (graft.streaming.StreamJoin.run _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -186,6 +196,15 @@ object SparkEntry {
     "emb_quantize"     -> Ann.embQuantizeSql,
     "mm_schema"        -> Multimodal.mmSchemaSql,
     "mm_decode"        -> Multimodal.mmDecodeSql,
-    "mm_framesample"   -> Multimodal.mmFramesampleSql
+    "mm_framesample"   -> Multimodal.mmFramesampleSql,
+    "line_dedup"       -> CorpusClean.lineDedupSql,
+    "repetition_score" -> CorpusClean.repetitionScoreSql,
+    "substring_dedup"  -> CorpusClean.substringDedupSql,
+    "bpe_pairs"        -> CorpusClean.bpePairsSql,
+    "kmeans_iter"      -> KMeansIter.kmeansIterSql,
+    "quantile_bins"    -> graft.queries.Robust.quantileBinsSql,
+    "outlier_mad"      -> graft.queries.Robust.outlierMadSql,
+    "schema_drift"     -> ScalePatterns.schemaDriftSql,
+    "stream_join"      -> graft.streaming.StreamJoin.sql
   )
 }

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFns
+
+/** Corpus-cleaning operators (SURVEY.md §2 I-line): the
+  * line/segment-level dedup and repetition filters a web-scale
+  * training-data pipeline runs BEFORE document-level dedup — the
+  * CCNet / Gopher / "Deduplicating Training Data" family, re-expressed
+  * as Spark column algebra.
+  *
+  * Shared scale shape: segment/window construction is map-only
+  * (`sequence` + `slice`, codegen'd — no interpreted lambdas over
+  * token arrays in the hot path beyond array slicing); global
+  * first-occurrence resolution is ONE shuffle keyed on the segment
+  * text; per-doc verdicts are one doc-keyed aggregate. Nothing is
+  * ever pairwise — shuffle volume ∝ corpus tokens, never docs².
+  */
+object CorpusClean {
+
+  /** Tokens per dedup segment (the "line" analog: the synthetic
+    * corpus has no newlines, so fixed-width token segments stand in
+    * for CCNet's newline-split paragraphs). */
+  val SegTokens = 8
+
+  /** (doc_id, si, seg) — non-overlapping [[SegTokens]]-token segments
+    * per document, map-only: explode a 0..n_segs-1 index sequence and
+    * slice the token array (1-based) per index. Short docs yield one
+    * segment holding the whole text. */
+  private def segments(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.wsTokens(col("text"))
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_segs",
+        greatest(ceil(size(col("toks")).cast("double") / SegTokens).cast("long"), lit(1L)))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_segs") - 1)).as("si"))
+      .select(col("doc_id"), col("si"),
+        concat_ws(" ",
+          slice(col("toks"), (col("si") * SegTokens + 1).cast("int"), lit(SegTokens))).as("seg"))
+  }
+
+  /** DuckDB twin of [[segments]] as a CTE named `segs` (DuckDB list
+    * slices are 1-based and end-inclusive, like Spark's `slice`). */
+  private val segsCte: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+       |    greatest(CAST(ceil(len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+       |      / $SegTokens) AS BIGINT), 1) AS n_segs
+       |  FROM documents),
+       |ti AS (SELECT doc_id, toks, unnest(range(0, n_segs)) AS si FROM t),
+       |segs AS (
+       |  SELECT doc_id, si,
+       |    array_to_string(toks[(si * $SegTokens + 1):((si + 1) * $SegTokens)], ' ') AS seg
+       |  FROM ti)""".stripMargin
+
+  /** I1: corpus-wide segment (line) dedup, CCNet-style — every
+    * repeated [[SegTokens]]-token segment keeps only its FIRST
+    * occurrence in (doc_id, si) order; later copies are dropped from
+    * their documents. Emits the per-doc retention report (segments
+    * kept / dropped, surviving chars) a pipeline uses to kill
+    * boilerplate-heavy docs. One shuffle keyed on segment text. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("si"))
+    segments(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, length(col("seg")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+  }
+
+  val lineDedupSql: String =
+    segsCte + """
+      |SELECT doc_id, count(*) AS n_segs,
+      |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |  sum(CASE WHEN rn = 1 THEN length(seg) ELSE 0 END)::BIGINT AS kept_chars
+      |FROM (SELECT doc_id, seg,
+      |        row_number() OVER (PARTITION BY seg ORDER BY doc_id, si) AS rn
+      |      FROM segs)
+      |GROUP BY doc_id""".stripMargin
+
+  /** Gopher-style repetition thresholds: a doc is dropped when more
+    * than 60% of its words are repeats or one word exceeds 20% of
+    * the text. */
+  val DupWordMax = 0.6
+  val TopWordMax = 0.2
+
+  /** I2: repetition scoring (the Gopher quality-filter family) —
+    * per-doc duplicate-word fraction, top-word fraction, and
+    * duplicate-bigram fraction, plus the keep/drop verdict. Two
+    * doc-keyed aggregates (words, bigrams) joined on doc_id; ratios
+    * are single divisions of exact integer counts, so round(_, 4)
+    * is engine-stable. */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val words = toks
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bg"), count(lit(1)).as("n_distinct_bg"))
+    val dupW = lit(1.0) - col("n_distinct").cast("double") / greatest(col("n_words"), lit(1L))
+    val topW = col("top_cnt").cast("double") / greatest(col("n_words"), lit(1L))
+    val dupB = lit(1.0) - col("n_distinct_bg").cast("double") / greatest(col("n_bg"), lit(1L))
+    words.join(bigrams, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        round(dupW, 4).as("dup_word_frac"),
+        round(topW, 4).as("top_word_frac"),
+        round(coalesce(dupB, lit(0.0)), 4).as("dup_bigram_frac"),
+        (dupW <= DupWordMax && topW <= TopWordMax).as("keep"))
+  }
+
+  val repetitionScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w,
+       |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+       |  FROM documents),
+       |words AS (
+       |  SELECT doc_id, sum(cnt)::BIGINT AS n_words, count(*) AS n_distinct,
+       |    max(cnt) AS top_cnt
+       |  FROM (SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |bg AS (
+       |  SELECT doc_id, sum(cnt)::BIGINT AS n_bg, count(*) AS n_distinct_bg
+       |  FROM (SELECT doc_id, bg, count(*) AS cnt FROM (
+       |          SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+       |          FROM toks)
+       |        WHERE bg IS NOT NULL GROUP BY 1, 2)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_words,
+       |  round(1.0 - n_distinct::DOUBLE / greatest(n_words, 1), 4) AS dup_word_frac,
+       |  round(top_cnt::DOUBLE / greatest(n_words, 1), 4) AS top_word_frac,
+       |  round(coalesce(1.0 - n_distinct_bg::DOUBLE / greatest(n_bg, 1), 0.0), 4) AS dup_bigram_frac,
+       |  (1.0 - n_distinct::DOUBLE / greatest(n_words, 1)) <= $DupWordMax
+       |    AND top_cnt::DOUBLE / greatest(n_words, 1) <= $TopWordMax AS keep
+       |FROM words LEFT JOIN bg USING (doc_id)""".stripMargin
+
+  /** Window geometry for [[substringDedup]]: 16-token windows at
+    * stride 8 — every 8-token run of shared text is covered by at
+    * least one common window (Lee et al.'s suffix-dedup capability,
+    * approximated with fixed windows so it stays one equi-keyed
+    * shuffle instead of a distributed suffix array). */
+  val WinTokens = 16
+  val WinStride = 8
+
+  /** Containment threshold: a doc is dropped when at least half its
+    * windows already appeared in earlier docs. */
+  val ContainMax = 0.5
+
+  /** I3: substring containment dedup — overlapping [[WinTokens]]-token
+    * windows per doc; a window is "duplicated" when the SAME window
+    * text occurs in any EARLIER doc (min-doc_id wins). Docs mostly
+    * made of duplicated windows get dropped. No pairwise join: the
+    * first-occurrence owner per window is one groupBy(min), so a
+    * window shared by d docs costs d postings, never d². */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.wsTokens(col("text"))
+    val nWins = greatest(
+      ceil((size(col("toks")) - WinTokens).cast("double") / WinStride).cast("long") + 1, lit(1L))
+    val wins = documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_wins", nWins)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_wins") - 1)).as("wi"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          slice(col("toks"), (col("wi") * WinStride + 1).cast("int"), lit(WinTokens))).as("win"))
+      .distinct()
+    val firstOwner = wins.groupBy(col("win")).agg(min(col("doc_id")).as("first_doc"))
+    wins.join(firstOwner, "win")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
+      .withColumn("drop", col("n_dup_windows").cast("double") / col("n_windows") >= ContainMax)
+  }
+
+  val substringDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+       |    greatest(CAST(ceil((len(list_filter(string_split(text, ' '), x -> x <> '')) - $WinTokens)::DOUBLE
+       |      / $WinStride) AS BIGINT) + 1, 1) AS n_wins
+       |  FROM documents),
+       |ti AS (SELECT doc_id, toks, unnest(range(0, n_wins)) AS wi FROM t),
+       |wins AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(toks[(wi * $WinStride + 1):(wi * $WinStride + $WinTokens)], ' ') AS win
+       |  FROM ti),
+       |own AS (SELECT win, min(doc_id) AS first_doc FROM wins GROUP BY win)
+       |SELECT doc_id, n_windows, n_dup_windows,
+       |  round(n_dup_windows::DOUBLE / n_windows, 4) AS dup_frac,
+       |  n_dup_windows::DOUBLE / n_windows >= $ContainMax AS "drop"
+       |FROM (
+       |  SELECT wins.doc_id, count(*) AS n_windows,
+       |    sum(CASE WHEN own.first_doc < wins.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows
+       |  FROM wins JOIN own USING (win)
+       |  GROUP BY wins.doc_id)""".stripMargin
+
+  /** Top-K adjacent pairs reported by [[bpePairs]]. */
+  val BpeK = 20
+
+  /** I7: BPE merge candidates — corpus-wide counts of ADJACENT token
+    * pairs, the statistic a byte-pair tokenizer trainer computes each
+    * merge round. Pair construction is the lead-window postings shape
+    * (doc-keyed, codegen'd); the count is one map-side-combined
+    * aggregate; top-K with a total-order tiebreak so the cut is
+    * deterministic. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .groupBy(col("w").as("left"), col("w1").as("right"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("left"), col("right"))
+      .limit(BpeK)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT unnest([{'l': toks[i], 'r': toks[i+1]} for i in range(1, len(toks))]) AS pr
+       |  FROM t WHERE len(toks) >= 2)
+       |SELECT pr.l AS "left", pr.r AS "right", count(*) AS n
+       |FROM p GROUP BY 1, 2
+       |ORDER BY n DESC, "left", "right" LIMIT $BpeK""".stripMargin
+}

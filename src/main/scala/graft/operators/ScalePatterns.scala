@@ -265,4 +265,53 @@ object ScalePatterns {
     layoutStats(partDir(dir), "staged_daily")
       .unionByName(layoutStats(out, "compacted"))
   }
+
+  def driftDir(dir: String): String =
+    s"/root/repo/target/fixtures/orders_drift_${dir.replaceAll("[^0-9]", "")}"
+
+  /** One-time schema-evolution fixture: two order snapshots under
+    * day=1 / day=2 partition dirs, where day 2 added a column
+    * (o_orderstatus) that day 1 predates — the drift every long-lived
+    * ingest layout accumulates. */
+  def ensureDrift(s: SparkSession, dir: String): Unit = synchronized {
+    val out = driftDir(dir)
+    if (!new java.io.File(out).exists()) {
+      graft.ingest.FixtureDir.ensure(java.nio.file.Paths.get(out)) { tmp =>
+        orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/day=1")
+        orders(s, dir).filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$tmp/day=2")
+      }: Unit
+    }
+  }
+
+  /** I8: schema-drift read — `mergeSchema` unions the per-day file
+    * schemas (day 1 lacks o_orderstatus; its rows surface typed
+    * nulls), so ONE scan serves both generations without a backfill
+    * rewrite — at 100 TB rewriting history for every added column is
+    * the thing a lake must never do. Partition discovery provides
+    * `day`; the aggregate proves the merged column is null exactly
+    * for the pre-drift generation. Oracle re-derives both snapshots
+    * relationally. */
+  def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    ensureDrift(s, dir)
+    s.read.option("mergeSchema", "true").parquet(driftDir(dir))
+      .groupBy(col("day").cast("int").as("day"),
+        coalesce(col("o_orderstatus"), lit("<pre-drift>")).as("status"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("sum_price"))
+  }
+
+  val schemaDriftSql: String =
+    """WITH u AS (
+      |  SELECT 1 AS day, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT 2 AS day, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT day, coalesce(o_orderstatus, '<pre-drift>') AS status,
+      |  count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+      |FROM u GROUP BY 1, 2""".stripMargin
 }

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusClean, KMeansIter}
+
+/** Specs for the round-4 I-line: corpus cleaning, k-means, robust
+  * stats, schema drift, stream-stream join. */
+class CorpusCleanSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def tokens(text: String): Array[String] =
+    text.split(" ").filter(_.nonEmpty)
+
+  test("line_dedup: per-doc segment accounting is exact and kept == distinct globally") {
+    val out = run("line_dedup").collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    // per-doc n_segs from first principles
+    out.foreach { r =>
+      val nSegs = math.max(math.ceil(tokens(docs(r.getLong(0))).length / 8.0).toLong, 1L)
+      assert(r.getAs[Long]("n_segs") == nSegs, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segs"))
+    }
+    // every distinct segment is kept exactly once across the corpus
+    val allSegs = docs.toSeq.flatMap { case (_, t) =>
+      tokens(t).grouped(8).map(_.mkString(" ")).toSeq match {
+        case Nil => Seq("")
+        case ss  => ss
+      }
+    }
+    assert(out.map(_.getAs[Long]("n_kept")).sum == allSegs.distinct.size)
+  }
+
+  test("repetition_score: fractions match a from-first-principles recount") {
+    val out = run("repetition_score").collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val toks = tokens(docs(r.getLong(0)).toLowerCase)
+      val n = toks.length.max(1)
+      assert(r.getAs[Long]("n_words") == toks.length)
+      val dupW = 1.0 - toks.distinct.length.toDouble / n
+      val topW = toks.groupBy(identity).values.map(_.length).max.toDouble / n
+      assert(math.abs(r.getAs[Double]("dup_word_frac") - dupW) < 1e-3)
+      assert(math.abs(r.getAs[Double]("top_word_frac") - topW) < 1e-3)
+      assert(r.getAs[Boolean]("keep") ==
+        (dupW <= CorpusClean.DupWordMax + 1e-12 && topW <= CorpusClean.TopWordMax + 1e-12))
+    }
+  }
+
+  test("substring_dedup: matches a from-first-principles window recount") {
+    val out = run("substring_dedup").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // min doc_id can never have duplicated windows
+    assert(out(out.keys.min).getAs[Long]("n_dup_windows") == 0L)
+    // recompute window ownership exactly
+    def wins(text: String): Set[String] = {
+      val t = tokens(text)
+      val n = math.max(math.ceil((t.length - CorpusClean.WinTokens).toDouble /
+        CorpusClean.WinStride).toLong + 1, 1L).toInt
+      (0 until n).map { i =>
+        t.slice(i * CorpusClean.WinStride,
+          i * CorpusClean.WinStride + CorpusClean.WinTokens).mkString(" ")
+      }.toSet
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> wins(r.getString(1))).sortBy(_._1)
+    val firstOwner = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, ws) =>
+      ws.foreach(w => if (!firstOwner.contains(w)) firstOwner(w) = id)
+      val nDup = ws.count(w => firstOwner(w) < id).toLong
+      assert(out(id).getAs[Long]("n_windows") == ws.size.toLong, s"doc $id windows")
+      assert(out(id).getAs[Long]("n_dup_windows") == nDup, s"doc $id dups")
+      assert(out(id).getAs[Boolean]("drop") ==
+        (nDup.toDouble / ws.size >= CorpusClean.ContainMax))
+    }
+  }
+
+  test("bpe_pairs: top pair matches a brute-force recount, counts descend") {
+    val out = run("bpe_pairs").collect()
+    assert(out.length == CorpusClean.BpeK)
+    val ns = out.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => tokens(r.getString(0).toLowerCase).sliding(2).filter(_.length == 2))
+      .map(p => (p(0), p(1)))
+      .groupBy(identity).view.mapValues(_.length)
+    assert(out.head.getAs[Long]("n") == counts.values.max.toLong)
+    // every reported pair's count matches the brute-force recount
+    out.foreach { r =>
+      assert(counts((r.getString(0), r.getString(1))).toLong == r.getAs[Long]("n"))
+    }
+  }
+
+  test("kmeans_iter: partition of the corpus, Lloyd descent holds") {
+    val out = run("kmeans_iter").collect()
+    assert(out.length == KMeansIter.K)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == total)
+    assert(out.forall(_.getAs[Long]("inertia") > 0))
+    val i1 = KMeansIter.inertiaAfter(spark, sf, 1)
+    val i2 = KMeansIter.inertiaAfter(spark, sf, 2)
+    assert(i2 <= i1, s"inertia must not increase: $i1 -> $i2")
+    assert(out.map(_.getAs[Long]("inertia")).sum == i2)
+  }
+
+  test("quantile_bins: bins cover all rows, depths are balanced, extents ordered") {
+    val out = run("quantile_bins").collect().sortBy(_.getAs[Int]("bin"))
+    val total = Tables.lineitem(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == total)
+    val depths = out.map(_.getAs[Long]("n_rows"))
+    assert(depths.max - depths.min <= math.max(2, total / 50),
+      s"equi-depth skew: ${depths.mkString(",")}")
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9)
+      case _ =>
+    }
+  }
+
+  test("outlier_mad: every event counted once, outliers are a strict minority") {
+    val out = run("outlier_mad").collect()
+    val total = Tables.events(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") * 4 < r.getAs[Long]("n"),
+        s"${r.getString(0)}: MAD flags should be a small fraction")
+      assert(r.getAs[Double]("mad") >= 0)
+    }
+  }
+
+  test("schema_drift: pre-drift generation surfaces typed nulls, nothing lost") {
+    val out = run("schema_drift").collect()
+    val day1 = out.filter(_.getAs[Int]("day") == 1)
+    assert(day1.length == 1 && day1.head.getAs[String]("status") == "<pre-drift>")
+    assert(out.filter(_.getAs[Int]("day") == 2)
+      .forall(_.getAs[String]("status") != "<pre-drift>"))
+    val total = Tables.orders(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+  }
+
+  test("stream_join: streaming result equals the relational join") {
+    val out = run("stream_join").collect()
+      .map(r => (r.getAs[Long]("vid"), r.getAs[Long]("pid"))).toSet
+    val e = Tables.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id"), col("ts").as("vts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = v.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("vts") && col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+      .select("vid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == batch)
+    assert(out.nonEmpty)
+  }
+}
