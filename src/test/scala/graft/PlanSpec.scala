@@ -85,4 +85,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(shard"),
       s"seq_pack window is not partitioned by shard:\n$p")
   }
+
+  test("quantile_bins: pruned single-column scan, binning map-side (no sort join, no global window)") {
+    val p = plan("quantile_bins")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("l_extendedprice") && !scanLine.contains("l_orderkey"),
+      s"scan not pruned to the price column: $scanLine")
+    assert(!p.contains("SortMergeJoin"), "edges must broadcast, not shuffle")
+    assert(!p.contains("Window"), "binning must not use a global window")
+  }
+
+  test("kmeans_iter: centroid joins broadcast, assignment never all-pairs") {
+    val p = plan("kmeans_iter")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"assign stages should broadcast the centroid frame:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("corpus-clean ops resolve duplicates by equi-keyed shuffles, never pairwise") {
+    Seq("line_dedup", "substring_dedup", "repetition_score", "bpe_pairs").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name has a pairwise join:\n$p")
+    }
+  }
+
+  test("schema_drift: one merged-schema scan serves both generations") {
+    val p = plan("schema_drift")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("o_orderstatus"), "merged schema lost the drifted column")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "should be ONE scan over both days")
+  }
 }
