@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Behavior, TextOps}
-import graft.operators.{Ann, AsofJoin, CorpusClean, Dedup, KMeansIter, Multimodal, RangeJoin, ScalePatterns, Sketches, TrainPrep}
+import graft.operators.{Ann, AsofJoin, CorpusClean, Dedup, KMeansIter, Multimodal, PageRankIter, RangeJoin, ScalePatterns, Sketches, TrainPrep}
 import graft.ingest.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -109,7 +109,10 @@ object SparkEntry {
     "quantile_bins"    -> (graft.queries.Robust.quantileBins _),
     "outlier_mad"      -> (graft.queries.Robust.outlierMad _),
     "schema_drift"     -> (ScalePatterns.schemaDrift _),
-    "stream_join"      -> (graft.streaming.StreamJoin.run _)
+    "stream_join"      -> (graft.streaming.StreamJoin.run _),
+    "pagerank_iter"    -> (PageRankIter.pagerankIter _),
+    "kmv_merge"        -> (Sketches.kmvMerge _),
+    "key_skew_stats"   -> (Sketches.keySkewStats _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -205,6 +208,9 @@ object SparkEntry {
     "quantile_bins"    -> graft.queries.Robust.quantileBinsSql,
     "outlier_mad"      -> graft.queries.Robust.outlierMadSql,
     "schema_drift"     -> ScalePatterns.schemaDriftSql,
-    "stream_join"      -> graft.streaming.StreamJoin.sql
+    "stream_join"      -> graft.streaming.StreamJoin.sql,
+    "pagerank_iter"    -> PageRankIter.pagerankIterSql,
+    "kmv_merge"        -> Sketches.kmvMergeSql,
+    "key_skew_stats"   -> Sketches.keySkewStatsSql
   )
 }

@@ -92,4 +92,81 @@ object Sketches {
        |FROM events
        |WHERE (event_id * $Mult) % $M < $SampleCut
        |GROUP BY event_type""".stripMargin
+
+  /** I11: KMV sketch MERGEABILITY — the property that makes sketches
+    * work distributed: per-day sketches (K smallest hashes per day,
+    * the per-partition state an executor would hold) merged by
+    * taking the K smallest of their union yield EXACTLY the sketch
+    * of the whole stream, because any of the global K minima is
+    * among its own day's K minima. The operator computes the
+    * estimate both ways (merged vs direct) so the equality is in the
+    * RESULT, not just a spec. Top-K selection is TakeOrdered (no
+    * global sort window); everything else is one distinct shuffle. */
+  def kmvMerge(s: SparkSession, dir: String): DataFrame = {
+    val hashed = events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        pmod(col("user_id") * Mult, lit(M)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wd = Window.partitionBy(col("day")).orderBy(col("h"))
+    val daySketch = hashed.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= K).select(col("day"), col("h"))
+    def sketchOf(hs: DataFrame, pfx: String): DataFrame =
+      hs.select(col("h")).distinct().orderBy(col("h")).limit(K)
+        .agg(count(lit(1)).as(s"${pfx}_n"), max(col("h")).as(s"${pfx}_hk"))
+    val merged = sketchOf(daySketch, "m")
+    val direct = sketchOf(hashed, "d")
+    val nDays = hashed.agg(count_distinct(col("day")).as("n_days"))
+    val exact = events(s, dir).agg(count_distinct(col("user_id")).as("n_exact"))
+    def est(n: org.apache.spark.sql.Column, hk: org.apache.spark.sql.Column) =
+      round(when(n < K, col("n_exact").cast("double"))
+        .otherwise(lit((K - 1).toDouble * M) / hk), 4)
+    exact.crossJoin(broadcast(nDays)).crossJoin(broadcast(merged)).crossJoin(broadcast(direct))
+      .select(col("n_days"), col("n_exact"),
+        est(col("m_n"), col("m_hk")).as("est_merged"),
+        est(col("d_n"), col("d_hk")).as("est_direct"))
+  }
+
+  val kmvMergeSql: String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       |    (user_id * $Mult) % $M AS h
+       |  FROM events),
+       |day_sk AS (
+       |  SELECT day, h FROM (
+       |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM hashed)
+       |  WHERE rn <= $K),
+       |merged AS (SELECT h FROM (SELECT DISTINCT h FROM day_sk) ORDER BY h LIMIT $K),
+       |direct AS (SELECT h FROM (SELECT DISTINCT h FROM hashed) ORDER BY h LIMIT $K),
+       |ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+       |SELECT (SELECT count(DISTINCT day) FROM hashed) AS n_days,
+       |  ex.n_exact,
+       |  round(CASE WHEN (SELECT count(*) FROM merged) < $K THEN ex.n_exact::DOUBLE
+       |             ELSE ${(K - 1).toDouble} * $M / (SELECT max(h) FROM merged) END, 4) AS est_merged,
+       |  round(CASE WHEN (SELECT count(*) FROM direct) < $K THEN ex.n_exact::DOUBLE
+       |             ELSE ${(K - 1).toDouble} * $M / (SELECT max(h) FROM direct) END, 4) AS est_direct
+       |FROM ex""".stripMargin
+
+  /** I12: key-skew diagnostics — the DETECT half of the skew story
+    * ([[ScalePatterns.skewAgg]]/[[ScalePatterns.skewJoin]] are the
+    * mitigation): per-key row counts reduced to the shuffle-planning
+    * stats that decide whether a key needs salting. One key-keyed
+    * aggregate + one global reduce of 1 row per key. */
+  def keySkewStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        round(avg(col("cnt")), 4).as("avg_cnt"),
+        round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"),
+        round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"))
+
+  val keySkewStatsSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS n_rows, max(cnt) AS max_cnt,
+      |  round(avg(cnt), 4) AS avg_cnt,
+      |  round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+      |  round(max(cnt) / avg(cnt), 4) AS skew_ratio
+      |FROM c""".stripMargin
 }
