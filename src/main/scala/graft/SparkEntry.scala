@@ -112,7 +112,8 @@ object SparkEntry {
     "stream_join"      -> (graft.streaming.StreamJoin.run _),
     "pagerank_iter"    -> (PageRankIter.pagerankIter _),
     "kmv_merge"        -> (Sketches.kmvMerge _),
-    "key_skew_stats"   -> (Sketches.keySkewStats _)
+    "key_skew_stats"   -> (Sketches.keySkewStats _),
+    "filter_funnel"    -> (TrainPrep.filterFunnel _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -211,6 +212,7 @@ object SparkEntry {
     "stream_join"      -> graft.streaming.StreamJoin.sql,
     "pagerank_iter"    -> PageRankIter.pagerankIterSql,
     "kmv_merge"        -> Sketches.kmvMergeSql,
-    "key_skew_stats"   -> Sketches.keySkewStatsSql
+    "key_skew_stats"   -> Sketches.keySkewStatsSql,
+    "filter_funnel"    -> TrainPrep.filterFunnelSql
   )
 }

@@ -297,4 +297,78 @@ object TrainPrep {
       |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
       |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
       |FROM documents""".stripMargin
+
+  /** Funnel stage thresholds (ordered: a doc is attributed to its
+    * FIRST failing stage, so per-stage counts are the attrition
+    * report a curation run publishes). */
+  val MinTok = 30
+
+  /** I13: filter funnel — the composed keep/drop pipeline a corpus
+    * curation run ships, with per-stage attrition: too-short →
+    * repetitive (Gopher fractions) → low-quality (curate's score) →
+    * exact-dup (non-canonical copy) → pass. One scan feeds a word
+    * aggregate + a dup-keeper window; the verdict is a single CASE,
+    * so adding a stage costs a predicate, not a pass over the
+    * corpus. */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val words = docs
+      .select(col("doc_id"), explode(TextFns.wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+    val keeper = docs
+      .groupBy(md5(col("text").cast("binary")).as("th"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val punctRatio = TextFns.punctCount(col("text")).cast("double") / length(col("text"))
+    val quality = least(greatest(TextFns.wsTokenCount(col("text")), lit(1)), lit(100))
+      .cast("double") / 100 * (lit(1) - punctRatio)
+    val nTok = coalesce(col("n_tok"), lit(0L))
+    val dupW = lit(1.0) - coalesce(col("n_distinct"), lit(0L)).cast("double") /
+      greatest(nTok, lit(1L))
+    val topW = coalesce(col("top_cnt"), lit(0L)).cast("double") / greatest(nTok, lit(1L))
+    docs
+      .withColumn("th", md5(col("text").cast("binary")))
+      .join(words, Seq("doc_id"), "left_outer")
+      .join(keeper, "th")
+      .withColumn("stage",
+        when(nTok < MinTok, "1_too_short")
+          .when(dupW > CorpusClean.DupWordMax || topW > CorpusClean.TopWordMax,
+            "2_repetitive")
+          .when(quality < 0.5, "3_low_quality")
+          .when(col("doc_id") =!= col("keeper"), "4_exact_dup")
+          .otherwise("5_pass"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("stage"))
+  }
+
+  val filterFunnelSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+       |    least(greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 100)::DOUBLE
+       |      / 100 * (1 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)) AS q,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, n_chars, q, keeper,
+       |    len(toks) AS n_tok,
+       |    1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS dup_w,
+       |    coalesce(list_max(list_transform(list_distinct(toks),
+       |      w -> len(list_filter(toks, t -> t = w)))), 0)::DOUBLE
+       |      / greatest(len(toks), 1) AS top_w
+       |  FROM base),
+       |verdict AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN n_tok < $MinTok THEN '1_too_short'
+       |         WHEN dup_w > ${CorpusClean.DupWordMax} OR top_w > ${CorpusClean.TopWordMax}
+       |           THEN '2_repetitive'
+       |         WHEN q < 0.5 THEN '3_low_quality'
+       |         WHEN doc_id <> keeper THEN '4_exact_dup'
+       |         ELSE '5_pass' END AS stage
+       |  FROM scored)
+       |SELECT stage, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+       |FROM verdict GROUP BY stage ORDER BY stage""".stripMargin
 }

@@ -142,6 +142,38 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).sum == total)
   }
 
+  test("filter_funnel: stages partition the corpus and match a per-doc recount") {
+    val out = run("filter_funnel").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.values.map(_._1).sum == docs.length.toLong)
+    assert(out.values.map(_._2).sum == docs.map(_._3).sum)
+    // first-principles verdicts
+    val keeper = docs.groupBy(_._2).values
+      .flatMap(g => g.map(d => d._1 -> g.map(_._1).min)).toMap
+    def verdict(id: Long, text: String): String = {
+      val toks = tokens(text.toLowerCase)
+      val n = toks.length
+      val dupW = if (n == 0) 1.0 else 1.0 - toks.distinct.length.toDouble / n
+      val topW = if (n == 0) 0.0
+        else toks.groupBy(identity).values.map(_.length).max.toDouble / n
+      val punct = text.count(c => !(c.isDigit || c == ' ' ||
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+      val q = math.min(math.max(tokens(text).length, 1), 100).toDouble / 100 *
+        (1.0 - punct.toDouble / text.length)
+      if (n < graft.operators.TrainPrep.MinTok) "1_too_short"
+      else if (dupW > CorpusClean.DupWordMax || topW > CorpusClean.TopWordMax) "2_repetitive"
+      else if (q < 0.5) "3_low_quality"
+      else if (id != keeper(id)) "4_exact_dup"
+      else "5_pass"
+    }
+    val expected = docs.groupBy(d => verdict(d._1, d._2))
+      .view.mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    assert(out == expected)
+  }
+
   test("stream_join: streaming result equals the relational join") {
     val out = run("stream_join").collect()
       .map(r => (r.getAs[Long]("vid"), r.getAs[Long]("pid"))).toSet
