@@ -113,7 +113,8 @@ object SparkEntry {
     "pagerank_iter"    -> (PageRankIter.pagerankIter _),
     "kmv_merge"        -> (Sketches.kmvMerge _),
     "key_skew_stats"   -> (Sketches.keySkewStats _),
-    "filter_funnel"    -> (TrainPrep.filterFunnel _)
+    "filter_funnel"    -> (TrainPrep.filterFunnel _),
+    "collocations"     -> (CorpusClean.collocations _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -213,6 +214,7 @@ object SparkEntry {
     "pagerank_iter"    -> PageRankIter.pagerankIterSql,
     "kmv_merge"        -> Sketches.kmvMergeSql,
     "key_skew_stats"   -> Sketches.keySkewStatsSql,
-    "filter_funnel"    -> TrainPrep.filterFunnelSql
+    "filter_funnel"    -> TrainPrep.filterFunnelSql,
+    "collocations"     -> CorpusClean.collocationsSql
   )
 }

@@ -243,4 +243,60 @@ object CorpusClean {
        |SELECT pr.l AS "left", pr.r AS "right", count(*) AS n
        |FROM p GROUP BY 1, 2
        |ORDER BY n DESC, "left", "right" LIMIT $BpeK""".stripMargin
+
+  /** Minimum pair count before a collocation is scored (PMI is
+    * unstable on rare pairs — the standard count floor). */
+  val CollocMinCount = 25
+  val CollocK = 20
+
+  /** I14: collocation mining — adjacent pairs scored by LIFT,
+    * P(l,r) / (P(l)·P(r)) — the quantity inside PMI's log, same
+    * ranking, but an exact-integer ratio: c_lr·N and c_l·c_r are
+    * exact in doubles (< 2^53), one division, so the score is
+    * engine-exact where a transcendental ln is a 1-ulp cross-engine
+    * hash risk. Shape: the [[bpePairs]] postings aggregate + a
+    * broadcast unigram join + a one-row total cross join — all
+    * count-sized, nothing corpus-pairwise. */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n_total"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = toks
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .groupBy(col("w").as("wl"), col("w1").as("wr"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= CollocMinCount)
+    bg
+      .join(broadcast(uni.select(col("w").as("wl"), col("c").as("cl"))), "wl")
+      .join(broadcast(uni.select(col("w").as("wr"), col("c").as("cr"))), "wr")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        round(col("n_pair").cast("double") * col("n_total") /
+          (col("cl").cast("double") * col("cr")), 4))
+      .orderBy(col("lift").desc, col("wl"), col("wr"))
+      .limit(CollocK)
+      .select(col("wl"), col("wr"), col("n_pair"), col("lift"))
+  }
+
+  val collocationsSql: String =
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |uni AS (
+       |  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |tot AS (SELECT sum(c)::BIGINT AS n_total FROM uni),
+       |bg AS (
+       |  SELECT pr.l AS wl, pr.r AS wr, count(*) AS n_pair FROM (
+       |    SELECT unnest([{'l': toks[i], 'r': toks[i+1]} for i in range(1, len(toks))]) AS pr
+       |    FROM t WHERE len(toks) >= 2) GROUP BY 1, 2
+       |  HAVING count(*) >= $CollocMinCount)
+       |SELECT wl, wr, n_pair,
+       |  round(n_pair::DOUBLE * tot.n_total / (ul.c::DOUBLE * ur.c), 4) AS lift
+       |FROM bg CROSS JOIN tot
+       |JOIN uni ul ON bg.wl = ul.w
+       |JOIN uni ur ON bg.wr = ur.w
+       |ORDER BY lift DESC, wl, wr LIMIT $CollocK""".stripMargin
 }

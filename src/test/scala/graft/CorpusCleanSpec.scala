@@ -95,6 +95,27 @@ class CorpusCleanSpec extends SparkSpec {
     }
   }
 
+  test("collocations: lift matches a brute-force recount, floor respected") {
+    val out = run("collocations").collect()
+    assert(out.length == CorpusClean.CollocK)
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(r => tokens(r.getString(0).toLowerCase))
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum
+    val pairs = texts.flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val (wl, wr) = (r.getString(0), r.getString(1))
+      val c = pairs((wl, wr))
+      assert(c == r.getAs[Long]("n_pair"))
+      assert(c >= CorpusClean.CollocMinCount)
+      val lift = c.toDouble * n / (uni(wl).toDouble * uni(wr))
+      assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-3)
+    }
+    val lifts = out.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("kmeans_iter: partition of the corpus, Lloyd descent holds") {
     val out = run("kmeans_iter").collect()
     assert(out.length == KMeansIter.K)
