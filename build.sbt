@@ -20,6 +20,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // the last stdout line either (a consumer parsing the LAST line as
 // JSON sees that banner instead of the bench line).
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

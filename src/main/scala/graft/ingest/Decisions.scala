@@ -354,7 +354,21 @@ object Decisions {
   * (sf, row-count) under target/fixtures.
   */
 object DecisionFixture {
+  /** dir → resolved fixture path. The row count only names the
+    * fixture dir, so once built (or found) for a testdata dir the
+    * synth-and-count scan need not repeat — three queries per run
+    * share this fixture. */
+  private val resolved = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def ensure(s: SparkSession, dir: String): String = {
+    val hit = resolved.get(dir)
+    if (hit != null) return hit
+    val path = ensureUncached(s, dir)
+    resolved.put(dir, path)
+    path
+  }
+
+  private def ensureUncached(s: SparkSession, dir: String): String = {
     val df = Decisions.synth(s, dir)
     val n = df.count()
     val out = Paths.get(s"/root/repo/target/fixtures/decisions2_${dir.replaceAll("[^0-9.]", "")}_$n")
