@@ -114,7 +114,13 @@ object SparkEntry {
     "kmv_merge"        -> (Sketches.kmvMerge _),
     "key_skew_stats"   -> (Sketches.keySkewStats _),
     "filter_funnel"    -> (TrainPrep.filterFunnel _),
-    "collocations"     -> (CorpusClean.collocations _)
+    "collocations"     -> (CorpusClean.collocations _),
+    // J: round-4 continuation
+    "triangle_count"   -> (graft.operators.Graph.triangleCount _),
+    "heavy_hitters"    -> (Sketches.heavyHitters _),
+    "dist_drift"       -> (graft.queries.Robust.distDrift _),
+    "winsorize"        -> (graft.queries.Robust.winsorize _),
+    "lm_score"         -> (CorpusClean.lmScore _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -215,6 +221,11 @@ object SparkEntry {
     "kmv_merge"        -> Sketches.kmvMergeSql,
     "key_skew_stats"   -> Sketches.keySkewStatsSql,
     "filter_funnel"    -> TrainPrep.filterFunnelSql,
-    "collocations"     -> CorpusClean.collocationsSql
+    "collocations"     -> CorpusClean.collocationsSql,
+    "triangle_count"   -> graft.operators.Graph.triangleCountSql,
+    "heavy_hitters"    -> Sketches.heavyHittersSql,
+    "dist_drift"       -> graft.queries.Robust.distDriftSql,
+    "winsorize"        -> graft.queries.Robust.winsorizeSql,
+    "lm_score"         -> CorpusClean.lmScoreSql
   )
 }

@@ -299,4 +299,65 @@ object CorpusClean {
        |JOIN uni ul ON bg.wl = ul.w
        |JOIN uni ur ON bg.wr = ur.w
        |ORDER BY lift DESC, wl, wr LIMIT $CollocK""".stripMargin
+
+  /** Fixed-point scale for quantized bigram conditional
+    * probabilities: q = ⌊c(w,w') · 10⁶ / c(w)⌋ in PURE INTEGER
+    * arithmetic. */
+  val LmScale = 1000000L
+
+  /** Fluency floor on the mean quantized conditional probability. */
+  val LmMin = 0.01
+
+  /** J-line: corpus-LM fluency scoring — the perplexity-filter family
+    * (CCNet's LM step) with the corpus itself as the bigram model:
+    * each document is scored by the mean conditional probability
+    * P(wᵢ | wᵢ₋₁) of its bigrams under corpus-wide counts. True
+    * perplexity exponentiates a mean log-prob — transcendental, a
+    * cross-engine hash risk — so probabilities are instead quantized
+    * to integers (⌊c_bg·10⁶ / c_uni⌋, exact `div` of exact BIGINTs)
+    * and summed as BIGINT: order-independent, hash-exact, same doc
+    * ranking. Shape: doc-keyed bigram postings equi-joined to the
+    * corpus bigram table (shuffle ∝ corpus tokens) + a broadcast
+    * unigram join; one doc-keyed aggregate finishes. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = toks
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("w"), col("w1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBg = bg.groupBy(col("w"), col("w1")).agg(count(lit(1)).as("cbg"))
+    val cUni = toks.groupBy(col("w")).agg(count(lit(1)).as("cuni"))
+    bg
+      .join(cBg, Seq("w", "w1"))
+      .join(broadcast(cUni), Seq("w"))
+      .select(col("doc_id"), expr(s"(cbg * ${LmScale}L) div cuni").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+        round(col("sum_q").cast("double") / (col("n_bigrams") * LmScale), 4).as("lm_score"),
+        (col("sum_q").cast("double") / (col("n_bigrams") * LmScale) >= LmMin).as("fluent"))
+  }
+
+  val lmScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w,
+       |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w, w1 FROM (
+       |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |    FROM toks)
+       |  WHERE w1 IS NOT NULL),
+       |cbg AS (SELECT w, w1, count(*) AS cbg FROM bg GROUP BY 1, 2),
+       |cuni AS (SELECT w, count(*) AS cuni FROM toks GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_bigrams, sum(q)::BIGINT AS sum_q,
+       |  round(sum(q)::DOUBLE / (count(*) * $LmScale), 4) AS lm_score,
+       |  sum(q)::DOUBLE / (count(*) * $LmScale) >= $LmMin AS fluent
+       |FROM (
+       |  SELECT bg.doc_id, (cbg.cbg * $LmScale) // cuni.cuni AS q
+       |  FROM bg JOIN cbg USING (w, w1) JOIN cuni USING (w))
+       |GROUP BY doc_id""".stripMargin
 }

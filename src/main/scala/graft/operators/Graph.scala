@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** J-line: triangle counting over the supplier co-supply graph —
+  * the graph-shape statistic (clustering / community density) a
+  * pipeline computes over entity-interaction graphs.
+  *
+  * Scale design is the whole point here: naive triangle enumeration
+  * joins edges twice and dies on high-degree nodes (the "curse of the
+  * last reducer"). This operator uses DEGREE ORDERING (Suri &
+  * Vassilvitskii, WWW'11): orient every undirected edge from its
+  * lower-(degree, id) endpoint to the higher one, enumerate wedges
+  * only from each node's OUT-edges (max out-degree is O(√m) after
+  * orientation), and close each wedge with one equi-join back to the
+  * oriented edge list. Every triangle {u<v<w in the (deg,id) order}
+  * is produced exactly once as the wedge at u closed by v→w, so the
+  * join output is the triangle set itself — shuffle ∝ wedges, and
+  * wedge count is minimized by the orientation.
+  *
+  * The edge list is the top-[[MaxEdges]] supplier pairs by shared
+  * customer count (deterministic (shared, s1, s2) cut) — the
+  * thresholding step that keeps a co-occurrence graph sparse at any
+  * scale; the per-customer pair fanout before it is the standard
+  * co-occurrence join, bounded by per-customer degree.
+  */
+object Graph {
+
+  /** Edge-list cap: top pairs by shared-customer count. */
+  val MaxEdges = 2000
+
+  /** Top-K nodes reported by triangle participation. */
+  val TriK = 20
+
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    // co-occurrence: supplier pairs sharing a customer (s1 < s2 once)
+    val a = pairs.select(col("c"), col("sk").as("s1"))
+    val b = pairs.select(col("c"), col("sk").as("s2"))
+    val shared = a.join(b, "c").filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("shared"))
+    val edges = shared
+      .orderBy(col("shared").desc, col("s1"), col("s2")).limit(MaxEdges)
+      .select(col("s1"), col("s2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("s1").as("n"))
+      .unionByName(edges.select(col("s2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id)
+    val d1 = deg.select(col("n").as("s1"), col("deg").as("deg1"))
+    val d2 = deg.select(col("n").as("s2"), col("deg").as("deg2"))
+    val fwd = col("deg1") < col("deg2") ||
+      (col("deg1") === col("deg2") && col("s1") < col("s2"))
+    val oriented = edges.join(d1, "s1").join(d2, "s2")
+      .select(when(fwd, col("s1")).otherwise(col("s2")).as("src"),
+        when(fwd, col("s2")).otherwise(col("s1")).as("dst"),
+        when(fwd, col("deg2")).otherwise(col("deg1")).as("dd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges from out-edges, (dd, dst) keeps the b < c total order
+    val x = oriented.select(col("src").as("a"), col("dst").as("b"), col("dd").as("db"))
+    val y = oriented.select(col("src").as("a"), col("dst").as("c"), col("dd").as("dc"))
+    val wedges = x.join(y, Seq("a"))
+      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node")).limit(TriK)
+  }
+
+  val triangleCountSql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |shared AS (
+       |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
+       |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.sk < b.sk
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT s1, s2 FROM shared ORDER BY shared DESC, s1, s2 LIMIT $MaxEdges),
+       |deg AS (
+       |  SELECT n, count(*) AS deg FROM (
+       |    SELECT s1 AS n FROM edges UNION ALL SELECT s2 FROM edges)
+       |  GROUP BY n),
+       |o AS (
+       |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.s1 < e.s2)
+       |              THEN e.s1 ELSE e.s2 END AS src,
+       |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.s1 < e.s2)
+       |              THEN e.s2 ELSE e.s1 END AS dst,
+       |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.s1 < e.s2)
+       |              THEN d2.deg ELSE d1.deg END AS dd
+       |  FROM edges e JOIN deg d1 ON e.s1 = d1.n JOIN deg d2 ON e.s2 = d2.n),
+       |w AS (
+       |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+       |  FROM o x JOIN o y ON x.src = y.src
+       |  WHERE x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst)),
+       |tri AS (SELECT a, b, c FROM w JOIN o ON o.src = w.b AND o.dst = w.c),
+       |nodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
+       |SELECT node, count(*) AS n_tri FROM nodes
+       |GROUP BY node ORDER BY n_tri DESC, node LIMIT $TriK""".stripMargin
+}

@@ -169,4 +169,52 @@ object Sketches {
       |  round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
       |  round(max(cnt) / avg(cnt), 4) AS skew_ratio
       |FROM c""".stripMargin
+
+  /** Two-phase heavy-hitter parameters: deterministic shard count,
+    * per-shard candidate width, final top-K. Cand ≫ HhK gives the
+    * candidate phase a wide safety margin (spec asserts equality with
+    * the exact global top-K). */
+  val Shards = 16
+  val Cand = 50
+  val HhK = 20
+
+  /** J-line: heavy hitters (frequent tokens) via the two-phase
+    * candidate + verify pattern — the distributed form of
+    * space-saving / Misra-Gries. Phase 1 computes per-SHARD token
+    * counts and keeps each shard's top-[[Cand]] as candidates; phase
+    * 2 re-aggregates ONLY candidate tokens to exact global counts
+    * (reusing the shard partials — the classic two-level aggregate)
+    * and takes the top-[[HhK]]. At 100 TB the phase-2 shuffle carries
+    * shards × |candidates| rows instead of the whole vocabulary.
+    * Shards come from the portable doc_id hash, not
+    * spark_partition_id, so the computation is a pure function of the
+    * data and the oracle replays BOTH phases bit-for-bit. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select((pmod(col("doc_id") * Mult, lit(M)) % Shards).as("shard"),
+        explode(graft.functions.TextFns.wsTokens(lower(col("text")))).as("w"))
+    val shardCnt = toks.groupBy(col("shard"), col("w")).agg(count(lit(1)).as("cnt"))
+    val ws = Window.partitionBy(col("shard")).orderBy(col("cnt").desc, col("w"))
+    val cands = shardCnt.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= Cand).select(col("w")).distinct()
+    shardCnt.join(broadcast(cands), Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(HhK)
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT ((doc_id * $Mult) % $M) % $Shards AS shard,
+       |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |sc AS (SELECT shard, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT shard, w,
+       |      row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, w) AS rn
+       |    FROM sc)
+       |  WHERE rn <= $Cand)
+       |SELECT w, sum(cnt)::BIGINT AS cnt
+       |FROM sc WHERE w IN (SELECT w FROM cand)
+       |GROUP BY w ORDER BY cnt DESC, w LIMIT $HhK""".stripMargin
 }

@@ -80,4 +80,103 @@ object Robust {
        |  round(max(d.med), 4) AS med, round(max(mad), 4) AS mad
        |FROM dev d JOIN mad USING (event_type)
        |GROUP BY d.event_type""".stripMargin
+
+  /** Drift-alert threshold on total-variation distance. */
+  val DriftMax = 0.05
+
+  /** J-line: distribution-drift monitor — total-variation distance
+    * between two event cohorts (even vs odd epoch-day, the
+    * yesterday-vs-today stand-in) per event type, over shared
+    * equi-depth bins. TVD is computed as an EXACT-INTEGER sum,
+    *   Σ|a_i·N_B − b_i·N_A| / (2·N_A·N_B),
+    * so the cross-engine result is one correctly-rounded division of
+    * exact BIGINTs, never a float accumulation (PSI/KL need logs — a
+    * 1-ulp cross-engine hash risk; TVD ranks drift the same way).
+    * Shape: one map-side binning pass against a broadcast edge row +
+    * two small aggregates — the same plan at any scale. */
+  def distDrift(s: SparkSession, dir: String): DataFrame = {
+    val ps = (1 until Bins).map(i => i.toDouble / Bins)
+    val edges = events(s, dir)
+      .agg(expr(s"percentile(value, array(${ps.mkString(",")}))").as("edges"))
+    val cell = events(s, dir)
+      .select(col("event_type"), col("value"),
+        (expr("unix_timestamp(ts) div 86400") % 2).as("cohort"))
+      .crossJoin(broadcast(edges))
+      .withColumn("bin", size(filter(col("edges"), e => col("value") > e)))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("b"))
+    val tot = cell.groupBy(col("event_type"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val tvd = col("num").cast("double") / (lit(2L) * col("na") * col("nb"))
+    cell.join(tot, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(abs(col("a") * col("nb") - col("b") * col("na"))).as("num"))
+      .select(col("event_type"), col("na"), col("nb"),
+        round(tvd, 6).as("tvd"), (tvd > DriftMax).as("drift"))
+  }
+
+  val distDriftSql: String = {
+    val ps = (1 until Bins).map(i => i.toDouble / Bins).mkString(",")
+    s"""WITH e AS (SELECT quantile_cont(value, [$ps]) AS edges FROM events),
+       |cell AS (
+       |  SELECT event_type,
+       |    len(list_filter(e.edges, x -> value > x)) AS bin,
+       |    sum(CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 % 2 = 0
+       |             THEN 1 ELSE 0 END)::BIGINT AS a,
+       |    sum(CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 % 2 = 1
+       |             THEN 1 ELSE 0 END)::BIGINT AS b
+       |  FROM events, e GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT event_type, sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
+       |  FROM cell GROUP BY 1),
+       |agg AS (
+       |  SELECT cell.event_type, max(na) AS na, max(nb) AS nb,
+       |    sum(abs(a * nb - b * na))::BIGINT AS num
+       |  FROM cell JOIN tot USING (event_type) GROUP BY 1)
+       |SELECT event_type, na, nb,
+       |  round(num::DOUBLE / (2 * na * nb), 6) AS tvd,
+       |  num::DOUBLE / (2 * na * nb) > $DriftMax AS drift
+       |FROM agg""".stripMargin
+  }
+
+  /** Winsorization percentiles: clamp below p05 / above p95. */
+  val WinsLo = 0.05
+  val WinsHi = 0.95
+
+  /** J-line: winsorized robust means per event type — values clamped
+    * to the [p05, p95] band before averaging, the standard trim that
+    * keeps a corrupted tail from dragging a monitored mean. One
+    * group-keyed percentile aggregate broadcast back, then one
+    * aggregate; clamping is map-side column algebra. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val lims = events(s, dir).groupBy(col("event_type"))
+      .agg(expr(s"percentile(value, $WinsLo)").as("lo"),
+        expr(s"percentile(value, $WinsHi)").as("hi"))
+    val clamped = least(greatest(col("value"), col("lo")), col("hi"))
+    events(s, dir).join(broadcast(lims), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        round(avg(col("value")), 4).as("mean_raw"),
+        round(avg(clamped), 4).as("mean_wins"),
+        round(max(col("lo")), 4).as("lo"),
+        round(max(col("hi")), 4).as("hi"))
+  }
+
+  val winsorizeSql: String =
+    s"""WITH lims AS (
+       |  SELECT event_type, quantile_cont(value, $WinsLo) AS lo,
+       |    quantile_cont(value, $WinsHi) AS hi
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, count(*) AS n,
+       |  sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_lo,
+       |  sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_hi,
+       |  round(avg(value), 4) AS mean_raw,
+       |  round(avg(least(greatest(value, lo), hi)), 4) AS mean_wins,
+       |  round(max(lo), 4) AS lo, round(max(hi), 4) AS hi
+       |FROM events JOIN lims USING (event_type)
+       |GROUP BY event_type""".stripMargin
 }

@@ -142,6 +142,72 @@ class CorpusCleanSpec extends SparkSpec {
     }
   }
 
+  test("lm_score: quantized bigram probabilities match an exact integer recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1).toLowerCase)).toMap
+    val allBg = docs.values.toSeq.flatMap(_.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val cBg = allBg.groupBy(identity).view.mapValues(_.length.toLong)
+    val cUni = docs.values.toSeq.flatten.groupBy(identity).view.mapValues(_.length.toLong)
+    val out = run("lm_score").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == docs.count(_._2.length >= 2))
+    docs.filter(_._2.length >= 2).foreach { case (id, toks) =>
+      val qs = toks.sliding(2).filter(_.length == 2)
+        .map(p => cBg((p(0), p(1))) * CorpusClean.LmScale / cUni(p(0))).toSeq
+      assert(out(id).getAs[Long]("n_bigrams") == qs.length.toLong, s"doc $id n")
+      assert(out(id).getAs[Long]("sum_q") == qs.sum, s"doc $id sum_q")
+      val score = qs.sum.toDouble / (qs.length * CorpusClean.LmScale)
+      assert(math.abs(out(id).getAs[Double]("lm_score") - score) < 1e-3)
+      assert(out(id).getAs[Boolean]("fluent") == (score >= CorpusClean.LmMin))
+    }
+  }
+
+  test("dist_drift: TVD matches the exact-integer recount on the same bins") {
+    val ps = (1 until graft.queries.Robust.Bins).map(_.toDouble / graft.queries.Robust.Bins)
+    val edges = Tables.events(spark, sf)
+      .agg(expr(s"percentile(value, array(${ps.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), expr("unix_timestamp(ts)")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2) / 86400 % 2))
+    val out = run("dist_drift").collect().map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val cells = rows.groupBy { case (_, v, _) => edges.count(v > _) }
+      val na = rows.count(_._3 == 0L).toLong
+      val nb = rows.count(_._3 == 1L).toLong
+      val num = cells.values.map { c =>
+        val a = c.count(_._3 == 0L).toLong
+        val b = c.count(_._3 == 1L).toLong
+        math.abs(a * nb - b * na)
+      }.sum
+      val tvd = num.toDouble / (2L * na * nb)
+      assert(out(et).getAs[Long]("na") == na, s"$et na")
+      assert(out(et).getAs[Long]("nb") == nb, s"$et nb")
+      assert(math.abs(out(et).getAs[Double]("tvd") - tvd) < 1e-5, s"$et tvd")
+      assert(out(et).getAs[Boolean]("drift") == (tvd > graft.queries.Robust.DriftMax))
+    }
+  }
+
+  test("winsorize: clamp counts exact against the same percentile limits") {
+    val lims = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(expr(s"percentile(value, ${graft.queries.Robust.WinsLo})").as("lo"),
+        expr(s"percentile(value, ${graft.queries.Robust.WinsHi})").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ev = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val out = run("winsorize").collect().map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val (lo, hi) = lims(et)
+      val vs = rows.map(_._2)
+      assert(out(et).getAs[Long]("n") == vs.length.toLong)
+      assert(out(et).getAs[Long]("n_clamped_lo") == vs.count(_ < lo).toLong)
+      assert(out(et).getAs[Long]("n_clamped_hi") == vs.count(_ > hi).toLong)
+      val wins = vs.map(v => math.min(math.max(v, lo), hi))
+      assert(math.abs(out(et).getAs[Double]("mean_raw") - vs.sum / vs.length) < 1e-3)
+      assert(math.abs(out(et).getAs[Double]("mean_wins") - wins.sum / wins.length) < 1e-3)
+    }
+  }
+
   test("outlier_mad: every event counted once, outliers are a strict minority") {
     val out = run("outlier_mad").collect()
     val total = Tables.events(spark, sf).count()

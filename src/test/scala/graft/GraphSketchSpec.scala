@@ -42,6 +42,45 @@ class GraphSketchSpec extends SparkSpec {
       s"est $est vs exact $exact")
   }
 
+  test("triangle_count: degree-ordered join matches brute-force triangle enumeration") {
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // co-occurrence edge list with the same deterministic top cut
+    val shared = pairs.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val sks = ps.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length) yield (sks(i), sks(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val edges = shared.sortBy { case ((s1, s2), c) => (-c, s1, s2) }
+      .take(graft.operators.Graph.MaxEdges).map(_._1)
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    // brute force: each triangle u<v<w counted once, credited to all 3
+    val tri = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (u, v) =>
+      (adj(u) & adj(v)).filter(_ > v).foreach { w =>
+        tri(u) += 1; tri(v) += 1; tri(w) += 1
+      }
+    }
+    val expected = tri.toSeq.sortBy { case (n, c) => (-c, n) }
+      .take(graft.operators.Graph.TriK)
+    val got = run("triangle_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("heavy_hitters: two-phase candidate/verify reproduces the exact global top-K") {
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val expected = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(Sketches.HhK)
+    val got = run("heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("key_skew_stats: matches a per-key recount") {
     val r = run("key_skew_stats").head()
     val counts = Tables.events(spark, sf).groupBy("user_id").count()
