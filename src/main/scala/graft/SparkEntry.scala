@@ -120,7 +120,10 @@ object SparkEntry {
     "heavy_hitters"    -> (Sketches.heavyHitters _),
     "dist_drift"       -> (graft.queries.Robust.distDrift _),
     "winsorize"        -> (graft.queries.Robust.winsorize _),
-    "lm_score"         -> (CorpusClean.lmScore _)
+    "lm_score"         -> (CorpusClean.lmScore _),
+    "vec_health"       -> (Ann.vecHealth _),
+    "token_budget_mix" -> (TrainPrep.tokenBudgetMix _),
+    "chunk_reassemble" -> (TrainPrep.chunkReassemble _)
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-able query; keys
@@ -226,6 +229,9 @@ object SparkEntry {
     "heavy_hitters"    -> Sketches.heavyHittersSql,
     "dist_drift"       -> graft.queries.Robust.distDriftSql,
     "winsorize"        -> graft.queries.Robust.winsorizeSql,
-    "lm_score"         -> CorpusClean.lmScoreSql
+    "lm_score"         -> CorpusClean.lmScoreSql,
+    "vec_health"       -> Ann.vecHealthSql,
+    "token_budget_mix" -> TrainPrep.tokenBudgetMixSql,
+    "chunk_reassemble" -> TrainPrep.chunkReassembleSql
   )
 }

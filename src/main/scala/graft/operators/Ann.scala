@@ -247,4 +247,40 @@ object Ann {
       |  len(list_filter(e,
       |    x -> abs(greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) = 127.0)) AS n_clip
       |FROM v""".stripMargin
+
+  /** J-line: embedding-column health report per label — the QA gate
+    * an index build runs before trusting a vector table: row counts,
+    * dimension consistency (min=max ⇒ uniform), zero-norm vectors
+    * (undefined cosine), and the norm distribution. Norms come from
+    * the codegen'd [[graft.plans.VecDotProduct]] kernel (same
+    * left-to-right double accumulation as the oracle's
+    * list_dot_product, so sqrt of it is bit-identical); the whole
+    * query is one map-only projection + one small aggregate. */
+  def vecHealth(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("label"), size(col("embedding")).as("dim"),
+        graft.functions.VecFns.norm(col("embedding")).as("nrm"))
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(expr("percentile(nrm, 0.5)"), 4).as("p50_norm"),
+        round(max(col("nrm")), 4).as("max_norm"),
+        round(avg(col("nrm")), 4).as("avg_norm"))
+  }
+
+  val vecHealthSql: String =
+    """WITH v AS (
+      |  SELECT label, len(embedding) AS dim,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n_vecs,
+      |  min(dim) AS min_dim, max(dim) AS max_dim,
+      |  sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+      |  round(min(nrm), 4) AS min_norm,
+      |  round(quantile_cont(nrm, 0.5), 4) AS p50_norm,
+      |  round(max(nrm), 4) AS max_norm,
+      |  round(avg(nrm), 4) AS avg_norm
+      |FROM v GROUP BY label""".stripMargin
 }

@@ -371,4 +371,100 @@ object TrainPrep {
        |  FROM scored)
        |SELECT stage, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
        |FROM verdict GROUP BY stage ORDER BY stage""".stripMargin
+
+  /** Target corpus size (tokens) and per-language mixing percents for
+    * [[tokenBudgetMix]]; percents sum to 100. */
+  val MixBudget = 1000000L
+  val MixPct: Seq[(String, Int)] = Seq(
+    "en" -> 40, "zh" -> 15, "de" -> 15, "es" -> 15, "fr" -> 15)
+
+  /** J-line: token-budget mixing plan — given a target token budget
+    * and per-language target shares, compute what a data-mixing step
+    * must do per language: sample DOWN (rate < 1) or repeat for
+    * multiple EPOCHS (rate > 1, the oversampling that data-constrained
+    * scaling runs). Targets are exact integers (budget·pct div 100);
+    * epochs/rates are single divisions of exact BIGINTs. One
+    * token-count aggregate — the planning query is corpus-sized in
+    * input, 5 rows out. */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val pctCase = MixPct.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    documents(s, dir)
+      .select(col("lang"), TextFns.wsTokenCount(col("text")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("actual_tokens"))
+      .withColumn("target_tokens", expr(s"(${MixBudget}L * ($pctCase)) div 100"))
+      .select(col("lang"), col("n_docs"), col("actual_tokens"), col("target_tokens"),
+        round(col("target_tokens").cast("double") / col("actual_tokens"), 4).as("epochs"),
+        round(least(lit(1.0),
+          col("target_tokens").cast("double") / col("actual_tokens")), 4).as("sample_rate"),
+        (col("target_tokens") > col("actual_tokens")).as("oversample"))
+  }
+
+  val tokenBudgetMixSql: String = {
+    val pctCase = MixPct.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH a AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    sum(len(list_filter(string_split(text, ' '), t -> t <> '')))::BIGINT AS actual_tokens,
+       |    ($MixBudget * ($pctCase)) // 100 AS target_tokens
+       |  FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, actual_tokens, target_tokens,
+       |  round(target_tokens::DOUBLE / actual_tokens, 4) AS epochs,
+       |  round(least(1.0, target_tokens::DOUBLE / actual_tokens), 4) AS sample_rate,
+       |  target_tokens > actual_tokens AS oversample
+       |FROM a""".stripMargin
+  }
+
+  /** J-line: chunk→reassemble round-trip proof — [[chunkDocs]]'s
+    * geometry is lossless: keeping the first [[ChunkStride]] chars of
+    * every chunk except the last (which is kept whole) and
+    * concatenating in offset order reproduces the document exactly.
+    * The ordered concat is collect_list → array_sort(struct) →
+    * array_join (offset is unique per doc, so the sort is a total
+    * order — the deterministic form of an ordered string_agg). The
+    * `ok` column is the per-doc proof a pipeline can alert on. */
+  def chunkReassemble(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("n_chunks", when(col("len") <= ChunkLen, lit(1L))
+        .otherwise(ceil((col("len") - ChunkLen).cast("double") / ChunkStride) + 1L))
+    val parts = d
+      .select(col("doc_id"), col("text"), col("len"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("off"))
+      .select(col("doc_id"), col("len"), col("n_chunks"), col("off"),
+        when(col("off") < col("n_chunks") - 1,
+          expr(s"substring(text, cast(off * $ChunkStride + 1 as int), $ChunkStride)"))
+          .otherwise(expr(s"substring(text, cast(off * $ChunkStride + 1 as int), $ChunkLen)"))
+          .as("part"))
+    val rea = parts.groupBy(col("doc_id"), col("len"), col("n_chunks"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("off"), col("part")))),
+        x => x.getField("part")), "").as("rea"))
+    rea.join(documents(s, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("len"),
+        length(col("rea")).as("re_len"), (col("rea") === col("text")).as("ok"))
+  }
+
+  val chunkReassembleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |    CASE WHEN length(text) <= $ChunkLen THEN 1
+       |         ELSE CAST(ceil((length(text) - $ChunkLen)::DOUBLE / $ChunkStride) AS BIGINT) + 1
+       |    END AS n_chunks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, text, len, n_chunks, unnest(range(0, n_chunks)) AS off FROM d),
+       |p AS (
+       |  SELECT doc_id, len, n_chunks, off,
+       |    CASE WHEN off < n_chunks - 1
+       |         THEN substr(text, (off * $ChunkStride + 1)::INT, $ChunkStride)
+       |         ELSE substr(text, (off * $ChunkStride + 1)::INT, $ChunkLen) END AS part
+       |  FROM c),
+       |r AS (
+       |  SELECT doc_id, len, n_chunks, string_agg(part, '' ORDER BY off) AS rea
+       |  FROM p GROUP BY 1, 2, 3)
+       |SELECT r.doc_id, n_chunks, len, length(rea) AS re_len,
+       |  rea = d2.text AS ok
+       |FROM r JOIN documents d2 ON r.doc_id = d2.doc_id""".stripMargin
 }

@@ -73,6 +73,24 @@ class AnnSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("n_clip")).sum > 0)
   }
 
+  test("vec_health: norm stats match a left-to-right per-vector recount") {
+    val vecs = Tables.embeddings(spark, sf).select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val out = run("vec_health").collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.size == vecs.map(_._1).distinct.length)
+    vecs.groupBy(_._1).foreach { case (lbl, vs) =>
+      val norms = vs.map(_._2.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        .map(math.sqrt)
+      val r = out(lbl)
+      assert(r.getAs[Long]("n_vecs") == vs.length.toLong)
+      assert(r.getAs[Int]("min_dim") == 64 && r.getAs[Int]("max_dim") == 64)
+      assert(r.getAs[Long]("n_zero") == norms.count(_ == 0.0).toLong)
+      assert(math.abs(r.getAs[Double]("avg_norm") - norms.sum / norms.size) < 1e-3)
+      assert(math.abs(r.getAs[Double]("min_norm") - norms.min) < 1e-3)
+      assert(math.abs(r.getAs[Double]("max_norm") - norms.max) < 1e-3)
+    }
+  }
+
   // alias so the object reference compiles from the test package
   private object Ann { val NumQueries = graft.operators.Ann.NumQueries; val K = graft.operators.Ann.K }
 }

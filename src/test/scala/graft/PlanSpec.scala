@@ -110,6 +110,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("triangle_count: wedges close via equi-joins, never a pairwise nested loop") {
+    val p = plan("triangle_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle enumeration is not equi-keyed:\n$p")
+  }
+
+  test("heavy_hitters: candidate prune is a broadcast semi join on the partials") {
+    val p = plan("heavy_hitters")
+    assert(p.contains("LeftSemi"), s"no semi join in plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate set must broadcast, not shuffle:\n$p")
+  }
+
+  test("dist_drift: binning is map-side against broadcast edges, no global window") {
+    val p = plan("dist_drift")
+    assert(!p.contains("Window"), "binning must not use a global window")
+    assert(!p.contains("SortMergeJoin"), "edges must broadcast, not shuffle")
+  }
+
+  test("lm_score: unigram counts broadcast into the scoring join") {
+    val p = plan("lm_score")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"unigram join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("schema_drift: one merged-schema scan serves both generations") {
     val p = plan("schema_drift")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get

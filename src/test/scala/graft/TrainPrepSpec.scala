@@ -117,4 +117,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(totalTok == expected)
     assert(rows.forall(_.getAs[Long]("n_tokens") > 0))
   }
+
+  test("token_budget_mix: plan matches an exact integer token recount") {
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+    val pct = graft.operators.TrainPrep.MixPct.toMap
+    val out = run("token_budget_mix").collect().map(r => r.getString(0) -> r).toMap
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val actual = ds.map(_._2).sum
+      val target = graft.operators.TrainPrep.MixBudget * pct(lang) / 100
+      val r = out(lang)
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("actual_tokens") == actual)
+      assert(r.getAs[Long]("target_tokens") == target)
+      assert(r.getAs[Boolean]("oversample") == (target > actual))
+      assert(math.abs(r.getAs[Double]("epochs") - target.toDouble / actual) < 1e-3)
+      assert(math.abs(r.getAs[Double]("sample_rate") -
+        math.min(1.0, target.toDouble / actual)) < 1e-3)
+    }
+  }
+
+  test("chunk_reassemble: every document reassembles exactly from its chunks") {
+    val out = run("chunk_reassemble").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length.toLong == nDocs)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("ok"), s"doc ${r.getLong(0)} did not reassemble")
+      assert(r.getAs[Int]("re_len") == r.getAs[Int]("len"))
+    }
+  }
 }
