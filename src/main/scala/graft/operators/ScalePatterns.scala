@@ -314,4 +314,33 @@ object ScalePatterns {
       |SELECT day, coalesce(o_orderstatus, '<pre-drift>') AS status,
       |  count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
       |FROM u GROUP BY 1, 2""".stripMargin
+
+  /** Keys reported by [[joinSizeEst]]. */
+  val JoinEstK = 10
+
+  /** J-line: join-size estimation BEFORE paying the shuffle — the
+    * planner math (|A ⋈ B on k| = Σ_k cnt_A(k)·cnt_B(k)) over the
+    * many-to-many customer⋈supplier nation join, top keys by
+    * predicted output. The whole query aggregates the two key
+    * histograms and multiplies — it never executes the join it
+    * predicts (the spec does, and proves the estimate EXACT for
+    * equi-joins). This is the detect step that decides broadcast vs
+    * salt vs rewrite for a key whose product term explodes. */
+  def joinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = supplier(s, dir).groupBy(col("s_nationkey").as("k"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, "k")
+      .select(col("k").as("nationkey"), col("n_cust"), col("n_supp"),
+        (col("n_cust") * col("n_supp")).as("est_pairs"))
+      .orderBy(col("est_pairs").desc, col("nationkey")).limit(JoinEstK)
+  }
+
+  val joinSizeEstSql: String =
+    s"""WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+       |p AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+       |SELECT k AS nationkey, n_cust, n_supp, n_cust * n_supp AS est_pairs
+       |FROM c JOIN p USING (k)
+       |ORDER BY est_pairs DESC, nationkey LIMIT $JoinEstK""".stripMargin
 }

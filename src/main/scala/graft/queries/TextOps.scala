@@ -261,4 +261,78 @@ object TextOps {
        |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), stats)
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
   }
+
+  /** J-line: language-ID confusion matrix — the accuracy audit of the
+    * [[langId]] heuristic against the labeled `lang` column, as a
+    * queryable result instead of a spec assertion: (truth, predicted,
+    * n) cells plus the diagonal flag. Reuses the E1 scoring columns;
+    * one count-sized aggregate on top. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    langId(s, dir).select(col("doc_id"), col("pred_lang"))
+      .join(documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (col("lang") === col("pred_lang")).as("correct"))
+
+  val langConfusionSql: String =
+    s"""WITH li AS (
+       |$langIdSql
+       |)
+       |SELECT d.lang, li.pred_lang, count(*) AS n,
+       |  d.lang = li.pred_lang AS correct
+       |FROM li JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  /** J-line: tokenizer fertility per language — BPE-ish lexer tokens
+    * per whitespace word, THE metric a multilingual tokenizer eval
+    * reports (high fertility = the tokenizer fragments that language).
+    * Exact integer sums, one division. Map-side aggregate only. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(reTokenCount(col("text")).cast("long")).as("re_tokens"),
+        sum(wsTokenCount(col("text")).cast("long")).as("ws_tokens"))
+      .select(col("lang"), col("n_docs"), col("re_tokens"), col("ws_tokens"),
+        round(col("re_tokens").cast("double") / col("ws_tokens"), 4).as("fertility"))
+
+  val tokenizerFertilitySql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS re_tokens,
+      |  sum(len(list_filter(string_split(text, ' '), t -> t <> '')))::BIGINT AS ws_tokens,
+      |  round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::DOUBLE
+      |    / sum(len(list_filter(string_split(text, ' '), t -> t <> ''))), 4) AS fertility
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** J-line: vocabulary-concentration (Gini/Simpson) diversity per
+    * doc — 1 − Σ(c_w/n)² as the EXACT RATIONAL (n² − Σc_w²)/n², the
+    * transcendental-free alternative to token entropy (same ordering
+    * of "repetitive vs diverse"; entropy's Σp·log p is a cross-engine
+    * 1-ulp hash risk). One doc-keyed count + one doc-keyed sum of
+    * squares. */
+  def giniDiversity(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round((col("n_words") * col("n_words") - col("ss")).cast("double") /
+          (col("n_words") * col("n_words")), 4).as("gini"))
+
+  val giniDiversitySql: String =
+    """SELECT doc_id, n_words, n_distinct,
+      |  round((n_words * n_words - ss)::DOUBLE / (n_words * n_words), 4) AS gini
+      |FROM (
+      |  SELECT doc_id, sum(cnt)::BIGINT AS n_words, count(*) AS n_distinct,
+      |    sum(cnt * cnt)::BIGINT AS ss
+      |  FROM (
+      |    SELECT doc_id, w, count(*) AS cnt FROM (
+      |      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+      |      FROM documents)
+      |    GROUP BY 1, 2)
+      |  GROUP BY doc_id)""".stripMargin
 }

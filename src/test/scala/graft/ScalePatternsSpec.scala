@@ -46,4 +46,23 @@ class ScalePatternsSpec extends SparkSpec {
     val parts = scans.head.selectedPartitions.partitionCount
     assert(parts == 3, s"scan reads $parts partitions, expected 3")
   }
+
+  test("join_size_est: the Σ cl·cr estimate is EXACT for the equi-join it predicts") {
+    import org.apache.spark.sql.functions.col
+    val est = run("join_size_est").collect()
+      .map(r => r.getAs[Int]("nationkey") -> r.getAs[Long]("est_pairs")).toMap
+    // execute the join the estimator refused to run, count per key
+    val actual = Tables.customer(spark, sf)
+      .join(Tables.supplier(spark, sf),
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("c_nationkey")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) =>
+      assert(actual(k) == e, s"nation $k: est $e != actual ${actual(k)}")
+    }
+    // and the estimator's plan contains no join of the two fact tables
+    val p = SparkEntry.queries("join_size_est")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), "estimate must join histograms, not tables")
+  }
 }

@@ -85,6 +85,53 @@ class TextOpsSpec extends SparkSpec {
     assert(hitIds.subsetOf(withTerms))
   }
 
+  test("lang_confusion: cells sum to the corpus, diagonal matches lang_id accuracy") {
+    val cells = run("lang_confusion").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n")).sum == nDocs)
+    cells.foreach { r =>
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getString(0) == r.getString(1)))
+    }
+    // diagonal mass == per-doc agreement recount from lang_id itself
+    val agree = run("lang_id").select(col("doc_id"), col("pred_lang"))
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("pred_lang") === col("lang")).count()
+    assert(cells.filter(_.getAs[Boolean]("correct")).map(_.getAs[Long]("n")).sum == agree)
+  }
+
+  test("tokenizer_fertility: integer sums match a per-doc recount") {
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val out = run("tokenizer_fertility").collect().map(r => r.getString(0) -> r).toMap
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val ws = ds.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+      val rt = ds.map(d => re.findAllIn(d._2).length.toLong).sum
+      val r = out(lang)
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("ws_tokens") == ws, s"$lang ws")
+      assert(r.getAs[Long]("re_tokens") == rt, s"$lang re")
+      assert(math.abs(r.getAs[Double]("fertility") - rt.toDouble / ws) < 1e-3)
+    }
+  }
+
+  test("gini_diversity: exact-rational concentration matches a recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty))
+    val out = run("gini_diversity").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == docs.count(_._2.nonEmpty))
+    docs.filter(_._2.nonEmpty).foreach { case (id, toks) =>
+      val counts = toks.groupBy(identity).values.map(_.length.toLong)
+      val n = toks.length.toLong
+      val ss = counts.map(c => c * c).sum
+      val r = out(id)
+      assert(r.getAs[Long]("n_words") == n)
+      assert(r.getAs[Long]("n_distinct") == counts.size.toLong)
+      assert(math.abs(r.getAs[Double]("gini") - (n * n - ss).toDouble / (n * n)) < 1e-3)
+    }
+  }
+
   test("doc_fingerprint: deterministic, order-sensitive, low collision") {
     import spark.implicits._
     val df = Seq("a b c", "a b c", "c b a", "a b d").toDF("text")
