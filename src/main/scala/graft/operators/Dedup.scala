@@ -127,7 +127,8 @@ object Dedup {
        |p2 AS (SELECT doc_id, gram FROM posts JOIN keepg USING (gram)),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM p2 GROUP BY 1),
        |jp AS (
-       |  SELECT ia, ib, cnt::DOUBLE / (sa.sz + sb.sz - cnt) AS j
+       |  SELECT ia, ib, cnt, sa.sz AS sz_a, sb.sz AS sz_b,
+       |    cnt::DOUBLE / (sa.sz + sb.sz - cnt) AS j
        |  FROM (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
        |        FROM p2 a JOIN p2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |        GROUP BY 1, 2) i
@@ -161,6 +162,36 @@ object Dedup {
   }
 
   val ngramJaccardSql: String = jaccardPairsSql
+
+  /** Containment floor for [[containmentPairs]]. */
+  val ContainMin = 0.8
+
+  /** J-line: asymmetric CONTAINMENT pairs — |A∩B| / min(|A|,|B|) ≥
+    * [[ContainMin]] — the quote/subset detector Jaccard misses: a
+    * short doc fully embedded in a long one has high containment but
+    * low Jaccard (union-dominated). Same capped postings join as C4
+    * (shuffle ∝ postings, never docs²), different denominator. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val gp = gramPosts(s, dir)
+    val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    gp.as("x")
+      .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sz_a")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sz_b")), "ib")
+      .withColumn("cont",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("cont") >= ContainMin)
+      .select(col("ia"), col("ib"), col("inter"), col("sz_a"), col("sz_b"),
+        round(col("cont"), 4).as("containment"))
+  }
+
+  val containmentPairsSql: String =
+    gramsCte + pairsCtes + "\n" +
+      s"""SELECT ia, ib, cnt AS inter, sz_a, sz_b,
+         |  round(cnt::DOUBLE / least(sz_a, sz_b), 4) AS containment
+         |FROM jp WHERE cnt::DOUBLE / least(sz_a, sz_b) >= $ContainMin""".stripMargin
 
   /** C3: SimHash near-dup pairs at hamming ≤ 7. 8×8-bit bands are
     * both the sketch and the LSH bucket keys; any pair at hamming ≤ 7

@@ -126,4 +126,38 @@ object Behavior {
       |  coalesce(l_linestatus, 'ALL') AS status,
       |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** J-line: event-transition (Markov) matrix — per-user consecutive
+    * event-type pairs and the per-source transition probability, the
+    * path-mining primitive behind "what do users do after X".
+    * Ordering is (ts, event_id) in BOTH engines — event_id breaks
+    * timestamp ties so the sequence is a total order, and the oracle
+    * casts its nanosecond timestamps to the same microsecond
+    * precision Spark reads. Probabilities are single divisions of
+    * exact counts. One user-keyed window + one 25-cell aggregate. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    trans.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 4).as("p"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n, round(n::DOUBLE / n_from, 4) AS p
+      |FROM c JOIN tot USING (from_type)""".stripMargin
 }

@@ -244,4 +244,27 @@ class BehaviorSpec extends SparkSpec {
       assert(spread < 0.25, s"$et p50 drifted $spread from exact")
     }
   }
+
+  test("event_transitions: cells match a per-user ordered recount, probs sum to 1") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id")).collect()
+      .map { r =>
+        val t = r.getTimestamp(2)
+        val us = math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+        (r.getLong(0), r.getString(1), us, r.getLong(3))
+      }
+    val expected = ev.groupBy(_._1).values.toSeq.flatMap { rows =>
+      rows.sortBy(r => (r._3, r._4)).map(_._2).sliding(2)
+        .filter(_.length == 2).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("event_transitions").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getAs[Long]("n"), r.getAs[Double]("p"))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, n) => assert(got(k)._1 == n, s"cell $k") }
+    // each from_type's probabilities sum to ~1 (rounding at 4 dp)
+    got.groupBy(_._1._1).values.foreach { cells =>
+      assert(math.abs(cells.map(_._2._2).sum - 1.0) < 1e-2)
+    }
+  }
 }

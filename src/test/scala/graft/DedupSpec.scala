@@ -55,6 +55,29 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("containment_pairs: matches a brute-force shingle-set recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        val grams = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+                    else Set(toks.mkString(" "))
+        r.getLong(0) -> grams
+      }.sortBy(_._1)
+    // DfCap is inert at this sf (spec'd for ngram_jaccard); pairwise recount
+    val expected = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ia, ga) = docs(i); (ib, gb) = docs(j)
+      inter = (ga & gb).size
+      if inter > 0 && inter.toDouble / math.min(ga.size, gb.size) >= graft.operators.Dedup.ContainMin
+    } yield ((ia, ib), inter)).toMap
+    val got = run("containment_pairs").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("inter"))).toMap
+    assert(got.keySet == expected.keySet,
+      s"got ${got.size} pairs, expected ${expected.size}")
+    got.foreach { case (k, inter) => assert(inter == expected(k).toLong, s"pair $k") }
+    assert(got.nonEmpty)
+  }
+
   test("dedup_simhash recall vs planted near-dups >= 0.9, no self/dup pairs") {
     val sim = run("dedup_simhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
