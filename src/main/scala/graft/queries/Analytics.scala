@@ -276,4 +276,74 @@ object Analytics {
     """SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k FROM (
       |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY event_type""".stripMargin
+
+  /** J-line: nation-pair trade matrix (TPC-H Q7 shape) — revenue
+    * between DIFFERENT supplier and customer nations per ship year.
+    * Fact-fact join shuffles once on orderkey; supplier, customer and
+    * both nation copies broadcast (same dim policy as B3). */
+  def tradeVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = nation(s, dir).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = nation(s, dir).select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("yr"))
+      .agg(count(lit(1)).as("n_items"), round(sum(revenue), 4).as("rev"))
+  }
+
+  val tradeVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(CAST(l_shipdate AS TIMESTAMP)) AS yr,
+      |  count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE s_nationkey <> c_nationkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** J-line: year-over-year revenue growth per customer nation —
+    * lag over yearly aggregates. Growth divides the ROUNDED yearly
+    * revenues (4 dp, already cross-engine-exact), so the ratio and
+    * its rounding are identical doubles in both engines. One
+    * aggregate + one tiny (nation × year) window. */
+  def yoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val yearly = orders(s, dir)
+      .join(broadcast(customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    yearly
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .withColumn("growth",
+        when(col("prev_rev").isNotNull,
+          round((col("rev") - col("prev_rev")) / col("prev_rev"), 4)))
+  }
+
+  val yoyGrowthSql: String =
+    """WITH yearly AS (
+      |  SELECT n_name, year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
+      |    round(sum(o_totalprice), 4) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, yr, rev,
+      |  lag(rev) OVER (PARTITION BY n_name ORDER BY yr) AS prev_rev,
+      |  round((rev - lag(rev) OVER (PARTITION BY n_name ORDER BY yr))
+      |    / lag(rev) OVER (PARTITION BY n_name ORDER BY yr), 4) AS growth
+      |FROM yearly""".stripMargin
 }

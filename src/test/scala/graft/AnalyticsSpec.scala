@@ -96,4 +96,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length == 5)
     assert(rows.forall(r => !r.isNullAt(1) && r.getLong(2) >= 0))
   }
+
+  test("trade_volume: no same-nation cells, item counts match an independent recount") {
+    val cells = run("trade_volume").collect()
+    assert(cells.nonEmpty)
+    cells.foreach(r => assert(r.getString(0) != r.getString(1)))
+    // independent recount of the total cross-nation item count
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .count()
+    assert(cells.map(_.getAs[Long]("n_items")).sum == expected)
+  }
+
+  test("yoy_growth: lag chain is consistent and growth recomputes from rounded revs") {
+    val rows = run("yoy_growth").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { ns =>
+      val byYr = ns.sortBy(_._2)
+      assert(byYr.head._4.isEmpty, "first year must have null prev_rev")
+      byYr.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(b._4.contains(a._3), s"prev_rev chain broken at ${b._1} ${b._2}")
+        val g = BigDecimal((b._3 - a._3) / a._3)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(b._5.get - g) < 1e-9, s"growth at ${b._1} ${b._2}")
+      }
+    }
+  }
 }

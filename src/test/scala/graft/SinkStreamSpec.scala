@@ -45,6 +45,22 @@ class SinkStreamSpec extends SparkSpec {
       Tables.events(spark, sf).count())
   }
 
+  test("stream_topk: streaming windowed state + rank equals the relational recount") {
+    val got = SparkEntry.queries("stream_topk")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"), r.getAs[Int]("rk"))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour")).orderBy(col("n").desc, col("event_type"))
+    val expected = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= graft.streaming.StreamTopk.K).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"), r.getAs[Int]("rk"))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("stream_sessionize: stateful streaming sessions equal the batch query") {
     val streamed = SparkEntry.queries("stream_sessionize")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
