@@ -29,26 +29,43 @@ object GraftSession {
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // native codegen'd kernels (see graft.plans); idempotent
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => graft.plans.VecDotProduct(exprs(0), exprs(1)), "built-in")
-    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
-    // runtime row-level filters but leaves them off the public
-    // registry; exposing them lets plans build EXPLICIT semi-join
-    // prefilters (the analyzer wraps the bare AggregateFunction)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_agg", exprs =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1), exprs(2)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_contains", exprs =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1)), "built-in")
+    // native codegen'd kernels + surfaced internals; idempotent.
+    // Shared with [[GraftExtensions]] (the spark.sql.extensions
+    // deployment path) via [[GraftFunctions]].
+    GraftFunctions.all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
     spark
   }
 
   def local(cores: Int = 4): SparkSession =
     configured(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores.toString)
+}
+
+/** The graft function surface, name → expression builder — the ONE
+  * list both registration paths share.
+  *
+  * - `vec_dot`: the codegen'd dot-product kernel
+  *   ([[graft.plans.VecDotProduct]]).
+  * - `bloom_agg` / `bloom_contains`: Spark ships
+  *   BloomFilterAggregate/BloomFilterMightContain for its runtime
+  *   row-level filters but leaves them off the public registry;
+  *   surfacing them lets plans build EXPLICIT semi-join prefilters
+  *   (the analyzer wraps the bare AggregateFunction).
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> ((exprs: Seq[Expression]) =>
+      graft.plans.VecDotProduct(exprs(0), exprs(1))),
+    "bloom_agg" -> ((exprs: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))),
+    "bloom_contains" -> ((exprs: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))))
 }
 
 /** Parquet table loaders for the driver-generated star schema. */

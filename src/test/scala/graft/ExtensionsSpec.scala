@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wiring spec for the spark.sql.extensions deployment path. The
+  * end-to-end behavior of each function is covered by the operator
+  * specs (every ANN/dedup query resolves `vec_dot` through the
+  * registry; bloom_semi_join resolves both bloom functions) — here we
+  * prove the config-driven entry point installs the SAME builders. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions installs every GraftFunctions entry without error") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // would throw on a bad descriptor
+    assert(GraftFunctions.all.map(_._1).toSet ==
+      Set("vec_dot", "bloom_agg", "bloom_contains"))
+  }
+
+  test("shared builders construct the expected expression nodes") {
+    val byName = GraftFunctions.all.toMap
+    val vd = byName("vec_dot")(Seq(Literal(null), Literal(null)))
+    assert(vd.isInstanceOf[graft.plans.VecDotProduct])
+    val ba = byName("bloom_agg")(Seq(Literal(1L), Literal(2L), Literal(3L)))
+    assert(ba.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate])
+    val bc = byName("bloom_contains")(Seq(Literal(null), Literal(null)))
+    assert(bc.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])
+  }
+}
