@@ -34,7 +34,10 @@ object Graph {
   /** Top-K nodes reported by triangle participation. */
   val TriK = 20
 
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+  /** Top-[[MaxEdges]] co-supply edges (s1 < s2), deterministic
+    * (shared, s1, s2) cut — the shared edge builder for the graph
+    * operators. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = lineitem(s, dir)
       .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
@@ -42,11 +45,26 @@ object Graph {
     // co-occurrence: supplier pairs sharing a customer (s1 < s2 once)
     val a = pairs.select(col("c"), col("sk").as("s1"))
     val b = pairs.select(col("c"), col("sk").as("s2"))
-    val shared = a.join(b, "c").filter(col("s1") < col("s2"))
+    a.join(b, "c").filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("shared"))
-    val edges = shared
       .orderBy(col("shared").desc, col("s1"), col("s2")).limit(MaxEdges)
       .select(col("s1"), col("s2"))
+  }
+
+  /** DuckDB twin of [[coEdges]] as CTEs ending in `edges`. */
+  private val coEdgesCte: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |shared AS (
+       |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
+       |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.sk < b.sk
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT s1, s2 FROM shared ORDER BY shared DESC, s1, s2 LIMIT $MaxEdges)""".stripMargin
+
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select(col("s1").as("n"))
       .unionByName(edges.select(col("s2").as("n")))
@@ -75,15 +93,7 @@ object Graph {
   }
 
   val triangleCountSql: String =
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |shared AS (
-       |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
-       |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.sk < b.sk
-       |  GROUP BY 1, 2),
-       |edges AS (
-       |  SELECT s1, s2 FROM shared ORDER BY shared DESC, s1, s2 LIMIT $MaxEdges),
+    coEdgesCte + s""",
        |deg AS (
        |  SELECT n, count(*) AS deg FROM (
        |    SELECT s1 AS n FROM edges UNION ALL SELECT s2 FROM edges)
@@ -104,4 +114,42 @@ object Graph {
        |nodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
        |SELECT node, count(*) AS n_tri FROM nodes
        |GROUP BY node ORDER BY n_tri DESC, node LIMIT $TriK""".stripMargin
+
+  /** Power-of-two bin edges for [[degreeDist]] (degrees are bounded
+    * by the [[MaxEdges]]-capped node degree, far under 2^20). */
+  private val DegBins: Seq[Long] = (1 to 20).map(1L << _)
+
+  /** J-line: degree distribution of the co-supply graph in
+    * power-of-two bins — the scale-free/hub check run before graph
+    * algorithms (a heavy-tailed degree histogram predicts skewed
+    * propagation keys). bin = ⌊log2(deg)⌋ computed as PURE INTEGER
+    * comparisons against the power-of-two edges — NOT via `log2`,
+    * whose Spark form ln(x)/ln(2) lands a hair below whole numbers
+    * exactly at the bin boundaries (log2(8) = 2.999…96) while
+    * DuckDB's libm log2 is exact there: the floors diverge precisely
+    * where it matters. Two tiny aggregates over the edge list. */
+  def degreeDist(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir)
+    val deg = edges.select(col("s1").as("n"))
+      .unionByName(edges.select(col("s2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val bin = size(filter(typedLit(DegBins), p => p <= col("deg")))
+    deg.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+        round(avg(col("deg")), 4).as("avg_deg"))
+      .orderBy(col("bin"))
+  }
+
+  val degreeDistSql: String =
+    coEdgesCte + s""",
+      |deg AS (
+      |  SELECT n, count(*) AS deg FROM (
+      |    SELECT s1 AS n FROM edges UNION ALL SELECT s2 FROM edges)
+      |  GROUP BY n)
+      |SELECT len(list_filter([${DegBins.mkString(",")}], p -> p <= deg)) AS bin,
+      |  count(*) AS n_nodes,
+      |  min(deg) AS min_deg, max(deg) AS max_deg,
+      |  round(avg(deg), 4) AS avg_deg
+      |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin
 }

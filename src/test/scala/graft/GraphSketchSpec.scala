@@ -70,6 +70,29 @@ class GraphSketchSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("degree_dist: bins partition the node set, extents match a recount") {
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shared = pairs.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val sks = ps.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length) yield (sks(i), sks(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val edges = shared.sortBy { case ((s1, s2), c) => (-c, s1, s2) }
+      .take(graft.operators.Graph.MaxEdges).map(_._1)
+    val degs = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).values.map(_.length.toLong)
+    val expected = degs.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+    val out = run("degree_dist").collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (bin, ds) =>
+      val r = out(bin)
+      assert(r.getAs[Long]("n_nodes") == ds.size.toLong, s"bin $bin")
+      assert(r.getAs[Long]("min_deg") == ds.min && r.getAs[Long]("max_deg") == ds.max)
+    }
+  }
+
   test("heavy_hitters: two-phase candidate/verify reproduces the exact global top-K") {
     val counts = Tables.documents(spark, sf).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
