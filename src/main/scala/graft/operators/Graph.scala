@@ -74,7 +74,7 @@ object Graph {
     val d2 = deg.select(col("n").as("s2"), col("deg").as("deg2"))
     val fwd = col("deg1") < col("deg2") ||
       (col("deg1") === col("deg2") && col("s1") < col("s2"))
-    val oriented = edges.join(d1, "s1").join(d2, "s2")
+    val oriented = edges.join(broadcast(d1), "s1").join(broadcast(d2), "s2")
       .select(when(fwd, col("s1")).otherwise(col("s2")).as("src"),
         when(fwd, col("s2")).otherwise(col("s1")).as("dst"),
         when(fwd, col("deg2")).otherwise(col("deg1")).as("dd"))

@@ -43,11 +43,14 @@ object PageRankIter {
     val nodes = deg.select(col("src").as("node"))
 
     def step(rank: DataFrame): DataFrame = {
+      // rank and the message sums are NODE-sized (≪ edges): broadcast
+      // them so each iteration is a map-side join over the edge table
+      // plus ONE dst-keyed shuffle — never a sort of the edges
       val m = edges
-        .join(rank.select(col("node").as("src"), col("r")), "src")
+        .join(broadcast(rank.select(col("node").as("src"), col("r"))), "src")
         .select(col("dst"), expr("r div deg").as("ct"))
         .groupBy(col("dst")).agg(sum(col("ct")).as("m"))
-      nodes.join(m, col("node") === col("dst"), "left_outer")
+      nodes.join(broadcast(m), col("node") === col("dst"), "left_outer")
         .select(col("node"),
           expr("150000L + (85 * coalesce(m, 0L)) div 100").as("r"))
     }
