@@ -152,4 +152,68 @@ object Graph {
       |  min(deg) AS min_deg, max(deg) AS max_deg,
       |  round(avg(deg), 4) AS avg_deg
       |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** J-line: degree assortativity of the co-supply graph — the
+    * Pearson correlation of endpoint degrees over edges (Newman's r:
+    * do hubs attach to hubs?). Every moment (Σx, Σy, Σxy, Σx², Σy²,
+    * summed over both edge orientations so r is symmetric) is an
+    * EXACT BIGINT, so the final r is one sqrt + one division of
+    * exact integers — engine-identical. Builds on the broadcast deg
+    * join; one edge-sized aggregate. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("s1").as("n"))
+      .unionByName(edges.select(col("s2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val d1 = deg.select(col("n").as("s1"), col("deg").as("dx"))
+    val d2 = deg.select(col("n").as("s2"), col("deg").as("dy"))
+    val e = edges.join(broadcast(d1), "s1").join(broadcast(d2), "s2")
+    // both orientations: (dx,dy) and (dy,dx) — r must be symmetric
+    val sym = e.select(col("dx").as("x"), col("dy").as("y"))
+      .unionByName(e.select(col("dy").as("x"), col("dx").as("y")))
+    val m = sym.agg(
+      count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+      sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))
+    // a REGULAR graph (all degrees equal — the tiny-sf co-supply graph
+    // is complete) has zero degree variance: r is undefined, den = 0,
+    // and ANSI division would throw. Emit NULL, like the oracle.
+    m.select(col("m").as("n_endpoints"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(round(num / den, 4)).as("assortativity"),
+      when(den === 0.0, lit(false))
+        .otherwise(num / den < 0).as("disassortative"))
+  }
+
+  val assortativitySql: String =
+    coEdgesCte + """,
+      |deg AS (
+      |  SELECT n, count(*) AS deg FROM (
+      |    SELECT s1 AS n FROM edges UNION ALL SELECT s2 FROM edges)
+      |  GROUP BY n),
+      |sym AS (
+      |  SELECT d1.deg AS x, d2.deg AS y
+      |  FROM edges JOIN deg d1 ON edges.s1 = d1.n JOIN deg d2 ON edges.s2 = d2.n
+      |  UNION ALL
+      |  SELECT d2.deg, d1.deg
+      |  FROM edges JOIN deg d1 ON edges.s1 = d1.n JOIN deg d2 ON edges.s2 = d2.n),
+      |mom AS (
+      |  SELECT count(*) AS m, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+      |    sum(y * y)::BIGINT AS syy
+      |  FROM sym),
+      |nd AS (
+      |  SELECT m, (m * sxy - sx * sy)::DOUBLE AS num,
+      |    sqrt((m * sxx - sx * sx)::DOUBLE) * sqrt((m * syy - sy * sy)::DOUBLE) AS den
+      |  FROM mom)
+      |SELECT m AS n_endpoints,
+      |  CASE WHEN den = 0 THEN NULL ELSE round(num / den, 4) END AS assortativity,
+      |  CASE WHEN den = 0 THEN false ELSE num / den < 0 END AS disassortative
+      |FROM nd""".stripMargin
 }

@@ -93,6 +93,41 @@ class GraphSketchSpec extends SparkSpec {
     }
   }
 
+  test("assortativity: Pearson over edge-endpoint degrees matches an exact recount") {
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shared = pairs.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val sks = ps.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length) yield (sks(i), sks(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val edges = shared.sortBy { case ((s1, s2), c) => (-c, s1, s2) }
+      .take(graft.operators.Graph.MaxEdges).map(_._1)
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val xy = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    val m = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum; val syy = xy.map(p => p._2 * p._2).sum
+    val den = math.sqrt((m * sxx - sx * sx).toDouble) *
+      math.sqrt((m * syy - sy * sy).toDouble)
+    val row = run("assortativity").head()
+    assert(row.getAs[Long]("n_endpoints") == m)
+    if (den == 0.0) {
+      // regular graph: r undefined — the operator must emit NULL
+      assert(row.isNullAt(row.fieldIndex("assortativity")))
+      assert(!row.getAs[Boolean]("disassortative"))
+    } else {
+      val r = (m * sxy - sx * sy).toDouble / den
+      assert(math.abs(row.getAs[Double]("assortativity") - r) < 1e-3)
+      assert(row.getAs[Boolean]("disassortative") == (r < 0))
+    }
+  }
+
   test("heavy_hitters: two-phase candidate/verify reproduces the exact global top-K") {
     val counts = Tables.documents(spark, sf).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
