@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * consumer-side read of the maintained state, not more stream state
   * (ranking inside the stream would force per-trigger global sorts).
   * At scale the aggregate shuffles one row per (window, type) per
-  * trigger; state is bounded by the window horizon.
+  * trigger. Complete mode re-emits (and retains) every window — the
+  * right shape for a bounded dashboard horizon; an unbounded
+  * deployment switches to update mode + a watermark so expired
+  * windows age out of state, with the same consumer-side rank.
   *
   * All verify input arrives in one wave, so the result is the exact
   * relational windowed-count + rank — the oracle recomputes it. */

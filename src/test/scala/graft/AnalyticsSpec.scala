@@ -24,6 +24,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every non-oracled query is on the documented rows-only list") {
+    // adding a query without an oracle must be a DELIBERATE decision
+    // with a stated reason (SURVEY.md §4) — this guard fails on drift
+    val rowsOnly = Set("ann_lsh", "compact_files", "dedup_simhash",
+      "dedup_simhash_wide", "doc_fingerprint", "table_sizes")
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+  }
+
   test("q5_multijoin returns per-nation revenue for ASIA only") {
     val rows = run("q5_multijoin").collect()
     assert(rows.nonEmpty && rows.length <= 5) // 5 nations per region
