@@ -121,4 +121,53 @@ object Maintenance {
        |  count(*) AS n
        |FROM documents b FULL OUTER JOIN merged a ON b.doc_id = a.doc_id
        |GROUP BY 1, 2""".stripMargin
+
+  /** J-line: referential-integrity audit across the star schema —
+    * per FK edge: child rows, distinct parents actually referenced,
+    * and orphans (children whose parent key does not exist), the
+    * load-validation every warehouse runs before trusting joins.
+    * Each edge is one anti-join against the (broadcast-size after
+    * distinct) parent key set; orphan counts should be zero — a
+    * nonzero row is the alert. */
+  def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val keys = child.select(col(ck).as("k"))
+      val pkeys = parent.select(col(pk).as("k")).distinct()
+      val orphans = keys.join(pkeys, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      keys.agg(count(lit(1)).as("n_child"),
+          count_distinct(col("k")).as("n_parents_used"))
+        .crossJoin(broadcast(orphans))
+        .select(lit(name).as("rel"), col("n_child"),
+          col("n_parents_used"), col("n_orphans"))
+    }
+    Seq(
+      edge("lineitem->orders", lineitem(s, dir), "l_orderkey", orders(s, dir), "o_orderkey"),
+      edge("lineitem->part", lineitem(s, dir), "l_partkey", part(s, dir), "p_partkey"),
+      edge("lineitem->supplier", lineitem(s, dir), "l_suppkey", supplier(s, dir), "s_suppkey"),
+      edge("orders->customer", orders(s, dir), "o_custkey", customer(s, dir), "c_custkey"),
+      edge("customer->nation", customer(s, dir), "c_nationkey", nation(s, dir), "n_nationkey"),
+      edge("supplier->nation", supplier(s, dir), "s_nationkey", nation(s, dir), "n_nationkey"))
+      .reduce(_ unionByName _)
+  }
+
+  val refIntegritySql: String = {
+    def edge(name: String, child: String, ck: String,
+             parent: String, pk: String): String =
+      s"""SELECT '$name' AS rel, count(*) AS n_child,
+         |  count(DISTINCT $ck) AS n_parents_used,
+         |  (SELECT count(*) FROM $child c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))::BIGINT
+         |    AS n_orphans
+         |FROM $child""".stripMargin
+    Seq(
+      edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "")
+  }
 }

@@ -202,6 +202,60 @@ object Sketches {
       .orderBy(col("cnt").desc, col("w")).limit(HhK)
   }
 
+  /** J-line: mergeable plain-stats partials — the incremental-stats
+    * counterpart of [[kmvMerge]]: per-day (n, Σv, min, max) partials
+    * merged by (Σn, ΣΣv, min min, max max) equal the direct global
+    * aggregate, because the sum runs in DECIMAL(18,4) (exact,
+    * order/grouping-independent — a double Σ would differ between
+    * the two grouping orders). This is the algebraic-aggregate
+    * property that lets a 100 TB pipeline maintain daily stat rows
+    * and answer global questions without rescanning history; the
+    * equality is IN the result, not just a spec. */
+  def statsMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      col("value").cast("decimal(18,4)").as("v"))
+    val daily = ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val merged = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("n")).as("merged_n"),
+      sum(col("sv")).cast("decimal(18,4)").as("merged_sum"),
+      min(col("mn")).as("merged_min"), max(col("mx")).as("merged_max"))
+    val direct = ev.agg(count(lit(1)).as("direct_n"),
+      sum(col("v")).cast("decimal(18,4)").as("direct_sum"),
+      min(col("v")).as("direct_min"), max(col("v")).as("direct_max"))
+    merged.crossJoin(broadcast(direct))
+      .withColumn("lossless",
+        col("merged_n") === col("direct_n") &&
+        col("merged_sum") === col("direct_sum") &&
+        col("merged_min") === col("direct_min") &&
+        col("merged_max") === col("direct_max"))
+  }
+
+  val statsMergeSql: String =
+    """WITH ev AS (
+      |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |    CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM events),
+      |daily AS (
+      |  SELECT day, count(*) AS n, sum(v) AS sv, min(v) AS mn, max(v) AS mx
+      |  FROM ev GROUP BY day),
+      |m AS (
+      |  SELECT count(*) AS n_days, sum(n)::BIGINT AS merged_n,
+      |    CAST(sum(sv) AS DECIMAL(18,4)) AS merged_sum,
+      |    min(mn) AS merged_min, max(mx) AS merged_max
+      |  FROM daily),
+      |d AS (
+      |  SELECT count(*) AS direct_n, CAST(sum(v) AS DECIMAL(18,4)) AS direct_sum,
+      |    min(v) AS direct_min, max(v) AS direct_max
+      |  FROM ev)
+      |SELECT n_days, merged_n, merged_sum, merged_min, merged_max,
+      |  direct_n, direct_sum, direct_min, direct_max,
+      |  merged_n = direct_n AND merged_sum = direct_sum
+      |    AND merged_min = direct_min AND merged_max = direct_max AS lossless
+      |FROM m CROSS JOIN d""".stripMargin
+
   val heavyHittersSql: String =
     s"""WITH toks AS (
        |  SELECT ((doc_id * $Mult) % $M) % $Shards AS shard,

@@ -168,6 +168,26 @@ class BehaviorSpec extends SparkSpec {
     assert(colliding.forall(t => !gotIds.contains(t._1)), "a colliding B row leaked")
   }
 
+  test("ref_integrity: six FK edges, counts match recounts, star schema is orphan-free") {
+    val out = run("ref_integrity").collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 6)
+    val li = Tables.lineitem(spark, sf).count()
+    assert(out("lineitem->orders").getAs[Long]("n_child") == li)
+    assert(out("lineitem->part").getAs[Long]("n_child") == li)
+    val distinctOrders = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(out("lineitem->orders").getAs[Long]("n_parents_used") == distinctOrders)
+    // driver testdata is referentially consistent — any orphan is a bug
+    out.values.foreach(r => assert(r.getAs[Long]("n_orphans") == 0L, r.getString(0)))
+  }
+
+  test("stats_merge: per-day partials merge losslessly into the direct aggregate") {
+    val r = run("stats_merge").head()
+    assert(r.getAs[Boolean]("lossless"), "decimal partials must merge exactly")
+    assert(r.getAs[Long]("merged_n") == Tables.events(spark, sf).count())
+    assert(r.getAs[Long]("n_days") > 1, "merge must actually span multiple partials")
+  }
+
   test("merge_delete: deletes gone, updates applied, inserts present, rest intact") {
     val d = Tables.documents(spark, sf)
     val out = run("merge_delete").collect()
