@@ -152,6 +152,84 @@ object Maintenance {
       .reduce(_ unionByName _)
   }
 
+  /** Column kinds for [[columnProfile]] — drives how min/max are
+    * made cross-engine-comparable (doubles round to 4 dp, timestamps
+    * format to seconds, integers cast to long). */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "int", "o_custkey" -> "int",
+    "o_orderstatus" -> "str", "o_totalprice" -> "double",
+    "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+
+  /** J-line: one-pass table profiler over `orders` — per column:
+    * rows, nulls, distincts, and typed min/max projected into a
+    * uniform schema (numeric extremes in one pair of columns,
+    * lexical/temporal extremes rendered to strings in another) —
+    * the SUMMARIZE/profiling pass a pipeline runs on arrival. ONE
+    * scan: every per-column statistic is a column of the same
+    * aggregate row, then unpivoted with a literal-keyed stack —
+    * never one scan per column. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val aggs = ProfileCols.flatMap { case (c, kind) =>
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct"))
+      val mm = kind match {
+        case "int" => Seq(min(col(c)).cast("double").as(s"${c}_min_num"),
+          max(col(c)).cast("double").as(s"${c}_max_num"))
+        case "double" => Seq(round(min(col(c)), 4).as(s"${c}_min_num"),
+          round(max(col(c)), 4).as(s"${c}_max_num"))
+        case "ts" => Seq(date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_min_str"),
+          date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_max_str"))
+        case _ => Seq(min(col(c)).as(s"${c}_min_str"), max(col(c)).as(s"${c}_max_str"))
+      }
+      base ++ mm
+    }
+    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // unpivot by exploding structs off the SINGLE agg row — a union
+    // of per-column selects would re-evaluate (re-scan) the
+    // aggregate once per column
+    val structs = ProfileCols.map { case (c, kind) =>
+      val (minN, maxN, minS, maxS) = kind match {
+        case "int" | "double" =>
+          (col(s"${c}_min_num"), col(s"${c}_max_num"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case _ =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            col(s"${c}_min_str"), col(s"${c}_max_str"))
+      }
+      struct(lit(c).as("column"), col("n_rows"),
+        col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+        minN.as("min_num"), maxN.as("max_num"),
+        minS.as("min_str"), maxS.as("max_str"))
+    }
+    one.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+  }
+
+  val columnProfileSql: String = {
+    def row(c: String, kind: String): String = {
+      val (minN, maxN, minS, maxS) = kind match {
+        case "int" => (s"min($c)::DOUBLE", s"max($c)::DOUBLE",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "double" => (s"round(min($c), 4)", s"round(max($c), 4)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "ts" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"strftime(CAST(min($c) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(CAST(max($c) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"min($c)", s"max($c)")
+      }
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $minN AS min_num, $maxN AS max_num,
+         |  $minS AS min_str, $maxS AS max_str
+         |FROM orders""".stripMargin
+    }
+    ProfileCols.map { case (c, k) => row(c, k) }
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
   val refIntegritySql: String = {
     def edge(name: String, child: String, ck: String,
              parent: String, pk: String): String =

@@ -181,6 +181,24 @@ class BehaviorSpec extends SparkSpec {
     out.values.foreach(r => assert(r.getAs[Long]("n_orphans") == 0L, r.getString(0)))
   }
 
+  test("column_profile: single scan, per-column stats match recounts") {
+    val out = run("column_profile").collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 6)
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    out.values.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+    assert(out("o_orderkey").getAs[Long]("n_distinct") == n) // primary key
+    assert(out("o_orderstatus").getAs[Long]("n_distinct") ==
+      o.select("o_orderstatus").distinct().count())
+    val maxPrice = o.agg(max(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(out("o_totalprice").getAs[Double]("max_num") - maxPrice) < 1e-2)
+    assert(out("o_orderpriority").getAs[String]("min_str") != null)
+    // the unpivot must NOT re-scan once per column
+    val p = SparkEntry.queries("column_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length == 1, "profiler must scan once")
+  }
+
   test("stats_merge: per-day partials merge losslessly into the direct aggregate") {
     val r = run("stats_merge").head()
     assert(r.getAs[Boolean]("lossless"), "decimal partials must merge exactly")
