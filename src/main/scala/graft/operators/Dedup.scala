@@ -163,6 +163,36 @@ object Dedup {
 
   val ngramJaccardSql: String = jaccardPairsSql
 
+  /** J-line: cross-source duplication matrix — for every near-dup
+    * pair (exact Jaccard ≥ 0.5, the C4 pair set), which SOURCE pair
+    * produced it. The report a corpus curator reads before deciding
+    * which feeds to drop or de-prioritize ([[mixSources]] is the
+    * enforcement half). Reuses the capped postings join; one extra
+    * broadcast-size join to doc sources + a matrix-sized aggregate. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = documents(s, dir).select(col("doc_id"), col("source"))
+    ngramJaccard(s, dir).select(col("ia"), col("ib"))
+      .join(broadcast(src.select(col("doc_id").as("ia"), col("source").as("sa"))), "ia")
+      .join(broadcast(src.select(col("doc_id").as("ib"), col("source").as("sb"))), "ib")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    gramsCte + pairsCtes + """
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b,
+      |  count(*) AS n_pairs,
+      |  least(da.source, db.source) <> greatest(da.source, db.source) AS cross_source
+      |FROM jp
+      |JOIN documents da ON jp.ia = da.doc_id
+      |JOIN documents db ON jp.ib = db.doc_id
+      |WHERE j >= 0.5
+      |GROUP BY 1, 2""".stripMargin
+
   /** Containment floor for [[containmentPairs]]. */
   val ContainMin = 0.8
 

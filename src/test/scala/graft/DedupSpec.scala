@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("source_overlap: matrix cells recount from the pair set and doc sources") {
+    val srcs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = run("ngram_jaccard").select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcs(a), srcs(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, r) =>
+      assert(r.getAs[Long]("n_pairs") == expected(k), s"cell $k")
+      assert(r.getAs[Boolean]("cross_source") == (k._1 != k._2))
+    }
+    assert(got.values.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
+  }
+
   test("dedup_simhash recall vs planted near-dups >= 0.9, no self/dup pairs") {
     val sim = run("dedup_simhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
