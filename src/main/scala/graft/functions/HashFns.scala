@@ -25,6 +25,74 @@ object HashFns {
   val A: Seq[Long] = Seq.fill(NumHashes)(1L + rnd.nextInt((P - 1).toInt))
   val B: Seq[Long] = Seq.fill(NumHashes)(rnd.nextInt(P.toInt).toLong)
 
+  /** PORTABLE string hash: polynomial fold of the character codes,
+    * `h = fold(chars, 0, (acc, c) => (acc·mult + code(c)) mod P)` —
+    * the classic Java-style rolling hash, chosen because BOTH engines
+    * can compute it from plain column algebra (Spark: aggregate over
+    * split(t, ""); DuckDB: list_reduce over string_split(t, '')), so
+    * operators built on it keep a bit-exact DuckDB oracle where
+    * xxhash64 forced a rows-only check. Caveat recorded for 100 TB
+    * multilingual corpora: Spark splits into UTF-16 units and DuckDB
+    * into code points, identical for ASCII/BMP text (the corpus here
+    * is pure ASCII — astral chars would need a byte-level variant).
+    * Everything stays in [0, P): acc·31 + code < 2^35, no ANSI
+    * overflow. */
+  def strHash(t: Column, mult: Long = 31L): Column =
+    aggregate(split(t, ""), lit(0L), (acc, c) => (acc * mult + ascii(c)) % P)
+
+  /** Fixed universal-hash coefficients for PORTABLE simhash bit
+    * extraction (bit k of token h = parity of (SimA(k)·h + SimB(k))
+    * mod P) — up to 128 bits, shared verbatim with the DuckDB oracle
+    * as literal arrays. Separate PRNG stream from [[A]]/[[B]] so
+    * minhash and simhash stay independent families. */
+  private val simRnd = new scala.util.Random(1337)
+  val SimA: Seq[Long] = Seq.fill(128)(1L + simRnd.nextInt((P - 1).toInt))
+  val SimB: Seq[Long] = Seq.fill(128)(simRnd.nextInt(P.toInt).toLong)
+
+  /** Portable simhash bit k of token hash `h`: parity of the SQUARE
+    * of the k-th universal-hash value g = (SimA(k)·h + SimB(k)) mod P.
+    * The square matters: with plain parity(g), the bit-flip pattern
+    * between two tokens is ≈ parity(SimA(k)·Δh) — a LINEAR function
+    * of the hash difference, so similar tokens get correlated
+    * sketches and the hamming≤7 pair volume blows up (measured
+    * sf0.01: 1426 pairs linear vs 533 squared vs 327 for an ideal
+    * 64-bit hash; the old xxhash64 sketch gave 444). parity(g² mod P)
+    * breaks the linearity ((x+c)² − x² depends on x) at the cost of
+    * one extra multiply; g < 2^30 so g² < 2^60 — no ANSI overflow.
+    * Still plain integer column algebra, replayable in ANSI SQL. */
+  def simBit(h: Column, k: Int): Column = {
+    val g = pmod(lit(SimA(k)) * h + lit(SimB(k)), lit(P))
+    (g * g) % P % 2 === 1
+  }
+
+  /** SimHash band values over PORTABLE bits (see [[simBit]]): `posts`
+    * is (id, h) with one row per (doc, token hash); result is
+    * (id, sb) with `numBands` band values of totalBits/numBands bits
+    * each (MSB-first fold, band value doubles as the LSH bucket key).
+    * Same codegen'd scalar-aggregate shape as the xxhash64 form this
+    * replaces — the `totalBits` signed bit-sums are plain `sum`
+    * aggregates with map-side combine, so the sketch costs one
+    * doc-keyed shuffle of (id, totalBits longs) partials. Widening
+    * past 64 bits needs no extra hash lanes: bits 64..127 come from
+    * further (SimA, SimB) pairs over the same h. */
+  def simhashBandsAggPortable(posts: DataFrame, idCol: String, hCol: String,
+                              totalBits: Int, numBands: Int): DataFrame = {
+    require(totalBits <= 128 && totalBits % numBands == 0)
+    val r = totalBits / numBands
+    require(r <= 63, "band value must fit a signed long")
+    val sums = (0 until totalBits).map(k =>
+      sum(when(simBit(col(hCol), k), 1L).otherwise(-1L)).as(s"c$k"))
+    val bandCols = (0 until numBands).map { bnd =>
+      (0 until r).foldLeft(lit(0L)) { (acc, j) =>
+        acc * 2 + when(col(s"c${bnd * r + j}") > 0, 1L).otherwise(0L)
+      }.as(s"b$bnd")
+    }
+    posts.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), array((0 until numBands).map(i => col(s"b$i")): _*).as("sb"))
+  }
+
   /** Distinct n-gram token shingles of `text` ("w1 w2 w3" strings).
     * Docs shorter than n tokens get a single whole-doc shingle. */
   def shingles(text: Column, n: Int = 3): Column = {
@@ -83,85 +151,6 @@ object HashFns {
   def bandKeys(sig: Column): Column =
     transform(sequence(lit(0), lit(Bands - 1)), bnd =>
       concat_ws("-", bnd, slice(sig, bnd * RowsPerBand + 1, lit(RowsPerBand))))
-
-  /** Bit masks 2^0..2^63 (2^63 = Long.MinValue bit pattern) — lets a
-    * lambda test bit k of a hash as (h & mask_k) != 0, since
-    * shiftright needs a literal count but fold indices are columns. */
-  private val Pow2: Seq[Long] = (0 until 64).map(k => 1L << k)
-
-  /** SimHash as `numBands` band values over a 64-bit sketch. Bit k is
-    * sign(Σ_tokens ±1 by token-hash bit k); one aggregate pass builds
-    * all 64 bit-sums, then each (64/numBands)-bit band folds to an
-    * int that doubles as its LSH bucket key. Pigeonhole: hamming ≤
-    * numBands-1 ⇒ at least one band equal, so candidate generation is
-    * exact up to that radius. Band width trades recall for bucket
-    * selectivity — 8×8-bit covers radius 7 but buckets are coarse
-    * (256 values each); at web scale you'd grow the sketch to 128/256
-    * bits to widen bands back out rather than shrink the radius. */
-  def simhashBands(text: Column, numBands: Int = 8): Column = {
-    require(64 % numBands == 0)
-    val r = 64 / numBands
-    val hashes = transform(TextFns.wsTokens(lower(text)), t => xxhash64(t))
-    val masks = typedLit(Pow2)
-    val bitSums = aggregate(hashes, typedLit(Seq.fill(64)(0L)),
-      (acc, h) => zip_with(acc, masks,
-        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
-    transform(sequence(lit(0), lit(numBands - 1)), bnd =>
-      aggregate(slice(bitSums, bnd * r + 1, lit(r)), lit(0L),
-        (acc, s) => acc * 2 + when(s > 0, 1L).otherwise(0L)))
-  }
-
-  /** SimHash band values via explode + groupBy (see [[minhashSigAgg]]
-    * for why the operator path avoids the HOF form): `posts` is
-    * (id, h) with one row per (doc, token hash); result is (id, sb).
-    * The 64 signed bit-sums are scalar codegen'd aggregates; each
-    * band then folds its bits with plain arithmetic. */
-  def simhashBandsAgg(posts: DataFrame, idCol: String, hCol: String,
-                      numBands: Int = 8): DataFrame = {
-    require(64 % numBands == 0)
-    val r = 64 / numBands
-    val sums = (0 until 64).map(i =>
-      sum(when(col(hCol).bitwiseAND(lit(Pow2(i))) =!= 0, 1L).otherwise(-1L)).as(s"c$i"))
-    val bandCols = (0 until numBands).map { bnd =>
-      (0 until r).foldLeft(lit(0L)) { (acc, j) =>
-        acc * 2 + when(col(s"c${bnd * r + j}") > 0, 1L).otherwise(0L)
-      }.as(s"b$bnd")
-    }
-    posts.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), array((0 until numBands).map(i => col(s"b$i")): _*).as("sb"))
-  }
-
-  /** SimHash over a WIDE sketch: `hCols.size` independent 64-bit
-    * token-hash lanes (sketch = 64·lanes bits) folded into `numBands`
-    * band keys of 64·lanes/numBands bits each. The point of widening
-    * (the roadmap note on [[simhashBands]]): the pigeonhole guarantee
-    * needs bands > hamming radius, but bucket SELECTIVITY needs wide
-    * bands — a wider sketch buys both. 128-bit/8-band = 16-bit
-    * buckets (65536 values per band, vs 256 for 64-bit/8-band) while
-    * still covering radius 7 exactly — the hot-bucket fix at
-    * web-scale corpus sizes. Same codegen'd scalar-aggregate shape
-    * as [[simhashBandsAgg]]. */
-  def simhashBandsAggWide(posts: DataFrame, idCol: String, hCols: Seq[String],
-                          numBands: Int = 8): DataFrame = {
-    val totalBits = 64 * hCols.size
-    require(totalBits % numBands == 0)
-    val r = totalBits / numBands
-    val sums = (0 until totalBits).map { k =>
-      sum(when(col(hCols(k / 64)).bitwiseAND(lit(Pow2(k % 64))) =!= 0, 1L)
-        .otherwise(-1L)).as(s"c$k")
-    }
-    val bandCols = (0 until numBands).map { bnd =>
-      (0 until r).foldLeft(lit(0L)) { (acc, j) =>
-        acc * 2 + when(col(s"c${bnd * r + j}") > 0, 1L).otherwise(0L)
-      }.as(s"b$bnd")
-    }
-    posts.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), array((0 until numBands).map(i => col(s"b$i")): _*).as("sb"))
-  }
 
   /** Hamming distance between two simhash band arrays. Flattened to
     * scalar element_at/xor/bit_count (all codegen'd) — this sits in

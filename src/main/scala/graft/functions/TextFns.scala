@@ -59,15 +59,16 @@ object TextFns {
   }
 
   /** Order-sensitive polynomial rolling hash of the token stream,
-    * mod 1e9+7: fp = Σ h(tok_i)·131^i. Per-token xxhash64 (codegen'd,
-    * one pass over the bytes) folded with mod-at-every-step so the
-    * accumulator stays < 2^35 — ANSI-mode long arithmetic can't
-    * overflow. Map-only; no cross-engine SQL twin exists for
-    * xxhash64, so the driver check is rows-only and the semantic
-    * properties live in the spec. */
+    * mod 1e9+7: fp = Σ h(tok_i)·131^i. Per-token hash is the
+    * PORTABLE char-level fold ([[HashFns.strHash]]), outer fold with
+    * mod-at-every-step so the accumulator stays < 2^37 — ANSI-mode
+    * long arithmetic can't overflow. Map-only; because every step is
+    * plain integer column algebra the driver's DuckDB oracle replays
+    * it exactly (this was rows-only under xxhash64); the semantic
+    * properties stay in the spec. */
   def docFingerprint(text: Column): Column =
     aggregate(
-      transform(wsTokens(lower(text)), t => pmod(xxhash64(t), lit(1000000007L))),
+      transform(wsTokens(lower(text)), t => HashFns.strHash(t)),
       lit(0L),
       (acc, h) => (acc * 131 + h) % 1000000007L)
 }

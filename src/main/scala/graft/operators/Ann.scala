@@ -80,22 +80,63 @@ object Ann {
        |  SELECT qid, nb, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
        |  FROM s) WHERE rnk <= $K""".stripMargin
 
+  /** The portable universal-hash multiplier (same family as
+    * sample_split / heavy_hitters shards). */
+  private val HashMult = 2654435761L
+  private val P = 1000000007L
+
+  /** PORTABLE ±1 pseudo-random sign for LSH plane k, dimension d:
+    * parity of the integer universal hash of the (plane, dim) index —
+    * exactly replayable in ANSI SQL, unlike the seeded-PRNG float
+    * hyperplanes (which stay in [[VecFns.hyperplaneBucket]] for the
+    * non-oracled C5 path). k·MaxDim + d + 1 ≤ 2^15 so the product
+    * stays < 2^45: no ANSI overflow. */
+  private def planeSign(k: Int, d: Column): Column =
+    pmod((lit(k.toLong * VecFns.MaxDim) + d + 1) * HashMult, lit(P)) % 2 === 1
+
+  /** Sign-LSH bucket assignment with INTEGER arithmetic end to end:
+    * embeddings are quantized to q = floor(x·10⁴ + 0.5) (the
+    * emb_quantize half-up convention), each plane projection is
+    * Σ_d ±q_d with portable signs, bit k of table t = (projection of
+    * plane t·bits+k) > 0. Exact integer sums are order-independent,
+    * so Spark's unordered partial aggregation and DuckDB's scan order
+    * produce identical buckets — float projections could sign-flip
+    * near 0 between engines. Shape: one posexplode + `planes` scalar
+    * codegen'd sum-aggregates; after map-side combine the shuffle
+    * carries (id, planes longs) partials, and the result is the
+    * exploded (id, table, bucket) keys ready for the equi-join. */
+  private def portableBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val planes = LshTables * LshBits
+    val posts = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col(idCol), col("d"),
+        floor(col("x").cast("double") * 10000 + 0.5).cast("long").as("q"))
+    val projs = (0 until planes).map(k =>
+      sum(when(planeSign(k, col("d")), col("q")).otherwise(-col("q"))).as(s"p$k"))
+    val bucketCols = (0 until LshTables).map { t =>
+      (0 until LshBits).map(r =>
+        when(col(s"p${t * LshBits + r}") > 0, 1L << r).otherwise(0L))
+        .reduce(_ + _).as(s"b$t")
+    }
+    posts.groupBy(col(idCol)).agg(projs.head, projs.tail: _*)
+      .select(col(idCol) +: bucketCols: _*)
+      .select(col(idCol), explode(array((0 until LshTables).map(t =>
+        struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
+      .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
+  }
+
   /** D2: random-hyperplane LSH. Each vector lands in [[LshTables]]
-    * buckets ([[LshBits]] sign bits each, map-only); candidates are
-    * bucket collisions with any probe — an equi-join on (table,
-    * bucket), so scoring touches ~1/2^bits of the corpus per table
-    * instead of all of it. Recall vs D1 is spec-checked; rows-only
-    * for the driver (hyperplanes derive from xxhash64). */
+    * buckets ([[LshBits]] sign bits each); candidates are bucket
+    * collisions with any probe — an equi-join on (table, bucket), so
+    * scoring touches ~1/2^bits of the corpus per table instead of all
+    * of it. Buckets come from [[portableBuckets]] (integer-quantized
+    * projections, portable signs), so the driver's DuckDB oracle
+    * replays the whole pipeline — this was rows-only when the
+    * hyperplanes were seeded floats. Recall vs D1 stays spec-checked. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    def buckets(df: DataFrame, idCol: String, vecCol: String, nCol: String): DataFrame =
-      df.select((col(idCol) +: col(vecCol) +: col(nCol) +:
-        (0 until LshTables).map(t =>
-          VecFns.hyperplaneBucket(col(vecCol), LshBits, seed = t).as(s"b$t"))): _*)
-        .select(col(idCol), col(vecCol), col(nCol), explode(array(
-          (0 until LshTables).map(t => struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
-        .select(col(idCol), col(vecCol), col(nCol), col("tb.t"), col("tb.b"))
-    val qb = buckets(probes(s, dir), "qid", "qe", "qn")
-    val eb = buckets(vecs(s, dir), "vec_id", "embedding", "nn")
+    val v = vecs(s, dir)
+    val p = probes(s, dir)
+    val qb = portableBuckets(p, "qid", "qe").join(p, "qid")
+    val eb = portableBuckets(v, "vec_id", "embedding").join(v, "vec_id")
     val cand = qb.join(eb, Seq("t", "b"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qe"), col("qn"),
@@ -105,6 +146,42 @@ object Ann {
       pairCos(col("qe"), col("embedding"), col("qn"), col("nn")).as("cos"))
     topK(scored)
   }
+
+  /** DuckDB CTEs computing the portable (id, t, b) bucket keys for
+    * every embedding — the literal replay of [[portableBuckets]]. */
+  private val bucketsCtes: String =
+    s"""posts AS (
+       |  SELECT vec_id, d,
+       |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS d
+       |        FROM embeddings)),
+       |projs AS (
+       |  SELECT vec_id, k,
+       |    sum(CASE WHEN (((k * ${VecFns.MaxDim} + d + 1) * $HashMult) % $P) % 2 = 1
+       |        THEN q ELSE -q END) AS p
+       |  FROM posts, (SELECT unnest(range(${LshTables * LshBits})) AS k)
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id, CAST(k // $LshBits AS INT) AS t,
+       |    CAST(sum(CASE WHEN p > 0
+       |      THEN (1::BIGINT << CAST(k % $LshBits AS INT)) ELSE 0 END) AS BIGINT) AS b
+       |  FROM projs GROUP BY 1, 2)""".stripMargin
+
+  val annLshSql: String =
+    s"""WITH $bucketsCtes,
+       |cand AS (
+       |  SELECT qb.vec_id AS qid, eb.vec_id AS nb
+       |  FROM buckets qb JOIN buckets eb ON qb.t = eb.t AND qb.b = eb.b
+       |  WHERE qb.vec_id < $NumQueries AND eb.vec_id <> qb.vec_id
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT qid, nb, $cosSql AS c
+       |  FROM (SELECT qid, nb, q.embedding AS qe, e.embedding AS ne
+       |        FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+       |        JOIN embeddings e ON e.vec_id = cand.nb))
+       |SELECT qid, nb, rnk, round(c, 4) AS cos FROM (
+       |  SELECT qid, nb, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
+       |  FROM s) WHERE rnk <= $K""".stripMargin
 
   /** D3: IVF — inverted file over [[IvfCentroids]] deterministic seed
     * centroids (vec_id < 16, one assignment pass: "k-means-ish").
@@ -204,6 +281,57 @@ object Ann {
        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+       |SELECT vec_id, nb, rnk, round(c, 4) AS cos FROM (
+       |  SELECT vec_id, nb, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nb) AS rnk
+       |  FROM s) WHERE rnk <= $K""".stripMargin
+
+  /** H7-LSH: the documented scale swap for [[knnJoin]] — candidate
+    * pairs come from shared (table, bucket) sign-LSH keys
+    * ([[portableBuckets]]) instead of the exact all-pairs block join;
+    * scoring and the two-phase rank are UNCHANGED. Candidate volume
+    * is Σ_tables Σ_buckets n_b², bounded by bucket occupancy instead
+    * of N² — at 100 TB you widen [[LshBits]] to keep buckets small
+    * and add tables to hold recall; compute then scales with
+    * collisions, not the corpus square. Recall vs the exact
+    * [[knnJoin]] is spec-checked (the dedupEmbeddingLsh precedent),
+    * and because the buckets are the portable integer pipeline the
+    * driver's DuckDB oracle replays this end to end. */
+  def knnJoinLsh(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val b = portableBuckets(v, "vec_id", "embedding")
+    val cand = b.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val ea = v.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nn").as("na"))
+    val eb = v.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nn").as("nb_"))
+    val pairs = cand.join(ea, "va").join(eb, "vb")
+      .select(col("va"), col("vb"),
+        pairCos(col("ea"), col("eb"), col("na"), col("nb_")).as("cos"))
+    // each unordered pair is scored once; IEEE dot is symmetric, so
+    // symmetrizing reuses the identical double (same as knnJoin)
+    val directed = pairs.unionByName(
+      pairs.select(col("vb").as("va"), col("va").as("vb"), col("cos")))
+    topK(directed.select(col("va").as("qid"), col("vb").as("nb"), col("cos")))
+      .withColumnRenamed("qid", "vec_id")
+  }
+
+  val knnJoinLshSql: String =
+    s"""WITH $bucketsCtes,
+       |cand AS (
+       |  SELECT x.vec_id AS va, y.vec_id AS vb
+       |  FROM buckets x JOIN buckets y
+       |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+       |  GROUP BY 1, 2),
+       |s0 AS (
+       |  SELECT va, vb, $cosSql AS c
+       |  FROM (SELECT va, vb, a.embedding AS qe, b.embedding AS ne
+       |        FROM cand JOIN embeddings a ON a.vec_id = cand.va
+       |        JOIN embeddings b ON b.vec_id = cand.vb)),
+       |s AS (SELECT va AS vec_id, vb AS nb, c FROM s0
+       |      UNION ALL SELECT vb, va, c FROM s0)
        |SELECT vec_id, nb, rnk, round(c, 4) AS cos FROM (
        |  SELECT vec_id, nb, c,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nb) AS rnk

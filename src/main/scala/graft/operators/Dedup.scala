@@ -226,16 +226,19 @@ object Dedup {
   /** C3: SimHash near-dup pairs at hamming ≤ 7. 8×8-bit bands are
     * both the sketch and the LSH bucket keys; any pair at hamming ≤ 7
     * shares ≥1 band (pigeonhole), so candidate generation is exact
-    * for the emitted set. Rows-only for the driver (no cross-engine
-    * xxhash64); recall vs the planted near-dups is spec-checked. */
+    * for the emitted set. Token hashes and bit extraction are the
+    * PORTABLE family ([[graft.functions.HashFns.strHash]] +
+    * [[graft.functions.HashFns.simBit]]), so the driver's DuckDB
+    * oracle replays the sketch bit-for-bit — this was rows-only when
+    * the bits came from xxhash64. Recall vs the planted near-dups
+    * stays spec-checked. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // sketch via explode + scalar sum-aggregates (simhashBandsAgg);
-    // persisted (tiny: numBands longs/doc) since it feeds both sides
-    // of the self-join
+    // sketch via explode + scalar sum-aggregates; persisted (tiny:
+    // numBands longs/doc) since it feeds both sides of the self-join
     val toks = documents(s, dir).select(col("doc_id"),
-      explode(transform(graft.functions.TextFns.wsTokens(lower(col("text"))),
-        t => xxhash64(t))).as("h"))
-    val sigs = simhashBandsAgg(toks, "doc_id", "h")
+      explode(graft.functions.TextFns.wsTokens(lower(col("text")))).as("t"))
+      .select(col("doc_id"), strHash(col("t")).as("h"))
+    val sigs = simhashBandsAggPortable(toks, "doc_id", "h", 64, 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // carry the full sketch through the band explode so the verify
     // stage needs no extra joins back to sigs
@@ -256,22 +259,23 @@ object Dedup {
       .select(col("ia"), col("ib"), col("hamming"))
   }
 
-  /** C3-wide: the 128-bit simhash variant — two independent xxhash64
-    * lanes per token, 8 bands of 16 bits (65536 buckets per band vs
-    * the 64-bit form's 256). The hamming radius scales with the
-    * sketch (15/128 ≈ 7/64, the same similarity threshold): radius
-    * ≤ 7 is still pigeonhole-guaranteed by the 8 bands; 8-15 is
-    * probabilistic (a clean band must exist) with high empirical
-    * recall — the Manku-style trade a web-scale corpus makes to keep
-    * buckets fine where 16×8-bit banding would fall back to 256
-    * values per band. Rows-only (no cross-engine xxhash64); recall
-    * vs planted near-dups is spec-checked like C3's. */
+  /** C3-wide: the 128-bit simhash variant — 8 bands of 16 bits
+    * (65536 buckets per band vs the 64-bit form's 256). The hamming
+    * radius scales with the sketch (15/128 ≈ 7/64, the same
+    * similarity threshold): radius ≤ 7 is still pigeonhole-guaranteed
+    * by the 8 bands; 8-15 is probabilistic (a clean band must exist)
+    * with high empirical recall — the Manku-style trade a web-scale
+    * corpus makes to keep buckets fine where 16×8-bit banding would
+    * fall back to 256 values per band. The 128 bits come from 128
+    * portable (SimA, SimB) extractors over one [[graft.functions.HashFns.strHash]]
+    * token hash, so this is fully oracle-replayable too (was
+    * rows-only under the two xxhash64 lanes); recall vs planted
+    * near-dups stays spec-checked like C3's. */
   def dedupSimhashWide(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir).select(col("doc_id"),
         explode(graft.functions.TextFns.wsTokens(lower(col("text")))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h0"),
-        xxhash64(col("t"), lit(1)).as("h1"))
-    val sigs = simhashBandsAggWide(toks, "doc_id", Seq("h0", "h1"))
+      .select(col("doc_id"), strHash(col("t")).as("h"))
+    val sigs = simhashBandsAggPortable(toks, "doc_id", "h", 128, 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"), col("sb"), posexplode(col("sb")))
       .toDF("doc_id", "sb", "idx", "v")
@@ -286,6 +290,48 @@ object Dedup {
       .dropDuplicates("ia", "ib")
       .select(col("ia"), col("ib"), col("hamming"))
   }
+
+  /** DuckDB twin of the portable simhash pipeline: token hashes via
+    * list_reduce (= [[graft.functions.HashFns.strHash]]), the
+    * (SimA, SimB) parity bits as literal arrays, band fold, band-key
+    * self-join, per-band xor/bit_count hamming — the same plan the
+    * Spark side runs, row for row. */
+  private def simhashSql(totalBits: Int, numBands: Int, radius: Int): String = {
+    val r = totalBits / numBands
+    val aList = graft.functions.HashFns.SimA.take(totalBits).mkString("[", ", ", "]")
+    val bList = graft.functions.HashFns.SimB.take(totalBits).mkString("[", ", ", "]")
+    val ham = (1 to numBands).map(i => s"bit_count(xor(sba[$i], sbb[$i]))").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |      [ascii(c)::BIGINT for c in string_split(t, '')]),
+       |    (a, x) -> (a * 31 + x) % 1000000007) AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id, k,
+       |    sum(CASE WHEN (g * g) % 1000000007 % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM (SELECT doc_id, k, ($aList[k+1] * h + $bList[k+1]) % 1000000007 AS g
+       |        FROM th, (SELECT unnest(range($totalBits)) AS k))
+       |  GROUP BY 1, 2),
+       |bandv AS (
+       |  SELECT doc_id, k // $r AS idx,
+       |    CAST(sum(CASE WHEN s > 0
+       |      THEN (1::BIGINT << CAST(${r - 1} - (k % $r) AS INT)) ELSE 0 END) AS BIGINT) AS v
+       |  FROM bits GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(v ORDER BY idx) AS sb FROM bandv GROUP BY 1),
+       |bands AS (SELECT b.doc_id, sg.sb, b.idx, b.v FROM bandv b JOIN sigs sg USING (doc_id)),
+       |cand AS (
+       |  SELECT x.doc_id AS ia, y.doc_id AS ib, x.sb AS sba, y.sb AS sbb
+       |  FROM bands x JOIN bands y ON x.idx = y.idx AND x.v = y.v AND x.doc_id < y.doc_id)
+       |SELECT DISTINCT ia, ib, CAST($ham AS BIGINT) AS hamming
+       |FROM cand WHERE ($ham) <= $radius""".stripMargin
+  }
+
+  val dedupSimhashSql: String = simhashSql(64, 8, 7)
+
+  val dedupSimhashWideSql: String = simhashSql(128, 8, 15)
 
   /** C6: near-dup CLUSTERS — connected components over the verified
     * MinHash pairs, then a canonical keeper per cluster (min doc_id).

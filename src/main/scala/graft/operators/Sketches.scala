@@ -210,7 +210,11 @@ object Sketches {
     * the two grouping orders). This is the algebraic-aggregate
     * property that lets a 100 TB pipeline maintain daily stat rows
     * and answer global questions without rescanning history; the
-    * equality is IN the result, not just a spec. */
+    * equality is IN the result, not just a spec. The hashed output
+    * carries the sums/extrema as ×10⁴ integer-scaled BIGINTs (exact,
+    * since v is DECIMAL(18,4)) so no DECIMAL representation reaches
+    * the cross-engine hash — the house convention from lm_score /
+    * gini_diversity / dist_drift. */
   def statsMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(
       date_format(col("ts"), "yyyy-MM-dd").as("day"),
@@ -220,17 +224,19 @@ object Sketches {
         min(col("v")).as("mn"), max(col("v")).as("mx"))
     val merged = daily.agg(count(lit(1)).as("n_days"),
       sum(col("n")).as("merged_n"),
-      sum(col("sv")).cast("decimal(18,4)").as("merged_sum"),
-      min(col("mn")).as("merged_min"), max(col("mx")).as("merged_max"))
+      (sum(col("sv")) * 10000).cast("long").as("merged_sum_e4"),
+      (min(col("mn")) * 10000).cast("long").as("merged_min_e4"),
+      (max(col("mx")) * 10000).cast("long").as("merged_max_e4"))
     val direct = ev.agg(count(lit(1)).as("direct_n"),
-      sum(col("v")).cast("decimal(18,4)").as("direct_sum"),
-      min(col("v")).as("direct_min"), max(col("v")).as("direct_max"))
+      (sum(col("v")) * 10000).cast("long").as("direct_sum_e4"),
+      (min(col("v")) * 10000).cast("long").as("direct_min_e4"),
+      (max(col("v")) * 10000).cast("long").as("direct_max_e4"))
     merged.crossJoin(broadcast(direct))
       .withColumn("lossless",
         col("merged_n") === col("direct_n") &&
-        col("merged_sum") === col("direct_sum") &&
-        col("merged_min") === col("direct_min") &&
-        col("merged_max") === col("direct_max"))
+        col("merged_sum_e4") === col("direct_sum_e4") &&
+        col("merged_min_e4") === col("direct_min_e4") &&
+        col("merged_max_e4") === col("direct_max_e4"))
   }
 
   val statsMergeSql: String =
@@ -243,17 +249,21 @@ object Sketches {
       |  FROM ev GROUP BY day),
       |m AS (
       |  SELECT count(*) AS n_days, sum(n)::BIGINT AS merged_n,
-      |    CAST(sum(sv) AS DECIMAL(18,4)) AS merged_sum,
-      |    min(mn) AS merged_min, max(mx) AS merged_max
+      |    CAST(sum(sv) * 10000 AS BIGINT) AS merged_sum_e4,
+      |    CAST(min(mn) * 10000 AS BIGINT) AS merged_min_e4,
+      |    CAST(max(mx) * 10000 AS BIGINT) AS merged_max_e4
       |  FROM daily),
       |d AS (
-      |  SELECT count(*) AS direct_n, CAST(sum(v) AS DECIMAL(18,4)) AS direct_sum,
-      |    min(v) AS direct_min, max(v) AS direct_max
+      |  SELECT count(*) AS direct_n,
+      |    CAST(sum(v) * 10000 AS BIGINT) AS direct_sum_e4,
+      |    CAST(min(v) * 10000 AS BIGINT) AS direct_min_e4,
+      |    CAST(max(v) * 10000 AS BIGINT) AS direct_max_e4
       |  FROM ev)
-      |SELECT n_days, merged_n, merged_sum, merged_min, merged_max,
-      |  direct_n, direct_sum, direct_min, direct_max,
-      |  merged_n = direct_n AND merged_sum = direct_sum
-      |    AND merged_min = direct_min AND merged_max = direct_max AS lossless
+      |SELECT n_days, merged_n, merged_sum_e4, merged_min_e4, merged_max_e4,
+      |  direct_n, direct_sum_e4, direct_min_e4, direct_max_e4,
+      |  merged_n = direct_n AND merged_sum_e4 = direct_sum_e4
+      |    AND merged_min_e4 = direct_min_e4
+      |    AND merged_max_e4 = direct_max_e4 AS lossless
       |FROM m CROSS JOIN d""".stripMargin
 
   val heavyHittersSql: String =

@@ -97,10 +97,23 @@ object TextOps {
       |  length(text) AS n_chars_txt
       |FROM documents""".stripMargin
 
-  /** E4: rolling-hash fingerprint per doc. No cross-engine hash →
-    * rows-only for the driver; semantics are property-tested. */
+  /** E4: rolling-hash fingerprint per doc — portable hash family, so
+    * the oracle replays it exactly; semantics are property-tested. */
   def docFingerprintQ(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"), docFingerprint(col("text")).as("fp"))
+
+  /** DuckDB twin of [[graft.functions.TextFns.docFingerprint]]: the
+    * outer 131-fold over per-token char-level 31-folds, both as
+    * list_reduce with a prepended 0 accumulator. */
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    [list_reduce(list_prepend(0::BIGINT,
+      |        [ascii(c)::BIGINT for c in string_split(t, '')]),
+      |      (a, x) -> (a * 31 + x) % 1000000007)
+      |     for t in list_filter(string_split(lower(text), ' '), t -> t <> '')]),
+      |    (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
+      |FROM documents""".stripMargin
 
   /** Cross-engine-safe PII patterns (no lookaround — identical
     * semantics in Java regex and RE2). */

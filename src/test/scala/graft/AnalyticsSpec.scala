@@ -27,8 +27,7 @@ class AnalyticsSpec extends SparkSpec {
   test("every non-oracled query is on the documented rows-only list") {
     // adding a query without an oracle must be a DELIBERATE decision
     // with a stated reason (SURVEY.md §4) — this guard fails on drift
-    val rowsOnly = Set("ann_lsh", "compact_files", "dedup_simhash",
-      "dedup_simhash_wide", "doc_fingerprint", "table_sizes")
+    val rowsOnly = Set("compact_files", "table_sizes")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 

@@ -56,6 +56,29 @@ class AnnSpec extends SparkSpec {
     assert(knnProbe == bf, "knn_join disagrees with bruteforce on the probe set")
   }
 
+  test("knn_join_lsh: recall vs exact knn_join above floor; candidates only, ranked") {
+    val rows = run("knn_join_lsh").collect()
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rs) =>
+      // ≤ K neighbors (LSH may find fewer candidates), ranked 1..n
+      assert(rs.length <= Ann.K)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to rs.length))
+      assert(rs.forall(_.getAs[Long]("nb") != v))
+    }
+    // recall@K vs the exact kNN join (the dedupEmbeddingLsh precedent:
+    // approximate path must agree with the exact operator well above
+    // chance — 8 tables × 4 bits on this corpus)
+    def lists(name: String): Map[Long, Set[Long]] =
+      run(name).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nb")))
+        .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    val exact = lists("knn_join")
+    val approx = lists("knn_join_lsh")
+    val hits = exact.map { case (v, nbs) =>
+      approx.getOrElse(v, Set.empty).intersect(nbs).size }.sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    assert(recall >= 0.5, s"recall@${Ann.K} $recall")
+  }
+
   test("emb_quantize: error bounded by scale/2, clips only at max magnitude") {
     val rows = run("emb_quantize").collect()
     assert(rows.length.toLong == Tables.embeddings(spark, sf).count())

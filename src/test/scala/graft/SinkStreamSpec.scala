@@ -61,6 +61,39 @@ class SinkStreamSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("stream_topk: watermark ages out old hour windows — state stays flat across waves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("topk_waves").toFile.getAbsolutePath
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime
+    def writeWave(i: Int): Unit =
+      (0 until 3).flatMap { h =>
+        Seq("click", "view").map(t =>
+          (i * 6L + h * 2 + t.length, // unique event ids
+            new java.sql.Timestamp(base + ((i * 3 + h) * 3600L + 60) * 1000), t))
+      }.toDF("event_id", "ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    writeWave(0)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+    val q = graft.streaming.StreamTopk.counts(src)
+      .writeStream.format("memory")
+      .queryName("topk_state").outputMode("update").start()
+    q.processAllAvailable()
+    val sizes = (1 to 4).map { i =>
+      writeWave(i); q.processAllAvailable()
+      q.lastProgress.stateOperators(0).numRowsTotal
+    }
+    q.stop()
+    // each wave adds 3 fresh hour windows × 2 types; without the
+    // watermark state would grow by 6 rows per wave (18 by wave 4).
+    // With it, expired windows are evicted: flat after the first
+    // eviction kicks in (eviction lags one trigger, hence >= and the
+    // comparison from wave 2 on)
+    assert(sizes.last <= sizes(1),
+      s"state grew across waves: $sizes — windows are not aging out")
+    assert(sizes.last <= 12, s"state ${sizes.last} exceeds the 2-wave horizon")
+  }
+
   test("stream_sessionize: stateful streaming sessions equal the batch query") {
     val streamed = SparkEntry.queries("stream_sessionize")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
