@@ -346,14 +346,20 @@ object Decisions {
 }
 
 /** Zip-of-CSV fixtures carrying the full 36-field Decision records —
-  * TWO archives (one per synthetic "day", so the binaryFile scan has
-  * archive-level parallelism exactly like the reference's
-  * worker-per-dump): day_a.zip holds a plain CSV member; day_b.zip
-  * holds a nested zip whose member uses reversed header order (the
-  * header map must realign it, utils.go:167-171). Built once per
+  * [[DecisionFixture.NumArchives]] archives (one per synthetic "day",
+  * so the binaryFile scan parallelizes archive-per-task exactly like
+  * the reference's worker-per-dump loop over thousands of dailies; 2
+  * archives would cap the whole parse stage at 2 tasks before the
+  * repartition). Every third archive is a nested zip whose member
+  * uses reversed header order (the header map must realign it,
+  * utils.go:167-171); the rest are plain CSV members. Built once per
   * (sf, row-count) under target/fixtures.
   */
 object DecisionFixture {
+  /** Archive count — production is thousands of dailies; 12 is
+    * enough that the scan stage's task count is a real claim (> the
+    * 2-way split it replaced) while fixture build stays cheap. */
+  val NumArchives = 12
   /** dir → resolved fixture path. The row count only names the
     * fixture dir, so once built (or found) for a testdata dir the
     * synth-and-count scan need not repeat — three queries per run
@@ -371,7 +377,8 @@ object DecisionFixture {
   private def ensureUncached(s: SparkSession, dir: String): String = {
     val df = Decisions.synth(s, dir)
     val n = df.count()
-    val out = Paths.get(s"/root/repo/target/fixtures/decisions2_${dir.replaceAll("[^0-9.]", "")}_$n")
+    val out = Paths.get("/root/repo/target/fixtures/" +
+      s"decisions${NumArchives}x_${dir.replaceAll("[^0-9.]", "")}_$n")
     FixtureDir.ensure(out) { tmp =>
       // driver-side by design: fabricates the dump archives a cluster
       // would fetch from object storage
@@ -388,23 +395,27 @@ object DecisionFixture {
         }
         sb.toString.getBytes(StandardCharsets.UTF_8)
       }
-      val (aRows, bRows) = rows.splitAt(rows.length / 2)
-      val za = new ZipOutputStream(new FileOutputStream(tmp.resolve("day_a.zip").toFile))
-      za.putNextEntry(new ZipEntry("day_a.csv"))
-      za.write(csv(names, aRows))
-      za.closeEntry()
-      za.close()
-      val nested = new java.io.ByteArrayOutputStream()
-      val nz = new ZipOutputStream(nested)
-      nz.putNextEntry(new ZipEntry("day_b.csv"))
-      nz.write(csv(names.reverse, bRows))
-      nz.closeEntry()
-      nz.close()
-      val zb = new ZipOutputStream(new FileOutputStream(tmp.resolve("day_b.zip").toFile))
-      zb.putNextEntry(new ZipEntry("inner.zip"))
-      zb.write(nested.toByteArray)
-      zb.closeEntry()
-      zb.close()
+      val chunk = math.max(1, (rows.length + NumArchives - 1) / NumArchives)
+      rows.grouped(chunk).zipWithIndex.foreach { case (dayRows, i) =>
+        val day = f"day_$i%02d"
+        val z = new ZipOutputStream(new FileOutputStream(tmp.resolve(s"$day.zip").toFile))
+        if (i % 3 == 1) {
+          // nested archive with reversed header — the realign path
+          val nested = new java.io.ByteArrayOutputStream()
+          val nz = new ZipOutputStream(nested)
+          nz.putNextEntry(new ZipEntry(s"$day.csv"))
+          nz.write(csv(names.reverse, dayRows))
+          nz.closeEntry()
+          nz.close()
+          z.putNextEntry(new ZipEntry("inner.zip"))
+          z.write(nested.toByteArray)
+        } else {
+          z.putNextEntry(new ZipEntry(s"$day.csv"))
+          z.write(csv(names, dayRows))
+        }
+        z.closeEntry()
+        z.close()
+      }
     }
   }
 }

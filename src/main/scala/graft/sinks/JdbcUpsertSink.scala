@@ -46,14 +46,21 @@ object JdbcUpsertSink {
       .map(b => math.min(batchSize.toLong, n - b * batchSize))
 
   /** Upsert `df` into `table` over JDBC, one transaction per
-    * partition, `batchSize`-row executeBatch chunks. */
+    * partition, `batchSize`-row executeBatch chunks. `connect` is
+    * injectable (same contract as [[writeOptimistic]]) so the
+    * no-database container can drive the FULL foreachPartition
+    * control flow against a fake/store-backed connection — the
+    * default is the standard driver-manager path. */
   def write(df: DataFrame, url: String, table: String, key: String,
-            batchSize: Int = 1000, props: java.util.Properties = new java.util.Properties): Unit = {
+            batchSize: Int = 1000, props: java.util.Properties = new java.util.Properties,
+            connect: String => Connection = null): Unit = {
+    val mkConn: String => Connection =
+      if (connect != null) connect else u => DriverManager.getConnection(u, props)
     val columns = df.columns.toSeq
     val sql = upsertSql(table, columns, key)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
-        val conn: Connection = DriverManager.getConnection(url, props)
+        val conn: Connection = mkConn(url)
         try {
           conn.setAutoCommit(false)
           execBatches(conn, sql, rows, columns.size, batchSize)

@@ -13,22 +13,82 @@ import graft.ingest.{Decisions, Upsert}
   * expressed as `foreachBatch` + [[graft.sinks.JdbcUpsertSink]]
   * semantics).
   *
-  * The container has no database, so the sink writes into
-  * [[StreamDecisions.Store]], an in-memory uuid-keyed stand-in for
-  * the Postgres table with the same overwrite semantics — the
-  * foreachBatch body is exactly what a production pipeline runs with
-  * `JdbcUpsertSink.write(lww, url, …)` in the Store's place. All
-  * verify input arrives in one micro-batch, so the result equals the
-  * batch [[Decisions.decisionRoundtrip]] and shares its oracle.
+  * The sink IS the production path: each micro-batch goes through
+  * `JdbcUpsertSink.write` — foreachPartition on executor threads, one
+  * transaction per partition, no driver-side collect at any scale.
+  * The container has no database, so the injectable connection
+  * factory points at [[storeConnection]], an in-memory uuid-keyed
+  * stand-in for the Postgres table with the same conditional-upsert
+  * semantics; a deployment passes the real JDBC url and changes
+  * nothing else. All verify input arrives in one micro-batch, so the
+  * result equals the batch [[Decisions.decisionRoundtrip]] and shares
+  * its oracle.
   * (The archive unzip leg is a batch concern — A2/A9; file streams
   * watch already-extracted staging.)
   */
 object StreamDecisions {
 
-  /** uuid-keyed stand-in for the sink database table. */
+  /** uuid-keyed stand-in for the sink database table. `commits`
+    * counts sink transactions — one per non-empty partition — so the
+    * spec can assert the per-partition (not per-driver) write path
+    * actually ran. */
   object Store {
     val rows = new scala.collection.concurrent.TrieMap[String, Row]()
     @volatile var schema: StructType = _
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  /** Store-backed `java.sql.Connection`: what stands in for Postgres
+    * in the no-database container. [[graft.sinks.JdbcUpsertSink.write]]
+    * drives it per PARTITION on executor threads with the production
+    * control flow (prepare → setObject×40 → addBatch → executeBatch
+    * per 1000 → commit) — no driver-side collect anywhere; a real
+    * deployment passes the JDBC url and drops this factory, changing
+    * nothing else. executeBatch applies the conditional upsert: a row
+    * replaces the stored one only if it [[beats]] it — the
+    * `DO UPDATE … WHERE excluded wins` guard of the production SQL.
+    * (The shared-JVM Store is a local-mode artifact; on a cluster the
+    * database itself is the shared store.) */
+  private[graft] def storeConnection(schema: StructType): java.sql.Connection = {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    def statement(): java.sql.PreparedStatement = {
+      val nCols = schema.size
+      var current = new Array[Any](nCols)
+      val batch = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+      Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[java.sql.PreparedStatement]),
+        new InvocationHandler {
+          def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+            case "setObject" =>
+              current(args(0).asInstanceOf[Integer] - 1) = args(1); null
+            case "addBatch" =>
+              batch += current.clone().asInstanceOf[Array[Any]]; null
+            case "executeBatch" =>
+              val n = batch.size
+              batch.foreach { vals =>
+                val row: Row = new org.apache.spark.sql.catalyst.expressions
+                  .GenericRowWithSchema(vals, schema)
+                mergeRow(row)
+              }
+              batch.clear()
+              Array.fill(n)(1)
+            case "close" => null
+            case "toString" => "store-ps"
+            case _ => null
+          }
+        }).asInstanceOf[java.sql.PreparedStatement]
+    }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Connection]),
+      new InvocationHandler {
+        def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" => statement()
+          case "commit" => Store.commits.incrementAndGet(); null
+          case "setAutoCommit" | "rollback" | "close" => null
+          case "toString" => "store-conn"
+          case _ => null
+        }
+      }).asInstanceOf[java.sql.Connection]
   }
 
   /** True iff `a` beats `b` under the LWW total order (created_at
@@ -46,17 +106,20 @@ object StreamDecisions {
     * holds across micro-batches even when the file source splits the
     * input (maxFilesPerTrigger, late staging) and a later batch
     * carries an OLDER row. */
-  private[graft] def mergeBatch(rows: Iterable[Row]): Unit =
-    rows.foreach { r =>
-      val k = r.getAs[String]("uuid")
-      Store.rows.get(k) match {
-        case Some(cur) if !beats(r, cur) => // stored row is newer: keep
-        case _ => Store.rows.put(k, r)
-      }
+  private[graft] def mergeRow(r: Row): Unit = {
+    val k = r.getAs[String]("uuid")
+    Store.rows.get(k) match {
+      case Some(cur) if !beats(r, cur) => // stored row is newer: keep
+      case _ => Store.rows.put(k, r)
     }
+  }
+
+  private[graft] def mergeBatch(rows: Iterable[Row]): Unit =
+    rows.foreach(mergeRow)
 
   def run(s: SparkSession, dir: String): DataFrame = {
     Store.rows.clear()
+    Store.commits.set(0)
     val raw = s.readStream
       .schema(s.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
@@ -70,11 +133,15 @@ object StreamDecisions {
       .filter(col("uuid") =!= "")
     val q = parsed.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // per-batch LWW, then ON CONFLICT (uuid) DO UPDATE into the
-        // store — the JdbcUpsertSink control flow with the DB faked
+        // per-batch LWW, then THE production sink: JdbcUpsertSink.write
+        // runs foreachPartition on executor threads (no driver-side
+        // collect at any scale) against the store-backed connection —
+        // a deployment with a database passes its JDBC url instead
         val lww = Upsert.lastWriteWins(batch, Seq("uuid"), Decisions.lwwOrder)
-        Store.schema = lww.schema
-        mergeBatch(lww.collect())
+        val schema = lww.schema
+        Store.schema = schema
+        graft.sinks.JdbcUpsertSink.write(lww, "jdbc:store", "decisions", "uuid",
+          connect = _ => storeConnection(schema))
       }
       .start()
     q.processAllAvailable()

@@ -18,6 +18,24 @@ class DecisionsSpec extends SparkSpec {
     assert(rt.filter(col("uuid") === "").count() == 0)
   }
 
+  test("fixture: N archives, archive-level scan parallelism, every archive contributes") {
+    import graft.ingest.{DecisionFixture, ZipCsv}
+    val dir = DecisionFixture.ensure(spark, sf)
+    val zips = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".zip"))
+    assert(zips.length == DecisionFixture.NumArchives,
+      s"expected ${DecisionFixture.NumArchives} archives, found ${zips.length}")
+    val df = ZipCsv.read(spark, dir, Decisions.FieldNames)
+    // the parse stage inherits the binaryFile split count — with one
+    // archive per task the stage parallelizes like production's
+    // thousands of dailies (2 archives capped it at 2 tasks)
+    assert(df.rdd.getNumPartitions > 2,
+      s"scan partitions: ${df.rdd.getNumPartitions}")
+    // every archive (incl. the nested reversed-header ones) yields rows
+    val srcs = df.select("_src").distinct().collect().map(_.getString(0))
+    assert(srcs.length >= DecisionFixture.NumArchives, srcs.mkString("\n"))
+    assert(srcs.exists(_.contains("!inner.zip!")), "no nested archive contributed")
+  }
+
   test("LWW upsert keeps the latest created_at per uuid") {
     val parsed = Decisions.parse(
       graft.ingest.ZipCsv.read(spark,
