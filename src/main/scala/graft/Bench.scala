@@ -40,12 +40,21 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-decimal seconds keep the line short; total and count lead so
+    // a truncated capture still carries the headline numbers, and the
+    // full line is ALSO written to bench_last.json (committed with the
+    // round snapshot) so stdout truncation can never lose the data
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = r3(results.collect { case (_, v, true) => v }.sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"sf":"$sfDir","failed":$failed,"queries":$qs}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -22,7 +22,8 @@ object Ingest {
     """WITH r AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
       |s AS (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS d FROM r)
       |SELECT CAST(d AS DATE) AS d,
-      |       'sor-discord-netherlands-bv-' || strftime(CAST(d AS DATE), '%Y-%m-%d') || '-full.zip' AS file
+      |       'sor-discord-netherlands-bv-' || strftime(CAST(d AS DATE), '%Y-%m-%d') || '-full.zip' AS file,
+      |       CAST(d AS DATE) < DATE '2024-08-21' AS before_epoch
       |FROM s""".stripMargin
 
   /** A2: documents → CSV members inside a nested zip fixture →

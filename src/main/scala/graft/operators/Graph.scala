@@ -87,9 +87,16 @@ object Graph {
       .select(col("a"), col("b"), col("c"))
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
     val tri = wedges.join(closing, Seq("b", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val out = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
       .orderBy(col("n_tri").desc, col("node")).limit(TriK)
+      // materialize the ≤ TriK result rows, then release the cached
+      // edge frames — cached blocks must not outlive the operator
+      // (they'd accumulate across a 115-query session)
+      .localCheckpoint()
+    oriented.unpersist()
+    edges.unpersist()
+    out
   }
 
   val triangleCountSql: String =
@@ -184,11 +191,14 @@ object Graph {
     // a REGULAR graph (all degrees equal — the tiny-sf co-supply graph
     // is complete) has zero degree variance: r is undefined, den = 0,
     // and ANSI division would throw. Emit NULL, like the oracle.
-    m.select(col("m").as("n_endpoints"),
+    val out = m.select(col("m").as("n_endpoints"),
       when(den === 0.0, lit(null).cast("double"))
         .otherwise(round(num / den, 4)).as("assortativity"),
       when(den === 0.0, lit(false))
         .otherwise(num / den < 0).as("disassortative"))
+      .localCheckpoint() // one-row result; release the cached edges
+    edges.unpersist()
+    out
   }
 
   val assortativitySql: String =

@@ -188,18 +188,34 @@ object Sketches {
     * shards × |candidates| rows instead of the whole vocabulary.
     * Shards come from the portable doc_id hash, not
     * spark_partition_id, so the computation is a pure function of the
-    * data and the oracle replays BOTH phases bit-for-bit. */
+    * data and the oracle replays BOTH phases bit-for-bit.
+    *
+    * The candidate phase is exact only conditionally: a token below
+    * rank [[Cand]] in EVERY shard is invisible, and its global count
+    * is bounded by Σ_shards (shard's rank-[[Cand]] count). The result
+    * CARRIES that certificate — `miss_bound` and `exact_topk` =
+    * (K-th candidate count > miss_bound). If the flag is false the
+    * emitted rows are the exact counts of a candidate superset but
+    * the top-K itself is only probable — the caller's signal to raise
+    * Cand (the standard guarantee check for two-level top-K). */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir)
       .select((pmod(col("doc_id") * Mult, lit(M)) % Shards).as("shard"),
         explode(graft.functions.TextFns.wsTokens(lower(col("text")))).as("w"))
     val shardCnt = toks.groupBy(col("shard"), col("w")).agg(count(lit(1)).as("cnt"))
     val ws = Window.partitionBy(col("shard")).orderBy(col("cnt").desc, col("w"))
-    val cands = shardCnt.withColumn("rn", row_number().over(ws))
-      .filter(col("rn") <= Cand).select(col("w")).distinct()
-    shardCnt.join(broadcast(cands), Seq("w"), "left_semi")
+    val ranked = shardCnt.withColumn("rn", row_number().over(ws))
+    val cands = ranked.filter(col("rn") <= Cand).select(col("w")).distinct()
+    // max possible global count of a token that is a candidate NOWHERE:
+    // ≤ the rank-Cand cutoff in each shard it appears in, summed
+    val missBound = ranked.filter(col("rn") === Cand)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("miss_bound"))
+    val top = shardCnt.join(broadcast(cands), Seq("w"), "left_semi")
       .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(HhK)
+    top.crossJoin(broadcast(missBound))
+      .withColumn("exact_topk",
+        min(col("cnt")).over(Window.partitionBy()) > col("miss_bound"))
   }
 
   /** J-line: mergeable plain-stats partials — the incremental-stats
@@ -272,13 +288,17 @@ object Sketches {
        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
        |  FROM documents),
        |sc AS (SELECT shard, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
-       |cand AS (
-       |  SELECT DISTINCT w FROM (
-       |    SELECT shard, w,
-       |      row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, w) AS rn
-       |    FROM sc)
-       |  WHERE rn <= $Cand)
-       |SELECT w, sum(cnt)::BIGINT AS cnt
-       |FROM sc WHERE w IN (SELECT w FROM cand)
-       |GROUP BY w ORDER BY cnt DESC, w LIMIT $HhK""".stripMargin
+       |r AS (
+       |  SELECT shard, w, cnt,
+       |    row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, w) AS rn
+       |  FROM sc),
+       |cand AS (SELECT DISTINCT w FROM r WHERE rn <= $Cand),
+       |mb AS (SELECT COALESCE(sum(cnt), 0)::BIGINT AS miss_bound FROM r WHERE rn = $Cand),
+       |top AS (
+       |  SELECT w, sum(cnt)::BIGINT AS cnt
+       |  FROM sc WHERE w IN (SELECT w FROM cand)
+       |  GROUP BY w ORDER BY cnt DESC, w LIMIT $HhK)
+       |SELECT w, cnt, miss_bound,
+       |  min(cnt) OVER () > miss_bound AS exact_topk
+       |FROM top, mb""".stripMargin
 }

@@ -39,6 +39,48 @@ object JdbcUpsertSink {
     s"INSERT INTO ${table} (${columns.mkString(", ")}) " +
       s"VALUES (${columns.map(_ => "?").mkString(", ")})"
 
+  /** CREATE TABLE DDL from the DataFrame schema — the reference's
+    * `AutoMigrate(&Decision{})` (main.go:95-97): the sink can bring
+    * up its own table before the first write instead of assuming a
+    * provisioned database. Types map to the portable ANSI/Postgres
+    * names; the upsert key becomes the PRIMARY KEY (which also backs
+    * the ON CONFLICT target). */
+  def ddlSql(table: String, schema: org.apache.spark.sql.types.StructType,
+             key: String): String = {
+    import org.apache.spark.sql.types._
+    require(schema.fieldNames.contains(key), s"key $key not in ${schema.fieldNames.toSeq}")
+    def sqlType(dt: DataType): String = dt match {
+      case StringType => "TEXT"
+      case LongType => "BIGINT"
+      case IntegerType | ShortType | ByteType => "INTEGER"
+      case BooleanType => "BOOLEAN"
+      case TimestampType => "TIMESTAMP"
+      case DateType => "DATE"
+      case DoubleType => "DOUBLE PRECISION"
+      case FloatType => "REAL"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case BinaryType => "BYTEA"
+      case ArrayType(e, _) => sqlType(e) + "[]"
+      case other => throw new IllegalArgumentException(s"no SQL type for $other")
+    }
+    val cols = schema.fields.map { f =>
+      val suffix =
+        if (f.name == key) " PRIMARY KEY"
+        else if (!f.nullable) " NOT NULL"
+        else ""
+      s"${f.name} ${sqlType(f.dataType)}$suffix"
+    }.mkString(", ")
+    s"CREATE TABLE IF NOT EXISTS $table ($cols)"
+  }
+
+  /** Run [[ddlSql]] once on a connection — the migrate step a
+    * production pipeline calls before its first [[write]]. */
+  def migrate(conn: Connection, table: String,
+              schema: org.apache.spark.sql.types.StructType, key: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(ddlSql(table, schema, key)) finally st.close()
+  }
+
   /** Row count of each `batchSize` chunk of `n` rows — the batching
     * math, shared by `write` and the driver-facing query. */
   def batchSizes(n: Long, batchSize: Int): Seq[Long] =

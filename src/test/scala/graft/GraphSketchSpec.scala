@@ -134,9 +134,23 @@ class GraphSketchSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length.toLong)
     val expected = counts.toSeq.sortBy { case (w, c) => (-c, w) }
       .take(Sketches.HhK)
-    val got = run("heavy_hitters").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rows = run("heavy_hitters").collect()
+    val got = rows.map(r => (r.getString(0), r.getAs[Long]("cnt")))
+      .sortBy { case (w, c) => (-c, w) }.toSeq
     assert(got == expected)
+    // the exactness certificate: miss_bound caps the global count of
+    // any token that was a candidate in NO shard — so the flag must
+    // equal (K-th candidate count > bound), and when it is set the
+    // local recount above is a guaranteed (not lucky) match
+    val bound = rows.map(_.getAs[Long]("miss_bound")).distinct
+    assert(bound.length == 1)
+    val flag = rows.map(_.getAs[Boolean]("exact_topk")).distinct.toSeq
+    assert(flag == Seq(got.map(_._2).min > bound.head))
+    // every non-candidate's true count must sit under the bound —
+    // candidates are a superset of tokens above it
+    val nonCandMax = counts.filterNot { case (w, _) => got.exists(_._1 == w) }
+      .values.foldLeft(0L)(math.max)
+    assert(nonCandMax <= math.max(bound.head, got.map(_._2).min))
   }
 
   test("key_skew_stats: matches a per-key recount") {

@@ -36,6 +36,26 @@ class IngestSpec extends SparkSpec {
     assert(m.map(_.getString(1)).forall(f =>
       f.startsWith("sor-discord-netherlands-bv-") && f.endsWith("-full.zip")))
     assert(m.map(_.getDate(0)).distinct.length == m.length)
+    // the reference's epoch warning (main.go:102-106) as a flag:
+    // exactly the days before 2024-08-21 are marked
+    val epoch = java.sql.Date.valueOf("2024-08-21")
+    m.foreach(r => assert(r.getAs[Boolean]("before_epoch") == r.getDate(0).before(epoch)))
+  }
+
+  test("manifest range validation flags pre-epoch and unpublished days (main.go:102-112)") {
+    import graft.ingest.Manifest
+    val m = Manifest.validated(
+      Manifest.daily(spark, "2024-08-19", "2024-08-24"),
+      today = lit("2024-08-23").cast("date")).collect()
+    val byDay = m.map(r => r.getDate(0).toString ->
+      (r.getAs[Boolean]("before_epoch"), r.getAs[Boolean]("not_yet_published"))).toMap
+    assert(byDay("2024-08-19") == ((true, false)))
+    assert(byDay("2024-08-20") == ((true, false)))
+    assert(byDay("2024-08-21") == ((false, false)))
+    assert(byDay("2024-08-22") == ((false, false)))
+    // "in the future or in today" both warn
+    assert(byDay("2024-08-23") == ((false, true)))
+    assert(byDay("2024-08-24") == ((false, true)))
   }
 
   test("decision_parse: malformed ts → null, array fallback, tri-state bool") {

@@ -15,6 +15,34 @@ class SinkStreamSpec extends SparkSpec {
     }
   }
 
+  test("ddlSql: CREATE TABLE from the Decision schema, key as PRIMARY KEY (AutoMigrate analog)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("uuid", StringType, nullable = false),
+      StructField("created_at", TimestampType),
+      StructField("decision_visibility", ArrayType(StringType)),
+      StructField("n_rows", LongType),
+      StructField("score", DoubleType),
+      StructField("automated", BooleanType)))
+    val ddl = JdbcUpsertSink.ddlSql("decisions", schema, "uuid")
+    assert(ddl == "CREATE TABLE IF NOT EXISTS decisions (" +
+      "uuid TEXT PRIMARY KEY, created_at TIMESTAMP, " +
+      "decision_visibility TEXT[], n_rows BIGINT, " +
+      "score DOUBLE PRECISION, automated BOOLEAN)")
+    // the full 40-column round-trip schema must map without gaps
+    val full = SparkEntry.queries("decision_roundtrip")(spark, sf).schema
+    val fullDdl = JdbcUpsertSink.ddlSql("decisions", full, "uuid")
+    assert(full.fields.forall(f => fullDdl.contains(f.name + " ")))
+    assert(fullDdl.contains("uuid TEXT PRIMARY KEY"))
+    assertThrows[IllegalArgumentException] {
+      JdbcUpsertSink.ddlSql("t", schema, "missing")
+    }
+    // migrate executes the DDL once through a connection
+    FakeDb.reset(failInserts = false)
+    JdbcUpsertSink.migrate(FakeDb.connect("jdbc:fake"), "decisions", schema, "uuid")
+    assert(FakeDb.entries.exists(e => e.startsWith("exec:CREATE TABLE IF NOT EXISTS decisions")))
+  }
+
   test("batchSizes: 1000-row chunking matches the reference's batching") {
     assert(JdbcUpsertSink.batchSizes(2500, 1000) == Seq(1000L, 1000L, 500L))
     assert(JdbcUpsertSink.batchSizes(1000, 1000) == Seq(1000L))
@@ -209,11 +237,22 @@ object FakeDb {
           }
         }).asInstanceOf[java.sql.PreparedStatement]
     }
+    def st(): java.sql.Statement =
+      Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[java.sql.Statement]),
+        new InvocationHandler {
+          def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+            case "execute" => log.add(s"exec:${args(0)}"); java.lang.Boolean.FALSE
+            case "toString" => "fakest"
+            case _ => null
+          }
+        }).asInstanceOf[java.sql.Statement]
     Proxy.newProxyInstance(getClass.getClassLoader,
       Array(classOf[java.sql.Connection]),
       new InvocationHandler {
         def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
           case "prepareStatement" => ps(args(0).asInstanceOf[String])
+          case "createStatement" => st()
           case "commit" => log.add("commit"); null
           case "rollback" => log.add("rollback"); null
           case "setAutoCommit" | "close" => null
