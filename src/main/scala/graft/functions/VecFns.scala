@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Vector kernels for similarity search (SURVEY.md §2 C5/D*): dot
@@ -24,44 +24,79 @@ object VecFns {
     when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
-  /** Max vector dimensionality the literal hyperplanes cover. */
+  /** Max vector dimensionality the portable plane-sign family covers
+    * (the (plane, dim) → sign hash is indexed by k·MaxDim + d). */
   val MaxDim = 512
 
-  /** Random-hyperplane LSH bucket: k sign bits of projections onto
-    * fixed seeded-PRNG hyperplanes, packed into a long. Planes are
-    * literal float arrays baked into the plan (identical on every
-    * executor, no stored model), so each projection is one codegen'd
-    * [[graft.plans.VecDotProduct]] — not an interpreted per-component
-    * lambda. */
-  def hyperplaneBucket(v: Column, bits: Int, seed: Int = 7): Column = {
-    (0 until bits).map { r =>
-      val rnd = new scala.util.Random(seed * 1000 + r)
-      val plane = typedLit(Array.fill(MaxDim)(rnd.nextFloat() * 2f - 1f))
-      when(dot(v, plane) >= 0, 1L << r).otherwise(0L)
-    }.reduce(_ + _)
+  /** Portable universal-hash constants (shared with the DuckDB
+    * oracles as literals). */
+  val HashMult = 2654435761L
+  val P = 1000000007L
+
+  /** PORTABLE ±1 pseudo-random sign for LSH plane k, dimension d:
+    * parity of the integer universal hash of the (plane, dim) index —
+    * exactly replayable in ANSI SQL, unlike the seeded-PRNG float
+    * hyperplanes above. k·MaxDim + d + 1 stays ≤ 2^16 for any plane
+    * count in use, so the product stays < 2^46: no ANSI overflow. */
+  def planeSign(k: Int, d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod((lit(k.toLong * MaxDim) + d + 1) * HashMult, lit(P)) % 2 === 1
+
+  /** Sign-LSH bucket assignment with INTEGER arithmetic end to end:
+    * embeddings are quantized to q = floor(x·10⁴ + 0.5) (the
+    * emb_quantize half-up convention), each plane projection is
+    * Σ_d ±q_d with portable signs, bit r of table t = (projection of
+    * plane t·bits+r) > 0. Exact integer sums are order-independent,
+    * so Spark's unordered partial aggregation and DuckDB's scan order
+    * produce identical buckets — float projections could sign-flip
+    * near 0 between engines. Shape: one posexplode + bits·tables
+    * scalar codegen'd sum-aggregates; after map-side combine the
+    * shuffle carries (id, planes longs) partials, and the result is
+    * the exploded (id, t, b) keys ready for the (t, b) equi-join. */
+  def portableBuckets(df: DataFrame, idCol: String, vecCol: String,
+                      bits: Int, tables: Int): DataFrame = {
+    val planes = tables * bits
+    val posts = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col(idCol), col("d"),
+        floor(col("x").cast("double") * 10000 + 0.5).cast("long").as("q"))
+    val projs = (0 until planes).map(k =>
+      sum(when(planeSign(k, col("d")), col("q")).otherwise(-col("q"))).as(s"p$k"))
+    val bucketCols = (0 until tables).map { t =>
+      (0 until bits).map(r =>
+        when(col(s"p${t * bits + r}") > 0, 1L << r).otherwise(0L))
+        .reduce(_ + _).as(s"b$t")
+    }
+    posts.groupBy(col(idCol)).agg(projs.head, projs.tail: _*)
+      .select(col(idCol) +: bucketCols: _*)
+      .select(col(idCol), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
+      .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
   }
 
-  /** Banded sign-LSH keys from an already-computed
-    * [[hyperplaneBucket]] COLUMN: `bands` bands of `bits` bits each,
-    * every key tagged with its band index — key = (band << bits) |
-    * bandBits — so one single-column equi-join means "same band AND
-    * same bucket". Geometry is threshold-driven: P(vectors at angle
-    * θ share ≥1 band) = 1-(1-(1-θ/π)^bits)^bands. Tight near-dup
-    * thresholds (cos ≥ 0.9, θ ≈ 26°) want wide selective bands
-    * (8×8); a weak threshold like cos ≥ 0.4 (θ ≈ 66°) needs narrow
-    * permissive ones (2-bit × 32, per-pair miss ≈ 9e-8).
-    *
-    * Takes the bucket as a Column on purpose: Catalyst expressions
-    * are trees, not DAGs — inlining the 64-plane projection here
-    * would copy it into every band key (bands × planes dot products
-    * per row; measured 19 ms/row once codegen falls back). Project
-    * the bucket into a column first, then slice. */
-  def bandKeysFromBucket(bucket: Column, bits: Int, bands: Int): Column = {
-    require(bits * bands <= 64, "at most 64 sign planes")
-    val mask = (1L << bits) - 1
-    array((0 until bands).map { b =>
-      lit(b.toLong << bits) +
-        shiftrightunsigned(bucket, bits * b).bitwiseAND(lit(mask))
-    }: _*)
-  }
+  /** DuckDB CTEs computing the portable (vec_id, t, b) bucket keys
+    * for every embedding — the literal replay of [[portableBuckets]]
+    * (ends in a CTE named `buckets`). */
+  def portableBucketsSql(bits: Int, tables: Int): String =
+    s"""posts AS (
+       |  SELECT vec_id, d,
+       |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS d
+       |        FROM embeddings)),
+       |projs AS (
+       |  SELECT vec_id, k,
+       |    sum(CASE WHEN (((k * $MaxDim + d + 1) * $HashMult) % $P) % 2 = 1
+       |        THEN q ELSE -q END) AS p
+       |  FROM posts, (SELECT unnest(range(${tables * bits})) AS k)
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id, CAST(k // $bits AS INT) AS t,
+       |    CAST(sum(CASE WHEN p > 0
+       |      THEN (1::BIGINT << CAST(k % $bits AS INT)) ELSE 0 END) AS BIGINT) AS b
+       |  FROM projs GROUP BY 1, 2)""".stripMargin
+
+  // Band geometry note (applies to portableBuckets' (bits, tables)
+  // choice): P(vectors at angle θ share ≥1 band) =
+  // 1-(1-(1-θ/π)^bits)^tables. Tight near-dup thresholds (cos ≥ 0.9,
+  // θ ≈ 26°) want wide selective bands (8×8); a weak threshold like
+  // cos ≥ 0.4 (θ ≈ 66°) needs narrow permissive ones (2-bit × 32,
+  // per-pair miss ≈ 9e-8).
 }

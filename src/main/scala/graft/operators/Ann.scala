@@ -80,49 +80,11 @@ object Ann {
        |  SELECT qid, nb, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
        |  FROM s) WHERE rnk <= $K""".stripMargin
 
-  /** The portable universal-hash multiplier (same family as
-    * sample_split / heavy_hitters shards). */
-  private val HashMult = 2654435761L
-  private val P = 1000000007L
-
-  /** PORTABLE ±1 pseudo-random sign for LSH plane k, dimension d:
-    * parity of the integer universal hash of the (plane, dim) index —
-    * exactly replayable in ANSI SQL, unlike the seeded-PRNG float
-    * hyperplanes (which stay in [[VecFns.hyperplaneBucket]] for the
-    * non-oracled C5 path). k·MaxDim + d + 1 ≤ 2^15 so the product
-    * stays < 2^45: no ANSI overflow. */
-  private def planeSign(k: Int, d: Column): Column =
-    pmod((lit(k.toLong * VecFns.MaxDim) + d + 1) * HashMult, lit(P)) % 2 === 1
-
-  /** Sign-LSH bucket assignment with INTEGER arithmetic end to end:
-    * embeddings are quantized to q = floor(x·10⁴ + 0.5) (the
-    * emb_quantize half-up convention), each plane projection is
-    * Σ_d ±q_d with portable signs, bit k of table t = (projection of
-    * plane t·bits+k) > 0. Exact integer sums are order-independent,
-    * so Spark's unordered partial aggregation and DuckDB's scan order
-    * produce identical buckets — float projections could sign-flip
-    * near 0 between engines. Shape: one posexplode + `planes` scalar
-    * codegen'd sum-aggregates; after map-side combine the shuffle
-    * carries (id, planes longs) partials, and the result is the
-    * exploded (id, table, bucket) keys ready for the equi-join. */
-  private def portableBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val planes = LshTables * LshBits
-    val posts = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
-      .select(col(idCol), col("d"),
-        floor(col("x").cast("double") * 10000 + 0.5).cast("long").as("q"))
-    val projs = (0 until planes).map(k =>
-      sum(when(planeSign(k, col("d")), col("q")).otherwise(-col("q"))).as(s"p$k"))
-    val bucketCols = (0 until LshTables).map { t =>
-      (0 until LshBits).map(r =>
-        when(col(s"p${t * LshBits + r}") > 0, 1L << r).otherwise(0L))
-        .reduce(_ + _).as(s"b$t")
-    }
-    posts.groupBy(col(idCol)).agg(projs.head, projs.tail: _*)
-      .select(col(idCol) +: bucketCols: _*)
-      .select(col(idCol), explode(array((0 until LshTables).map(t =>
-        struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("tb"))
-      .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
-  }
+  /** D2/H7-LSH bucket keys — [[VecFns.portableBuckets]] at this
+    * module's (bits, tables); see there for the integer-exactness
+    * argument that makes these oracle-replayable. */
+  private def portableBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    VecFns.portableBuckets(df, idCol, vecCol, LshBits, LshTables)
 
   /** D2: random-hyperplane LSH. Each vector lands in [[LshTables]]
     * buckets ([[LshBits]] sign bits each); candidates are bucket
@@ -147,25 +109,7 @@ object Ann {
     topK(scored)
   }
 
-  /** DuckDB CTEs computing the portable (id, t, b) bucket keys for
-    * every embedding — the literal replay of [[portableBuckets]]. */
-  private val bucketsCtes: String =
-    s"""posts AS (
-       |  SELECT vec_id, d,
-       |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
-       |  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS d
-       |        FROM embeddings)),
-       |projs AS (
-       |  SELECT vec_id, k,
-       |    sum(CASE WHEN (((k * ${VecFns.MaxDim} + d + 1) * $HashMult) % $P) % 2 = 1
-       |        THEN q ELSE -q END) AS p
-       |  FROM posts, (SELECT unnest(range(${LshTables * LshBits})) AS k)
-       |  GROUP BY 1, 2),
-       |buckets AS (
-       |  SELECT vec_id, CAST(k // $LshBits AS INT) AS t,
-       |    CAST(sum(CASE WHEN p > 0
-       |      THEN (1::BIGINT << CAST(k % $LshBits AS INT)) ELSE 0 END) AS BIGINT) AS b
-       |  FROM projs GROUP BY 1, 2)""".stripMargin
+  private val bucketsCtes: String = VecFns.portableBucketsSql(LshBits, LshTables)
 
   val annLshSql: String =
     s"""WITH $bucketsCtes,

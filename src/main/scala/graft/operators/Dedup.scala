@@ -193,6 +193,97 @@ object Dedup {
       |WHERE j >= 0.5
       |GROUP BY 1, 2""".stripMargin
 
+  /** K-line: APPLY the dedup decision — the manifest of the deduped
+    * corpus a pipeline actually writes after [[dedupClusters]]: one
+    * row per cluster with the kept representative (the cluster
+    * minimum, same canonical choice as C1), how many members merged
+    * into it, the provenance source set, and the byte accounting
+    * (kept vs removed chars) that feeds the dataset card. One join of
+    * labels to doc metadata + one cluster-keyed aggregate on top of
+    * the clustering — at 100 TB the aggregate shuffles (cluster,
+    * partial) rows, and singleton clusters dominate so the output is
+    * ≈ corpus-sized, written back out as the new corpus manifest. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val clu = dedupClusters(s, dir) // (doc_id, cluster_id, cluster_size)
+    val docs = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    clu.join(docs, "doc_id")
+      .groupBy(col("cluster_id").as("keep_id"))
+      .agg(count(lit(1)).as("n_merged"),
+        concat_ws("|", array_sort(collect_set(col("source")))).as("sources"),
+        sum(when(col("doc_id") === col("cluster_id"), col("n_chars"))
+          .otherwise(0L)).as("kept_chars"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("n_chars"))
+          .otherwise(0L)).as("chars_removed"))
+  }
+
+  // lazy: interpolates dedupClustersSql, which is declared further down
+  lazy val dedupApplySql: String =
+    s"""SELECT cluster_id AS keep_id, count(*) AS n_merged,
+       |  array_to_string(list_sort(list_distinct(list(source))), '|') AS sources,
+       |  sum(CASE WHEN doc_id = cluster_id THEN n_chars ELSE 0 END)::BIGINT AS kept_chars,
+       |  sum(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END)::BIGINT AS chars_removed
+       |FROM ($dedupClustersSql) clu JOIN documents USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
+  /** K-line: MinHash accuracy report — for every true near-dup pair
+    * (exact Jaccard ≥ 0.5, the C4 set), the signature-agreement
+    * estimate ĵ = |{k : sig_a[k] = sig_b[k]}| / 64 next to the exact
+    * j. The calibration check a pipeline runs before trusting C2's
+    * banding thresholds on a new corpus (E[ĵ] = j per MinHash theory;
+    * matches/64 is an exact dyadic double, so cross-engine safe).
+    * Gram hashes are the portable [[graft.functions.HashFns.strHash]]
+    * so the oracle replays signatures bit-for-bit; signatures and
+    * pairs reuse ONE persisted postings frame — no second shingle
+    * scan. */
+  def minhashEst(s: SparkSession, dir: String): DataFrame = {
+    val gp = gramPosts(s, dir)
+    val posts = gp.select(col("doc_id"), strHash(col("gram")).as("h"))
+    val sig = minhashSigAgg(posts, "doc_id", "h")
+    val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = gp.as("x")
+      .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
+      .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("j") >= 0.5)
+    pairs
+      .join(sig.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+      .join(sig.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+      .withColumn("eq", aggregate(
+        zip_with(col("siga"), col("sigb"), (a, b) => when(a === b, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"),
+        col("eq").as("sig_matches"),
+        round(col("eq") / 64.0, 4).as("est_jaccard"))
+  }
+
+  val minhashEstSql: String = {
+    val aList = graft.functions.HashFns.A.mkString("[", ", ", "]")
+    val bList = graft.functions.HashFns.B.mkString("[", ", ", "]")
+    gramsCte + pairsCtes + s""",
+      |th AS (
+      |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+      |      [ascii(c)::BIGINT for c in string_split(gram, '')]),
+      |    (a, x) -> (a * 31 + x) % 1000000007) AS h
+      |  FROM p2),
+      |sig AS (
+      |  SELECT doc_id, k, min(($aList[k+1] * h + $bList[k+1]) % ${graft.functions.HashFns.P}) AS m
+      |  FROM th, (SELECT unnest(range(${graft.functions.HashFns.NumHashes})) AS k)
+      |  GROUP BY 1, 2),
+      |eqs AS (
+      |  SELECT ia, ib, sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::BIGINT AS eq
+      |  FROM (SELECT ia, ib FROM jp WHERE j >= 0.5) pr
+      |  JOIN sig sa ON sa.doc_id = pr.ia
+      |  JOIN sig sb ON sb.doc_id = pr.ib AND sb.k = sa.k
+      |  GROUP BY 1, 2)
+      |SELECT pr.ia, pr.ib, round(j, 4) AS jaccard, eq AS sig_matches,
+      |  round(eq / 64.0, 4) AS est_jaccard
+      |FROM jp pr JOIN eqs ON pr.ia = eqs.ia AND pr.ib = eqs.ib
+      |WHERE j >= 0.5""".stripMargin
+  }
+
   /** Containment floor for [[containmentPairs]]. */
   val ContainMin = 0.8
 
@@ -559,18 +650,18 @@ object Dedup {
     * for thresholds that prune (see the regime note on [[CosFloor]]);
     * at the verify threshold its recall-1 geometry is the permissive
     * [[CosBandBits]]×[[CosBands]], spec-checked equal to the exact
-    * operator. The bucket is materialized as a column BEFORE band
-    * slicing — inlining it would copy the 64-plane projection
-    * subtree into every band key (measured 19 ms/row interpreted). */
+    * operator. Buckets are [[VecFns.portableBuckets]] (integer-
+    * quantized projections, portable signs), so the driver's DuckDB
+    * oracle replays the LSH itself — band misses, were any to occur,
+    * land identically on both engines instead of flaking the gate. */
   def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VecFns.norm(col("embedding")))
-    val keys = e.select(col("vec_id"),
-        VecFns.hyperplaneBucket(col("embedding"), CosBandBits * CosBands).as("bucket"))
-      .select(col("vec_id"),
-        explode(VecFns.bandKeysFromBucket(col("bucket"), CosBandBits, CosBands)).as("bk"))
+    val keys = VecFns.portableBuckets(e, "vec_id", "embedding", CosBandBits, CosBands)
     val cand = keys.as("x")
-      .join(keys.as("y"), col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+      .join(keys.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
     val ex = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
@@ -582,6 +673,24 @@ object Dedup {
       .filter(col("cos") >= CosFloor)
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
   }
+
+  /** DuckDB twin of [[dedupEmbeddingLsh]]: portable buckets, (t, b)
+    * collision candidates, exact cosine ≥ [[CosFloor]]. */
+  val dedupEmbeddingLshSql: String =
+    s"""WITH ${VecFns.portableBucketsSql(CosBandBits, CosBands)},
+       |cand AS (
+       |  SELECT x.vec_id AS va, y.vec_id AS vb
+       |  FROM buckets x JOIN buckets y
+       |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT va, vb, round(c, 4) AS cos FROM (
+       |  SELECT va, vb,
+       |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
+       |  JOIN embeddings b ON b.vec_id = cand.vb)
+       |WHERE c >= $CosFloor""".stripMargin
 
   val dedupEmbeddingSql: String =
     """SELECT va, vb, round(c, 4) AS cos FROM (

@@ -115,6 +115,42 @@ object TextOps {
       |    (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
       |FROM documents""".stripMargin
 
+  /** Terms reported by [[buildIndexQ]] (top by df) and the postings
+    * prefix carried per term. */
+  val IdxTopTerms = 200
+  val IdxPostingsCap = 10
+
+  /** K-line: inverted-index build statistics — per-term document
+    * frequency, collection frequency, and the head of the sorted
+    * postings list, for the [[IdxTopTerms]] highest-df terms. The
+    * shape of a distributed index build: postings are (term, doc)
+    * rows, ONE term-keyed shuffle produces df/cf/postings together
+    * (at 100 TB each reducer owns a term range — exactly how sharded
+    * index segments are written; the LIMIT here is only the report
+    * cut, a real build writes every term's full postings from the
+    * same shuffle). The postings head is deterministic: sorted doc
+    * ids, capped, comma-joined. */
+  def buildIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      explode(TextFns.wsTokens(lower(col("text")))).as("w"))
+    toks.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cf"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_set(col("doc_id"))), 1, IdxPostingsCap),
+          x => x.cast("string"))).as("postings_head"))
+      .orderBy(col("df").desc, col("w")).limit(IdxTopTerms)
+  }
+
+  val buildIndexSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+       |  FROM documents)
+       |SELECT w, count(DISTINCT doc_id) AS df, count(*) AS cf,
+       |  array_to_string(list_sort(list_distinct(list(doc_id)))[1:$IdxPostingsCap], ',') AS postings_head
+       |FROM toks GROUP BY w
+       |ORDER BY df DESC, w LIMIT $IdxTopTerms""".stripMargin
+
   /** Cross-engine-safe PII patterns (no lookaround — identical
     * semantics in Java regex and RE2). */
   val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}"

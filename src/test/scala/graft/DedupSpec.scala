@@ -168,6 +168,49 @@ class DedupSpec extends SparkSpec {
       s"lsh=${lsh.size} exact=${exact.size} missed=${(exact.keySet -- lsh.keySet).take(5)}")
   }
 
+  test("dedup_apply: cluster manifest conserves docs and chars, provenance sorted") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val clusters = run("dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = run("dedup_apply").collect()
+    // one manifest row per cluster; members conserved
+    assert(rows.length == clusters.values.toSet.size)
+    assert(rows.map(_.getAs[Long]("n_merged")).sum == docs.size.toLong)
+    // char accounting equals a local recount; sources sorted+distinct
+    rows.foreach { r =>
+      val keep = r.getAs[Long]("keep_id")
+      val members = clusters.collect { case (d, c) if c == keep => d }.toSeq
+      assert(members.contains(keep) && members.min == keep)
+      assert(r.getAs[Long]("kept_chars") == docs(keep)._2)
+      assert(r.getAs[Long]("chars_removed") ==
+        members.filterNot(_ == keep).map(d => docs(d)._2).sum)
+      val srcs = r.getAs[String]("sources").split("\\|").toSeq
+      assert(srcs == members.map(d => docs(d)._1).distinct.sorted)
+    }
+  }
+
+  test("minhash_est: signature agreement tracks exact Jaccard on true pairs") {
+    val rows = run("minhash_est").collect()
+    val exact = run("ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(rows.length == exact.size, "one estimate row per true near-dup pair")
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("ia"), r.getAs[Long]("ib"))
+      assert(r.getAs[Double]("jaccard") == exact(k))
+      val est = r.getAs[Double]("est_jaccard")
+      assert(math.abs(est - r.getAs[Long]("sig_matches") / 64.0) <= 1e-4)
+      // 64 hashes: σ = sqrt(j(1-j)/64) ≤ 0.0625; 5σ tolerance
+      assert(math.abs(est - exact(k)) <= 0.32,
+        s"pair $k: est $est vs exact ${exact(k)}")
+    }
+    // unbiasedness in aggregate: mean error near zero
+    val errs = rows.map(r => r.getAs[Double]("est_jaccard") - exact(
+      (r.getAs[Long]("ia"), r.getAs[Long]("ib"))))
+    assert(math.abs(errs.sum / errs.length) < 0.05, s"mean err ${errs.sum / errs.length}")
+  }
+
   test("gram df-cap is inert at verify scale (max df well under the cap)") {
     val maxDf = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(HashFns.shingles(col("text"))).as("gram"))

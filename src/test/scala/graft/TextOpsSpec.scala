@@ -132,6 +132,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("build_index: df/cf/postings match a local recount on the top terms") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+    val byTerm = texts.flatMap { case (d, ws) => ws.map(w => (w, d)) }
+      .groupBy(_._1)
+    val rows = run("build_index").collect()
+    assert(rows.length == math.min(TextOps.IdxTopTerms, byTerm.size))
+    // df is non-increasing down the report (the ORDER BY is real)
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+    rows.take(20).foreach { r =>
+      val w = r.getString(0)
+      val occ = byTerm(w)
+      assert(r.getAs[Long]("cf") == occ.length.toLong)
+      val docs = occ.map(_._2).distinct.sorted
+      assert(r.getAs[Long]("df") == docs.length.toLong)
+      assert(r.getAs[String]("postings_head") ==
+        docs.take(TextOps.IdxPostingsCap).mkString(","))
+    }
+  }
+
   test("doc_fingerprint: deterministic, order-sensitive, low collision") {
     import spark.implicits._
     val df = Seq("a b c", "a b c", "c b a", "a b d").toDF("text")
