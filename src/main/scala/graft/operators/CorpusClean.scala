@@ -84,6 +84,54 @@ object CorpusClean {
       |      FROM segs)
       |GROUP BY doc_id""".stripMargin
 
+  /** Boilerplate df floor: a segment seen in ≥ this many DISTINCT
+    * docs of one source is boilerplate. 2 is the verify-scale floor
+    * (the synthetic corpus's only repeats are near-dup plants); a
+    * production crawl uses a relative cut like 1% of the source. */
+  val BoilerDf = 2
+
+  /** K-line: source-level BOILERPLATE strip — the CCNet step between
+    * line-dedup and the LM filter: a segment repeated across ≥
+    * [[BoilerDf]] distinct documents OF THE SAME SOURCE (nav bars,
+    * footers, cookie banners) is removed from EVERY document, unlike
+    * [[lineDedup]] which keeps the first copy. Emits the per-doc
+    * report (segments, boilerplate hits, surviving chars, ratio).
+    * Shape: one (source, seg)-keyed df aggregate, then the segment
+    * frame re-joins the boilerplate set on the SAME key — two
+    * shuffles total, both ∝ segments, no pairwise anything. */
+  def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val src = documents(s, dir).select(col("doc_id"), col("source"))
+    val segsSrc = segments(s, dir).join(src, "doc_id")
+    val dfs = segsSrc.select(col("source"), col("seg"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("seg")).agg(count(lit(1)).as("df"))
+    val boiler = dfs.filter(col("df") >= BoilerDf)
+      .select(col("source"), col("seg"), lit(true).as("is_boiler"))
+    segsSrc.join(boiler, Seq("source", "seg"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("is_boiler").isNull, length(col("seg")).cast("long"))
+          .otherwise(0L)).as("clean_chars"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_segs"), 4))
+  }
+
+  val boilerplateStripSql: String =
+    segsCte + s""",
+      |ss AS (SELECT segs.doc_id, source, si, seg
+      |       FROM segs JOIN documents ON segs.doc_id = documents.doc_id),
+      |dfs AS (
+      |  SELECT source, seg, count(*) AS df
+      |  FROM (SELECT DISTINCT source, seg, doc_id FROM ss)
+      |  GROUP BY 1, 2),
+      |boiler AS (SELECT source, seg FROM dfs WHERE df >= $BoilerDf)
+      |SELECT doc_id, count(*) AS n_segs,
+      |  sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+      |  sum(CASE WHEN b.seg IS NULL THEN length(ss.seg) ELSE 0 END)::BIGINT AS clean_chars,
+      |  round(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS boiler_ratio
+      |FROM ss LEFT JOIN boiler b ON ss.source = b.source AND ss.seg = b.seg
+      |GROUP BY doc_id""".stripMargin
+
   /** Gopher-style repetition thresholds: a doc is dropped when more
     * than 60% of its words are repeats or one word exceeds 20% of
     * the text. */

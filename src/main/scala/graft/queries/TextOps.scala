@@ -120,6 +120,55 @@ object TextOps {
   val IdxTopTerms = 200
   val IdxPostingsCap = 10
 
+  /** URL pattern — no lookaround, identical in Java regex and RE2. */
+  val UrlRe = "https?://[A-Za-z0-9.-]+/[A-Za-z0-9/_-]*"
+
+  /** K-line: per-domain URL profile — the blocklist/allowlist input a
+    * crawl-curation pipeline computes before domain filtering. The
+    * corpus is synthetic and URL-free, so deterministic URLs are
+    * PLANTED first (the scrub_pii pattern): doc_id%5==0 gets an
+    * https page URL on one of 7 sites, doc_id%9==0 an http cdn URL
+    * on one of 3 hosts. Extraction is regexp_extract_all + one
+    * domain-keyed aggregate — map-only scan then a tiny shuffle. */
+  def domainStats(s: SparkSession, dir: String): DataFrame = {
+    val txt = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/page"), (col("doc_id") % 13).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        concat(lit(" http://cdn"), (col("doc_id") % 3).cast("string"),
+          lit(".example.org/asset")))
+        .otherwise(lit("")))
+    documents(s, dir)
+      .select(col("doc_id"), explode(regexp_extract_all(txt, lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)/", 1).as("domain"),
+        (col("url").startsWith("https")).as("https"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("https"), 1L).otherwise(0L)).as("n_https"))
+  }
+
+  val domainStatsSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 5 = 0
+       |                 THEN ' https://site' || CAST(doc_id % 7 AS VARCHAR)
+       |                      || '.example.com/page' || CAST(doc_id % 13 AS VARCHAR)
+       |                 ELSE '' END
+       |         || CASE WHEN doc_id % 9 = 0
+       |                 THEN ' http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+       |                      || '.example.org/asset'
+       |                 ELSE '' END AS txt
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(regexp_extract_all(txt, '$UrlRe')) AS url FROM p)
+       |SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)/', 1) AS domain,
+       |  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+       |  sum(CASE WHEN url LIKE 'https%' THEN 1 ELSE 0 END)::BIGINT AS n_https
+       |FROM u GROUP BY 1""".stripMargin
+
   /** K-line: inverted-index build statistics — per-term document
     * frequency, collection frequency, and the head of the sorted
     * postings list, for the [[IdxTopTerms]] highest-df terms. The

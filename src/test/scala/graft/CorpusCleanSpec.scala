@@ -33,6 +33,32 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_kept")).sum == allSegs.distinct.size)
   }
 
+  test("boilerplate_strip: flags exactly the per-source repeated segments, all copies") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def segs(t: String): Seq[String] =
+      tokens(t).grouped(8).map(_.mkString(" ")).toSeq match {
+        case Nil => Seq(""); case ss => ss
+      }
+    // per-source df over distinct docs
+    val df = docs.flatMap { case (d, src, t) => segs(t).distinct.map(seg => (src, seg)) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val out = run("boilerplate_strip").collect()
+    assert(out.length == docs.length)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (d, src, t) =>
+      val ss = segs(t)
+      val r = byId(d)
+      val boiler = ss.count(seg => df((src, seg)) >= CorpusClean.BoilerDf)
+      assert(r.getAs[Long]("n_segs") == ss.length.toLong, s"doc $d")
+      assert(r.getAs[Long]("n_boiler") == boiler.toLong, s"doc $d")
+      assert(r.getAs[Long]("clean_chars") ==
+        ss.filter(seg => df((src, seg)) < CorpusClean.BoilerDf).map(_.length.toLong).sum)
+    }
+    // near-dup plants guarantee some boilerplate exists at this sf
+    assert(out.map(_.getAs[Long]("n_boiler")).sum > 0)
+  }
+
   test("repetition_score: fractions match a from-first-principles recount") {
     val out = run("repetition_score").collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()

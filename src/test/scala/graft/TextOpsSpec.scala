@@ -132,6 +132,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("domain_stats: planted URLs land in the right domains with exact counts") {
+    val n = Tables.documents(spark, sf).count()
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val rows = run("domain_stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // every planted URL is found: site<k>.example.com for doc_id%5==0
+    val siteDocs = ids.filter(_ % 5 == 0)
+    (0 until 7).foreach { k =>
+      val expect = siteDocs.filter(_ % 7 == k)
+      if (expect.nonEmpty) {
+        val r = rows(s"site$k.example.com")
+        assert(r.getAs[Long]("n_urls") == expect.length.toLong)
+        assert(r.getAs[Long]("n_docs") == expect.length.toLong)
+        assert(r.getAs[Long]("n_https") == expect.length.toLong)
+      }
+    }
+    val cdnDocs = ids.filter(_ % 9 == 0)
+    (0 until 3).foreach { k =>
+      val expect = cdnDocs.filter(_ % 3 == k)
+      if (expect.nonEmpty) {
+        val r = rows(s"cdn$k.example.org")
+        assert(r.getAs[Long]("n_urls") == expect.length.toLong)
+        assert(r.getAs[Long]("n_https") == 0L)
+      }
+    }
+    // nothing else extracted from the URL-free corpus
+    assert(rows.keySet.forall(d => d.endsWith("example.com") || d.endsWith("example.org")))
+    assert(n > 0)
+  }
+
   test("build_index: df/cf/postings match a local recount on the top terms") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
