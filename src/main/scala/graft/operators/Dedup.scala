@@ -88,8 +88,15 @@ object Dedup {
     * Verify: exact Jaccard over shingle sets, keep ≥ 0.5. At J ≥ 0.9
     * the 16×4 banding catches a pair w.p. 1-(1-0.9⁴)¹⁶ ≈ 1-4e-8, so
     * the oracle can be the exact all-pairs answer. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    lshPairs(gramPosts(s, dir))
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val gp = gramPosts(s, dir)
+    // materialize the pair-sized result, then release the cached
+    // postings (the Graph.scala hygiene pattern: caches must not
+    // outlive their operator across a 121-query session)
+    val out = lshPairs(gp).localCheckpoint()
+    gp.unpersist()
+    out
+  }
 
   /** The C2 pipeline from postings: MinHash signatures (scalar
     * min-aggregates — one doc-keyed shuffle, codegen'd), banded
@@ -150,7 +157,7 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val gp = gramPosts(s, dir)
     val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    gp.as("x")
+    val out = gp.as("x")
       .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .agg(count(lit(1)).as("inter"))
@@ -159,6 +166,9 @@ object Dedup {
       .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("j") >= 0.5)
       .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
+      .localCheckpoint() // pair-sized; release the cached postings
+    gp.unpersist()
+    out
   }
 
   val ngramJaccardSql: String = jaccardPairsSql
@@ -248,7 +258,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
       .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("j") >= 0.5)
-    pairs
+    val out = pairs
       .join(sig.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
       .join(sig.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
       .withColumn("eq", aggregate(
@@ -257,6 +267,9 @@ object Dedup {
       .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"),
         col("eq").as("sig_matches"),
         round(col("eq") / 64.0, 4).as("est_jaccard"))
+      .localCheckpoint() // pair-sized; release the cached postings
+    gp.unpersist()
+    out
   }
 
   val minhashEstSql: String = {
@@ -295,7 +308,7 @@ object Dedup {
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     val gp = gramPosts(s, dir)
     val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    gp.as("x")
+    val out = gp.as("x")
       .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .agg(count(lit(1)).as("inter"))
@@ -306,6 +319,9 @@ object Dedup {
       .filter(col("cont") >= ContainMin)
       .select(col("ia"), col("ib"), col("inter"), col("sz_a"), col("sz_b"),
         round(col("cont"), 4).as("containment"))
+      .localCheckpoint() // pair-sized; release the cached postings
+    gp.unpersist()
+    out
   }
 
   val containmentPairsSql: String =
@@ -335,19 +351,22 @@ object Dedup {
     // stage needs no extra joins back to sigs
     val bands = sigs.select(col("doc_id"), col("sb"), posexplode(col("sb")))
       .toDF("doc_id", "sb", "idx", "v")
-    bands.as("x")
+    // hamming BEFORE the dedup shuffle: the skewed buckets of a
+    // low-entropy corpus emit millions of candidates, and the 8-xor
+    // hamming kills most of them map-side
+    val out = bands.as("x")
       .join(bands.as("y"),
         col("x.idx") === col("y.idx") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
         col("x.sb").as("sba"), col("y.sb").as("sbb"))
-      // hamming BEFORE the dedup shuffle: the skewed buckets of a
-      // low-entropy corpus emit millions of candidates, and the 4-xor
-      // hamming kills most of them map-side
       .withColumn("hamming", bandHamming(col("sba"), col("sbb")))
       .filter(col("hamming") <= 7)
       .dropDuplicates("ia", "ib")
       .select(col("ia"), col("ib"), col("hamming"))
+      .localCheckpoint() // pair-sized; release the cached sketch
+    sigs.unpersist()
+    out
   }
 
   /** C3-wide: the 128-bit simhash variant — 8 bands of 16 bits
@@ -370,7 +389,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"), col("sb"), posexplode(col("sb")))
       .toDF("doc_id", "sb", "idx", "v")
-    bands.as("x")
+    val out = bands.as("x")
       .join(bands.as("y"),
         col("x.idx") === col("y.idx") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -380,6 +399,9 @@ object Dedup {
       .filter(col("hamming") <= 15)
       .dropDuplicates("ia", "ib")
       .select(col("ia"), col("ib"), col("hamming"))
+      .localCheckpoint() // pair-sized; release the cached sketch
+    sigs.unpersist()
+    out
   }
 
   /** DuckDB twin of the portable simhash pipeline: token hashes via

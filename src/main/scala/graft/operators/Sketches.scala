@@ -121,10 +121,14 @@ object Sketches {
     def est(n: org.apache.spark.sql.Column, hk: org.apache.spark.sql.Column) =
       round(when(n < K, col("n_exact").cast("double"))
         .otherwise(lit((K - 1).toDouble * M) / hk), 4)
-    exact.crossJoin(broadcast(nDays)).crossJoin(broadcast(merged)).crossJoin(broadcast(direct))
+    val out = exact.crossJoin(broadcast(nDays)).crossJoin(broadcast(merged))
+      .crossJoin(broadcast(direct))
       .select(col("n_days"), col("n_exact"),
         est(col("m_n"), col("m_hk")).as("est_merged"),
         est(col("d_n"), col("d_hk")).as("est_direct"))
+      .localCheckpoint() // one-row result; release the cached hashes
+    hashed.unpersist()
+    out
   }
 
   val kmvMergeSql: String =
