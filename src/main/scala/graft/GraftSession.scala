@@ -60,6 +60,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((exprs: Seq[Expression]) =>
       graft.plans.VecDotProduct(exprs(0), exprs(1))),
+    "str_poly_hash" -> ((exprs: Seq[Expression]) =>
+      graft.plans.StrPolyHash(exprs(0), exprs(1))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

@@ -36,9 +36,12 @@ object HashFns {
     * into code points, identical for ASCII/BMP text (the corpus here
     * is pure ASCII — astral chars would need a byte-level variant).
     * Everything stays in [0, P): acc·31 + code < 2^35, no ANSI
-    * overflow. */
+    * overflow. Dispatches to the codegen'd
+    * [[graft.plans.StrPolyHash]] (registered as `str_poly_hash`) —
+    * same fold, tight code-point loop instead of the interpreted
+    * one-string-per-char `aggregate(split(t, ""), …)` HOF. */
   def strHash(t: Column, mult: Long = 31L): Column =
-    aggregate(split(t, ""), lit(0L), (acc, c) => (acc * mult + ascii(c)) % P)
+    call_function("str_poly_hash", t, lit(mult))
 
   /** Fixed universal-hash coefficients for PORTABLE simhash bit
     * extraction (bit k of token h = parity of (SimA(k)·h + SimB(k))

@@ -15,13 +15,18 @@ class ExtensionsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on a bad descriptor
     assert(GraftFunctions.all.map(_._1).toSet ==
-      Set("vec_dot", "bloom_agg", "bloom_contains"))
+      Set("vec_dot", "str_poly_hash", "bloom_agg", "bloom_contains"))
   }
 
   test("shared builders construct the expected expression nodes") {
     val byName = GraftFunctions.all.toMap
     val vd = byName("vec_dot")(Seq(Literal(null), Literal(null)))
     assert(vd.isInstanceOf[graft.plans.VecDotProduct])
+    val sp = byName("str_poly_hash")(Seq(Literal("x"), Literal(31L)))
+    assert(sp.isInstanceOf[graft.plans.StrPolyHash])
+    // the native kernel equals the HOF fold it replaced, code points included
+    assert(graft.plans.StrPolyHash.hash("hello", 31L) == 99162322L)
+    assert(graft.plans.StrPolyHash.hash("", 31L) == 0L)
     val ba = byName("bloom_agg")(Seq(Literal(1L), Literal(2L), Literal(3L)))
     assert(ba.isInstanceOf[
       org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate])
