@@ -134,6 +134,35 @@ object ScalePatterns {
       |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
       |GROUP BY 1, 2""".stripMargin
 
+  /** K-line: DYNAMIC partition pruning — the other half of
+    * [[prunedScan]]'s static story, and the one that matters for star
+    * joins at 100 TB: the selective predicate lives on the DIM side
+    * (weekday of the date dim), so no static filter can reach the
+    * fact scan; Spark instead plants a DynamicPruningExpression on
+    * the fact's partition listing, fed by the broadcast dim — only
+    * matching day-partitions are read at runtime. The spec asserts
+    * the `dynamicpruning` partition filter is in the executed plan;
+    * the oracle replays the join's semantics on the flat table. */
+  def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    ensurePartitioned(s, dir)
+    val fact = s.read.parquet(partDir(dir))
+    // date dim with an attribute the fact doesn't carry; Mondays only
+    val dim = fact.select(col("d")).distinct()
+      .filter(weekday(col("d").cast("date")) === 0)
+    fact.join(broadcast(dim), "d")
+      .groupBy(col("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("d").cast("string").as("d"), col("event_type"), col("n"))
+  }
+
+  val dppJoinSql: String =
+    """WITH ev AS (
+      |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, event_type
+      |  FROM events)
+      |SELECT d, event_type, count(*) AS n
+      |FROM ev WHERE isodow(CAST(d AS DATE)) = 1
+      |GROUP BY 1, 2""".stripMargin
+
   def partDir(dir: String): String =
     s"/root/repo/target/fixtures/events_by_day_${dir.replaceAll("[^0-9]", "")}"
 

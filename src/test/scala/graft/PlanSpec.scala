@@ -34,6 +34,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
 
+  test("dpp_join: the fact scan carries a dynamic partition-pruning filter") {
+    val p = plan("dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression on the fact scan\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("no query plans a CartesianProduct (BNLJ-with-condition is the allowed exact-pairs form)") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"cartesian in $name")
