@@ -49,7 +49,8 @@ class PlanSpec extends SparkSpec {
 
   test("dedup/ann candidate generation is equi-join (hash/merge), LSH never all-pairs") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_wide",
-        "ann_lsh", "dedup_embedding").foreach { name =>
+        "ann_lsh", "dedup_embedding", "dedup_embedding_lsh", "knn_join_lsh",
+        "minhash_est", "build_index", "boilerplate_strip").foreach { name =>
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name generates candidates non-equi:\n$p")
