@@ -346,4 +346,37 @@ object Analytics {
       |  round((rev - lag(rev) OVER (PARTITION BY n_name ORDER BY yr))
       |    / lag(rev) OVER (PARTITION BY n_name ORDER BY yr), 4) AS growth
       |FROM yearly""".stripMargin
+
+  /** K-line: promo revenue share per ship month — TPC-H Q14 shape
+    * (the `part` dimension's signature query): lineitem ⋈ broadcast
+    * part, conditional revenue aggregation, share = division of the
+    * ALREADY-ROUNDED month sums (the yoy_growth convention — rounded
+    * doubles are engine-identical, so their quotient is too). One
+    * fact shuffle on the month key; the dim never shuffles. */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem(s, dir)
+      .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 4)
+          .as("promo_rev"),
+        round(sum(rev), 4).as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_rev") / col("total_rev"), 4))
+  }
+
+  val promoRevenueSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  round(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4) AS promo_rev,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
+      |  count(*) AS n_items,
+      |  round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4)
+      |    / round(sum(l_extendedprice * (1 - l_discount)), 4), 4) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
 }

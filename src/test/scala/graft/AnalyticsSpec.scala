@@ -136,4 +136,25 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("promo_revenue: share recomputes from the rounded sums, months partition the join") {
+    val rows = run("promo_revenue").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_items")).sum
+    // every lineitem with a matching part lands in exactly one month
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(n == expected)
+    rows.foreach { r =>
+      val promo = r.getAs[Double]("promo_rev")
+      val total = r.getAs[Double]("total_rev")
+      assert(promo >= 0 && promo <= total)
+      val pct = BigDecimal(100.0 * promo / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("promo_pct") - pct) < 1e-9)
+    }
+    // PROMO parts exist in the corpus, so the share is not vacuous
+    assert(rows.exists(_.getAs[Double]("promo_rev") > 0))
+  }
 }
