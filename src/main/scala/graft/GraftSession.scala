@@ -62,6 +62,10 @@ object GraftFunctions {
       graft.plans.VecDotProduct(exprs(0), exprs(1))),
     "str_poly_hash" -> ((exprs: Seq[Expression]) =>
       graft.plans.StrPolyHash(exprs(0), exprs(1))),
+    "kmv_agg" -> ((exprs: Seq[Expression]) =>
+      graft.plans.KmvAgg(exprs(0),
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int])),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

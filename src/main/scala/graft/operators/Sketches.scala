@@ -68,6 +68,46 @@ object Sketches {
        |             ELSE ${(K - 1).toDouble} * $M / k.hk END, 4) AS est_distinct
        |FROM n LEFT JOIN k USING (event_type)""".stripMargin
 
+  /** K-line: KMV as a FIRST-CLASS AGGREGATE — same estimator as
+    * [[kmvDistinct]] but the sketch is built by the custom
+    * [[graft.plans.KmvAgg]] TypedImperativeAggregate, so PARTIAL
+    * AGGREGATION merges K-value sketches in the map-side combiners
+    * and the shuffle carries ≤ K longs per (task, group) — the
+    * mergeable-sketch contract H1's relational form (distinct +
+    * window rank) cannot give, because IT must shuffle every distinct
+    * hash to rank it. Estimates are identical (K smallest distinct is
+    * merge-order-free); a spec cross-checks against H1 row for row,
+    * and PlanSpec asserts the two-phase ObjectHashAggregate. */
+  def kmvByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"),
+      pmod(col("user_id") * Mult, lit(M)).as("h"))
+    ev.groupBy(col("event_type"))
+      .agg(call_function("kmv_agg", col("h"), lit(K)).as("sk"),
+        count_distinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        size(col("sk")).as("sketch_n"),
+        round(when(size(col("sk")) < K, col("n_exact").cast("double"))
+          .otherwise(lit((K - 1).toDouble * M) / element_at(col("sk"), K)), 4)
+          .as("est_distinct"))
+  }
+
+  val kmvByTypeSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT event_type, (user_id * $Mult) % $M AS h FROM events),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM d),
+       |sk AS (
+       |  SELECT event_type, count(*) AS sketch_n, max(h) AS hk
+       |  FROM r WHERE rn <= $K GROUP BY 1),
+       |n AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |      FROM events GROUP BY 1)
+       |SELECT n.event_type, n.n_exact, sk.sketch_n,
+       |  round(CASE WHEN sk.sketch_n < $K THEN n.n_exact::DOUBLE
+       |             ELSE ${(K - 1).toDouble} * $M / sk.hk END, 4) AS est_distinct
+       |FROM n JOIN sk USING (event_type)""".stripMargin
+
   /** Deterministic-sample keep threshold: ~10% of the hash space. */
   val SampleCut = 100000000L
 

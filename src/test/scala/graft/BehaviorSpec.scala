@@ -78,6 +78,22 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("kmv_by_type: the custom aggregate reproduces the relational KMV row for row") {
+    val relational = run("kmv_distinct").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Double]("est_distinct"))).toMap
+    val viaAgg = run("kmv_by_type").collect()
+    assert(viaAgg.length == relational.size)
+    viaAgg.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Int]("sketch_n") <= Sketches.K)
+      // K smallest distinct is merge-order-free: the partial-agg path
+      // must land on EXACTLY the window-rank path's estimate
+      assert((r.getAs[Long]("n_exact"), r.getAs[Double]("est_distinct")) == relational(t),
+        s"event_type $t diverges from kmv_distinct")
+    }
+  }
+
   test("zorder_layout: every z-bucket's extents fit the 128x128 tile bound") {
     val rows = run("zorder_layout").collect()
     assert(rows.nonEmpty)

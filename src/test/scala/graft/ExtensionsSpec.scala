@@ -15,7 +15,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on a bad descriptor
     assert(GraftFunctions.all.map(_._1).toSet ==
-      Set("vec_dot", "str_poly_hash", "bloom_agg", "bloom_contains"))
+      Set("vec_dot", "str_poly_hash", "kmv_agg", "bloom_agg", "bloom_contains"))
   }
 
   test("shared builders construct the expected expression nodes") {
@@ -24,6 +24,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(vd.isInstanceOf[graft.plans.VecDotProduct])
     val sp = byName("str_poly_hash")(Seq(Literal("x"), Literal(31L)))
     assert(sp.isInstanceOf[graft.plans.StrPolyHash])
+    val ka = byName("kmv_agg")(Seq(Literal(1L), Literal(64)))
+    assert(ka.isInstanceOf[graft.plans.KmvAgg])
+    // the bounded-TreeSet sketch: K smallest DISTINCT values, merge-order-free
+    val agg = graft.plans.KmvAgg(Literal(0L), 3)
+    val a = agg.createAggregationBuffer()
+    Seq(9L, 5L, 5L, 7L, 1L).foreach(v => a.add(v))
+    while (a.size > 3) a.pollLast()
+    val b = agg.deserialize(agg.serialize(a))
+    assert(agg.merge(b, agg.createAggregationBuffer()).size == 3)
+    assert(agg.eval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq == Seq(1L, 5L, 7L))
     // the native kernel equals the HOF fold it replaced, code points included
     assert(graft.plans.StrPolyHash.hash("hello", 31L) == 99162322L)
     assert(graft.plans.StrPolyHash.hash("", 31L) == 0L)

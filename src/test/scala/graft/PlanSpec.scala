@@ -34,6 +34,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
 
+  test("kmv_by_type: sketches merge in partial aggregation (two-phase ObjectHashAggregate)") {
+    val p = plan("kmv_by_type")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_kmv_agg") || p.contains("partial kmv_agg")
+      || "ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"no map-side partial sketch merge in:\n$p")
+  }
+
   test("dpp_join: the fact scan carries a dynamic partition-pruning filter") {
     val p = plan("dpp_join")
     assert(p.toLowerCase.contains("dynamicpruning"),
