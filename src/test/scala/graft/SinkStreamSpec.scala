@@ -122,6 +122,31 @@ class SinkStreamSpec extends SparkSpec {
     assert(sizes.last <= 12, s"state ${sizes.last} exceeds the 2-wave horizon")
   }
 
+  test("stream_kmv: sketch-in-state cardinality equals the relational KMV per hour") {
+    val got = SparkEntry.queries("stream_kmv")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Int]("sketch_n"), r.getAs[Double]("est_users")))
+      .toMap
+    // relational recount: K smallest distinct hashes per hour
+    val K = graft.operators.Sketches.K
+    val hashes = Tables.events(spark, sf)
+      .select(date_format(window(col("ts"), "1 hour")("start"),
+        "yyyy-MM-dd HH:mm:ss").as("hour"),
+        pmod(col("user_id") * graft.operators.Sketches.Mult,
+          lit(graft.operators.Sketches.M)).as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted.take(K)).toMap
+    assert(got.keySet == hashes.keySet)
+    hashes.foreach { case (hour, sk) =>
+      val est =
+        if (sk.length < K) sk.length.toDouble
+        else BigDecimal((K - 1).toDouble * graft.operators.Sketches.M / sk.last)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(hour)._1 == sk.length, s"hour $hour sketch size")
+      assert(math.abs(got(hour)._2 - est) < 1e-9, s"hour $hour estimate")
+    }
+  }
+
   test("stream_sessionize: stateful streaming sessions equal the batch query") {
     val streamed = SparkEntry.queries("stream_sessionize")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
