@@ -49,6 +49,43 @@ object Multimodal {
       |  count(*) AS n_items, sum(strlen(text))::BIGINT AS total_bytes
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** K-line: content-hash dedup of the binary payloads — the CAS
+    * (content-addressed storage) report an image/audio pipeline runs
+    * before re-encoding anything: per mime type, how many payloads,
+    * how many unique blobs, and the bytes a dedup pass reclaims.
+    * Hashes are md5 over the RAW binary column (the payload never
+    * decodes); two groupBys — (mime, hash) then mime — both
+    * map-side-combining aggregates, so at 100 TB the shuffle carries
+    * 16-byte keys + counters, never blobs. */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(s, dir).select(col("doc_id"), col("payload"),
+      col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
+    m.groupBy(col("mime"), md5(col("payload")).as("h"))
+      // identical payloads have identical sizes: min() IS the size
+      .agg(count(lit(1)).as("copies"),
+        sum(col("n_bytes")).as("bytes_all"), min(col("n_bytes")).as("bytes_one"))
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("copies")).as("n_payloads"),
+        sum(col("bytes_all") - col("bytes_one")).as("dup_bytes"))
+  }
+
+  val mmDedupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS mime,
+      |    strlen(text) AS n_bytes, md5(text) AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT mime, h, count(*) AS copies,
+      |    sum(n_bytes)::BIGINT AS bytes_all, min(n_bytes) AS bytes_one
+      |  FROM m GROUP BY 1, 2)
+      |SELECT mime, count(*) AS n_unique, sum(copies)::BIGINT AS n_payloads,
+      |  sum(bytes_all - bytes_one)::BIGINT AS dup_bytes
+      |FROM g GROUP BY 1""".stripMargin
+
   /** One decoded record — the typed batch-output schema. */
   case class Decoded(doc_id: Long, mime: String, n_bytes: Int, features: Array[Double])
 

@@ -41,4 +41,26 @@ class MultimodalSpec extends SparkSpec {
     val docsWithFrame0 = rows.count(_.getAs[Int]("frame_idx") == 0)
     assert(docsWithFrame0 == Tables.documents(spark, sf).count())
   }
+
+  test("mm_dedup: per-mime CAS accounting matches a local recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def mime(id: Long) = (id % 3) match {
+      case 0 => "image/png"; case 1 => "audio/wav"; case _ => "video/mp4"
+    }
+    val byMime = docs.groupBy { case (id, _) => mime(id) }
+    val rows = run("mm_dedup").collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == byMime.keySet)
+    byMime.foreach { case (m, ds) =>
+      val r = rows(m)
+      val groups = ds.groupBy(_._2).values
+      assert(r.getAs[Long]("n_payloads") == ds.length.toLong)
+      assert(r.getAs[Long]("n_unique") == groups.size.toLong)
+      val dupBytes = groups.map(g => (g.length - 1).toLong * g.head._2.length).sum
+      assert(r.getAs[Long]("dup_bytes") == dupBytes, s"mime $m")
+    }
+    // totals: every payload is accounted for exactly once
+    assert(rows.values.map(_.getAs[Long]("n_payloads")).sum == docs.length.toLong)
+    assert(rows.values.forall(r => r.getAs[Long]("n_unique") <= r.getAs[Long]("n_payloads")))
+  }
 }
