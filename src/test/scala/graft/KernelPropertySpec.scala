@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{KmvAgg, StrPolyHash}
+
+/** Property tests for the custom Catalyst kernels that back ORACLED
+  * queries — their invariants must hold for all inputs, not just the
+  * corpus: StrPolyHash must equal the reference fold it replaced
+  * (and the DuckDB list_reduce twin), and KmvAgg's sketch must be
+  * invariant under any partitioning/merge order (that is exactly what
+  * partial aggregation assumes). */
+class KernelPropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property under the raw runner (the repo only
+    * depends on scalacheck itself) and surface failures to scalatest. */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val asciiString: Gen[String] =
+    Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+
+  /** The definitional fold, code point by code point — what both the
+    * old HOF form and the DuckDB list_reduce twin compute. */
+  private def refFold(s: String, mult: Long): Long =
+    s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * mult + c) % StrPolyHash.P)
+
+  test("StrPolyHash.hash equals the definitional fold on ASCII strings") {
+    check(forAll(asciiString) { s =>
+      StrPolyHash.hash(s, 31L) == refFold(s, 31L)
+    })
+  }
+
+  test("StrPolyHash.hash handles BMP unicode by code point") {
+    val bmp: Gen[String] =
+      Gen.listOf(Gen.frequency(
+        5 -> Gen.choose(32.toChar, 126.toChar),
+        1 -> Gen.choose(0x00A1.toChar, 0x2FFF.toChar))).map(_.mkString)
+    check(forAll(bmp) { s => StrPolyHash.hash(s, 31L) == refFold(s, 31L) })
+  }
+
+  test("StrPolyHash stays within [0, P) and empty hashes to 0") {
+    assert(StrPolyHash.hash("", 31L) == 0L)
+    check(forAll(asciiString) { s =>
+      val h = StrPolyHash.hash(s, 31L)
+      h >= 0L && h < StrPolyHash.P
+    })
+  }
+
+  /** Reference sketch: the K smallest distinct values. */
+  private def refSketch(vs: Seq[Long], k: Int): Seq[Long] =
+    vs.distinct.sorted.take(k)
+
+  private def sketchOf(agg: KmvAgg, vs: Seq[Long]): java.util.TreeSet[java.lang.Long] = {
+    val buf = agg.createAggregationBuffer()
+    // drive through serialize/deserialize like a real exchange would
+    val bytes = agg.serialize(vs.foldLeft(buf) { (b, v) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(v); agg.update(b, row)
+    })
+    agg.deserialize(bytes)
+  }
+
+  test("KmvAgg: update-then-merge equals the K smallest distinct, any split") {
+    val agg = KmvAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false), 8)
+    val gen = for {
+      vs <- Gen.listOf(Gen.choose(0L, 1000L))
+      cut <- Gen.choose(0, math.max(vs.length, 1))
+    } yield (vs, math.min(cut, vs.length))
+    check(forAll(gen) { case (vs, cut) =>
+      val (a, b) = vs.splitAt(cut)
+      val merged = agg.merge(sketchOf(agg, a), sketchOf(agg, b))
+      val got = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      got == refSketch(vs, 8)
+    })
+  }
+
+  test("KmvAgg: merge is commutative") {
+    val agg = KmvAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false), 5)
+    val gen = Gen.zip(Gen.listOf(Gen.choose(0L, 100L)), Gen.listOf(Gen.choose(0L, 100L)))
+    check(forAll(gen) { case (a, b) =>
+      val ab = agg.eval(agg.merge(sketchOf(agg, a), sketchOf(agg, b)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+      val ba = agg.eval(agg.merge(sketchOf(agg, b), sketchOf(agg, a)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+      ab == ba && ab == refSketch(a ++ b, 5)
+    })
+  }
+}
