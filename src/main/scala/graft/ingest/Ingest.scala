@@ -254,7 +254,10 @@ object Ingest {
     val name = "stream_ingest_mem"
     val q = graft.streaming.StreamIngest.runToMemory(s, dir, name)
     q.stop()
-    s.table(name)
+    // update-mode sink: counts are monotone, max(n) per key is the
+    // latest update (single wave in verify → one row each anyway)
+    s.table(name).groupBy(col("hour"), col("event_type"))
+      .agg(max(col("n")).as("n"))
   }
 
   val streamIngestSql: String =

@@ -45,12 +45,15 @@ object StreamIngest {
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
-  /** Run the pipeline to a named memory sink in complete mode and
-    * block until all available input is processed. Returns the query
-    * (caller stops it) — verify/spec harness. */
+  /** Run the pipeline to a named memory sink in UPDATE mode (so the
+    * 1-hour watermark ages expired windows out of state — complete
+    * mode would retain every window forever, the stream_topk lesson)
+    * and block until all available input is processed. Consumers take
+    * max(n) per key: window counts are monotone, so the max IS the
+    * latest update. Returns the query (caller stops it). */
   def runToMemory(s: SparkSession, dir: String, name: String): StreamingQuery = {
     val q = transform(readEvents(s, dir))
-      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .writeStream.format("memory").queryName(name).outputMode("update")
       .start()
     q.processAllAvailable()
     q
