@@ -112,6 +112,45 @@ object Dedup {
     verifyJaccardPosts(cand, gp)
   }
 
+  /** K-line: INCREMENTAL dedup — the form a daily pipeline actually
+    * runs: a NEW batch of documents (doc_id ≡ 7 mod 10 stands in for
+    * today's arrivals) is checked against the EXISTING corpus's LSH
+    * index, not against itself. Candidates come from a batch-bands ⋈
+    * corpus-bands equi-join (new × old only — no self-join, no
+    * new-new pairs), then the usual exact-Jaccard verify. At 100 TB
+    * the corpus band index is a materialized table keyed by bk and
+    * the daily join touches only colliding buckets; here both sides
+    * derive from one postings scan. Emits (new_id, dup_of, jaccard ≥
+    * 0.5) — the reject list for today's batch. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val gp = gramPosts(s, dir)
+    val isNew = col("doc_id") % 10 === 7
+    val posts = gp.select(col("doc_id"), pmod(xxhash64(col("gram")), lit(P)).as("h"))
+    val sig = minhashSigAgg(posts, "doc_id", "h")
+    val bands = sig.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+    val cand = bands.filter(isNew).as("x")
+      .join(bands.filter(!isNew).as("y"), col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    val out = verifyJaccardPosts(cand, gp)
+      .select(col("ia").as("new_id"), col("ib").as("dup_of"), col("jaccard"))
+      .localCheckpoint() // pair-sized; release the cached postings
+    gp.unpersist()
+    out
+  }
+
+  /** DuckDB twin: the exact batch-vs-corpus pairs at j ≥ 0.5 (the
+    * 16×4 banding catches every such pair in this corpus — the same
+    * recall argument as C2's oracle). jp is ia < ib ordered, so both
+    * orientations are normalized to (new, old). */
+  lazy val dedupIncrementalSql: String =
+    gramsCte + pairsCtes + """
+      |SELECT CASE WHEN ia % 10 = 7 THEN ia ELSE ib END AS new_id,
+      |  CASE WHEN ia % 10 = 7 THEN ib ELSE ia END AS dup_of,
+      |  round(j, 4) AS jaccard
+      |FROM jp
+      |WHERE j >= 0.5 AND ((ia % 10 = 7) <> (ib % 10 = 7))""".stripMargin
+
   /** DuckDB twin of the 3-gram shingling in [[graft.functions.HashFns.shingles]]. */
   private val gramsCte: String =
     """WITH toks AS (

@@ -168,6 +168,25 @@ class DedupSpec extends SparkSpec {
       s"lsh=${lsh.size} exact=${exact.size} missed=${(exact.keySet -- lsh.keySet).take(5)}")
   }
 
+  test("dedup_incremental: exactly the batch-vs-corpus subset of the true pair set") {
+    val rows = run("dedup_incremental").collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("jaccard"))).toSet
+    // every emitted pair crosses the batch boundary
+    rows.foreach { case (n, o, _) =>
+      assert(n % 10 == 7 && o % 10 != 7, s"pair ($n, $o) is not batch-vs-corpus")
+    }
+    // and it is EXACTLY the cross-boundary subset of ngram_jaccard
+    val expected = run("ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      .collect {
+        case (a, b, j) if a % 10 == 7 && b % 10 != 7 => (a, b, j)
+        case (a, b, j) if b % 10 == 7 && a % 10 != 7 => (b, a, j)
+      }.toSet
+    assert(rows == expected,
+      s"got ${rows.size}, want ${expected.size}; missing ${(expected -- rows).take(3)}")
+  }
+
   test("dedup_apply: cluster manifest conserves docs and chars, provenance sorted") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "n_chars").collect()
