@@ -55,7 +55,20 @@ object GraftSession {
   *   (the analyzer wraps the bare AggregateFunction).
   */
 object GraftFunctions {
-  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  /** Sketch sizes must be plan-time constants (they fix the aggregate
+    * buffer width); fail analysis with the function's name instead of
+    * a raw ClassCastException on e.g. `kmv_agg(h, k_col)`. */
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) if v > 0  => v
+    case Literal(v: Long, LongType) if v > 0 && v <= Int.MaxValue => v.toInt
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map("funcName" -> s"`$fn`",
+        "paramName" -> "`k`", "paramType" -> "positive \"INT\" literal"))
+  }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((exprs: Seq[Expression]) =>
@@ -63,9 +76,9 @@ object GraftFunctions {
     "str_poly_hash" -> ((exprs: Seq[Expression]) =>
       graft.plans.StrPolyHash(exprs(0), exprs(1))),
     "kmv_agg" -> ((exprs: Seq[Expression]) =>
-      graft.plans.KmvAgg(exprs(0),
-        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.asInstanceOf[Int])),
+      graft.plans.KmvAgg(exprs(0), intLit("kmv_agg", exprs(1)))),
+    "minhash_agg" -> ((exprs: Seq[Expression]) =>
+      graft.plans.MinhashAgg(exprs(0), intLit("minhash_agg", exprs(1)))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

@@ -31,10 +31,11 @@ object HashFns {
     * can compute it from plain column algebra (Spark: aggregate over
     * split(t, ""); DuckDB: list_reduce over string_split(t, '')), so
     * operators built on it keep a bit-exact DuckDB oracle where
-    * xxhash64 forced a rows-only check. Caveat recorded for 100 TB
-    * multilingual corpora: Spark splits into UTF-16 units and DuckDB
-    * into code points, identical for ASCII/BMP text (the corpus here
-    * is pure ASCII — astral chars would need a byte-level variant).
+    * xxhash64 forced a rows-only check. Both engines fold by CODE
+    * POINT (StrPolyHash iterates codePointAt/charCount; DuckDB
+    * string_split('') segments by code point), so the hash agrees on
+    * astral chars too — the BMP/astral property test in
+    * KernelPropertySpec pins this.
     * Everything stays in [0, P): acc·31 + code < 2^35, no ANSI
     * overflow. Dispatches to the codegen'd
     * [[graft.plans.StrPolyHash]] (registered as `str_poly_hash`) —
@@ -132,14 +133,24 @@ object HashFns {
           element_at(b, (i + 1).cast("int")), lit(P)))))
   }
 
-  /** MinHash signatures via explode + groupBy — the classic
-    * formulation: `posts` is (id, h) with one row per (doc, shingle
-    * hash); the result is (id, sig). The [[NumHashes]] minima are
-    * plain scalar `min` aggregates (whole-stage codegen, partial
-    * map-side combine), so signature cost is one shuffle of the
-    * postings keyed by id — the same shuffle the LSH band join
-    * needs anyway at scale. */
-  def minhashSigAgg(posts: DataFrame, idCol: String, hCol: String): DataFrame = {
+  /** MinHash signatures via explode + groupBy: `posts` is (id, h)
+    * with one row per (doc, shingle hash); the result is (id, sig).
+    * Dispatches to the [[graft.plans.MinhashAgg]]
+    * `TypedImperativeAggregate` (`minhash_agg(h, 64)`): ONE 64-long
+    * buffer per group with map-side partial merge — the shuffle
+    * carries 64 longs per (task, doc), same as the 64-scalar-min form
+    * it replaced, but without that form's giant generated aggregate
+    * class (the source of 15-30× first-run Janino/JIT swings on the
+    * five signature queries). Results are bit-identical
+    * (equality-spec'd against [[minhashSigAggScalar]]). */
+  def minhashSigAgg(posts: DataFrame, idCol: String, hCol: String): DataFrame =
+    posts.groupBy(col(idCol))
+      .agg(call_function("minhash_agg", col(hCol), lit(NumHashes)).as("sig"))
+
+  /** The retired 64-scalar-aggregate formulation ([[NumHashes]] plain
+    * `min` columns, whole-stage codegen) — kept as the reference twin
+    * the MinhashAgg equality spec replays. */
+  def minhashSigAggScalar(posts: DataFrame, idCol: String, hCol: String): DataFrame = {
     val mins = (0 until NumHashes).map(i =>
       min(pmod(lit(A(i)) * col(hCol) + lit(B(i)), lit(P))).as(s"s$i"))
     posts.groupBy(col(idCol))

@@ -46,6 +46,21 @@ class DedupSpec extends SparkSpec {
     hof.foreach { case (id, sig) => assert(sig == agg(id), s"doc $id") }
   }
 
+  test("minhashSigAgg (MinhashAgg buffer) == retired 64-scalar-min form, bit-exact") {
+    import org.apache.spark.sql.functions.explode
+    val posts = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(HashFns.shingleHashes(
+        HashFns.shingles(col("text")))).as("h"))
+    val agg = HashFns.minhashSigAgg(posts, "doc_id", "h")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val scalar = HashFns.minhashSigAggScalar(posts, "doc_id", "h")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(agg.keySet == scalar.keySet && agg.nonEmpty)
+    agg.foreach { case (id, sig) =>
+      assert(sig.length == HashFns.NumHashes && sig == scalar(id), s"doc $id")
+    }
+  }
+
   test("dedup_minhash_lsh finds exactly the exact-jaccard pairs (recall 1 here)") {
     val lsh = run("dedup_minhash_lsh").select("ia", "ib").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

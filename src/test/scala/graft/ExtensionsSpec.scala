@@ -15,7 +15,28 @@ class ExtensionsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on a bad descriptor
     assert(GraftFunctions.all.map(_._1).toSet ==
-      Set("vec_dot", "str_poly_hash", "kmv_agg", "bloom_agg", "bloom_contains"))
+      Set("vec_dot", "str_poly_hash", "kmv_agg", "minhash_agg",
+        "bloom_agg", "bloom_contains"))
+  }
+
+  test("sketch sizes must be positive integer literals — analysis error, not a CCE") {
+    val byName = GraftFunctions.all.toMap
+    val ma = byName("minhash_agg")(Seq(Literal(1L), Literal(64)))
+    assert(ma.isInstanceOf[graft.plans.MinhashAgg])
+    // long literals are accepted (kmv_agg(h, 64L))
+    assert(byName("kmv_agg")(Seq(Literal(1L), Literal(16L)))
+      .asInstanceOf[graft.plans.KmvAgg].k == 16)
+    for (bad <- Seq(Literal(0), Literal(-3), Literal("x"),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.IntegerType, nullable = false))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        byName("kmv_agg")(Seq(Literal(1L), bad))
+      }
+      assert(e.getMessage.contains("kmv_agg"), e.getMessage)
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      byName("minhash_agg")(Seq(Literal(1L), Literal(-1)))
+    }
   }
 
   test("shared builders construct the expected expression nodes") {

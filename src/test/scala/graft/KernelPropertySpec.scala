@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.Prop.forAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{KmvAgg, StrPolyHash}
+import graft.plans.{KmvAgg, MinhashAgg, StrPolyHash}
 
 /** Property tests for the custom Catalyst kernels that back ORACLED
   * queries — their invariants must hold for all inputs, not just the
@@ -79,6 +79,52 @@ class KernelPropertySpec extends AnyFunSuite {
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toLongArray().toSeq
       got == refSketch(vs, 8)
+    })
+  }
+
+  /** Reference signature: per-lane min of the universal hashes. */
+  private def refSig(vs: Seq[Long], k: Int): Seq[Long] =
+    (0 until k).map { i =>
+      val lane = vs.map(h => (MinhashAgg.A(i) * h + MinhashAgg.B(i)) % MinhashAgg.P)
+      if (lane.isEmpty) MinhashAgg.P else lane.min
+    }
+
+  private def sigOf(agg: MinhashAgg, vs: Seq[Long]): Array[Long] = {
+    val buf = vs.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+      agg.update(b, org.apache.spark.sql.catalyst.InternalRow(v))
+    }
+    // drive through serialize/deserialize like a real exchange would
+    agg.deserialize(agg.serialize(buf))
+  }
+
+  private val minhashAgg = MinhashAgg(
+    org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.LongType, nullable = false), 8)
+
+  test("MinhashAgg: update-then-merge equals the per-lane min, any split") {
+    val gen = for {
+      vs <- Gen.listOf(Gen.choose(0L, MinhashAgg.P - 1))
+      cut <- Gen.choose(0, math.max(vs.length, 1))
+    } yield (vs, math.min(cut, vs.length))
+    check(forAll(gen) { case (vs, cut) =>
+      val (a, b) = vs.splitAt(cut)
+      val merged = minhashAgg.merge(sigOf(minhashAgg, a), sigOf(minhashAgg, b))
+      val got = minhashAgg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      got == refSig(vs, 8)
+    })
+  }
+
+  test("MinhashAgg: merge is commutative and eval does not alias the buffer") {
+    val gen = Gen.zip(Gen.listOf(Gen.choose(0L, 100000L)), Gen.listOf(Gen.choose(0L, 100000L)))
+    check(forAll(gen) { case (a, b) =>
+      val bufA = sigOf(minhashAgg, a)
+      val ab = minhashAgg.eval(minhashAgg.merge(bufA.clone(), sigOf(minhashAgg, b)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+      val ba = minhashAgg.eval(minhashAgg.merge(sigOf(minhashAgg, b), bufA))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+      ab == ba && ab == refSig(a ++ b, 8)
     })
   }
 

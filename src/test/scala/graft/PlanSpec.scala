@@ -43,6 +43,20 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial sketch merge in:\n$p")
   }
 
+  test("minhash_agg: signatures merge in partial aggregation (two-phase ObjectHashAggregate)") {
+    import org.apache.spark.sql.functions._
+    val posts = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.functions.HashFns.shingleHashes(
+        graft.functions.HashFns.shingles(col("text")))).as("h"))
+    val p = graft.functions.HashFns.minhashSigAgg(posts, "doc_id", "h")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_minhash_agg") || p.contains("partial minhash_agg")
+      || "ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"no map-side partial signature merge in:\n$p")
+  }
+
   test("dpp_join: the fact scan carries a dynamic partition-pruning filter") {
     val p = plan("dpp_join")
     assert(p.toLowerCase.contains("dynamicpruning"),
