@@ -33,8 +33,8 @@ object Dedup {
     * contribute their whole text as one gram (same fallback as
     * [[graft.functions.HashFns.shingles]] and the oracle). Grams
     * over [[DfCap]] are excluded. */
-  private def gramPosts(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir).select(col("doc_id"),
+  private def rawGramPosts(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
       posexplode(graft.functions.TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -43,11 +43,15 @@ object Dedup {
       .withColumn("w2", lead(col("w"), 2).over(w))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("gram"))
-    val short = documents(s, dir)
+    val short = docs
       .filter(size(graft.functions.TextFns.wsTokens(lower(col("text")))) < 3)
       .select(col("doc_id"),
         concat_ws(" ", graft.functions.TextFns.wsTokens(lower(col("text")))).as("gram"))
-    val posts = long3.unionByName(short).dropDuplicates("doc_id", "gram")
+    long3.unionByName(short).dropDuplicates("doc_id", "gram")
+  }
+
+  private def gramPosts(s: SparkSession, dir: String): DataFrame = {
+    val posts = rawGramPosts(documents(s, dir))
     val lowDf = posts.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= DfCap)
       .select(col("gram"))
@@ -112,24 +116,132 @@ object Dedup {
     verifyJaccardPosts(cand, gp)
   }
 
+  /** The stand-in "today's arrivals" predicate for the incremental
+    * family: doc_id ≡ 7 mod 10 is the daily batch, the rest is the
+    * existing corpus. */
+  private val isNewDoc = col("doc_id") % 10 === 7
+
+  /** Root for materialized corpus LSH indexes, one subdir per scale
+    * dir. Lifecycle contract: [[buildCorpusIndex]] (re)writes it;
+    * [[dedupIncremental]] builds it once if absent and READS it
+    * thereafter — delete the subdir to force a rebuild after a
+    * corpus or signature-family change. */
+  val CorpusIndexRoot = "target/graft_corpus_index"
+
+  def corpusIndexPath(dir: String): String =
+    s"$CorpusIndexRoot/${new java.io.File(dir).getName}"
+
+  /** Build and PERSIST the corpus's LSH band index — the write-once
+    * half of the incremental-dedup lifecycle. Three parquet tables
+    * (the [[graft.queries.TextOps.buildIndexQ]] write shape: index =
+    * plain keyed parquet a later job joins against):
+    *   - `posts`: (doc_id, gram) corpus postings, df-capped — the
+    *     verify side of the index;
+    *   - `bands`: (doc_id, bk) exploded LSH band keys — the candidate
+    *     side, keyed by bk;
+    *   - `hot_grams`: grams whose CORPUS df exceeds [[DfCap]]
+    *     (broadcast-sized; the batch side anti-joins it so both sides
+    *     agree on the gram universe).
+    * df is computed over the CORPUS ONLY — the honest incremental
+    * semantics: at build time the future batches' dfs are unknown.
+    * (At verify scales max df ≪ cap, so this equals the all-docs cap
+    * of [[gramPosts]] — the recompute-equality spec leans on that.) */
+  def buildCorpusIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val raw = rawGramPosts(documents(s, dir).filter(!isNewDoc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = raw.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > DfCap)
+      .select(col("gram"))
+    hot.write.mode("overwrite").parquet(s"$path/hot_grams")
+    val posts = raw.join(
+      broadcast(s.read.parquet(s"$path/hot_grams")), Seq("gram"), "left_anti")
+    posts.write.mode("overwrite").parquet(s"$path/posts")
+    val stored = s.read.parquet(s"$path/posts")
+    val sig = minhashSigAgg(
+      stored.select(col("doc_id"), pmod(xxhash64(col("gram")), lit(P)).as("h")),
+      "doc_id", "h")
+    sig.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    raw.unpersist()
+  }
+
+  /** Build the corpus index at most once per (JVM, scale dir). */
+  def ensureCorpusIndex(s: SparkSession, dir: String): String = {
+    val path = corpusIndexPath(dir)
+    if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+      buildCorpusIndex(s, dir, path)
+    path
+  }
+
+  /** The DAILY-RUN half of incremental dedup: shingle ONLY today's
+    * batch, anti-join the index's hot-gram list (broadcast), sign and
+    * band the batch, then candidates come from batch-bands ⋈ the
+    * PERSISTED corpus `bands` table and exact-Jaccard verify reads
+    * the PERSISTED corpus `posts` — the corpus TEXT is never
+    * rescanned (plan-spec'd: every documents.parquet scan in this
+    * plan carries the batch filter). At 100 TB this is the whole
+    * point of the lifecycle: the daily cost is ∝ batch size plus the
+    * touched index buckets, not corpus size. Emits (new_id, dup_of,
+    * jaccard ≥ 0.5) — the reject list for today's batch. */
+  def dedupIncrementalFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
+    val (daily, bposts) = incrementalDaily(s, dir, path)
+    val out = daily.localCheckpoint() // pair-sized; release the cached batch postings
+    bposts.unpersist()
+    out
+  }
+
+  /** The daily-run frame pre-checkpoint (plan inspection needs the
+    * live plan; the checkpoint above erases it) plus the cached batch
+    * postings the caller must release after materializing. */
+  private[graft] def incrementalDaily(
+      s: SparkSession, dir: String, path: String): (DataFrame, DataFrame) = {
+    val hot = s.read.parquet(s"$path/hot_grams")
+    val bposts = rawGramPosts(documents(s, dir).filter(isNewDoc))
+      .join(broadcast(hot), Seq("gram"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsig = minhashSigAgg(
+      bposts.select(col("doc_id"), pmod(xxhash64(col("gram")), lit(P)).as("h")),
+      "doc_id", "h")
+    val bbands = bsig.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+    val ibands = s.read.parquet(s"$path/bands")
+    val cand = bbands.as("x")
+      .join(ibands.as("y"), col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    val iposts = s.read.parquet(s"$path/posts")
+    val bsizes = bposts.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val isizes = iposts.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val daily = cand
+      .join(bposts.select(col("doc_id").as("ia"), col("gram")), "ia")
+      .join(iposts.select(col("doc_id").as("ib"), col("gram")), Seq("ib", "gram"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+      .join(bsizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
+      .join(isizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
+      .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select(col("ia").as("new_id"), col("ib").as("dup_of"),
+        round(col("j"), 4).as("jaccard"))
+    (daily, bposts)
+  }
+
   /** K-line: INCREMENTAL dedup — the form a daily pipeline actually
     * runs: a NEW batch of documents (doc_id ≡ 7 mod 10 stands in for
-    * today's arrivals) is checked against the EXISTING corpus's LSH
-    * index, not against itself. Candidates come from a batch-bands ⋈
-    * corpus-bands equi-join (new × old only — no self-join, no
-    * new-new pairs), then the usual exact-Jaccard verify. At 100 TB
-    * the corpus band index is a materialized table keyed by bk and
-    * the daily join touches only colliding buckets; here both sides
-    * derive from one postings scan. Emits (new_id, dup_of, jaccard ≥
-    * 0.5) — the reject list for today's batch. */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    * today's arrivals) is checked against the EXISTING corpus's
+    * MATERIALIZED LSH band index ([[buildCorpusIndex]], built once),
+    * not against itself and not by rescanning the corpus. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    dedupIncrementalFromIndex(s, dir, ensureCorpusIndex(s, dir))
+
+  /** The retired recompute formulation (corpus signatures re-derived
+    * from raw text on every run) — kept as the reference twin the
+    * index-lifecycle equality spec replays. */
+  def dedupIncrementalRecompute(s: SparkSession, dir: String): DataFrame = {
     val gp = gramPosts(s, dir)
-    val isNew = col("doc_id") % 10 === 7
     val posts = gp.select(col("doc_id"), pmod(xxhash64(col("gram")), lit(P)).as("h"))
     val sig = minhashSigAgg(posts, "doc_id", "h")
     val bands = sig.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
-    val cand = bands.filter(isNew).as("x")
-      .join(bands.filter(!isNew).as("y"), col("x.bk") === col("y.bk"))
+    val cand = bands.filter(isNewDoc).as("x")
+      .join(bands.filter(!isNewDoc).as("y"), col("x.bk") === col("y.bk"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .distinct()
     val out = verifyJaccardPosts(cand, gp)
@@ -139,17 +251,35 @@ object Dedup {
     out
   }
 
-  /** DuckDB twin: the exact batch-vs-corpus pairs at j ≥ 0.5 (the
-    * 16×4 banding catches every such pair in this corpus — the same
-    * recall argument as C2's oracle). jp is ia < ib ordered, so both
-    * orientations are normalized to (new, old). */
+  /** DuckDB twin: the EXACT batch-vs-corpus pairs at j ≥ 0.5, with
+    * the index's gram universe (df over the corpus only; hot grams
+    * dropped from both sides — empty at verify scales). As with C2's
+    * oracle, equality to the LSH path is CORPUS-DEPENDENT: 16×4
+    * banding catches a pair w.p. 1-(1-j⁴)¹⁶ — ≈1-4e-8 at j ≥ 0.9 but
+    * only ≈0.64 at j = 0.5, so exact-oracle equality additionally
+    * relies on this corpus containing no mid-jaccard (0.5 ≤ j ≲ 0.8)
+    * cross-batch pairs: its planted near-dups sit at j ≥ 0.9 and
+    * organic pairs below 0.5 (the DedupSpec subset test re-checks
+    * that per scale). A corpus where that fails needs the honest
+    * banding-recall framing, not an exact oracle. */
   lazy val dedupIncrementalSql: String =
-    gramsCte + pairsCtes + """
-      |SELECT CASE WHEN ia % 10 = 7 THEN ia ELSE ib END AS new_id,
-      |  CASE WHEN ia % 10 = 7 THEN ib ELSE ia END AS dup_of,
-      |  round(j, 4) AS jaccard
-      |FROM jp
-      |WHERE j >= 0.5 AND ((ia % 10 = 7) <> (ib % 10 = 7))""".stripMargin
+    gramsCte + """,
+      |posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+      |hot AS (SELECT gram FROM posts WHERE doc_id % 10 <> 7
+      |        GROUP BY gram HAVING count(*) > 1000),
+      |p2 AS (SELECT doc_id, gram FROM posts
+      |       WHERE gram NOT IN (SELECT gram FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM p2 GROUP BY 1),
+      |jp AS (
+      |  SELECT ia, ib, cnt::DOUBLE / (sa.sz + sb.sz - cnt) AS j
+      |  FROM (SELECT b.doc_id AS ia, c.doc_id AS ib, count(*) AS cnt
+      |        FROM p2 b JOIN p2 c ON b.gram = c.gram
+      |        WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+      |        GROUP BY 1, 2) i
+      |  JOIN sizes sa ON i.ia = sa.doc_id
+      |  JOIN sizes sb ON i.ib = sb.doc_id)
+      |SELECT ia AS new_id, ib AS dup_of, round(j, 4) AS jaccard
+      |FROM jp WHERE j >= 0.5""".stripMargin
 
   /** DuckDB twin of the 3-gram shingling in [[graft.functions.HashFns.shingles]]. */
   private val gramsCte: String =

@@ -202,6 +202,23 @@ class DedupSpec extends SparkSpec {
       s"got ${rows.size}, want ${expected.size}; missing ${(expected -- rows).take(3)}")
   }
 
+  test("dedup_incremental: index-read path equals the retired full-recompute path") {
+    // force a FRESH index build so the lifecycle (build → read) is
+    // exercised end-to-end, not a stale artifact from an earlier run
+    val path = graft.operators.Dedup.corpusIndexPath(sf)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    val fromIndex = rows(run("dedup_incremental"))
+    val recompute = rows(graft.operators.Dedup.dedupIncrementalRecompute(spark, sf))
+    assert(fromIndex.nonEmpty && fromIndex == recompute,
+      s"index=${fromIndex.size} recompute=${recompute.size}")
+  }
+
   test("dedup_apply: cluster manifest conserves docs and chars, provenance sorted") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "n_chars").collect()

@@ -57,6 +57,20 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial signature merge in:\n$p")
   }
 
+  test("dedup_incremental daily run never rescans corpus text — documents scans are batch-filtered, index read from parquet") {
+    val path = graft.operators.Dedup.ensureCorpusIndex(spark, sf)
+    val (daily, bposts) = graft.operators.Dedup.incrementalDaily(spark, sf, path)
+    val p = daily.queryExecution.executedPlan.toString
+    bposts.unpersist()
+    val scanLines = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    val docScans = scanLines.filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty, s"no documents scan found:\n$p")
+    docScans.foreach(l => assert(l.contains("% 10) = 7"),
+      s"corpus-side documents scan (unfiltered) in the daily plan: $l"))
+    assert(scanLines.count(_.contains("graft_corpus_index")) >= 2,
+      s"daily plan does not read the materialized bands+posts index:\n$p")
+  }
+
   test("dpp_join: the fact scan carries a dynamic partition-pruning filter") {
     val p = plan("dpp_join")
     assert(p.toLowerCase.contains("dynamicpruning"),
