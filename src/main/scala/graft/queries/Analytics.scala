@@ -235,20 +235,67 @@ object Analytics {
       |  count(*) FILTER (event_type = 'error') AS error
       |FROM events GROUP BY user_id""".stripMargin
 
-  /** B10: exact interpolated percentiles per event type. */
-  def percentiles(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(max(col("value")), 4).as("p100"))
+  /** B10: EXACT interpolated percentiles per event type, computed
+    * scale-safe. Spark's `percentile()` aggregate buffers a value→
+    * count map per group in ONE reducer — at 100 TB with ~5 event
+    * types that is billions of entries on single hot reducers.
+    * This formulation carries no such state: `value` is a bounded
+    * 2-decimal grid (distinct values saturate at the grid size, ~10⁵,
+    * regardless of row count — measured 6.6k @ 10k rows, 17.8k @ 100k),
+    * so (1) the only rows-scale shuffle is a partial-aggregated
+    * (event_type, value) cell count, (2) the rank cumsum runs over
+    * grid-sized cells, and (3) the interpolated order statistic
+    *   v[ℓ] + (pos−ℓ)·(v[ℓ+1] − v[ℓ]),  pos = p·(n−1), ℓ = ⌊pos⌋
+    * is plain column algebra written IDENTICALLY in the DuckDB twin —
+    * bit-exact cross-engine, and equal to the exact `percentile()`
+    * (spec-pinned at verify scale). Per-group value buffering: none. */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    val cell = events(s, dir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val cum = cell.withColumn("cum", sum(col("cnt")).over(w))
+    val n = cell.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"), round(max(col("value")), 4).as("p100"))
+    def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
+    def lo(p: Double) = floor(pos(p))
+    val stats = cum.join(broadcast(n), "event_type")
+      .groupBy(col("event_type"), col("n"), col("p100"))
+      .agg(
+        min(when(col("cum") > lo(0.5), col("value"))).as("vl50"),
+        min(when(col("cum") > lo(0.5) + 1, col("value"))).as("vu50"),
+        min(when(col("cum") > lo(0.9), col("value"))).as("vl90"),
+        min(when(col("cum") > lo(0.9) + 1, col("value"))).as("vu90"))
+    def interp(p: Double, vl: Column, vu: Column) =
+      round(vl + (pos(p) - lo(p)) * (coalesce(vu, vl) - vl), 4)
+    stats.select(col("event_type"),
+      interp(0.5, col("vl50"), col("vu50")).as("p50"),
+      interp(0.9, col("vl90"), col("vu90")).as("p90"),
+      col("p100"))
+  }
 
   val percentilesSql: String =
-    """SELECT event_type,
-      |  round(quantile_cont(value, 0.5), 4) AS p50,
-      |  round(quantile_cont(value, 0.9), 4) AS p90,
-      |  round(max(value), 4) AS p100
-      |FROM events GROUP BY event_type""".stripMargin
+    """WITH cell AS (
+      |  SELECT event_type, value, count(*) AS cnt FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, value, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum
+      |  FROM cell),
+      |n AS (
+      |  SELECT event_type, sum(cnt)::BIGINT AS n, round(max(value), 4) AS p100
+      |  FROM cell GROUP BY 1),
+      |s AS (
+      |  SELECT cum.event_type, n.n, n.p100,
+      |    min(CASE WHEN cum > floor(0.5 * (n.n - 1)) THEN value END) AS vl50,
+      |    min(CASE WHEN cum > floor(0.5 * (n.n - 1)) + 1 THEN value END) AS vu50,
+      |    min(CASE WHEN cum > floor(0.9 * (n.n - 1)) THEN value END) AS vl90,
+      |    min(CASE WHEN cum > floor(0.9 * (n.n - 1)) + 1 THEN value END) AS vu90
+      |  FROM cum JOIN n USING (event_type) GROUP BY 1, 2, 3)
+      |SELECT event_type,
+      |  round(vl50 + (0.5 * (n - 1) - floor(0.5 * (n - 1))) * (coalesce(vu50, vl50) - vl50), 4) AS p50,
+      |  round(vl90 + (0.9 * (n - 1) - floor(0.9 * (n - 1))) * (coalesce(vu90, vl90) - vl90), 4) AS p90,
+      |  p100
+      |FROM s""".stripMargin
 
   /** B11: array explode + re-agg — word frequencies over documents
     * (the Decision `text[]` analog). */
@@ -349,34 +396,46 @@ object Analytics {
 
   /** K-line: promo revenue share per ship month — TPC-H Q14 shape
     * (the `part` dimension's signature query): lineitem ⋈ broadcast
-    * part, conditional revenue aggregation, share = division of the
-    * ALREADY-ROUNDED month sums (the yoy_growth convention — rounded
-    * doubles are engine-identical, so their quotient is too). One
-    * fact shuffle on the month key; the dim never shuffles. */
+    * part, conditional revenue aggregation. Revenue is quantized
+    * map-side to ×10⁴ BIGINT (the statsMerge convention:
+    * `floor(x·10⁴ + 0.5)` is the same double→int op in both engines,
+    * and BIGINT sums are exact and ORDER-INDEPENDENT — a float sum
+    * under unordered partial aggregation can flip a half-ulp at
+    * larger scales even though round(…,4) hid it here). The share is
+    * one double division of exact integers. One fact shuffle on the
+    * month key; the dim never shuffles. */
   def promoRevenue(s: SparkSession, dir: String): DataFrame = {
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val revQ = floor(rev * 10000 + lit(0.5)).cast("long")
     lineitem(s, dir)
       .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
-        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 4)
-          .as("promo_rev"),
-        round(sum(rev), 4).as("total_rev"),
+        sum(when(col("p_type") === "PROMO", revQ).otherwise(0L)).as("promo_q"),
+        sum(revQ).as("total_q"),
         count(lit(1)).as("n_items"))
-      .withColumn("promo_pct",
-        round(lit(100.0) * col("promo_rev") / col("total_rev"), 4))
+      .select(col("ship_month"),
+        round(col("promo_q") / 10000.0, 4).as("promo_rev"),
+        round(col("total_q") / 10000.0, 4).as("total_rev"),
+        col("n_items"),
+        round(lit(100.0) * col("promo_q") / col("total_q"), 4).as("promo_pct"))
   }
 
   val promoRevenueSql: String =
-    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-      |  round(sum(CASE WHEN p_type = 'PROMO'
-      |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4) AS promo_rev,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
-      |  count(*) AS n_items,
-      |  round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
-      |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4)
-      |    / round(sum(l_extendedprice * (1 - l_discount)), 4), 4) AS promo_pct
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |GROUP BY 1""".stripMargin
+    """WITH q AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |      THEN floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT
+      |      ELSE 0 END)::BIGINT AS promo_q,
+      |    sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT)::BIGINT AS total_q,
+      |    count(*) AS n_items
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT ship_month,
+      |  round(promo_q / 10000.0, 4) AS promo_rev,
+      |  round(total_q / 10000.0, 4) AS total_rev,
+      |  n_items,
+      |  round(100.0 * promo_q / total_q, 4) AS promo_pct
+      |FROM q""".stripMargin
 }

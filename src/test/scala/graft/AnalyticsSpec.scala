@@ -91,6 +91,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("percentiles: grid formulation equals the exact percentile() twin, no per-group buffering") {
+    val grid = run("percentiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(max(col("value")), 4).as("p100"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(grid == exact, s"grid=$grid\nexact=$exact")
+    // and the scale property: the buffering Percentile aggregate is gone
+    val plan = SparkEntry.queries("percentiles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), s"Percentile aggregate still in plan:\n$plan")
+  }
+
   test("array_explode_agg returns top words") {
     val rows = run("array_explode_agg").collect()
     assert(rows.length == 20)
