@@ -25,6 +25,14 @@ object GraftSession {
       // testdata events.ts is parquet TIMESTAMP(NANOS) which Spark's
       // reader rejects; read as long ns and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // disk-backed streaming state: the default HDFS-backed provider
+      // keeps every state row on the JVM heap, which caps keyed state
+      // (sessionize users, KMV windows) at executor memory; RocksDB
+      // spills to local disk with an in-memory working set, the
+      // provider 100 TB key cardinalities need. All streaming specs
+      // and the six stream_* queries run under it.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()

@@ -13,11 +13,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * events sort in event-time order, continue the open session if the
   * first event is within the gap, and roll the id on every gap.
   * Sessions are (re-)emitted as they grow — Update-mode semantics; a
-  * downstream upsert sink keyed on (user_id, sess_id) keeps the final
-  * row per session (the same LWW shape as
-  * [[graft.sinks.JdbcUpsertSink]]). State size is O(users), not
-  * O(events) — the scale property that makes this work on an
-  * unbounded stream.
+  * downstream upsert sink keyed on (user_id, sess_id, sess_start)
+  * keeps the final row per session (the same LWW shape as
+  * [[graft.sinks.JdbcUpsertSink]]).
+  *
+  * State is BOUNDED TWICE over: O(active users) in width (2 longs per
+  * user, never per-event), and in LIFETIME by `EventTimeTimeout` — a
+  * user idle past the session gap is by definition between sessions,
+  * so their state is dead weight: each update arms a timeout at
+  * (last event time + gap), and once the 30-min watermark passes it
+  * the store evicts the entry. Without this, state grows with
+  * lifetime DISTINCT users — unbounded on a 100 TB stream even
+  * though each entry is tiny (the stream_topk lesson; the flat-state
+  * property is spec-checked across waves). An evicted user who
+  * returns restarts the per-user session counter at 0 — the emitted
+  * `sess_start` disambiguates re-used (user_id, sess_id) keys at the
+  * sink, and the counter reset cannot merge two sessions (the gap
+  * already separated them).
   *
   * With all input in one micro-batch (the verify harness), emitted
   * sessions are exactly the batch query's — oracle-checked against
@@ -36,6 +48,12 @@ object StreamSessionize {
 
   def sessionize(user: Long, events: Iterator[Ev],
                  state: GroupState[SessState]): Iterator[Sess] = {
+    if (state.hasTimedOut) {
+      // watermark passed (last event + gap): the user is idle between
+      // sessions — drop the entry, emit nothing
+      state.remove()
+      return Iterator.empty
+    }
     val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
     if (sorted.isEmpty) return Iterator.empty
     var (lastMs, sid) = state.getOption
@@ -50,6 +68,9 @@ object StreamSessionize {
       out += ((sid, e))
     }
     state.update(SessState(lastMs, sid))
+    // lastMs comes from THIS batch's events, so it is >= the current
+    // watermark and the armed timestamp is always legal
+    state.setTimeoutTimestamp(lastMs + GapSec * 1000)
     val sdf = new java.text.SimpleDateFormat(fmt)
     sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     out.groupBy(_._1).map { case (s, evs) =>
@@ -66,9 +87,11 @@ object StreamSessionize {
   def transform(events: DataFrame): Dataset[Sess] = {
     val s = events.sparkSession
     import s.implicits._
-    events.selectExpr("user_id", "ts", "event_id", "value").as[Ev]
+    events.selectExpr("user_id", "ts", "event_id", "value")
+      .withWatermark("ts", "30 minutes").as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(sessionize)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(sessionize)
   }
 
   /** Run to a memory sink, block until input drains (verify/spec). */
