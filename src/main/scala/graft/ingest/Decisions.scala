@@ -216,9 +216,14 @@ object Decisions {
   def rowHash: Column = md5(concat_ws("\u0001",
     TiebreakCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*).cast("binary"))
 
-  /** DuckDB twin of [[rowHash]] (md5 hex is lowercase in both). */
-  val rowHashSql: String = "md5(concat_ws(chr(1), " +
-    TiebreakCols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(0))").mkString(", ") + "))"
+  /** SQL twin of [[rowHash]] (md5 hex is lowercase in DuckDB and
+    * Postgres alike) with a column-qualifier prefix — `""` for the
+    * oracle CTEs, `"EXCLUDED."`/`"t."` for the upsert-guard SQL. */
+  def rowHashSqlFor(prefix: String): String = "md5(concat_ws(chr(1), " +
+    TiebreakCols.map(c => s"coalesce(CAST($prefix$c AS VARCHAR), chr(0))").mkString(", ") + "))"
+
+  /** DuckDB twin of [[rowHash]]. */
+  val rowHashSql: String = rowHashSqlFor("")
 
   /** JVM twin of [[rowHash]] for cross-micro-batch comparison on
     * collected rows (casts mirror Spark's string casts: longs print

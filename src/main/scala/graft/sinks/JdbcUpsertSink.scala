@@ -23,15 +23,27 @@ import org.apache.spark.sql.{DataFrame, Row}
 object JdbcUpsertSink {
 
   /** `INSERT … ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c` for
-    * every non-key column — last write wins, like the reference. */
-  def upsertSql(table: String, columns: Seq[String], key: String): String = {
+    * every non-key column — last write wins, like the reference
+    * (whose UpdateAll:true is likewise unconditional).
+    *
+    * `guard` (optional) appends `WHERE guard` to the DO UPDATE and
+    * aliases the target table as `t`, for conditional upserts like
+    * cross-batch LWW: `(EXCLUDED.created_at, …) > (t.created_at, …)`
+    * keeps a later micro-batch carrying an OLDER row from overwriting
+    * the newer stored one. Without a guard that invariant does NOT
+    * hold on a real database — a caller that needs it must pass one
+    * (see [[graft.streaming.StreamDecisions.lwwGuardSql]]). */
+  def upsertSql(table: String, columns: Seq[String], key: String,
+                guard: String = null): String = {
     require(columns.contains(key), s"key $key not in $columns")
     val collist = columns.mkString(", ")
     val placeholders = columns.map(_ => "?").mkString(", ")
     val updates = columns.filterNot(_ == key)
       .map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    s"INSERT INTO $table ($collist) VALUES ($placeholders) " +
-      s"ON CONFLICT ($key) DO UPDATE SET $updates"
+    val target = if (guard == null) table else s"$table AS t"
+    val cond = if (guard == null) "" else s" WHERE $guard"
+    s"INSERT INTO $target ($collist) VALUES ($placeholders) " +
+      s"ON CONFLICT ($key) DO UPDATE SET $updates$cond"
   }
 
   /** Plain insert (the optimistic first attempt, main.go:177-189). */
@@ -95,11 +107,11 @@ object JdbcUpsertSink {
     * default is the standard driver-manager path. */
   def write(df: DataFrame, url: String, table: String, key: String,
             batchSize: Int = 1000, props: java.util.Properties = new java.util.Properties,
-            connect: String => Connection = null): Unit = {
+            connect: String => Connection = null, guard: String = null): Unit = {
     val mkConn: String => Connection =
       if (connect != null) connect else u => DriverManager.getConnection(u, props)
     val columns = df.columns.toSeq
-    val sql = upsertSql(table, columns, key)
+    val sql = upsertSql(table, columns, key, guard)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn: Connection = mkConn(url)

@@ -45,8 +45,10 @@ object StreamDecisions {
     * per 1000 → commit) — no driver-side collect anywhere; a real
     * deployment passes the JDBC url and drops this factory, changing
     * nothing else. executeBatch applies the conditional upsert: a row
-    * replaces the stored one only if it [[beats]] it — the
-    * `DO UPDATE … WHERE excluded wins` guard of the production SQL.
+    * replaces the stored one only if it [[beats]] it — the SAME
+    * predicate the production SQL carries, because [[run]] passes
+    * [[lwwGuardSql]] to the sink (an unguarded upsert would NOT give
+    * cross-batch LWW on a real database).
     * (The shared-JVM Store is a local-mode artifact; on a cluster the
     * database itself is the shared store.) */
   private[graft] def storeConnection(schema: StructType): java.sql.Connection = {
@@ -101,11 +103,22 @@ object StreamDecisions {
     Ordering[(String, String, String)].gt(key(a), key(b))
   }
 
-  /** ON CONFLICT (uuid) DO UPDATE ... WHERE excluded wins: a row
-    * replaces the stored one only if it beats it, so last-write-wins
-    * holds across micro-batches even when the file source splits the
-    * input (maxFilesPerTrigger, late staging) and a later batch
-    * carries an OLDER row. */
+  /** The production-SQL twin of [[beats]]: the upsert's DO UPDATE
+    * fires only when the incoming row wins the LWW order, with the
+    * row-hash tiebreak computed IN SQL over the stored columns
+    * (md5 is identical in Postgres), so the guard needs no extra
+    * column. [[run]] passes this to [[graft.sinks.JdbcUpsertSink
+    * .write]]; the store fake's [[mergeRow]] applies the same
+    * predicate row-wise — fake and SQL agree. */
+  val lwwGuardSql: String =
+    s"(EXCLUDED.created_at, EXCLUDED.platform_uid, ${Decisions.rowHashSqlFor("EXCLUDED.")})" +
+      s" > (t.created_at, t.platform_uid, ${Decisions.rowHashSqlFor("t.")})"
+
+  /** ON CONFLICT (uuid) DO UPDATE ... WHERE excluded wins (the
+    * [[lwwGuardSql]] guard): a row replaces the stored one only if it
+    * beats it, so last-write-wins holds across micro-batches even
+    * when the file source splits the input (maxFilesPerTrigger, late
+    * staging) and a later batch carries an OLDER row. */
   private[graft] def mergeRow(r: Row): Unit = {
     val k = r.getAs[String]("uuid")
     Store.rows.get(k) match {
@@ -141,7 +154,7 @@ object StreamDecisions {
         val schema = lww.schema
         Store.schema = schema
         graft.sinks.JdbcUpsertSink.write(lww, "jdbc:store", "decisions", "uuid",
-          connect = _ => storeConnection(schema))
+          connect = _ => storeConnection(schema), guard = lwwGuardSql)
       }
       .start()
     q.processAllAvailable()

@@ -15,6 +15,20 @@ class SinkStreamSpec extends SparkSpec {
     }
   }
 
+  test("upsertSql guard: table aliased, DO UPDATE conditional — and stream_decisions passes it") {
+    val sql = JdbcUpsertSink.upsertSql("decisions", Seq("uuid", "reason"), "uuid",
+      guard = "EXCLUDED.reason > t.reason")
+    assert(sql == "INSERT INTO decisions AS t (uuid, reason) VALUES (?, ?) " +
+      "ON CONFLICT (uuid) DO UPDATE SET reason = EXCLUDED.reason " +
+      "WHERE EXCLUDED.reason > t.reason")
+    // the stream_decisions guard compares the LWW triple on both
+    // sides, with the row-hash tiebreak computed in SQL
+    val g = graft.streaming.StreamDecisions.lwwGuardSql
+    assert(g.startsWith("(EXCLUDED.created_at, EXCLUDED.platform_uid, md5(concat_ws(chr(1)"))
+    assert(g.contains(" > (t.created_at, t.platform_uid, md5(concat_ws(chr(1)"))
+    assert(g.contains("EXCLUDED.decision_visibility") && g.contains("t.decision_visibility"))
+  }
+
   test("ddlSql: CREATE TABLE from the Decision schema, key as PRIMARY KEY (AutoMigrate analog)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
