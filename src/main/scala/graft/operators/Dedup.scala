@@ -891,4 +891,59 @@ object Dedup {
       |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
       |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
       |WHERE c >= 0.4""".stripMargin
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's economy:
+    * cluster first, compare only within clusters): k-means labels
+    * from [[KMeansIter.assignments]] (two unrolled Lloyd rounds over
+    * INTEGER-quantized coordinates — labels replay hash-exact in
+    * DuckDB, the I4 trick) block the pair generation, then exact
+    * cosine (codegen'd vec_dot, same arithmetic as C5) keeps pairs ≥
+    * [[CosFloor]]. Candidate volume is Σ_c |c|² ≈ N²/K instead of
+    * N² — the join is cid-keyed (each vector shuffles once, keyed by
+    * its cluster), and K grows with N to hold cluster sizes (≈ a few
+    * hundred) constant. The price is
+    * RECALL: a near-dup pair split across cluster boundaries is
+    * missed — the standard SemDeDup trade, bought deliberately where
+    * C5's N² blocked join stops being feasible. How much is lost is
+    * CORPUS-DEPENDENT (the spec measures it against the exact C5 pair
+    * set): this synthetic corpus's pairs are all WEAK (max cos ≈
+    * 0.55, barely above the 0.4 floor — the regime LSH provably can't
+    * prune either, see [[CosFloor]]), so boundary losses dominate and
+    * measured recall sits near 0.3; in SemDeDup's intended regime —
+    * true semantic dups, cos → 1 — recall approaches 1 because
+    * near-identical vectors get near-identical distances to every
+    * centroid and share the argmin (identical vectors provably
+    * co-cluster: assignment is a deterministic function of the
+    * quantized coordinates). */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val lab = KMeansIter.assignments(s, dir).select(col("vec_id"), col("cid"))
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VecFns.norm(col("embedding")))
+      .join(lab, "vec_id")
+    val lhs = e.select(col("cid"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val rhs = e.select(col("cid"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val denom = col("na") * col("nb")
+    lhs.join(rhs, Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", when(denom === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
+      .filter(col("cos") >= CosFloor)
+      .select(col("cid"), col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** DuckDB twin: the same integer k-means labels (shared CTEs), the
+    * same within-cluster exact cosine. */
+  val dedupSemanticSql: String =
+    KMeansIter.kmeansCtes + s"""
+      |SELECT cid, va, vb, round(c, 4) AS cos FROM (
+      |  SELECT la.cid AS cid, a.vec_id AS va, b.vec_id AS vb,
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+      |  FROM a2 la JOIN a2 lb ON la.cid = lb.cid AND la.vec_id < lb.vec_id
+      |  JOIN embeddings a ON a.vec_id = la.vec_id
+      |  JOIN embeddings b ON b.vec_id = lb.vec_id)
+      |WHERE c >= $CosFloor""".stripMargin
 }

@@ -56,17 +56,23 @@ object KMeansIter {
       .groupBy(col("cid"), col("dim"))
       .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("cv"))
 
-  def kmeansIter(s: SparkSession, dir: String): DataFrame = {
+  /** Final (vec_id, cid, dist) assignment after the two unrolled
+    * Lloyd rounds — the cluster labels [[kmeansIter]] reports on and
+    * [[Dedup.dedupSemantic]] blocks its pair generation by. Integer
+    * domain throughout, so labels replay hash-exact in DuckDB. */
+  def assignments(s: SparkSession, dir: String): DataFrame = {
     val pts = q(s, dir)
     val c0 = pts.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("dim"), col("qv").as("cv"))
     val a1 = assign(pts, c0)
     val c1 = recenter(pts, a1)
-    val a2 = assign(pts, c1)
-    a2.groupBy(col("cid"))
+    assign(pts, c1)
+  }
+
+  def kmeansIter(s: SparkSession, dir: String): DataFrame =
+    assignments(s, dir).groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
       .orderBy(col("cid"))
-  }
 
   /** Total inertia after `iters` assignment rounds (1 = initial
     * centroids, 2 = one re-centering) — spec hook for Lloyd's
@@ -83,7 +89,9 @@ object KMeansIter {
     a.agg(sum(col("dist"))).head.getLong(0)
   }
 
-  val kmeansIterSql: String =
+  /** The assignment pipeline as appendable CTEs (`a2` = final
+    * labels) — shared by the I4 oracle and dedup_semantic's. */
+  val kmeansCtes: String =
     s"""WITH q AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
        |    CAST(floor(unnest(embedding)::DOUBLE * $Scale + 0.5) AS BIGINT) AS qv
@@ -100,7 +108,9 @@ object KMeansIter {
        |       FROM q JOIN c1 c USING (dim) GROUP BY 1, 2),
        |a2 AS (SELECT vec_id, cid, dist FROM (
        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
-       |       WHERE rn = 1)
-       |SELECT cid, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS inertia
-       |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+       |       WHERE rn = 1)""".stripMargin
+
+  val kmeansIterSql: String = kmeansCtes + """
+    |SELECT cid, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS inertia
+    |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
 }

@@ -242,6 +242,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic: within-cluster pairs are a subset of exact C5 with measured recall") {
+    val exact = run("dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val sem = run("dedup_semantic").collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb")) -> r.getAs[Double]("cos")).toMap
+    assert(sem.nonEmpty && exact.nonEmpty)
+    // soundness: every semantic pair is a true C5 pair with the same cosine
+    sem.foreach { case (k, c) =>
+      assert(exact.contains(k) && exact(k) == c, s"pair $k not in exact set / cos differs")
+    }
+    // recall: the SemDeDup trade misses cluster-boundary pairs. This
+    // corpus's pairs are all WEAK (max cos ~0.55 — the regime where
+    // clustering, like LSH, cannot concentrate similarity), so the
+    // honest floor is the measured ~0.3, well above the 1/K ~ 0.125
+    // same-cluster chance rate; true high-cos dups co-cluster by
+    // construction (see dedupSemantic scaladoc)
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall $recall (${sem.size}/${exact.size}) below floor")
+    assert(exact.values.max < 0.6, "corpus gained strong pairs — revisit the recall floor")
+    // label consistency: both endpoints of each pair share the emitted cluster
+    val lab = graft.operators.KMeansIter.assignments(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    run("dedup_semantic").collect().foreach { r =>
+      assert(lab(r.getAs[Long]("va")) == r.getAs[Long]("cid") &&
+        lab(r.getAs[Long]("vb")) == r.getAs[Long]("cid"))
+    }
+  }
+
   test("minhash_est: signature agreement tracks exact Jaccard on true pairs") {
     val rows = run("minhash_est").collect()
     val exact = run("ngram_jaccard").collect()
