@@ -86,6 +86,155 @@ object Multimodal {
       |  sum(bytes_all - bytes_one)::BIGINT AS dup_bytes
       |FROM g GROUP BY 1""".stripMargin
 
+  /** pHash geometry: 64 slice-mean bits, 8 bands × 8 bits, and the
+    * Hamming radius that counts as a perceptual near-dup. Radius ≤ 7
+    * is pigeonhole-exact under 8 bands (any such pair shares a clean
+    * band); the [[dedupSimhashWide]]-style probabilistic tail above
+    * it is not needed here (planted near-dups land well inside,
+    * spec-measured). */
+  val PhashBits = 64
+  val PhashBands = 8
+  val PhashBandBits: Int = PhashBits / PhashBands
+  val PhashRadius = 7
+
+  /** Planted perceptual near-dups: every PlantMod-th doc contributes
+    * a DERIVED payload (id + [[PlantOffset]], same mime as its
+    * source) whose text has every 'e' replaced in place by 'f' — the
+    * byte-domain analog of a slightly re-encoded image: values
+    * perturb, NOTHING SHIFTS, so the pHash moves 0-4 bits (measured;
+    * the corpus's organic text near-dups, by contrast, shift
+    * alignment and land at hamming 17-41, background floor 16 — they
+    * are NOT perceptual dups and must not be found). The same
+    * deterministic-planting convention as scrub_pii/domain_stats. */
+  val PlantMod = 10
+  val PlantRes = 3
+  val PlantOffset = 1000000000L
+
+  /** mediaTable + planted near-dup payloads — the phash op's input. */
+  def phashMedia(s: SparkSession, dir: String): DataFrame = {
+    val base = mediaTable(s, dir)
+      .select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+    val planted = documents(s, dir)
+      .filter(col("doc_id") % PlantMod === PlantRes)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), mimeCol.as("mime"),
+        encode(translate(col("text"), "e", "f"), "UTF-8").as("payload"))
+    base.unionByName(planted)
+  }
+
+  /** Perceptual hash of the payload as band values — the classic
+    * aHash structure transplanted to the byte domain: the payload is
+    * cut into [[PhashBits]] equal slices and bit_k = (mean of slice
+    * k) > (global mean), computed as the EXACT INTEGER cross-product
+    * test `sum_k·len > total·n_k` (no division — engine-identical).
+    * A real image pipeline computes the same bits over 8×8
+    * downsampled luma; this byte-domain stand-in has the property
+    * that matters: payloads differing in a few spans flip few bits.
+    * Per-byte explode is the decode-analog map-side stage; everything
+    * after is two (doc-keyed) combining aggregates. Emits (doc_id,
+    * mime, idx, v) band rows — band value doubles as the LSH bucket
+    * key, exactly like [[graft.functions.HashFns.simhashBandsAggPortable]]. */
+  def phashBands(s: SparkSession, dir: String): DataFrame = {
+    val m = phashMedia(s, dir)
+      .withColumn("len", length(col("payload")))
+    val bytes = m
+      .select(col("doc_id"), col("mime"), col("len"), col("payload"),
+        explode(sequence(lit(0), col("len") - 1)).as("i"))
+      .select(col("doc_id"), col("mime"), col("len"),
+        floor((col("i") * PhashBits).cast("double") / col("len")).cast("long").as("slice"),
+        ascii(decode(col("payload").substr(col("i") + 1, lit(1)), "UTF-8")).as("v"))
+    val slices = bytes.groupBy(col("doc_id"), col("mime"), col("len"), col("slice"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+    val tot = slices.groupBy(col("doc_id")).agg(sum(col("sv")).as("st"))
+    slices.join(tot, "doc_id")
+      .select(col("doc_id"), col("mime"), col("slice"),
+        (col("sv") * col("len") > col("st") * col("nv")).as("b"))
+      .groupBy(col("doc_id"), col("mime"), floor(col("slice") / PhashBandBits).as("idx"))
+      .agg(sum(when(col("b"),
+        expr(s"shiftleft(1L, CAST(${PhashBandBits - 1} - slice % $PhashBandBits AS INT))"))
+        .otherwise(0L)).as("v"))
+  }
+
+  /** K-line: PERCEPTUAL near-dup detection over binary payloads — the
+    * near-dup complement of [[mmDedup]]'s exact-CAS accounting (a
+    * re-encoded/trimmed copy has a different md5 but a near-identical
+    * pHash). Same machinery as dedup_simhash: band values are the
+    * bucket keys, candidates come from a WITHIN-MIME (mime, band,
+    * value) equi-join — cross-media hashes are incomparable, and the
+    * mime key keeps buckets tighter — then the exact ≤ [[PhashRadius]]
+    * Hamming verify runs on the full 8-band sketch map-side before
+    * the dedup shuffle. Shuffle ∝ docs × bands; blobs never move
+    * (the sketch is 8 longs). Fully DuckDB-oracled; the spec proves
+    * the recovered set is EXACTLY the planted (source, derived)
+    * pairs — organic text near-dups stay out (see [[phashMedia]]). */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val bandRows = phashBands(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sb = bandRows.groupBy(col("doc_id"), col("mime"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("v")))),
+        x => x.getField("v")).as("sb"))
+    val bands = bandRows.join(sb.select(col("doc_id"), col("sb")), "doc_id")
+    val out = bands.as("x")
+      .join(bands.as("y"),
+        col("x.mime") === col("y.mime") && col("x.idx") === col("y.idx") &&
+          col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.mime").as("mime"), col("x.doc_id").as("ia"),
+        col("y.doc_id").as("ib"), col("x.sb").as("sba"), col("y.sb").as("sbb"))
+      .withColumn("hamming",
+        graft.functions.HashFns.bandHamming(col("sba"), col("sbb"), PhashBands))
+      .filter(col("hamming") <= PhashRadius)
+      .dropDuplicates("ia", "ib")
+      .select(col("mime"), col("ia"), col("ib"), col("hamming"))
+      .localCheckpoint() // pair-sized; release the cached band rows
+    bandRows.unpersist()
+    out
+  }
+
+  /** DuckDB twin: same integer slice-mean bits, band fold, within-mime
+    * band-key self-join, xor/bit_count Hamming. */
+  val mmPhashDedupSql: String = {
+    val ham = (1 to PhashBands).map(i => s"bit_count(xor(a.sb[$i], b.sb[$i]))").mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       |         ELSE 'video/mp4' END AS mime,
+       |    text, strlen(text) AS len
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       |         ELSE 'video/mp4' END AS mime,
+       |    replace(text, 'e', 'f') AS text, strlen(text) AS len
+       |  FROM documents WHERE doc_id % $PlantMod = $PlantRes),
+       |v AS (
+       |  SELECT doc_id, mime, len,
+       |    CAST(floor((i * $PhashBits)::DOUBLE / len) AS BIGINT) AS slice,
+       |    ascii(substr(text, CAST(i + 1 AS INT), 1)) AS v
+       |  FROM (SELECT doc_id, mime, len, text, unnest(range(len)) AS i FROM m)),
+       |sl AS (
+       |  SELECT doc_id, mime, len, slice, sum(v)::BIGINT AS sv, count(*)::BIGINT AS nv
+       |  FROM v GROUP BY 1, 2, 3, 4),
+       |tot AS (SELECT doc_id, sum(sv)::BIGINT AS st FROM sl GROUP BY 1),
+       |bandv AS (
+       |  SELECT sl.doc_id, mime, slice // $PhashBandBits AS idx,
+       |    CAST(sum(CASE WHEN sv * len > st * nv
+       |      THEN (1::BIGINT << CAST(${PhashBandBits - 1} - (slice % $PhashBandBits) AS INT))
+       |      ELSE 0 END) AS BIGINT) AS v
+       |  FROM sl JOIN tot USING (doc_id) GROUP BY 1, 2, 3),
+       |sb AS (SELECT doc_id, mime, list(v ORDER BY idx) AS sb FROM bandv GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.mime AS mime, x.doc_id AS ia, y.doc_id AS ib
+       |  FROM bandv x JOIN bandv y
+       |    ON x.mime = y.mime AND x.idx = y.idx AND x.v = y.v AND x.doc_id < y.doc_id)
+       |SELECT mime, ia, ib, hamming FROM (
+       |  SELECT cand.mime, ia, ib, $ham AS hamming
+       |  FROM cand
+       |  JOIN sb a ON a.doc_id = cand.ia
+       |  JOIN sb b ON b.doc_id = cand.ib)
+       |WHERE hamming <= $PhashRadius""".stripMargin
+  }
+
   /** One decoded record — the typed batch-output schema. */
   case class Decoded(doc_id: Long, mime: String, n_bytes: Int, features: Array[Double])
 

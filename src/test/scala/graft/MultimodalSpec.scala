@@ -63,4 +63,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.values.map(_.getAs[Long]("n_payloads")).sum == docs.length.toLong)
     assert(rows.values.forall(r => r.getAs[Long]("n_unique") <= r.getAs[Long]("n_payloads")))
   }
+
+  test("mm_phash_dedup: recovers exactly the planted perceptual pairs, organic text dups stay out") {
+    import graft.operators.Multimodal._
+    val got = run("mm_phash_dedup").collect()
+    val gotPairs = got.map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    val expected = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % PlantMod == PlantRes)
+      .map(id => (id, id + PlantOffset)).toSet
+    assert(expected.nonEmpty && gotPairs == expected,
+      s"got ${gotPairs.size}, planted ${expected.size}; " +
+        s"spurious=${(gotPairs -- expected).take(3)} missed=${(expected -- gotPairs).take(3)}")
+    got.foreach { r =>
+      // in-place perturbation moves few bits; mime rides along from the source
+      assert(r.getAs[Long]("hamming") <= PhashRadius)
+      val srcMime = (r.getAs[Long]("ia") % 3) match {
+        case 0 => "image/png"; case 1 => "audio/wav"; case _ => "video/mp4"
+      }
+      assert(r.getString(0) == srcMime)
+    }
+    // the organic TEXT near-dups are alignment-shifted — none may
+    // appear as perceptual pairs (background hamming floor is ~16)
+    val textPairs = run("ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(textPairs.nonEmpty && gotPairs.intersect(textPairs).isEmpty)
+  }
 }
