@@ -8,10 +8,20 @@ import org.apache.spark.sql.SparkSession
   * materialization of every output column, unlike count(), under
   * which Catalyst prunes the projected expressions and map-only
   * queries measure as bare scan time. One-time fixtures (bucketed
-  * tables, partitioned events, the zipcsv archive) are built BEFORE
-  * the timed loop so timings measure plans, not fixture IO. A query
-  * that throws is reported in a separate "failed" list (timing -1),
-  * never as a normal-looking number. */
+  * tables, partitioned events, the zipcsv archive, the corpus LSH
+  * band index) are built BEFORE the timed loop so timings measure
+  * plans, not fixture IO. A query that throws is reported in a
+  * separate "failed" list (timing -1), never as a normal-looking
+  * number.
+  *
+  * Every query runs THREE times: one cold pass (`queries`/`value` —
+  * comparable with earlier rounds) and two warm passes reported as
+  * their minimum (`queries_warm`/`warm_total`). Cold numbers on a
+  * loaded box carry 3-30× first-run Janino/JIT compile noise on the
+  * codegen-heavy queries (measured round 5: same commit, 262 s idle
+  * vs 681 s loaded, the gap concentrated on exactly those queries);
+  * the warm minimum is the steady-state plan cost, so regressions in
+  * the PLAN are visible even when the driver box is busy. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,29 +38,38 @@ object Bench {
     ingest.ZipFixture.ensure(spark, sfDir)
     ingest.FetchFixture.ensure(spark, sfDir)
     ingest.DecisionFixture.ensure(spark, sfDir)
+    operators.Dedup.ensureCorpusIndex(spark, sfDir) // dedup_incremental reads it
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch { case scala.util.control.NonFatal(_) => false }
-      // drop caches a query persisted for its own internal reuse:
-      // timings stay independent and executor memory stays flat
-      // across the 70+ query loop
-      spark.sharedState.cacheManager.clearCache()
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          } catch { case scala.util.control.NonFatal(_) => false }
+        // drop caches a query persisted for its own internal reuse:
+        // timings stay independent and executor memory stays flat
+        // across the 120+ query loop
+        spark.sharedState.cacheManager.clearCache()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val cold = once()
+      val warm =
+        if (cold < 0) -1.0
+        else math.min(once(), once()) match { case w if w < 0 => -1.0; case w => w }
+      (name, cold, warm)
     }
     // 3-decimal seconds keep the line short; total and count lead so
     // a truncated capture still carries the headline numbers, and the
     // full line is ALSO written to bench_last.json (committed with the
     // round snapshot) so stdout truncation can never lose the data
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    def qjson(sel: ((String, Double, Double)) => Double) =
+      results.map(t => "\"" + t._1 + "\":" + r3(sel(t))).mkString("{", ",", "}")
+    val failed = results.collect { case (k, c, _) if c < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = r3(results.collect { case (_, v, true) => v }.sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"sf":"$sfDir","failed":$failed,"queries":$qs}"""
+    val total = r3(results.collect { case (_, c, _) if c >= 0 => c }.sum)
+    val warmTotal = r3(results.collect { case (_, _, w) if w >= 0 => w }.sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","failed":$failed,"queries":${qjson(_._2)},"queries_warm":${qjson(_._3)}}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), line + "\n")
