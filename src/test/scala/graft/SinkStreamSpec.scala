@@ -212,6 +212,52 @@ class SinkStreamSpec extends SparkSpec {
     assert(emitted.length == 20 && emitted.forall(_.getAs[Long]("n_events") == 2L))
   }
 
+  test("stream_dedup: planted replays dropped exactly once, accounting matches a recount") {
+    val got = SparkEntry.queries("stream_dedup")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_arrivals"), r.getAs[Long]("n_unique"), r.getAs[Long]("n_dropped")))
+      .toMap
+    val base = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_id") % graft.streaming.StreamDedup.DupMod ===
+          graft.streaming.StreamDedup.DupRes, 1L).otherwise(0L)).as("planted"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("planted"))).toMap
+    assert(got.keySet == base.keySet && got.nonEmpty)
+    base.foreach { case (t, (n, planted)) =>
+      assert(got(t) == (n + planted, n, planted), s"type $t: ${got(t)} vs base ($n, $planted)")
+    }
+  }
+
+  test("stream_dedup: id state ages out behind the watermark — flat across waves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup_waves").toFile.getAbsolutePath
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime
+    // wave i: 20 fresh ids inside hour i (+ the op's own replays)
+    def writeWave(i: Int): Unit =
+      (0 until 20).map { e =>
+        (i * 100L + e, new java.sql.Timestamp(base + (i * 3600L + e) * 1000), "click")
+      }.toDF("event_id", "ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    writeWave(0)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+    val q = graft.streaming.StreamDedup.dedup(graft.streaming.StreamDedup.arrivals(src))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("sdedup_state").outputMode("update").start()
+    q.processAllAvailable()
+    val sizes = (1 to 4).map { i =>
+      writeWave(i); q.processAllAvailable()
+      // operator 0 is the dedup state (the agg keeps 1 row/type)
+      q.lastProgress.stateOperators.map(_.numRowsTotal).max
+    }
+    q.stop()
+    // 20 fresh ids/wave: unbounded dropDuplicates state would reach
+    // 100 rows by wave 4; the watermarked form holds at the horizon
+    assert(sizes.last <= sizes(1),
+      s"dedup state grew across waves: $sizes — ids are not aging out")
+    assert(sizes.last <= 48, s"state ${sizes.last} exceeds the 2-wave id horizon")
+  }
+
   test("streaming state is RocksDB-backed (disk-spillable), not heap-only HDFS-backed") {
     assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
       .contains("RocksDBStateStoreProvider"))
