@@ -160,4 +160,69 @@ object Behavior {
       |tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
       |SELECT from_type, to_type, n, round(n::DOUBLE / n_from, 4) AS p
       |FROM c JOIN tot USING (from_type)""".stripMargin
+
+  /** Attribution lookback window: a purchase converts its latest
+    * click at most this many seconds earlier. */
+  val AttribWindowSec = 1800L
+
+  /** K-line: LAST-TOUCH ATTRIBUTION — every purchase is credited to
+    * the user's most recent preceding click within
+    * [[AttribWindowSec]]; purchases with no such click are organic.
+    * The as-of pattern ([[graft.operators.AsofJoin]]) applied
+    * in-stream: ONE user-keyed shuffle carries both event kinds, a
+    * last-non-null window finds the preceding click (total order
+    * (ts, event_id), same tiebreak as B6/J14 — "preceding" = strictly
+    * earlier in that order), and the report is an hour-keyed
+    * aggregate: conversion counts, attributed revenue (exact
+    * DECIMAL(18,4) sums, the sessionize convention) and the mean
+    * click→purchase lag (integer-second sums; one division). No
+    * self-join of events against events — at 100 TB the window form
+    * shuffles each event once, where the join form pays purchases ×
+    * clicks fanout per user. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastClick = last(
+      when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w)
+    val purchases = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("click_ts", lastClick)
+      .filter(col("event_type") === "purchase")
+      .withColumn("lag_s", col("ts").cast("long") - col("click_ts").cast("long"))
+      .withColumn("attributed",
+        col("click_ts").isNotNull && col("lag_s") <= AttribWindowSec)
+    purchases
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("attributed"), col("value").cast("decimal(18,4)")))
+          .cast("double").as("attr_value"),
+        round(avg(when(col("attributed"), col("lag_s"))), 4).as("avg_lag_s"))
+  }
+
+  val attributionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+       |  FROM events),
+       |m AS (
+       |  SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+       |  FROM ev),
+       |p AS (
+       |  -- floor(epoch()) mirrors Spark's truncating timestamp→long
+       |  -- cast (epoch() is DOUBLE seconds and ::BIGINT would ROUND)
+       |  SELECT *,
+       |    CAST(floor(epoch(ts)) AS BIGINT)
+       |      - CAST(floor(epoch(click_ts)) AS BIGINT) AS lag_s,
+       |    click_ts IS NOT NULL
+       |      AND CAST(floor(epoch(ts)) AS BIGINT)
+       |        - CAST(floor(epoch(click_ts)) AS BIGINT) <= $AttribWindowSec AS attributed
+       |  FROM m WHERE event_type = 'purchase')
+       |SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+       |  count(*) AS n_purchases,
+       |  sum(CASE WHEN attributed THEN 1 ELSE 0 END)::BIGINT AS n_attributed,
+       |  sum(CASE WHEN attributed THEN value::DECIMAL(18,4) END)::DOUBLE AS attr_value,
+       |  round(avg(CASE WHEN attributed THEN lag_s END), 4) AS avg_lag_s
+       |FROM p GROUP BY 1""".stripMargin
 }

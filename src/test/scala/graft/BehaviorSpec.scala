@@ -321,4 +321,55 @@ class BehaviorSpec extends SparkSpec {
       assert(math.abs(cells.map(_._2._2).sum - 1.0) < 1e-2)
     }
   }
+
+  test("attribution: last-touch credits match a per-user local replay") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id", "value").collect()
+      .map { r =>
+        val t = r.getTimestamp(2)
+        (r.getLong(0), r.getString(1),
+          math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000, // micros
+          r.getLong(3), r.getDouble(4))
+      }
+    // local replay: per user, scan in (ts, event_id) order carrying
+    // the last click's micros
+    case class P(hour: String, attributed: Boolean, value: Double, lagS: Long)
+    val sdf = new java.text.SimpleDateFormat("yyyy-MM-dd HH:00:00")
+    sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val purchases = ev.groupBy(_._1).values.toSeq.flatMap { rows =>
+      var lastClick = Option.empty[Long]
+      rows.sortBy(r => (r._3, r._4)).flatMap { r =>
+        val out = if (r._2 == "purchase") {
+          val lag = lastClick.map(c => r._3 / 1000000L - c / 1000000L)
+          Some(P(sdf.format(new java.util.Date(r._3 / 1000L)),
+            lag.exists(_ <= graft.queries.Behavior.AttribWindowSec), r._5,
+            lag.getOrElse(-1L)))
+        } else None
+        if (r._2 == "click") lastClick = Some(r._3)
+        out
+      }
+    }
+    val expected = purchases.groupBy(_.hour).map { case (h, ps) =>
+      val att = ps.filter(_.attributed)
+      h -> (ps.size.toLong, att.size.toLong,
+        if (att.isEmpty) null
+        else att.map(p => BigDecimal(p.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble,
+        if (att.isEmpty) null
+        else BigDecimal(att.map(_.lagS).sum.toDouble / att.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = run("attribution").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_attributed"),
+        r.getAs[Any]("attr_value"), r.getAs[Any]("avg_lag_s"))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    expected.foreach { case (h, (n, na, v, lag)) =>
+      val g = got(h)
+      assert(g._1 == n && g._2 == na, s"hour $h counts: $g vs ($n, $na)")
+      assert(g._3 == v, s"hour $h attr_value: ${g._3} vs $v")
+      assert(g._4 == lag, s"hour $h avg_lag: ${g._4} vs $lag")
+    }
+    // the window must credit SOME purchases and leave some organic
+    val totals = got.values.toSeq
+    assert(totals.map(_._2).sum > 0 && totals.map(_._2).sum < totals.map(_._1).sum)
+  }
 }
