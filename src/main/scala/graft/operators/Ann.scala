@@ -355,4 +355,46 @@ object Ann {
       |  round(max(nrm), 4) AS max_norm,
       |  round(avg(nrm), 4) AS avg_norm
       |FROM v GROUP BY label""".stripMargin
+
+  /** K-line: ANN RECALL@K calibration — per query, how many of the
+    * exact top-[[K]] (D1) each approximate path (D2 LSH, D3 IVF)
+    * returned. The eval table a pipeline reads before trusting an
+    * index's (bits, tables)/(cells, probes) settings on a new corpus —
+    * the ANN analog of minhash_est's banding calibration. Runs the
+    * three ranking pipelines (each keeps its own scale shape) and
+    * reduces their pair sets with two left joins + one query-keyed
+    * aggregate; everything downstream of the rankings is
+    * probe-set-sized. Fully oracled: all three paths already replay
+    * in DuckDB, so their intersection does too. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val ex = annBruteforce(s, dir).select(col("qid"), col("nb"))
+    val lsh = annLsh(s, dir).select(col("qid"), col("nb"), lit(1L).as("l"))
+    val ivf = annIvf(s, dir).select(col("qid"), col("nb"), lit(1L).as("i"))
+    ex.join(lsh, Seq("qid", "nb"), "left_outer")
+      .join(ivf, Seq("qid", "nb"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("l"), lit(0L))).as("lsh_hits"),
+        sum(coalesce(col("i"), lit(0L))).as("ivf_hits"))
+      .select(col("qid"), col("n_exact"), col("lsh_hits"), col("ivf_hits"),
+        round(col("lsh_hits").cast("double") / col("n_exact"), 4).as("lsh_recall"),
+        round(col("ivf_hits").cast("double") / col("n_exact"), 4).as("ivf_recall"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH ex AS (SELECT qid, nb FROM ($annBruteforceSql)),
+       |l AS (SELECT qid, nb FROM ($annLshSql)),
+       |i AS (SELECT qid, nb FROM ($annIvfSql)),
+       |j AS (
+       |  SELECT ex.qid,
+       |    CASE WHEN l.nb IS NULL THEN 0 ELSE 1 END AS lh,
+       |    CASE WHEN i.nb IS NULL THEN 0 ELSE 1 END AS ih
+       |  FROM ex
+       |  LEFT JOIN l ON l.qid = ex.qid AND l.nb = ex.nb
+       |  LEFT JOIN i ON i.qid = ex.qid AND i.nb = ex.nb)
+       |SELECT qid, count(*) AS n_exact,
+       |  sum(lh)::BIGINT AS lsh_hits, sum(ih)::BIGINT AS ivf_hits,
+       |  round(sum(lh) / count(*), 4) AS lsh_recall,
+       |  round(sum(ih) / count(*), 4) AS ivf_recall
+       |FROM j GROUP BY qid""".stripMargin
 }

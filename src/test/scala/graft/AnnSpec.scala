@@ -114,6 +114,24 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall: per-query hits recount from the three ranking pipelines") {
+    def pairs(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nb"))).toSet
+    val (ex, lsh, ivf) = (pairs("ann_bruteforce"), pairs("ann_lsh"), pairs("ann_ivf"))
+    val got = run("ann_recall").collect().map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(got.keySet == ex.map(_._1))
+    got.foreach { case (q, r) =>
+      val exq = ex.filter(_._1 == q)
+      assert(r.getAs[Long]("n_exact") == exq.size.toLong && exq.size == Ann.K)
+      assert(r.getAs[Long]("lsh_hits") == exq.count(lsh.contains).toLong, s"q$q lsh")
+      assert(r.getAs[Long]("ivf_hits") == exq.count(ivf.contains).toLong, s"q$q ivf")
+      assert(r.getAs[Double]("lsh_recall") >= 0.0 && r.getAs[Double]("lsh_recall") <= 1.0)
+    }
+    // the calibration table must show the paths actually recall something
+    assert(got.values.map(_.getAs[Long]("lsh_hits")).sum > 0)
+    assert(got.values.map(_.getAs[Long]("ivf_hits")).sum > 0)
+  }
+
   // alias so the object reference compiles from the test package
   private object Ann { val NumQueries = graft.operators.Ann.NumQueries; val K = graft.operators.Ann.K }
 }
