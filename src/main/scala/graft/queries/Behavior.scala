@@ -161,6 +161,53 @@ object Behavior {
       |SELECT from_type, to_type, n, round(n::DOUBLE / n_from, 4) AS p
       |FROM c JOIN tot USING (from_type)""".stripMargin
 
+  /** K-line: FREQUENT ITEMSETS — unordered event-type co-occurrence
+    * over per-user baskets (the A-Priori 2-itemset pass; J14's
+    * transition matrix is the ORDERED sibling): for every type pair,
+    * how many users did both, the support, and the LIFT
+    * n_ab·N / (n_a·n_b) — association strength without logs (the
+    * house PMI-avoidance convention: one double division of exact
+    * integer products, engine-identical). Shape: baskets are one
+    * distinct on (user, type); the pair join fans out ≤ C(5,2) = 10
+    * rows per user (bounded by the type alphabet, never by events);
+    * per-type counts broadcast into the 25-cell report. */
+  def itemsets(s: SparkSession, dir: String): DataFrame = {
+    val baskets = events(s, dir).select(col("user_id"), col("event_type")).distinct()
+    // one-row frame, broadcast via cross join (the quantile_bins
+    // convention) — no eager driver-side count in the plan builder
+    val nUsers = baskets.agg(count_distinct(col("user_id")).as("nu"))
+    val typeN = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeN.select(col("event_type").as("type_a"), col("n").as("na"))), "type_a")
+      .join(broadcast(typeN.select(col("event_type").as("type_b"), col("n").as("nb"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("nu"), 4).as("support"),
+        round((col("n_ab") * col("nu")).cast("double") / (col("na") * col("nb")), 4).as("lift"))
+  }
+
+  val itemsetsSql: String =
+    """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT count(DISTINCT user_id) AS n FROM b),
+      |tn AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+      |p AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_ab
+      |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_ab,
+      |  round(n_ab::DOUBLE / nu.n, 4) AS support,
+      |  round((n_ab * nu.n)::DOUBLE / (ta.n * tb.n), 4) AS lift
+      |FROM p
+      |CROSS JOIN nu
+      |JOIN tn ta ON ta.event_type = p.type_a
+      |JOIN tn tb ON tb.event_type = p.type_b""".stripMargin
+
   /** Attribution lookback window: a purchase converts its latest
     * click at most this many seconds earlier. */
   val AttribWindowSec = 1800L

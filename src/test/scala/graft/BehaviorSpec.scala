@@ -322,6 +322,29 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("itemsets: support and lift match a local basket recount") {
+    val baskets = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val byUser = baskets.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = byUser.size
+    val typeN = baskets.groupBy(_._2).view.mapValues(_.size).toMap
+    val expected = byUser.values.toSeq
+      .flatMap(ts => ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val got = run("itemsets").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    expected.foreach { case (k, nab) =>
+      val r = got(k)
+      assert(r.getAs[Long]("n_ab") == nab.toLong, s"pair $k")
+      assert(r.getAs[Double]("support") ==
+        BigDecimal(nab.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Double]("lift") ==
+        BigDecimal(nab.toDouble * n / (typeN(k._1).toDouble * typeN(k._2)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"lift $k")
+    }
+  }
+
   test("attribution: last-touch credits match a per-user local replay") {
     val ev = Tables.events(spark, sf)
       .select("user_id", "event_type", "ts", "event_id", "value").collect()
