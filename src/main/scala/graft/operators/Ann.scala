@@ -356,6 +356,49 @@ object Ann {
       |  round(avg(nrm), 4) AS avg_norm
       |FROM v GROUP BY label""".stripMargin
 
+  /** Variance floor below which a dimension counts as dead. */
+  val DeadVarFloor = 0.000001
+
+  /** K-line: per-DIMENSION embedding statistics — mean and variance
+    * of every coordinate across the corpus, with a dead-dimension
+    * flag (variance collapse: the classic symptom of a broken encoder
+    * or a truncated export; [[vecHealth]] is the per-VECTOR sibling).
+    * Coordinates quantize to ×10⁴ BIGINT map-side so both moment sums
+    * are EXACT integers (order-independent under partial aggregation —
+    * a float variance would be a cross-engine hash risk); mean and
+    * variance are then a fixed sequence of double ops on those exact
+    * ints, identical in DuckDB. One posexplode + one dim-keyed
+    * combining aggregate: shuffle carries dims × 3 longs per task. */
+  def embDimStats(s: SparkSession, dir: String): DataFrame = {
+    val q = embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * 10000 + 0.5).cast("long").as("q"))
+    val mean = col("sq").cast("double") / col("n") / 10000.0
+    val variance = (col("sqq").cast("double") / col("n") -
+      (col("sq").cast("double") / col("n")) * (col("sq").cast("double") / col("n"))) / 1.0e8
+    q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"))
+      .select(col("dim"), col("n").as("n_vecs"),
+        round(mean, 4).as("mean"),
+        round(variance, 6).as("variance"),
+        (variance < DeadVarFloor).as("dead"))
+  }
+
+  val embDimStatsSql: String =
+    s"""WITH q AS (
+       |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+       |    CAST(floor(unnest(embedding)::DOUBLE * 10000 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT dim, count(*) AS n, sum(q)::BIGINT AS sq, sum(q * q)::BIGINT AS sqq
+       |  FROM q GROUP BY 1)
+       |SELECT dim, n AS n_vecs,
+       |  round(sq::DOUBLE / n / 10000.0, 4) AS mean,
+       |  round((sqq::DOUBLE / n - (sq::DOUBLE / n) * (sq::DOUBLE / n)) / 100000000.0, 6) AS variance,
+       |  (sqq::DOUBLE / n - (sq::DOUBLE / n) * (sq::DOUBLE / n)) / 100000000.0 < $DeadVarFloor AS dead
+       |FROM a""".stripMargin
+
   /** K-line: ANN RECALL@K calibration — per query, how many of the
     * exact top-[[K]] (D1) each approximate path (D2 LSH, D3 IVF)
     * returned. The eval table a pipeline reads before trusting an

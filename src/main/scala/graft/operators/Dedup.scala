@@ -342,6 +342,56 @@ object Dedup {
 
   val ngramJaccardSql: String = jaccardPairsSql
 
+  /** Sweep floors for [[dedupSweep]] (the operating floor 0.5 sits
+    * mid-curve). */
+  val SweepThresholds: Seq[Double] = (3 to 9).map(_ / 10.0)
+
+  /** K-line: dedup THRESHOLD SWEEP — pair volume and affected-doc
+    * count at each candidate Jaccard floor, from ONE capped postings
+    * join (the C4 shuffle; the sweep itself is a broadcast-literal
+    * explode + one aggregate). The curve a curator reads before
+    * picking the dedup floor on a new corpus: where it elbows, real
+    * duplication ends and near-miss noise begins — the
+    * threshold-side calibration next to minhash_est's estimator-side
+    * one. j is the same double in both engines, so every ≥-comparison
+    * replays exactly. */
+  def dedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val gp = gramPosts(s, dir)
+    val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = gp.as("x")
+      .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
+      .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+    val out = pairs
+      .select(col("ia"), col("ib"), col("j"),
+        explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
+      .filter(col("j") >= col("threshold"))
+      .select(col("threshold"), col("ia"), col("ib"),
+        explode(array(col("ia"), col("ib"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        count_distinct(col("d")).as("n_docs"))
+      .localCheckpoint() // curve-sized; release the cached postings
+    gp.unpersist()
+    out
+  }
+
+  val dedupSweepSql: String = {
+    val ts = SweepThresholds.mkString("[", ", ", "]")
+    gramsCte + pairsCtes + s""",
+      |sw AS (
+      |  SELECT t.threshold, ia, ib FROM jp
+      |  CROSS JOIN (SELECT CAST(unnest($ts) AS DOUBLE) AS threshold) t
+      |  WHERE j >= t.threshold),
+      |d AS (SELECT threshold, unnest([ia, ib]) AS d FROM sw)
+      |SELECT threshold, (count(*) // 2)::BIGINT AS n_pairs,
+      |  count(DISTINCT d) AS n_docs
+      |FROM d GROUP BY 1""".stripMargin
+  }
+
   /** J-line: cross-source duplication matrix — for every near-dup
     * pair (exact Jaccard ≥ 0.5, the C4 pair set), which SOURCE pair
     * produced it. The report a corpus curator reads before deciding

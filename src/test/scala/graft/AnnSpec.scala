@@ -114,6 +114,30 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("emb_dim_stats: quantized moments match a local recount, no dead dims in corpus") {
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val got = run("emb_dim_stats").collect()
+      .map(r => r.getAs[Long]("dim") -> r).toMap
+    assert(got.size == dims)
+    (0 until dims).foreach { d =>
+      val qs = vecs.map(v => math.floor(v(d).toDouble * 10000 + 0.5).toLong)
+      val n = qs.length
+      val mean = qs.sum.toDouble / n / 10000.0
+      val vr = (qs.map(x => x * x).sum.toDouble / n -
+        (qs.sum.toDouble / n) * (qs.sum.toDouble / n)) / 1.0e8
+      val r = got(d.toLong)
+      assert(r.getAs[Long]("n_vecs") == n.toLong)
+      assert(r.getAs[Double]("mean") ==
+        BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"dim $d mean")
+      assert(math.abs(r.getAs[Double]("variance") - vr) < 1e-6, s"dim $d var")
+      assert(r.getAs[Boolean]("dead") == (vr < graft.operators.Ann.DeadVarFloor))
+    }
+    // synthetic embeddings are healthy — a dead dim would mean the op broke
+    assert(got.values.forall(!_.getAs[Boolean]("dead")))
+  }
+
   test("ann_recall: per-query hits recount from the three ranking pipelines") {
     def pairs(name: String) = run(name).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nb"))).toSet

@@ -270,6 +270,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_sweep: monotone curve that recounts from the raw pair set at each floor") {
+    val pairs = {
+      val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+        .map { r =>
+          val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+          val grams = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+                      else Set(toks.mkString(" "))
+          r.getLong(0) -> grams
+        }
+      for {
+        i <- docs.indices; j <- (i + 1) until docs.length
+        inter = (docs(i)._2 & docs(j)._2).size if inter > 0
+      } yield (docs(i)._1, docs(j)._1,
+        inter.toDouble / (docs(i)._2.size + docs(j)._2.size - inter))
+    }
+    val got = run("dedup_sweep").collect()
+      .map(r => r.getDouble(0) -> (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
+    assert(got.keySet == graft.operators.Dedup.SweepThresholds.toSet)
+    graft.operators.Dedup.SweepThresholds.foreach { t =>
+      val at = pairs.filter(_._3 >= t)
+      assert(got(t)._1 == at.size.toLong, s"floor $t n_pairs")
+      assert(got(t)._2 == at.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong, s"floor $t n_docs")
+    }
+    // monotone non-increasing in the floor, with actual signal at 0.5
+    val curve = graft.operators.Dedup.SweepThresholds.map(got(_)._1)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
+    assert(got(0.5)._1 > 0)
+  }
+
   test("minhash_est: signature agreement tracks exact Jaccard on true pairs") {
     val rows = run("minhash_est").collect()
     val exact = run("ngram_jaccard").collect()

@@ -57,6 +57,27 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial signature merge in:\n$p")
   }
 
+  test("attribution: one user_id exchange feeds the as-of window, month agg reuses nothing wider") {
+    val p = plan("attribution")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"attribution must not self-join events:\n$p")
+  }
+
+  test("itemsets: per-type counts and the user-count row broadcast into the pair report") {
+    val p = plan("itemsets")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"type-count joins should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_semantic: cluster-blocked pairs are an equi-join, never all-pairs") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semantic pair generation is not cid-keyed:\n$p")
+  }
+
   test("dedup_incremental daily run never rescans corpus text — documents scans are batch-filtered, index read from parquet") {
     val path = graft.operators.Dedup.ensureCorpusIndex(spark, sf)
     val (daily, bposts) = graft.operators.Dedup.incrementalDaily(spark, sf, path)
