@@ -177,6 +177,58 @@ object TrainPrep {
        |      FROM documents)
        |GROUP BY tok ORDER BY tf DESC, tok LIMIT $VocabK""".stripMargin
 
+  /** Coverage-vocab size — see the sizing note in [[vocabCoverage]]. */
+  val CoverageK = 20
+
+  /** K-line: VOCABULARY COVERAGE — per language, what fraction of
+    * corpus token occurrences the top-[[CoverageK]] vocabulary (the
+    * [[vocabTopk]] build shape) covers, plus the distinct
+    * out-of-vocabulary type count. The tokenizer-coverage metric read
+    * next to [[graft.queries.TextOps]]'s fertility before fixing a
+    * vocab size: high OOV in a language means its text will shatter
+    * into fallback bytes. Shape: the vocab is ≤ [[CoverageK]] rows —
+    * broadcast into a left-semi/anti pair on the token stream; counts
+    * are exact integers, the rate one division. The coverage vocab is
+    * deliberately SMALLER than G14's [[VocabK]]: the synthetic corpus
+    * draws from ~31 distinct tokens, so a 200-word vocab would cover
+    * everything and the metric would be vacuous — top-20 leaves a
+    * real OOV tail at every scale (spec asserts both sides non-zero). */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("lang"), explode(TextFns.wsTokens(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(CoverageK)
+      .select(col("tok"))
+    val oov = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+    val tot = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+    val oovN = oov.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_oov"), count_distinct(col("tok")).as("n_oov_types"))
+    tot.join(oovN, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("n_oov_types"), lit(0L)).as("n_oov_types"),
+        round(coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens"), 4)
+          .as("oov_rate"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+       |    ORDER BY tf DESC, tok LIMIT $CoverageK)),
+       |oov AS (
+       |  SELECT lang, count(*) AS n_oov, count(DISTINCT tok) AS n_oov_types
+       |  FROM toks WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY 1),
+       |tot AS (SELECT lang, count(*) AS n_tokens FROM toks GROUP BY 1)
+       |SELECT tot.lang, n_tokens,
+       |  coalesce(n_oov, 0)::BIGINT AS n_oov,
+       |  coalesce(n_oov_types, 0)::BIGINT AS n_oov_types,
+       |  round(coalesce(n_oov, 0)::DOUBLE / n_tokens, 4) AS oov_rate
+       |FROM tot LEFT JOIN oov ON tot.lang = oov.lang""".stripMargin
+
   val NGram = 13
 
   /** G11: train/test decontamination — test-split documents sharing

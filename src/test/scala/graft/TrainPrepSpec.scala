@@ -85,6 +85,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(top.getAs[Long]("tf") == expect)
   }
 
+  test("vocab_coverage: OOV accounting recounts against the top-K vocab, rates in [0,1]") {
+    val toks = Tables.documents(spark, sf).select("lang", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, tf) => (-tf, t) }
+      .take(graft.operators.TrainPrep.CoverageK).map(_._1).toSet
+    val got = run("vocab_coverage").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byLang = toks.groupBy(_._1)
+    assert(got.keySet == byLang.keySet && got.nonEmpty)
+    byLang.foreach { case (lang, ts) =>
+      val oov = ts.filterNot(t => vocab.contains(t._2))
+      val r = got(lang)
+      assert(r.getAs[Long]("n_tokens") == ts.length.toLong, s"$lang n_tokens")
+      assert(r.getAs[Long]("n_oov") == oov.length.toLong, s"$lang n_oov")
+      assert(r.getAs[Long]("n_oov_types") == oov.map(_._2).distinct.length.toLong, s"$lang types")
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // a 200-word vocab on a synthetic corpus must cover SOMETHING and miss something
+    assert(got.values.exists(_.getAs[Long]("n_oov") > 0))
+    assert(got.values.exists(r => r.getAs[Long]("n_oov") < r.getAs[Long]("n_tokens")))
+  }
+
   test("chunk_docs: one row per doc, emitted == n_chunks, bounded chunk sizes") {
     val rows = run("chunk_docs").collect()
     assert(rows.length == Tables.documents(spark, sf).count())
