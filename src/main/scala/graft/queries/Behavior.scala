@@ -208,6 +208,70 @@ object Behavior {
       |JOIN tn ta ON ta.event_type = p.type_a
       |JOIN tn tb ON tb.event_type = p.type_b""".stripMargin
 
+  /** burst_detect needs at least this many trailing observed hours
+    * before it will flag — below it the variance estimate is junk. */
+  val BurstMinTrail = 12
+
+  /** K-line: BURST DETECTION — per (event_type, hour), flag hours
+    * whose count exceeds the trailing-24-observed-hour mean by more
+    * than 3 sigma. The volume-anomaly monitor run over an ingest
+    * feed before bad batches poison downstream stats. The z-test is
+    * computed in EXACT integer arithmetic so the flag is
+    * engine-identical: z > 3 AND x > mu  ⟺  n·x − S > 0 AND
+    * (n·x − S)² > 9·(n·SS − S²)  where n/S/SS are the trailing
+    * window's count/sum/sum-of-squares (population variance, both
+    * sides scaled by n²) — no mean, no sqrt, no float ever computed.
+    * The squares run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+    * at 1e9 events/hour/type the deviation term is ≤ 24·1e9, its
+    * square 6e20 — far inside both 38-digit ranges, exact in both.
+    * Shape: one hour-grain aggregate (map-side combined) then one
+    * event_type-keyed window — partitions = #types, frame = 24 rows
+    * of longs; scale-free regardless of raw event volume. */
+  def burstDetect(s: SparkSession, dir: String): DataFrame = {
+    val hc = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val fr = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    val w = hc
+      .withColumn("trail_n", count(lit(1)).over(fr))
+      .withColumn("trail_sum", sum(col("cnt")).over(fr))
+      .withColumn("trail_ssq", sum(col("cnt") * col("cnt")).over(fr))
+    val dev = col("trail_n") * col("cnt") - col("trail_sum")
+    val devD = dev.cast("decimal(38,0)")
+    val varD = (col("trail_n") * col("trail_ssq") -
+      col("trail_sum") * col("trail_sum")).cast("decimal(38,0)")
+    w.select(col("event_type"), col("hour"), col("cnt"),
+      col("trail_n"),
+      coalesce(col("trail_sum"), lit(0L)).as("trail_sum"),
+      when(col("trail_n") >= BurstMinTrail && dev > 0 &&
+        devD * devD > lit(9).cast("decimal(38,0)") * varD, 1L)
+        .otherwise(0L).as("is_burst"))
+  }
+
+  val burstDetectSql: String =
+    s"""WITH hc AS (
+       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |         count(*)::BIGINT AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, hour, cnt,
+       |    count(*)     OVER fr AS trail_n,
+       |    sum(cnt)     OVER fr AS trail_sum,
+       |    sum(cnt*cnt) OVER fr AS trail_ssq
+       |  FROM hc
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY hour
+       |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, hour, cnt,
+       |  trail_n::BIGINT AS trail_n,
+       |  coalesce(trail_sum, 0)::BIGINT AS trail_sum,
+       |  (CASE WHEN trail_n >= $BurstMinTrail
+       |     AND trail_n*cnt - trail_sum > 0
+       |     AND (trail_n*cnt - trail_sum)::HUGEINT * (trail_n*cnt - trail_sum)
+       |         > 9::HUGEINT * (trail_n*trail_ssq - trail_sum*trail_sum)
+       |   THEN 1 ELSE 0 END)::BIGINT AS is_burst
+       |FROM w""".stripMargin
+
   /** Attribution lookback window: a purchase converts its latest
     * click at most this many seconds earlier. */
   val AttribWindowSec = 1800L

@@ -395,4 +395,33 @@ class BehaviorSpec extends SparkSpec {
     val totals = got.values.toSeq
     assert(totals.map(_._2).sum > 0 && totals.map(_._2).sum < totals.map(_._1).sum)
   }
+
+  test("burst_detect: flags replay the exact-integer trailing z-test; some but not all hours burst") {
+    val got = run("burst_detect").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("trail_n"),
+         r.getAs[Long]("trail_sum"), r.getAs[Long]("is_burst"))).toMap
+    // local recount: hourly counts per type, 24-row trailing frame
+    val hours = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getAs[Long]("c")))
+    assert(got.size == hours.length)
+    hours.groupBy(_._1).foreach { case (tpe, rows) =>
+      val ordered = rows.sortBy(_._2.getTime).map(r => (r._2, r._3))
+      ordered.zipWithIndex.foreach { case ((h, c), i) =>
+        val trail = ordered.slice(math.max(0, i - 24), i).map(_._2)
+        val (n, s2, ss) = (BigInt(trail.length), BigInt(trail.sum),
+          trail.map(v => BigInt(v) * v).sum)
+        val dev = n * c - s2
+        val burst = n >= graft.queries.Behavior.BurstMinTrail && dev > 0 &&
+          dev * dev > 9 * (n * ss - s2 * s2)
+        val g = got((tpe, h))
+        assert(g == (c, n.toLong, s2.toLong, if (burst) 1L else 0L),
+          s"$tpe@$h: $g vs ($c,$n,$s2,$burst)")
+      }
+    }
+    val flags = got.values.map(_._4).sum
+    assert(flags > 0 && flags < got.size, s"degenerate burst count $flags/${got.size}")
+  }
 }
