@@ -229,6 +229,60 @@ object TrainPrep {
        |  round(coalesce(n_oov, 0)::DOUBLE / n_tokens, 4) AS oov_rate
        |FROM tot LEFT JOIN oov ON tot.lang = oov.lang""".stripMargin
 
+  /** K-line: PARETO TOKEN CONCENTRATION — per source, how much of
+    * the token mass the top 10% of documents (by token count) hold.
+    * The curation skew read before weighting a mixture: a source
+    * whose top decile owns most of its tokens is a few-giant-docs
+    * source and duplication/contamination risk concentrates there.
+    * Grid formulation (the B10 `percentiles` convention): documents
+    * collapse to (source, toks)-cells FIRST, the decile boundary is
+    * then resolved on the cell grid — cum-count window + exact
+    * integer clamp take = max(0, min(cnt, ceil(nd/10) − prev_cum)) —
+    * so window partitions are bounded by DISTINCT token-count values
+    * (≤ max doc length), never by document count; all arithmetic is
+    * BIGINT-exact, one final division for the share. */
+  def paretoTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("source"),
+      size(TextFns.wsTokens(lower(col("text")))).cast("long").as("toks"))
+    val g = d.groupBy(col("source"), col("toks")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("toks").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val e = g.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("nd", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("k", expr("(nd + 9) div 10"))
+      .withColumn("take",
+        greatest(lit(0L), least(col("cnt"), col("k") - (col("cum") - col("cnt")))))
+    e.groupBy(col("source")).agg(
+        max(col("nd")).as("n_docs"),
+        sum(col("cnt") * col("toks")).as("total_tokens"),
+        sum(col("take") * col("toks")).as("top_decile_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("top_decile_tokens"),
+        round(col("top_decile_tokens").cast("double") / col("total_tokens"), 4)
+          .as("top_decile_share"))
+  }
+
+  val paretoTokensSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(lower(text), ' '), t -> t <> ''))::BIGINT AS toks
+      |  FROM documents),
+      |g AS (SELECT source, toks, count(*)::BIGINT AS cnt FROM d GROUP BY 1, 2),
+      |e AS (
+      |  SELECT *,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY toks DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY source) AS nd
+      |  FROM g),
+      |t AS (
+      |  SELECT *, greatest(0, least(cnt, (nd + 9) // 10 - (cum - cnt))) AS take
+      |  FROM e)
+      |SELECT source, max(nd)::BIGINT AS n_docs,
+      |  sum(cnt * toks)::BIGINT AS total_tokens,
+      |  sum(take * toks)::BIGINT AS top_decile_tokens,
+      |  round(sum(take * toks)::DOUBLE / sum(cnt * toks), 4) AS top_decile_share
+      |FROM t GROUP BY 1""".stripMargin
+
   val NGram = 13
 
   /** G11: train/test decontamination — test-split documents sharing

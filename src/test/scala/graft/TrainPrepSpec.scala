@@ -110,6 +110,28 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.values.exists(r => r.getAs[Long]("n_oov") < r.getAs[Long]("n_tokens")))
   }
 
+  test("pareto_tokens: grid clamp equals brute-force top-decile selection") {
+    val toks = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split(" ").count(_.nonEmpty).toLong))
+    val got = run("pareto_tokens").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bySrc = toks.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet && got.nonEmpty)
+    bySrc.foreach { case (src, ds) =>
+      val sorted = ds.map(_._2).sorted(Ordering[Long].reverse)
+      val k = (sorted.length + 9) / 10
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") == sorted.length.toLong, s"$src n_docs")
+      assert(r.getAs[Long]("total_tokens") == sorted.sum, s"$src total")
+      assert(r.getAs[Long]("top_decile_tokens") == sorted.take(k).sum,
+        s"$src top-decile")
+      val share = r.getAs[Double]("top_decile_share")
+      // ≥ 10% of mass by construction (top decile of a desc sort)
+      assert(share >= 0.1 - 1e-9 && share <= 1.0)
+    }
+  }
+
   test("chunk_docs: one row per doc, emitted == n_chunks, bounded chunk sizes") {
     val rows = run("chunk_docs").collect()
     assert(rows.length == Tables.documents(spark, sf).count())
