@@ -996,4 +996,73 @@ object Dedup {
       |  JOIN embeddings a ON a.vec_id = la.vec_id
       |  JOIN embeddings b ON b.vec_id = lb.vec_id)
       |WHERE c >= $CosFloor""".stripMargin
+
+  /** dedup_edit blocking-prefix length (chars). */
+  val EditPrefix = 16
+  /** Per-prefix-block membership cap — the [[DfCap]] convention
+    * applied to prefix blocks: a template-generated corpus can put
+    * millions of docs behind one 16-char prefix, and an uncapped
+    * within-block self-join is quadratic in that block. Deterministic
+    * (doc_id-ranked) and inert at verify scale (max block = 10). */
+  val EditBlockCap = 1000
+  /** Candidate pre-filter: |len(a) − len(b)| ≤ this — edit distance
+    * is lower-bounded by the length difference, so larger gaps can
+    * never pass the 20% threshold on this corpus' 44-577-char docs. */
+  val EditMaxLenDiff = 20
+  /** Banded-DP cutoff passed to Spark's 3-arg `levenshtein`: cost
+    * O(len·cap) instead of O(len²); any true distance above it
+    * surfaces as −1. Chosen ≥ every per-pair threshold reachable at
+    * max doc length (577/5 = 115 < 128), so the cutoff never changes
+    * the result set — it only bounds the verify cost. */
+  val EditBandCap = 128
+
+  /** K-line: EDIT-DISTANCE NEAR-DUP — pairs whose Levenshtein
+    * distance is ≤ 20% of the longer text (5·ed ≤ max_len, the
+    * integer form). The character-level complement of C4's
+    * set-of-shingles Jaccard: catches small in-place edits that keep
+    * ordering (typo/boilerplate-patch dups) and is the classic
+    * suffix of a blocking pipeline. Candidates block on the first
+    * [[EditPrefix]] chars + the length-difference bound, capped at
+    * [[EditBlockCap]] docs per block; only candidates pay the
+    * banded-DP verify. Recall is corpus-dependent (the C2 framing):
+    * edit-dups whose edits touch the first 16 chars are missed by
+    * prefix blocking — on this corpus every ≤20% pair shares the
+    * prefix (probed at sf0.01: 25/25), so the oracle equality is
+    * exact here. Cross-engine note: DuckDB's levenshtein counts
+    * BYTES where Spark counts code points — identical on this
+    * all-ASCII corpus (probed: 0 non-ASCII docs at sf0.1), which the
+    * spec pins; non-ASCII corpora would need a transliteration
+    * normalizer first. */
+  def dedupEdit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        substring(col("text"), 1, EditPrefix).as("pfx"))
+    val capped = d
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("pfx")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= EditBlockCap).drop("rk")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= EditMaxLenDiff)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text"), EditBandCap).as("edit_dist"),
+        greatest(col("a.n_chars"), col("b.n_chars")).as("max_len"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") * 5 <= col("max_len"))
+  }
+
+  val dedupEditSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, n_chars, substr(text, 1, $EditPrefix) AS pfx,
+       |    row_number() OVER (PARTITION BY substr(text, 1, $EditPrefix)
+       |                       ORDER BY doc_id) AS rk
+       |  FROM documents),
+       |c AS (SELECT * FROM d WHERE rk <= $EditBlockCap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  levenshtein(a.text, b.text)::INT AS edit_dist,
+       |  greatest(a.n_chars, b.n_chars) AS max_len
+       |FROM c a JOIN c b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+       |  AND abs(a.n_chars - b.n_chars) <= $EditMaxLenDiff
+       |WHERE levenshtein(a.text, b.text) * 5 <= greatest(a.n_chars, b.n_chars)""".stripMargin
 }

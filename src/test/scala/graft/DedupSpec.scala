@@ -352,4 +352,49 @@ class DedupSpec extends SparkSpec {
     val r = df.collect()(0)
     assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 1) < 1e-12)
   }
+
+  /** Ukkonen-banded Levenshtein: exact when ≤ cap, else any value
+    * > cap. Mirrors the EditBandCap cutoff semantics. */
+  private def banded(a: String, b: String, cap: Int): Int = {
+    if (math.abs(a.length - b.length) > cap) return cap + 1
+    val prev = Array.fill(b.length + 1)(Int.MaxValue / 2)
+    val cur = Array.fill(b.length + 1)(Int.MaxValue / 2)
+    for (j <- 0 to math.min(b.length, cap)) prev(j) = j
+    for (i <- 1 to a.length) {
+      java.util.Arrays.fill(cur, Int.MaxValue / 2)
+      val lo = math.max(0, i - cap); val hi = math.min(b.length, i + cap)
+      if (lo == 0) cur(0) = i
+      for (j <- math.max(1, lo) to hi) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(sub, math.min(prev(j) + 1, cur(j - 1) + 1))
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    math.min(prev(b.length), cap + 1)
+  }
+
+  test("dedup_edit: blocked pairs equal the full length-filtered small-edit set; corpus is ASCII") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // oracle-parity precondition: DuckDB levenshtein counts bytes
+    assert(docs.forall(_._2.forall(_ < 128)), "non-ASCII text breaks byte/codepoint parity")
+    val D = graft.operators.Dedup
+    val expected = (for {
+      (ia, ta, la) <- docs; (ib, tb, lb) <- docs
+      if ia < ib && math.abs(la - lb) <= D.EditMaxLenDiff
+      maxLen = math.max(la, lb)
+      thr = (maxLen / 5).toInt
+      ed = banded(ta, tb, thr)
+      if ed <= thr
+    } yield (ia, ib) -> (ed, maxLen)).toMap
+    val got = run("dedup_edit").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    // full recall ON THIS CORPUS: prefix blocking loses nothing
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    assert(got.nonEmpty, "no planted edit-dups recovered — vacuous")
+    // every reported distance respects the 20% contract
+    got.foreach { case (_, (ed, maxLen)) => assert(5L * ed <= maxLen) }
+  }
 }
