@@ -438,4 +438,49 @@ object Analytics {
       |  n_items,
       |  round(100.0 * promo_q / total_q, 4) AS promo_pct
       |FROM q""".stripMargin
+
+  /** K-line: TPC-H Q17 shape — small-quantity lineitems vs each
+    * part's OWN average quantity (`l_quantity < avg(qty per part)/5`),
+    * the canonical CORRELATED SCALAR SUBQUERY, decorrelated the way
+    * Catalyst (and every warehouse) does it: one per-part aggregate
+    * over the fact, self-joined back on the fact key. Both sides of
+    * the join shuffle on `l_partkey`, so the join is co-partitioned
+    * with the aggregate's exchange (no second shuffle of the fact);
+    * the brand dim rides in as a broadcast. The threshold compare is
+    * EXACT integer arithmetic — quantities are integral (probed:
+    * 0/60k fractional), so `qty < sum_qty/(5·cnt)` becomes
+    * `5·qty·cnt < sum_qty` with no division ever computed — and
+    * revenue uses the house ×10⁴ BIGINT quantization, so every
+    * aggregate is engine-exact; only the final reporting divisions
+    * touch doubles (single chain, identical in DuckDB). */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val revQ = floor(revenue * 10000 + lit(0.5)).cast("long")
+    val li = lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        revQ.as("rev_q"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"))
+    li.join(stats, "l_partkey")
+      .filter(col("qty") * col("cnt") * 5 < col("sum_qty"))
+      .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"), sum(col("rev_q")).as("rev_qsum"))
+      .select(col("p_brand"), col("n_small"),
+        round(col("rev_qsum") / 10000.0 / 7.0, 4).as("avg_yearly"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT AS rev_q
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT l_partkey, count(*) AS cnt, sum(qty)::BIGINT AS sum_qty
+      |  FROM li GROUP BY 1)
+      |SELECT p_brand, count(*) AS n_small,
+      |  round(sum(li.rev_q)::BIGINT / 10000.0 / 7.0, 4) AS avg_yearly
+      |FROM li JOIN st USING (l_partkey) JOIN part ON l_partkey = p_partkey
+      |WHERE li.qty * st.cnt * 5 < st.sum_qty
+      |GROUP BY 1""".stripMargin
 }

@@ -336,4 +336,149 @@ object Behavior {
        |  sum(CASE WHEN attributed THEN value::DECIMAL(18,4) END)::DOUBLE AS attr_value,
        |  round(avg(CASE WHEN attributed THEN lag_s END), 4) AS avg_lag_s
        |FROM p GROUP BY 1""".stripMargin
+
+  /** K-line: PEAK CONCURRENCY per day — the classic interval
+    * sweep-line (max overlapping sessions), the capacity-planning
+    * read over the sessionized stream. A global running sum over all
+    * boundary events is the textbook single-reducer trap; this is
+    * the DISTRIBUTED prefix-sum decomposition instead: (1) sessions
+    * (B6's 30-min-gap definition) emit +1/−1 boundary deltas;
+    * (2) each day computes its LOCAL running sum in parallel
+    * (`partitionBy(day)`); (3) a carry — the net delta of all PRIOR
+    * days — is one tiny aggregate (rows = distinct days, broadcast
+    * back), so global concurrency = carry + local sum without any
+    * total ordering of the data. Sessions are active on the INCLUSIVE
+    * [start, end] second; boundary ties order +1 before −1 (two
+    * sessions touching at one instant DO overlap), pinned identically
+    * in the oracle's ORDER BY. All arithmetic is integer-exact. */
+  def concurrencyPeak(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSess = when(
+      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+      .otherwise(0)
+    val sessions = events(s, dir)
+      .withColumn("new_sess", newSess)
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts").cast("long")).as("t0"), max(col("ts").cast("long")).as("t1"))
+    val deltas = sessions
+      .select(explode(array(
+        struct(col("t0").as("t"), lit(1).as("d")),
+        struct(col("t1").as("t"), lit(-1).as("d")))).as("b"))
+      .select(col("b.t"), col("b.d"),
+        date_format(timestamp_seconds(col("b.t")), "yyyy-MM-dd").as("day"))
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = deltas.withColumn("run", sum(col("d")).over(byDay))
+    // carry: net open sessions entering each day — rows = distinct
+    // days (bounded by calendar span, not data size), so the
+    // unpartitioned cumulative window is a deliberate tiny frame
+    val dayNet = deltas.groupBy(col("day")).agg(sum(col("d")).as("net"))
+    val carry = dayNet.withColumn("carry",
+      coalesce(sum(col("net")).over(Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry"))
+    local.join(broadcast(carry), "day")
+      .groupBy(col("day"))
+      .agg(max(col("run") + col("carry")).as("peak_conc"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_started"))
+  }
+
+  val concurrencyPeakSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+      |           - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |bounds AS (
+      |  SELECT user_id, sess_id,
+      |    CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+      |  FROM (SELECT user_id, ts, event_id,
+      |          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sess_id
+      |        FROM g)
+      |  GROUP BY user_id, sess_id),
+      |deltas AS (
+      |  SELECT t0 AS t, 1 AS d FROM bounds
+      |  UNION ALL SELECT t1 AS t, -1 AS d FROM bounds),
+      |sweep AS (
+      |  -- make_timestamp(µs) is a NAIVE timestamp: matches Spark's
+      |  -- timestamp_seconds under the session's pinned UTC
+      |  SELECT strftime(make_timestamp(t * 1000000), '%Y-%m-%d') AS day, d,
+      |    sum(d) OVER (ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM deltas)
+      |SELECT day, max(run)::BIGINT AS peak_conc,
+      |  sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_started
+      |FROM sweep GROUP BY day""".stripMargin
+
+  /** K-line: SESSION ENTRY PATHS — the first-3-event-type journey of
+    * each session (B6's 30-min-gap definition) rolled up to a path
+    * frequency table with per-path session and distinct-user counts:
+    * the "how do sessions begin" product read that sits next to J14's
+    * Markov transitions (pairs) with real k-step ordering. No
+    * collect_list/HOF: the per-session prefix is three conditional
+    * aggregates over a row_number (all codegen'd), so the only
+    * shuffles are the session window's user_id partition and the
+    * final path rollup — path cardinality is bounded by |alphabet|³,
+    * not session count. `concat_ws` skips NULL steps in both engines,
+    * so short sessions fold to their natural 1- or 2-step path. */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSess = when(
+      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+      .otherwise(0)
+    val bySess = Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("new_sess", newSess)
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("s1"),
+        max(when(col("rn") === 2, col("event_type"))).as("s2"),
+        max(when(col("rn") === 3, col("event_type"))).as("s3"),
+        count(lit(1)).as("plen"))
+      .groupBy(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("plen")).as("path_len"))
+  }
+
+  val sessionPathsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+      |           - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |t AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM g),
+      |r AS (
+      |  SELECT user_id, sess_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id, sess_id ORDER BY ts, event_id) AS rn
+      |  FROM t),
+      |p AS (
+      |  SELECT user_id, sess_id,
+      |    max(CASE WHEN rn = 1 THEN event_type END) AS s1,
+      |    max(CASE WHEN rn = 2 THEN event_type END) AS s2,
+      |    max(CASE WHEN rn = 3 THEN event_type END) AS s3,
+      |    count(*) AS plen
+      |  FROM r WHERE rn <= 3 GROUP BY user_id, sess_id)
+      |SELECT concat_ws('>', s1, s2, s3) AS path,
+      |  count(*) AS n_sessions,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  max(plen)::BIGINT AS path_len
+      |FROM p GROUP BY 1""".stripMargin
 }

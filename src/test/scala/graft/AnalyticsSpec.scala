@@ -174,4 +174,34 @@ class AnalyticsSpec extends SparkSpec {
     // PROMO parts exist in the corpus, so the share is not vacuous
     assert(rows.exists(_.getAs[Double]("promo_rev") > 0))
   }
+
+  test("q17_small_qty: brand counts replay the per-part-average threshold locally") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong,
+        math.floor(r.getDouble(2) * (1 - r.getDouble(3)) * 10000 + 0.5).toLong))
+    val brands = Tables.part(spark, sf).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stats = li.groupBy(_._1).map { case (k, rs) =>
+      k -> (rs.length.toLong, rs.map(_._2).sum)
+    }
+    val expected = li
+      .filter { case (pk, q, _) =>
+        val (cnt, sumQ) = stats(pk); q * cnt * 5 < sumQ
+      }
+      .groupBy(t => brands(t._1))
+      .map { case (b, rs) => b -> (rs.length.toLong, rs.map(_._3).sum) }
+    val got = run("q17_small_qty").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_small"), r.getAs[Double]("avg_yearly"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (b, (n, revQ)) =>
+      assert(got(b)._1 == n, s"brand $b count: ${got(b)._1} vs $n")
+      val yearly = BigDecimal(revQ / 10000.0 / 7.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(b)._2 - yearly) < 1e-9, s"brand $b: ${got(b)._2} vs $yearly")
+    }
+    // the per-part threshold must actually prune (not pass everything)
+    assert(expected.values.map(_._1).sum < li.length / 2)
+  }
 }

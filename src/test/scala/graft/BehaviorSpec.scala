@@ -424,4 +424,70 @@ class BehaviorSpec extends SparkSpec {
     val flags = got.values.map(_._4).sum
     assert(flags > 0 && flags < got.size, s"degenerate burst count $flags/${got.size}")
   }
+
+  /** Local 30-min-gap sessionization of the raw events — shared by
+    * the concurrency_peak and session_paths recounts. Returns per
+    * (user, sess) the ordered event types and [start, end] seconds. */
+  private def localSessions: Seq[(Long, Seq[String], Long, Long)] = {
+    val evs = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getString(3)))
+    evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val sess = scala.collection.mutable.ArrayBuffer[
+        scala.collection.mutable.ArrayBuffer[(Long, String)]]()
+      var prev = Long.MinValue
+      ordered.foreach { case (_, t, _, tpe) =>
+        if (sess.isEmpty || t - prev > 1800)
+          sess += scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        sess.last += ((t, tpe)); prev = t
+      }
+      sess.map(es => (uid, es.map(_._2).toSeq, es.head._1, es.last._1))
+    }
+  }
+
+  test("concurrency_peak: day peaks replay a single global sweep over session boundaries") {
+    val deltas = localSessions.flatMap { case (_, _, t0, t1) =>
+      Seq((t0, 1), (t1, -1))
+    }
+    // global sweep, +1 before -1 at equal instants (inclusive overlap)
+    var cur = 0L
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val peaks = scala.collection.mutable.Map[String, Long]()
+    val started = scala.collection.mutable.Map[String, Long]()
+    deltas.sortBy { case (t, d) => (t, -d) }.foreach { case (t, d) =>
+      cur += d
+      val day = fmt.format(java.time.Instant.ofEpochSecond(t))
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), cur)
+      if (d == 1) started(day) = started.getOrElse(day, 0L) + 1
+    }
+    val got = run("concurrency_peak").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("peak_conc"), r.getAs[Long]("n_started"))).toMap
+    assert(got.keySet == peaks.keySet.toSet)
+    peaks.foreach { case (day, p) =>
+      assert(got(day) == (p, started.getOrElse(day, 0L)),
+        s"$day: ${got(day)} vs ($p, ${started.getOrElse(day, 0L)})")
+    }
+    // concurrency is real: some instant holds >1 overlapping session
+    assert(peaks.values.max > 1)
+  }
+
+  test("session_paths: path table replays the per-session 3-step prefixes") {
+    val expected = localSessions
+      .map { case (uid, types, _, _) => (uid, types.take(3)) }
+      .groupBy(_._2).map { case (p, rs) =>
+        p.mkString(">") -> (rs.size.toLong, rs.map(_._1).distinct.size.toLong,
+          p.length.toLong)
+      }
+    val got = run("session_paths").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("path_len"))).toMap
+    assert(got == expected, s"${got.size} paths vs ${expected.size}")
+    // multi-step paths dominate single events and sessions conserve
+    assert(got.keys.count(_.contains(">")) > 0)
+    assert(got.values.map(_._1).sum == localSessions.size)
+  }
 }
