@@ -345,4 +345,200 @@ object Sketches {
        |SELECT w, cnt, miss_bound,
        |  min(cnt) OVER () > miss_bound AS exact_topk
        |FROM top, mb""".stripMargin
+
+  /** CMS grid: depth rows × width cells, and the per-depth affine
+    * hash constants (odd multipliers < M, fixed — the portable-hash
+    * convention, so the sketch is a pure function of the data). */
+  val CmsW = 512
+  val CmsHashes: Seq[(Int, Long, Long)] = Seq(
+    (0, 2654435761L, 0L),
+    (1, 2246822519L, 12582917L),
+    (2, 3266489917L, 25165843L),
+    (3, 668265263L, 50331653L))
+  /** Keys reported against the sketch. */
+  val CmsTracked = 20
+
+  /** K-line: COUNT-MIN SKETCH point queries — per-user event-count
+    * estimates from a fixed d×w counter grid (d=4, w=[[CmsW]]),
+    * reported for the top-[[CmsTracked]] users next to their exact
+    * counts. The build is the whole scale story: the grid is a
+    * GROUP BY (depth, cell) with map-side partial aggregation, i.e.
+    * Spark's combiner IS the CMS merge — state is d·w cells (2048
+    * longs) no matter how many events or users flow through, the
+    * mergeable-sketch contract KMV gets from KmvAgg, written
+    * relationally. Estimates broadcast the grid (2048 rows) into the
+    * tracked keys; `est = min_d cell[d][h_d(u)]` never underestimates
+    * (CMS guarantee, asserted in the spec and visible in the
+    * `overest` column). Portable affine hashes make every cell — and
+    * so the estimate — bit-identical in DuckDB. */
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"))
+    // g² mod M before the width reduction — consecutive ids under a
+    // plain affine hash form an arithmetic progression mod w (see
+    // bloomCalibrate); squaring de-linearizes the cell assignment
+    val cellOf = (a: Long, b: Long) => {
+      val g = pmod(col("user_id") * a + b, lit(M))
+      pmod(pmod(g * g, lit(M)), lit(CmsW))
+    }
+    val grid = e
+      .select(explode(array(CmsHashes.map { case (d, a, b) =>
+        struct(lit(d).as("d"), cellOf(a, b).as("cell"))
+      }: _*)).as("x"))
+      .groupBy(col("x.d"), col("x.cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val tracked = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+      .limit(CmsTracked)
+    tracked
+      .select(col("user_id"), col("n_exact"),
+        explode(array(CmsHashes.map { case (d, a, b) =>
+          struct(lit(d).as("d"), cellOf(a, b).as("cell"))
+        }: _*)).as("x"))
+      .join(broadcast(grid),
+        col("x.d") === col("d") && col("x.cell") === col("cell"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("user_id"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overest"))
+  }
+
+  lazy val cmsFreqSql: String = {
+    val values = CmsHashes
+      .map { case (d, a, b) => s"($d, ${a}, ${b})" }.mkString(", ")
+    s"""WITH p(d, a, b) AS (VALUES $values),
+       |grid AS (
+       |  SELECT d,
+       |    (((user_id * a + b) % $M) * ((user_id * a + b) % $M) % $M) % $CmsW AS cell,
+       |    count(*) AS cnt
+       |  FROM events CROSS JOIN p GROUP BY 1, 2),
+       |tracked AS (
+       |  SELECT user_id, count(*) AS n_exact FROM events
+       |  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT $CmsTracked),
+       |est AS (
+       |  SELECT t.user_id, t.n_exact, min(g.cnt)::BIGINT AS cms_est
+       |  FROM tracked t CROSS JOIN p
+       |  JOIN grid g ON g.d = p.d
+       |    AND g.cell = (((t.user_id * p.a + p.b) % $M)
+       |                  * ((t.user_id * p.a + p.b) % $M) % $M) % $CmsW
+       |  GROUP BY 1, 2)
+       |SELECT user_id, n_exact, cms_est, cms_est - n_exact AS overest
+       |FROM est""".stripMargin
+  }
+
+  /** Bloom filter geometry: m bits, k probes (affine constants fixed
+    * like [[CmsHashes]]). */
+  val BloomM = 8192
+  val BloomProbes: Seq[(Long, Long)] = Seq(
+    (2654435761L, 97L), (2246822519L, 786433L), (3266489917L, 1572869L))
+  /** Offset that maps every customer key outside the key space —
+    * the synthetic guaranteed-non-member probe population. Must NOT
+    * be ≡ a small offset mod M: the probe hash only sees keys mod M,
+    * so a shift of 1e9 ≡ −7 (mod 1e9+7) would alias every shifted
+    * key back onto a member key (measured: 143/150 false positives,
+    * i.e. the negatives weren't negatives in hash space at all). */
+  val BloomShift = 500000000L
+
+  /** K-line: BLOOM FILTER CALIBRATION — build the filter over the
+    * keys that HAVE orders, probe every customer, and report the
+    * measured geometry: fill ratio, false-positive rate on the true
+    * non-member population, and a zero false-negative proof column.
+    * This is the observed-FPR read next to H15's `bloom_semi_join`
+    * (which USES a bloom filter but can't tell you whether m and k
+    * were right) — the ann_recall/dedup_sweep pattern applied to the
+    * membership sketch. The bit array is relational: DISTINCT
+    * (probe-index-free) bit positions of the member keys — set-bit
+    * count is its cardinality, ≤ m rows total, broadcast into the
+    * probe join; probing counts matched bits per key and demands all
+    * k. The probe population is every customer PLUS a shifted
+    * guaranteed-non-member twin per customer (key + [[BloomShift]],
+    * outside the key space) so the true-negative pool is never empty
+    * even when every customer has orders (it is at small SF).
+    * Integer-exact throughout (the two ratios are single divisions
+    * of exact counts, rounded identically). */
+  def bloomCalibrate(s: SparkSession, dir: String): DataFrame = {
+    // square the affine hash before the width reduction: consecutive
+    // keys map to an ARITHMETIC PROGRESSION mod m under a plain
+    // affine hash (step = a mod m), and any shifted copy of the key
+    // range lands back on the same progression — measured 95% FPR on
+    // the synthetic negatives. g² mod M breaks the linear structure
+    // (the dedup_simhash parity lesson applied to bucket indices).
+    val probesOf = (key: org.apache.spark.sql.Column) => array(
+      BloomProbes.map { case (a, b) =>
+        val g = pmod(key * a + b, lit(M))
+        pmod(pmod(g * g, lit(M)), lit(BloomM)) }: _*)
+    val members = orders(s, dir).select(col("o_custkey").as("key")).distinct()
+    val bits = members
+      .select(explode(probesOf(col("key"))).as("bit")).distinct()
+    val isMember = members
+      .withColumn("is_member", lit(1))
+    val universe = customer(s, dir).select(col("c_custkey").as("key"))
+      .unionAll(customer(s, dir)
+        .select((col("c_custkey") + BloomShift).as("key")))
+    val tested = universe
+      .join(isMember, Seq("key"), "left_outer")
+      .na.fill(0, Seq("is_member"))
+      .select(col("key"), col("is_member"),
+        explode(probesOf(col("key"))).as("bit"))
+      .join(broadcast(bits.withColumn("set", lit(1))), Seq("bit"), "left_outer")
+      .na.fill(0, Seq("set"))
+      .groupBy(col("key"), col("is_member"))
+      .agg(sum(col("set")).as("hits"))
+      .withColumn("positive",
+        when(col("hits") === BloomProbes.size, 1L).otherwise(0L))
+    tested.agg(
+      lit(BloomM).as("m_bits"),
+      lit(BloomProbes.size).as("k_probes"),
+      sum(col("is_member").cast("long")).as("n_members"),
+      sum(lit(1) - col("is_member").cast("long")).as("n_nonmembers"),
+      sum(when(col("is_member") === 1 && col("positive") === 0, 1L)
+        .otherwise(0L)).as("false_negs"),
+      sum(when(col("is_member") === 0 && col("positive") === 1, 1L)
+        .otherwise(0L)).as("false_pos"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("set_bits"))))
+      .select(col("m_bits"), col("k_probes"), col("n_members"),
+        col("set_bits"),
+        round(lit(100.0) * col("set_bits") / BloomM, 4).as("fill_pct"),
+        col("n_nonmembers"), col("false_negs"), col("false_pos"),
+        round(lit(100.0) * col("false_pos") / col("n_nonmembers"), 4)
+          .as("fpr_pct"))
+  }
+
+  lazy val bloomCalibrateSql: String = {
+    val values = BloomProbes
+      .map { case (a, b) => s"(${a}, ${b})" }.mkString(", ")
+    s"""WITH p(a, b) AS (VALUES $values),
+       |members AS (SELECT DISTINCT o_custkey AS key FROM orders),
+       |bits AS (
+       |  SELECT DISTINCT (((key * a + b) % $M) * ((key * a + b) % $M) % $M) % $BloomM AS bit
+       |  FROM members CROSS JOIN p),
+       |universe AS (
+       |  SELECT c_custkey AS key FROM customer
+       |  UNION ALL SELECT c_custkey + $BloomShift FROM customer),
+       |tested AS (
+       |  SELECT u.key,
+       |    CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS is_member,
+       |    sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS hits
+       |  FROM universe u
+       |  LEFT JOIN members m ON m.key = u.key
+       |  CROSS JOIN p
+       |  LEFT JOIN bits b ON b.bit =
+       |    (((u.key * p.a + p.b) % $M) * ((u.key * p.a + p.b) % $M) % $M) % $BloomM
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT
+       |    sum(is_member)::BIGINT AS n_members,
+       |    sum(1 - is_member)::BIGINT AS n_nonmembers,
+       |    sum(CASE WHEN is_member = 1 AND hits < ${BloomProbes.size}
+       |        THEN 1 ELSE 0 END)::BIGINT AS false_negs,
+       |    sum(CASE WHEN is_member = 0 AND hits = ${BloomProbes.size}
+       |        THEN 1 ELSE 0 END)::BIGINT AS false_pos
+       |  FROM tested)
+       |SELECT $BloomM AS m_bits, ${BloomProbes.size} AS k_probes,
+       |  n_members, (SELECT count(*) FROM bits)::BIGINT AS set_bits,
+       |  round(100.0 * (SELECT count(*) FROM bits) / $BloomM, 4) AS fill_pct,
+       |  n_nonmembers, false_negs, false_pos,
+       |  round(100.0 * false_pos / n_nonmembers, 4) AS fpr_pct
+       |FROM agg""".stripMargin
+  }
 }

@@ -483,4 +483,114 @@ object Analytics {
       |FROM li JOIN st USING (l_partkey) JOIN part ON l_partkey = p_partkey
       |WHERE li.qty * st.cnt * 5 < st.sum_qty
       |GROUP BY 1""".stripMargin
+
+  /** K31: TPC-H Q13 shape — the orders-per-customer distribution
+    * INCLUDING zero-order customers. The classic trap is joining raw
+    * orders through the outer join and counting after: at 100 TB
+    * that shuffles every order row keyed by customer. Here orders
+    * pre-aggregate to one (custkey, cnt) row first (map-side partial
+    * aggregation), the outer join carries only that, and the final
+    * histogram aggregate is on a tiny integer domain. */
+  def orderCountHist(s: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c_count"))
+    customer(s, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .na.fill(0L, Seq("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  val orderCountHistSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY 1)
+      |SELECT coalesce(p.c_count, 0)::BIGINT AS c_count,
+      |  count(*) AS n_cust
+      |FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** K32: TPC-H Q15 shape — the MAX-OVER-AGGREGATED-VIEW pattern:
+    * revenue per supplier over one quarter, keep the supplier(s)
+    * hitting the maximum. The scalar `max` is a 1-row broadcast into
+    * the aggregated (not raw) frame, and the tie comparison runs on
+    * ×10⁴ BIGINT revenue so "equals the max" is exact — a float
+    * revenue would make the selected set engine-dependent at ulp
+    * ties, the failure mode the house integer convention exists for. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revQ = floor(revenue * 10000 + lit(0.5)).cast("long")
+    val rev = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revQ).as("rev_qsum"))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("rev_qsum")).as("max_q"))))
+      .filter(col("rev_qsum") === col("max_q"))
+      .join(broadcast(supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_qsum") / 10000.0, 4).as("total_revenue"))
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT)::BIGINT AS rev_qsum
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, round(rev_qsum / 10000.0, 4) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_qsum = (SELECT max(rev_qsum) FROM rev)""".stripMargin
+
+  /** K33: TPC-H Q22 shape — above-average holders gone IDLE: the
+    * scalar-average subquery + anti-join pair. "Idle" is no order
+    * since [[IdleCutoff]] (the verbatim Q22 "no orders ever" is
+    * vacuous on this corpus — every customer orders at every SF; a
+    * recency anti join keeps the decorrelation shape AND a real
+    * result set, ~20% of customers at each scale). The average
+    * threshold is compared CROSS-MULTIPLIED in ×10² BIGINT
+    * (bal_q · n_pos > sum_pos_q), so no float average is ever
+    * computed and the qualifying set is engine-exact; the recent
+    * order keys pre-aggregate to DISTINCT custkeys before the
+    * `left_anti`, so the anti join probes one row per active
+    * customer, not one per order. */
+  val IdleCutoff = "2000-08-01"
+
+  def idleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val balQ = floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+    val cust = customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), balQ.as("bal_q"))
+    val posStats = cust.filter(col("bal_q") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_q")).as("sum_pos_q"))
+    val active = orders(s, dir)
+      .filter(col("o_orderdate") >= lit(IdleCutoff).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cust
+      .crossJoin(broadcast(posStats))
+      .filter(col("bal_q") * col("n_pos") > col("sum_pos_q"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("bal_q")) / 100.0, 4).as("total_bal"))
+  }
+
+  lazy val idleCustomersSql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |    floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_q
+       |  FROM customer),
+       |pos AS (
+       |  SELECT count(*)::BIGINT AS n_pos, sum(bal_q)::BIGINT AS sum_pos_q
+       |  FROM cust WHERE bal_q > 0)
+       |SELECT c_mktsegment, count(*) AS n_cust,
+       |  round(sum(bal_q)::BIGINT / 100.0, 4) AS total_bal
+       |FROM cust, pos
+       |WHERE bal_q * n_pos > sum_pos_q
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '$IdleCutoff')
+       |GROUP BY 1""".stripMargin
 }

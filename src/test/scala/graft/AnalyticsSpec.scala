@@ -204,4 +204,68 @@ class AnalyticsSpec extends SparkSpec {
     // the per-part threshold must actually prune (not pass everything)
     assert(expected.values.map(_._1).sum < li.length / 2)
   }
+
+  test("order_count_hist: histogram covers every customer exactly once, zeros included") {
+    val perCust = Tables.orders(spark, sf).select("o_custkey").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val custs = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+    val expected = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = run("order_count_hist").collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("n_cust")).toMap
+    assert(got == expected)
+    // every customer lands in exactly one bucket
+    assert(got.values.sum == custs.length.toLong)
+  }
+
+  test("top_supplier: exactly the argmax suppliers of quantized quarterly revenue") {
+    val lo = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("1996-04-01T00:00:00")
+    val rev = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate").collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](3)
+        !d.isBefore(lo) && d.isBefore(hi)
+      }
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(1) * (1 - r.getDouble(2)) * 10000 + 0.5).toLong)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val maxQ = rev.values.max
+    val expected = rev.filter(_._2 == maxQ).keySet
+    val got = run("top_supplier").collect()
+    assert(got.map(_.getAs[Long]("s_suppkey")).toSet == expected)
+    got.foreach(r => assert(
+      math.abs(r.getAs[Double]("total_revenue") - maxQ / 10000.0) < 1e-6))
+  }
+
+  test("idle_customers: above-positive-average balance AND no recent orders, exact threshold") {
+    val cutoff = java.time.LocalDateTime.parse(
+      graft.queries.Analytics.IdleCutoff + "T00:00:00")
+    val withOrders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate").collect()
+      .filter(!_.getAs[java.time.LocalDateTime](1).isBefore(cutoff))
+      .map(_.getLong(0)).toSet
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val pos = cust.filter(_._3 > 0)
+    val (nPos, sumPos) = (pos.length.toLong, pos.map(_._3).sum)
+    val qualifying = cust.filter { case (k, _, b) =>
+      b * nPos > sumPos && !withOrders(k)
+    }
+    val expected = qualifying.groupBy(_._2)
+      .map { case (seg, rs) => seg -> (rs.length.toLong, rs.map(_._3).sum) }
+    val got = run("idle_customers").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_cust"), r.getAs[Double]("total_bal"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (seg, (n, balQ)) =>
+      assert(got(seg)._1 == n)
+      assert(math.abs(got(seg)._2 - balQ / 100.0) < 1e-6)
+    }
+    // the threshold+anti-join must genuinely filter
+    assert(qualifying.length < cust.length / 2 && qualifying.nonEmpty)
+  }
 }

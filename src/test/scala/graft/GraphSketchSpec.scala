@@ -164,4 +164,64 @@ class GraphSketchSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_cnt") - avg) < 1e-3)
     assert(math.abs(r.getAs[Double]("skew_ratio") - counts.max / avg) < 1e-3)
   }
+
+  test("cms_freq: estimates replay the counter grid and never underestimate") {
+    val S = graft.operators.Sketches
+    val users = graft.Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0))
+    // local grid build with the same affine hashes
+    def cellOf(u: Long, a: Long, b: Long): Long = {
+      val g = math.floorMod(u * a + b, S.M)
+      math.floorMod(math.floorMod(g * g, S.M), S.CmsW.toLong)
+    }
+    val grid = scala.collection.mutable.Map[(Int, Long), Long]()
+    users.foreach { u =>
+      S.CmsHashes.foreach { case (d, a, b) =>
+        val cell = cellOf(u, a, b)
+        grid((d, cell)) = grid.getOrElse((d, cell), 0L) + 1
+      }
+    }
+    val exact = users.groupBy(identity).map { case (u, us) => u -> us.length.toLong }
+    val rows = run("cms_freq").collect()
+    assert(rows.nonEmpty && rows.length <= S.CmsTracked)
+    rows.foreach { r =>
+      val (u, nExact, est, over) = (r.getLong(0), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("cms_est"), r.getAs[Long]("overest"))
+      assert(nExact == exact(u))
+      val localEst = S.CmsHashes.map { case (d, a, b) =>
+        grid((d, cellOf(u, a, b)))
+      }.min
+      assert(est == localEst, s"user $u: $est vs $localEst")
+      assert(est >= nExact && over == est - nExact, s"CMS underestimated user $u")
+    }
+    // tracked set = the exact top-K by (count desc, user_id)
+    val expectedKeys = exact.toSeq.sortBy { case (u, n) => (-n, u) }
+      .take(S.CmsTracked).map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == expectedKeys)
+  }
+
+  test("bloom_calibrate: bit set replays locally, zero false negatives, sane FPR") {
+    val S = graft.operators.Sketches
+    val members = graft.Tables.orders(spark, sf).select("o_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val custs = graft.Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+    def probes(key: Long): Seq[Long] = S.BloomProbes.map { case (a, b) =>
+      val g = math.floorMod(key * a + b, S.M)
+      math.floorMod(math.floorMod(g * g, S.M), S.BloomM.toLong)
+    }
+    val bits = members.flatMap(probes)
+    val universe = custs.map(k => (k, members(k))) ++
+      custs.map(k => (k + S.BloomShift, false))
+    val fp = universe.count { case (k, m) => !m && probes(k).forall(bits) }
+    val nNon = universe.count(!_._2)
+    val r = run("bloom_calibrate").collect()(0)
+    assert(r.getAs[Long]("n_members") == members.size.toLong)
+    assert(r.getAs[Long]("set_bits") == bits.size.toLong)
+    assert(r.getAs[Long]("false_negs") == 0L, "bloom filter must never miss a member")
+    assert(r.getAs[Long]("n_nonmembers") == nNon.toLong)
+    assert(r.getAs[Long]("false_pos") == fp.toLong)
+    // the geometry is doing its job: FPR well under full-positive
+    assert(r.getAs[Double]("fpr_pct") < 50.0)
+  }
 }
