@@ -433,4 +433,60 @@ object TextOps {
       |      FROM documents)
       |    GROUP BY 1, 2)
       |  GROUP BY doc_id)""".stripMargin
+
+  /** K36: CANONICAL-URL DEDUP — the CommonCrawl-style URL-level
+    * dedup pass that precedes any content dedup: raw URLs collapse
+    * under canonicalization (lowercase host, strip query string and
+    * fragment, scheme-insensitive), keep-first by doc_id. Planted
+    * raw forms (deterministic doc_id arithmetic, the [[domainStats]]
+    * convention) vary case, `?utm_…` tracking params and `#fragment`
+    * over shared canonical targets, so the collapse is real and
+    * exactly replayable. The shape is the C1 exact-dedup contract on
+    * the canonical key: regex canonicalization is pure map work, ONE
+    * canonical-keyed aggregate does the dedup — no pairwise
+    * comparison, shuffle rows = distinct raw URLs. */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(lit("site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com"))
+    val raw = concat(
+      lit("https://"),
+      when(col("doc_id") % 4 === 1, upper(host)).otherwise(host),
+      lit("/page"), (col("doc_id") % 13).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed"), (col("doc_id") % 5).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("#sec")).otherwise(lit("")))
+    documents(s, dir)
+      .select(col("doc_id"), raw.as("url"))
+      .select(col("doc_id"), col("url"),
+        concat(
+          lower(regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1)),
+          regexp_extract(col("url"), "https?://[A-Za-z0-9.-]+([^?#]*)", 1))
+          .as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+  }
+
+  val urlDedupSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://'
+      |    || CASE WHEN doc_id % 4 = 1
+      |         THEN upper('site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com')
+      |         ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END
+      |    || '/page' || CAST(doc_id % 13 AS VARCHAR)
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN '?utm_source=feed' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END AS url
+      |  FROM documents)
+      |SELECT lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1))
+      |    || regexp_extract(url, 'https?://[A-Za-z0-9.-]+([^?#]*)', 1) AS canon,
+      |  count(*) AS n_urls,
+      |  count(DISTINCT url)::BIGINT AS n_raw_forms,
+      |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+      |  min(doc_id) AS keeper_doc
+      |FROM u GROUP BY 1""".stripMargin
 }

@@ -195,4 +195,30 @@ class TextOpsSpec extends SparkSpec {
     val distinct = run("doc_fingerprint").select("fp").distinct().count()
     assert(distinct > n * 9 / 10)  // near-unique on the corpus
   }
+
+  test("url_dedup: raw variants collapse onto canonical targets, keep-first exact") {
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    case class U(id: Long, raw: String, canon: String)
+    val local = ids.map { id =>
+      val host = s"site${id % 7}.example.com"
+      val hostV = if (id % 4 == 1) host.toUpperCase else host
+      val raw = s"https://$hostV/page${id % 13}" +
+        (if (id % 3 == 0) s"?utm_source=feed${id % 5}" else "") +
+        (if (id % 11 == 0) "#sec" else "")
+      U(id, raw, s"site${id % 7}.example.com/page${id % 13}")
+    }
+    val expected = local.groupBy(_.canon).map { case (c, us) =>
+      c -> (us.length.toLong, us.map(_.raw).distinct.length.toLong,
+        us.map(_.id).distinct.length.toLong, us.map(_.id).min)
+    }
+    val got = run("url_dedup").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_urls"),
+        r.getAs[Long]("n_raw_forms"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("keeper_doc"))).toMap
+    assert(got == expected)
+    // canonicalization genuinely collapses: some group holds >1 raw form
+    assert(expected.values.exists(_._2 > 1))
+    // and every canonical key is query/fragment/case-free
+    assert(got.keys.forall(c => !c.contains("?") && !c.contains("#") && c == c.toLowerCase))
+  }
 }
