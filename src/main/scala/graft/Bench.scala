@@ -36,6 +36,7 @@ object Bench {
     operators.ScalePatterns.ensureDrift(spark, sfDir)
     operators.ScalePatterns.compactFiles(spark, sfDir) // builds the compacted layout
     ingest.ZipFixture.ensure(spark, sfDir)
+    ingest.CsvBadFixture.ensure(spark, sfDir)
     ingest.FetchFixture.ensure(spark, sfDir)
     ingest.DecisionFixture.ensure(spark, sfDir)
     operators.Dedup.ensureCorpusIndex(spark, sfDir) // dedup_incremental reads it

@@ -264,6 +264,87 @@ object Ingest {
     """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
       |  event_type, count(*) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** K37: MALFORMED-ROW-TOLERANT CSV INGEST — the PERMISSIVE +
+    * `columnNameOfCorruptRecord` accounting pattern every dirty-CSV
+    * pipeline at scale needs: the planted fixture corrupts rows two
+    * deterministic ways (unparseable numeric token; an extra column),
+    * the typed read flags them WITHOUT failing the job or silently
+    * dropping data, and the report proves conservation — every input
+    * row lands in exactly one status with partial-parse sums
+    * (PERMISSIVE keeps the tokens that DID parse: a corrupt row's
+    * doc_id still counts into sum_ids; the unparseable n_chars does
+    * not). The oracle recomputes the same accounting from the source
+    * table's planting arithmetic, so the gate pins Spark's actual
+    * malformed-row semantics, not an assumption about them. Scan
+    * scales like any CSV read (per-file splits); the report is one
+    * 2-row aggregate. */
+  def csvBadRecords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = CsvBadFixture.ensure(s, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .select(
+        when(col("_corrupt").isNull, lit("parsed")).otherwise(lit("corrupt"))
+          .as("status"),
+        col("doc_id"), col("lang"), col("n_chars"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
+  /** The oracle replays [[CsvBadFixture]]'s planting arithmetic over
+    * `documents`: % 10 = 3 → unparseable n_chars (numeric null, row
+    * corrupt), else % 17 = 0 → extra column (all fields parse, row
+    * still corrupt). */
+  val csvBadRecordsSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CASE WHEN doc_id % 10 = 3 OR doc_id % 17 = 0
+      |         THEN 'corrupt' ELSE 'parsed' END AS status,
+      |    (doc_id % 10 = 3) AS bad_num
+      |  FROM documents)
+      |SELECT status, count(*) AS n_rows,
+      |  sum(doc_id)::BIGINT AS sum_ids,
+      |  sum(CASE WHEN bad_num THEN NULL ELSE n_chars END)::BIGINT AS sum_chars,
+      |  count(DISTINCT lang)::BIGINT AS n_langs
+      |FROM r GROUP BY 1""".stripMargin
+}
+
+/** Deterministic dirty-CSV fixture for K37: the documents table as
+  * one CSV with two planted corruption modes keyed on doc_id —
+  * `% 10 = 3` writes an unparseable n_chars token (`x<id>`), else
+  * `% 17 = 0` appends a spurious extra column. Exactly one mode per
+  * row, so the status accounting is closed-form. */
+object CsvBadFixture {
+  def ensure(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    val n = docs.count()
+    val out = Paths.get(
+      s"/root/repo/target/fixtures/csvbad_${dir.replaceAll("[^0-9.]", "")}_$n")
+    FixtureDir.ensure(out) { tmp =>
+      val rows = docs.orderBy("doc_id").collect()
+      val sb = new StringBuilder("doc_id,lang,n_chars\n")
+      rows.foreach { r =>
+        val (id, lang, nc) = (r.getLong(0), r.getString(1), r.getLong(2))
+        if (id % 10 == 3) sb.append(s"$id,$lang,x$id\n")
+        else if (id % 17 == 0) sb.append(s"$id,$lang,$nc,junk\n")
+        else sb.append(s"$id,$lang,$nc\n")
+      }
+      Files.write(tmp.resolve("dump.csv"),
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+  }
 }
 
 /** Deterministic zip fixture for A2: the documents table written as

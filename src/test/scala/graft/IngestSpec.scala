@@ -91,4 +91,31 @@ class IngestSpec extends SparkSpec {
     val r = SparkEntry.queries("ingest_stats")(spark, sf).collect()
     assert(r.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
   }
+
+  test("csv_badrecords: every planted corruption is flagged, partial parses kept") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (corrupt, parsed) = docs.partition { case (id, _, _) =>
+      id % 10 == 3 || id % 17 == 0
+    }
+    assert(corrupt.nonEmpty, "fixture plants no corruption — vacuous")
+    val got = SparkEntry.queries("csv_badrecords")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("sum_ids"), r.getAs[Long]("sum_chars"),
+        r.getAs[Long]("n_langs"))).toMap
+    assert(got.keySet == Set("parsed", "corrupt"))
+    // conservation: every input row lands in exactly one status
+    assert(got("parsed")._1 + got("corrupt")._1 == docs.length.toLong)
+    assert(got("parsed")._1 == parsed.length.toLong)
+    assert(got("parsed")._2 == parsed.map(_._1).sum)
+    assert(got("parsed")._3 == parsed.map(_._3).sum)
+    assert(got("parsed")._4 == parsed.map(_._2).distinct.length.toLong)
+    // partial parse: corrupt rows keep doc_id and lang; the
+    // unparseable n_chars (bad-numeric mode) contributes nothing
+    assert(got("corrupt")._2 == corrupt.map(_._1).sum)
+    assert(got("corrupt")._3 ==
+      corrupt.collect { case (id, _, nc) if id % 10 != 3 => nc }.sum)
+    assert(got("corrupt")._4 == corrupt.map(_._2).distinct.length.toLong)
+  }
 }
