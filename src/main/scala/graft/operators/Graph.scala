@@ -226,4 +226,64 @@ object Graph {
       |  CASE WHEN den = 0 THEN NULL ELSE round(num / den, 4) END AS assortativity,
       |  CASE WHEN den = 0 THEN false ELSE num / den < 0 END AS disassortative
       |FROM nd""".stripMargin
+
+  /** Report cut for [[jaccardNeighbors]]. */
+  val JaccTopK = 50
+
+  /** K38: NEIGHBORHOOD-JACCARD PAIRS — common-neighbor similarity
+    * over the co-supply graph, the link-prediction / role-similarity
+    * read: for node pairs sharing ≥1 neighbor, |N(a)∩N(b)| over
+    * |N(a)∪N(b)|, with an `is_edge` flag separating "predicted
+    * link" (non-adjacent, high overlap) from "redundant edge" (the
+    * tiny-sf graph is COMPLETE, so restricting to non-adjacent pairs
+    * would be vacuous there — the flag keeps both reads honest at
+    * every scale). Pairs come from the wedge join (adjacency ⋈
+    * adjacency on the shared neighbor — candidate volume Σdeg(v)²,
+    * the triangle-count bound; at 100 TB cap per-node adjacency
+    * first, the DfCap convention), NEVER all-pairs. Jaccard is one
+    * division of exact integers; ranking is by the exact
+    * (common, s1, s2) key, not the float. */
+  def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.select(col("s1").as("n"), col("s2").as("nb"))
+      .unionByName(edges.select(col("s2").as("n"), col("s1").as("nb")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val a = adj.select(col("n").as("n1"), col("nb"))
+    val b = adj.select(col("n").as("n2"), col("nb"))
+    val common = a.join(b, "nb").filter(col("n1") < col("n2"))
+      .groupBy(col("n1"), col("n2")).agg(count(lit(1)).as("common"))
+    val flagged = common
+      .join(edges.select(col("s1").as("n1"), col("s2").as("n2"),
+        lit(true).as("is_edge")), Seq("n1", "n2"), "left_outer")
+      .na.fill(false, Seq("is_edge"))
+    val out = flagged
+      .join(broadcast(deg.select(col("n").as("n1"), col("deg").as("d1"))), "n1")
+      .join(broadcast(deg.select(col("n").as("n2"), col("deg").as("d2"))), "n2")
+      .select(col("n1"), col("n2"), col("common"), col("is_edge"),
+        round(col("common") /
+          (col("d1") + col("d2") - col("common")), 4).as("jaccard"))
+      .orderBy(col("common").desc, col("n1"), col("n2"))
+      .limit(JaccTopK)
+      .localCheckpoint() // report-sized; release the cached edges
+    edges.unpersist()
+    out
+  }
+
+  val jaccardNeighborsSql: String =
+    coEdgesCte + s""",
+      |adj AS (
+      |  SELECT s1 AS n, s2 AS nb FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY 1),
+      |common AS (
+      |  SELECT a.n AS n1, b.n AS n2, count(*) AS common
+      |  FROM adj a JOIN adj b ON a.nb = b.nb AND a.n < b.n
+      |  GROUP BY 1, 2)
+      |SELECT n1, n2, common,
+      |  coalesce((SELECT true FROM edges e WHERE e.s1 = n1 AND e.s2 = n2),
+      |           false) AS is_edge,
+      |  round(common / (d1.deg + d2.deg - common), 4) AS jaccard
+      |FROM common JOIN deg d1 ON n1 = d1.n JOIN deg d2 ON n2 = d2.n
+      |ORDER BY common DESC, n1, n2 LIMIT $JaccTopK""".stripMargin
 }

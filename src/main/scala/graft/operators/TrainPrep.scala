@@ -573,4 +573,62 @@ object TrainPrep {
        |SELECT r.doc_id, n_chunks, len, length(rea) AS re_len,
        |  rea = d2.text AS ok
        |FROM r JOIN documents d2 ON r.doc_id = d2.doc_id""".stripMargin
+
+  /** Picks per source for [[systematicSample]]. */
+  val SysK = 10
+
+  /** K39: WEIGHT-PROPORTIONAL SYSTEMATIC SAMPLING — the
+    * deterministic, RNG-free subsample every corpus-curation pipeline
+    * needs when "sample 10 docs per source, proportional to token
+    * mass" must replay identically (the house no-randomness
+    * convention applied to sampling): lay each source's docs on the
+    * cumulative-token axis in doc_id order, cut it into
+    * total div [[SysK]] strides, and keep exactly the docs that cross
+    * a stride boundary — selection probability ∝ token weight, like
+    * weighted reservoir sampling but exact-integer and
+    * order-independent (every quantity is a BIGINT window sum). The
+    * per-source prefix sum is ONE source-keyed window; at 100 TB the
+    * carry decomposition (concurrency_peak's per-day local sums + a
+    * broadcast carry) removes even that sort. `n_buckets` counts the
+    * boundaries a doc spans (heavy docs span several but appear
+    * once). */
+  def systematicSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("toks"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = toks
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("total",
+        sum(col("toks")).over(Window.partitionBy(col("source"))))
+    cum
+      .withColumn("stride", expr(s"total div ${SysK}L"))
+      .filter(col("stride") > 0)
+      .withColumn("n_buckets",
+        expr("cum div stride") - expr("(cum - toks) div stride"))
+      .filter(col("n_buckets") > 0)
+      .select(col("source"), col("doc_id"), col("toks"), col("cum"),
+        expr("cum div stride").as("bucket"), col("n_buckets"))
+  }
+
+  val systematicSampleSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, toks,
+       |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+       |    sum(toks) OVER (PARTITION BY source)::BIGINT AS total
+       |  FROM t),
+       |s AS (
+       |  SELECT source, doc_id, toks, cum, total // ${SysK} AS stride FROM c
+       |  WHERE total // ${SysK} > 0)
+       |SELECT source, doc_id, toks, cum, cum // stride AS bucket,
+       |  cum // stride - (cum - toks) // stride AS n_buckets
+       |FROM s
+       |WHERE cum // stride - (cum - toks) // stride > 0""".stripMargin
 }

@@ -224,4 +224,38 @@ class GraphSketchSpec extends SparkSpec {
     // the geometry is doing its job: FPR well under full-positive
     assert(r.getAs[Double]("fpr_pct") < 50.0)
   }
+
+  test("jaccard_neighbors: wedge-pair overlap replays brute force, flags edges") {
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shared = pairs.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val sks = ps.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length) yield (sks(i), sks(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val edges = shared.sortBy { case ((s1, s2), c) => (-c, s1, s2) }
+      .take(graft.operators.Graph.MaxEdges).map(_._1).toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val expected = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      (a, b) = (nodes(i), nodes(j))
+      common = (adj(a) & adj(b)).size.toLong if common > 0
+    } yield (a, b) -> (common, edges((a, b)),
+      common.toDouble / (adj(a).size + adj(b).size - common))).toSeq
+      .sortBy { case ((a, b), (c, _, _)) => (-c, a, b) }
+      .take(graft.operators.Graph.JaccTopK)
+    val got = run("jaccard_neighbors").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("common"),
+        r.getAs[Boolean]("is_edge"), r.getAs[Double]("jaccard")))
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((p, (c, e, j)), (_, (ce, ee, je))) =>
+      assert(c == ce && e == ee, s"pair $p")
+      assert(math.abs(j - je) < 1e-3, s"pair $p jaccard $j vs $je")
+    }
+    // wedge pairs exist and the flag is live on this corpus
+    assert(got.nonEmpty && got.exists(_._2._2))
+  }
 }

@@ -193,4 +193,39 @@ class TrainPrepSpec extends SparkSpec {
       assert(r.getAs[Int]("re_len") == r.getAs[Int]("len"))
     }
   }
+
+  test("systematic_sample: boundary-crossing picks replay, ~K per source, weight-proportional") {
+    val K = graft.operators.TrainPrep.SysK
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+    val expected = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val sorted = ds.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val stride = total / K
+      if (stride == 0) Seq.empty[((String, Long), (Long, Long, Long, Long))]
+      else {
+        var cum = 0L
+        sorted.toSeq.flatMap { case (_, id, toks) =>
+          val prev = cum; cum += toks
+          val nb = cum / stride - prev / stride
+          if (nb > 0) Some((src, id) -> (toks, cum, cum / stride, nb)) else None
+        }
+      }
+    }
+    val got = run("systematic_sample").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("toks"), r.getAs[Long]("cum"),
+          r.getAs[Long]("bucket"), r.getAs[Long]("n_buckets"))).toMap
+    assert(got == expected.toMap)
+    // about K picks per source (strictly: between K and K + heavy-doc slack)
+    val bySrc = got.keys.groupBy(_._1).view.mapValues(_.size)
+    assert(bySrc.values.forall(n => n >= K / 2 && n <= K + 2), bySrc.toMap)
+    // weight-proportional: picked docs are heavier on average
+    val pickedIds = got.keySet.map(_._2)
+    val (p, np) = docs.partition(d => pickedIds(d._2))
+    assert(p.map(_._3).sum.toDouble / p.length >
+      np.map(_._3).sum.toDouble / np.length)
+  }
 }
