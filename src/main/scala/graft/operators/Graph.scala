@@ -286,4 +286,83 @@ object Graph {
       |  round(common / (d1.deg + d2.deg - common), 4) AS jaccard
       |FROM common JOIN deg d1 ON n1 = d1.n JOIN deg d2 ON n2 = d2.n
       |ORDER BY common DESC, n1, n2 LIMIT $JaccTopK""".stripMargin
+
+  /** k-core threshold and peel-round budget. k=5 exercises every
+    * regime on this corpus: no peel at sf0.001 (complete K10, deg 9),
+    * a surviving 97-node core at sf0.01, a 6-round full cascade at
+    * sf0.1 — 8 rounds bounds them all, and the `converged` column
+    * proves the fixpoint was reached rather than assuming it. */
+  val KcoreK = 5
+  val KcoreRounds = 8
+
+  /** K40: K-CORE PEELING — the iterative FIXPOINT graph pattern
+    * (kmeans_iter/pagerank_iter's sibling for subgraph pruning):
+    * each round SIMULTANEOUSLY removes every node whose degree in
+    * the surviving subgraph is < k, until nothing changes. The
+    * driver loop runs [[KcoreRounds]] distributed rounds — per round
+    * one semi-join pair restricts the adjacency to survivors and one
+    * combining aggregate recounts degrees; the node frame is
+    * localCheckpoint'd per round (node-sized, the release-cache
+    * pattern) so lineage stays flat. Reports per-round removals and
+    * survivors; rounds after convergence emit zeros, keeping the row
+    * count fixed so the oracle (the same peel UNROLLED as generated
+    * chained CTEs) compares exactly. */
+  def kcorePeel(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint()
+    val adj = edges.select(col("s1").as("n"), col("s2").as("nb"))
+      .unionByName(edges.select(col("s2").as("n"), col("s1").as("nb")))
+      .localCheckpoint()
+    var alive = adj.select(col("n")).distinct().localCheckpoint()
+    var nAlive = alive.count()
+    val rows = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    for (_ <- 1 to KcoreRounds) {
+      val aliveAdj = adj
+        .join(alive, "n")
+        .join(alive.withColumnRenamed("n", "nb"), "nb")
+      val deg = alive
+        .join(aliveAdj.groupBy(col("n")).agg(count(lit(1)).as("deg")),
+          Seq("n"), "left_outer")
+        .na.fill(0L, Seq("deg"))
+      val nRm = deg.filter(col("deg") < KcoreK).count()
+      alive = deg.filter(col("deg") >= KcoreK).select(col("n")).localCheckpoint()
+      nAlive -= nRm
+      rows += ((rows.length + 1L, nRm, nAlive))
+    }
+    import s.implicits._
+    rows.toSeq.toDF("round", "n_removed", "n_remaining")
+      .withColumn("converged", col("n_removed") === 0L)
+  }
+
+  /** The same peel unrolled: round N's CTEs are generated, not
+    * hand-written, so Spark loop and oracle share one definition of
+    * "simultaneous removal" (degree counted over round N-1
+    * survivors, zero-neighbor nodes count as degree 0). */
+  lazy val kcorePeelSql: String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so
+    // round N expanding alive(N-1) three times goes 3^N scans deep —
+    // measured as a file-handle explosion at 8 rounds
+    val roundCtes = (1 to KcoreRounds).map { r =>
+      s"""deg$r AS MATERIALIZED (
+         |  SELECT a.n, count(x.nb) AS deg
+         |  FROM alive${r - 1} a
+         |  LEFT JOIN (SELECT e.n, e.nb FROM adj e
+         |             JOIN alive${r - 1} p ON e.n = p.n
+         |             JOIN alive${r - 1} q ON e.nb = q.n) x ON x.n = a.n
+         |  GROUP BY a.n),
+         |alive$r AS MATERIALIZED (SELECT n FROM deg$r WHERE deg >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    val roundRows = (1 to KcoreRounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT count(*) FROM deg$r WHERE deg < $KcoreK) AS n_removed,
+         |  (SELECT count(*) FROM alive$r) AS n_remaining,
+         |  (SELECT count(*) FROM deg$r WHERE deg < $KcoreK) = 0 AS converged""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    coEdgesCte + s""",
+      |adj AS MATERIALIZED (
+      |  SELECT s1 AS n, s2 AS nb FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |alive0 AS MATERIALIZED (SELECT DISTINCT n FROM adj),
+      |$roundCtes
+      |$roundRows""".stripMargin
+  }
 }

@@ -258,4 +258,32 @@ class GraphSketchSpec extends SparkSpec {
     // wedge pairs exist and the flag is live on this corpus
     assert(got.nonEmpty && got.exists(_._2._2))
   }
+
+  test("kcore_peel: simultaneous-removal rounds replay a local peel to fixpoint") {
+    val G = graft.operators.Graph
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shared = pairs.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val sks = ps.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length) yield (sks(i), sks(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val edges = shared.sortBy { case ((s1, s2), c) => (-c, s1, s2) }
+      .take(G.MaxEdges).map(_._1)
+    var adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val expected = (1 to G.KcoreRounds).map { r =>
+      val rm = adj.collect { case (n, nb) if nb.size < G.KcoreK => n }.toSet
+      adj = (adj -- rm).view.mapValues(_ -- rm).toMap
+      (r.toLong, rm.size.toLong, adj.size.toLong, rm.isEmpty)
+    }
+    val got = run("kcore_peel").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("n_remaining"), r.getAs[Boolean]("converged")))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+    // the budget genuinely reaches the fixpoint on this corpus
+    assert(got.last._4, "did not converge within the round budget")
+  }
 }
