@@ -30,7 +30,7 @@ object GraftSession {
       // (sessionize users, KMV windows) at executor memory; RocksDB
       // spills to local disk with an in-memory working set, the
       // provider 100 TB key cardinalities need. All streaming specs
-      // and the six stream_* queries run under it.
+      // and every stream_* query runs under it.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")

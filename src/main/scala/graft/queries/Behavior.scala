@@ -577,6 +577,49 @@ object Behavior {
         round(coalesce(col("num"), lit(0L)) / den, 4).as("ewma"))
   }
 
+  /** "Rapid" inter-arrival threshold, seconds. */
+  val RapidSec = 60L
+
+  /** K41: INTER-ARRIVAL PROFILE — per event type, the distribution
+    * of seconds since the same user's PREVIOUS event (any type): the
+    * arrival-process read behind rate limiting, bot detection and
+    * session-gap calibration (B6's 30-min gap came from exactly this
+    * table). ONE user-keyed shuffle orders each user's history
+    * (total order (ts, event_id), the house tiebreak) and a lag
+    * window emits integer-second deltas; the report is a tiny
+    * type-keyed aggregate of exact integers — n/min/max/sum (avg is
+    * the single rounded division) plus the <[[RapidSec]]s rapid-fire
+    * count. No percentile: no per-group value buffering anywhere. */
+  def deltaStats(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("ts").cast("long").as("sec"))
+      .withColumn("delta", col("sec") - lag(col("sec"), 1).over(byUser))
+      .filter(col("delta").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_deltas"),
+        min(col("delta")).as("min_s"),
+        max(col("delta")).as("max_s"),
+        round(sum(col("delta")) / count(lit(1)), 4).as("avg_s"),
+        sum(when(col("delta") < RapidSec, 1L).otherwise(0L)).as("n_rapid"))
+  }
+
+  lazy val deltaStatsSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |      - lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) OVER (
+       |          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       |      AS delta
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_deltas,
+       |  min(delta) AS min_s, max(delta) AS max_s,
+       |  round(sum(delta)::BIGINT / count(*), 4) AS avg_s,
+       |  sum(CASE WHEN delta < $RapidSec THEN 1 ELSE 0 END)::BIGINT AS n_rapid
+       |FROM d WHERE delta IS NOT NULL GROUP BY 1""".stripMargin
+
   lazy val ewmaSmoothSql: String = {
     val w = EwmaW
     s"""WITH hc AS (

@@ -557,4 +557,42 @@ class BehaviorSpec extends SparkSpec {
     // sanity: ewma tracks level — correlated with cnt on observed rows
     assert(got.nonEmpty)
   }
+
+  test("delta_stats: per-user lag deltas replay with the (ts, event_id) total order") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map { r =>
+        val ts = r.getTimestamp(3)
+        val sec = ts.getTime / 1000
+        // order by FULL timestamp precision (sub-second parts are
+        // real in this corpus), delta in truncated whole seconds —
+        // exactly what the query and oracle both do
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          sec, sec * 1000000000L + ts.getNanos)
+      }
+    val deltas = evs.groupBy(_._1).values.flatMap { us =>
+      us.sortBy(u => (u._5, u._2)).sliding(2).collect {
+        case Array(prev, cur) => (cur._3, cur._4 - prev._4)
+      }
+    }.toSeq
+    val expected = deltas.groupBy(_._1).map { case (t, ds) =>
+      val vs = ds.map(_._2)
+      t -> (vs.length.toLong, vs.min, vs.max,
+        BigDecimal(vs.sum.toDouble / vs.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        vs.count(_ < graft.queries.Behavior.RapidSec).toLong)
+    }
+    val got = run("delta_stats").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_deltas"),
+        r.getAs[Long]("min_s"), r.getAs[Long]("max_s"),
+        r.getAs[Double]("avg_s"), r.getAs[Long]("n_rapid"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (t, (n, mn, mx, avg, rapid)) =>
+      val g = got(t)
+      assert(g._1 == n && g._2 == mn && g._3 == mx && g._5 == rapid, s"type $t")
+      assert(math.abs(g._4 - avg) < 1e-9, s"type $t avg ${g._4} vs $avg")
+    }
+    // the corpus exercises the rapid-fire band
+    assert(expected.values.map(_._5).sum > 0)
+  }
 }

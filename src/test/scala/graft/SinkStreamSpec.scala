@@ -212,6 +212,26 @@ class SinkStreamSpec extends SparkSpec {
     assert(emitted.length == 20 && emitted.forall(_.getAs[Long]("n_events") == 2L))
   }
 
+  test("stream_enrich: stream-static broadcast enrichment equals the batch join") {
+    val got = SparkEntry.queries("stream_enrich")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_purchases"))).toMap
+    val expected = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy(date_format(window(col("ts"), "1 hour")("start"),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p"))).toMap
+    assert(got == expected)
+    // the enrichment is real: multiple segments appear, purchases counted
+    assert(got.keys.map(_._2).toSet.size > 1)
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("stream_dedup: planted replays dropped exactly once, accounting matches a recount") {
     val got = SparkEntry.queries("stream_dedup")(spark, sf).collect()
       .map(r => r.getString(0) ->
