@@ -37,7 +37,7 @@ object Graph {
   /** Top-[[MaxEdges]] co-supply edges (s1 < s2), deterministic
     * (shared, s1, s2) cut — the shared edge builder for the graph
     * operators. */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = lineitem(s, dir)
       .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
@@ -246,6 +246,16 @@ object Graph {
   def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
     val edges = coEdges(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = jaccardNeighborsFrame(edges)
+      .localCheckpoint() // report-sized; release the cached edges
+    edges.unpersist()
+    out
+  }
+
+  /** The un-checkpointed plan of [[jaccardNeighbors]], split out so
+    * PlanSpec can assert the join shape (localCheckpoint truncates
+    * the executed plan to a Scan ExistingRDD). */
+  private[graft] def jaccardNeighborsFrame(edges: DataFrame): DataFrame = {
     val adj = edges.select(col("s1").as("n"), col("s2").as("nb"))
       .unionByName(edges.select(col("s2").as("n"), col("s1").as("nb")))
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -257,7 +267,7 @@ object Graph {
       .join(edges.select(col("s1").as("n1"), col("s2").as("n2"),
         lit(true).as("is_edge")), Seq("n1", "n2"), "left_outer")
       .na.fill(false, Seq("is_edge"))
-    val out = flagged
+    flagged
       .join(broadcast(deg.select(col("n").as("n1"), col("deg").as("d1"))), "n1")
       .join(broadcast(deg.select(col("n").as("n2"), col("deg").as("d2"))), "n2")
       .select(col("n1"), col("n2"), col("common"), col("is_edge"),
@@ -265,9 +275,6 @@ object Graph {
           (col("d1") + col("d2") - col("common")), 4).as("jaccard"))
       .orderBy(col("common").desc, col("n1"), col("n2"))
       .limit(JaccTopK)
-      .localCheckpoint() // report-sized; release the cached edges
-    edges.unpersist()
-    out
   }
 
   val jaccardNeighborsSql: String =

@@ -208,4 +208,59 @@ class PlanSpec extends SparkSpec {
     assert(scanLine.contains("o_orderstatus"), "merged schema lost the drifted column")
     assert("Scan parquet".r.findAllIn(p).length == 1, "should be ONE scan over both days")
   }
+
+  test("order_count_hist: orders pre-aggregate BEFORE the outer join, no raw-order shuffle through it") {
+    val p = plan("order_count_hist")
+    // the per-custkey aggregate must sit under the join (two HashAggregates
+    // for it + two for the histogram = partial aggregation both levels)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    // the join probes the aggregated frame: its own output, not raw o_orderkey
+    val scanLine = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("o_custkey")).get
+    assert(!scanLine.contains("o_orderdate"),
+      "orders scan reads columns the pre-aggregate never needs")
+  }
+
+  test("top_supplier: scalar max and supplier dim both broadcast; shipdate filter pushed") {
+    val p = plan("top_supplier")
+    assert("Broadcast".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "quarter filter did not reach the parquet scan")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row max frame must broadcast, not cartesian")
+  }
+
+  test("cms_freq: the counter grid builds with map-side partial aggregation") {
+    val p = plan("cms_freq")
+    assert("partial_count".r.findAllIn(p).length >= 1
+      || "HashAggregate".r.findAllIn(p).length >= 4,
+      s"no two-phase grid aggregate in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "the 2048-cell grid should broadcast")
+  }
+
+  test("ewma_smooth: contribution fanout feeds ONE combining aggregate, no self-join") {
+    val p = plan("ewma_smooth")
+    // a lag-weighted self-join would show hours joined to hours; the
+    // contribution shape has only the two grid left-joins
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 2, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "weighted contributions must combine map-side")
+  }
+
+  test("jaccard_neighbors: degree frames broadcast into the wedge pairs, no cartesian") {
+    // the public operator localCheckpoints (truncating the plan), so
+    // assert on the un-checkpointed frame over the same edges
+    val p = graft.operators.Graph
+      .jaccardNeighborsFrame(graft.operators.Graph.coEdges(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("systematic_sample: one source-keyed window chain, nothing user-visible collects") {
+    val p = plan("systematic_sample")
+    val srcExchanges = "Exchange hashpartitioning\\(source".r.findAllIn(p).length
+    assert(srcExchanges == 1,
+      s"expected the cumsum and total windows to share one source exchange, got $srcExchanges\n$p")
+  }
 }
