@@ -541,4 +541,122 @@ object Sketches {
        |  round(100.0 * false_pos / n_nonmembers, 4) AS fpr_pct
        |FROM agg""".stripMargin
   }
+
+  /** HLL geometry: m registers; rho is the trailing-zero rank of the
+    * sub-bucket hash w < M/m < 2^24, so rho ∈ [1, 24] with w = 0
+    * capped at [[HllRhoMax]]. */
+  val HllM = 64
+  val HllRhoMax = 25
+
+  /** α_m·m²·2^[[HllRhoMax]] — the raw-estimate numerator over the
+    * EXACT-INTEGER denominator Zint = Σ 2^(RhoMax−M_j) (α_64 = 0.709,
+    * the published constant for m = 64). */
+  val HllNum: Double = 0.709 * HllM * HllM * (1L << HllRhoMax).toDouble
+
+  /** Small-range (linear-counting) switch: raw ≤ 2.5·m. */
+  val HllSmallRange: Double = 2.5 * HllM
+
+  /** Linear-counting lookup m·ln(m/V) for every possible empty-register
+    * count V ∈ [1, m]: ln is banned as ENGINE arithmetic (libm log
+    * differs across engines at ulp scale — the floor(log2) lesson),
+    * but here the transcendental has only m possible inputs, so it is
+    * evaluated ONCE in Scala and shipped to BOTH engines as literal
+    * constants — the estimate stays a pure integer-keyed lookup. */
+  val HllLinear: Seq[(Long, Double)] =
+    (1 to HllM).map(v => (v.toLong, HllM * math.log(HllM.toDouble / v)))
+
+  /** K43: HYPERLOGLOG DISTINCT — the canonical mergeable cardinality
+    * sketch next to H1's KMV, written relationally so the driver's
+    * hash gate applies: registers are GROUP BY (type, bucket) MAX(rho)
+    * — Spark's map-side max combiner IS the HLL merge, state m small
+    * ints per group no matter how many events flow through (the CMS
+    * grid contract applied to cardinality). Portability: rho is the
+    * trailing-zero rank via the pure-integer lowbit trick
+    * w − (w AND (w−1)) joined against a 24-row powers table (never
+    * floor(log2) — Spark's ln-based log2 lands below whole numbers at
+    * exact powers of two); the harmonic denominator is the EXACT
+    * BIGINT Zint = Σ 2^(RhoMax−M_j) + V·2^RhoMax so summation order
+    * cannot perturb it, and the only float ops are one division and
+    * the literal [[HllLinear]] lookup, identical in both engines.
+    * Small-range regime (V > 0, raw ≤ 2.5m) switches to linear
+    * counting per the published algorithm; the exact count rides
+    * along exposing the error, the `regime` column pins which
+    * estimator fired. Reference: DSAcord tracks ingest volume with a
+    * single atomic row counter (main.go:21, utils.go:115) — this is
+    * the per-key cardinality read that counter can't give once the
+    * key set no longer fits one node's memory. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rhoDf = (1 to HllRhoMax - 1).map(r => (1L << (r - 1), r))
+      .toDF("lowbit", "rho")
+    val powDf = (1 to HllRhoMax).map(r => (r, 1L << (HllRhoMax - r)))
+      .toDF("mj", "pw")
+    val lcDf = HllLinear.toDF("n_empty", "lc")
+    val wb = events(s, dir)
+      .select(col("event_type"), pmod(col("user_id") * Mult, lit(M)).as("h"))
+      .select(col("event_type"),
+        pmod(col("h"), lit(HllM.toLong)).as("j"),
+        expr(s"h div $HllM").as("w"))
+    val reg = wb
+      .withColumn("lowbit", col("w") - col("w").bitwiseAND(col("w") - 1))
+      .join(broadcast(rhoDf), Seq("lowbit"), "left_outer")
+      .withColumn("rho", coalesce(col("rho"), lit(HllRhoMax)))
+      .groupBy(col("event_type"), col("j"))
+      .agg(max(col("rho")).as("mj"))
+    val z = reg.join(broadcast(powDf), Seq("mj"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_present"), sum(col("pw")).as("zp"))
+      .select(col("event_type"),
+        (lit(HllM.toLong) - col("n_present")).as("n_empty"),
+        (col("zp") + (lit(HllM.toLong) - col("n_present"))
+          * (1L << HllRhoMax)).as("zint"))
+    val exact = events(s, dir).groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    exact.join(z, Seq("event_type"))
+      .withColumn("raw", lit(HllNum) / col("zint"))
+      .join(broadcast(lcDf), Seq("n_empty"), "left_outer")
+      .select(col("event_type"), col("n_exact"), col("n_empty"),
+        when(col("n_empty") > 0 && col("raw") <= HllSmallRange,
+          lit("linear")).otherwise(lit("raw")).as("regime"),
+        round(when(col("n_empty") > 0 && col("raw") <= HllSmallRange,
+          col("lc")).otherwise(col("raw")), 4).as("est_hll"))
+  }
+
+  lazy val hllDistinctSql: String = {
+    val rhoVals = (1 to HllRhoMax - 1)
+      .map(r => s"(${1L << (r - 1)}, $r)").mkString(", ")
+    val powVals = (1 to HllRhoMax)
+      .map(r => s"($r, ${1L << (HllRhoMax - r)})").mkString(", ")
+    val lcVals = HllLinear.map { case (v, lc) => s"($v, $lc)" }.mkString(", ")
+    s"""WITH lb(lowbit, rho) AS (VALUES $rhoVals),
+       |pw(mj, p) AS (VALUES $powVals),
+       |lc(n_empty, lc) AS (VALUES $lcVals),
+       |wb AS (
+       |  SELECT event_type,
+       |    ((user_id * $Mult) % $M) % $HllM AS j,
+       |    ((user_id * $Mult) % $M) // $HllM AS w
+       |  FROM events),
+       |reg AS (
+       |  SELECT event_type, j, max(coalesce(lb.rho, $HllRhoMax)) AS mj
+       |  FROM wb LEFT JOIN lb ON (w - (w & (w - 1))) = lb.lowbit
+       |  GROUP BY 1, 2),
+       |z AS (
+       |  SELECT event_type,
+       |    ($HllM - count(*))::BIGINT AS n_empty,
+       |    (sum(p) + ($HllM - count(*)) * ${1L << HllRhoMax})::BIGINT AS zint
+       |  FROM reg JOIN pw ON reg.mj = pw.mj GROUP BY 1),
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+       |  FROM events GROUP BY 1),
+       |est AS (
+       |  SELECT ex.event_type, n_exact, z.n_empty, $HllNum / zint AS raw, lc.lc
+       |  FROM ex JOIN z USING (event_type)
+       |  LEFT JOIN lc ON lc.n_empty = z.n_empty)
+       |SELECT event_type, n_exact, n_empty,
+       |  CASE WHEN n_empty > 0 AND raw <= $HllSmallRange
+       |       THEN 'linear' ELSE 'raw' END AS regime,
+       |  round(CASE WHEN n_empty > 0 AND raw <= $HllSmallRange
+       |        THEN lc ELSE raw END, 4) AS est_hll
+       |FROM est""".stripMargin
+  }
 }

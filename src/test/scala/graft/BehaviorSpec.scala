@@ -94,6 +94,50 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("hll_distinct: estimates replay the local register build exactly; sane accuracy") {
+    val S = Sketches
+    val events = Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // local HLL with the same bit arithmetic
+    def rho(w: Long): Int =
+      if (w == 0) S.HllRhoMax else java.lang.Long.numberOfTrailingZeros(w) + 1
+    val regs = scala.collection.mutable.Map[(String, Long), Int]()
+    events.foreach { case (t, u) =>
+      val h = math.floorMod(u * S.Mult, S.M)
+      val key = (t, h % S.HllM)
+      regs(key) = math.max(regs.getOrElse(key, 0), rho(h / S.HllM))
+    }
+    val lc = S.HllLinear.toMap
+    val local = regs.keys.map(_._1).toSet.map { (t: String) =>
+      val mjs = regs.collect { case ((`t`, _), mj) => mj }.toSeq
+      val v = S.HllM - mjs.length
+      val zint = mjs.map(mj => 1L << (S.HllRhoMax - mj)).sum +
+        v.toLong * (1L << S.HllRhoMax)
+      val raw = S.HllNum / zint
+      val (regime, est) =
+        if (v > 0 && raw <= S.HllSmallRange) ("linear", lc(v.toLong)) else ("raw", raw)
+      t -> (v.toLong, regime,
+        BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val exact = events.groupBy(_._1).map { case (t, es) =>
+      t -> es.map(_._2).distinct.length.toLong }
+    val rows = run("hll_distinct").collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_exact") == exact(t))
+      val (v, regime, est) = local(t)
+      assert(r.getAs[Long]("n_empty") == v, s"$t n_empty")
+      assert(r.getAs[String]("regime") == regime, s"$t regime")
+      assert(r.getAs[Double]("est_hll") == est, s"$t: ${r.getAs[Double]("est_hll")} vs $est")
+      // accuracy: linear counting is tight at low n; raw HLL se ≈ 1.04/√m
+      val tol = if (regime == "linear") 0.25 else 3.2 * 1.04 / math.sqrt(S.HllM.toDouble)
+      assert(math.abs(est - exact(t)) <= math.max(tol * exact(t), 2.0),
+        s"$t: est $est exact ${exact(t)}")
+    }
+  }
+
   test("zorder_layout: every z-bucket's extents fit the 128x128 tile bound") {
     val rows = run("zorder_layout").collect()
     assert(rows.nonEmpty)
