@@ -372,4 +372,75 @@ object Graph {
       |$roundCtes
       |$roundRows""".stripMargin
   }
+
+  /** BFS hop budget. At the tested SFs this exercises every regime:
+    * 1-hop (sf0.001's complete K10), 2-hop dense (sf0.01), and a
+    * real 8-layer expansion at sf0.1 where one node is first reached
+    * at exactly hops = 8 — so `converged` is FALSE there (layers are
+    * contiguous: a node at the budget edge means deeper ones may
+    * exist) and 8 nodes stay unreached (hops = −1). */
+  val BfsMaxHops = 8
+
+  /** K44: BFS HOP HISTOGRAM — single-source shortest paths (unit
+    * weights) from a deterministic landmark (min node id) over the
+    * co-supply graph; the frontier-expansion iterative pattern next
+    * to [[kcorePeel]]'s simultaneous-removal one. Each round is ONE
+    * equi-join (frontier ⋈ adjacency) + ONE anti-join (drop already-
+    * visited) — shuffle ∝ frontier × avg degree, the textbook
+    * distributed-BFS bound, never all-pairs; per-round frames are
+    * localCheckpoint'd so lineage stays flat across rounds (the
+    * kcore convention). `converged` is computed RELATIONALLY as
+    * max(hops) < budget — not from the driver loop's early-exit flag
+    * — so Spark and the oracle's bounded recursive CTE agree on it
+    * by construction; unreached nodes report hops = −1. */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint()
+    val adj = edges.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(edges.select(col("s2").as("src"), col("s1").as("dst")))
+      .localCheckpoint()
+    val nodes = adj.select(col("src").as("n")).distinct().localCheckpoint()
+    val root = nodes.agg(min(col("n"))).head.getLong(0)
+    var dist = nodes.filter(col("n") === root)
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var d = 0L
+    var frontierEmpty = false
+    while (d < BfsMaxHops && !frontierEmpty) {
+      d += 1
+      val next = frontier.join(adj, frontier("n") === adj("src"))
+        .select(col("dst").as("n")).distinct()
+        .join(dist.select("n"), Seq("n"), "left_anti")
+        .withColumn("hops", lit(d))
+        .localCheckpoint()
+      if (next.isEmpty) frontierEmpty = true
+      else { dist = dist.unionByName(next).localCheckpoint(); frontier = next }
+    }
+    val maxHops = dist.agg(max(col("hops"))).head.getLong(0)
+    nodes.join(dist, Seq("n"), "left_outer")
+      .na.fill(-1L, Seq("hops"))
+      .groupBy(col("hops")).agg(count(lit(1)).as("n_nodes"))
+      .withColumn("converged", lit(maxHops < BfsMaxHops))
+  }
+
+  /** Oracle: the same bounded BFS as a recursive CTE — UNION-distinct
+    * (n, d) pairs with d < budget terminate the recursion; min(d) per
+    * node is the hop count exactly when it is ≤ the budget, which is
+    * also all the Spark loop can certify. */
+  lazy val bfsHopsSql: String =
+    coEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+      |adj AS MATERIALIZED (
+      |  SELECT s1 AS src, s2 AS dst FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |lm AS (SELECT min(src) AS root FROM adj),
+      |walk(n, d) AS (
+      |  SELECT root, 0 FROM lm
+      |  UNION
+      |  SELECT a.dst, w.d + 1 FROM walk w
+      |  JOIN adj a ON a.src = w.n WHERE w.d < $BfsMaxHops),
+      |dist AS (SELECT n, min(d) AS hops FROM walk GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS n FROM adj),
+      |mx AS (SELECT max(hops) AS mh FROM dist)
+      |SELECT coalesce(hops, -1)::BIGINT AS hops, count(*)::BIGINT AS n_nodes,
+      |  (SELECT mh FROM mx) < $BfsMaxHops AS converged
+      |FROM nodes LEFT JOIN dist USING (n) GROUP BY 1""".stripMargin
 }

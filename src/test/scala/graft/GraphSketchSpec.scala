@@ -286,4 +286,35 @@ class GraphSketchSpec extends SparkSpec {
     // the budget genuinely reaches the fixpoint on this corpus
     assert(got.last._4, "did not converge within the round budget")
   }
+
+  test("bfs_hops: layer histogram replays a local BFS from the min-id landmark") {
+    val G = graft.operators.Graph
+    val edges = G.coEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val root = adj.keys.min
+    val dist = scala.collection.mutable.Map(root -> 0L)
+    var frontier = Set(root)
+    var d = 0L
+    while (d < G.BfsMaxHops && frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d)
+    }
+    val expected = adj.keys.toSeq
+      .map(n => dist.getOrElse(n, -1L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val converged = dist.values.max < G.BfsMaxHops
+    val got = run("bfs_hops").collect()
+    assert(got.map(_.getAs[Long]("hops")).toSet == expected.keySet)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == expected(r.getAs[Long]("hops")),
+        s"hops ${r.getAs[Long]("hops")}")
+      assert(r.getAs[Boolean]("converged") == converged)
+    }
+    // layer contiguity: reached hop values are exactly 0..max
+    val reached = got.map(_.getAs[Long]("hops")).filter(_ >= 0).sorted.toSeq
+    assert(reached == (0L to reached.max).toSeq)
+  }
 }
