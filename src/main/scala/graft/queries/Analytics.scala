@@ -593,4 +593,48 @@ object Analytics {
        |    WHERE o_custkey = c_custkey
        |      AND o_orderdate >= TIMESTAMP '$IdleCutoff')
        |GROUP BY 1""".stripMargin
+
+  /** K45: TPC-H Q11 shape — the GROUP-TOTAL vs GLOBAL-TOTAL-FRACTION
+    * filter ("important stock"): per-part revenue kept only when it
+    * exceeds 1.5× the mean part's share of the grand total. The
+    * scalar subquery is a 1-row (n_parts, total) frame BROADCAST into
+    * the aggregated parts (never a shuffle for one row), and the
+    * threshold share > 1.5/n is the CROSS-MULTIPLIED integer test
+    * 2·vq·n > 3·total on ×10⁴-quantized revenue — no float average
+    * is ever computed, so the selected set is engine-exact (the
+    * idle_customers / top_supplier convention). The compare runs in
+    * DECIMAL(38,0)/HUGEINT: vq·n_parts overflows BIGINT once totals
+    * reach 100 TB scale (the burst_detect lesson). A 1.5×-mean cut
+    * is scale-free — it selects the same tail fraction at every SF
+    * (measured 2/29/252 rows at the three test scales) where any
+    * absolute-share threshold empties out as n_parts grows. */
+  def partValueShare(s: SparkSession, dir: String): DataFrame = {
+    val revQ = floor(revenue * 10000 + lit(0.5)).cast("long")
+    val v = lineitem(s, dir).select(col("l_partkey"), revQ.as("rev_q"))
+      .groupBy(col("l_partkey")).agg(sum(col("rev_q")).as("vq"))
+    val tot = v.agg(count(lit(1)).as("n_parts"), sum(col("vq")).as("total"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    v.crossJoin(broadcast(tot))
+      .filter(d38(col("vq")) * d38(col("n_parts")) * 2 >
+        d38(col("total")) * 3)
+      .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("vq") / 10000.0, 4).as("value"),
+        round(col("vq") / col("total"), 6).as("share"))
+  }
+
+  val partValueShareSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT)::BIGINT AS vq
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT count(*)::BIGINT AS n_parts, sum(vq)::BIGINT AS total FROM v)
+      |SELECT p_partkey, p_brand,
+      |  round(vq / 10000.0, 4) AS value,
+      |  round(vq / total, 6) AS share
+      |FROM v CROSS JOIN tot
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE vq::HUGEINT * n_parts * 2 > total::HUGEINT * 3""".stripMargin
 }

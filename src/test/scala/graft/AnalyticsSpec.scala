@@ -268,4 +268,27 @@ class AnalyticsSpec extends SparkSpec {
     // the threshold+anti-join must genuinely filter
     assert(qualifying.length < cust.length / 2 && qualifying.nonEmpty)
   }
+
+  test("part_value_share: exactly the parts above 1.5x the mean share, integer threshold") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+    val vq = li.groupBy(_.getLong(0)).view.mapValues(_.map { r =>
+      math.floor(
+        (r.getDouble(1) * (1 - r.getDouble(2))) * 10000 + 0.5).toLong
+    }.sum).toMap
+    val total = vq.values.sum
+    val n = vq.size.toLong
+    val expected = vq.filter { case (_, v) =>
+      BigInt(v) * n * 2 > BigInt(total) * 3 }
+    val got = run("part_value_share").collect()
+    assert(got.map(_.getAs[Long]("p_partkey")).toSet == expected.keySet)
+    got.foreach { r =>
+      val v = expected(r.getAs[Long]("p_partkey"))
+      assert(math.abs(r.getAs[Double]("value") - v / 10000.0) < 1e-3)
+      assert(math.abs(r.getAs[Double]("share") - v.toDouble / total) < 1e-6)
+    }
+    // the cut genuinely selects a minority tail, never everything
+    assert(got.nonEmpty && got.length < vq.size / 10)
+  }
 }
