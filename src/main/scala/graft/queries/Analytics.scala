@@ -637,4 +637,45 @@ object Analytics {
       |FROM v CROSS JOIN tot
       |JOIN part ON l_partkey = p_partkey
       |WHERE vq::HUGEINT * n_parts * 2 > total::HUGEINT * 3""".stripMargin
+
+  /** K46: 2-D SKYLINE (Pareto front) — parts no other part dominates
+    * (larger-or-equal size AND cheaper-or-equal price, strict in at
+    * least one): the multi-objective "value frontier" read. The
+    * distributed formulation never compares pairs: a map-side
+    * combine collapses parts to one min-price row per size (the size
+    * DOMAIN is bounded — a categorical axis — so this frame is tiny
+    * at any data scale), a running-min window over the size axis
+    * descending finds the frontier prices, and one broadcast join
+    * back tags the surviving parts. The single no-partition window
+    * runs on the ≤|size-domain| frame, never the data. Price is ×10²
+    * BIGINT so every dominance compare is integer-exact; equal
+    * (size, price) twins don't dominate each other and are all kept.
+    * The oracle is the O(n²) NOT-EXISTS dominance definition — a
+    * DIFFERENT formulation, so the hash gate cross-checks the window
+    * algebra against the spec's brute force and DuckDB's. */
+  def skyline2d(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select(col("p_partkey"), col("p_size"),
+      floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("price_q"))
+    val bySize = p.groupBy(col("p_size")).agg(min(col("price_q")).as("min_q"))
+    val larger = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = bySize.withColumn("runmin", min(col("min_q")).over(larger))
+    p.join(broadcast(front), "p_size")
+      .filter(col("price_q") === col("min_q") &&
+        (col("runmin").isNull || col("price_q") < col("runmin")))
+      .select(col("p_partkey"), col("p_size"),
+        round(col("price_q") / 100.0, 2).as("price"))
+  }
+
+  val skyline2dSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_size,
+      |    floor(p_retailprice * 100 + 0.5)::BIGINT AS price_q
+      |  FROM part)
+      |SELECT p_partkey, p_size, round(price_q / 100.0, 2) AS price
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.p_size >= a.p_size AND b.price_q <= a.price_q
+      |    AND (b.p_size > a.p_size OR b.price_q < a.price_q))""".stripMargin
 }

@@ -291,4 +291,26 @@ class AnalyticsSpec extends SparkSpec {
     // the cut genuinely selects a minority tail, never everything
     assert(got.nonEmpty && got.length < vq.size / 10)
   }
+
+  test("skyline_2d: window formulation equals brute-force pairwise dominance") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val expected = parts.filter { case (_, sz, pq) =>
+      !parts.exists { case (_, sz2, pq2) =>
+        sz2 >= sz && pq2 <= pq && (sz2 > sz || pq2 < pq) }
+    }.map(_._1).toSet
+    val got = run("skyline_2d").collect()
+    assert(got.map(_.getAs[Long]("p_partkey")).toSet == expected)
+    // the frontier is strictly monotone: larger size → strictly higher price
+    val f = got.map(r => (r.getAs[Int]("p_size"), r.getAs[Double]("price")))
+      .distinct.sortBy(_._1)
+    f.sliding(2).foreach {
+      case Array((s1, p1), (s2, p2)) => assert(s1 < s2 && p1 < p2)
+      case _ =>
+    }
+    assert(got.nonEmpty && got.length < parts.length / 10)
+  }
 }
