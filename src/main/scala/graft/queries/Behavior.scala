@@ -646,4 +646,76 @@ object Behavior {
        |LEFT JOIN num n ON n.event_type = g.event_type AND n.t = g.t
        |LEFT JOIN hc ON hc.event_type = g.event_type AND hc.h = g.t""".stripMargin
   }
+
+  /** K47: LINEAR INTERPOLATION on the dense hourly grid — gap_fill's
+    * fill-forward replaced by the two-sided estimate: each missing
+    * hour takes (pv·(nh−h) + nv·(h−ph)) / (nh−ph) between its
+    * nearest observed neighbors. Both brackets come from ONE
+    * event_type-keyed window family (last-non-null looking back,
+    * first-non-null looking forward share the exchange and sort);
+    * the grid endpoints are observed by construction (min/max
+    * observed hour), so a bracket always exists and the denominator
+    * is ≥ 1 — the ANSI division guard is structural, not a runtime
+    * check. All inputs are BIGINT (integer hours × integer counts),
+    * so the single division + round is the only float op, engine-
+    * identical; observed hours short-circuit to their exact count
+    * before the formula (whose 0/0 they would otherwise hit). */
+  def interpLinear(s: SparkSession, dir: String): DataFrame = {
+    val hourIdx = expr("cast(ts as long) div 3600")
+    val hc = events(s, dir)
+      .groupBy(col("event_type"), hourIdx.as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = hc.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(hc, Seq("event_type", "h"), "left_outer")
+      .withColumn("ph",
+        last(when(col("cnt").isNotNull, col("h")), ignoreNulls = true).over(back))
+      .withColumn("pv", last(col("cnt"), ignoreNulls = true).over(back))
+      .withColumn("nh",
+        first(when(col("cnt").isNotNull, col("h")), ignoreNulls = true).over(fwd))
+      .withColumn("nv", first(col("cnt"), ignoreNulls = true).over(fwd))
+      .select(col("event_type"), col("h").as("hour_idx"),
+        when(col("cnt").isNotNull, 1L).otherwise(0L).as("observed"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        round(when(col("cnt").isNotNull, col("cnt").cast("double"))
+          .otherwise(
+            (col("pv") * (col("nh") - col("h")) +
+             col("nv") * (col("h") - col("ph"))) /
+            (col("nh") - col("ph"))), 4).as("interp"))
+  }
+
+  val interpLinearSql: String =
+    """WITH hc AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+      |    count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(min(h), max(h))) AS h
+      |  FROM hc GROUP BY event_type),
+      |br AS (
+      |  SELECT g.event_type, g.h, hc.cnt,
+      |    last_value(CASE WHEN hc.cnt IS NOT NULL THEN g.h END IGNORE NULLS)
+      |      OVER (PARTITION BY g.event_type ORDER BY g.h
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+      |    last_value(hc.cnt IGNORE NULLS)
+      |      OVER (PARTITION BY g.event_type ORDER BY g.h
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    first_value(CASE WHEN hc.cnt IS NOT NULL THEN g.h END IGNORE NULLS)
+      |      OVER (PARTITION BY g.event_type ORDER BY g.h
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+      |    first_value(hc.cnt IGNORE NULLS)
+      |      OVER (PARTITION BY g.event_type ORDER BY g.h
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |  FROM grid g LEFT JOIN hc ON hc.event_type = g.event_type AND hc.h = g.h)
+      |SELECT event_type, h AS hour_idx,
+      |  (CASE WHEN cnt IS NULL THEN 0 ELSE 1 END)::BIGINT AS observed,
+      |  coalesce(cnt, 0)::BIGINT AS cnt,
+      |  round(CASE WHEN cnt IS NOT NULL THEN cnt::DOUBLE
+      |        ELSE (pv * (nh - h) + nv * (h - ph)) / (nh - ph) END, 4) AS interp
+      |FROM br""".stripMargin
 }

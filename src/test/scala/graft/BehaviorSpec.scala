@@ -576,6 +576,35 @@ class BehaviorSpec extends SparkSpec {
     }, "no gaps anywhere — fixture assumption broken")
   }
 
+  test("interp_linear: two-sided interpolation replays locally, exact on observed hours") {
+    val got = run("interp_linear").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hour_idx")) ->
+        (r.getAs[Long]("observed"), r.getAs[Long]("cnt"), r.getAs[Double]("interp")))
+      .toMap
+    hourlyCounts.foreach { case (t, hc) =>
+      val (h0, h1) = (hc.keys.min, hc.keys.max)
+      assert(got.keys.filter(_._1 == t).map(_._2).toSet == (h0 to h1).toSet)
+      val obsHours = hc.keys.toSeq.sorted
+      (h0 to h1).foreach { h =>
+        val (obs, cnt, interp) = got((t, h))
+        hc.get(h) match {
+          case Some(n) =>
+            assert(obs == 1L && cnt == n && interp == n.toDouble, s"$t@$h")
+          case None =>
+            assert(obs == 0L && cnt == 0L)
+            val ph = obsHours.filter(_ < h).max
+            val nh = obsHours.filter(_ > h).min
+            val (pv, nv) = (hc(ph), hc(nh))
+            val want = (pv * (nh - h) + nv * (h - ph)).toDouble / (nh - ph)
+            assert(math.abs(interp - want) < 5e-5, s"$t@$h: $interp vs $want")
+            // interpolation stays inside the bracket values
+            assert(interp >= math.min(pv, nv) - 1e-9 &&
+              interp <= math.max(pv, nv) + 1e-9)
+        }
+      }
+    }
+  }
+
   test("ewma_smooth: dyadic weights replay exactly, converges to cnt on constant runs") {
     val S = graft.queries.Behavior.EwmaW
     val got = run("ewma_smooth").collect()
