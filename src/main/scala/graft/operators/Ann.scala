@@ -440,4 +440,119 @@ object Ann {
        |  round(sum(lh) / count(*), 4) AS lsh_recall,
        |  round(sum(ih) / count(*), 4) AS ivf_recall
        |FROM j GROUP BY qid""".stripMargin
+
+  /** Power-iteration rounds and the fixed-point eigenvector scale.
+    * The synthetic embeddings are near-isotropic (measured
+    * λ2/λ1 ≈ 0.983 at sf0.1), so convergence needs
+    * 0.983^t·tanθ0 ≪ 1 → t ≈ 300; each round is O(d²) on the
+    * broadcast-sized matrix (driver BigInt / 64-row oracle CTE), so
+    * the budget costs microseconds per round, not a data pass. The
+    * ×10⁴ quantization floors the final angle error at
+    * ~1e-4/(1−λ2/λ1) ≈ 0.006 rad — the spec's 0.99-cosine bar. */
+  val PcaRounds = 300
+  val PcaS = 10000L
+
+  /** K48: TOP PRINCIPAL COMPONENT by power iteration — the embedding
+    * ANISOTROPY read (a dominant direction plus its explained-
+    * variance share; degenerate encoders collapse onto one axis, and
+    * whitening decisions start from this number). The DISTRIBUTED
+    * work is the single Gram pass: the ×10⁴-quantized coordinate
+    * frame self-joins on vec_id (co-partitioned; d² products per
+    * vector) and a combining aggregate reduces the shuffle to d²
+    * moment cells per task — covariance C = N·Σqq − Σq·Σq is then
+    * EXACT BIGINT, order-independent. The iteration itself runs on
+    * that d×d broadcast-sized matrix in driver BigInt (the
+    * dedup_clusters small-side convention): v ← round(C·v·S / ‖C·v‖∞)
+    * with all-positive truncating division (sign split off) so Scala
+    * BigInt and DuckDB HUGEINT floor-division agree; 15 rounds from
+    * the all-ones start are deterministic whether or not the
+    * spectrum has converged, so the oracle — the SAME iteration as
+    * chained MATERIALIZED HUGEINT CTEs (the kcore convention) —
+    * replays it bit-for-bit. Explained share is the Rayleigh
+    * quotient over the trace as ONE pre-scaled integer division
+    * (vᵀCv·10⁶ div vᵀv·tr); the only float ops are the two final
+    * display divisions. */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * 10000 + 0.5).cast("long").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = embeddings(s, dir).count()
+    val sums = e.groupBy(col("dim")).agg(sum(col("q")).as("sq")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = e.select(col("vec_id"), col("dim").as("j"), col("q").as("qj"))
+    val b = e.select(col("vec_id"), col("dim").as("k"), col("q").as("qk"))
+    val mom = a.join(b, "vec_id").groupBy(col("j"), col("k"))
+      .agg(sum(col("qj") * col("qk")).as("spp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    e.unpersist()
+    val d = sums.size
+    val cm = Array.tabulate(d, d)((j, k) =>
+      BigInt(n) * mom((j.toLong, k.toLong)) -
+        BigInt(sums(j.toLong)) * BigInt(sums(k.toLong)))
+    var v = Array.fill(d)(BigInt(PcaS))
+    def mul(x: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(d)(j => (0 until d).map(k => cm(j)(k) * x(k)).sum)
+    for (_ <- 1 to PcaRounds) {
+      val u = mul(v)
+      val m = u.map(_.abs).max
+      v = u.map { x =>
+        val q = (x.abs * 2 * PcaS + m) / (m * 2)
+        if (x < 0) -q else q
+      }
+    }
+    val w = mul(v)
+    val vcv = (0 until d).map(j => v(j) * w(j)).sum
+    val vv = v.map(x => x * x).sum
+    val trace = (0 until d).map(j => cm(j)(j)).sum
+    val shareQ = (vcv * 1000000) / (vv * trace)
+    (0 until d).map(j => (j.toLong, v(j).toLong, shareQ.toLong))
+      .toDF("dim", "vq", "share_q")
+      .select(col("dim"),
+        round(col("vq") / 10000.0, 4).as("loading"),
+        round(col("share_q") / 1000000.0, 6).as("top_share"))
+  }
+
+  lazy val pcaPowerSql: String = {
+    val rounds = (1 to PcaRounds).map { t =>
+      s"""u$t AS MATERIALIZED (
+         |  SELECT c.j, sum(c.c * v.v)::HUGEINT AS u
+         |  FROM cmat c JOIN v${t - 1} v ON v.j = c.k GROUP BY 1),
+         |m$t AS (SELECT max(abs(u))::HUGEINT AS m FROM u$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT j, CASE WHEN u < 0
+         |    THEN -(((-u) * ${2 * PcaS} + m) // (m * 2))
+         |    ELSE ((u * ${2 * PcaS} + m) // (m * 2)) END AS v
+         |  FROM u$t CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |    CAST(floor(unnest(embedding)::DOUBLE * 10000 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings),
+       |n AS (SELECT count(DISTINCT vec_id)::HUGEINT AS cnt FROM e),
+       |sums AS (SELECT dim, sum(q)::HUGEINT AS sq FROM e GROUP BY 1),
+       |mom AS (
+       |  SELECT a.dim AS j, b.dim AS k, sum(a.q * b.q)::HUGEINT AS spp
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cmat AS MATERIALIZED (
+       |  SELECT m.j, m.k, (n.cnt * m.spp - sa.sq * sb.sq)::HUGEINT AS c
+       |  FROM mom m CROSS JOIN n
+       |  JOIN sums sa ON sa.dim = m.j JOIN sums sb ON sb.dim = m.k),
+       |v0 AS (SELECT DISTINCT dim AS j, $PcaS::HUGEINT AS v FROM e),
+       |$rounds,
+       |w AS (SELECT c.j, sum(c.c * v.v)::HUGEINT AS u
+       |      FROM cmat c JOIN v$PcaRounds v ON v.j = c.k GROUP BY 1),
+       |ray AS (
+       |  SELECT sum(v.v * w.u)::HUGEINT AS vcv,
+       |    (SELECT sum(v * v)::HUGEINT FROM v$PcaRounds) AS vv
+       |  FROM v$PcaRounds v JOIN w ON w.j = v.j),
+       |tr AS (SELECT sum(c)::HUGEINT AS trace FROM cmat WHERE j = k),
+       |sh AS (SELECT ((vcv * 1000000) // (vv * trace)) AS share_q
+       |       FROM ray CROSS JOIN tr)
+       |SELECT v.j AS dim, round(v.v / 10000.0, 4) AS loading,
+       |  round(share_q / 1000000.0, 6) AS top_share
+       |FROM v$PcaRounds v CROSS JOIN sh""".stripMargin
+  }
 }

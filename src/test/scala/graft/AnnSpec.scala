@@ -156,6 +156,39 @@ class AnnSpec extends SparkSpec {
     assert(got.values.map(_.getAs[Long]("ivf_hits")).sum > 0)
   }
 
+  test("pca_power: integer iterate aligns with a float eigensolver, share is Rayleigh-sane") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = vecs.head.length
+    val n = vecs.length.toDouble
+    // double-precision covariance + long power iteration = independent oracle
+    val mean = Array.tabulate(d)(j => vecs.map(_(j)).sum / n)
+    val cov = Array.tabulate(d, d)((j, k) =>
+      vecs.map(v => (v(j) - mean(j)) * (v(k) - mean(k))).sum / n)
+    var ev = Array.fill(d)(1.0)
+    for (_ <- 1 to 500) {
+      val u = Array.tabulate(d)(j => (0 until d).map(k => cov(j)(k) * ev(k)).sum)
+      val m = u.map(math.abs).max
+      ev = u.map(_ / m)
+    }
+    val got = run("pca_power").collect()
+    assert(got.length == d)
+    val loading = got.map(r => r.getAs[Long]("dim") -> r.getAs[Double]("loading")).toMap
+    // |cos| between the integer iterate and the float eigenvector ~ 1
+    val dot = (0 until d).map(j => loading(j.toLong) * ev(j)).sum
+    val na = math.sqrt((0 until d).map(j => loading(j.toLong) * loading(j.toLong)).sum)
+    val nb = math.sqrt(ev.map(x => x * x).sum)
+    assert(math.abs(dot) / (na * nb) > 0.99,
+      s"integer PC diverges from float PC: |cos| = ${math.abs(dot) / (na * nb)}")
+    // L-infinity normalization pins the peak loading at exactly +-1
+    assert(loading.values.map(math.abs).max == 1.0)
+    // Rayleigh share: top eigenvalue is at least the average, at most all
+    val share = got.head.getAs[Double]("top_share")
+    assert(got.forall(_.getAs[Double]("top_share") == share))
+    assert(share > 1.0 / d && share <= 1.0, s"share $share")
+  }
+
   // alias so the object reference compiles from the test package
   private object Ann { val NumQueries = graft.operators.Ann.NumQueries; val K = graft.operators.Ann.K }
 }
