@@ -97,8 +97,34 @@ object GraftFunctions {
 
 /** Parquet table loaders for the driver-generated star schema. */
 object Tables {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** The generator has shipped `events.ts` three ways across rounds:
+    * parquet TIMESTAMP(NANOS) (read as long ns via the nanosAsLong
+    * legacy flag), TIMESTAMP_NTZ micros, and plain TIMESTAMP. All
+    * event-time code (windows, watermarks, sessionization) is written
+    * against TimestampType, so normalize just that column — the
+    * session runs in UTC, making the NTZ→LTZ cast a pure wall-clock
+    * relabel, which is also exactly what DuckDB's
+    * CAST(ts AS TIMESTAMP) oracle view sees. Other NTZ columns
+    * (l_shipdate, o_orderdate) pass through untouched: operators and
+    * oracles already agree on them as-is. Works on batch and
+    * streaming frames alike. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.name == "ts").foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: TimestampNTZType => acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType =>
+          // legacy nanos-as-long; integer division — a double
+          // round-trip would lose precision above 2^53 ns
+          acc.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+        case _ => acc
+      }
+    }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
@@ -107,12 +133,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** events.ts arrives as long nanoseconds (see nanosAsLong in
-    * GraftSession); convert with integer division — going through a
-    * double would lose precision above 2^53 ns. Micros truncation
-    * matches DuckDB's CAST(ts_ns AS TIMESTAMP). */
-  def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

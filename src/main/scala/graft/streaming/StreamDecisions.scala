@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -137,7 +138,7 @@ object StreamDecisions {
       .schema(s.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeTs)
       // a micro-batch inherits the file split count — one daily dump
       // file = ONE task for the whole 40-column parse; spread the
       // narrow raw rows across the executors before the heavy stage

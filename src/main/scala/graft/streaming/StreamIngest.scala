@@ -40,8 +40,8 @@ object StreamIngest {
       s.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    // same ns→timestamp conversion as the batch reader
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // same timestamp normalization as the batch reader
+    Tables.normalizeTs(raw)
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
