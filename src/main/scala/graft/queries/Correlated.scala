@@ -98,25 +98,28 @@ object Correlated {
     * absolute >50% cut is vacuous on this uniform corpus — measured
     * 0 rows at every SF — while the relative-to-mean cut selects a
     * stable tail at every scale, the part_value_share convention).
-    * The correlated share-of-total subquery decorrelates into TWO
-    * aggregates on the same key prefix — per (part, supplier)
-    * quantity, then per part total + supplier count re-aggregated
-    * FROM the first frame — so the second aggregate and the join
-    * back all reuse the one part-key shuffle (hash(partkey) clusters
-    * both). Dominance is the cross-multiplied test
+    * The correlated share-of-total subquery decorrelates into the
+    * per (part, supplier) aggregate plus a part-keyed WINDOW over it
+    * — not a second aggregate joined back, which would reference the
+    * first frame twice and (Spark materializes nothing) re-scan and
+    * re-shuffle the full fact once per reference. The window form
+    * scans lineitem ONCE; the only exchanges after the map-side
+    * combined pair aggregate move the already-tiny pair frame.
+    * Dominance is the cross-multiplied test
     * 2·sq·n_supp > 3·tq in DECIMAL(38,0): no float share is ever
     * computed, and the product can't overflow BIGINT at 100 TB
     * quantities (the burst_detect lesson). Sole-supplier parts are
     * excluded (n_supp ≥ 2) because their dominance is vacuous. */
   def q20DominantSupplier(s: SparkSession, dir: String): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val ps = lineitem(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    lineitem(s, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(qtyL).as("sq"))
-    val tot = ps.groupBy(col("l_partkey"))
-      .agg(sum(col("sq")).as("tq"), count(lit(1)).as("n_supp"))
-    ps.join(tot.filter(col("n_supp") >= 2), Seq("l_partkey"))
-      .filter(d38(col("sq")) * d38(col("n_supp")) * 2 > d38(col("tq")) * 3)
+      .withColumn("tq", sum(col("sq")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .filter(col("n_supp") >= 2 &&
+        d38(col("sq")) * d38(col("n_supp")) * 2 > d38(col("tq")) * 3)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_parts_dominated"))
       .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
@@ -142,25 +145,26 @@ object Correlated {
     * supplier who held up the order"): multi-supplier orders where
     * exactly ONE supplier shipped late (>180 days after the order
     * date), credited to that supplier. Both correlated quantifiers
-    * decorrelate into counts on the SAME per-order aggregate chain:
-    * orders⋈lineitem shuffles once on the order key, the per
-    * (order, supplier) late flag and the per-order
-    * (supplier count, late count) both reuse that partitioning, and
-    * the filter n_supp ≥ 2 AND n_late = 1 IS the exists/not-exists
-    * pair. Only the final 100-row supplier rollup reshuffles. */
+    * decorrelate into counts on ONE order-keyed chain: orders⋈lineitem
+    * shuffles once on the order key, the per (order, supplier) late
+    * flag reuses that partitioning, and the per-order supplier/late
+    * counts are an order-keyed WINDOW over the flag frame (a second
+    * aggregate joined back would re-run the whole join chain per
+    * reference — the q20 lesson). The filter
+    * n_supp ≥ 2 AND n_late = 1 IS the exists/not-exists pair; only
+    * the final 100-row supplier rollup reshuffles. */
   def q21LateSolo(s: SparkSession, dir: String): DataFrame = {
-    val lo = lineitem(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-    val ls = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 180 DAYS"), 1).otherwise(0)).as("late"))
-    val perOrder = ls.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
-    ls.filter(col("late") === 1)
-      .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1),
-        Seq("l_orderkey"))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .filter(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_orders"))
       .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
@@ -189,11 +193,11 @@ object Correlated {
     * small part (p_size ≤ 10, a pushed dim filter standing in for
     * Q2's region/type cut), the supplier(s) of MINIMUM account
     * balance among those who actually shipped it. The correlated
-    * `= (SELECT min …)` decorrelates into a per-part min over the
-    * distinct ship pairs plus an equality join back on
-    * (part, min-balance); ties are kept, exactly as the correlated
-    * form keeps them, because balances compare as ×10² BIGINT — a
-    * float min would make tie membership engine-dependent. The
+    * `= (SELECT min …)` decorrelates into a per-part min WINDOW over
+    * the distinct ship pairs with an equality filter; ties are kept,
+    * exactly as the correlated form keeps them, because balances
+    * compare as ×10² BIGINT — a float min would make tie membership
+    * engine-dependent. The
     * part filter broadcasts INTO the pair extraction, so the distinct
     * runs on the pruned fact, not the full one. */
   def q2MinBalSupplier(s: SparkSession, dir: String): DataFrame = {
@@ -206,11 +210,13 @@ object Correlated {
       .distinct()
     val supp = broadcast(supplier(s, dir)
       .select(col("s_suppkey"), col("s_name"), balQ.as("bal_q")))
-    val withBal = pairs.join(supp, col("l_suppkey") === col("s_suppkey"))
-    val minBal = withBal.groupBy(col("p_partkey").as("mp"))
-      .agg(min(col("bal_q")).as("min_q"))
-    withBal
-      .join(minBal, col("p_partkey") === col("mp") && col("bal_q") === col("min_q"))
+    // per-part min + tie-keeping as ONE part-keyed window chain (a
+    // min-aggregate joined back would reference the pair frame twice
+    // and re-derive it from the fact per reference — the q20 lesson)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    pairs.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_q", min(col("bal_q")).over(w))
+      .filter(col("bal_q") === col("min_q"))
       .select(col("p_partkey"), col("p_size"), col("s_suppkey"), col("s_name"),
         round(col("bal_q") / 100.0, 2).as("acctbal"))
   }

@@ -263,4 +263,51 @@ class PlanSpec extends SparkSpec {
     assert(srcExchanges == 1,
       s"expected the cumsum and total windows to share one source exchange, got $srcExchanges\n$p")
   }
+
+  test("q20/q21/q2: share-of-group chains scan the fact exactly once (window, not re-derive)") {
+    for (name <- Seq("q20_dominant_supplier", "q21_late_solo", "q2_min_bal")) {
+      val p = plan(name)
+      val liScans = "lineitem\\.parquet".r.findAllIn(p).length
+      assert(liScans == 1, s"$name re-scans lineitem ($liScans scans):\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("q19_disjunct: hoisted predicate envelopes reach both scans, part broadcasts") {
+    val p = plan("q19_disjunct")
+    val liScan = p.linesIterator.filter(_.contains("lineitem.parquet")).mkString
+    assert(liScan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      liScan.contains("LessThanOrEqual(l_quantity,40.0)"),
+      s"quantity envelope not pushed to the lineitem scan:\n$p")
+    val partScan = p.linesIterator.filter(_.contains("part.parquet")).mkString
+    assert(partScan.contains("Or(") && partScan.contains("p_brand"),
+      s"brand/size union not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q6_range_sum: every predicate pushed, scan reads only the four touched columns") {
+    val p = plan("q6_range_sum")
+    val scan = p.linesIterator.filter(_.contains("lineitem.parquet")).mkString
+    assert(scan.contains("l_shipdate") && scan.contains("l_discount") &&
+      scan.contains("l_quantity"), s"filters not pushed:\n$p")
+    val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!schemaLine.contains("l_orderkey") && !schemaLine.contains("l_partkey"),
+      "Q6 scan reads columns it never touches")
+  }
+
+  test("q7/q8: geography dim chains broadcast, fact join is the only wide work") {
+    for (name <- Seq("q7_nation_trade", "q8_market_share")) {
+      val p = plan(name)
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+        s"$name dim chains should broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), name)
+    }
+  }
+
+  test("q10_returns: top-20 plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("q10_returns")
+    assert(p.contains("TakeOrderedAndProject"), s"expected limit pushdown:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed:\n$p")
+  }
 }
