@@ -302,4 +302,35 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out == batch)
     assert(out.nonEmpty)
   }
+
+  test("stream_join_outer: watermark eviction emits exactly the provably-unmatched views") {
+    val rows = run("stream_join_outer").collect()
+    val matched = rows.filter(_.getAs[Int]("unmatched") == 0)
+      .map(r => (r.getAs[Long]("vid"), r.getAs[Long]("pid"))).toSet
+    val nullVids = rows.filter(_.getAs[Int]("unmatched") == 1)
+      .map(_.getAs[Long]("vid")).toSet
+    // matched portion identical to the inner stream join
+    val inner = run("stream_join").collect()
+      .map(r => (r.getAs[Long]("vid"), r.getAs[Long]("pid"))).toSet
+    assert(matched == inner)
+    // every null row is a view with NO purchase in its hour, and its
+    // deadline sits a full delay inside the evicted region
+    val e = Tables.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id"), col("ts").as("vts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val maxPts = p.agg(max(col("pts"))).collect()(0).getTimestamp(0).toInstant
+    val expectedNull = v.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("vts") && col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"),
+        "left_anti")
+      .filter(col("vts") + expr("INTERVAL 1 HOUR") <=
+        lit(java.sql.Timestamp.from(maxPts.minusSeconds(3 * 3600))))
+      .collect().map(_.getAs[Long]("vid")).toSet
+    assert(nullVids == expectedNull)
+    assert(nullVids.nonEmpty, "no unmatched views — outer semantics vacuous")
+    // null rows carry null purchase columns
+    rows.filter(_.getAs[Int]("unmatched") == 1)
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("pid")) && r.isNullAt(r.fieldIndex("pts"))))
+  }
 }
