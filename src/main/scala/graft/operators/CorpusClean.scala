@@ -408,4 +408,105 @@ object CorpusClean {
        |  SELECT bg.doc_id, (cbg.cbg * $LmScale) // cuni.cuni AS q
        |  FROM bg JOIN cbg USING (w, w1) JOIN cuni USING (w))
        |GROUP BY doc_id""".stripMargin
+
+  /** Merge rounds trained by [[bpeTrain]]. */
+  val BpeTrainRounds = 5
+
+  /** K63: BPE TRAINING — the actual merge LOOP, not just one round's
+    * candidate counts (I7): [[BpeTrainRounds]] rounds of count
+    * adjacent pairs → argmax (count desc, lexicographic tiebreak) →
+    * apply the merge LEFT-TO-RIGHT GREEDY, exactly the sequential
+    * semantics a byte-pair trainer has. The greedy scan is the
+    * non-relational-looking part, made relational with the
+    * island-parity trick: a run of k consecutive matches of the best
+    * pair (only possible when left = right, and the corpus has real
+    * `batch batch batch` runs) must merge occurrences 1,3,5,… — so
+    * flag matches, locate each maximal consecutive-flag island by its
+    * running start position, and keep the flags at EVEN offset from
+    * their island start. Rows consumed by the previous position's
+    * merge drop out, survivors re-index densely, and the next round
+    * runs on the rebuilt sequence (localCheckpoint per round — the
+    * kcore plan-truncation convention; per-round argmax is a 1-row
+    * collect, the I4/I10 driver-loop contract). Shuffle per round is
+    * one doc-keyed exchange of the token table — corpus-proportional,
+    * never pairwise. The oracle replays the SAME algebra as generated
+    * chained CTEs with NO injected per-round constants: DuckDB
+    * computes its own argmax each round, so the hash gate
+    * cross-checks Spark's merge decisions end-to-end. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var toks = documents(s, dir).select(col("doc_id"),
+      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (round <- 1 to BpeTrainRounds) {
+      val best = toks.withColumn("w1", lead(col("w"), 1).over(w))
+        .filter(col("w1").isNotNull)
+        .groupBy(col("w"), col("w1")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"), col("w1")).limit(1)
+        .collect()(0)
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      val staged = toks
+        .withColumn("flag", coalesce(lead(col("w"), 1).over(w) === lit(r), lit(false))
+          && col("w") === lit(l))
+        .withColumn("istart", col("flag") &&
+          !coalesce(lag(col("flag"), 1).over(w), lit(false)))
+        .withColumn("ispos", max(when(col("istart"), col("pos")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("m", col("flag") && (col("pos") - col("ispos")) % 2 === 0)
+      val applied = staged.filter(col("m")).count()
+      toks = staged
+        .withColumn("consumed", coalesce(lag(col("m"), 1).over(w), lit(false)))
+        .filter(!col("consumed"))
+        .select(col("doc_id"),
+          row_number().over(w).as("pos"),
+          when(col("m"), concat(col("w"), lit("_"), lit(r))).otherwise(col("w")).as("w"))
+        .localCheckpoint()
+      merges += ((round, l, r, n, applied))
+    }
+    merges.result().toDF("round", "left", "right", "n_pair", "n_applied")
+  }
+
+  lazy val bpeTrainSql: String = {
+    val base =
+      """t0 AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+        |  FROM documents)""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map { k =>
+      s"""c$k AS (
+         |  SELECT w, w1, count(*) AS n FROM (
+         |    SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+         |    FROM t${k - 1}) WHERE w1 IS NOT NULL GROUP BY 1, 2),
+         |b$k AS (SELECT w AS l, w1 AS r, n FROM c$k ORDER BY n DESC, w, w1 LIMIT 1),
+         |f$k AS (
+         |  SELECT doc_id, pos, w,
+         |    coalesce(lead(w) OVER win = (SELECT r FROM b$k), false)
+         |      AND w = (SELECT l FROM b$k) AS flag
+         |  FROM t${k - 1} WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |g$k AS (
+         |  SELECT *, flag AND NOT coalesce(lag(flag) OVER win, false) AS istart
+         |  FROM f$k WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |m$k AS (
+         |  SELECT *, flag AND (pos - ispos) % 2 = 0 AS m FROM (
+         |    SELECT *, max(CASE WHEN istart THEN pos END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS ispos
+         |    FROM g$k)),
+         |a$k AS (SELECT count(*) AS applied FROM m$k WHERE m),
+         |t$k AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         |    CASE WHEN m THEN w || '_' || (SELECT r FROM b$k) ELSE w END AS w
+         |  FROM (SELECT *, coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
+         |        FROM m$k)
+         |  WHERE NOT consumed)""".stripMargin
+    }
+    val report = (1 to BpeTrainRounds).map { k =>
+      s"""SELECT $k AS round, l AS "left", r AS "right", n AS n_pair,
+         |  (SELECT applied FROM a$k)::BIGINT AS n_applied FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $base,\n${rounds.mkString(",\n")}\n$report"
+  }
 }

@@ -333,4 +333,41 @@ class CorpusCleanSpec extends SparkSpec {
     rows.filter(_.getAs[Int]("unmatched") == 1)
       .foreach(r => assert(r.isNullAt(r.fieldIndex("pid")) && r.isNullAt(r.fieldIndex("pts"))))
   }
+
+  test("bpe_train: merge loop replays a sequential greedy BPE trainer") {
+    val rows = run("bpe_train").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("n_pair"), r.getAs[Long]("n_applied")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to CorpusClean.BpeTrainRounds).toSeq)
+
+    // sequential reference: plain Scala greedy BPE on the collected corpus
+    var docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).toVector)
+    for ((round, l, r, nPair, nApplied) <- rows) {
+      val pairCounts = docs.iterator.flatMap(d => d.iterator.zip(d.iterator.drop(1)))
+        .foldLeft(Map.empty[(String, String), Long]) { (m, p) =>
+          m.updated(p, m.getOrElse(p, 0L) + 1)
+        }
+      val bestN = pairCounts.values.max
+      val best = pairCounts.filter(_._2 == bestN).keys.minBy(identity)
+      assert((l, r, nPair) == (best._1, best._2, bestN), s"round $round argmax")
+      var applied = 0L
+      docs = docs.map { d =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
+            out += s"${l}_$r"; applied += 1; i += 2 // greedy left-to-right
+          } else { out += d(i); i += 1 }
+        }
+        out.result()
+      }
+      assert(applied == nApplied, s"round $round applied: $applied vs $nApplied")
+    }
+    // the overlap path must actually exercise (a same-token merge with
+    // n_applied < n_pair somewhere, or no same-token pair ever won)
+    val sameTok = rows.filter(t => t._2 == t._3)
+    sameTok.foreach { t => assert(t._5 <= t._4) }
+  }
 }
