@@ -594,6 +594,38 @@ object Analytics {
        |      AND o_orderdate >= TIMESTAMP '$IdleCutoff')
        |GROUP BY 1""".stripMargin
 
+  /** K64: explicit GROUPING SETS + grouping_id — the fourth member of
+    * the grouping family (B8 rollup, H6 cube, B9 pivot): callers pick
+    * exactly the aggregation levels ((flag,status), (flag), ()) and
+    * disambiguate the output rows by the grouping_id bitmask, the
+    * production pattern for one-pass multi-level report tables.
+    * Physically identical machinery to rollup/cube: Spark's Expand
+    * emits one replica per set into ONE map-side-combined aggregate —
+    * shuffle ∝ groups × sets, never a re-scan per level. Quantities
+    * sum as BIGINT (integral by generator contract) so every level is
+    * engine-exact; both engines compute the same bitmask convention
+    * (bit per grouping column, 1 = rolled up). */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    val view = "li_grouping_sets"
+    lineitem(s, dir).createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT CAST(grouping_id() AS BIGINT) AS gid,
+         |  l_returnflag, l_linestatus,
+         |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         |  count(*) AS n_items
+         |FROM $view
+         |GROUP BY l_returnflag, l_linestatus
+         |  GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+  }
+
+  val groupingSetsAggSql: String =
+    """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
   /** K45: TPC-H Q11 shape — the GROUP-TOTAL vs GLOBAL-TOTAL-FRACTION
     * filter ("important stock"): per-part revenue kept only when it
     * exceeds 1.5× the mean part's share of the grand total. The

@@ -20,6 +20,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("grouping_sets: every level conserves the grand total, gid disambiguates") {
+    val rows = run("grouping_sets").collect()
+      .map(r => (r.getAs[Long]("gid"), Option(r.getAs[String]("l_returnflag")),
+        Option(r.getAs[String]("l_linestatus")), r.getAs[Long]("sum_qty"),
+        r.getAs[Long]("n_items")))
+    val byGid = rows.groupBy(_._1)
+    assert(byGid.keySet == Set(0L, 1L, 3L), s"unexpected gid set: ${byGid.keySet}")
+    // () level is one row; each coarser level resums the finer one exactly
+    val total = byGid(3L) match { case Array(t) => (t._4, t._5) }
+    assert(byGid(1L).map(_._4).sum == total._1 && byGid(1L).map(_._5).sum == total._2)
+    assert(byGid(0L).map(_._4).sum == total._1 && byGid(0L).map(_._5).sum == total._2)
+    // gid encodes exactly which columns are rolled up
+    rows.foreach {
+      case (0L, rf, ls, _, _) => assert(rf.isDefined && ls.isDefined)
+      case (1L, rf, ls, _, _) => assert(rf.isDefined && ls.isEmpty)
+      case (3L, rf, ls, _, _) => assert(rf.isEmpty && ls.isEmpty)
+      case other => fail(s"impossible row: $other")
+    }
+  }
+
   test("oracle keys are a subset of query keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
