@@ -232,6 +232,41 @@ class SinkStreamSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0)
   }
 
+  test("stream_session_window: native merging windows equal a local gap-sessionizer") {
+    import graft.streaming.StreamSessionWindow.GapMinutes
+    val got = SparkEntry.queries("stream_session_window")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("s_start"),
+        r.getAs[String]("s_end"), r.getAs[Long]("n_events"))).toSet
+    // local reference: per-user sorted event times, break at gap ≥ 30 min
+    // (session_window's end-exclusive merge rule), end = last + gap,
+    // same margin cutoff as the operator
+    val byUser = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getTime)).toMap
+    val maxTs = byUser.values.flatten.map(_.getTime).max
+    val cutoff = maxTs - 3L * 3600 * 1000
+    val gapMs = GapMinutes.toLong * 60 * 1000
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expected = byUser.iterator.flatMap { case (u, ts) =>
+      // fold into sessions: head of `cur` is the LAST event seen
+      val sessions = ts.foldLeft(List.empty[List[java.sql.Timestamp]]) {
+        case (cur :: rest, t) if t.getTime - cur.head.getTime < gapMs =>
+          (t :: cur) :: rest
+        case (acc, t) => List(t) :: acc
+      }.map(_.reverse).reverse
+      sessions.collect {
+        case sess if sess.last.getTime + gapMs <= cutoff =>
+          (u, fmt.format(sess.head), fmt.format(
+            new java.util.Date(sess.last.getTime + gapMs)), sess.length.toLong)
+      }
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "no sessions emitted — eviction margin swallowed everything")
+    // merging actually happened: some session has more than one event
+    assert(got.exists(_._4 > 1L), "every session is singleton — gap merge untested")
+  }
+
   test("stream_dedup: planted replays dropped exactly once, accounting matches a recount") {
     val got = SparkEntry.queries("stream_dedup")(spark, sf).collect()
       .map(r => r.getString(0) ->
