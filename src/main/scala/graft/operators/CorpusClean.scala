@@ -447,25 +447,42 @@ object CorpusClean {
         .orderBy(col("n").desc, col("w"), col("w1")).limit(1)
         .collect()(0)
       val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      val staged = toks
-        .withColumn("flag", coalesce(lead(col("w"), 1).over(w) === lit(r), lit(false))
-          && col("w") === lit(l))
-        .withColumn("istart", col("flag") &&
-          !coalesce(lag(col("flag"), 1).over(w), lit(false)))
-        .withColumn("ispos", max(when(col("istart"), col("pos")))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("m", col("flag") && (col("pos") - col("ispos")) % 2 === 0)
+      val staged = stageMerge(toks, l, r)
       val applied = staged.filter(col("m")).count()
-      toks = staged
-        .withColumn("consumed", coalesce(lag(col("m"), 1).over(w), lit(false)))
-        .filter(!col("consumed"))
-        .select(col("doc_id"),
-          row_number().over(w).as("pos"),
-          when(col("m"), concat(col("w"), lit("_"), lit(r))).otherwise(col("w")).as("w"))
-        .localCheckpoint()
+      toks = applyMerge(staged, r).localCheckpoint()
       merges += ((round, l, r, n, applied))
     }
     merges.result().toDF("round", "left", "right", "n_pair", "n_applied")
+  }
+
+  /** The greedy-scan merge DECISION for pair (l, r) on a token frame
+    * (doc_id, pos, w): adds `m` = "this position starts a merged
+    * occurrence" via the island-parity trick (see [[bpeTrain]]).
+    * Exposed for the ScalaCheck property spec, which pits it against
+    * a plain sequential greedy scanner on adversarial runs. */
+  private[graft] def stageMerge(toks: DataFrame, l: String, r: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("flag", coalesce(lead(col("w"), 1).over(w) === lit(r), lit(false))
+        && col("w") === lit(l))
+      .withColumn("istart", col("flag") &&
+        !coalesce(lag(col("flag"), 1).over(w), lit(false)))
+      .withColumn("ispos", max(when(col("istart"), col("pos")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m", col("flag") && (col("pos") - col("ispos")) % 2 === 0)
+  }
+
+  /** Rebuild the token sequence after [[stageMerge]]: drop positions
+    * consumed by the previous position's merge, fuse merged tokens,
+    * re-index densely. */
+  private[graft] def applyMerge(staged: DataFrame, r: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    staged
+      .withColumn("consumed", coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .filter(!col("consumed"))
+      .select(col("doc_id"),
+        row_number().over(w).as("pos"),
+        when(col("m"), concat(col("w"), lit("_"), lit(r))).otherwise(col("w")).as("w"))
   }
 
   lazy val bpeTrainSql: String = {

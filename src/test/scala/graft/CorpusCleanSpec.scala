@@ -370,4 +370,41 @@ class CorpusCleanSpec extends SparkSpec {
     val sameTok = rows.filter(t => t._2 == t._3)
     sameTok.foreach { t => assert(t._5 <= t._4) }
   }
+
+  test("bpe merge-apply: island parity equals sequential greedy on adversarial runs") {
+    // seeded random sequences over a 2-letter alphabet, dominated by
+    // runs — the worst case for the parity trick (every merge overlaps
+    // its neighbor). Both candidate pairs (same-token and mixed) are
+    // applied to EVERY sequence in one DataFrame pass and compared to
+    // a plain left-to-right scanner per sequence.
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 60).map { id =>
+      val len = rnd.nextInt(21)
+      id.toLong -> Vector.fill(len)(if (rnd.nextInt(3) == 0) "b" else "a")
+    }
+    def sequential(d: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < d.length) {
+        if (i + 1 < d.length && d(i) == l && d(i + 1) == r) { out += s"${l}_$r"; i += 2 }
+        else { out += d(i); i += 1 }
+      }
+      out.result()
+    }
+    import spark.implicits._
+    val frame = docs.flatMap { case (id, toks) =>
+      toks.zipWithIndex.map { case (t, p) => (id, p, t) }
+    }.toDF("doc_id", "pos", "w")
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"), ("b", "a"))) {
+      val got = CorpusClean.applyMerge(CorpusClean.stageMerge(frame, l, r), r)
+        .collect().map(r0 => (r0.getLong(0), r0.getInt(1), r0.getString(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+      docs.foreach { case (id, toks) =>
+        val want = sequential(toks, l, r)
+        val have = got.getOrElse(id, Vector.empty)
+        assert(have == want, s"pair ($l,$r) doc $id: $have vs $want (input $toks)")
+      }
+    }
+  }
 }
