@@ -577,6 +577,9 @@ object TrainPrep {
   /** Picks per source for [[systematicSample]]. */
   val SysK = 10
 
+  /** Contiguous doc_id ids per prefix-sum shard in [[systematicSample]]. */
+  val SysShardDocs = 4096L
+
   /** K39: WEIGHT-PROPORTIONAL SYSTEMATIC SAMPLING — the
     * deterministic, RNG-free subsample every corpus-curation pipeline
     * needs when "sample 10 docs per source, proportional to token
@@ -587,22 +590,37 @@ object TrainPrep {
     * a stride boundary — selection probability ∝ token weight, like
     * weighted reservoir sampling but exact-integer and
     * order-independent (every quantity is a BIGINT window sum). The
-    * per-source prefix sum is ONE source-keyed window; at 100 TB the
-    * carry decomposition (concurrency_peak's per-day local sums + a
-    * broadcast carry) removes even that sort. `n_buckets` counts the
-    * boundaries a doc spans (heavy docs span several but appear
-    * once). */
+    * prefix sum is DECOMPOSED (concurrency_peak's pattern): doc_ids
+    * shard into contiguous [[SysShardDocs]]-id ranges, each
+    * (source, shard) runs a LOCAL running sum, and the cross-shard
+    * carry is a cumulative sum over the tiny per-shard net frame
+    * (rows = #shards, not #docs) broadcast back — no source's full
+    * document stream ever serializes through one reducer. Since
+    * shard = doc_id div k is monotone in doc_id, (shard, doc_id)
+    * order equals doc_id order and the decomposed cum is identical.
+    * At 100 TB the 3-column (source, doc_id, toks) projection would
+    * be checkpointed once so the two passes don't re-read text.
+    * `n_buckets` counts the boundaries a doc spans (heavy docs span
+    * several but appear once). */
   def systematicSample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = documents(s, dir)
       .select(col("source"), col("doc_id"),
         graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("toks"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .withColumn("shard", expr(s"doc_id div ${SysShardDocs}L"))
+    val wLocal = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = toks
-      .withColumn("cum", sum(col("toks")).over(w))
-      .withColumn("total",
-        sum(col("toks")).over(Window.partitionBy(col("source"))))
+    val local = toks.withColumn("lcum", sum(col("toks")).over(wLocal))
+    val shardNet = toks.groupBy(col("source"), col("shard"))
+      .agg(sum(col("toks")).as("net"))
+    val carry = shardNet
+      .withColumn("carry", coalesce(
+        sum(col("net")).over(Window.partitionBy(col("source")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("net")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("shard"), col("carry"), col("total"))
+    val cum = local.join(broadcast(carry), Seq("source", "shard"))
+      .withColumn("cum", col("lcum") + col("carry"))
     cum
       .withColumn("stride", expr(s"total div ${SysK}L"))
       .filter(col("stride") > 0)

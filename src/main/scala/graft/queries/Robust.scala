@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -8,22 +9,101 @@ import graft.Tables._
   * histograms and median-absolute-deviation outlier detection — the
   * two distribution probes a data pipeline runs on numeric columns
   * before trusting them.
+  *
+  * All four queries here compute their order statistics with the
+  * grid-cell convention (see Analytics.percentiles/B10): NO exact
+  * `percentile()` aggregate anywhere, because that buffers a value→
+  * count map per group through ONE reducer — billions of entries at
+  * 100 TB. The monitored columns are bounded 2-decimal grids
+  * (l_extendedprice ≤ 50 × |retail-price grid|; events.value a
+  * rounded sensor range), so the per-(group, value) cell counts
+  * saturate at the grid size regardless of row count, the cum-rank
+  * window runs over grid-sized cells, and the interpolated order
+  * statistic is plain column algebra written IDENTICALLY in the
+  * DuckDB twins — bit-exact cross-engine and equal to the exact
+  * `percentile()` (spec-pinned).
   */
 object Robust {
 
   val Bins = 10
 
+  /** Exact interpolated percentiles over bounded value-grid cells.
+    * `cells` must carry `groupCols`, `valueCol`, and a `cnt` count.
+    * Returns one row per group with a column per `(p, name)`:
+    *   v[ℓ] + (pos−ℓ)·(v[ℓ+1] − v[ℓ]),  pos = p·(n−1), ℓ = ⌊pos⌋.
+    * The only shuffle proportional to ROWS is the caller's cell
+    * aggregate (partial-aggregated map-side); everything here runs
+    * over grid-bounded cells. With `groupCols` empty the rank window
+    * is a single partition — acceptable because it is cell-sized. */
+  private[graft] def gridPct(cells: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val w = (if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(gcols: _*)).orderBy(col(valueCol))
+    val cum = cells.withColumn("cum", sum(col("cnt")).over(w))
+    val n = if (groupCols.isEmpty) cells.agg(sum(col("cnt")).as("n"))
+            else cells.groupBy(gcols: _*).agg(sum(col("cnt")).as("n"))
+    val j = if (groupCols.isEmpty) cum.crossJoin(broadcast(n))
+            else cum.join(broadcast(n), groupCols)
+    def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
+    def lo(p: Double) = floor(pos(p))
+    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) => Seq(
+      min(when(col("cum") > lo(p), col(valueCol))).as(s"vl$i"),
+      min(when(col("cum") > lo(p) + 1, col(valueCol))).as(s"vu$i")) }
+    val grouped = j.groupBy((gcols :+ col("n")): _*).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zipWithIndex.map { case ((p, name), i) =>
+      (col(s"vl$i") + (pos(p) - lo(p)) *
+        (coalesce(col(s"vu$i"), col(s"vl$i")) - col(s"vl$i"))).as(name) }
+    grouped.select((gcols ++ outs): _*)
+  }
+
+  /** DuckDB twin of [[gridPct]]: emits CTEs `cell, cum, nn, s, pct`
+    * (each suffixed by `sfx` so two chains can share one WITH) with
+    * `pct$sfx` = groupCols ++ named percentiles, the SAME algebra
+    * term-for-term. `cellSql` must select groupCols, `v`, `cnt`. */
+  private def gridPctSql(cellSql: String, groupCols: Seq[String],
+      ps: Seq[(Double, String)], sfx: String = ""): String = {
+    val g = groupCols.mkString(", ")
+    val gPrefix = if (groupCols.isEmpty) "" else g + ", "
+    val partBy = if (groupCols.isEmpty) "" else s"PARTITION BY $g "
+    val vls = ps.zipWithIndex.map { case ((p, _), i) =>
+      s"  min(CASE WHEN cum > floor($p * (nn$sfx.n - 1)) THEN v END) AS vl$i,\n" +
+      s"  min(CASE WHEN cum > floor($p * (nn$sfx.n - 1)) + 1 THEN v END) AS vu$i" }
+      .mkString(",\n")
+    val joinN = if (groupCols.isEmpty) s"FROM cum$sfx, nn$sfx"
+                else s"FROM cum$sfx JOIN nn$sfx USING ($g)"
+    val grpBy = if (groupCols.isEmpty) s"GROUP BY nn$sfx.n"
+                else s"GROUP BY $g, nn$sfx.n"
+    val nGrp = if (groupCols.isEmpty) "" else s" GROUP BY $g"
+    val outs = ps.zipWithIndex.map { case ((p, name), i) =>
+      s"  vl$i + ($p * (n - 1) - floor($p * (n - 1))) * (coalesce(vu$i, vl$i) - vl$i) AS $name" }
+      .mkString(",\n")
+    s"""cell$sfx AS ($cellSql),
+       |cum$sfx AS (SELECT *, sum(cnt) OVER (${partBy}ORDER BY v) AS cum FROM cell$sfx),
+       |nn$sfx AS (SELECT ${gPrefix}sum(cnt)::BIGINT AS n FROM cell$sfx$nGrp),
+       |s$sfx AS (SELECT ${gPrefix}nn$sfx.n,
+       |$vls
+       |  $joinN $grpBy),
+       |pct$sfx AS (SELECT $gPrefix
+       |$outs
+       |  FROM s$sfx)""".stripMargin
+  }
+
+  private def edgePs: Seq[(Double, String)] =
+    (1 until Bins).map(i => (i.toDouble / Bins, s"e${i - 1}"))
+
   /** I6: equi-depth histogram of lineitem prices. Bin EDGES come from
-    * one exact interpolated-percentile aggregate (a single one-row
-    * frame, broadcast via cross join — never a global sort window);
-    * each row then counts the edges below it, so binning is map-side
-    * and the only shuffle is the final per-bin aggregate. The same
-    * shape holds at 100 TB: percentile → approx sketch, everything
-    * else unchanged. */
+    * the grid-cell interpolated percentile (one cell aggregate + a
+    * cell-bounded rank window — never a per-value buffering
+    * aggregate), collapsed to a single broadcast edge row; each row
+    * then counts the edges below it, so binning is map-side and the
+    * only rows-scale shuffles are the cell count and the final
+    * per-bin aggregate. The same shape holds verbatim at 100 TB. */
   def quantileBins(s: SparkSession, dir: String): DataFrame = {
-    val ps = (1 until Bins).map(i => i.toDouble / Bins)
-    val edges = lineitem(s, dir)
-      .agg(expr(s"percentile(l_extendedprice, array(${ps.mkString(",")}))").as("edges"))
+    val cells = lineitem(s, dir)
+      .groupBy(col("l_extendedprice")).agg(count(lit(1)).as("cnt"))
+    val edges = gridPct(cells, Nil, "l_extendedprice", edgePs)
+      .select(array(edgePs.map(p => col(p._2)): _*).as("edges"))
     lineitem(s, dir).select(col("l_extendedprice")).crossJoin(broadcast(edges))
       .withColumn("bin", size(filter(col("edges"), e => col("l_extendedprice") > e)))
       .groupBy(col("bin"))
@@ -34,8 +114,12 @@ object Robust {
   }
 
   val quantileBinsSql: String = {
-    val ps = (1 until Bins).map(i => i.toDouble / Bins).mkString(",")
-    s"""WITH e AS (SELECT quantile_cont(l_extendedprice, [$ps]) AS edges FROM lineitem)
+    val ctes = gridPctSql(
+      "SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1",
+      Nil, edgePs)
+    val list = edgePs.map(_._2).mkString(", ")
+    s"""WITH $ctes,
+       |e AS (SELECT [$list] AS edges FROM pct)
        |SELECT bin, count(*) AS n_rows,
        |  round(min(l_extendedprice), 4) AS lo, round(max(l_extendedprice), 4) AS hi
        |FROM (SELECT l_extendedprice,
@@ -49,17 +133,20 @@ object Robust {
 
   /** I9: median-absolute-deviation outlier counts per event type —
     * the robust alternative to z-scores (median and MAD ignore the
-    * outliers being hunted). Two group-keyed percentile aggregates
-    * joined back; deviations are single subtractions of doubles, so
+    * outliers being hunted). Both medians are grid-cell order
+    * statistics: the deviation |x − med| of a grid value is itself on
+    * a (half-)grid, so the second median's cells are no larger than
+    * the first's. Deviations are single subtractions of doubles, so
     * the result is engine-exact. */
   def outlierMad(s: SparkSession, dir: String): DataFrame = {
-    val med = events(s, dir).groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val dev = events(s, dir).join(med, "event_type")
+    val vCells = events(s, dir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+    val med = gridPct(vCells, Seq("event_type"), "value", Seq((0.5, "med")))
+    val dev = events(s, dir).join(broadcast(med), "event_type")
       .select(col("event_type"), col("med"), abs(col("value") - col("med")).as("dev"))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(expr("percentile(dev, 0.5)").as("mad"))
-    dev.join(mad, "event_type")
+    val dCells = dev.groupBy(col("event_type"), col("dev")).agg(count(lit(1)).as("cnt"))
+    val mad = gridPct(dCells, Seq("event_type"), "dev", Seq((0.5, "mad")))
+    dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("dev") > col("mad") * MadK, 1L).otherwise(0L)).as("n_outliers"),
@@ -67,19 +154,24 @@ object Robust {
         round(max(col("mad")), 4).as("mad"))
   }
 
-  val outlierMadSql: String =
-    s"""WITH med AS (
-       |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
-       |dev AS (
+  val outlierMadSql: String = {
+    val medCtes = gridPctSql(
+      "SELECT event_type, value AS v, count(*) AS cnt FROM events GROUP BY 1, 2",
+      Seq("event_type"), Seq((0.5, "med")))
+    val madCtes = gridPctSql(
+      "SELECT event_type, dev AS v, count(*) AS cnt FROM devr GROUP BY 1, 2",
+      Seq("event_type"), Seq((0.5, "mad")), sfx = "2")
+    s"""WITH $medCtes,
+       |devr AS (
        |  SELECT e.event_type, med, abs(value - med) AS dev
-       |  FROM events e JOIN med USING (event_type)),
-       |mad AS (
-       |  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+       |  FROM events e JOIN pct USING (event_type)),
+       |$madCtes
        |SELECT d.event_type, count(*) AS n,
        |  sum(CASE WHEN dev > $MadK * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
        |  round(max(d.med), 4) AS med, round(max(mad), 4) AS mad
-       |FROM dev d JOIN mad USING (event_type)
+       |FROM devr d JOIN pct2 USING (event_type)
        |GROUP BY d.event_type""".stripMargin
+  }
 
   /** Drift-alert threshold on total-variation distance. */
   val DriftMax = 0.05
@@ -87,7 +179,9 @@ object Robust {
   /** J-line: distribution-drift monitor — total-variation distance
     * between two event cohorts (even vs odd epoch-day, the
     * yesterday-vs-today stand-in) per event type, over shared
-    * equi-depth bins. TVD is computed as an EXACT-INTEGER sum,
+    * equi-depth bins. Bin edges are grid-cell order statistics
+    * (no value-buffering aggregate); TVD is computed as an
+    * EXACT-INTEGER sum,
     *   Σ|a_i·N_B − b_i·N_A| / (2·N_A·N_B),
     * so the cross-engine result is one correctly-rounded division of
     * exact BIGINTs, never a float accumulation (PSI/KL need logs — a
@@ -95,9 +189,10 @@ object Robust {
     * Shape: one map-side binning pass against a broadcast edge row +
     * two small aggregates — the same plan at any scale. */
   def distDrift(s: SparkSession, dir: String): DataFrame = {
-    val ps = (1 until Bins).map(i => i.toDouble / Bins)
-    val edges = events(s, dir)
-      .agg(expr(s"percentile(value, array(${ps.mkString(",")}))").as("edges"))
+    val cells = events(s, dir)
+      .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val edges = gridPct(cells, Nil, "value", edgePs)
+      .select(array(edgePs.map(p => col(p._2)): _*).as("edges"))
     val cell = events(s, dir)
       .select(col("event_type"), col("value"),
         (expr("unix_timestamp(ts) div 86400") % 2).as("cohort"))
@@ -109,7 +204,7 @@ object Robust {
     val tot = cell.groupBy(col("event_type"))
       .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     val tvd = col("num").cast("double") / (lit(2L) * col("na") * col("nb"))
-    cell.join(tot, "event_type")
+    cell.join(broadcast(tot), "event_type")
       .groupBy(col("event_type"))
       .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
         sum(abs(col("a") * col("nb") - col("b") * col("na"))).as("num"))
@@ -118,9 +213,12 @@ object Robust {
   }
 
   val distDriftSql: String = {
-    val ps = (1 until Bins).map(i => i.toDouble / Bins).mkString(",")
-    s"""WITH e AS (SELECT quantile_cont(value, [$ps]) AS edges FROM events),
-       |cell AS (
+    val ctes = gridPctSql(
+      "SELECT value AS v, count(*) AS cnt FROM events GROUP BY 1", Nil, edgePs)
+    val list = edgePs.map(_._2).mkString(", ")
+    s"""WITH $ctes,
+       |e AS (SELECT [$list] AS edges FROM pct),
+       |bcell AS (
        |  SELECT event_type,
        |    len(list_filter(e.edges, x -> value > x)) AS bin,
        |    sum(CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 % 2 = 0
@@ -130,11 +228,11 @@ object Robust {
        |  FROM events, e GROUP BY 1, 2),
        |tot AS (
        |  SELECT event_type, sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
-       |  FROM cell GROUP BY 1),
+       |  FROM bcell GROUP BY 1),
        |agg AS (
-       |  SELECT cell.event_type, max(na) AS na, max(nb) AS nb,
+       |  SELECT bcell.event_type, max(na) AS na, max(nb) AS nb,
        |    sum(abs(a * nb - b * na))::BIGINT AS num
-       |  FROM cell JOIN tot USING (event_type) GROUP BY 1)
+       |  FROM bcell JOIN tot USING (event_type) GROUP BY 1)
        |SELECT event_type, na, nb,
        |  round(num::DOUBLE / (2 * na * nb), 6) AS tvd,
        |  num::DOUBLE / (2 * na * nb) > $DriftMax AS drift
@@ -147,13 +245,14 @@ object Robust {
 
   /** J-line: winsorized robust means per event type — values clamped
     * to the [p05, p95] band before averaging, the standard trim that
-    * keeps a corrupted tail from dragging a monitored mean. One
-    * group-keyed percentile aggregate broadcast back, then one
-    * aggregate; clamping is map-side column algebra. */
+    * keeps a corrupted tail from dragging a monitored mean. Limits
+    * are grid-cell order statistics broadcast back; clamping is
+    * map-side column algebra. */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
-    val lims = events(s, dir).groupBy(col("event_type"))
-      .agg(expr(s"percentile(value, $WinsLo)").as("lo"),
-        expr(s"percentile(value, $WinsHi)").as("hi"))
+    val cells = events(s, dir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+    val lims = gridPct(cells, Seq("event_type"), "value",
+      Seq((WinsLo, "lo"), (WinsHi, "hi")))
     val clamped = least(greatest(col("value"), col("lo")), col("hi"))
     events(s, dir).join(broadcast(lims), "event_type")
       .groupBy(col("event_type"))
@@ -166,17 +265,18 @@ object Robust {
         round(max(col("hi")), 4).as("hi"))
   }
 
-  val winsorizeSql: String =
-    s"""WITH lims AS (
-       |  SELECT event_type, quantile_cont(value, $WinsLo) AS lo,
-       |    quantile_cont(value, $WinsHi) AS hi
-       |  FROM events GROUP BY 1)
+  val winsorizeSql: String = {
+    val ctes = gridPctSql(
+      "SELECT event_type, value AS v, count(*) AS cnt FROM events GROUP BY 1, 2",
+      Seq("event_type"), Seq((WinsLo, "lo"), (WinsHi, "hi")))
+    s"""WITH $ctes
        |SELECT event_type, count(*) AS n,
        |  sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_lo,
        |  sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_hi,
        |  round(avg(value), 4) AS mean_raw,
        |  round(avg(least(greatest(value, lo), hi)), 4) AS mean_wins,
        |  round(max(lo), 4) AS lo, round(max(hi), 4) AS hi
-       |FROM events JOIN lims USING (event_type)
+       |FROM events JOIN pct USING (event_type)
        |GROUP BY event_type""".stripMargin
+  }
 }

@@ -152,13 +152,34 @@ class PlanSpec extends SparkSpec {
       s"seq_pack window is not partitioned by shard:\n$p")
   }
 
-  test("quantile_bins: pruned single-column scan, binning map-side (no sort join, no global window)") {
+  test("quantile_bins: pruned single-column scan, binning map-side, edges from grid cells") {
     val p = plan("quantile_bins")
     val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(scanLine.contains("l_extendedprice") && !scanLine.contains("l_orderkey"),
       s"scan not pruned to the price column: $scanLine")
     assert(!p.contains("SortMergeJoin"), "edges must broadcast, not shuffle")
-    assert(!p.contains("Window"), "binning must not use a global window")
+  }
+
+  test("systematic_sample: prefix sum decomposes to (source, shard) local sums + tiny carry") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries("systematic_sample")(spark, sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window operators in systematic_sample")
+    wins.foreach { w =>
+      val overAgg = w.child.collectFirst { case a: Aggregate => a }.isDefined
+      assert(overAgg || w.partitionSpec.size >= 2,
+        s"rows-scale window must partition by (source, shard), not source alone:\n$w")
+    }
+  }
+
+  test("robust family: no value-buffering percentile aggregate in any plan (grid-cell form)") {
+    Seq("quantile_bins", "outlier_mad", "winsorize", "dist_drift", "percentiles")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("percentile("),
+          s"$name still buffers values through an exact percentile aggregate:\n$p")
+      }
   }
 
   test("kmeans_iter: centroid joins broadcast, assignment never all-pairs") {
@@ -189,10 +210,9 @@ class PlanSpec extends SparkSpec {
       s"candidate set must broadcast, not shuffle:\n$p")
   }
 
-  test("dist_drift: binning is map-side against broadcast edges, no global window") {
+  test("dist_drift: binning is map-side against broadcast edges") {
     val p = plan("dist_drift")
-    assert(!p.contains("Window"), "binning must not use a global window")
-    assert(!p.contains("SortMergeJoin"), "edges must broadcast, not shuffle")
+    assert(!p.contains("SortMergeJoin"), "edges and totals must broadcast, not shuffle")
   }
 
   test("lm_score: unigram counts broadcast into the scoring join") {
@@ -257,11 +277,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("systematic_sample: one source-keyed window chain, nothing user-visible collects") {
+  test("systematic_sample: rows-scale exchange is (source, shard)-keyed, carry broadcasts") {
     val p = plan("systematic_sample")
-    val srcExchanges = "Exchange hashpartitioning\\(source".r.findAllIn(p).length
-    assert(srcExchanges == 1,
-      s"expected the cumsum and total windows to share one source exchange, got $srcExchanges\n$p")
+    val pairEx = "Exchange hashpartitioning\\(source#\\d+, shard".r.findAllIn(p).length
+    assert(pairEx >= 1, s"no (source, shard)-keyed exchange — prefix sum not decomposed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"carry frame must broadcast back:\n$p")
   }
 
   test("q20/q21/q2: share-of-group chains scan the fact exactly once (window, not re-derive)") {
