@@ -16,9 +16,12 @@ import org.apache.spark.sql.{DataFrame, Row}
   * per-partition idempotence coming from the upsert statement. No
   * driver-side collect at any scale.
   *
-  * The container has no database, so `write` is exercised only at
-  * the SQL-building and batching-math level (spec); the JDBC calls
-  * are the standard driver-manager path.
+  * Two statement dialects: Postgres `ON CONFLICT` (the reference's
+  * target) and ANSI `MERGE` (via `mergeTypes`) for engines without
+  * it. The full path — driver-manager connection, per-partition
+  * transaction, batch, 23505 retry, guarded LWW — is integration-
+  * tested against embedded Derby (DerbySinkSpec), which raises the
+  * SAME 23505 duplicate-key SQLSTATE the reference string-matches.
   */
 object JdbcUpsertSink {
 
@@ -50,6 +53,42 @@ object JdbcUpsertSink {
   def insertSql(table: String, columns: Seq[String]): String =
     s"INSERT INTO ${table} (${columns.mkString(", ")}) " +
       s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+
+  /** ANSI `MERGE` form of [[upsertSql]] for engines without
+    * `ON CONFLICT` (Derby, DB2, …). Derby only accepts a base table
+    * or table function as MERGE source, so the incoming row rides as
+    * typed parameter markers over `SYSIBM.SYSDUMMY1`; each column may
+    * therefore bind MORE than once (ON, guard, UPDATE SET, INSERT) —
+    * the returned `Seq[Int]` maps statement-parameter position →
+    * row-column index, in appearance order, for [[write]]'s batch
+    * binder. `types` are the SQL types the untyped markers are CAST
+    * to (Derby requires the cast). `guard` references the incoming
+    * row as `v.<col>` and the stored one as `t.<col>`; it becomes
+    * `WHEN MATCHED AND (guard)` — same conditional-LWW contract as
+    * the Postgres form's `WHERE`. */
+  def mergeSql(table: String, columns: Seq[String], types: Seq[String],
+               key: String, guard: String = null): (String, Seq[Int]) = {
+    require(columns.contains(key), s"key $key not in $columns")
+    require(types.size == columns.size, "one SQL type per column")
+    val collist = columns.mkString(", ")
+    val updates = columns.filterNot(_ == key)
+      .map(c => s"$c = v.$c").mkString(", ")
+    val inserts = columns.map(c => s"v.$c").mkString(", ")
+    val matched = if (guard == null) "WHEN MATCHED" else s"WHEN MATCHED AND ($guard)"
+    val tmpl = s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON t.$key = v.$key " +
+      s"$matched THEN UPDATE SET $updates " +
+      s"WHEN NOT MATCHED THEN INSERT ($collist) VALUES ($inserts)"
+    val vref = "v\\.([A-Za-z_][A-Za-z0-9_]*)".r
+    val order = vref.findAllMatchIn(tmpl).map { m =>
+      val i = columns.indexOf(m.group(1))
+      require(i >= 0, s"guard references unknown column v.${m.group(1)}")
+      i
+    }.toSeq
+    val sql = vref.replaceAllIn(tmpl, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"CAST(? AS ${types(columns.indexOf(m.group(1)))})"))
+    (sql, order)
+  }
 
   /** CREATE TABLE DDL from the DataFrame schema — the reference's
     * `AutoMigrate(&Decision{})` (main.go:95-97): the sink can bring
@@ -107,17 +146,22 @@ object JdbcUpsertSink {
     * default is the standard driver-manager path. */
   def write(df: DataFrame, url: String, table: String, key: String,
             batchSize: Int = 1000, props: java.util.Properties = new java.util.Properties,
-            connect: String => Connection = null, guard: String = null): Unit = {
+            connect: String => Connection = null, guard: String = null,
+            mergeTypes: Seq[String] = null): Unit = {
     val mkConn: String => Connection =
       if (connect != null) connect else u => DriverManager.getConnection(u, props)
     val columns = df.columns.toSeq
-    val sql = upsertSql(table, columns, key, guard)
+    // mergeTypes switches the statement to the ANSI MERGE dialect
+    // (engines without ON CONFLICT); guard syntax follows the dialect
+    val (sql, order) =
+      if (mergeTypes == null) (upsertSql(table, columns, key, guard), columns.indices.toSeq)
+      else mergeSql(table, columns, mergeTypes, key, guard)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn: Connection = mkConn(url)
         try {
           conn.setAutoCommit(false)
-          execBatches(conn, sql, rows, columns.size, batchSize)
+          execBatches(conn, sql, rows, order, batchSize)
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e
@@ -155,12 +199,15 @@ object JdbcUpsertSink {
                       props: java.util.Properties = new java.util.Properties,
                       // injectable for the no-DB test container; the
                       // default is the standard driver-manager path
-                      connect: String => Connection = null): Unit = {
+                      connect: String => Connection = null,
+                      mergeTypes: Seq[String] = null): Unit = {
     val mkConn: String => Connection =
       if (connect != null) connect else u => DriverManager.getConnection(u, props)
     val columns = df.columns.toSeq
     val ins = insertSql(table, columns)
-    val ups = upsertSql(table, columns, key)
+    val (ups, order) =
+      if (mergeTypes == null) (upsertSql(table, columns, key), columns.indices.toSeq)
+      else mergeSql(table, columns, mergeTypes, key)
     df.foreachPartition { rows: Iterator[Row] =>
       val buf = rows.toArray
       if (buf.nonEmpty) {
@@ -168,12 +215,12 @@ object JdbcUpsertSink {
         try {
           conn.setAutoCommit(false)
           try {
-            execBatches(conn, ins, buf.iterator, columns.size, batchSize)
+            execBatches(conn, ins, buf.iterator, columns.indices.toSeq, batchSize)
             conn.commit()
           } catch {
             case e: Throwable if isDuplicateKey(e) =>
               conn.rollback()
-              execBatches(conn, ups, buf.iterator, columns.size, batchSize)
+              execBatches(conn, ups, buf.iterator, order, batchSize)
               conn.commit()
           }
         } catch {
@@ -183,12 +230,15 @@ object JdbcUpsertSink {
     }
   }
 
+  /** `bindOrder` maps statement-parameter position → row-column index
+    * (identity for INSERT/ON CONFLICT; appearance order for MERGE,
+    * where a column can bind several times). */
   private def execBatches(conn: Connection, sql: String, rows: Iterator[Row],
-                          nCols: Int, batchSize: Int): Unit = {
+                          bindOrder: Seq[Int], batchSize: Int): Unit = {
     val st = conn.prepareStatement(sql)
     var inBatch = 0
     rows.foreach { row =>
-      (0 until nCols).foreach(i => st.setObject(i + 1, row.get(i)))
+      bindOrder.zipWithIndex.foreach { case (c, p) => st.setObject(p + 1, row.get(c)) }
       st.addBatch()
       inBatch += 1
       if (inBatch == batchSize) { st.executeBatch(); inBatch = 0 }

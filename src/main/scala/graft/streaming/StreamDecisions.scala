@@ -37,6 +37,10 @@ object StreamDecisions {
     val rows = new scala.collection.concurrent.TrieMap[String, Row]()
     @volatile var schema: StructType = _
     val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Attempted row merges (including guard-rejected ones) — lets the
+      * restart spec prove already-committed files are NOT re-offered
+      * to the sink after recovery. */
+    val merges = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
   /** Store-backed `java.sql.Connection`: what stands in for Postgres
@@ -121,6 +125,7 @@ object StreamDecisions {
     * when the file source splits the input (maxFilesPerTrigger, late
     * staging) and a later batch carries an OLDER row. */
   private[graft] def mergeRow(r: Row): Unit = {
+    Store.merges.incrementAndGet()
     val k = r.getAs[String]("uuid")
     Store.rows.get(k) match {
       case Some(cur) if !beats(r, cur) => // stored row is newer: keep
@@ -131,12 +136,30 @@ object StreamDecisions {
   private[graft] def mergeBatch(rows: Iterable[Row]): Unit =
     rows.foreach(mergeRow)
 
-  def run(s: SparkSession, dir: String): DataFrame = {
-    Store.rows.clear()
-    Store.commits.set(0)
+  /** One micro-batch through THE production sink: per-batch LWW, then
+    * JdbcUpsertSink.write — foreachPartition on executor threads (no
+    * driver-side collect at any scale) against the store-backed
+    * connection; a deployment with a database passes its JDBC url
+    * instead. */
+  private[graft] def upsertBatch(batch: DataFrame): Unit = {
+    val lww = Upsert.lastWriteWins(batch, Seq("uuid"), Decisions.lwwOrder)
+    val schema = lww.schema
+    Store.schema = schema
+    graft.sinks.JdbcUpsertSink.write(lww, "jdbc:store", "decisions", "uuid",
+      connect = _ => storeConnection(schema), guard = lwwGuardSql)
+  }
+
+  /** The runnable pipeline: watched staging dir → parse → LWW upsert
+    * sink. `checkpoint` pins a checkpointLocation so a STOPPED query
+    * can be restarted against the same progress log (the production
+    * recovery contract — spec-proven in SinkStreamSpec's restart
+    * test); null keeps the engine's per-run temp checkpoint. */
+  private[graft] def startQuery(s: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      checkpoint: String = null): org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = s.readStream
-      .schema(s.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
+      .schema(s.read.option("pathGlobFilter", glob).parquet(dir).schema)
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .transform(Tables.normalizeTs)
       // a micro-batch inherits the file split count — one daily dump
@@ -145,19 +168,16 @@ object StreamDecisions {
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val parsed = Decisions.parse(Decisions.synthFrom(raw).drop("event_id"))
       .filter(col("uuid") =!= "")
-    val q = parsed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // per-batch LWW, then THE production sink: JdbcUpsertSink.write
-        // runs foreachPartition on executor threads (no driver-side
-        // collect at any scale) against the store-backed connection —
-        // a deployment with a database passes its JDBC url instead
-        val lww = Upsert.lastWriteWins(batch, Seq("uuid"), Decisions.lwwOrder)
-        val schema = lww.schema
-        Store.schema = schema
-        graft.sinks.JdbcUpsertSink.write(lww, "jdbc:store", "decisions", "uuid",
-          connect = _ => storeConnection(schema), guard = lwwGuardSql)
-      }
+    val w = parsed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch) }
+    (if (checkpoint == null) w else w.option("checkpointLocation", checkpoint))
       .start()
+  }
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    Store.rows.clear()
+    Store.commits.set(0)
+    val q = startQuery(s, dir)
     q.processAllAvailable()
     q.stop()
     // parallelize instead of a driver-local relation: downstream
