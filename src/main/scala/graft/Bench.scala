@@ -40,6 +40,8 @@ object Bench {
     ingest.FetchFixture.ensure(spark, sfDir)
     ingest.DecisionFixture.ensure(spark, sfDir)
     operators.Dedup.ensureCorpusIndex(spark, sfDir) // dedup_incremental reads it
+    operators.Dedup.ensureClusterLabels(spark, sfDir) // dedup_apply reads it
+    operators.CorpusClean.ensureBpeTokens(spark, sfDir) // bpe_apply reads it
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -59,10 +61,13 @@ object Bench {
         else math.min(once(), once()) match { case w if w < 0 => -1.0; case w => w }
       (name, cold, warm)
     }
-    // 3-decimal seconds keep the line short; total and count lead so
-    // a truncated capture still carries the headline numbers, and the
-    // full line is ALSO written to bench_last.json (committed with the
-    // round snapshot) so stdout truncation can never lose the data
+    // 3-decimal seconds keep the line short. The headline numbers go
+    // out TWICE: a compact summary-only line FIRST (short enough that
+    // no capture truncates it), then the full per-query line — both
+    // valid instances of the one-JSON-line contract, so a parser
+    // reading either the first or the last line gets totals. The full
+    // line is ALSO written to bench_last.json (committed with the
+    // round snapshot) so stdout truncation can never lose the data.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def qjson(sel: ((String, Double, Double)) => Double) =
       results.map(t => "\"" + t._1 + "\":" + r3(sel(t))).mkString("{", ",", "}")
@@ -70,7 +75,9 @@ object Bench {
       .mkString("[", ",", "]")
     val total = r3(results.collect { case (_, c, _) if c >= 0 => c }.sum)
     val warmTotal = r3(results.collect { case (_, _, w) if w >= 0 => w }.sum)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","failed":$failed}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","failed":$failed,"queries":${qjson(_._2)},"queries_warm":${qjson(_._3)}}"""
+    println(summary)
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), line + "\n")

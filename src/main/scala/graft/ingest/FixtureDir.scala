@@ -36,8 +36,10 @@ object FixtureDir {
   }
 
   private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRec(c))
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRec(c)) finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 }

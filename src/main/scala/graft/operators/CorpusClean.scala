@@ -432,9 +432,29 @@ object CorpusClean {
     * never pairwise. The oracle replays the SAME algebra as generated
     * chained CTEs with NO injected per-round constants: DuckDB
     * computes its own argmax each round, so the hash gate
-    * cross-checks Spark's merge decisions end-to-end. */
+    * cross-checks Spark's merge decisions end-to-end.
+    *
+    * Tiebreak collation caveat: equal-count pairs break ties by
+    * (w, w1) string order, which must agree across THREE engines —
+    * Spark's UTF8 binary order, DuckDB's binary collation, and the
+    * property spec's Java String order (UTF-16 code units). These
+    * coincide on ASCII (and all of the BMP below surrogates) but
+    * diverge for supplementary-plane characters, where UTF-8 byte
+    * order sorts by code point and UTF-16 sorts surrogate pairs
+    * below U+E000. The corpus generator emits ASCII tokens only, so
+    * the tie order is engine-invariant here; a corpus with astral
+    * tokens would need an explicit codepoint-keyed tiebreak. */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bpeTrainRun(s, dir)._2.toDF("round", "left", "right", "n_pair", "n_applied")
+  }
+
+  /** The training loop itself: returns the ENCODED token table after
+    * all [[BpeTrainRounds]] merges plus the merge report rows —
+    * [[bpeTrain]] reports the merges, [[ensureBpeTokens]] persists
+    * the encoded corpus for downstream consumers. */
+  private[graft] def bpeTrainRun(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var toks = documents(s, dir).select(col("doc_id"),
       posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
@@ -452,7 +472,49 @@ object CorpusClean {
       toks = applyMerge(staged, r).localCheckpoint()
       merges += ((round, l, r, n, applied))
     }
-    merges.result().toDF("round", "left", "right", "n_pair", "n_applied")
+    (toks, merges.result())
+  }
+
+  /** Root for the materialized ENCODED corpus (doc_id, pos, w) after
+    * BPE training — the [[graft.operators.Dedup.ClusterLabelsRoot]]
+    * write-once lifecycle for the tokenizer artifact: training runs
+    * once, every downstream consumer reads the persisted encoding. */
+  val BpeTokensRoot = "target/graft_bpe_tokens"
+
+  def bpeTokensPath(dir: String): String =
+    s"$BpeTokensRoot/${new java.io.File(dir).getName}"
+
+  /** Train + persist the encoded corpus at most once per (JVM, dir). */
+  def ensureBpeTokens(s: SparkSession, dir: String): String = {
+    val path = bpeTokensPath(dir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      bpeTrainRun(s, dir)._1.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** K68: APPLY the trained BPE merges — the encode half of the
+    * tokenizer loop (K63 trains, this measures the encoding): per
+    * source, document count, token counts before and after the
+    * merges, and the compression ratio. Reads the PERSISTED encoded
+    * corpus of [[ensureBpeTokens]]; the before-side token count is a
+    * map-only `size(tokens)` over documents — no second explode. One
+    * doc-keyed join + one source-keyed aggregate; at 100 TB the
+    * encoded corpus is the artifact you materialize ANYWAY (it feeds
+    * packing/sharding), so apply-side queries never re-pay training.
+    * Each applied merge fuses exactly two tokens into one, so
+    * tokens_before − tokens_after = Σ n_applied — the cross-query
+    * conservation the spec gates against K63's report. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val toks = s.read.parquet(ensureBpeTokens(s, dir))
+    val before = documents(s, dir).select(col("doc_id"), col("source"),
+      size(TextFns.wsTokens(lower(col("text")))).cast("long").as("nb"))
+    val after = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    before.join(after, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("tokens_before"),
+        sum(col("na")).as("tokens_after"))
+      .withColumn("compression",
+        round(col("tokens_after").cast("double") / col("tokens_before"), 4))
   }
 
   /** The greedy-scan merge DECISION for pair (l, r) on a token frame
@@ -485,7 +547,10 @@ object CorpusClean {
         when(col("m"), concat(col("w"), lit("_"), lit(r))).otherwise(col("w")).as("w"))
   }
 
-  lazy val bpeTrainSql: String = {
+  /** The shared CTE chain (t0 = raw tokens … t{N} = tokens after N
+    * merges), each round computing ITS OWN argmax — the DuckDB twin
+    * of [[bpeTrainRun]]'s loop. */
+  private lazy val bpeCtes: String = {
     val base =
       """t0 AS (
         |  SELECT doc_id,
@@ -520,10 +585,24 @@ object CorpusClean {
          |        FROM m$k)
          |  WHERE NOT consumed)""".stripMargin
     }
+    s"WITH $base,\n${rounds.mkString(",\n")}"
+  }
+
+  lazy val bpeTrainSql: String = {
     val report = (1 to BpeTrainRounds).map { k =>
       s"""SELECT $k AS round, l AS "left", r AS "right", n AS n_pair,
          |  (SELECT applied FROM a$k)::BIGINT AS n_applied FROM b$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"WITH $base,\n${rounds.mkString(",\n")}\n$report"
+    s"$bpeCtes\n$report"
   }
+
+  lazy val bpeApplySql: String =
+    s"""$bpeCtes,
+       |bfr AS (SELECT doc_id, count(*) AS nb FROM t0 GROUP BY 1),
+       |aft AS (SELECT doc_id, count(*) AS na FROM t$BpeTrainRounds GROUP BY 1)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(nb)::BIGINT AS tokens_before, sum(na)::BIGINT AS tokens_after,
+       |  round(sum(na)::DOUBLE / sum(nb), 4) AS compression
+       |FROM documents JOIN bfr USING (doc_id) JOIN aft USING (doc_id)
+       |GROUP BY source""".stripMargin
 }

@@ -173,6 +173,31 @@ object Dedup {
     path
   }
 
+  /** Root for materialized cluster-label frames, one subdir per
+    * scale dir — the same write-once/read-thereafter lifecycle as
+    * [[CorpusIndexRoot]], for the CLUSTERING's output instead of the
+    * LSH index: (doc_id, cluster_id, cluster_size) as plain keyed
+    * parquet. [[dedupClusters]] is the job that produces it;
+    * downstream consumers ([[dedupApply]]) join the persisted labels
+    * instead of re-running LSH + union-find per query. Delete the
+    * subdir to force a rebuild after a corpus or threshold change. */
+  val ClusterLabelsRoot = "target/graft_cluster_labels"
+
+  def clusterLabelsPath(dir: String): String =
+    s"$ClusterLabelsRoot/${new java.io.File(dir).getName}"
+
+  /** Run the clustering once and PERSIST its labels. */
+  def buildClusterLabels(s: SparkSession, dir: String, path: String): Unit =
+    dedupClusters(s, dir).write.mode("overwrite").parquet(path)
+
+  /** Build the label frame at most once per (JVM, scale dir). */
+  def ensureClusterLabels(s: SparkSession, dir: String): String = {
+    val path = clusterLabelsPath(dir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      buildClusterLabels(s, dir, path)
+    path
+  }
+
   /** The DAILY-RUN half of incremental dedup: shingle ONLY today's
     * batch, anti-join the index's hot-gram list (broadcast), sign and
     * band the batch, then candidates come from batch-bands ⋈ the
@@ -427,13 +452,18 @@ object Dedup {
     * row per cluster with the kept representative (the cluster
     * minimum, same canonical choice as C1), how many members merged
     * into it, the provenance source set, and the byte accounting
-    * (kept vs removed chars) that feeds the dataset card. One join of
-    * labels to doc metadata + one cluster-keyed aggregate on top of
-    * the clustering — at 100 TB the aggregate shuffles (cluster,
-    * partial) rows, and singleton clusters dominate so the output is
-    * ≈ corpus-sized, written back out as the new corpus manifest. */
+    * (kept vs removed chars) that feeds the dataset card. Labels come
+    * from the PERSISTED frame of [[ensureClusterLabels]] — the
+    * clustering (LSH pairs + union-find) runs once per corpus, and
+    * this query is only the consumer: one join of labels to doc
+    * metadata + one cluster-keyed aggregate. At 100 TB the aggregate
+    * shuffles (cluster, partial) rows, and singleton clusters
+    * dominate so the output is ≈ corpus-sized, written back out as
+    * the new corpus manifest; the expensive clustering is never
+    * re-paid by downstream consumers. */
   def dedupApply(s: SparkSession, dir: String): DataFrame = {
-    val clu = dedupClusters(s, dir) // (doc_id, cluster_id, cluster_size)
+    // (doc_id, cluster_id, cluster_size), materialized once per corpus
+    val clu = s.read.parquet(ensureClusterLabels(s, dir))
     val docs = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
     clu.join(docs, "doc_id")
       .groupBy(col("cluster_id").as("keep_id"))

@@ -248,4 +248,68 @@ object Maintenance {
       edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
       .mkString("", "\nUNION ALL\n", "")
   }
+
+  /** K67: ordered CDC log compaction (the Debezium-shape replay) —
+    * H17 applies ONE batch of changes; this replays a full ordered
+    * op LOG per key and emits the compacted final state. Events
+    * stand in as the log over user_id: signup = create, error =
+    * delete (tombstone), everything else = update. Last op wins; a
+    * key whose last op is a tombstone is dead-but-accounted (the
+    * `alive` flag — compaction keeps the tombstone row until
+    * retention, as real log-compacted stores do). The genuinely
+    * ORDER-dependent statistic is `n_resurrections`: creates/updates
+    * that immediately follow a tombstone (op ≠ d with lag(op) = d) —
+    * a set-aggregate can't see it, only the per-key sequence can.
+    * Shape: ONE user-keyed exchange; the lag window and the final
+    * aggregate share that partitioning (no second shuffle), order
+    * within a key is (ts, event_id) — total, engine-invariant. At
+    * 100 TB the log is date-partitioned and compaction shuffles
+    * (key, partial) per key exactly like this; state never exceeds
+    * one key's rows per task. */
+  def cdcReplay(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ops = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u").as("op"))
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+    ops.groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("op"))).as("last"),
+        sum(when(col("op") === "c", 1L).otherwise(0L)).as("n_creates"),
+        sum(when(col("op") === "u", 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_deletes"),
+        sum(when(col("op") =!= "d" && col("prev_op") === "d", 1L)
+          .otherwise(0L)).as("n_resurrections"))
+      .select(col("user_id"),
+        (col("last.op") =!= "d").as("alive"),
+        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("last.op").as("last_op"),
+        col("n_creates"), col("n_updates"), col("n_deletes"),
+        col("n_resurrections"))
+  }
+
+  val cdcReplaySql: String =
+    """WITH ops AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CASE WHEN event_type = 'signup' THEN 'c'
+      |         WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+      |  FROM events),
+      |seq AS (
+      |  SELECT *,
+      |    lag(op) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_op,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM ops)
+      |SELECT user_id,
+      |  max(CASE WHEN rn = 1 THEN op END) <> 'd' AS alive,
+      |  strftime(max(CASE WHEN rn = 1 THEN ts END), '%Y-%m-%d %H:%M:%S') AS last_ts,
+      |  max(CASE WHEN rn = 1 THEN op END) AS last_op,
+      |  sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END)::BIGINT AS n_creates,
+      |  sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END)::BIGINT AS n_updates,
+      |  sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END)::BIGINT AS n_deletes,
+      |  sum(CASE WHEN op <> 'd' AND prev_op = 'd' THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_resurrections
+      |FROM seq GROUP BY user_id""".stripMargin
 }

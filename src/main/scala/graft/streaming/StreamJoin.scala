@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,20 +20,6 @@ import graft.Tables
   * result equals the relational join — the oracle.
   */
 object StreamJoin {
-
-  private def stage(df: DataFrame, watchDir: String, wave: String): Unit = {
-    val tmp = Files.createTempDirectory(Paths.get(watchDir).getParent, s"stage_$wave")
-    df.coalesce(2).write.mode("overwrite").parquet(tmp.toString)
-    var i = 0
-    Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .forEach { p =>
-        Files.move(p, Paths.get(watchDir, s"${wave}_$i.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-        i += 1
-      }
-    Files.list(tmp).forEach(p => Files.deleteIfExists(p): Unit)
-    Files.deleteIfExists(tmp)
-  }
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -59,8 +45,8 @@ object StreamJoin {
       .writeStream.format("memory").queryName(mem).outputMode("append")
       .start()
     try {
-      stage(views, vDir.toString, "v")
-      stage(purchases, pDir.toString, "p")
+      Staging.stage(views, vDir.toString, "v")
+      Staging.stage(purchases, pDir.toString, "p")
       q.processAllAvailable()
     } finally q.stop()
     val out = s.table(mem)
@@ -69,8 +55,8 @@ object StreamJoin {
         date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("pts"))
       .localCheckpoint()
     s.catalog.dropTempView(mem)
-    Seq(vDir, pDir).foreach(d => Files.list(d).forEach(p => Files.deleteIfExists(p): Unit))
-    Files.deleteIfExists(vDir); Files.deleteIfExists(pDir); Files.deleteIfExists(base)
+    Seq(vDir, pDir).foreach(Staging.clearDir)
+    Files.deleteIfExists(base)
     out
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,28 +20,18 @@ import graft.Tables
   * view whose deadline sits exactly at the final watermark has been
   * flushed is engine-internal. The emitted null set is therefore
   * normalized to the views at least a full watermark-delay BELOW the
-  * final watermark (deadline vts+1h ≤ max(pts)−3h ⇒ strictly inside
-  * any correct implementation's evicted region — matched rows are
-  * boundary-free and pass through unfiltered). The oracle replays
-  * exactly that: a relational left join plus the same margin cutoff
-  * computed from the same max(pts), so the gate checks the null
-  * semantics, not scheduler accidents.
+  * final GLOBAL watermark: under Spark's default 'min' multiple-
+  * watermark policy eviction is driven by least(max(vts), max(pts)),
+  * so the margin (deadline vts+1h ≤ wm−3h) is computed from that
+  * least on BOTH sides of the gate — strictly inside any correct
+  * implementation's evicted region even if one stream's event time
+  * runs hours past the other's (matched rows are boundary-free and
+  * pass through unfiltered). The oracle replays exactly that: a
+  * relational left join plus the same margin cutoff from the same
+  * least(), so the gate checks the null semantics, not scheduler
+  * accidents.
   */
 object StreamJoinOuter {
-
-  private def stage(df: DataFrame, watchDir: String, wave: String): Unit = {
-    val tmp = Files.createTempDirectory(Paths.get(watchDir).getParent, s"stage_$wave")
-    df.coalesce(2).write.mode("overwrite").parquet(tmp.toString)
-    var i = 0
-    Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .forEach { p =>
-        Files.move(p, Paths.get(watchDir, s"${wave}_$i.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-        i += 1
-      }
-    Files.list(tmp).forEach(p => Files.deleteIfExists(p): Unit)
-    Files.deleteIfExists(tmp)
-  }
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -68,17 +58,23 @@ object StreamJoinOuter {
       .writeStream.format("memory").queryName(mem).outputMode("append")
       .start()
     try {
-      stage(views, vDir.toString, "v")
-      stage(purchases, pDir.toString, "p")
+      Staging.stage(views, vDir.toString, "v")
+      Staging.stage(purchases, pDir.toString, "p")
       q.processAllAvailable()
     } finally q.stop()
-    // deadline(v) = vts + 1h; keep nulls only with deadline ≤ max(pts) − 3h
-    // (one full watermark delay inside the provably-evicted region)
-    val cutoff = purchases.agg(max(col("pts")).as("max_pts"))
+    // deadline(v) = vts + 1h; keep nulls only with deadline ≤ wm − 3h
+    // where wm = least(max(vts), max(pts)) — under Spark's default
+    // 'min' multiple-watermark policy the evicted region is bounded by
+    // the SLOWER stream's max, so the margin must be computed from the
+    // global watermark, not max(pts) alone (safe even if one side's
+    // event time ran hours past the other's)
+    val cutoff = views.agg(max(col("vts")).as("max_vts"))
+      .crossJoin(purchases.agg(max(col("pts")).as("max_pts")))
+      .select(least(col("max_vts"), col("max_pts")).as("wm"))
     val out = s.table(mem)
       .crossJoin(broadcast(cutoff))
       .filter(col("pid").isNotNull ||
-        col("vts") + expr("INTERVAL 1 HOUR") <= col("max_pts") - expr("INTERVAL 3 HOURS"))
+        col("vts") + expr("INTERVAL 1 HOUR") <= col("wm") - expr("INTERVAL 3 HOURS"))
       .select(col("vid"), col("user_id"),
         date_format(col("vts"), "yyyy-MM-dd HH:mm:ss").as("vts"),
         col("pid"),
@@ -86,8 +82,8 @@ object StreamJoinOuter {
         col("pid").isNull.cast("int").as("unmatched"))
       .localCheckpoint()
     s.catalog.dropTempView(mem)
-    Seq(vDir, pDir).foreach(d => Files.list(d).forEach(p => Files.deleteIfExists(p): Unit))
-    Files.deleteIfExists(vDir); Files.deleteIfExists(pDir); Files.deleteIfExists(base)
+    Seq(vDir, pDir).foreach(Staging.clearDir)
+    Files.deleteIfExists(base)
     out
   }
 
@@ -98,7 +94,8 @@ object StreamJoinOuter {
       |p AS (
       |  SELECT event_id AS pid, user_id AS p_user, CAST(ts AS TIMESTAMP) AS pts
       |  FROM events WHERE event_type = 'purchase'),
-      |mp AS (SELECT max(pts) AS max_pts FROM p)
+      |mp AS (SELECT least((SELECT max(vts) FROM v),
+      |                    (SELECT max(pts) FROM p)) AS wm)
       |SELECT vid, v.user_id,
       |  strftime(vts, '%Y-%m-%d %H:%M:%S') AS vts,
       |  pid,
@@ -108,5 +105,5 @@ object StreamJoinOuter {
       |  ON v.user_id = p_user
       | AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR, mp
       |WHERE pid IS NOT NULL
-      |   OR vts + INTERVAL 1 HOUR <= max_pts - INTERVAL 3 HOUR""".stripMargin
+      |   OR vts + INTERVAL 1 HOUR <= wm - INTERVAL 3 HOUR""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,23 +32,6 @@ import graft.Tables
   */
 object StreamLateData {
 
-  /** Move `df`'s parquet part-files into the watched dir under a
-    * wave prefix (the file-stream source picks them up next batch). */
-  private def stage(df: DataFrame, watchDir: String, wave: String): Unit = {
-    val tmp = Files.createTempDirectory(Paths.get(watchDir).getParent, s"stage_$wave")
-    df.coalesce(2).write.mode("overwrite").parquet(tmp.toString)
-    var i = 0
-    Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .forEach { p =>
-        Files.move(p, Paths.get(watchDir, s"${wave}_$i.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-        i += 1
-      }
-    // scrub the leftovers (_SUCCESS, crc files)
-    Files.list(tmp).forEach(p => Files.deleteIfExists(p): Unit)
-    Files.deleteIfExists(tmp)
-  }
-
   def run(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("ts"),
@@ -71,9 +54,9 @@ object StreamLateData {
       .writeStream.format("memory").queryName(mem).outputMode("append")
       .start()
     try {
-      stage(a, watch.toString, "wave_a")
+      Staging.stage(a, watch.toString, "wave_a")
       q.processAllAvailable() // watermark advances to max(ts_A) - 1h
-      stage(b, watch.toString, "wave_b")
+      Staging.stage(b, watch.toString, "wave_b")
       q.processAllAvailable() // late B rows dropped, dup B keys dropped
     } finally q.stop()
     val out = s.table(mem)
@@ -82,8 +65,7 @@ object StreamLateData {
       // materialize off the transient memory table before cleanup
       .localCheckpoint()
     s.catalog.dropTempView(mem)
-    Files.list(watch).forEach(p => Files.deleteIfExists(p): Unit)
-    Files.deleteIfExists(watch)
+    Staging.clearDir(watch)
     out
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -30,20 +30,6 @@ object StreamSessionWindow {
 
   val GapMinutes = 30
 
-  private def stage(df: DataFrame, watchDir: String): Unit = {
-    val tmp = Files.createTempDirectory(Paths.get(watchDir).getParent, "stage_e")
-    df.coalesce(2).write.mode("overwrite").parquet(tmp.toString)
-    var i = 0
-    Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .forEach { p =>
-        Files.move(p, Paths.get(watchDir, s"e_$i.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-        i += 1
-      }
-    Files.list(tmp).forEach(p => Files.deleteIfExists(p): Unit)
-    Files.deleteIfExists(tmp)
-  }
-
   def run(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir).select(col("user_id"), col("ts"))
 
@@ -58,7 +44,7 @@ object StreamSessionWindow {
       .writeStream.format("memory").queryName(mem).outputMode("append")
       .start()
     try {
-      stage(events, eDir.toString)
+      Staging.stage(events, eDir.toString, "e")
       q.processAllAvailable()
     } finally q.stop()
     val cutoff = events.agg(max(col("ts")).as("max_ts"))
@@ -71,8 +57,8 @@ object StreamSessionWindow {
         col("n_events"))
       .localCheckpoint()
     s.catalog.dropTempView(mem)
-    Files.list(eDir).forEach(p => Files.deleteIfExists(p): Unit)
-    Files.deleteIfExists(eDir); Files.deleteIfExists(base)
+    Staging.clearDir(eDir)
+    Files.deleteIfExists(base)
     out
   }
 

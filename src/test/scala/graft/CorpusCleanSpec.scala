@@ -320,12 +320,16 @@ class CorpusCleanSpec extends SparkSpec {
       .select(col("event_id").as("vid"), col("user_id"), col("ts").as("vts"))
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    // global watermark under the default 'min' policy: the SLOWER
+    // stream's max drives eviction — same least() as the operator
     val maxPts = p.agg(max(col("pts"))).collect()(0).getTimestamp(0).toInstant
+    val maxVts = v.agg(max(col("vts"))).collect()(0).getTimestamp(0).toInstant
+    val wm = if (maxVts.isBefore(maxPts)) maxVts else maxPts
     val expectedNull = v.join(p, col("user_id") === col("pu") &&
         col("pts") >= col("vts") && col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"),
         "left_anti")
       .filter(col("vts") + expr("INTERVAL 1 HOUR") <=
-        lit(java.sql.Timestamp.from(maxPts.minusSeconds(3 * 3600))))
+        lit(java.sql.Timestamp.from(wm.minusSeconds(3 * 3600))))
       .collect().map(_.getAs[Long]("vid")).toSet
     assert(nullVids == expectedNull)
     assert(nullVids.nonEmpty, "no unmatched views — outer semantics vacuous")
@@ -369,6 +373,27 @@ class CorpusCleanSpec extends SparkSpec {
     // n_applied < n_pair somewhere, or no same-token pair ever won)
     val sameTok = rows.filter(t => t._2 == t._3)
     sameTok.foreach { t => assert(t._5 <= t._4) }
+  }
+
+  test("bpe_apply: compression conserves Σ n_applied against bpe_train") {
+    val applyRows = run("bpe_apply").collect()
+    val trainRows = run("bpe_train").collect()
+    // each applied merge fuses exactly two tokens into one
+    val totalApplied = trainRows.map(_.getAs[Long]("n_applied")).sum
+    val before = applyRows.map(_.getAs[Long]("tokens_before")).sum
+    val after = applyRows.map(_.getAs[Long]("tokens_after")).sum
+    assert(before - after == totalApplied,
+      s"token conservation broken: $before - $after != $totalApplied")
+    assert(after < before, "no merge applied anywhere — vacuous")
+    applyRows.foreach { r =>
+      val c = r.getAs[Double]("compression")
+      assert(c > 0.0 && c <= 1.0, s"compression out of range: $c")
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+    // every source is represented
+    assert(applyRows.map(_.getAs[String]("source")).toSet ==
+      Tables.documents(spark, sf).select("source").distinct()
+        .collect().map(_.getString(0)).toSet)
   }
 
   test("bpe merge-apply: island parity equals sequential greedy on adversarial runs") {

@@ -11,6 +11,26 @@ import org.scalatest.funsuite.AnyFunSuite
   * prove the config-driven entry point installs the SAME builders. */
 class ExtensionsSpec extends AnyFunSuite {
 
+  test("str_poly_hash WHOLE-STAGE CODEGEN path matches the fold, astral plane included") {
+    // the generated code (doGenCode's codePointAt/charCount loop) is a
+    // separate implementation from StrPolyHash.hash — drive it through
+    // a real projection over strings with 1-, 2-, 3- and 4-byte UTF-8
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val astral = new String(Character.toChars(0x1F600)) // U+1F600, 4-byte
+    val gothic = new String(Character.toChars(0x10348)) // U+10348, 4-byte
+    val samples = Seq("", "hello", "café", "中文",
+      astral * 3, s"mix$gothic tail$astral", gothic + astral)
+    val got = samples.toDF("t")
+      .select(org.apache.spark.sql.functions.col("t"),
+        graft.functions.HashFns.strHash(org.apache.spark.sql.functions.col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(got(s) == graft.plans.StrPolyHash.hash(s, 31L),
+        s"codegen hash diverges on ${s.codePoints().toArray.mkString("[", ",", "]")}")
+    }
+  }
+
   test("GraftExtensions installs every GraftFunctions entry without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on a bad descriptor

@@ -43,6 +43,36 @@ class KernelPropertySpec extends AnyFunSuite {
     check(forAll(bmp) { s => StrPolyHash.hash(s, 31L) == refFold(s, 31L) })
   }
 
+  /** Strings over the FULL code-point range, astral plane included —
+    * surrogate pairs must step by Character.charCount, and the UTF-8
+    * (UTF8String) and UTF-16 (java String) views of the same text
+    * must hash identically. Surrogate range excluded: lone surrogates
+    * are not valid scalar values and UTF8String transcoding replaces
+    * them (DuckDB would reject such input outright). */
+  private val anyPlane: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      4 -> Gen.choose(32, 126),
+      1 -> Gen.choose(0x00A1, 0xD7FF),
+      2 -> Gen.choose(0x10000, 0x10FFFF)))
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+
+  test("StrPolyHash.hash handles astral code points (4-byte UTF-8) by code point") {
+    check(forAll(anyPlane) { s => StrPolyHash.hash(s, 31L) == refFold(s, 31L) })
+  }
+
+  test("StrPolyHash expression eval (UTF8String round-trip) matches the fold on astral input") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    check(forAll(anyPlane) { s =>
+      // the interpreted Expression path decodes from UTF-8 bytes — the
+      // exact representation executor rows carry
+      val e = StrPolyHash(
+        Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType),
+        Literal(31L))
+      e.eval(null).asInstanceOf[Long] == refFold(s, 31L)
+    })
+  }
+
   test("StrPolyHash stays within [0, P) and empty hashes to 0") {
     assert(StrPolyHash.hash("", 31L) == 0L)
     check(forAll(asciiString) { s =>

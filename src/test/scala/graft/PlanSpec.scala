@@ -92,6 +92,17 @@ class PlanSpec extends SparkSpec {
       s"daily plan does not read the materialized bands+posts index:\n$p")
   }
 
+  test("dedup_apply consumes the persisted labels — no LSH/union-find re-run, no corpus text scan") {
+    graft.operators.Dedup.ensureClusterLabels(spark, sf)
+    val p = plan("dedup_apply")
+    val scanLines = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scanLines.exists(_.contains("graft_cluster_labels")),
+      s"dedup_apply does not read the materialized label frame:\n$p")
+    scanLines.filter(_.contains("documents.parquet")).foreach(l =>
+      assert(!l.contains("text"),
+        s"dedup_apply rescans corpus text (clustering re-run): $l"))
+  }
+
   test("dpp_join: the fact scan carries a dynamic partition-pruning filter") {
     val p = plan("dpp_join")
     assert(p.toLowerCase.contains("dynamicpruning"),

@@ -240,25 +240,32 @@ class SinkStreamSpec extends SparkSpec {
     // local reference: per-user sorted event times, break at gap ≥ 30 min
     // (session_window's end-exclusive merge rule), end = last + gap,
     // same margin cutoff as the operator
+    // compare in MICROSECONDS: the operator and oracle both work at
+    // epoch_us precision, and Timestamp.getTime truncates sub-ms — a
+    // pair of events exactly at the gap boundary with sub-ms parts
+    // could merge in Spark but break in an ms-granular fold
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
     val byUser = Tables.events(spark, sf).select("user_id", "ts").collect()
-      .map(r => r.getLong(0) -> r.getTimestamp(1))
-      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getTime)).toMap
-    val maxTs = byUser.values.flatten.map(_.getTime).max
-    val cutoff = maxTs - 3L * 3600 * 1000
-    val gapMs = GapMinutes.toLong * 60 * 1000
+      .map(r => r.getLong(0) -> us(r.getTimestamp(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val maxUs = byUser.values.flatten.max
+    val cutoff = maxUs - 3L * 3600 * 1000000
+    val gapUs = GapMinutes.toLong * 60 * 1000000
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def fmtUs(u: Long): String =
+      fmt.format(new java.util.Date(Math.floorDiv(u, 1000L)))
     val expected = byUser.iterator.flatMap { case (u, ts) =>
       // fold into sessions: head of `cur` is the LAST event seen
-      val sessions = ts.foldLeft(List.empty[List[java.sql.Timestamp]]) {
-        case (cur :: rest, t) if t.getTime - cur.head.getTime < gapMs =>
+      val sessions = ts.foldLeft(List.empty[List[Long]]) {
+        case (cur :: rest, t) if t - cur.head < gapUs =>
           (t :: cur) :: rest
         case (acc, t) => List(t) :: acc
       }.map(_.reverse).reverse
       sessions.collect {
-        case sess if sess.last.getTime + gapMs <= cutoff =>
-          (u, fmt.format(sess.head), fmt.format(
-            new java.util.Date(sess.last.getTime + gapMs)), sess.length.toLong)
+        case sess if sess.last + gapUs <= cutoff =>
+          (u, fmtUs(sess.head), fmtUs(sess.last + gapUs), sess.length.toLong)
       }
     }.toSet
     assert(got == expected)
