@@ -718,4 +718,68 @@ object Behavior {
       |  round(CASE WHEN cnt IS NOT NULL THEN cnt::DOUBLE
       |        ELSE (pv * (nh - h) + nv * (h - ph)) / (nh - ph) END, 4) AS interp
       |FROM br""".stripMargin
+
+  /** K69: closed-form LINEAR TREND per series — ordinary least
+    * squares of daily event counts against the day index, computed
+    * entirely from BIGINT moment sums (n, Σx, Σy, Σxy, Σx², Σy²):
+    * slope, intercept and r² are column algebra over exact integers,
+    * so both engines divide the SAME integers and produce identical
+    * doubles — no per-engine iterative fitter anywhere. Fit is over
+    * OBSERVED days (a day with zero events of a type contributes no
+    * point). Shape: one (type, day) pre-aggregate (map-side
+    * combined), a 1-row broadcast of the global min day, then a
+    * 6-sum aggregate per type — shuffle ∝ types × days, a second
+    * pass never touches raw events. At 100 TB the moment sums are
+    * the textbook distributive aggregate; overflow headroom is the
+    * one thing to re-check (day counts ≥ ~10⁹ with ~10⁴ days wants
+    * DECIMAL sums, same swap as the revenue convention). */
+  def trendFit(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("d")).as("d0"))
+    val xy = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"), datediff(col("d"), col("d0")).cast("long").as("x"),
+        col("y"))
+    val m = xy.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    // all-BIGINT numerators/denominators; nullif-guarded divisions
+    val num = (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den1L = col("n_days") * col("sxx") - col("sx") * col("sx")
+    val den2L = col("n_days") * col("syy") - col("sy") * col("sy")
+    val den1 = when(den1L === 0L, lit(null)).otherwise(den1L).cast("double")
+    val den2 = when(den2L === 0L, lit(null)).otherwise(den2L).cast("double")
+    val slope = num / den1
+    m.select(col("event_type"), col("n_days"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx")) / col("n_days"), 6)
+        .as("intercept"),
+      round(num * num / (den1 * den2), 6).as("r2"))
+  }
+
+  val trendFitSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (SELECT min(d) AS d0 FROM daily),
+      |m AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_days,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+      |    sum(y * y)::BIGINT AS syy
+      |  FROM (SELECT event_type, (d - d0)::BIGINT AS x, y FROM daily, d0)
+      |  GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  round((n_days*sxy - sx*sy)::DOUBLE
+      |        / nullif(n_days*sxx - sx*sx, 0), 6) AS slope,
+      |  round((sy - (n_days*sxy - sx*sy)::DOUBLE
+      |               / nullif(n_days*sxx - sx*sx, 0) * sx) / n_days, 6)
+      |    AS intercept,
+      |  round((n_days*sxy - sx*sy)::DOUBLE * (n_days*sxy - sx*sy)
+      |        / (nullif(n_days*sxx - sx*sx, 0)::DOUBLE
+      |           * nullif(n_days*syy - sy*sy, 0)), 6) AS r2
+      |FROM m""".stripMargin
 }

@@ -253,10 +253,15 @@ class BehaviorSpec extends SparkSpec {
     val maxPrice = o.agg(max(col("o_totalprice"))).head().getDouble(0)
     assert(math.abs(out("o_totalprice").getAs[Double]("max_num") - maxPrice) < 1e-2)
     assert(out("o_orderpriority").getAs[String]("min_str") != null)
-    // the unpivot must NOT re-scan once per column
+    // plan contract: one base scan + one PRUNED scan per exact
+    // distinct (columnar reads make per-column passes the cheap
+    // direction); the multi-distinct Expand must stay gone (PlanSpec
+    // asserts that side) and the unpivot must not multiply scans
     val p = SparkEntry.queries("column_profile")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("Scan parquet".r.findAllIn(p).length == 1, "profiler must scan once")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 7, s"profiler should scan base + 6 distinct columns, got $scans")
+    assert(!p.contains("Expand"), "multi-distinct Expand re-appeared")
   }
 
   test("stats_merge: per-day partials merge losslessly into the direct aggregate") {
@@ -286,6 +291,39 @@ class BehaviorSpec extends SparkSpec {
     d.filter(col("doc_id") % 10 === 3).limit(20).collect().foreach { r =>
       assert(byId(r.getAs[Long]("doc_id")).getAs[String]("text") == r.getAs[String]("text"))
     }
+  }
+
+  test("trend_fit: moment-sum OLS equals a local least-squares fit") {
+    val got = run("trend_fit").collect().map(r => r.getAs[String]("event_type") ->
+      ((r.getAs[Long]("n_days"), r.getAs[Double]("slope"),
+        r.getAs[Double]("intercept"), r.getAs[Double]("r2")))).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val daily = Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map(r => (r.getString(0), fmt.format(r.getTimestamp(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val d0 = daily.keys.map(_._2).min
+    def dayIdx(d: String): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(d0), java.time.LocalDate.parse(d))
+    daily.keys.map(_._1).toSeq.distinct.foreach { t =>
+      val pts = daily.collect { case ((`t`, d), y) => (dayIdx(d).toDouble, y.toDouble) }.toSeq
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val (sxx, syy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._2 * p._2).sum)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val r2 = math.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (gn, gs, gi, gr) = got(t)
+      assert(gn == pts.size.toLong, s"$t n_days")
+      assert(math.abs(gs - slope) < 1e-4, s"$t slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-4, s"$t intercept $gi vs $intercept")
+      assert(math.abs(gr - r2) < 1e-4, s"$t r2 $gr vs $r2")
+    }
+    // the residual structure is real: no series fits perfectly
+    assert(got.values.forall(v => v._4 >= 0.0 && v._4 <= 1.0))
+    assert(got.nonEmpty)
   }
 
   test("cdc_replay: compaction equals a sequential per-key log replay") {

@@ -103,6 +103,12 @@ class PlanSpec extends SparkSpec {
         s"dedup_apply rescans corpus text (clustering re-run): $l"))
   }
 
+  test("column_profile: exact distincts avoid the multi-distinct Expand (sorted 7N-row trap)") {
+    val p = plan("column_profile")
+    assert(!p.contains("Expand"),
+      s"multi-distinct rewrite re-appeared — profiler pays a sorted row expansion:\n$p")
+  }
+
   test("dpp_join: the fact scan carries a dynamic partition-pruning filter") {
     val p = plan("dpp_join")
     assert(p.toLowerCase.contains("dynamicpruning"),
