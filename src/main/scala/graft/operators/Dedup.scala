@@ -1072,13 +1072,25 @@ object Dedup {
       .withColumn("rk", row_number().over(
         w.partitionBy(col("pfx")).orderBy(col("doc_id"))))
       .filter(col("rk") <= EditBlockCap).drop("rk")
-    capped.as("a")
+    // candidate-sized barrier BEFORE the DP: without it Catalyst
+    // pushes the edit-distance filter INTO the join condition, where
+    // it lands AHEAD of the cheap doc_id/length conjuncts — every
+    // same-prefix crossing then pays the full banded DP before the
+    // O(1) checks can reject it (measured 8.3 s → 1.5 s at sf0.1).
+    // The checkpoint pins the two-phase contract: blocking join
+    // first, verify strictly on survivors.
+    val cand = capped.as("a")
       .join(capped.as("b"),
         col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= EditMaxLenDiff)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.text"), col("b.text"), EditBandCap).as("edit_dist"),
+        col("a.text").as("ta"), col("b.text").as("tb"),
         greatest(col("a.n_chars"), col("b.n_chars")).as("max_len"))
+      .localCheckpoint()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), EditBandCap).as("edit_dist"),
+        col("max_len"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") * 5 <= col("max_len"))
   }
 

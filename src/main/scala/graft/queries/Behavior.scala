@@ -734,9 +734,14 @@ object Behavior {
     * one thing to re-check (day counts ≥ ~10⁹ with ~10⁴ days wants
     * DECIMAL sums, same swap as the revenue convention). */
   def trendFit(s: SparkSession, dir: String): DataFrame = {
+    // materialize the tiny (type, day) frame once: both the min-day
+    // scalar and the moment sums read it, so raw events are scanned
+    // exactly once (without this the d0 branch re-derives the
+    // aggregate from the raw scan)
     val daily = events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("d"))
       .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("y"))
+      .localCheckpoint()
     val d0 = daily.agg(min(col("d")).as("d0"))
     val xy = daily.crossJoin(broadcast(d0))
       .select(col("event_type"), datediff(col("d"), col("d0")).cast("long").as("x"),

@@ -375,6 +375,22 @@ class CorpusCleanSpec extends SparkSpec {
     sameTok.foreach { t => assert(t._5 <= t._4) }
   }
 
+  test("bpe-token artifact: delete → rebuild equals a fresh training run") {
+    val path = CorpusClean.bpeTokensPath(sf)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val built = CorpusClean.ensureBpeTokens(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[String]("w"))).toSet
+    val persisted = rows(spark.read.parquet(built))
+    val live = rows(CorpusClean.bpeTrainRun(spark, sf)._1)
+    assert(persisted.nonEmpty && persisted == live,
+      s"persisted=${persisted.size} live=${live.size}")
+  }
+
   test("bpe_apply: compression conserves Σ n_applied against bpe_train") {
     val applyRows = run("bpe_apply").collect()
     val trainRows = run("bpe_train").collect()

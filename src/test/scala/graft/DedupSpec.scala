@@ -219,6 +219,23 @@ class DedupSpec extends SparkSpec {
       s"index=${fromIndex.size} recompute=${recompute.size}")
   }
 
+  test("cluster-label artifact: delete → rebuild equals a live clustering") {
+    val path = graft.operators.Dedup.clusterLabelsPath(sf)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val built = graft.operators.Dedup.ensureClusterLabels(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"))).toSet
+    val persisted = rows(spark.read.parquet(built))
+    val live = rows(graft.operators.Dedup.dedupClusters(spark, sf))
+    assert(persisted.nonEmpty && persisted == live,
+      s"persisted=${persisted.size} live=${live.size}")
+  }
+
   test("dedup_apply: cluster manifest conserves docs and chars, provenance sorted") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "n_chars").collect()

@@ -103,6 +103,13 @@ class PlanSpec extends SparkSpec {
         s"dedup_apply rescans corpus text (clustering re-run): $l"))
   }
 
+  test("cdc_replay: the lag window and final aggregate share ONE user_id exchange") {
+    val p = plan("cdc_replay")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("column_profile: exact distincts avoid the multi-distinct Expand (sorted 7N-row trap)") {
     val p = plan("column_profile")
     assert(!p.contains("Expand"),
