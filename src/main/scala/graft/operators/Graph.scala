@@ -326,12 +326,17 @@ object Graph {
       val aliveAdj = adj
         .join(alive, "n")
         .join(alive.withColumnRenamed("n", "nb"), "nb")
+      // ONE materialization of the round's degree frame — the removal
+      // count and the survivor frame both read the checkpoint, so the
+      // semi-join/aggregate pipeline runs once per round, not once per
+      // action; `alive` stays lazy over it (lineage depth stays O(1))
       val deg = alive
         .join(aliveAdj.groupBy(col("n")).agg(count(lit(1)).as("deg")),
           Seq("n"), "left_outer")
         .na.fill(0L, Seq("deg"))
+        .localCheckpoint()
       val nRm = deg.filter(col("deg") < KcoreK).count()
-      alive = deg.filter(col("deg") >= KcoreK).select(col("n")).localCheckpoint()
+      alive = deg.filter(col("deg") >= KcoreK).select(col("n"))
       nAlive -= nRm
       rows += ((rows.length + 1L, nRm, nAlive))
     }
