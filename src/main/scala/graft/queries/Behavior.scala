@@ -764,6 +764,74 @@ object Behavior {
       round(num * num / (den1 * den2), 6).as("r2"))
   }
 
+  /** window_funnel conversion window (hours). */
+  val FunnelWindowHours = 24
+
+  /** K70: WINDOWED strict-sequence funnel (the ClickHouse
+    * windowFunnel shape) — H3's funnel with the semantics production
+    * funnels actually need: every later stage must land within
+    * [[FunnelWindowHours]] of the user's FIRST view, not just any
+    * time after it. Greedy earliest-chain per user: t0 = first view,
+    * t1 = first click after t0 inside the window, t2 = first
+    * purchase after t1 inside the window; level = stages reached
+    * (0 for users who never view). Emits per-level user counts and
+    * the mean view→purchase latency of full conversions (exact
+    * BIGINT µs sum, ONE double division — engine-stable, the
+    * decimal-sum lesson). Shape: H3 does one join + shuffle per
+    * stage; here ALL stage chaining happens inside ONE user_id
+    * exchange as three chained window minima (same partitioning →
+    * Spark plans a single Exchange), then a tiny level aggregate.
+    * At 100 TB the single fat exchange of raw events replaces three
+    * stage-frame joins — strictly fewer shuffles of the big table. */
+  def windowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val win = expr(s"INTERVAL $FunnelWindowHours HOURS")
+    val staged = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t0",
+        min(when(col("event_type") === "view", col("ts"))).over(wu))
+      .withColumn("t1",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("t0") && col("ts") <= col("t0") + win, col("ts"))).over(wu))
+      .withColumn("t2",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t1") && col("ts") <= col("t0") + win, col("ts"))).over(wu))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t0")).as("t0"), max(col("t1")).as("t1"), max(col("t2")).as("t2"))
+      .select(col("user_id"),
+        when(col("t2").isNotNull, 3).when(col("t1").isNotNull, 2)
+          .when(col("t0").isNotNull, 1).otherwise(0).as("level"),
+        when(col("t2").isNotNull,
+          unix_micros(col("t2")) - unix_micros(col("t0"))).as("conv_us"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("conv_us")).cast("double") /
+          (lit(1e6) * count(col("conv_us"))), 2).as("avg_conv_secs"))
+  }
+
+  val windowFunnelSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+       |w0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+       |         OVER (PARTITION BY user_id) AS t0 FROM e),
+       |w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0
+       |           AND ts <= t0 + INTERVAL $FunnelWindowHours HOUR THEN ts END)
+       |         OVER (PARTITION BY user_id) AS t1 FROM w0),
+       |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1
+       |           AND ts <= t0 + INTERVAL $FunnelWindowHours HOUR THEN ts END)
+       |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+       |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+       |      FROM w2 GROUP BY 1),
+       |lv AS (
+       |  SELECT user_id,
+       |    CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+       |         WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS level,
+       |    CASE WHEN t2 IS NOT NULL THEN epoch_us(t2) - epoch_us(t0) END AS conv_us
+       |  FROM u)
+       |SELECT level, count(*)::BIGINT AS n_users,
+       |  round(sum(conv_us)::DOUBLE / (1e6 * count(conv_us)), 2) AS avg_conv_secs
+       |FROM lv GROUP BY level""".stripMargin
+
   val trendFitSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,

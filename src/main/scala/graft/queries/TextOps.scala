@@ -489,4 +489,53 @@ object TextOps {
       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
       |  min(doc_id) AS keeper_doc
       |FROM u GROUP BY 1""".stripMargin
+
+  /** K71: N-GRAM NOVELTY — the measurement twin of G11's
+    * decontaminate filter: for each held-out document (doc_id ≡ 8,9
+    * mod 10 as the eval split), the fraction of its distinct 3-gram
+    * shingles never seen in the train split — the memorization /
+    * generalization probe run before trusting an eval set. Novel =
+    * left-anti semantics via a gram-keyed left join against the
+    * train gram UNIVERSE (distinct). Shape: shingling is map-only;
+    * the join shuffles ∝ postings on the gram key with the train
+    * side deduped first (train grams ≪ train postings); at 100 TB
+    * the train universe becomes a bloom prefilter (H15's pattern) so
+    * only possibly-novel grams reach the exact join. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val posts = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.HashFns.shingles(col("text"))).as("gram"))
+    val train = posts.filter(col("doc_id") % 10 < 8).select(col("gram")).distinct()
+    posts.filter(col("doc_id") % 10 >= 8)
+      .join(train.withColumn("seen", lit(1)), Seq("gram"), "left_outer")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 4))
+  }
+
+  /** DuckDB twin — the same distinct-shingle definition as the dedup
+    * family's gramsCte (list_distinct 3-grams; short docs collapse to
+    * one whole-doc shingle). */
+  val ngramNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                        for i in range(1, len(toks) - 1)])
+      |    ELSE [array_to_string(toks, ' ')] END AS gs
+      |  FROM toks),
+      |posts AS (SELECT doc_id, source, unnest(gs) AS gram FROM g),
+      |train AS (SELECT DISTINCT gram FROM posts WHERE doc_id % 10 < 8)
+      |SELECT p.doc_id, p.source, count(*) AS n_grams,
+      |  sum(CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+      |  round(sum(CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*), 4) AS novelty
+      |FROM posts p LEFT JOIN train t ON p.gram = t.gram
+      |WHERE p.doc_id % 10 >= 8
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -293,6 +293,38 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("window_funnel: levels equal a sequential greedy-chain replay") {
+    import graft.queries.Behavior.FunnelWindowHours
+    val got = run("window_funnel").collect()
+      .map(r => r.getAs[Int]("level") -> r.getAs[Long]("n_users")).toMap
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val winUs = FunnelWindowHours.toLong * 3600L * 1000000L
+    val byUser = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getString(2)))
+      .groupBy(_._1)
+    val levels = byUser.map { case (_, es) =>
+      val t0 = es.collect { case (_, t, "view") => t } match {
+        case a if a.isEmpty => None; case a => Some(a.min)
+      }
+      val t1 = t0.flatMap(v => es.collect {
+        case (_, t, "click") if t > v && t <= v + winUs => t
+      } match { case a if a.isEmpty => None; case a => Some(a.min) })
+      val t2 = t0.flatMap(v => t1.flatMap(c => es.collect {
+        case (_, t, "purchase") if t > c && t <= v + winUs => t
+      } match { case a if a.isEmpty => None; case a => Some(a.min) }))
+      if (t2.isDefined) 3 else if (t1.isDefined) 2 else if (t0.isDefined) 1 else 0
+    }.toSeq
+    val expected = levels.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expected, s"got $got want $expected")
+    assert(got.getOrElse(3, 0L) > 0, "no full conversions — window semantics vacuous")
+    // the window BINDS: some user converts unbounded (H3) but not windowed
+    val unbounded = run("funnel").head()
+    assert(got(3) < unbounded.getAs[Long]("n_purchase"),
+      "24h window never excluded a conversion — indistinguishable from H3")
+  }
+
   test("trend_fit: moment-sum OLS equals a local least-squares fit") {
     val got = run("trend_fit").collect().map(r => r.getAs[String]("event_type") ->
       ((r.getAs[Long]("n_days"), r.getAs[Double]("slope"),

@@ -196,6 +196,35 @@ class TextOpsSpec extends SparkSpec {
     assert(distinct > n * 9 / 10)  // near-unique on the corpus
   }
 
+  test("ngram_novelty: per-doc novel fractions match a local shingle recount") {
+    val got = run("ngram_novelty").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    // local reference: same distinct-3-gram shingles, same mod split
+    def sh(text: String): Set[String] = {
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> sh(r.getString(1)))
+    val train = docs.collect { case (id, g) if id % 10 < 8 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val test = docs.filter(_._1 % 10 >= 8)
+    assert(got.keySet == test.map(_._1).toSet)
+    test.foreach { case (id, grams) =>
+      val novel = grams.count(g => !train.contains(g)).toLong
+      val want = (grams.size.toLong, novel,
+        BigDecimal(novel.toDouble / grams.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(id) == want, s"doc $id: ${got(id)} vs $want")
+    }
+    // both regimes present: some novelty found, and not everything novel
+    assert(got.values.exists(_._2 > 0), "no novel grams — probe vacuous")
+    assert(got.values.exists(v => v._2 < v._1), "every gram novel — split broken")
+  }
+
   test("url_dedup: raw variants collapse onto canonical targets, keep-first exact") {
     val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
     case class U(id: Long, raw: String, canon: String)
