@@ -555,4 +555,112 @@ object Ann {
        |  round(share_q / 1000000.0, 6) AS top_share
        |FROM v$PcaRounds v CROSS JOIN sh""".stripMargin
   }
+
+  /** PQ geometry: 4 subspaces × 16 dims each over the 64-dim
+    * embeddings, 16 centroids per sub-codebook, integer-quantized
+    * coordinates (the [[KMeansIter.Scale]] convention). */
+  val PqSubDim = 16
+  val PqK = 16
+  val PqProbes = 10
+  val PqTopK = 10
+
+  /** K72: PRODUCT-QUANTIZATION ANN — the third leg of the ANN family
+    * (D2 LSH buckets, D3 IVF cells, this: compressed codes). Vectors
+    * split into 4 × 16-dim subspaces; each subspace gets its own
+    * 16-centroid codebook; a vector compresses to 4 small codes, and
+    * probe↔vector distance is the ASYMMETRIC estimate Σ_sub
+    * ‖probe_sub − centroid[code]‖² read from a per-probe lookup
+    * table — the memory layout that lets a 100 TB corpus keep its
+    * whole index in RAM (4 bytes/vector here vs 256 raw).
+    *
+    * ONE relational pipeline trains all four codebooks at once: the
+    * Lloyd step runs keyed by (sub, …) — a subspace slice is just a
+    * point with a composite id — so the plan is [[KMeansIter]]'s
+    * assignment/recenter with `sub` added to every key, not four
+    * sequential jobs. Integer domain end-to-end (quantized coords,
+    * exact integer distances, floor'd means) keeps the whole loop —
+    * and therefore codes, LUT, and final ranking — hash-exact in
+    * DuckDB. Scale shape: training shuffles (vec, sub, cid) partial
+    * sums; encoding is the same assignment; query-time cost is
+    * codes ⋈ broadcast LUT (probes × K × subs rows) + one top-k
+    * window per probe — the big side never exchanges. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val pts = embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"),
+        (col("d") / PqSubDim).cast("int").as("sub"),
+        (col("d") % PqSubDim).as("sd"),
+        floor(col("v").cast("double") * KMeansIter.Scale + 0.5).cast("long").as("qv"))
+    val c0 = pts.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("sub"), col("sd"), col("qv").as("cv"))
+    def assign(c: DataFrame): DataFrame =
+      pts.join(broadcast(c), Seq("sub", "sd"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("dist"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+    val a1 = assign(c0)
+    val c1 = pts.join(a1, Seq("vec_id", "sub"))
+      .groupBy(col("cid"), col("sub"), col("sd"))
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("cv"))
+    val codes = assign(c1)
+    val probeSlices = pts.filter(col("vec_id") < PqProbes)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("sd"), col("qv").as("pv"))
+    val lut = probeSlices.join(broadcast(c1), Seq("sub", "sd"))
+      .groupBy(col("probe_id"), col("sub"), col("cid"))
+      .agg(sum((col("pv") - col("cv")) * (col("pv") - col("cv"))).as("pd"))
+    val approx = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("qdist"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("qdist"), col("vec_id"))
+    approx.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor"), col("qdist"))
+  }
+
+  /** DuckDB twin: same composite-key Lloyd rounds, codes, LUT and
+    * ranking (1-based subscripts shifted to the same 0-based sub/sd
+    * key space). */
+  lazy val annPqSql: String = {
+    val S = KMeansIter.Scale
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST((d - 1) // $PqSubDim AS INT) AS sub,
+       |    (d - 1) % $PqSubDim AS sd,
+       |    CAST(floor(v::DOUBLE * $S + 0.5) AS BIGINT) AS qv
+       |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+       |               unnest(embedding) AS v FROM embeddings)),
+       |c0 AS (SELECT vec_id AS cid, sub, sd, qv AS cv FROM q WHERE vec_id < $PqK),
+       |d1 AS (SELECT q.vec_id, q.sub, c.cid,
+       |         CAST(sum((qv - cv) * (qv - cv)) AS BIGINT) AS dist
+       |       FROM q JOIN c0 c ON q.sub = c.sub AND q.sd = c.sd GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, sub, cid FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |                                      ORDER BY dist, cid) AS rn FROM d1)
+       |       WHERE rn = 1),
+       |c1 AS (SELECT cid, sub, sd,
+       |         CAST(floor(sum(qv)::DOUBLE / count(*)) AS BIGINT) AS cv
+       |       FROM a1 JOIN q USING (vec_id, sub) GROUP BY 1, 2, 3),
+       |d2 AS (SELECT q.vec_id, q.sub, c.cid,
+       |         CAST(sum((qv - cv) * (qv - cv)) AS BIGINT) AS dist
+       |       FROM q JOIN c1 c ON q.sub = c.sub AND q.sd = c.sd GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |                                         ORDER BY dist, cid) AS rn FROM d2)
+       |          WHERE rn = 1),
+       |probes AS (SELECT vec_id AS probe_id, sub, sd, qv AS pv
+       |           FROM q WHERE vec_id < $PqProbes),
+       |lut AS (SELECT probe_id, p.sub, c.cid,
+       |          CAST(sum((pv - cv) * (pv - cv)) AS BIGINT) AS pd
+       |        FROM probes p JOIN c1 c ON p.sub = c.sub AND p.sd = c.sd
+       |        GROUP BY 1, 2, 3),
+       |ad AS (SELECT l.probe_id, k.vec_id, CAST(sum(pd) AS BIGINT) AS qdist
+       |       FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+       |       WHERE k.vec_id <> l.probe_id GROUP BY 1, 2)
+       |SELECT probe_id, rank, vec_id AS neighbor, qdist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY qdist, vec_id) AS rank FROM ad)
+       |WHERE rank <= $PqTopK""".stripMargin
+  }
 }

@@ -156,6 +156,41 @@ class AnnSpec extends SparkSpec {
     assert(got.values.map(_.getAs[Long]("ivf_hits")).sum > 0)
   }
 
+  test("ann_pq: ADC ranking is complete, monotone, and recalls exact quantized L2") {
+    import graft.operators.Ann.{PqProbes, PqTopK}
+    val rows = run("ann_pq").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor"), r.getAs[Long]("qdist")))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet == (0L until PqProbes).toSet)
+    byProbe.foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to PqTopK).toSeq, s"probe $p ranks")
+      // qdist non-decreasing with rank; neighbors distinct; no self
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).toSeq.sorted, s"probe $p order")
+      assert(rs.map(_._3).distinct.length == PqTopK)
+      assert(!rs.exists(_._3 == p), s"probe $p returned itself")
+    }
+    // recall@10 against EXACT L2 on the same quantized vectors — the
+    // corpus is fixed, so this is a deterministic pin, not a flake
+    val qvecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+      .toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recalls = (0L until PqProbes).map { p =>
+      val exact = qvecs.collect { case (id, v) if id != p => (l2(qvecs(p), v), id) }
+        .toSeq.sorted.take(PqTopK).map(_._2).toSet
+      val got = byProbe(p).map(_._3).toSet
+      got.intersect(exact).size.toDouble / PqTopK
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall@$PqTopK = $mean — PQ codes not informative")
+    assert(recalls.exists(_ >= 0.3), s"no probe recalls 30%: $recalls")
+  }
+
   test("pca_power: integer iterate aligns with a float eigensolver, share is Rayleigh-sane") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("embedding").collect()
