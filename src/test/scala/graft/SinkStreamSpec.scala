@@ -274,6 +274,29 @@ class SinkStreamSpec extends SparkSpec {
     assert(got.exists(_._4 > 1L), "every session is singleton — gap merge untested")
   }
 
+  test("stream_cdc: streamed compaction equals the batch replay across the wave boundary") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Boolean]("alive"),
+        r.getAs[String]("last_ts"), r.getAs[String]("last_op"),
+        r.getAs[Long]("n_creates"), r.getAs[Long]("n_updates"),
+        r.getAs[Long]("n_deletes"), r.getAs[Long]("n_resurrections"))).toSet
+    val streamed = rows("stream_cdc")
+    val batch = rows("cdc_replay")
+    assert(streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}; diff=${(streamed -- batch).take(2)}")
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_._2) && streamed.exists(!_._2),
+      "need both live and tombstoned keys for the gate to mean anything")
+    // the wave split actually exercises cross-batch state: some key
+    // has ops on BOTH sides of the mid-span cut
+    val e = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val cut = e.map(_._2).min + 15L * 86400 * 1000
+    val straddlers = e.groupBy(_._1).values
+      .count(ts => ts.exists(_._2 < cut) && ts.exists(_._2 >= cut))
+    assert(straddlers > 0, "no key spans the wave boundary — cross-batch state untested")
+  }
+
   test("stream_dedup: planted replays dropped exactly once, accounting matches a recount") {
     val got = SparkEntry.queries("stream_dedup")(spark, sf).collect()
       .map(r => r.getString(0) ->
