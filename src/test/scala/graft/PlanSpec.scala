@@ -103,6 +103,16 @@ class PlanSpec extends SparkSpec {
         s"dedup_apply rescans corpus text (clustering re-run): $l"))
   }
 
+  test("dedup_edit: the banded-DP verify never rides a join condition") {
+    // without the candidate barrier, the optimizer pushes the
+    // edit-distance filter into the join condition AHEAD of the cheap
+    // conjuncts — every same-prefix crossing pays the DP
+    val p = plan("dedup_edit")
+    p.linesIterator.filter(_.contains("Join")).foreach(l =>
+      assert(!l.contains("levenshtein"), s"DP in a join condition: $l"))
+    assert(p.contains("levenshtein"), "verify expression missing from the plan")
+  }
+
   test("cdc_replay: the lag window and final aggregate share ONE user_id exchange") {
     val p = plan("cdc_replay")
     val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
