@@ -230,6 +230,19 @@ object Graph {
   /** Report cut for [[jaccardNeighbors]]. */
   val JaccTopK = 50
 
+  /** Per-wedge-key adjacency cap — the [[graft.operators.Dedup.DfCap]]
+    * convention applied to the shared-neighbor groups: before the
+    * wedge self-join, each group keeps its top-C members by
+    * deterministic (member-degree DESC, member id) order, so one hub
+    * of degree d contributes min(d, C)² wedge candidates instead of
+    * d² — the power-law "curse of the last reducer" bound. Inert at
+    * every test sf (max adjacency-group size is 9 / 93 / 32 at
+    * sf0.001 / 0.01 / 0.1 — spec-pinned) and REPLICATED in the
+    * oracle SQL, so a binding cap stays oracle-comparable; the cut
+    * volume is reported in the `n_adj_dropped` column (the
+    * dedup_sweep honesty pattern). */
+  val JaccAdjCap = 128
+
   /** K38: NEIGHBORHOOD-JACCARD PAIRS — common-neighbor similarity
     * over the co-supply graph, the link-prediction / role-similarity
     * read: for node pairs sharing ≥1 neighbor, |N(a)∩N(b)| over
@@ -238,11 +251,12 @@ object Graph {
     * tiny-sf graph is COMPLETE, so restricting to non-adjacent pairs
     * would be vacuous there — the flag keeps both reads honest at
     * every scale). Pairs come from the wedge join (adjacency ⋈
-    * adjacency on the shared neighbor — candidate volume Σdeg(v)²,
-    * the triangle-count bound; at 100 TB cap per-node adjacency
-    * first, the DfCap convention), NEVER all-pairs. Jaccard is one
-    * division of exact integers; ranking is by the exact
-    * (common, s1, s2) key, not the float. */
+    * adjacency on the shared neighbor), NEVER all-pairs, and each
+    * wedge key's group is capped at [[JaccAdjCap]] members first, so
+    * candidate volume is Σ min(deg(v), C)² — bounded per reducer key
+    * even on power-law hubs. Jaccard is one division of exact
+    * integers; ranking is by the exact (common, s1, s2) key, not the
+    * float. */
   def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
     val edges = coEdges(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -256,11 +270,27 @@ object Graph {
     * PlanSpec can assert the join shape (localCheckpoint truncates
     * the executed plan to a Scan ExistingRDD). */
   private[graft] def jaccardNeighborsFrame(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col("s1").as("n"), col("s2").as("nb"))
       .unionByName(edges.select(col("s2").as("n"), col("s1").as("nb")))
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val a = adj.select(col("n").as("n1"), col("nb"))
-    val b = adj.select(col("n").as("n2"), col("nb"))
+    // cap each wedge key's group at its top-[[JaccAdjCap]] members by
+    // (member degree DESC, member id); jaccard's denominator still
+    // uses TRUE degrees — the cap only prunes candidate generation.
+    // The rank window shuffles on nb, the SAME key as the wedge join,
+    // so the join reuses the partitioning instead of adding one.
+    val ranked = adj
+      .join(broadcast(deg.select(col("n").as("mn"), col("deg").as("m_deg"))),
+        col("n") === col("mn"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nb")).orderBy(col("m_deg").desc, col("n"))))
+    val capped = ranked.filter(col("rk") <= JaccAdjCap)
+      .select(col("n"), col("nb"))
+    // cut report: adjacency rows the cap dropped (0 until it binds)
+    val cut = ranked.agg(
+      sum(when(col("rk") > JaccAdjCap, 1L).otherwise(0L)).as("n_adj_dropped"))
+    val a = capped.select(col("n").as("n1"), col("nb"))
+    val b = capped.select(col("n").as("n2"), col("nb"))
     val common = a.join(b, "nb").filter(col("n1") < col("n2"))
       .groupBy(col("n1"), col("n2")).agg(count(lit(1)).as("common"))
     val flagged = common
@@ -273,6 +303,7 @@ object Graph {
       .select(col("n1"), col("n2"), col("common"), col("is_edge"),
         round(col("common") /
           (col("d1") + col("d2") - col("common")), 4).as("jaccard"))
+      .crossJoin(broadcast(cut)) // 1-row scalar report frame
       .orderBy(col("common").desc, col("n1"), col("n2"))
       .limit(JaccTopK)
   }
@@ -283,15 +314,25 @@ object Graph {
       |  SELECT s1 AS n, s2 AS nb FROM edges
       |  UNION ALL SELECT s2, s1 FROM edges),
       |deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY 1),
+      |ranked AS (
+      |  SELECT a.n, a.nb, row_number() OVER (
+      |    PARTITION BY a.nb ORDER BY d.deg DESC, a.n) AS rk
+      |  FROM adj a JOIN deg d ON a.n = d.n),
+      |capped AS (SELECT n, nb FROM ranked WHERE rk <= $JaccAdjCap),
+      |cut AS (
+      |  SELECT CAST(coalesce(sum(CASE WHEN rk > $JaccAdjCap THEN 1 ELSE 0 END),
+      |                       0) AS BIGINT) AS n_adj_dropped
+      |  FROM ranked),
       |common AS (
       |  SELECT a.n AS n1, b.n AS n2, count(*) AS common
-      |  FROM adj a JOIN adj b ON a.nb = b.nb AND a.n < b.n
+      |  FROM capped a JOIN capped b ON a.nb = b.nb AND a.n < b.n
       |  GROUP BY 1, 2)
       |SELECT n1, n2, common,
       |  coalesce((SELECT true FROM edges e WHERE e.s1 = n1 AND e.s2 = n2),
       |           false) AS is_edge,
-      |  round(common / (d1.deg + d2.deg - common), 4) AS jaccard
-      |FROM common JOIN deg d1 ON n1 = d1.n JOIN deg d2 ON n2 = d2.n
+      |  round(common / (d1.deg + d2.deg - common), 4) AS jaccard,
+      |  cut.n_adj_dropped
+      |FROM common JOIN deg d1 ON n1 = d1.n JOIN deg d2 ON n2 = d2.n, cut
       |ORDER BY common DESC, n1, n2 LIMIT $JaccTopK""".stripMargin
 
   /** k-core threshold and peel-round budget. k=5 exercises every

@@ -249,14 +249,47 @@ class GraphSketchSpec extends SparkSpec {
       .take(graft.operators.Graph.JaccTopK)
     val got = run("jaccard_neighbors").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("common"),
-        r.getAs[Boolean]("is_edge"), r.getAs[Double]("jaccard")))
+        r.getAs[Boolean]("is_edge"), r.getAs[Double]("jaccard"),
+        r.getAs[Long]("n_adj_dropped")))
     assert(got.map(_._1).toSeq == expected.map(_._1))
-    got.zip(expected).foreach { case ((p, (c, e, j)), (_, (ce, ee, je))) =>
+    got.zip(expected).foreach { case ((p, (c, e, j, _)), (_, (ce, ee, je))) =>
       assert(c == ce && e == ee, s"pair $p")
       assert(math.abs(j - je) < 1e-3, s"pair $p jaccard $j vs $je")
     }
     // wedge pairs exist and the flag is live on this corpus
     assert(got.nonEmpty && got.exists(_._2._2))
+    // the wedge cap is INERT at every verify sf: the largest adjacency
+    // group here (max degree) sits well under JaccAdjCap, so the
+    // capped plan replays uncapped brute force and the cut is zero
+    val maxDeg = adj.values.map(_.size).max
+    assert(maxDeg < graft.operators.Graph.JaccAdjCap,
+      s"cap binds at spec scale (maxDeg $maxDeg) — oracle comparisons now depend on tie order")
+    assert(got.forall(_._2._4 == 0L), "n_adj_dropped must be 0 while the cap is inert")
+  }
+
+  test("jaccard_neighbors: the wedge cap binds deterministically on a hub") {
+    // star graph: hub 0 with spokes 1..150 — one adjacency group of
+    // 150 members (> JaccAdjCap = 128). The cap must keep the
+    // lowest-id 128 spokes (all spokes tie at degree 1 → id order),
+    // emit C(128,2) wedge pairs through the hub (top-50 reported),
+    // and report the 22 dropped adjacency rows.
+    val C = graft.operators.Graph.JaccAdjCap
+    val edges = spark.createDataFrame(
+      (1L to 150L).map(i => (0L, i))).toDF("s1", "s2")
+    val out = graft.operators.Graph.jaccardNeighborsFrame(edges).collect()
+    assert(out.length == graft.operators.Graph.JaccTopK)
+    assert(out.forall(_.getAs[Long]("n_adj_dropped") == (150L - C)))
+    // all pairs are retained-spoke pairs: common = 1 (the hub),
+    // true degrees 1 and 1 → jaccard 1.0, never an edge
+    out.foreach { r =>
+      assert(r.getAs[Long]("common") == 1L)
+      assert(!r.getAs[Boolean]("is_edge"))
+      assert(r.getAs[Double]("jaccard") == 1.0)
+      assert(r.getLong(0) >= 1L && r.getLong(1) <= C.toLong,
+        s"pair outside the deterministic (deg, id) retained set: $r")
+    }
+    // deterministic ranking: (common DESC, n1, n2) starts at (1,2)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
   }
 
   test("kcore_peel: simultaneous-removal rounds replay a local peel to fixpoint") {

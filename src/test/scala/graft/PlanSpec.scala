@@ -301,7 +301,7 @@ class PlanSpec extends SparkSpec {
       "weighted contributions must combine map-side")
   }
 
-  test("jaccard_neighbors: degree frames broadcast into the wedge pairs, no cartesian") {
+  test("jaccard_neighbors: wedge pairs run on the rank-capped frame, degrees broadcast") {
     // the public operator localCheckpoints (truncating the plan), so
     // assert on the un-checkpointed frame over the same edges
     val p = graft.operators.Graph
@@ -309,6 +309,17 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("CartesianProduct"))
+    // the Σdeg² bound: the nb-keyed wedge self-join must consume the
+    // row_number-capped adjacency, not the raw one — the rank window
+    // and its <= JaccAdjCap filter sit BELOW the wedge join
+    val lines = p.linesIterator.toSeq
+    val wedgeIdx = lines.indexWhere(l => "Join \\[nb#".r.findFirstIn(l).isDefined)
+    assert(wedgeIdx >= 0, s"no nb-keyed wedge join found:\n$p")
+    val rankIdx = lines.indexWhere(l =>
+      l.contains("Window") && l.contains("row_number"))
+    assert(rankIdx > wedgeIdx, s"rank cap does not feed the wedge join:\n$p")
+    assert(lines.exists(_.contains(s"<= ${graft.operators.Graph.JaccAdjCap}")),
+      s"cap filter missing from the plan:\n$p")
   }
 
   test("systematic_sample: rows-scale exchange is (source, shard)-keyed, carry broadcasts") {
