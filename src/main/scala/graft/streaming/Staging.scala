@@ -59,13 +59,31 @@ object Staging {
     * not the scan-side default. */
   val StatePartitions = 8
 
+  /** Guards [[withStatePartitions]]: the override mutates SHARED
+    * session conf, so two concurrent scopes would clobber/restore each
+    * other's value non-deterministically. One JVM-wide lock serializes
+    * them (reentrant, so a scope may nest). */
+  private val scopeLock = new java.util.concurrent.locks.ReentrantLock()
+
   /** Run `body` with the session's shuffle-partition conf pinned to
     * [[StatePartitions]] (captured by the query cloned at `start()`),
-    * restoring the caller's value afterwards. */
+    * restoring the caller's value afterwards.
+    *
+    * The override is session-global while `body` runs: batch-side work
+    * inside the scope (staging writes, the final memory-table
+    * aggregation) runs at [[StatePartitions]] too — acceptable here
+    * because every such frame is wave- or report-sized. Concurrent
+    * scopes (a parallel bench, parallel specs on one session) would
+    * interleave set/restore, so scopes SERIALIZE on a JVM-wide
+    * reentrant lock: correctness is preserved and the constraint is
+    * structural instead of a prose convention. */
   def withStatePartitions[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, StatePartitions.toString)
-    try body finally s.conf.set(key, prev)
+    scopeLock.lock()
+    try {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, StatePartitions.toString)
+      try body finally s.conf.set(key, prev)
+    } finally scopeLock.unlock()
   }
 }

@@ -164,7 +164,17 @@ object StreamDecisions {
       .transform(Tables.normalizeTs)
       // a micro-batch inherits the file split count — one daily dump
       // file = ONE task for the whole 40-column parse; spread the
-      // narrow raw rows across the executors before the heavy stage
+      // narrow raw rows across the executors before the heavy stage.
+      // Round-robin on the NARROW raw rows is the measured optimum
+      // (r8 A/B, local[32] sf0.1, 4 interleaved reps): this shape
+      // 2.0-2.2 s; hashing on uuid here instead — hoping the LWW
+      // window could reuse the partitioning — costs 3.5-3.9 s,
+      // because the foreachBatch boundary does NOT carry
+      // outputPartitioning into the batch plan (the window re-shuffles
+      // regardless) and the uuid hash exchange moves the 36 synthesized
+      // string columns instead of the raw rows; a groupBy/max_by LWW
+      // (no sort, partial combine) measured 2.3-2.6 s — also no win,
+      // since WindowGroupLimit already prunes losers map-side.
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val parsed = Decisions.parse(Decisions.synthFrom(raw).drop("event_id"))
       .filter(col("uuid") =!= "")

@@ -365,6 +365,38 @@ class SinkStreamSpec extends SparkSpec {
       s"state operator metrics carry no rocksdb counters: $metrics")
   }
 
+  test("withStatePartitions: concurrent scopes serialize, conf restores exactly") {
+    import graft.streaming.Staging
+    val key = "spark.sql.shuffle.partitions"
+    val outer = spark.conf.get(key)
+    val inScope = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sawOverlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sawWrongConf = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        Staging.withStatePartitions(spark) {
+          if (inScope.incrementAndGet() > 1) sawOverlap.set(true)
+          if (spark.conf.get(key) != Staging.StatePartitions.toString)
+            sawWrongConf.set(true)
+          Thread.sleep(25)
+          inScope.decrementAndGet()
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(!sawOverlap.get, "two scopes ran concurrently — conf clobber possible")
+    assert(!sawWrongConf.get, "scope body saw a conf other than StatePartitions")
+    assert(spark.conf.get(key) == outer, "caller's conf not restored")
+    // reentrancy: a nested scope must not deadlock or early-restore
+    Staging.withStatePartitions(spark) {
+      Staging.withStatePartitions(spark) {
+        assert(spark.conf.get(key) == Staging.StatePartitions.toString)
+      }
+      assert(spark.conf.get(key) == Staging.StatePartitions.toString,
+        "inner scope exit restored the conf before the outer scope ended")
+    }
+    assert(spark.conf.get(key) == outer)
+  }
+
   test("write: per-partition transactions through a fake connection, batch chunking") {
     import spark.implicits._
     FakeDb.reset(failInserts = false)
