@@ -490,27 +490,57 @@ object TextOps {
       |  min(doc_id) AS keeper_doc
       |FROM u GROUP BY 1""".stripMargin
 
+  /** Bloom geometry for [[ngramNovelty]]'s train-gram prefilter —
+    * H15's sizing convention (items, bits): ~8 bits/item keeps the
+    * false-positive rate low enough that the pruned eval fraction is
+    * real; FPs are resolved by the exact semi join, so geometry never
+    * affects the result. */
+  val NoveltyBloomItems = 1000000L
+  val NoveltyBloomBits = 8000000L
+
   /** K71: N-GRAM NOVELTY — the measurement twin of G11's
     * decontaminate filter: for each held-out document (doc_id ≡ 8,9
     * mod 10 as the eval split), the fraction of its distinct 3-gram
     * shingles never seen in the train split — the memorization /
-    * generalization probe run before trusting an eval set. Novel =
-    * left-anti semantics via a gram-keyed left join against the
-    * train gram UNIVERSE (distinct). Shape: shingling is map-only;
-    * the join shuffles ∝ postings on the gram key with the train
-    * side deduped first (train grams ≪ train postings); at 100 TB
-    * the train universe becomes a bloom prefilter (H15's pattern) so
-    * only possibly-novel grams reach the exact join. */
+    * generalization probe run before trusting an eval set.
+    *
+    * Shape (the 100 TB path, H15's bloom pattern made code):
+    * per-doc totals aggregate on the cheap (doc, source) key with no
+    * join at all; the SEEN count is the only gram-keyed work, and its
+    * eval side is prefiltered MAP-SIDE by a bloom over the train
+    * grams (built by one fully-combining bloom_agg pass over the
+    * train postings — membership needs no distinct — and shipped as
+    * a 1-row broadcast). Definitely-novel grams never ride the gram
+    * shuffle; possibly-seen grams hit an exact LEFT SEMI join against
+    * the deduped train universe, which removes the bloom's false
+    * positives, so the result is exactly the unfiltered join's. */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     val posts = documents(s, dir)
       .select(col("doc_id"), col("source"),
         explode(graft.functions.HashFns.shingles(col("text"))).as("gram"))
-    val train = posts.filter(col("doc_id") % 10 < 8).select(col("gram")).distinct()
-    posts.filter(col("doc_id") % 10 >= 8)
-      .join(train.withColumn("seen", lit(1)), Seq("gram"), "left_outer")
+    val trainPosts = posts.filter(col("doc_id") % 10 < 8)
+    val evalPosts = posts.filter(col("doc_id") % 10 >= 8)
+    // might_contain demands its bloom as a scalar subquery (H15's
+    // form): the subquery aggregates ONCE and ships to every task
+    trainPosts.createOrReplaceTempView("graft_novelty_train")
+    evalPosts.createOrReplaceTempView("graft_novelty_eval")
+    val totals = evalPosts.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val seen = s.sql(
+      s"""SELECT doc_id, source, gram FROM graft_novelty_eval
+         |WHERE bloom_contains(
+         |  (SELECT bloom_agg(xxhash64(gram), ${NoveltyBloomItems}L,
+         |                    ${NoveltyBloomBits}L)
+         |   FROM graft_novelty_train),
+         |  xxhash64(gram))""".stripMargin)
+      .join(trainPosts.select(col("gram")).distinct(), Seq("gram"), "left_semi")
       .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .agg(count(lit(1)).as("n_seen"))
+    totals
+      .join(seen, Seq("doc_id", "source"), "left_outer")
+      .na.fill(0L, Seq("n_seen"))
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        (col("n_grams") - col("n_seen")).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 4))
   }

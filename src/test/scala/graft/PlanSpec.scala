@@ -322,6 +322,21 @@ class PlanSpec extends SparkSpec {
       s"cap filter missing from the plan:\n$p")
   }
 
+  test("ngram_novelty: the train-gram bloom prunes eval postings BELOW the exact semi join") {
+    val p = plan("ngram_novelty")
+    val lines = p.linesIterator.toSeq
+    val semiIdx = lines.indexWhere(_.contains("LeftSemi"))
+    assert(semiIdx >= 0, s"no exact semi join against the train universe:\n$p")
+    val bloomIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("might_contain"))
+    assert(bloomIdx > semiIdx,
+      s"bloom prefilter does not sit on the eval side below the semi join:\n$p")
+    // the bloom itself is ONE fully-combining aggregate pass (partial
+    // + final ObjectHashAggregate), shipped as a broadcast scalar
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"bloom build is not a two-phase combining aggregate:\n$p")
+  }
+
   test("systematic_sample: rows-scale exchange is (source, shard)-keyed, carry broadcasts") {
     val p = plan("systematic_sample")
     val pairEx = "Exchange hashpartitioning\\(source#\\d+, shard".r.findAllIn(p).length
