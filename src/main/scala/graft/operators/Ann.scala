@@ -400,45 +400,60 @@ object Ann {
        |FROM a""".stripMargin
 
   /** K-line: ANN RECALL@K calibration — per query, how many of the
-    * exact top-[[K]] (D1) each approximate path (D2 LSH, D3 IVF)
-    * returned. The eval table a pipeline reads before trusting an
-    * index's (bits, tables)/(cells, probes) settings on a new corpus —
-    * the ANN analog of minhash_est's banding calibration. Runs the
-    * three ranking pipelines (each keeps its own scale shape) and
-    * reduces their pair sets with two left joins + one query-keyed
-    * aggregate; everything downstream of the rankings is
-    * probe-set-sized. Fully oracled: all three paths already replay
-    * in DuckDB, so their intersection does too. */
+    * exact top-[[K]] (D1) each approximate path (D2 LSH, D3 IVF,
+    * K72 PQ) returned. The eval table a pipeline reads before
+    * trusting an index's (bits, tables)/(cells, probes)/(codebook)
+    * settings on a new corpus — the ANN analog of minhash_est's
+    * banding calibration. Runs the four ranking pipelines (each
+    * keeps its own scale shape; PQ shares the probe set,
+    * [[NumQueries]] = [[PqProbes]]) and reduces their pair sets with
+    * three left joins + one query-keyed aggregate; everything
+    * downstream of the rankings is probe-set-sized. Fully oracled:
+    * all four paths already replay in DuckDB, so their intersection
+    * does too. (PQ ranks by asymmetric quantized L2 rather than
+    * cosine — its recall against the cosine baseline is exactly the
+    * metric-mismatch read this table exists to surface.) */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val ex = annBruteforce(s, dir).select(col("qid"), col("nb"))
     val lsh = annLsh(s, dir).select(col("qid"), col("nb"), lit(1L).as("l"))
     val ivf = annIvf(s, dir).select(col("qid"), col("nb"), lit(1L).as("i"))
+    val pq = annPq(s, dir)
+      .select(col("probe_id").as("qid"), col("neighbor").as("nb"), lit(1L).as("p"))
     ex.join(lsh, Seq("qid", "nb"), "left_outer")
       .join(ivf, Seq("qid", "nb"), "left_outer")
+      .join(pq, Seq("qid", "nb"), "left_outer")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("l"), lit(0L))).as("lsh_hits"),
-        sum(coalesce(col("i"), lit(0L))).as("ivf_hits"))
+        sum(coalesce(col("i"), lit(0L))).as("ivf_hits"),
+        sum(coalesce(col("p"), lit(0L))).as("pq_hits"))
       .select(col("qid"), col("n_exact"), col("lsh_hits"), col("ivf_hits"),
+        col("pq_hits"),
         round(col("lsh_hits").cast("double") / col("n_exact"), 4).as("lsh_recall"),
-        round(col("ivf_hits").cast("double") / col("n_exact"), 4).as("ivf_recall"))
+        round(col("ivf_hits").cast("double") / col("n_exact"), 4).as("ivf_recall"),
+        round(col("pq_hits").cast("double") / col("n_exact"), 4).as("pq_recall"))
   }
 
-  val annRecallSql: String =
+  lazy val annRecallSql: String =
     s"""WITH ex AS (SELECT qid, nb FROM ($annBruteforceSql)),
        |l AS (SELECT qid, nb FROM ($annLshSql)),
        |i AS (SELECT qid, nb FROM ($annIvfSql)),
+       |p AS (SELECT probe_id AS qid, neighbor AS nb FROM ($annPqSql)),
        |j AS (
        |  SELECT ex.qid,
        |    CASE WHEN l.nb IS NULL THEN 0 ELSE 1 END AS lh,
-       |    CASE WHEN i.nb IS NULL THEN 0 ELSE 1 END AS ih
+       |    CASE WHEN i.nb IS NULL THEN 0 ELSE 1 END AS ih,
+       |    CASE WHEN p.nb IS NULL THEN 0 ELSE 1 END AS ph
        |  FROM ex
        |  LEFT JOIN l ON l.qid = ex.qid AND l.nb = ex.nb
-       |  LEFT JOIN i ON i.qid = ex.qid AND i.nb = ex.nb)
+       |  LEFT JOIN i ON i.qid = ex.qid AND i.nb = ex.nb
+       |  LEFT JOIN p ON p.qid = ex.qid AND p.nb = ex.nb)
        |SELECT qid, count(*) AS n_exact,
        |  sum(lh)::BIGINT AS lsh_hits, sum(ih)::BIGINT AS ivf_hits,
+       |  sum(ph)::BIGINT AS pq_hits,
        |  round(sum(lh) / count(*), 4) AS lsh_recall,
-       |  round(sum(ih) / count(*), 4) AS ivf_recall
+       |  round(sum(ih) / count(*), 4) AS ivf_recall,
+       |  round(sum(ph) / count(*), 4) AS pq_recall
        |FROM j GROUP BY qid""".stripMargin
 
   /** Power-iteration rounds and the fixed-point eigenvector scale.

@@ -138,10 +138,12 @@ class AnnSpec extends SparkSpec {
     assert(got.values.forall(!_.getAs[Boolean]("dead")))
   }
 
-  test("ann_recall: per-query hits recount from the three ranking pipelines") {
+  test("ann_recall: per-query hits recount from the four ranking pipelines") {
     def pairs(name: String) = run(name).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nb"))).toSet
     val (ex, lsh, ivf) = (pairs("ann_bruteforce"), pairs("ann_lsh"), pairs("ann_ivf"))
+    val pq = run("ann_pq").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor"))).toSet
     val got = run("ann_recall").collect().map(r => r.getAs[Long]("qid") -> r).toMap
     assert(got.keySet == ex.map(_._1))
     got.foreach { case (q, r) =>
@@ -149,11 +151,14 @@ class AnnSpec extends SparkSpec {
       assert(r.getAs[Long]("n_exact") == exq.size.toLong && exq.size == Ann.K)
       assert(r.getAs[Long]("lsh_hits") == exq.count(lsh.contains).toLong, s"q$q lsh")
       assert(r.getAs[Long]("ivf_hits") == exq.count(ivf.contains).toLong, s"q$q ivf")
+      assert(r.getAs[Long]("pq_hits") == exq.count(pq.contains).toLong, s"q$q pq")
       assert(r.getAs[Double]("lsh_recall") >= 0.0 && r.getAs[Double]("lsh_recall") <= 1.0)
+      assert(r.getAs[Double]("pq_recall") >= 0.0 && r.getAs[Double]("pq_recall") <= 1.0)
     }
     // the calibration table must show the paths actually recall something
     assert(got.values.map(_.getAs[Long]("lsh_hits")).sum > 0)
     assert(got.values.map(_.getAs[Long]("ivf_hits")).sum > 0)
+    assert(got.values.map(_.getAs[Long]("pq_hits")).sum > 0)
   }
 
   test("ann_pq: ADC ranking is complete, monotone, and recalls exact quantized L2") {
