@@ -46,6 +46,14 @@ object StreamCdc {
   private def us(t: Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
+  /** Observability from the most recent [[run]], for the spec's
+    * state-footprint gate: `numRowsTotal` from the state-store
+    * metrics (one row per live key — compaction state IS the
+    * compacted table), and the per-wave micro-batch counts that back
+    * the single-batch ordering contract. */
+  @volatile private[graft] var lastStateRows: Long = -1L
+  @volatile private[graft] var waveBatches: Seq[Long] = Nil
+
   /** Fold one batch's ops (sorted into event order) into the key's
     * compacted state; emit the updated compacted row. */
   def compact(user: Long, ops: Iterator[Op],
@@ -86,16 +94,35 @@ object StreamCdc {
     val watch = Files.createDirectory(base.resolve("ops"))
     val mem = "stream_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
-    val q = s.readStream.schema(e.schema).parquet(watch.toString).as[Op]
+    val q = s.readStream.schema(e.schema)
+      // the per-key ordering contract REQUIRES each staged wave to be
+      // consumed as exactly ONE micro-batch (compact() sorts only
+      // within a batch); pin maxFilesPerTrigger far above any wave's
+      // file count so a global option default can never silently
+      // split a wave, and ASSERT the batch count below — a violated
+      // contract must fail loudly, not ship wrong resurrection counts
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(watch.toString).as[Op]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(compact)
       .writeStream.format("memory").queryName(mem).outputMode("update")
       .start()
     try {
+      def dataBatches(): Long = q.recentProgress.count(_.numInputRows > 0).toLong
       Staging.stage(e.filter(col("ts") < lit(cut)), watch.toString, "wave_a")
       q.processAllAvailable()
+      val bA = dataBatches()
+      require(bA == 1L,
+        s"wave A consumed as $bA micro-batches — per-key order contract broken")
       Staging.stage(e.filter(col("ts") >= lit(cut)), watch.toString, "wave_b")
       q.processAllAvailable()
+      val bB = dataBatches()
+      require(bB == 2L,
+        s"wave B consumed as ${bB - bA} micro-batches — per-key order contract broken")
+      waveBatches = Seq(bA, bB - bA)
+      // state footprint: one row per live key, never evicted
+      lastStateRows = q.recentProgress
+        .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).maxOption.getOrElse(-1L)
     } finally q.stop()
     // Update sink: one row per key per batch-with-updates; the final
     // compacted row is the one with the largest op count (strictly

@@ -295,6 +295,16 @@ class SinkStreamSpec extends SparkSpec {
     val straddlers = e.groupBy(_._1).values
       .count(ts => ts.exists(_._2 < cut) && ts.exists(_._2 >= cut))
     assert(straddlers > 0, "no key spans the wave boundary — cross-batch state untested")
+    // state-footprint accounting: the store holds EXACTLY one row per
+    // live key across both waves (state is never evicted — it IS the
+    // compacted table), so at 100 TB the RocksDB footprint is
+    // key-cardinality × one fixed-width row, nothing time-dependent
+    assert(graft.streaming.StreamCdc.lastStateRows == streamed.size.toLong,
+      s"state rows ${graft.streaming.StreamCdc.lastStateRows} != live keys ${streamed.size}")
+    // and each wave arrived as exactly ONE micro-batch — the per-key
+    // ordering contract run() now pins and asserts
+    assert(graft.streaming.StreamCdc.waveBatches == Seq(1L, 1L),
+      s"waves split across batches: ${graft.streaming.StreamCdc.waveBatches}")
   }
 
   test("stream_dedup: planted replays dropped exactly once, accounting matches a recount") {
