@@ -14,23 +14,42 @@ import org.apache.spark.sql.SparkSession
   * separate "failed" list (timing -1), never as a normal-looking
   * number.
   *
-  * Every query runs THREE times: one cold pass (`queries`/`value` —
-  * comparable with earlier rounds) and two warm passes reported as
-  * their minimum (`queries_warm`/`warm_total`). Cold numbers on a
-  * loaded box carry 3-30× first-run Janino/JIT compile noise on the
-  * codegen-heavy queries (measured round 5: same commit, 262 s idle
-  * vs 681 s loaded, the gap concentrated on exactly those queries);
-  * the warm minimum is the steady-state plan cost, so regressions in
-  * the PLAN are visible even when the driver box is busy. */
+  * Every query runs THREE times at the headline SF: one cold pass
+  * (`queries`/`value` — comparable with earlier rounds) and two warm
+  * passes reported as their minimum (`queries_warm`/`warm_total`).
+  * Cold numbers on a loaded box carry 3-30× first-run Janino/JIT
+  * compile noise on the codegen-heavy queries (measured round 5:
+  * same commit, 262 s idle vs 681 s loaded, the gap concentrated on
+  * exactly those queries); the warm minimum is the steady-state plan
+  * cost, so regressions in the PLAN are visible even when the driver
+  * box is busy.
+  *
+  * Self-diagnostics the consumers should trust over raw numbers:
+  *
+  *  - `noisy`: queries whose warm minimum exceeded their cold time —
+  *    impossible absent external load (warm reuses everything cold
+  *    paid for), so their timings this run are contention artifacts,
+  *    not plan costs. Chase regressions only on non-noisy queries.
+  *  - `queries_slope` / `slope_flagged`: per-query ratio of headline
+  *    warm time to warm time at a [[SlopeDiv]]×-smaller SF (two
+  *    passes, min). A linear-scaling query's ratio is ≤ the corpus
+  *    growth factor (usually far below it — fixed overheads dominate
+  *    at the small SF); a reducer-bound or superlinear shape shows a
+  *    ratio well ABOVE it. Flagged when slope > growth × 1.5 (the
+  *    slack absorbs timer noise on sub-100 ms denominators). An
+  *    empty flagged set is the claim "no query's cost grows faster
+  *    than the data"; each member must have a documented reason.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.configured(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
-    // warm the session: JVM + parquet footer caches, tiny plan
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
-    // one-time fixtures outside the timed path
+
+  /** Headline-to-slope corpus growth factor: sf0.1 vs sf0.01. */
+  val SlopeDiv = 10.0
+
+  /** Flag slack over the growth factor (timer noise on small
+    * denominators). */
+  val SlopeSlack = 1.5
+
+  private def buildFixtures(spark: SparkSession, sfDir: String): Unit = {
     operators.ScalePatterns.ensureBucketed(spark, sfDir)
     operators.ScalePatterns.ensurePartitioned(spark, sfDir)
     operators.ScalePatterns.ensureDrift(spark, sfDir)
@@ -42,41 +61,86 @@ object Bench {
     operators.Dedup.ensureCorpusIndex(spark, sfDir) // dedup_incremental reads it
     operators.Dedup.ensureClusterLabels(spark, sfDir) // dedup_apply reads it
     operators.CorpusClean.ensureBpeTokens(spark, sfDir) // bpe_apply reads it
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // the smaller scale for the slope probe; empty disables it
+    val slopeDir = sys.env.getOrElse("SPARK_GRAFT_SLOPE_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.configured(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
+    // warm the session: JVM + parquet footer caches, tiny plan
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // one-time fixtures outside the timed path (both scales)
+    buildFixtures(spark, sfDir)
+    val doSlope = slopeDir.nonEmpty && new java.io.File(slopeDir).isDirectory
+    if (doSlope) buildFixtures(spark, slopeDir)
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save(); true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      // drop caches a query persisted for its own internal reuse:
+      // timings stay independent and executor memory stays flat
+      // across the 120+ query loop
+      spark.sharedState.cacheManager.clearCache()
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-          } catch { case scala.util.control.NonFatal(_) => false }
-        // drop caches a query persisted for its own internal reuse:
-        // timings stay independent and executor memory stays flat
-        // across the 120+ query loop
-        spark.sharedState.cacheManager.clearCache()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val cold = once()
+      val cold = once(fn, sfDir)
       val warm =
         if (cold < 0) -1.0
-        else math.min(once(), once()) match { case w if w < 0 => -1.0; case w => w }
+        else math.min(once(fn, sfDir), once(fn, sfDir)) match {
+          case w if w < 0 => -1.0; case w => w
+        }
       (name, cold, warm)
     }
+    // slope probe at the smaller SF: two passes, min — these timings
+    // only feed the ratio, never the headline numbers
+    val slopeTimes: Map[String, Double] =
+      if (!doSlope) Map.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val a = once(fn, slopeDir)
+        val b = if (a < 0) -1.0 else once(fn, slopeDir)
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }.toMap
+
     // 3-decimal seconds keep the line short. The headline numbers go
-    // out TWICE: a compact summary-only line FIRST (short enough that
-    // no capture truncates it), then the full per-query line — both
-    // valid instances of the one-JSON-line contract, so a parser
-    // reading either the first or the last line gets totals. The full
-    // line is ALSO written to bench_last.json (committed with the
-    // round snapshot) so stdout truncation can never lose the data.
+    // out TWICE: a compact summary-only line FIRST (metric
+    // "total_summary", short enough that no capture truncates it),
+    // then the full per-query line (metric "total") — distinct metric
+    // names so line-scanning consumers can never double-count. The
+    // full line is ALSO written to bench_last.json (committed with
+    // the round snapshot) so stdout truncation can never lose data.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def qjson(sel: ((String, Double, Double)) => Double) =
       results.map(t => "\"" + t._1 + "\":" + r3(sel(t))).mkString("{", ",", "}")
     val failed = results.collect { case (k, c, _) if c < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val noisy = results.collect { case (k, c, w) if c >= 0 && w > c => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val slopes: Seq[(String, Double)] = results.collect {
+      case (k, _, w) if w > 0 && slopeTimes.getOrElse(k, -1.0) > 0 =>
+        k -> r3(w / slopeTimes(k))
+    }
+    val slopeJson = slopes.map { case (k, s) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val slopeFlagged = slopes.collect {
+      case (k, s) if s > SlopeDiv * SlopeSlack => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = r3(results.collect { case (_, c, _) if c >= 0 => c }.sum)
     val warmTotal = r3(results.collect { case (_, _, w) if w >= 0 => w }.sum)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","failed":$failed}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir","failed":$failed,"queries":${qjson(_._2)},"queries_warm":${qjson(_._3)}}"""
+    val common = s""""value":$total,"unit":"sec","warm_total":$warmTotal,""" +
+      s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
+      s""""sf":"$sfDir","failed":$failed,"noisy":$noisy,"slope_flagged":$slopeFlagged"""
+    val summary = s"""{"metric":"total_summary",$common}"""
+    val line = s"""{"metric":"total",$common,"queries":${qjson(_._2)},""" +
+      s""""queries_warm":${qjson(_._3)},"queries_slope":$slopeJson}"""
     println(summary)
     println(line)
     try java.nio.file.Files.writeString(

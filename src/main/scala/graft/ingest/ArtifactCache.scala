@@ -1,0 +1,42 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Invalidation tokens for the write-once artifact lifecycle
+  * (`target/graft_*`): an artifact's subdir name embeds a fingerprint
+  * of (a) the source table files it derives from — file name, size,
+  * mtime of every parquet part — and (b) an algorithm signature (the
+  * constants whose change invalidates the artifact). A changed
+  * corpus, a regenerated testdata dir sharing a basename, or a
+  * parameter bump then lands on a FRESH subdir and rebuilds, instead
+  * of silently serving stale derived data until someone remembers to
+  * delete the cache dir. Superseded tokens' subdirs become inert
+  * files under target/ (cleaned with the normal target wipe) — cheap
+  * insurance against wrong-but-plausible results.
+  */
+object ArtifactCache {
+
+  /** 12-hex-char fingerprint of `dir`'s named source tables plus the
+    * algorithm `signature`. Tables may be single parquet files or
+    * directories of part files; a missing table contributes nothing
+    * (the build itself will fail loudly on a truly absent source). */
+  def token(dir: String, tables: Seq[String], signature: String): String = {
+    val parts = tables.sorted.flatMap { t =>
+      val root = Paths.get(dir, s"$t.parquet")
+      val files: Seq[Path] =
+        if (Files.isDirectory(root)) {
+          val s = Files.walk(root)
+          try s.filter(p => Files.isRegularFile(p)).sorted()
+            .toArray.toSeq.map(_.asInstanceOf[Path])
+          finally s.close()
+        } else if (Files.exists(root)) Seq(root)
+        else Seq.empty
+      files.map(p => s"$t:${p.getFileName}:${Files.size(p)}:" +
+        s"${Files.getLastModifiedTime(p).toMillis}")
+    }
+    val basis = (parts :+ s"sig=$signature").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(basis.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(12)
+  }
+}

@@ -481,8 +481,14 @@ object CorpusClean {
     * once, every downstream consumer reads the persisted encoding. */
   val BpeTokensRoot = "target/graft_bpe_tokens"
 
+  /** Subdir name embeds an [[graft.ingest.ArtifactCache]] token
+    * (corpus files + merge-round count), so a regenerated corpus or a
+    * [[BpeTrainRounds]] change self-invalidates the persisted
+    * encoding instead of serving a stale tokenization. */
   def bpeTokensPath(dir: String): String =
-    s"$BpeTokensRoot/${new java.io.File(dir).getName}"
+    s"$BpeTokensRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("documents"),
+        s"rounds=$BpeTrainRounds;ws-lower")
 
   /** Train + persist the encoded corpus at most once per (JVM, dir). */
   def ensureBpeTokens(s: SparkSession, dir: String): String = {

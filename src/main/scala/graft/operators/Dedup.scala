@@ -124,12 +124,23 @@ object Dedup {
   /** Root for materialized corpus LSH indexes, one subdir per scale
     * dir. Lifecycle contract: [[buildCorpusIndex]] (re)writes it;
     * [[dedupIncremental]] builds it once if absent and READS it
-    * thereafter — delete the subdir to force a rebuild after a
-    * corpus or signature-family change. */
+    * thereafter. The subdir name embeds an [[graft.ingest
+    * .ArtifactCache]] token over the corpus files AND the signature
+    * constants, so a changed corpus or parameter bump self-invalidates
+    * (fresh path → rebuild) — no manual delete needed. */
   val CorpusIndexRoot = "target/graft_corpus_index"
 
+  /** Constants whose change invalidates the persisted index: the
+    * minhash family (hash count, modulus), banding geometry, df cap,
+    * and the batch-split predicate. */
+  private def corpusIndexSig: String = {
+    import graft.functions.HashFns.{Bands, NumHashes, P => HashP}
+    s"minhash=${NumHashes}x$HashP;bands=$Bands;df=$DfCap;newdoc=7%10"
+  }
+
   def corpusIndexPath(dir: String): String =
-    s"$CorpusIndexRoot/${new java.io.File(dir).getName}"
+    s"$CorpusIndexRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("documents"), corpusIndexSig)
 
   /** Build and PERSIST the corpus's LSH band index — the write-once
     * half of the incremental-dedup lifecycle. Three parquet tables
@@ -179,12 +190,16 @@ object Dedup {
     * LSH index: (doc_id, cluster_id, cluster_size) as plain keyed
     * parquet. [[dedupClusters]] is the job that produces it;
     * downstream consumers ([[dedupApply]]) join the persisted labels
-    * instead of re-running LSH + union-find per query. Delete the
-    * subdir to force a rebuild after a corpus or threshold change. */
+    * instead of re-running LSH + union-find per query. The subdir
+    * name embeds an [[graft.ingest.ArtifactCache]] token (corpus
+    * files + clustering signature), so a corpus or threshold change
+    * self-invalidates instead of serving stale labels. */
   val ClusterLabelsRoot = "target/graft_cluster_labels"
 
   def clusterLabelsPath(dir: String): String =
-    s"$ClusterLabelsRoot/${new java.io.File(dir).getName}"
+    s"$ClusterLabelsRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("documents"),
+        s"$corpusIndexSig;j>=0.5;unionfind")
 
   /** Run the clustering once and PERSIST its labels. */
   def buildClusterLabels(s: SparkSession, dir: String, path: String): Unit =

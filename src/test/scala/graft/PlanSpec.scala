@@ -133,10 +133,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
-  test("no query plans a CartesianProduct (BNLJ-with-condition is the allowed exact-pairs form)") {
+  /** Queries whose plan legitimately carries a NO-PARTITION window —
+    * each sits above a bounded-cardinality frame, so the single
+    * reducer it implies is report-sized, never data-sized. Any query
+    * appearing in the audit below but not here fails the suite until
+    * it is either repartitioned or justified. */
+  private val allowedGlobalWindows: Map[String, String] = Map(
+    // justifications: what bounds the frame under the global window
+    "quantile_bins" -> ("gridPct's empty-group rank runs over the distinct-price " +
+      "CELL frame (B10 grid-cell convention: values aggregate to cells BEFORE the window)"),
+    "dist_drift" -> ("two gridPct edge windows over the distinct-value cell frame — " +
+      "cells, not rows, reach the single reducer"),
+    "heavy_hitters" -> ("the exactness-certificate min() runs over the post-limit " +
+      "top-K frame (<= HhK rows)"),
+    "skyline_2d" -> ("the frontier running-min runs over the size-domain frame " +
+      "(<= |p_size| rows, groupBy'd first; documented in the operator docstring)"),
+    "concurrency_peak" -> ("the cross-day carry accumulates over the distinct-days " +
+      "frame (calendar-bounded, broadcast back; documented at the site)")
+  )
+
+  test("no query plans a CartesianProduct; no UNBOUNDED no-partition window (one audit pass)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = scala.collection.mutable.Map.empty[String, Int]
     SparkEntry.queries.keys.foreach { name =>
-      assert(!plan(name).contains("CartesianProduct"), s"cartesian in $name")
+      val top = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val inner: SparkPlan = top match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(!inner.toString.contains("CartesianProduct"), s"cartesian in $name")
+      val globals = inner.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty && !allowedGlobalWindows.contains(name))
+        offenders(name) = globals.size
     }
+    assert(offenders.isEmpty,
+      s"no-partition WindowExec above a possibly-unbounded frame in: $offenders — " +
+        "repartition the window or add a bounded-cardinality justification to allowedGlobalWindows")
   }
 
   test("dedup/ann candidate generation is equi-join (hash/merge), LSH never all-pairs") {
