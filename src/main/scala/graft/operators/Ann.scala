@@ -456,6 +456,71 @@ object Ann {
        |  round(sum(ph) / count(*), 4) AS pq_recall
        |FROM j GROUP BY qid""".stripMargin
 
+  /** K76: EMBEDDING CENTROID DRIFT — per-label centroids and the
+    * pairwise centroid-cosine matrix: the domain/encoder-shift read a
+    * pipeline runs when corpora from different sources (or encoder
+    * versions) share one vector space — near-orthogonal centroids
+    * mean the labels occupy different regions; a drifting re-encode
+    * shows up as a falling diagonal-block cosine. Shape: ONE
+    * rows-scale pass (posexplode → (label, dim) combining aggregate,
+    * map-side partials); everything after runs on the labels×dims
+    * centroid frame. Coordinates quantize ×[[KMeansIter.Scale]] and
+    * centroids floor-divide (the annPq convention), so dots and
+    * norms are exact BIGINTs and the only float ops are the final
+    * sqrt/division — bit-identical in DuckDB. */
+  def embCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        floor(col("v").cast("double") * KMeansIter.Scale + 0.5).cast("long").as("qv"))
+    val cent = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("dim"),
+        floor(col("sq").cast("double") / col("cnt")).cast("long").as("cv"))
+      .localCheckpoint() // labels × dims — read three ways below
+    val norms = cent.groupBy(col("label")).agg(sum(col("cv") * col("cv")).as("nrm"))
+    val sizes = embeddings(s, dir).groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val a = cent.select(col("label").as("label_a"), col("dim"), col("cv").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("dim"), col("cv").as("cb"))
+    a.join(b, "dim").filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(broadcast(norms.select(col("label").as("label_a"), col("nrm").as("ra"))), "label_a")
+      .join(broadcast(norms.select(col("label").as("label_b"), col("nrm").as("rb"))), "label_b")
+      .join(broadcast(sizes.select(col("label").as("label_a"), col("n").as("n_a"))), "label_a")
+      .join(broadcast(sizes.select(col("label").as("label_b"), col("n").as("n_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("ra").cast("double")) * sqrt(col("rb").cast("double"))), 4)
+          .as("cos_centroid"))
+  }
+
+  lazy val embCentroidDriftSql: String = {
+    val S = KMeansIter.Scale
+    s"""WITH q AS (
+       |  SELECT label, d - 1 AS dim,
+       |    CAST(floor(v::DOUBLE * $S + 0.5) AS BIGINT) AS qv
+       |  FROM (SELECT label, generate_subscripts(embedding, 1) AS d,
+       |               unnest(embedding) AS v FROM embeddings)),
+       |cent AS (
+       |  SELECT label, dim,
+       |    CAST(floor(sum(qv)::DOUBLE / count(*)) AS BIGINT) AS cv
+       |  FROM q GROUP BY 1, 2),
+       |nrm AS (SELECT label, sum(cv * cv)::BIGINT AS nrm FROM cent GROUP BY 1),
+       |sz AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+       |dt AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    sum(a.cv * b.cv)::BIGINT AS dot
+       |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b,
+       |  round(dot::DOUBLE / (sqrt(ra.nrm::DOUBLE) * sqrt(rb.nrm::DOUBLE)), 4)
+       |    AS cos_centroid
+       |FROM dt
+       |JOIN nrm ra ON ra.label = label_a JOIN nrm rb ON rb.label = label_b
+       |JOIN sz na ON na.label = label_a JOIN sz nb ON nb.label = label_b""".stripMargin
+  }
+
   /** Power-iteration rounds and the fixed-point eigenvector scale.
     * The synthetic embeddings are near-isotropic (measured
     * λ2/λ1 ≈ 0.983 at sf0.1), so convergence needs

@@ -499,6 +499,45 @@ object Dedup {
        |FROM ($dedupClustersSql) clu JOIN documents USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** K78: DUPLICATION PROFILE — the cluster-size histogram read
+    * BEFORE choosing a keep-one-per-cluster policy: per cluster size,
+    * how many clusters, how many documents they hold, how many of
+    * those are excess copies, and the exact chars the merge would
+    * reclaim. Like [[dedupApply]] this is a pure CONSUMER of the
+    * persisted [[ensureClusterLabels]] frame (the clustering is never
+    * re-paid): one labels ⋈ doc-metadata join + one cluster-keyed and
+    * one size-keyed aggregate; output is bounded by the largest
+    * cluster size, so the report is tiny at any corpus scale. */
+  def dupClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val clu = s.read.parquet(ensureClusterLabels(s, dir))
+    val docs = documents(s, dir).select(col("doc_id"), col("n_chars"))
+    clu.join(docs, "doc_id")
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(sum(when(col("doc_id") =!= col("cluster_id"), col("n_chars"))
+        .otherwise(0L)).as("excess_chars"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"),
+        (count(lit(1)) * (col("cluster_size") - 1)).as("n_excess_docs"),
+        sum(col("excess_chars")).as("excess_chars"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("n_excess_docs"), col("excess_chars"))
+  }
+
+  // lazy: interpolates dedupClustersSql, declared further down
+  lazy val dupClusterStatsSql: String =
+    s"""WITH per AS (
+       |  SELECT cluster_id, cluster_size,
+       |    sum(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END)::BIGINT
+       |      AS excess_chars
+       |  FROM ($dedupClustersSql) clu JOIN documents USING (doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  (count(*) * cluster_size)::BIGINT AS n_docs,
+       |  (count(*) * (cluster_size - 1))::BIGINT AS n_excess_docs,
+       |  sum(excess_chars)::BIGINT AS excess_chars
+       |FROM per GROUP BY 1""".stripMargin
+
   /** K-line: MinHash accuracy report — for every true near-dup pair
     * (exact Jaccard ≥ 0.5, the C4 set), the signature-agreement
     * estimate ĵ = |{k : sig_a[k] = sig_b[k]}| / 64 next to the exact

@@ -419,6 +419,79 @@ object Graph {
       |$roundRows""".stripMargin
   }
 
+  /** Label-propagation round budget for [[ccLabels]]. Like
+    * [[KcoreRounds]]/[[BfsMaxHops]], a fixed budget keeps the Spark
+    * loop and the unrolled oracle structurally identical; the
+    * `converged` column reports whether the fixpoint was reached
+    * (min-label propagation needs ~eccentricity-of-the-min-node
+    * rounds, so at sf0.1's >8-hop graph it honestly reports false). */
+  val CcRounds = 8
+
+  /** K75: CONNECTED COMPONENTS by iterative min-label propagation —
+    * the canonical component labeling over the co-supply graph (the
+    * graph-side sibling of dedup_clusters' cluster labeling, here
+    * with a bounded-round unrolled oracle instead of a recursive
+    * CTE): each round every node takes the minimum of its own label
+    * and its neighbors' (one adjacency equi-join + one combining
+    * min aggregate — shuffle ∝ edges, the textbook bound), frames
+    * localCheckpoint'd per round (the kcore convention). Rows are
+    * the per-component rollup (component = min member id, size);
+    * `converged` is computed RELATIONALLY (no neighbor still offers
+    * a smaller label), so Spark and oracle agree by construction. */
+  def ccLabels(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint()
+    val adj = edges.select(col("s1").as("n"), col("s2").as("nb"))
+      .unionByName(edges.select(col("s2").as("n"), col("s1").as("nb")))
+      .localCheckpoint()
+    var lab = adj.select(col("n")).distinct()
+      .withColumn("lab", col("n")).localCheckpoint()
+    for (_ <- 1 to CcRounds) {
+      val viaNb = adj
+        .join(lab.select(col("n").as("nb"), col("lab").as("nl")), "nb")
+        .groupBy(col("n")).agg(min(col("nl")).as("nl"))
+      lab = lab.join(viaNb, Seq("n"), "left_outer")
+        .select(col("n"),
+          least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+        .localCheckpoint()
+    }
+    val better = adj
+      .join(lab.select(col("n").as("nb"), col("lab").as("nl")), "nb")
+      .join(lab, "n")
+      .filter(col("nl") < col("lab"))
+      .agg(count(lit(1)).as("n_better"))
+      .select((col("n_better") === 0L).as("converged"))
+    lab.groupBy(col("lab").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(better)) // 1-row scalar convergence frame
+  }
+
+  /** The same propagation unrolled as MATERIALIZED CTEs (the kcore
+    * convention — DuckDB would otherwise inline round N-1 twice per
+    * round, going 2^N deep). */
+  lazy val ccLabelsSql: String = {
+    val roundCtes = (1 to CcRounds).map { r =>
+      s"""lab$r AS MATERIALIZED (
+         |  SELECT l.n, least(l.lab, coalesce(min(x.nl), l.lab)) AS lab
+         |  FROM lab${r - 1} l
+         |  LEFT JOIN (SELECT a.n, p.lab AS nl FROM adj a
+         |             JOIN lab${r - 1} p ON a.nb = p.n) x ON x.n = l.n
+         |  GROUP BY l.n, l.lab)""".stripMargin
+    }.mkString(",\n")
+    coEdgesCte + s""",
+      |adj AS MATERIALIZED (
+      |  SELECT s1 AS n, s2 AS nb FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |lab0 AS MATERIALIZED (SELECT DISTINCT n, n AS lab FROM adj),
+      |$roundCtes,
+      |conv AS (
+      |  SELECT count(*) = 0 AS converged
+      |  FROM adj a JOIN lab$CcRounds p ON a.nb = p.n
+      |  JOIN lab$CcRounds l ON a.n = l.n
+      |  WHERE p.lab < l.lab)
+      |SELECT lab AS component, count(*) AS n_nodes, conv.converged
+      |FROM lab$CcRounds, conv GROUP BY lab, converged""".stripMargin
+  }
+
   /** BFS hop budget. At the tested SFs this exercises every regime:
     * 1-hop (sf0.001's complete K10), 2-hop dense (sf0.01), and a
     * real 8-layer expansion at sf0.1 where one node is first reached

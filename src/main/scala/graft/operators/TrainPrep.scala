@@ -631,6 +631,68 @@ object TrainPrep {
         expr("cum div stride").as("bucket"), col("n_buckets"))
   }
 
+  /** Bottom-k sample size. */
+  val BottomK = 100
+  /** Portable multiplicative-hash constants (VecFns convention). */
+  private val PriMult = 2654435761L
+  private val PriP = 1000000007L
+
+  /** K74: BOTTOM-K PRIORITY SAMPLE — the distributed reservoir: each
+    * row gets a deterministic pseudo-random priority (multiplicative
+    * hash of doc_id mod a prime — engine-portable, rerun-stable) and
+    * the sample is the [[BottomK]] smallest priorities. MERGEABLE by
+    * construction: bottom-k of a union is the bottom-k of per-part
+    * bottom-k's, which is exactly how Spark plans it — a
+    * TakeOrderedAndProject (per-partition heap + driver merge of k
+    * rows), never a global sort or a single-reducer rank window. The
+    * inner mod keeps every product under 2⁶³ (ANSI-safe, and DuckDB
+    * BIGINT never overflows). */
+  def sampleBottomk(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        pmod(pmod(col("doc_id"), lit(PriP)) * PriMult, lit(PriP)).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(BottomK)
+
+  val sampleBottomkSql: String =
+    s"""SELECT doc_id, source, n_chars,
+       |  (doc_id % $PriP) * $PriMult % $PriP AS priority
+       |FROM documents
+       |ORDER BY priority, doc_id LIMIT $BottomK""".stripMargin
+
+  /** Inverse-frequency weight scale for [[labelBalance]]. */
+  val BalScale = 1000000L
+
+  /** K80: LABEL/CLASS BALANCE — the class-rebalance table a training
+    * pipeline computes before sampling: per (source, lang) cell, doc
+    * and char counts, corpus share, and the inverse-frequency
+    * resampling weight w = N / (K·n) (uniform-over-cells target),
+    * emitted as an exact ×[[BalScale]] integer division so the
+    * cross-engine hash never sees a float accumulation. One
+    * combining aggregate + two 1-row broadcast scalars (total N,
+    * cell count K) — the same plan at any scale. */
+  def labelBalance(s: SparkSession, dir: String): DataFrame = {
+    val cells = documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val tot = cells.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("k_cells"))
+    cells.crossJoin(broadcast(tot)) // 1-row scalar totals frame
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        round(col("n_docs").cast("double") / col("n_total"), 4).as("share"),
+        expr(s"(n_total * ${BalScale}L) div (k_cells * n_docs)").as("weight_q"))
+  }
+
+  val labelBalanceSql: String =
+    s"""WITH cells AS (
+       |  SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT sum(n_docs)::BIGINT AS n_total, count(*) AS k_cells FROM cells)
+       |SELECT source, lang, n_docs, n_chars,
+       |  round(n_docs::DOUBLE / n_total, 4) AS share,
+       |  (n_total * $BalScale) // (k_cells * n_docs) AS weight_q
+       |FROM cells, tot""".stripMargin
+
   val systematicSampleSql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,

@@ -855,4 +855,51 @@ object Behavior {
       |        / (nullif(n_days*sxx - sx*sx, 0)::DOUBLE
       |           * nullif(n_days*syy - sy*sy, 0)), 6) AS r2
       |FROM m""".stripMargin
+
+  /** Rolling-feature frame width for [[featureLags]]. */
+  val FeatWin = 5
+
+  /** K79: LAG/ROLLING FEATURE GENERATION — the per-entity training
+    * features an ML pipeline derives from an event stream: previous
+    * value, step delta, and a trailing [[FeatWin]]-row sum/mean per
+    * user in event order. ONE user_id exchange feeds every window
+    * (same frame family as H5's rolling_window — PlanSpec-style
+    * single-exchange shape). events.value lives on a 2-decimal grid
+    * (the Robust-family contract), so features compute on exact ×100
+    * BIGINTs — lag, delta, and the sliding sum are integer-exact and
+    * order-independent across engines; the only float op is the one
+    * display division for the mean. Output is rows-scale (a feature
+    * table, like H5), written back out as training input. */
+  def featureLags(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRoll = w.rowsBetween(-(FeatWin - 1), 0)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("q"))
+      .withColumn("lag1_q", lag(col("q"), 1).over(w))
+      .withColumn("delta_q", col("q") - col("lag1_q"))
+      .withColumn("rsum_q", sum(col("q")).over(wRoll))
+      .withColumn("n_win", count(lit(1)).over(wRoll))
+      .select(col("user_id"), col("event_id"), col("q"), col("lag1_q"),
+        col("delta_q"), col("rsum_q"), col("n_win"),
+        round(col("rsum_q").cast("double") / col("n_win") / 100.0, 4).as("rmean"))
+  }
+
+  val featureLagsSql: String =
+    s"""WITH q AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+       |  FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, q,
+       |    lag(q) OVER w AS lag1_q,
+       |    q - lag(q) OVER w AS delta_q,
+       |    sum(q) OVER (w ROWS BETWEEN ${FeatWin - 1} PRECEDING AND CURRENT ROW)
+       |      ::BIGINT AS rsum_q,
+       |    count(*) OVER (w ROWS BETWEEN ${FeatWin - 1} PRECEDING AND CURRENT ROW)
+       |      ::BIGINT AS n_win
+       |  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id, q, lag1_q, delta_q, rsum_q, n_win,
+       |  round(rsum_q::DOUBLE / n_win / 100.0, 4) AS rmean
+       |FROM f""".stripMargin
 }

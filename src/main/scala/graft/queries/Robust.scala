@@ -128,6 +128,83 @@ object Robust {
        |GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  /** Quartile-edge percentiles for [[rfmSegments]]. */
+  private val quartPs = Seq((0.25, "q1"), (0.5, "q2"), (0.75, "q3"))
+
+  /** K77: RFM SEGMENTATION — the classic recency/frequency/monetary
+    * customer cube: per customer, days since last order, order count,
+    * and total spend, each quartile-coded 0-3 against the corpus-wide
+    * distribution, rolled up to segment cells. All three quartile
+    * edge sets come from [[gridPct]] over BOUNDED cells (recency:
+    * calendar days; frequency: small order counts; monetary: spend
+    * floor-divided onto a 100-currency grid — the explicit
+    * quantization that keeps the cell frame grid-sized at 100 TB,
+    * stated rather than hoped); coding is then a map-side
+    * count-edges-below against three broadcast edge rows (the
+    * quantile_bins shape). Spend sums in DECIMAL(18,2) (exact,
+    * order-independent) and reports as ×100 integer cents, so the
+    * cross-engine hash never sees a float accumulation. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("d"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    // ONE orders scan: the per-customer aggregate is checkpointed
+    // (customer-sized) and feeds the reference date, all three edge
+    // chains, and the coding pass
+    val per0 = o.groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"), sum(col("p")).as("mon"))
+      .localCheckpoint()
+    val ref = per0.agg(max(col("last_d")).as("refd"))
+    val per = per0
+      .crossJoin(broadcast(ref)) // 1-row reference-date frame
+      .select(col("o_custkey"),
+        datediff(col("refd"), col("last_d")).cast("long").as("r_days"),
+        col("freq"),
+        floor(col("mon") / 100).cast("long").as("m_grid"),
+        (col("mon") * 100).cast("long").as("mon_c"))
+    def edgeRow(valueCol: String, as: String): DataFrame =
+      gridPct(per.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt")),
+        Nil, valueCol, quartPs)
+        .select(array(col("q1"), col("q2"), col("q3")).as(as))
+    def code(v: String, edges: String) =
+      size(filter(col(edges), e => col(v).cast("double") > e))
+    per
+      .crossJoin(broadcast(edgeRow("r_days", "re")))
+      .crossJoin(broadcast(edgeRow("freq", "fe")))
+      .crossJoin(broadcast(edgeRow("m_grid", "me")))
+      .groupBy(code("r_days", "re").as("r_code"),
+        code("freq", "fe").as("f_code"),
+        code("m_grid", "me").as("m_code"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("mon_c")).as("monetary_c"))
+  }
+
+  lazy val rfmSegmentsSql: String = {
+    def chain(sfx: String, vcol: String) =
+      gridPctSql(s"SELECT $vcol AS v, count(*) AS cnt FROM per GROUP BY 1",
+        Nil, quartPs, sfx)
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+       |              (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS r_days,
+       |    count(*) AS freq,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 100) AS BIGINT) AS m_grid,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mon_c
+       |  FROM orders GROUP BY 1),
+       |${chain("r", "r_days")},
+       |${chain("f", "freq")},
+       |${chain("m", "m_grid")},
+       |er AS (SELECT [q1, q2, q3] AS re FROM pctr),
+       |ef AS (SELECT [q1, q2, q3] AS fe FROM pctf),
+       |em AS (SELECT [q1, q2, q3] AS me FROM pctm)
+       |SELECT
+       |  len(list_filter(er.re, x -> r_days::DOUBLE > x)) AS r_code,
+       |  len(list_filter(ef.fe, x -> freq::DOUBLE > x)) AS f_code,
+       |  len(list_filter(em.me, x -> m_grid::DOUBLE > x)) AS m_code,
+       |  count(*) AS n_customers, sum(mon_c)::BIGINT AS monetary_c
+       |FROM per, er, ef, em
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** MAD multiplier: |x - median| > 3·MAD flags an outlier. */
   val MadK = 3
 

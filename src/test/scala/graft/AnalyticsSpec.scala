@@ -333,4 +333,45 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got.nonEmpty && got.length < parts.length / 10)
   }
+
+  test("rfm_segments: quartile coding replays the exact percentile edges") {
+    import org.apache.spark.sql.functions._
+    val per = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getLong(2),
+        r.getDecimal(3)))
+    val refd = per.map(_._1).max((a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b))
+    val rows = per.map { case (d, f, m) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(d, refd),
+        f,
+        m.divide(new java.math.BigDecimal(100)).setScale(0, java.math.RoundingMode.FLOOR).longValue(),
+        m.movePointRight(2).longValueExact())
+    }
+    // exact interpolated quartile edges over the sorted multiset —
+    // the gridPct contract (x[l] + frac * (x[l+1] - x[l]))
+    def edges(vs: Seq[Long]): Seq[Double] = {
+      val x = vs.sorted
+      Seq(0.25, 0.5, 0.75).map { p =>
+        val pos = p * (x.length - 1)
+        val l = math.floor(pos).toInt
+        val xu = if (l + 1 < x.length) x(l + 1) else x(l)
+        x(l) + (pos - l) * (xu - x(l)).toDouble
+      }
+    }
+    val (re, fe, me) = (edges(rows.map(_._1).toSeq), edges(rows.map(_._2).toSeq),
+      edges(rows.map(_._3).toSeq))
+    def code(v: Long, es: Seq[Double]): Int = es.count(e => v.toDouble > e)
+    val expected = rows.groupBy(r => (code(r._1, re), code(r._2, fe), code(r._3, me)))
+      .map { case (k, ms) => k -> (ms.length.toLong, ms.map(_._4).sum) }
+    val got = run("rfm_segments").collect()
+      .map(r => (r.getAs[Int]("r_code"), r.getAs[Int]("f_code"), r.getAs[Int]("m_code")) ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("monetary_c"))).toMap
+    assert(got == expected, s"segments: ${got.size} vs ${expected.size}")
+    assert(got.values.map(_._1).sum == rows.length.toLong)
+    // codes span the quartile range on every axis
+    assert(got.keySet.map(_._1).size >= 3 && got.keySet.map(_._3).size >= 3)
+  }
 }

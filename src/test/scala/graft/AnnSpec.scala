@@ -231,4 +231,40 @@ class AnnSpec extends SparkSpec {
 
   // alias so the object reference compiles from the test package
   private object Ann { val NumQueries = graft.operators.Ann.NumQueries; val K = graft.operators.Ann.K }
+
+  test("emb_centroid_drift: pairwise centroid cosines replay a local recompute") {
+    val S = graft.operators.KMeansIter.Scale
+    val rows = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val byLabel = rows.groupBy(_._1)
+    val cent = byLabel.view.mapValues { vs =>
+      val d = vs.head._2.length
+      Array.tabulate(d) { i =>
+        val sum = vs.map(v => math.floor(v._2(i).toDouble * S + 0.5).toLong).sum
+        math.floor(sum.toDouble / vs.length).toLong
+      }
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      math.rint(dot / (na * nb) * 10000) / 10000
+    }
+    val labels = cent.keys.toSeq.sorted
+    val expected = (for {
+      i <- labels.indices; j <- (i + 1) until labels.length
+      (a, b) = (labels(i), labels(j))
+    } yield (a, b) -> (byLabel(a).length.toLong, byLabel(b).length.toLong,
+      cos(cent(a), cent(b)))).toMap
+    val got = run("emb_centroid_drift").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("cos_centroid"))).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair set: ${got.keySet.size} vs ${expected.keySet.size}")
+    got.foreach { case (k, v) => assert(v == expected(k), s"pair $k: $v vs ${expected(k)}") }
+    // the labels genuinely separate in this space: cosines not all ~1
+    assert(got.values.map(_._3).min < 0.99)
+  }
 }

@@ -771,4 +771,30 @@ class BehaviorSpec extends SparkSpec {
     // the corpus exercises the rapid-fire band
     assert(expected.values.map(_._5).sum > 0)
   }
+
+  test("feature_lags: lag/delta/rolling features replay an exact local recount") {
+    val F = graft.queries.Behavior.FeatWin
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.zipWithIndex.map { case ((_, eid, _, q), i) =>
+        val lag1 = if (i == 0) None else Some(sorted(i - 1)._4)
+        val win = sorted.slice(math.max(0, i - (F - 1)), i + 1).map(_._4)
+        (u, eid) -> (q, lag1, lag1.map(q - _), win.sum, win.length.toLong,
+          math.rint(win.sum.toDouble / win.length / 100.0 * 10000) / 10000)
+      }
+    }
+    val got = run("feature_lags").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("q"),
+          Option(r.getAs[Any]("lag1_q")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("delta_q")).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("rsum_q"), r.getAs[Long]("n_win"),
+          r.getAs[Double]("rmean"))).toMap
+    assert(got.size == ev.length)
+    expected.foreach { case (k, e) => assert(got(k) == e, s"event $k: ${got(k)} vs $e") }
+  }
 }

@@ -414,4 +414,27 @@ class DedupSpec extends SparkSpec {
     // every reported distance respects the 20% contract
     got.foreach { case (_, (ed, maxLen)) => assert(5L * ed <= maxLen) }
   }
+
+  test("dup_cluster_stats: histogram recounts from dedup_clusters + doc metadata") {
+    val labels = run("dedup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size")))
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = labels.groupBy(_._3).map { case (size, ms) =>
+      val clusters = ms.map(_._2).distinct
+      size -> (clusters.length.toLong, ms.length.toLong,
+        ms.length.toLong - clusters.length.toLong,
+        ms.filter(m => m._1 != m._2).map(m => chars(m._1)).sum)
+    }
+    val got = run("dup_cluster_stats").collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_excess_docs"), r.getAs[Long]("excess_chars"))).toMap
+    assert(got == expected)
+    // the report stays honest: docs across sizes sum to the corpus
+    assert(got.values.map(_._2).sum == chars.size.toLong)
+    // and real duplication exists at this scale (excess > 0 somewhere)
+    assert(got.values.map(_._3).sum > 0)
+  }
 }

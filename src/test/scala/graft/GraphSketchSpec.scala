@@ -292,6 +292,35 @@ class GraphSketchSpec extends SparkSpec {
     assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
   }
 
+  test("cc_labels: components equal a local union-find; converged at this scale") {
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shared = pairs.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val sks = ps.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length) yield (sks(i), sks(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val edges = shared.sortBy { case ((s1, s2), c) => (-c, s1, s2) }
+      .take(graft.operators.Graph.MaxEdges).map(_._1)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes.groupBy(find).map { case (c, m) => c -> m.size.toLong }
+    val got = run("cc_labels").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_nodes"), r.getAs[Boolean]("converged")))
+    assert(got.map(g => g._1 -> g._2).toMap == expected)
+    // the tiny-sf graph's min-label eccentricity is well under the
+    // round budget, so the flag must report a reached fixpoint here
+    assert(got.forall(_._3), "cc_labels did not converge at spec scale")
+  }
+
   test("kcore_peel: simultaneous-removal rounds replay a local peel to fixpoint") {
     val G = graft.operators.Graph
     val pairs = Tables.lineitem(spark, sf)

@@ -149,7 +149,10 @@ class PlanSpec extends SparkSpec {
     "skyline_2d" -> ("the frontier running-min runs over the size-domain frame " +
       "(<= |p_size| rows, groupBy'd first; documented in the operator docstring)"),
     "concurrency_peak" -> ("the cross-day carry accumulates over the distinct-days " +
-      "frame (calendar-bounded, broadcast back; documented at the site)")
+      "frame (calendar-bounded, broadcast back; documented at the site)"),
+    "rfm_segments" -> ("three gridPct edge chains over per-dimension CELL frames " +
+      "(recency: calendar days; frequency: small counts; monetary: explicit " +
+      "100-currency grid) — cells, not customers, reach the single reducer")
   )
 
   test("no query plans a CartesianProduct; no UNBOUNDED no-partition window (one audit pass)") {
@@ -371,6 +374,39 @@ class PlanSpec extends SparkSpec {
     // + final ObjectHashAggregate), shipped as a broadcast scalar
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
       s"bloom build is not a two-phase combining aggregate:\n$p")
+  }
+
+  test("sample_bottomk: bottom-k plans as TakeOrderedAndProject, never a global sort or rank") {
+    val p = plan("sample_bottomk")
+    assert(p.contains("TakeOrderedAndProject"), s"no per-partition heap + k-row merge:\n$p")
+    assert(!p.contains("Window"), s"a rank window would single-reduce the corpus:\n$p")
+  }
+
+  test("feature_lags: every window shares ONE user_id exchange") {
+    val p = plan("feature_lags")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges:\n$p")
+  }
+
+  test("rfm_segments: orders scans once; edge rows broadcast into the coding pass") {
+    // the per-customer frame is checkpointed, so the plan shows the
+    // coding pass reading it plus three broadcast 1-row edge frames
+    val p = plan("rfm_segments")
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).length
+    assert(ordersScans == 0, // checkpointed upstream: the final plan reads no parquet
+      s"coding pass re-scans orders ($ordersScans):\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 3,
+      s"edge rows must broadcast:\n$p")
+  }
+
+  test("cc_labels / emb_centroid_drift: candidate joins are equi, dims/degree frames broadcast") {
+    for (name <- Seq("cc_labels", "emb_centroid_drift")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), name)
+    }
+    val p = plan("emb_centroid_drift")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"norm/size frames should broadcast:\n$p")
   }
 
   test("systematic_sample: rows-scale exchange is (source, shard)-keyed, carry broadcasts") {

@@ -228,4 +228,44 @@ class TrainPrepSpec extends SparkSpec {
     assert(p.map(_._3).sum.toDouble / p.length >
       np.map(_._3).sum.toDouble / np.length)
   }
+
+  test("sample_bottomk: exactly the K smallest portable priorities, rerun-stable") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val P = 1000000007L
+    val expected = docs
+      .map { case (id, src, nc) => (id % P * 2654435761L % P, id, src, nc) }
+      .sortBy(t => (t._1, t._2)).take(TrainPrep.BottomK).toSeq
+    def got() = run("sample_bottomk").collect()
+      .map(r => (r.getAs[Long]("priority"), r.getLong(0),
+        r.getString(1), r.getAs[Long]("n_chars"))).toSeq
+    val g1 = got()
+    assert(g1 == expected, s"first diff: ${g1.zip(expected).find(p => p._1 != p._2)}")
+    assert(g1 == got(), "bottom-k sample must be rerun-stable")
+  }
+
+  test("label_balance: shares and inverse-frequency weights recount exactly") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cells = docs.groupBy(d => (d._1, d._2)).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._3).sum)).toMap
+    val n = docs.length.toLong
+    val k = cells.size.toLong
+    val got = run("label_balance").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+          r.getAs[Double]("share"), r.getAs[Long]("weight_q"))).toMap
+    assert(got.keySet == cells.keySet)
+    got.foreach { case (key, (nd, nc, share, wq)) =>
+      val (en, ec) = cells(key)
+      assert(nd == en && nc == ec, s"cell $key counts")
+      assert(share == math.rint(en.toDouble / n * 10000) / 10000, s"cell $key share")
+      assert(wq == n * TrainPrep.BalScale / (k * en), s"cell $key weight")
+    }
+    // rebalance sanity: rarer cells carry strictly larger weights
+    val byN = got.values.toSeq.sortBy(_._1)
+    assert(byN.head._4 >= byN.last._4)
+  }
 }
