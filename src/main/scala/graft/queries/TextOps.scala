@@ -515,9 +515,28 @@ object TextOps {
     * the deduped train universe, which removes the bloom's false
     * positives, so the result is exactly the unfiltered join's. */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val posts = documents(s, dir)
+    // the shingle explode is the expensive stage and four subplans
+    // read postings (bloom build, totals, train distinct, seen join)
+    // — persist so the corpus shingles ONCE (the gramPosts
+    // convention), released after the report materializes below
+    val posts = ngramPosts(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = ngramNoveltyFrame(s, posts)
+      .localCheckpoint() // eval-doc-sized; release the cached postings
+    posts.unpersist()
+    out
+  }
+
+  private[graft] def ngramPosts(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
       .select(col("doc_id"), col("source"),
         explode(graft.functions.HashFns.shingles(col("text"))).as("gram"))
+
+  /** The un-checkpointed novelty plan over given postings, split out
+    * so PlanSpec can assert the bloom/semi-join shape (the
+    * jaccard_neighbors convention — localCheckpoint above truncates
+    * the executed plan). */
+  private[graft] def ngramNoveltyFrame(s: SparkSession, posts: DataFrame): DataFrame = {
     val trainPosts = posts.filter(col("doc_id") % 10 < 8)
     val evalPosts = posts.filter(col("doc_id") % 10 >= 8)
     // might_contain demands its bloom as a scalar subquery (H15's

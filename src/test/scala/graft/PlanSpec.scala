@@ -362,7 +362,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ngram_novelty: the train-gram bloom prunes eval postings BELOW the exact semi join") {
-    val p = plan("ngram_novelty")
+    // the public operator localCheckpoints (truncating the plan), so
+    // assert on the un-checkpointed frame over the same postings
+    val p = graft.queries.TextOps.ngramNoveltyFrame(spark,
+      graft.queries.TextOps.ngramPosts(spark, sf))
+      .queryExecution.executedPlan.toString
     val lines = p.linesIterator.toSeq
     val semiIdx = lines.indexWhere(_.contains("LeftSemi"))
     assert(semiIdx >= 0, s"no exact semi join against the train universe:\n$p")
