@@ -281,6 +281,48 @@ object Ann {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nb) AS rnk
        |  FROM s) WHERE rnk <= $K""".stripMargin
 
+  /** K81: kNN LABEL EVAL — leave-one-out k-nearest-neighbor
+    * classification over the embedding space, reduced to the
+    * label-confusion matrix: each vector is predicted as the MAJORITY
+    * label of its exact top-[[K]] cosine neighbors (tie → higher vote
+    * count, then smaller label — pinned identically in the oracle)
+    * and scored against its own label. The intrinsic
+    * embedding-quality eval a pipeline runs before trusting vectors
+    * for retrieval or clustering: a healthy space classifies its own
+    * labels; a collapsed one shows an off-diagonal smear. Reuses the
+    * H7 exact ranking wholesale (its LSH swap applies unchanged);
+    * everything downstream is (vec, label)-sized joins + one L²-
+    * bounded aggregate. */
+  def knnLabelEval(s: SparkSession, dir: String): DataFrame = {
+    val lab = embeddings(s, dir).select(col("vec_id"), col("label"))
+    val votes = knnJoin(s, dir).select(col("vec_id"), col("nb"))
+      .join(lab.select(col("vec_id").as("nb"), col("label").as("nl")), "nb")
+      .groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("votes"))
+    // majority with deterministic tiebreak: (votes DESC, label ASC)
+    val pred = votes
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("votes"), (-col("nl")).as("negl"), col("nl"))).as("m"))
+      .select(col("vec_id"), col("m.nl").as("pred_label"))
+    pred.join(lab, "vec_id")
+      .groupBy(col("label").as("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  lazy val knnLabelEvalSql: String =
+    s"""WITH knn AS ($knnJoinSql),
+       |votes AS (
+       |  SELECT k.vec_id, e.label AS nl, count(*) AS votes
+       |  FROM knn k JOIN embeddings e ON e.vec_id = k.nb
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT vec_id, nl AS pred_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY votes DESC, nl) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT e.label AS true_label, p.pred_label, count(*) AS n_vecs
+       |FROM pred p JOIN embeddings e USING (vec_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /** H8: int8 symmetric quantization of the embedding column — the
     * compression pass an ANN index build runs before sharding
     * (scale = max|x|/127 per vector, q = round-half-up, clamp ±127).

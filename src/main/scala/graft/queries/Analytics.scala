@@ -710,4 +710,58 @@ object Analytics {
       |  SELECT 1 FROM p b
       |  WHERE b.p_size >= a.p_size AND b.price_q <= a.price_q
       |    AND (b.p_size > a.p_size OR b.price_q < a.price_q))""".stripMargin
+
+  /** K82: COHORT LTV — cumulative revenue per signup cohort by age:
+    * customers cohort by FIRST-order month, every later order lands
+    * in a (cohort, age-in-months) cell, and revenue accumulates along
+    * age — the lifetime-value curve next to H4's retention counts.
+    * Month index is pure integer arithmetic (y*12 + m), revenue sums
+    * in DECIMAL(18,2) and reports as exact x100 cents; the cumulative
+    * window is partitioned per cohort over calendar-bounded age rows,
+    * never data-sized. Two shuffles total: the per-customer first
+    * order and the (cohort, age) cell aggregate. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_custkey"),
+      (year(col("o_orderdate").cast("date")) * 12 +
+        month(col("o_orderdate").cast("date")) - 1).as("m"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val coh = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_month"))
+    val sizes = coh.groupBy(col("cohort_month")).agg(count(lit(1)).as("cohort_size"))
+    val cells = o.join(coh, "o_custkey")
+      .groupBy(col("cohort_month"), (col("m") - col("cohort_month")).as("age"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("revenue_c"))
+    val w = Window.partitionBy(col("cohort_month")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.withColumn("cum_revenue_c", sum(col("revenue_c")).over(w))
+      .join(broadcast(sizes), "cohort_month")
+      .select(col("cohort_month"), col("age"), col("n_orders"), col("n_active"),
+        col("revenue_c"), col("cum_revenue_c"), col("cohort_size"),
+        round(col("cum_revenue_c").cast("double") / col("cohort_size") / 100.0, 4)
+          .as("ltv_per_customer"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    year(CAST(o_orderdate AS DATE)) * 12
+      |      + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |coh AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1),
+      |sz AS (SELECT cohort_month, count(*) AS cohort_size FROM coh GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort_month, m - cohort_month AS age, count(*) AS n_orders,
+      |    count(DISTINCT o.o_custkey)::BIGINT AS n_active,
+      |    sum(cents)::BIGINT AS revenue_c
+      |  FROM o JOIN coh USING (o_custkey) GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, sum(revenue_c) OVER (PARTITION BY cohort_month ORDER BY age
+      |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_revenue_c
+      |  FROM cells)
+      |SELECT cohort_month, age, n_orders, n_active, revenue_c, cum_revenue_c,
+      |  cohort_size,
+      |  round(cum_revenue_c::DOUBLE / cohort_size / 100.0, 4) AS ltv_per_customer
+      |FROM cum JOIN sz USING (cohort_month)""".stripMargin
 }

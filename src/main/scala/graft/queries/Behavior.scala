@@ -902,4 +902,46 @@ object Behavior {
        |SELECT user_id, event_id, q, lag1_q, delta_q, rsum_q, n_win,
        |  round(rsum_q::DOUBLE / n_win / 100.0, 4) AS rmean
        |FROM f""".stripMargin
+
+  /** Expected-count scale for [[seasonality]]. */
+  val SeasScale = 1000000L
+
+  /** K83: DAY-OF-WEEK SEASONALITY — the calendar decomposition read
+    * next to K69's linear trend: per day, the observed event count,
+    * the day-of-week expected count (the dow's mean across the span),
+    * and the residual — how a pipeline separates "it's Sunday" from
+    * "something changed" before alerting on volume. Day-of-week is
+    * PURE integer arithmetic (epoch-days mod 7 — engine-portable,
+    * immune to locale week-start conventions), and the expected value
+    * is an exact x[[SeasScale]] integer division, so residuals are
+    * exact BIGINTs cross-engine. One daily pre-aggregate (map-side
+    * combined), one 7-row profile broadcast back — the same plan at
+    * any scale. */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("epoch_day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", pmod(col("epoch_day"), lit(7L)))
+    val prof = daily.groupBy(col("dow"))
+      .agg(sum(col("n_events")).as("sn"), count(lit(1)).as("nd"))
+    daily.join(broadcast(prof), "dow")
+      .select(col("epoch_day"), col("dow"), col("n_events"),
+        expr(s"(sn * ${SeasScale}L) div nd").as("expected_q"),
+        (col("n_events") * SeasScale - expr(s"(sn * ${SeasScale}L) div nd"))
+          .as("resid_q"))
+  }
+
+  val seasonalitySql: String =
+    s"""WITH daily AS (
+       |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::BIGINT AS epoch_day,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY 1),
+       |d AS (SELECT *, epoch_day % 7 AS dow FROM daily),
+       |prof AS (SELECT dow, sum(n_events)::BIGINT AS sn, count(*) AS nd
+       |         FROM d GROUP BY 1)
+       |SELECT epoch_day, d.dow, n_events,
+       |  (sn * $SeasScale) // nd AS expected_q,
+       |  n_events * $SeasScale - (sn * $SeasScale) // nd AS resid_q
+       |FROM d JOIN prof ON d.dow = prof.dow""".stripMargin
 }

@@ -374,4 +374,42 @@ class AnalyticsSpec extends SparkSpec {
     // codes span the quartile range on every axis
     assert(got.keySet.map(_._1).size >= 3 && got.keySet.map(_._3).size >= 3)
   }
+
+  test("cohort_ltv: cells and cumulative LTV replay an exact local recount") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        // o_orderdate is TIMESTAMP_NTZ -> LocalDateTime in Row
+        val d = r.getAs[java.time.LocalDateTime](1).toLocalDate
+        (r.getLong(0), d.getYear * 12 + d.getMonthValue - 1,
+          new java.math.BigDecimal(r.getDouble(2)).setScale(2, java.math.RoundingMode.HALF_UP)
+            .movePointRight(2).longValueExact())
+      }
+    val coh = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = orders.groupBy(o => (coh(o._1), o._2 - coh(o._1))).view.mapValues { os =>
+      (os.length.toLong, os.map(_._1).distinct.length.toLong, os.map(_._3).sum)
+    }.toMap
+    val sizes = coh.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("cohort_ltv").collect()
+      .map(r => (r.getAs[Int]("cohort_month"), r.getAs[Int]("age")) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("n_active"),
+          r.getAs[Long]("revenue_c"), r.getAs[Long]("cum_revenue_c"),
+          r.getAs[Long]("cohort_size"), r.getAs[Double]("ltv_per_customer"))).toMap
+    assert(got.keySet == cells.keySet)
+    got.foreach { case (k @ (cm, age), (no, na, rev, cum, sz, ltv)) =>
+      val (eo, ea, er) = cells(k)
+      assert((no, na, rev) == (eo, ea, er), s"cell $k")
+      val ecum = (0 to age).map(a => cells.get((cm, a)).map(_._3).getOrElse(0L)).sum
+      assert(cum == ecum, s"cell $k cum")
+      assert(sz == sizes(cm))
+      assert(ltv == BigDecimal(ecum.toDouble / sz / 100.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"cell $k ltv")
+    }
+    // LTV curves are monotone along age within each cohort
+    val byCoh = got.toSeq.groupBy(_._1._1)
+    byCoh.foreach { case (_, rows) =>
+      val cums = rows.sortBy(_._1._2).map(_._2._4)
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    }
+  }
 }

@@ -267,4 +267,30 @@ class AnnSpec extends SparkSpec {
     // the labels genuinely separate in this space: cosines not all ~1
     assert(got.values.map(_._3).min < 0.99)
   }
+
+  test("knn_label_eval: confusion matrix recounts from knn_join + labels, majority tiebreak pinned") {
+    val lab = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nbrs = run("knn_join").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nb")))
+      .groupBy(_._1).view.mapValues(_.map(p => lab(p._2))).toMap
+    val expected = nbrs.toSeq.map { case (v, nls) =>
+      val votes = nls.groupBy(identity).view.mapValues(_.length).toSeq
+      val pred = votes.minBy { case (l, n) => (-n, l) }._1
+      (lab(v), pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("knn_label_eval").collect()
+      .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label")) ->
+        r.getAs[Long]("n_vecs")).toMap
+    assert(got == expected)
+    assert(got.values.sum == lab.size.toLong, "every vector must be classified")
+    // the eval's READ on this corpus: the synthetic labels are NOT
+    // geometric (near-isotropic embeddings — the pca_power finding),
+    // so the diagonal sits at chance level; the matrix must still be
+    // complete over the label alphabet on the true axis
+    val labels = lab.values.toSet
+    assert(got.keySet.map(_._1) == labels, "a true label vanished from the matrix")
+    val diag = got.collect { case ((t2, p2), n) if t2 == p2 => n }.sum
+    assert(diag > 0)
+  }
 }

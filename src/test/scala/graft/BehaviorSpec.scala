@@ -797,4 +797,32 @@ class BehaviorSpec extends SparkSpec {
     assert(got.size == ev.length)
     expected.foreach { case (k, e) => assert(got(k) == e, s"event $k: ${got(k)} vs $e") }
   }
+
+  test("seasonality: dow profile and residuals replay an exact integer recount") {
+    val S = graft.queries.Behavior.SeasScale
+    val days = Tables.events(spark, sf).select("ts").collect()
+      .map(_.getTimestamp(0).toLocalDateTime.toLocalDate.toEpochDay)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val prof = days.toSeq.groupBy(_._1 % 7).view
+      .mapValues(ds => (ds.map(_._2).sum, ds.length.toLong)).toMap
+    val got = run("seasonality").collect()
+      .map(r => r.getAs[Long]("epoch_day") ->
+        (r.getAs[Long]("dow"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("expected_q"), r.getAs[Long]("resid_q"))).toMap
+    assert(got.keySet == days.keySet)
+    got.foreach { case (d, (dow, n, eq, rq)) =>
+      assert(dow == d % 7 && n == days(d), s"day $d")
+      val (sn, nd) = prof(d % 7)
+      assert(eq == sn * S / nd, s"day $d expected")
+      assert(rq == n * S - sn * S / nd, s"day $d resid")
+    }
+    // residuals cancel within each dow (mean decomposition property,
+    // up to the integer-floor remainder per dow: < nd)
+    got.values.groupBy(_._1).foreach { case (dow, rs) =>
+      val (_, nd) = prof(dow)
+      // sum over the dow = sn*S - nd*floor(sn*S/nd) = (sn*S) mod nd
+      val resid = rs.map(_._4).sum
+      assert(resid >= 0 && resid < nd, s"dow $dow residual sum $resid")
+    }
+  }
 }

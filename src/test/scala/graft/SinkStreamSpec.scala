@@ -307,6 +307,33 @@ class SinkStreamSpec extends SparkSpec {
       s"waves split across batches: ${graft.streaming.StreamCdc.waveBatches}")
   }
 
+  test("stream_funnel: streamed greedy chains equal batch window_funnel across a chain-spanning cut") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => r.getAs[Int]("level") ->
+        (r.getAs[Long]("n_users"), Option(r.getAs[Any]("avg_conv_secs")))).toMap
+    val streamed = rows("stream_funnel")
+    val batch = rows("window_funnel")
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.contains(3), "no conversions — the latency column is untested")
+    // the chain-aware cut actually splits a conversion: the latest
+    // converting user's view lands in wave A, click/purchase in wave B
+    val cut = graft.streaming.StreamFunnel.chainCut(spark, sf).getTime
+    val winMs = graft.queries.Behavior.FunnelWindowHours.toLong * 3600000L
+    val chains = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+      .groupBy(_._1).values.flatMap { es =>
+        val t0 = es.filter(_._3 == "view").map(_._2).minOption
+        val t1 = t0.flatMap(a => es.filter(e => e._3 == "click" &&
+          e._2 > a && e._2 <= a + winMs).map(_._2).minOption)
+        val t2 = t1.flatMap(b => es.filter(e => e._3 == "purchase" &&
+          e._2 > b && e._2 <= t0.get + winMs).map(_._2).minOption)
+        for (a <- t0; b <- t1; _ <- t2) yield (a, b)
+      }
+    assert(chains.exists { case (a, b) => a < cut && b >= cut },
+      "no conversion chain spans the wave boundary — cross-batch funnel state untested")
+  }
+
   test("stream_dedup: planted replays dropped exactly once, accounting matches a recount") {
     val got = SparkEntry.queries("stream_dedup")(spark, sf).collect()
       .map(r => r.getString(0) ->
