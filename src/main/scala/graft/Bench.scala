@@ -56,6 +56,7 @@ object Bench {
     operators.ScalePatterns.compactFiles(spark, sfDir) // builds the compacted layout
     ingest.ZipFixture.ensure(spark, sfDir)
     ingest.CsvBadFixture.ensure(spark, sfDir)
+    ingest.JsonlFixture.ensure(spark, sfDir)
     ingest.FetchFixture.ensure(spark, sfDir)
     ingest.DecisionFixture.ensure(spark, sfDir)
     operators.Dedup.ensureCorpusIndex(spark, sfDir) // dedup_incremental reads it

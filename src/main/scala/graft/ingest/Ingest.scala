@@ -303,6 +303,54 @@ object Ingest {
         countDistinct(col("lang")).as("n_langs"))
   }
 
+  /** K85: JSONL INGESTION — reading the corpus interchange format
+    * (one JSON object per line) with an explicit schema and
+    * PERMISSIVE corrupt-record accounting, the schema-on-read
+    * semantics that differ from CSV's (K37) in exactly the ways this
+    * op pins: a SYNTAX error corrupts the whole row (JSON's failure
+    * unit), while a MISSING field is valid JSON and parses to null —
+    * no corruption at all. Emits the per-status accounting a pipeline
+    * gates ingestion on. Scan-parallel at any scale (JSONL splits on
+    * line boundaries); one bounded aggregate. */
+  def jsonlRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = JsonlFixture.ensure(s, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .select(
+        when(col("_corrupt").isNull, lit("parsed")).otherwise(lit("corrupt"))
+          .as("status"),
+        col("doc_id"), col("lang"), col("n_chars"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("status") === "parsed" && col("lang").isNull, 1L)
+          .otherwise(0L)).as("n_missing_lang"))
+  }
+
+  /** The oracle replays [[JsonlFixture]]'s planting arithmetic over
+    * `documents`: % 10 = 4 → truncated line (whole row corrupt, all
+    * fields null), else % 13 = 0 → `lang` absent (parsed, lang null). */
+  val jsonlReadSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CASE WHEN doc_id % 10 = 4 THEN 'corrupt' ELSE 'parsed' END AS status,
+      |    (doc_id % 10 <> 4 AND doc_id % 13 = 0) AS miss_lang
+      |  FROM documents)
+      |SELECT status, count(*) AS n_rows,
+      |  sum(CASE WHEN status = 'parsed' THEN doc_id END)::BIGINT AS sum_ids,
+      |  sum(CASE WHEN status = 'parsed' THEN n_chars END)::BIGINT AS sum_chars,
+      |  sum(CASE WHEN miss_lang THEN 1 ELSE 0 END)::BIGINT AS n_missing_lang
+      |FROM r GROUP BY 1""".stripMargin
+
   /** The oracle replays [[CsvBadFixture]]'s planting arithmetic over
     * `documents`: % 10 = 3 → unparseable n_chars (numeric null, row
     * corrupt), else % 17 = 0 → extra column (all fields parse, row
@@ -344,6 +392,35 @@ object CsvBadFixture {
       Files.write(tmp.resolve("dump.csv"),
         sb.toString.getBytes(StandardCharsets.UTF_8))
     }
+  }
+}
+
+/** Deterministic JSONL fixture for K85: the documents table as JSON
+  * LINES (the corpus interchange format) with two planted modes keyed
+  * on doc_id, exactly one per row so the accounting is closed-form:
+  * `% 10 = 4` → TRUNCATED json (a syntax error — the whole row goes
+  * corrupt, JSON's failure unit, unlike CSV's per-field one); else
+  * `% 13 = 0` → the `lang` field is MISSING (valid JSON — parses with
+  * a null, NOT corrupt; schema-on-read absorbs absent fields). */
+object JsonlFixture {
+  def ensure(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    val n = docs.count()
+    val out = Paths.get(
+      s"/root/repo/target/fixtures/jsonl_${dir.replaceAll("[^0-9.]", "")}_$n")
+    FixtureDir.ensure(out) { tmp =>
+      val rows = docs.orderBy("doc_id").collect()
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        val (id, lang, nc) = (r.getLong(0), r.getString(1), r.getLong(2))
+        if (id % 10 == 4) sb.append(s"""{"doc_id":$id,"lang":"$lang""" + "\n")
+        else if (id % 13 == 0) sb.append(s"""{"doc_id":$id,"n_chars":$nc}""" + "\n")
+        else sb.append(s"""{"doc_id":$id,"lang":"$lang","n_chars":$nc}""" + "\n")
+      }
+      Files.write(tmp.resolve("dump.jsonl"),
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    out.toString
   }
 }
 

@@ -118,4 +118,27 @@ class IngestSpec extends SparkSpec {
       corrupt.collect { case (id, _, nc) if id % 10 != 3 => nc }.sum)
     assert(got("corrupt")._4 == corrupt.map(_._2).distinct.length.toLong)
   }
+
+  test("jsonl_read: syntax errors corrupt whole rows, missing fields parse to null") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (corrupt, parsed) = docs.partition(_._1 % 10 == 4)
+    val missing = parsed.filter(_._1 % 13 == 0)
+    assert(corrupt.nonEmpty && missing.nonEmpty, "fixture plants nothing — vacuous")
+    val got = SparkEntry.queries("jsonl_read")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        Option(r.getAs[Any]("sum_ids")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("sum_chars")).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("n_missing_lang"))).toMap
+    assert(got.keySet == Set("parsed", "corrupt"))
+    // conservation: every input line lands in exactly one status
+    assert(got("parsed")._1 + got("corrupt")._1 == docs.length.toLong)
+    assert(got("parsed") == ((parsed.length.toLong,
+      Some(parsed.map(_._1).sum), Some(parsed.map(_._3).sum),
+      missing.length.toLong)))
+    // JSON's failure unit is the ROW: a truncated line yields no
+    // partial fields at all (unlike CSV's field-level nulls)
+    assert(got("corrupt") == ((corrupt.length.toLong, None, None, 0L)))
+  }
 }
