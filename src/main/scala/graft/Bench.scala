@@ -62,6 +62,7 @@ object Bench {
     operators.Dedup.ensureCorpusIndex(spark, sfDir) // dedup_incremental reads it
     operators.Dedup.ensureClusterLabels(spark, sfDir) // dedup_apply reads it
     operators.CorpusClean.ensureBpeTokens(spark, sfDir) // bpe_apply reads it
+    operators.Graph.ensureCoEdges(spark, sfDir) // the graph family reads it
   }
 
   def main(args: Array[String]): Unit = {

@@ -36,8 +36,8 @@ object Graph {
 
   /** Top-[[MaxEdges]] co-supply edges (s1 < s2), deterministic
     * (shared, s1, s2) cut — the shared edge builder for the graph
-    * operators. */
-  private[graft] def coEdges(s: SparkSession, dir: String): DataFrame = {
+    * operators, computed from the fact tables. */
+  private[graft] def coEdgesFresh(s: SparkSession, dir: String): DataFrame = {
     val pairs = lineitem(s, dir)
       .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
@@ -50,6 +50,35 @@ object Graph {
       .orderBy(col("shared").desc, col("s1"), col("s2")).limit(MaxEdges)
       .select(col("s1"), col("s2"))
   }
+
+  /** Root for the materialized co-supply edge list — the write-once
+    * artifact the whole graph family shares (the corpus-index
+    * lifecycle): SEVEN operators consume this graph, and at 100 TB
+    * the co-occurrence join over the fact tables is the expensive
+    * stage — a graph pipeline materializes its edge list once and
+    * every algorithm reads keyed parquet. The subdir embeds an
+    * [[graft.ingest.ArtifactCache]] token over the fact tables and
+    * the edge-cut constant, so a regenerated corpus or a changed cut
+    * self-invalidates. */
+  val CoEdgesRoot = "target/graft_co_edges"
+
+  def coEdgesPath(dir: String): String =
+    s"$CoEdgesRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("lineitem", "orders"),
+        s"maxEdges=$MaxEdges")
+
+  /** Build the edge list at most once per (JVM, scale dir). */
+  def ensureCoEdges(s: SparkSession, dir: String): String = {
+    val path = coEdgesPath(dir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      coEdgesFresh(s, dir).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The shared graph input: the PERSISTED edge list (set semantics —
+    * no operator depends on edge-row order). */
+  private[graft] def coEdges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureCoEdges(s, dir))
 
   /** DuckDB twin of [[coEdges]] as CTEs ending in `edges`. */
   private val coEdgesCte: String =
@@ -445,14 +474,17 @@ object Graph {
       .localCheckpoint()
     var lab = adj.select(col("n")).distinct()
       .withColumn("lab", col("n")).localCheckpoint()
-    for (_ <- 1 to CcRounds) {
+    for (r <- 1 to CcRounds) {
       val viaNb = adj
         .join(lab.select(col("n").as("nb"), col("lab").as("nl")), "nb")
         .groupBy(col("n")).agg(min(col("nl")).as("nl"))
       lab = lab.join(viaNb, Seq("n"), "left_outer")
         .select(col("n"),
           least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
-        .localCheckpoint()
+      // unlike kcore, no per-round ACTION is needed — rounds chain
+      // lazily and one action runs them all; checkpoint every 4th
+      // round only to bound plan depth (the dedup_clusters cadence)
+      if (r % 4 == 0) lab = lab.localCheckpoint()
     }
     val better = adj
       .join(lab.select(col("n").as("nb"), col("lab").as("nl")), "nb")
