@@ -659,4 +659,132 @@ object Sketches {
        |        THEN lc ELSE raw END, 4) AS est_hll
        |FROM est""".stripMargin
   }
+
+  /** K89: KMV SET-OPERATION ESTIMATES — pairwise cross-source
+    * CONTENT overlap (union + intersection + Jaccard) from mergeable
+    * K-minimum-values sketches over each source's distinct 3-gram
+    * shingle hashes, with the exact answers alongside (the kmv
+    * family's expose-the-error convention). This is the sketch-side
+    * sibling of source_overlap (which counts near-dup PAIRS): "how
+    * much of feed B's content does feed A already cover" answered
+    * WITHOUT an exact pairwise distinct — at 100 TB only the
+    * S × [[K]] sketch rows (S = #sources, report-sized) ever meet,
+    * built by ONE [[graft.plans.KmvAgg]] pass whose shuffle carries
+    * ≤ K longs per (task, source). Estimator: rank the union of the
+    * two sketches, keep the K smallest; θ = K-th value;
+    * ρ = |hashes ≤ θ present in BOTH| / K estimates Jaccard directly
+    * and (K−1)·M/θ the union size — all INTEGER arithmetic
+    * (per-million rates, integer division), so the driver's hash
+    * gate applies to the estimates. The exact side joins distinct
+    * (source, h) postings on h — per-hash expansion bounded by S²,
+    * linear in postings — and is the declared recall oracle the
+    * sketch path would REPLACE at scale. */
+  def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFns
+    val d = graft.Tables.documents(s, dir)
+      .select(col("source"), explode(HashFns.shingles(col("text"))).as("gram"))
+      .select(col("source"), HashFns.strHash(col("gram")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val skRows = d.groupBy(col("source"))
+      .agg(call_function("kmv_agg", col("h"), lit(K)).as("sk"))
+      .select(col("source"), explode(col("sk")).as("h"))
+    val srcs = d.select(col("source")).distinct()
+    val pairs = srcs.as("pa")
+      .join(broadcast(srcs.as("pb")), col("pa.source") < col("pb.source"))
+      .select(col("pa.source").as("sa"), col("pb.source").as("sb"))
+    val u = skRows
+      .join(broadcast(pairs),
+        skRows("source") === col("sa") || skRows("source") === col("sb"))
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(when(col("source") === col("sa"), 1).otherwise(0)).as("ia"),
+        max(when(col("source") === col("sb"), 1).otherwise(0)).as("ib"))
+    val wPair = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+    val su = u.withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= K)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("sk_union_n"), max(col("h")).as("theta"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
+          .as("sk_both"))
+    val n = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val c = d.as("x")
+      .join(d.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source"), col("y.source"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("x.source").as("sa"), col("y.source").as("sb"),
+        col("n_common"))
+    val out = pairs
+      .join(broadcast(n.select(col("source").as("sa"), col("n").as("n_a"))), "sa")
+      .join(broadcast(n.select(col("source").as("sb"), col("n").as("n_b"))), "sb")
+      .join(c, Seq("sa", "sb"), "left_outer")
+      .na.fill(0L, Seq("n_common"))
+      .join(su, Seq("sa", "sb"))
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(n_common * 1000000) div (n_a + n_b - n_common)")
+          .as("jac_exact_pm"),
+        col("sk_union_n"), col("sk_both"),
+        expr("(sk_both * 1000000) div sk_union_n").as("jac_est_pm"),
+        expr(s"CASE WHEN sk_union_n = $K THEN (${K - 1}L * ${M}L) div theta " +
+          "ELSE sk_union_n END").as("est_union_q"))
+      .localCheckpoint() // pair-matrix-sized; release the cached postings
+    d.unpersist()
+    out
+  }
+
+  val kmvIntersectSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, CASE WHEN len(toks) >= 3
+       |    THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                        for i in range(1, len(toks) - 1)])
+       |    ELSE [array_to_string(toks, ' ')] END AS gs
+       |  FROM toks),
+       |d AS (
+       |  SELECT DISTINCT source, list_reduce(list_prepend(0::BIGINT,
+       |      [ascii(c)::BIGINT for c in string_split(gram, '')]),
+       |    (a, x) -> (a * 31 + x) % $M) AS h
+       |  FROM (SELECT source, unnest(gs) AS gram FROM g)),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM d)
+       |  WHERE rn <= $K),
+       |srcs AS (SELECT DISTINCT source FROM d),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |          FROM srcs a, srcs b WHERE a.source < b.source),
+       |u AS (
+       |  SELECT p.sa, p.sb, s.h,
+       |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ia,
+       |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS ib
+       |  FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+       |  GROUP BY 1, 2, 3),
+       |su AS (
+       |  SELECT sa, sb, count(*) AS sk_union_n, max(h) AS theta,
+       |    sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)::BIGINT AS sk_both
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |        FROM u)
+       |  WHERE rn <= $K GROUP BY 1, 2),
+       |n AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+       |c AS (
+       |  SELECT x.source AS sa, y.source AS sb, count(*) AS n_common
+       |  FROM d x JOIN d y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT p.sa, p.sb, na.n AS n_a, nb.n AS n_b,
+       |  coalesce(c.n_common, 0)::BIGINT AS n_common,
+       |  (coalesce(c.n_common, 0) * 1000000)
+       |    // (na.n + nb.n - coalesce(c.n_common, 0)) AS jac_exact_pm,
+       |  su.sk_union_n, su.sk_both,
+       |  (su.sk_both * 1000000) // su.sk_union_n AS jac_est_pm,
+       |  CASE WHEN su.sk_union_n = $K THEN (${K - 1}::BIGINT * $M) // su.theta
+       |       ELSE su.sk_union_n END AS est_union_q
+       |FROM pairs p
+       |JOIN n na ON na.source = p.sa
+       |JOIN n nb ON nb.source = p.sb
+       |LEFT JOIN c ON c.sa = p.sa AND c.sb = p.sb
+       |JOIN su ON su.sa = p.sa AND su.sb = p.sb""".stripMargin
 }

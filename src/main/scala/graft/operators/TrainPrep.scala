@@ -693,6 +693,57 @@ object TrainPrep {
        |  (n_total * $BalScale) // (k_cells * n_docs) AS weight_q
        |FROM cells, tot""".stripMargin
 
+  /** Smoothing pseudo-count for [[targetEncode]]'s regularized
+    * variant (the standard "m-estimate" prior weight). */
+  val TeSmooth = 20L
+
+  /** K87: LEAKAGE-SAFE TARGET ENCODING — the categorical feature
+    * encoder every tabular-ML pipeline ships: replace a category
+    * (customer market segment) with the mean target (order value) of
+    * its OTHER rows — leave-one-out, so a row never sees its own
+    * label (the leakage the naive group-mean encoder commits) — plus
+    * the m-estimate smoothed variant that shrinks thin categories
+    * toward the global mean with [[TeSmooth]] pseudo-observations.
+    * All arithmetic is exact: targets are ×100 cents on the
+    * DECIMAL(18,2) grid (the cohort_ltv convention) and both
+    * encodings are integer divisions of exact BIGINT sums — nothing
+    * float ever reaches the hash gate. Shape: one custkey-keyed
+    * join (orders ⋈ customer dimension), one segment aggregate
+    * (5 rows) broadcast back, one 1-row global frame — the encode
+    * itself is MAP-SIDE against broadcasts, so the operator costs
+    * exactly one join shuffle of the fact table at any scale. */
+  def targetEncode(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val c = customer(s, dir).select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val rows = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("seg"), col("cents"))
+    val segStats = rows.groupBy(col("seg"))
+      .agg(count(lit(1)).as("seg_n"), sum(col("cents")).as("seg_sum"))
+    val glob = rows.agg(count(lit(1)).as("g_n"), sum(col("cents")).as("g_sum"))
+    rows.join(broadcast(segStats), "seg")
+      .crossJoin(broadcast(glob))
+      .select(col("o_orderkey"), col("seg"), col("cents"),
+        expr("(seg_sum - cents) div (seg_n - 1)").as("enc_c"),
+        expr(s"(seg_sum - cents + $TeSmooth * (g_sum div g_n)) div " +
+          s"(seg_n - 1 + $TeSmooth)").as("enc_smooth_c"))
+  }
+
+  val targetEncodeSql: String =
+    s"""WITH rows_ AS (
+       |  SELECT o_orderkey, c_mktsegment AS seg,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |seg_stats AS (
+       |  SELECT seg, count(*) AS seg_n, sum(cents)::BIGINT AS seg_sum
+       |  FROM rows_ GROUP BY 1),
+       |gstats AS (SELECT count(*) AS g_n, sum(cents)::BIGINT AS g_sum FROM rows_)
+       |SELECT o_orderkey, seg, cents,
+       |  (seg_sum - cents) // (seg_n - 1) AS enc_c,
+       |  (seg_sum - cents + $TeSmooth * (g_sum // g_n))
+       |    // (seg_n - 1 + $TeSmooth) AS enc_smooth_c
+       |FROM rows_ JOIN seg_stats USING (seg) CROSS JOIN gstats""".stripMargin
+
   val systematicSampleSql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,

@@ -944,4 +944,72 @@ object Behavior {
        |  (sn * $SeasScale) // nd AS expected_q,
        |  n_events * $SeasScale - (sn * $SeasScale) // nd AS resid_q
        |FROM d JOIN prof ON d.dow = prof.dow""".stripMargin
+
+  /** K86: A/B EXPERIMENT LIFT — the two-proportion read-out every
+    * product experiment ends with: users split by a deterministic
+    * assignment hash (user_id parity — the bucketing an experiment
+    * framework would persist), exposure = has a `view` event,
+    * conversion = a `purchase` STRICTLY after the first view (H3's
+    * first-touch rule), reduced to one row of exact BIGINT counts
+    * plus the derived rates, relative lift, and the pooled
+    * two-proportion z statistic. Every count is exact; the floats
+    * (rates, lift, z) are computed from those exact integers in the
+    * SAME expression shape on both engines — IEEE division/sqrt of
+    * identical inputs is bit-identical, the emb_centroid_drift
+    * convention. Shape: one user_id-keyed exposure aggregate, one
+    * co-partitioned purchase join, one 2-row combining aggregate,
+    * then a 1-row pivot — shuffle ∝ distinct users, constant output
+    * at any corpus scale. */
+  def abLift(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .select(col("user_id")).distinct().withColumn("c", lit(1L))
+    val byVariant = v.join(conv, Seq("user_id"), "left_outer")
+      .groupBy(pmod(col("user_id"), lit(2L)).as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("c"), lit(0L))).as("n_conv"))
+    val one = byVariant.agg(
+      max(when(col("variant") === 0, col("n_users"))).as("n_a"),
+      max(when(col("variant") === 0, col("n_conv"))).as("conv_a"),
+      max(when(col("variant") === 1, col("n_users"))).as("n_b"),
+      max(when(col("variant") === 1, col("n_conv"))).as("conv_b"))
+    one.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
+      round(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
+      expr("round(CAST(conv_b * n_a AS DOUBLE) / nullif(conv_a * n_b, 0)" +
+        " - 1.0, 6)").as("lift"),
+      expr("round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)" +
+        " / nullif(sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)" +
+        " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))" +
+        " * (1.0 / n_a + 1.0 / n_b)), 0.0), 4)").as("z"))
+  }
+
+  val abLiftSql: String =
+    """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+      |           FROM events WHERE event_type = 'view' GROUP BY 1),
+      |conv AS (SELECT DISTINCT e.user_id, 1::BIGINT AS c
+      |         FROM events e JOIN v ON e.user_id = v.user_id
+      |         WHERE e.event_type = 'purchase'
+      |           AND CAST(e.ts AS TIMESTAMP) > v.t_view),
+      |byv AS (SELECT v.user_id % 2 AS variant, count(*)::BIGINT AS n_users,
+      |          sum(coalesce(c.c, 0))::BIGINT AS n_conv
+      |        FROM v LEFT JOIN conv c ON v.user_id = c.user_id GROUP BY 1),
+      |one AS (SELECT
+      |  max(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+      |  max(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+      |  max(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+      |  max(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+      |  FROM byv)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+      |  round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+      |  round((conv_b * n_a)::DOUBLE / nullif(conv_a * n_b, 0) - 1.0, 6) AS lift,
+      |  round((conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a)
+      |    / nullif(sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+      |           * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+      |           * (1.0 / n_a + 1.0 / n_b)), 0.0), 4) AS z
+      |FROM one""".stripMargin
 }

@@ -490,6 +490,84 @@ object TextOps {
       |  min(doc_id) AS keeper_doc
       |FROM u GROUP BY 1""".stripMargin
 
+  /** Keyness list size per source and the occurrence floor below
+    * which a phrase can't be called "distinctive" (rate estimates on
+    * 1-2 occurrences are noise at any corpus size). */
+  val KeyK = 10
+  val KeyMinCount = 3
+
+  /** K88: KEYNESS TERMS — per-source DISTINCTIVE phrases: for every
+    * (source, bigram), the source-internal rate vs the rate in the
+    * REST of the corpus, as a smoothed relative-risk score; top
+    * [[KeyK]] per source. The corpus-linguistics contrast read
+    * (tfidf_topterms ranks within a document; this ranks a SOURCE
+    * against everything else) run before trusting a feed's topical
+    * balance. All arithmetic is per-million integer rates
+    * (a_pm = a·10⁶ div srcTot, b_pm likewise over the rest) and the
+    * score a_pm·10⁶ div (b_pm + 1) — the +1 smoothing keeps
+    * source-exclusive phrases finite and every quantity ≤ 10¹⁸ at
+    * ANY corpus size (rates are bounded by 10⁶ regardless of N).
+    * Shape: one (source, gram) aggregate (the only rows-scale
+    * shuffle), gram totals aggregated FROM those cells (strictly
+    * smaller), the [[KeyMinCount]] floor applied before the gram
+    * join so only candidate cells ride it, and a top-K window over
+    * the floored candidates per source. */
+  def keynessTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("source"), col("doc_id"),
+      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sg = toks
+      .withColumn("w1", lead(col("w"), 1).over(wDoc))
+      .filter(col("w1").isNotNull)
+      .select(col("source"), concat(col("w"), lit(" "), col("w1")).as("gram"))
+      .groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("a"))
+    val st = sg.groupBy(col("source")).agg(sum(col("a")).as("stot"))
+    val gt = sg.groupBy(col("gram")).agg(sum(col("a")).as("gtot"))
+    val tot = st.agg(sum(col("stot")).as("n"))
+    val scored = sg.filter(col("a") >= KeyMinCount)
+      .join(broadcast(st), "source")
+      .join(gt, "gram")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("gram"), col("a"),
+        expr("(a * 1000000) div stot").as("a_pm"),
+        expr("((gtot - a) * 1000000) div (n - stot)").as("b_pm"))
+      .withColumn("score", expr("(a_pm * 1000000) div (b_pm + 1)"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("a").desc, col("gram"))
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= KeyK)
+      .select(col("source"), col("gram"), col("a"), col("a_pm"),
+        col("b_pm"), col("score"), col("rn"))
+  }
+
+  val keynessTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+       |  FROM documents),
+       |p AS (
+       |  SELECT source,
+       |    unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS gram
+       |  FROM toks),
+       |sg AS (SELECT source, gram, count(*) AS a FROM p GROUP BY 1, 2),
+       |st AS (SELECT source, sum(a)::BIGINT AS stot FROM sg GROUP BY 1),
+       |gt AS (SELECT gram, sum(a)::BIGINT AS gtot FROM sg GROUP BY 1),
+       |tot AS (SELECT sum(stot)::BIGINT AS n FROM st),
+       |sc AS (
+       |  SELECT sg.source, sg.gram, sg.a,
+       |    (sg.a * 1000000) // st.stot AS a_pm,
+       |    ((gt.gtot - sg.a) * 1000000) // (tot.n - st.stot) AS b_pm
+       |  FROM sg JOIN st USING (source) JOIN gt USING (gram), tot
+       |  WHERE sg.a >= $KeyMinCount),
+       |r AS (
+       |  SELECT *, (a_pm * 1000000) // (b_pm + 1) AS score,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY (a_pm * 1000000) // (b_pm + 1) DESC, a DESC, gram) AS rn
+       |  FROM sc)
+       |SELECT source, gram, a, a_pm, b_pm, score, rn
+       |FROM r WHERE rn <= $KeyK""".stripMargin
+
   /** Bloom geometry for [[ngramNovelty]]'s train-gram prefilter —
     * H15's sizing convention (items, bits): ~8 bits/item keeps the
     * false-positive rate low enough that the pruned eval fraction is

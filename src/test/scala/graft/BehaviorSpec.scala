@@ -825,4 +825,29 @@ class BehaviorSpec extends SparkSpec {
       assert(resid >= 0 && resid < nd, s"dow $dow residual sum $resid")
     }
   }
+
+  test("ab_lift: exposure/conversion counts replay exactly; z sign tracks the rates") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val conv = ev.filter { case (u, t, ts) =>
+      t == "purchase" && firstView.get(u).exists(ts > _)
+    }.map(_._1).toSet
+    def cnt(variant: Long) = {
+      val users = firstView.keySet.filter(_ % 2 == variant)
+      (users.size.toLong, users.count(conv).toLong)
+    }
+    val (na, ca) = cnt(0); val (nb, cb) = cnt(1)
+    val r = run("ab_lift").head()
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("conv_a") == ca)
+    assert(r.getAs[Long]("n_b") == nb && r.getAs[Long]("conv_b") == cb)
+    assert(r.getAs[Double]("rate_a") ==
+      math.rint(ca.toDouble / na * 1e6) / 1e6)
+    // z's sign agrees with the raw rate difference (or both are zero)
+    val diff = cb.toDouble / nb - ca.toDouble / na
+    val z = r.getAs[Double]("z")
+    assert(z == 0.0 && diff == 0.0 || z.sign == diff.sign, s"z $z diff $diff")
+  }
 }

@@ -379,4 +379,38 @@ class GraphSketchSpec extends SparkSpec {
     val reached = got.map(_.getAs[Long]("hops")).filter(_ >= 0).sorted.toSeq
     assert(reached == (0L to reached.max).toSeq)
   }
+
+  test("kmv_intersect: exact overlap AND sketch estimator replay from the postings") {
+    import graft.functions.HashFns
+    val d = Tables.documents(spark, sf)
+      .select(col("source"), explode(HashFns.shingles(col("text"))).as("gram"))
+      .select(col("source"), HashFns.strHash(col("gram")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = d.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = run("kmv_intersect").collect()
+    assert(out.length == bySrc.size * (bySrc.size - 1) / 2)
+    out.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (ha, hb) = (bySrc(sa), bySrc(sb))
+      assert(r.getAs[Long]("n_a") == ha.size.toLong && r.getAs[Long]("n_b") == hb.size.toLong)
+      val common = (ha & hb).size
+      assert(r.getAs[Long]("n_common") == common.toLong)
+      assert(r.getAs[Long]("jac_exact_pm") ==
+        common.toLong * 1000000L / (ha.size + hb.size - common))
+      // sketch replay: K smallest per side, union re-ranked, theta = K-th
+      val skA = ha.toSeq.sorted.take(Sketches.K).toSet
+      val skB = hb.toSeq.sorted.take(Sketches.K).toSet
+      val uni = (skA | skB).toSeq.sorted.take(Sketches.K)
+      val both = uni.count(h => skA(h) && skB(h))
+      assert(r.getAs[Long]("sk_union_n") == uni.size.toLong)
+      assert(r.getAs[Long]("sk_both") == both.toLong)
+      assert(r.getAs[Long]("jac_est_pm") == both.toLong * 1000000L / uni.size)
+      val estU = if (uni.size == Sketches.K)
+        (Sketches.K - 1).toLong * Sketches.M / uni.max else uni.size.toLong
+      assert(r.getAs[Long]("est_union_q") == estU)
+    }
+    // the estimator is live at this scale on at least one pair
+    assert(out.exists(_.getAs[Long]("sk_union_n") == Sketches.K.toLong),
+      "no pair reached the K-sketch regime: estimator untested")
+  }
 }

@@ -250,4 +250,33 @@ class TextOpsSpec extends SparkSpec {
     // and every canonical key is query/fragment/case-free
     assert(got.keys.forall(c => !c.contains("?") && !c.contains("#") && c == c.toLowerCase))
   }
+
+  test("keyness_terms: per-million rates and ranking replay from exact bigram counts") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sg = docs.flatMap { case (src, text) =>
+      val ts = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      ts.iterator.sliding(2).withPartial(false)
+        .map(p => (src, p.mkString(" "))).toSeq
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val st = sg.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val gt = sg.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = st.values.sum
+    val scored = sg.collect { case ((src, gram), a) if a >= TextOps.KeyMinCount =>
+      val aPm = a * 1000000L / st(src)
+      val bPm = (gt(gram) - a) * 1000000L / (n - st(src))
+      (src, gram, a, aPm, bPm, aPm * 1000000L / (bPm + 1))
+    }.toSeq
+    val expected = scored.groupBy(_._1).flatMap { case (_, rs) =>
+      rs.sortBy(t => (-t._6, -t._3, t._2)).take(TextOps.KeyK).zipWithIndex
+        .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, t._6, (i + 1).toLong) }
+    }.toSet
+    val got = run("keyness_terms").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getAs[Long]("a"), r.getAs[Long]("a_pm"),
+        r.getAs[Long]("b_pm"), r.getAs[Long]("score"),
+        r.getAs[Int]("rn").toLong)).toSet
+    assert(got == expected)
+    assert(got.groupBy(_._1).values.forall(_.size <= TextOps.KeyK))
+  }
 }

@@ -268,4 +268,35 @@ class TrainPrepSpec extends SparkSpec {
     val byN = got.values.toSeq.sortBy(_._1)
     assert(byN.head._4 >= byN.last._4)
   }
+
+  test("target_encode: leave-one-out and m-estimate encodings replay exactly") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySeg = rows.groupBy(_._2).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+    val gN = rows.length.toLong
+    val gMean = rows.map(_._3).sum / gN
+    val m = TrainPrep.TeSmooth
+    val got = run("target_encode").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getAs[Long]("enc_c"), r.getAs[Long]("enc_smooth_c"))).toMap
+    assert(got.size == rows.length)
+    rows.foreach { case (ok, seg, cents) =>
+      val (n, sum) = bySeg(seg)
+      val (gseg, gcents, enc, encS) = got(ok)
+      assert(gseg == seg && gcents == cents)
+      assert(enc == (sum - cents) / (n - 1), s"order $ok LOO")
+      assert(encS == (sum - cents + m * gMean) / (n - 1 + m), s"order $ok smoothed")
+      // leakage check: the encoding never equals the naive self-inclusive
+      // mean unless the row sits exactly on its group mean
+      if (cents * n != sum) assert(enc != sum / n || (sum - cents) / (n - 1) == sum / n)
+    }
+    // shrinkage: smoothed encodings sit between LOO and the global mean
+    got.values.foreach { case (_, _, enc, encS) =>
+      assert((encS >= (enc min gMean) - 1) && (encS <= (enc max gMean) + 1))
+    }
+  }
 }
