@@ -351,6 +351,41 @@ object Ingest {
       |  sum(CASE WHEN miss_lang THEN 1 ELSE 0 END)::BIGINT AS n_missing_lang
       |FROM r GROUP BY 1""".stripMargin
 
+  /** Char floor for [[orcRoundtrip]]'s pushdown filter — mid-range
+    * for the generator's n_chars distribution, so the predicate
+    * genuinely drops rows at every SF. */
+  val OrcMinChars = 200L
+
+  /** K90: ORC ROUND-TRIP — the columnar sibling format: write the
+    * documents projection to ORC with Spark's distributed writer
+    * (the fixture is built BY the engine under test, unlike the
+    * hand-fabricated zip/jsonl archives), read it back through the
+    * ORC source with a pushed n_chars predicate, and aggregate per
+    * language. Proves format fidelity end-to-end — types, nulls, and
+    * row counts survive the round trip bit-for-bit (the oracle
+    * computes the same aggregate from the original parquet, so ANY
+    * write/read corruption breaks the hash gate) — and that the
+    * scan-side contracts the parquet path relies on (column pruning,
+    * predicate pushdown via ORC search arguments, line-splittable
+    * parallel reads) hold on ORC too; a spec asserts the pushed
+    * filter reaches the ORC scan. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = OrcFixture.ensure(s, dir)
+    s.read.orc(s"$path/docs")
+      .filter(col("n_chars") >= OrcMinChars)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
+  val orcRoundtripSql: String =
+    s"""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       |  count(DISTINCT source)::BIGINT AS n_sources,
+       |  sum(doc_id)::BIGINT AS sum_ids
+       |FROM documents WHERE n_chars >= $OrcMinChars GROUP BY 1""".stripMargin
+
   /** The oracle replays [[CsvBadFixture]]'s planting arithmetic over
     * `documents`: % 10 = 3 → unparseable n_chars (numeric null, row
     * corrupt), else % 17 = 0 → extra column (all fields parse, row
@@ -402,6 +437,23 @@ object CsvBadFixture {
   * corrupt, JSON's failure unit, unlike CSV's per-field one); else
   * `% 13 = 0` → the `lang` field is MISSING (valid JSON — parses with
   * a null, NOT corrupt; schema-on-read absorbs absent fields). */
+/** ORC copy of the documents projection for K90 — written by Spark's
+  * own distributed ORC writer (the round-trip under test), once per
+  * (sf, row-count) under target/fixtures. */
+object OrcFixture {
+  def ensure(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+    val n = docs.count()
+    val out = Paths.get(
+      s"/root/repo/target/fixtures/orc_${dir.replaceAll("[^0-9.]", "")}_$n")
+    FixtureDir.ensure(out) { tmp =>
+      docs.write.orc(tmp.resolve("docs").toString)
+    }
+    out.toString
+  }
+}
+
 object JsonlFixture {
   def ensure(s: SparkSession, dir: String): String = {
     val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")

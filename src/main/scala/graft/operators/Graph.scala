@@ -524,6 +524,95 @@ object Graph {
       |FROM lab$CcRounds, conv GROUP BY lab, converged""".stripMargin
   }
 
+  /** LPA round budget (unrolled in the oracle like [[CcRounds]]) and
+    * the 2³² pack base that makes the per-node argmax a single
+    * portable `max` aggregate. */
+  val LpaRounds = 4
+  val LpaPack = 4294967296L
+
+  /** K91: LABEL PROPAGATION communities — synchronous LPA over the
+    * co-supply graph: each round every node adopts its neighbors'
+    * MOST FREQUENT label (tie → smallest label), the classic
+    * near-linear community detector that, unlike [[ccLabels]]' min-
+    * label fixpoint, separates dense neighborhoods WITHIN a
+    * connected component. Determinism: the usual randomized
+    * async/tiebreak variants can't be oracled; this is the
+    * synchronous variant with a total tiebreak order, so the round-r
+    * labeling is a pure function of the graph. The per-node argmax
+    * is ONE combining `max` over packed BIGINTs
+    * (c·2³² + (2³²−1−label) — count major, inverted label minor), so
+    * a round is exactly two shuffles: adjacency ⋈ labels (∝ edges)
+    * and the (n, nl) count + pick (∝ distinct neighbor labels).
+    * Synchronous LPA may legitimately oscillate on bipartite-ish
+    * structure, hence the bounded budget and a RELATIONAL `stable`
+    * flag (re-derive every node's argmax from the final labeling;
+    * stable ⇔ nobody would switch) that both engines compute from
+    * the same frame. Output: per-community sizes + the flag.
+    * Regime note (the bfs_hops convention): on the dense small-SF
+    * graphs (sf0.001's complete K10, sf0.01's near-clique) LPA
+    * correctly collapses to ONE community — the detector only
+    * separates structure where structure exists; at sf0.1 the capped
+    * co-supply graph is sparse and it finds ~143 communities. */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint()
+    val adj = edges.select(col("s1").as("n"), col("s2").as("nb"))
+      .unionByName(edges.select(col("s2").as("n"), col("s1").as("nb")))
+      .localCheckpoint()
+    def bestOf(l: DataFrame): DataFrame =
+      adj.join(l.select(col("n").as("nb"), col("lab").as("nl")), "nb")
+        .groupBy(col("n"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("n"))
+        .agg(max(col("c") * LpaPack + (lit(LpaPack - 1) - col("nl"))).as("pk"))
+        .select(col("n"),
+          (lit(LpaPack - 1) - pmod(col("pk"), lit(LpaPack))).as("best"))
+    var lab = adj.select(col("n")).distinct()
+      .withColumn("lab", col("n")).localCheckpoint()
+    for (r <- 1 to LpaRounds) {
+      lab = lab.join(bestOf(lab), Seq("n"), "left_outer")
+        .select(col("n"), coalesce(col("best"), col("lab")).as("lab"))
+      if (r % 2 == 0) lab = lab.localCheckpoint()
+    }
+    val unstable = lab.join(bestOf(lab), Seq("n"), "left_outer")
+      .filter(col("best").isNotNull && col("best") =!= col("lab"))
+      .agg(count(lit(1)).as("n_unstable"))
+      .select((col("n_unstable") === 0L).as("stable"))
+    lab.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(unstable)) // 1-row scalar stability frame
+  }
+
+  /** The same synchronous rounds unrolled as MATERIALIZED CTEs (the
+    * [[ccLabelsSql]] convention). */
+  lazy val labelPropagationSql: String = {
+    def bestCtes(r: Int, src: String) =
+      s"""cnt$r AS (
+         |  SELECT a.n, p.lab AS nl, count(*) AS c
+         |  FROM adj a JOIN $src p ON a.nb = p.n GROUP BY 1, 2),
+         |best$r AS (
+         |  SELECT n, $LpaPack - 1 -
+         |    (max(c * $LpaPack + ($LpaPack - 1 - nl)) % $LpaPack) AS best
+         |  FROM cnt$r GROUP BY 1)""".stripMargin
+    val roundCtes = (1 to LpaRounds).map { r =>
+      bestCtes(r, s"lab${r - 1}") + s""",
+         |lab$r AS MATERIALIZED (
+         |  SELECT l.n, coalesce(b.best, l.lab) AS lab
+         |  FROM lab${r - 1} l LEFT JOIN best$r b ON b.n = l.n)""".stripMargin
+    }.mkString(",\n")
+    coEdgesCte + s""",
+      |adj AS MATERIALIZED (
+      |  SELECT s1 AS n, s2 AS nb FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |lab0 AS MATERIALIZED (SELECT DISTINCT n, n AS lab FROM adj),
+      |$roundCtes,
+      |${bestCtes(LpaRounds + 1, s"lab$LpaRounds")},
+      |conv AS (
+      |  SELECT count(*) = 0 AS stable
+      |  FROM lab$LpaRounds l JOIN best${LpaRounds + 1} b ON b.n = l.n
+      |  WHERE b.best <> l.lab)
+      |SELECT lab AS community, count(*) AS n_nodes, conv.stable
+      |FROM lab$LpaRounds, conv GROUP BY lab, stable""".stripMargin
+  }
+
   /** BFS hop budget. At the tested SFs this exercises every regime:
     * 1-hop (sf0.001's complete K10), 2-hop dense (sf0.01), and a
     * real 8-layer expansion at sf0.1 where one node is first reached

@@ -413,4 +413,25 @@ class GraphSketchSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("sk_union_n") == Sketches.K.toLong),
       "no pair reached the K-sketch regime: estimator untested")
   }
+
+  test("label_propagation: synchronous LPA rounds replay exactly; stable flag honest") {
+    import graft.operators.{Graph => G}
+    val edges = G.coEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    def best(lab: Map[Long, Long], n: Long): Option[Long] =
+      adj.get(n).map { nbs =>
+        val cnt = nbs.groupBy(lab).view.mapValues(_.length.toLong)
+        cnt.maxBy { case (l, c) => (c, -l) }._1
+      }
+    var lab: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to G.LpaRounds)
+      lab = lab.map { case (n, l) => n -> best(lab, n).getOrElse(l) }
+    val expected = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val stable = lab.forall { case (n, l) => best(lab, n).forall(_ == l) }
+    val got = run("label_propagation").collect()
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    assert(got.forall(_.getAs[Boolean]("stable") == stable))
+  }
 }

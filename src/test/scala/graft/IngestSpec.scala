@@ -141,4 +141,25 @@ class IngestSpec extends SparkSpec {
     // partial fields at all (unlike CSV's field-level nulls)
     assert(got("corrupt") == ((corrupt.length.toLong, None, None, 0L)))
   }
+
+  test("orc_roundtrip: aggregate matches the parquet original; filter pushed to the ORC scan") {
+    val got = SparkEntry.queries("orc_roundtrip")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val expected = Tables.documents(spark, sf)
+      .filter(col("n_chars") >= graft.ingest.Ingest.OrcMinChars)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)), sum(col("n_chars")), count_distinct(col("source")),
+        sum(col("doc_id")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expected)
+    assert(expected.nonEmpty)
+    // the n_chars predicate must reach the ORC scan (search-argument
+    // pushdown), not run as a post-scan filter only
+    val plan = SparkEntry.queries("orc_roundtrip")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan.take(800))
+  }
 }
