@@ -680,12 +680,28 @@ object Sketches {
     * linear in postings — and is the declared recall oracle the
     * sketch path would REPLACE at scale. */
   def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val d = kmvPostings(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = kmvIntersectFrame(d)
+      .localCheckpoint() // pair-matrix-sized; release the cached postings
+    d.unpersist()
+    out
+  }
+
+  /** Distinct (source, shingle-hash) postings for [[kmvIntersect]]. */
+  private[graft] def kmvPostings(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFns
-    val d = graft.Tables.documents(s, dir)
+    graft.Tables.documents(s, dir)
       .select(col("source"), explode(HashFns.shingles(col("text"))).as("gram"))
       .select(col("source"), HashFns.strHash(col("gram")).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The un-checkpointed estimate/exact plan over given postings,
+    * split out so PlanSpec can assert the ObjectHashAggregate sketch
+    * shape (the ngramNoveltyFrame convention — localCheckpoint above
+    * truncates the executed plan). */
+  private[graft] def kmvIntersectFrame(d: DataFrame): DataFrame = {
     val skRows = d.groupBy(col("source"))
       .agg(call_function("kmv_agg", col("h"), lit(K)).as("sk"))
       .select(col("source"), explode(col("sk")).as("h"))
@@ -714,7 +730,7 @@ object Sketches {
       .agg(count(lit(1)).as("n_common"))
       .select(col("x.source").as("sa"), col("y.source").as("sb"),
         col("n_common"))
-    val out = pairs
+    pairs
       .join(broadcast(n.select(col("source").as("sa"), col("n").as("n_a"))), "sa")
       .join(broadcast(n.select(col("source").as("sb"), col("n").as("n_b"))), "sb")
       .join(c, Seq("sa", "sb"), "left_outer")
@@ -727,9 +743,6 @@ object Sketches {
         expr("(sk_both * 1000000) div sk_union_n").as("jac_est_pm"),
         expr(s"CASE WHEN sk_union_n = $K THEN (${K - 1}L * ${M}L) div theta " +
           "ELSE sk_union_n END").as("est_union_q"))
-      .localCheckpoint() // pair-matrix-sized; release the cached postings
-    d.unpersist()
-    out
   }
 
   val kmvIntersectSql: String =

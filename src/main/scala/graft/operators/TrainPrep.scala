@@ -709,18 +709,29 @@ object TrainPrep {
     * encodings are integer divisions of exact BIGINT sums — nothing
     * float ever reaches the hash gate. Shape: one custkey-keyed
     * join (orders ⋈ customer dimension), one segment aggregate
-    * (5 rows) broadcast back, one 1-row global frame — the encode
-    * itself is MAP-SIDE against broadcasts, so the operator costs
-    * exactly one join shuffle of the fact table at any scale. */
+    * (5 rows) broadcast back, the 1-row global frame folded FROM the
+    * segment frame (never a third fact pass) — the encode itself is
+    * MAP-SIDE against broadcasts. The plan reads the 3-column fact
+    * projection twice (stats pass + encode pass); at 100 TB that
+    * projection would be checkpointed once (the systematic_sample
+    * note) — both passes are scan + broadcast join, no fact-side
+    * shuffle beyond the custkey join. */
   def targetEncode(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
       (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
     val c = customer(s, dir).select(col("c_custkey"), col("c_mktsegment").as("seg"))
     val rows = o.join(c, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("seg"), col("cents"))
+    // the 5-row stats frame is materialized once (localCheckpoint)
+    // so BOTH consumers — the broadcast encode join and the global
+    // fold — read it without re-deriving its fact-scan lineage
     val segStats = rows.groupBy(col("seg"))
       .agg(count(lit(1)).as("seg_n"), sum(col("cents")).as("seg_sum"))
-    val glob = rows.agg(count(lit(1)).as("g_n"), sum(col("cents")).as("g_sum"))
+      .localCheckpoint()
+    // global totals fold from the 5-row segment frame, NOT from a
+    // third pass over the fact table
+    val glob = segStats.agg(sum(col("seg_n")).as("g_n"),
+      sum(col("seg_sum")).as("g_sum"))
     rows.join(broadcast(segStats), "seg")
       .crossJoin(broadcast(glob))
       .select(col("o_orderkey"), col("seg"), col("cents"),

@@ -513,15 +513,36 @@ object TextOps {
     * join so only candidate cells ride it, and a top-K window over
     * the floored candidates per source. */
   def keynessTerms(s: SparkSession, dir: String): DataFrame = {
+    // four consumers (scoring, source totals, gram totals, corpus
+    // total) read the cell frame — persist so the corpus is scanned
+    // and bigram-aggregated ONCE (the gramPosts convention); the
+    // frame is vocabulary-sized (distinct (source, gram)), bounded
+    // far below the corpus at any scale
+    val sg = keynessCells(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = keynessFrame(sg)
+      .localCheckpoint() // report-sized; release the cached cells
+    sg.unpersist()
+    out
+  }
+
+  /** The (source, bigram) occurrence cells for [[keynessTerms]]. */
+  private[graft] def keynessCells(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir).select(col("source"), col("doc_id"),
       posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sg = toks
+    toks
       .withColumn("w1", lead(col("w"), 1).over(wDoc))
       .filter(col("w1").isNotNull)
       .select(col("source"), concat(col("w"), lit(" "), col("w1")).as("gram"))
       .groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("a"))
+  }
+
+  /** The un-checkpointed scoring plan over given cells, split out so
+    * PlanSpec can assert the single-aggregation / broadcast shape
+    * (the ngramNoveltyFrame convention). */
+  private[graft] def keynessFrame(sg: DataFrame): DataFrame = {
     val st = sg.groupBy(col("source")).agg(sum(col("a")).as("stot"))
     val gt = sg.groupBy(col("gram")).agg(sum(col("a")).as("gtot"))
     val tot = st.agg(sum(col("stot")).as("n"))
