@@ -553,26 +553,40 @@ object Graph {
     * correctly collapses to ONE community — the detector only
     * separates structure where structure exists; at sf0.1 the capped
     * co-supply graph is sparse and it finds ~143 communities. */
-  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
-    val edges = coEdges(s, dir).localCheckpoint()
-    val adj = edges.select(col("s1").as("n"), col("s2").as("nb"))
+  /** Symmetric adjacency of the co-supply edge list. */
+  private def lpaAdj(edges: DataFrame): DataFrame =
+    edges.select(col("s1").as("n"), col("s2").as("nb"))
       .unionByName(edges.select(col("s2").as("n"), col("s1").as("nb")))
       .localCheckpoint()
-    def bestOf(l: DataFrame): DataFrame =
-      adj.join(l.select(col("n").as("nb"), col("lab").as("nl")), "nb")
-        .groupBy(col("n"), col("nl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("n"))
-        .agg(max(col("c") * LpaPack + (lit(LpaPack - 1) - col("nl"))).as("pk"))
-        .select(col("n"),
-          (lit(LpaPack - 1) - pmod(col("pk"), lit(LpaPack))).as("best"))
+
+  /** One synchronous-LPA argmax pass: each node's most frequent
+    * neighbor label under the packed-BIGINT total order. */
+  private def lpaBestOf(adj: DataFrame, l: DataFrame): DataFrame =
+    adj.join(l.select(col("n").as("nb"), col("lab").as("nl")), "nb")
+      .groupBy(col("n"), col("nl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("n"))
+      .agg(max(col("c") * LpaPack + (lit(LpaPack - 1) - col("nl"))).as("pk"))
+      .select(col("n"),
+        (lit(LpaPack - 1) - pmod(col("pk"), lit(LpaPack))).as("best"))
+
+  /** The round-[[LpaRounds]] labeling — shared by [[labelPropagation]]
+    * (community rollup) and [[modularity]] (partition quality). */
+  private[graft] def lpaLabels(adj: DataFrame): DataFrame = {
     var lab = adj.select(col("n")).distinct()
       .withColumn("lab", col("n")).localCheckpoint()
     for (r <- 1 to LpaRounds) {
-      lab = lab.join(bestOf(lab), Seq("n"), "left_outer")
+      lab = lab.join(lpaBestOf(adj, lab), Seq("n"), "left_outer")
         .select(col("n"), coalesce(col("best"), col("lab")).as("lab"))
       if (r % 2 == 0) lab = lab.localCheckpoint()
     }
-    val unstable = lab.join(bestOf(lab), Seq("n"), "left_outer")
+    lab
+  }
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint()
+    val adj = lpaAdj(edges)
+    val lab = lpaLabels(adj)
+    val unstable = lab.join(lpaBestOf(adj, lab), Seq("n"), "left_outer")
       .filter(col("best").isNotNull && col("best") =!= col("lab"))
       .agg(count(lit(1)).as("n_unstable"))
       .select((col("n_unstable") === 0L).as("stable"))
@@ -583,17 +597,19 @@ object Graph {
 
   /** The same synchronous rounds unrolled as MATERIALIZED CTEs (the
     * [[ccLabelsSql]] convention). */
-  lazy val labelPropagationSql: String = {
-    def bestCtes(r: Int, src: String) =
-      s"""cnt$r AS (
-         |  SELECT a.n, p.lab AS nl, count(*) AS c
-         |  FROM adj a JOIN $src p ON a.nb = p.n GROUP BY 1, 2),
-         |best$r AS (
-         |  SELECT n, $LpaPack - 1 -
-         |    (max(c * $LpaPack + ($LpaPack - 1 - nl)) % $LpaPack) AS best
-         |  FROM cnt$r GROUP BY 1)""".stripMargin
+  /** Shared WITH-body through the round-[[LpaRounds]] labeling. */
+  private def lpaBestCtes(r: Int, src: String): String =
+    s"""cnt$r AS (
+       |  SELECT a.n, p.lab AS nl, count(*) AS c
+       |  FROM adj a JOIN $src p ON a.nb = p.n GROUP BY 1, 2),
+       |best$r AS (
+       |  SELECT n, $LpaPack - 1 -
+       |    (max(c * $LpaPack + ($LpaPack - 1 - nl)) % $LpaPack) AS best
+       |  FROM cnt$r GROUP BY 1)""".stripMargin
+
+  private lazy val lpaLabelCtes: String = {
     val roundCtes = (1 to LpaRounds).map { r =>
-      bestCtes(r, s"lab${r - 1}") + s""",
+      lpaBestCtes(r, s"lab${r - 1}") + s""",
          |lab$r AS MATERIALIZED (
          |  SELECT l.n, coalesce(b.best, l.lab) AS lab
          |  FROM lab${r - 1} l LEFT JOIN best$r b ON b.n = l.n)""".stripMargin
@@ -603,7 +619,19 @@ object Graph {
       |  SELECT s1 AS n, s2 AS nb FROM edges
       |  UNION ALL SELECT s2, s1 FROM edges),
       |lab0 AS MATERIALIZED (SELECT DISTINCT n, n AS lab FROM adj),
-      |$roundCtes,
+      |$roundCtes""".stripMargin
+  }
+
+  lazy val labelPropagationSql: String = {
+    def bestCtes(r: Int, src: String) =
+      s"""cnt$r AS (
+         |  SELECT a.n, p.lab AS nl, count(*) AS c
+         |  FROM adj a JOIN $src p ON a.nb = p.n GROUP BY 1, 2),
+         |best$r AS (
+         |  SELECT n, $LpaPack - 1 -
+         |    (max(c * $LpaPack + ($LpaPack - 1 - nl)) % $LpaPack) AS best
+         |  FROM cnt$r GROUP BY 1)""".stripMargin
+    lpaLabelCtes + s""",
       |${bestCtes(LpaRounds + 1, s"lab$LpaRounds")},
       |conv AS (
       |  SELECT count(*) = 0 AS stable
@@ -612,6 +640,64 @@ object Graph {
       |SELECT lab AS community, count(*) AS n_nodes, conv.stable
       |FROM lab$LpaRounds, conv GROUP BY lab, stable""".stripMargin
   }
+
+  /** K93: MODULARITY — Newman's partition-quality score for the LPA
+    * communities, the eval read before TRUSTING a community structure
+    * (the ann_recall convention applied to graphs): per community c,
+    * Q_c = in_c/m − (deg_c/2m)², reported as exact per-million
+    * integers (each term its own integer division — both engines
+    * subtract the same floored values). in_c counts intra-community
+    * edges via one edges ⋈ labels ⋈ labels chain (shuffle ∝ edges);
+    * deg_c folds the adjacency degree frame through the labeling.
+    * Bounds are structural: deg_c ≤ 2m and m ≤ [[MaxEdges]] (the
+    * capped-edge-list invariant every graph operator shares), so
+    * deg_c²·10⁶ stays far under 2⁶³ at ANY corpus scale. Zero or
+    * negative contributions are honest readings (at the dense small
+    * SFs LPA yields one community whose Q is exactly 0 — no
+    * structure, no credit; the spec pins both regimes). */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint()
+    val adj = lpaAdj(edges)
+    val lab = lpaLabels(adj).localCheckpoint()
+    val mFrame = edges.agg(count(lit(1)).as("m"))
+    val el = edges
+      .join(lab.select(col("n").as("s1"), col("lab").as("l1")), "s1")
+      .join(lab.select(col("n").as("s2"), col("lab").as("l2")), "s2")
+    val inC = el.filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("community")).agg(count(lit(1)).as("in_edges"))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val degC = deg.join(lab, "n")
+      .groupBy(col("lab").as("community"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    degC.join(inC, Seq("community"), "left_outer")
+      .na.fill(0L, Seq("in_edges"))
+      .crossJoin(broadcast(mFrame))
+      .select(col("community"), col("n_nodes"), col("in_edges"),
+        col("deg_sum"),
+        expr("(in_edges * 1000000) div m - " +
+          "(deg_sum * deg_sum * 1000000) div (4 * m * m)").as("contrib_pm"))
+  }
+
+  lazy val modularitySql: String =
+    lpaLabelCtes + s""",
+      |mm AS (SELECT count(*) AS m FROM edges),
+      |el AS (
+      |  SELECT e.s1, e.s2, la.lab AS l1, lb.lab AS l2
+      |  FROM edges e JOIN lab$LpaRounds la ON la.n = e.s1
+      |  JOIN lab$LpaRounds lb ON lb.n = e.s2),
+      |inc AS (SELECT l1 AS community, count(*) AS in_edges
+      |        FROM el WHERE l1 = l2 GROUP BY 1),
+      |deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY 1),
+      |degc AS (
+      |  SELECT l.lab AS community, sum(d.deg)::BIGINT AS deg_sum,
+      |    count(*) AS n_nodes
+      |  FROM deg d JOIN lab$LpaRounds l ON l.n = d.n GROUP BY 1)
+      |SELECT dc.community, dc.n_nodes,
+      |  coalesce(ic.in_edges, 0)::BIGINT AS in_edges, dc.deg_sum,
+      |  (coalesce(ic.in_edges, 0) * 1000000) // mm.m
+      |    - (dc.deg_sum * dc.deg_sum * 1000000) // (4 * mm.m * mm.m)
+      |    AS contrib_pm
+      |FROM degc dc LEFT JOIN inc ic USING (community), mm""".stripMargin
 
   /** BFS hop budget. At the tested SFs this exercises every regime:
     * 1-hop (sf0.001's complete K10), 2-hop dense (sf0.01), and a

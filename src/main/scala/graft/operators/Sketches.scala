@@ -660,6 +660,89 @@ object Sketches {
        |FROM est""".stripMargin
   }
 
+  /** Histogram bucket width for [[quantileMerge]], in value cents —
+    * the generator's value range (≤ ~50k cents) yields ≤ ~50 buckets,
+    * so every histogram frame is report-sized at any corpus scale. */
+  val QmWidth = 1000L
+
+  /** K92: MERGEABLE HISTOGRAM QUANTILES — the quantile leg of the
+    * mergeable-sketch family (J20 stats_merge covers moments, I11
+    * kmv_merge distincts): per-day fixed-grid integer histograms
+    * (bucket = value-cents div [[QmWidth]] — the per-partition state
+    * an executor would hold) merged by plain count addition, with
+    * p50/p90/p99 read off the merged cumulative histogram. Like
+    * kmv_merge, the mergeability proof is IN THE RESULT: the same
+    * quantiles computed from the direct one-pass histogram ride
+    * along, and the oracle hashes both. Everything is exact integer
+    * arithmetic on the ×100 grid (ceil-rank = (p·n + 99) div 100;
+    * the reported quantile is the bucket lower bound in cents) —
+    * grid resolution is the honest, engine-portable stand-in for
+    * t-digest/GK sketches whose merge order no oracle can pin. The
+    * cumulative window runs over the ≤ ~50-bucket frame (bounded by
+    * value-range/width, never by rows — the gridPct argument). */
+  def quantileMerge(s: SparkSession, dir: String): DataFrame = {
+    val q = events(s, dir).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      expr(s"CAST(floor(value * 100 + 0.5) AS BIGINT) div $QmWidth")
+        .as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDay = q.groupBy(col("day"), col("bucket")).agg(count(lit(1)).as("c"))
+    val merged = perDay.groupBy(col("bucket")).agg(sum(col("c")).as("c"))
+    val direct = q.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val n = q.agg(count(lit(1)).as("n"))
+    def quants(h: DataFrame, pfx: String): DataFrame = {
+      // bounded-cardinality frame: ≤ value-range/QmWidth buckets
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(n))
+        .agg(
+          (min(when(col("cum") >= expr("(50 * n + 99) div 100"),
+            col("bucket"))) * QmWidth).as(s"${pfx}_p50_q"),
+          (min(when(col("cum") >= expr("(90 * n + 99) div 100"),
+            col("bucket"))) * QmWidth).as(s"${pfx}_p90_q"),
+          (min(when(col("cum") >= expr("(99 * n + 99) div 100"),
+            col("bucket"))) * QmWidth).as(s"${pfx}_p99_q"))
+    }
+    val nb = merged.agg(count(lit(1)).as("n_buckets"))
+    val out = n.crossJoin(broadcast(nb))
+      .crossJoin(broadcast(quants(merged, "m")))
+      .crossJoin(broadcast(quants(direct, "d")))
+      .localCheckpoint() // 1-row report; release the cached buckets
+    q.unpersist()
+    out
+  }
+
+  val quantileMergeSql: String =
+    s"""WITH q AS (
+       |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) // $QmWidth AS bucket
+       |  FROM events),
+       |pd AS (SELECT day, bucket, count(*) AS c FROM q GROUP BY 1, 2),
+       |m AS (SELECT bucket, sum(c)::BIGINT AS c FROM pd GROUP BY 1),
+       |d AS (SELECT bucket, count(*)::BIGINT AS c FROM q GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM q),
+       |mc AS (SELECT bucket, sum(c) OVER (ORDER BY bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m),
+       |dc AS (SELECT bucket, sum(c) OVER (ORDER BY bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+       |mq AS (
+       |  SELECT
+       |    min(CASE WHEN cum >= (50 * n.n + 99) // 100 THEN bucket END) * $QmWidth AS m_p50_q,
+       |    min(CASE WHEN cum >= (90 * n.n + 99) // 100 THEN bucket END) * $QmWidth AS m_p90_q,
+       |    min(CASE WHEN cum >= (99 * n.n + 99) // 100 THEN bucket END) * $QmWidth AS m_p99_q
+       |  FROM mc, n),
+       |dq AS (
+       |  SELECT
+       |    min(CASE WHEN cum >= (50 * n.n + 99) // 100 THEN bucket END) * $QmWidth AS d_p50_q,
+       |    min(CASE WHEN cum >= (90 * n.n + 99) // 100 THEN bucket END) * $QmWidth AS d_p90_q,
+       |    min(CASE WHEN cum >= (99 * n.n + 99) // 100 THEN bucket END) * $QmWidth AS d_p99_q
+       |  FROM dc, n),
+       |nb AS (SELECT count(*) AS n_buckets FROM m)
+       |SELECT n.n, nb.n_buckets, mq.m_p50_q, mq.m_p90_q, mq.m_p99_q,
+       |  dq.d_p50_q, dq.d_p90_q, dq.d_p99_q
+       |FROM n, nb, mq, dq""".stripMargin
+
   /** K89: KMV SET-OPERATION ESTIMATES — pairwise cross-source
     * CONTENT overlap (union + intersection + Jaccard) from mergeable
     * K-minimum-values sketches over each source's distinct 3-gram

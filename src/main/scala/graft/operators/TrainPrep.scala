@@ -755,6 +755,56 @@ object TrainPrep {
        |    // (seg_n - 1 + $TeSmooth) AS enc_smooth_c
        |FROM rows_ JOIN seg_stats USING (seg) CROSS JOIN gstats""".stripMargin
 
+  /** Epoch/shard geometry for [[epochShards]] and the second
+    * multiplier that decorrelates epochs (distinct from the split
+    * and stratified-sample hash streams). */
+  val EpochN = 4
+  val ShardN = 8L
+  val EpMult2 = 1103515245L
+
+  /** K94: EPOCH SHARD ASSIGNMENT — the deterministic multi-epoch
+    * shuffle a training run needs: every (doc, epoch) maps to a
+    * shard by an arithmetic hash that varies BY EPOCH
+    * (((doc·Mult + epoch·Mult2) mod P) mod [[ShardN]]), so each
+    * epoch presents the corpus in a different order/grouping without
+    * any RNG — rerun-stable, engine-portable, resumable mid-epoch
+    * (the sample_split no-randomness convention extended to the
+    * epoch axis). The report is the evidence a pipeline checks
+    * before trusting the shuffle: per (epoch, shard) doc/char
+    * balance, plus `n_same0` — how many of the shard's docs landed
+    * in the SAME shard in epoch 0. For e > 0 that collision count
+    * concentrating near n/[[ShardN]] is the decorrelation reading
+    * (epoch boundaries don't repeat); epoch 0 trivially reports
+    * n_same0 = n_docs. Map-side assignment (explode by
+    * [[EpochN]]) + ONE (epoch, shard) aggregate — constant-size
+    * output at any corpus scale. */
+  def epochShards(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0L), lit(EpochN - 1L))).as("epoch"))
+      .withColumn("shard", expr(
+        s"((doc_id % $PriP) * $PriMult + epoch * $EpMult2) % $PriP % $ShardN"))
+      .withColumn("shard0",
+        expr(s"((doc_id % $PriP) * $PriMult) % $PriP % $ShardN"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(when(col("shard") === col("shard0"), 1L).otherwise(0L))
+          .as("n_same0"))
+
+  val epochShardsSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, n_chars, unnest(range($EpochN))::BIGINT AS epoch
+       |  FROM documents),
+       |a AS (
+       |  SELECT epoch, n_chars,
+       |    ((doc_id % $PriP) * $PriMult + epoch * $EpMult2) % $PriP % $ShardN
+       |      AS shard,
+       |    ((doc_id % $PriP) * $PriMult) % $PriP % $ShardN AS shard0
+       |  FROM e)
+       |SELECT epoch, shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+       |  sum(CASE WHEN shard = shard0 THEN 1 ELSE 0 END)::BIGINT AS n_same0
+       |FROM a GROUP BY 1, 2""".stripMargin
+
   val systematicSampleSql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,

@@ -434,4 +434,61 @@ class GraphSketchSpec extends SparkSpec {
     assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
     assert(got.forall(_.getAs[Boolean]("stable") == stable))
   }
+
+  test("quantile_merge: merged per-day histograms equal the direct ones; ranks replay exactly") {
+    import graft.operators.Sketches
+    val vq = Tables.events(spark, sf)
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).collect()
+      .map(_.getLong(0))
+    val buckets = vq.map(_ / Sketches.QmWidth)
+    val hist = buckets.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = vq.length.toLong
+    def quant(p: Long): Long = {
+      val rank = (p * n + 99) / 100
+      var cum = 0L
+      hist.toSeq.sortBy(_._1).collectFirst {
+        case (b, c) if { cum += c; cum >= rank } => b * Sketches.QmWidth
+      }.get
+    }
+    val r = run("quantile_merge").head()
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n_buckets") == hist.size.toLong)
+    for ((p, col) <- Seq(50 -> "p50_q", 90 -> "p90_q", 99 -> "p99_q")) {
+      assert(r.getAs[Long](s"m_$col") == quant(p), s"merged $col")
+      // mergeability is IN the result: direct == merged
+      assert(r.getAs[Long](s"d_$col") == r.getAs[Long](s"m_$col"), s"direct $col")
+    }
+    assert(r.getAs[Long]("m_p50_q") <= r.getAs[Long]("m_p90_q") &&
+      r.getAs[Long]("m_p90_q") <= r.getAs[Long]("m_p99_q"))
+  }
+
+  test("modularity: per-community terms replay from a local LPA + edge recount") {
+    import graft.operators.{Graph => G}
+    val edges = G.coEdges(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    def best(lab: Map[Long, Long], n: Long): Option[Long] =
+      adj.get(n).map(_.groupBy(lab).view.mapValues(_.length.toLong)
+        .maxBy { case (l, c) => (c, -l) }._1)
+    var lab: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to G.LpaRounds)
+      lab = lab.map { case (n, l) => n -> best(lab, n).getOrElse(l) }
+    val m = edges.length.toLong
+    val inC = edges.filter { case (a, b) => lab(a) == lab(b) }
+      .groupBy { case (a, _) => lab(a) }.view.mapValues(_.length.toLong).toMap
+    val degC = adj.toSeq.groupBy { case (n, _) => lab(n) }
+      .view.mapValues(_.map(_._2.length.toLong).sum).toMap
+    val got = run("modularity").collect()
+    assert(got.map(_.getLong(0)).toSet == lab.values.toSet)
+    got.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getAs[Long]("in_edges") == inC.getOrElse(c, 0L), s"community $c in")
+      assert(r.getAs[Long]("deg_sum") == degC(c), s"community $c deg")
+      val expectPm = inC.getOrElse(c, 0L) * 1000000L / m -
+        degC(c) * degC(c) * 1000000L / (4 * m * m)
+      assert(r.getAs[Long]("contrib_pm") == expectPm, s"community $c contrib")
+    }
+    // handshake invariant: degrees sum to 2m across communities
+    assert(got.map(_.getAs[Long]("deg_sum")).sum == 2 * m)
+  }
 }

@@ -152,7 +152,10 @@ class PlanSpec extends SparkSpec {
       "frame (calendar-bounded, broadcast back; documented at the site)"),
     "rfm_segments" -> ("three gridPct edge chains over per-dimension CELL frames " +
       "(recency: calendar days; frequency: small counts; monetary: explicit " +
-      "100-currency grid) — cells, not customers, reach the single reducer")
+      "100-currency grid) — cells, not customers, reach the single reducer"),
+    "quantile_merge" -> ("the cumulative window runs over the histogram frame, " +
+      "bounded by value-range/QmWidth (~50 buckets) at any corpus scale — " +
+      "recorded here although localCheckpoint truncates it out of the audited plan")
   )
 
   test("no query plans a CartesianProduct; no UNBOUNDED no-partition window (one audit pass)") {

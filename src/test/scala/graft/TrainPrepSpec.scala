@@ -299,4 +299,33 @@ class TrainPrepSpec extends SparkSpec {
       assert((encS >= (enc min gMean) - 1) && (encS <= (enc max gMean) + 1))
     }
   }
+
+  test("epoch_shards: assignment replays exactly; epochs decorrelate from epoch 0") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val P = 1000000007L; val mult = 2654435761L
+    def shard(id: Long, e: Long): Long =
+      ((id % P) * mult + e * TrainPrep.EpMult2) % P % TrainPrep.ShardN
+    val expected = (for {
+      (id, nc) <- docs; e <- 0L until TrainPrep.EpochN.toLong
+    } yield (e, shard(id, e), nc, shard(id, e) == shard(id, 0L)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, ts) =>
+        k -> (ts.length.toLong, ts.map(_._3).sum, ts.count(_._4).toLong)
+      }
+    val got = run("epoch_shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_same0"))).toMap
+    assert(got == expected)
+    // epoch 0 trivially collides with itself; later epochs must not
+    val byEpoch = got.groupBy(_._1._1).view
+      .mapValues(m => (m.values.map(_._1).sum, m.values.map(_._3).sum)).toMap
+    assert(byEpoch(0L)._1 == byEpoch(0L)._2)
+    (1L until TrainPrep.EpochN.toLong).foreach { e =>
+      val (n, same) = byEpoch(e)
+      assert(same < n, s"epoch $e failed to decorrelate: $same of $n")
+    }
+  }
 }
