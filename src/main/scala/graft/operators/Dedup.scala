@@ -548,18 +548,25 @@ object Dedup {
     * so the oracle replays signatures bit-for-bit; signatures and
     * pairs reuse ONE persisted postings frame — no second shingle
     * scan. */
-  def minhashEst(s: SparkSession, dir: String): DataFrame = {
-    val gp = gramPosts(s, dir)
-    val posts = gp.select(col("doc_id"), strHash(col("gram")).as("h"))
-    val sig = minhashSigAgg(posts, "doc_id", "h")
+  /** All shared-gram pairs (ia < ib) with their exact Jaccard over
+    * the capped postings — shared by [[minhashEst]] (truth set) and
+    * [[minhashBandTune]] (candidate verify). */
+  private def exactJaccardPairs(gp: DataFrame): DataFrame = {
     val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = gp.as("x")
+    gp.as("x")
       .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
       .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+  }
+
+  def minhashEst(s: SparkSession, dir: String): DataFrame = {
+    val gp = gramPosts(s, dir)
+    val posts = gp.select(col("doc_id"), strHash(col("gram")).as("h"))
+    val sig = minhashSigAgg(posts, "doc_id", "h")
+    val pairs = exactJaccardPairs(gp)
       .filter(col("j") >= 0.5)
     val out = pairs
       .join(sig.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
@@ -598,6 +605,113 @@ object Dedup {
       |  round(eq / 64.0, 4) AS est_jaccard
       |FROM jp pr JOIN eqs ON pr.ia = eqs.ia AND pr.ib = eqs.ib
       |WHERE j >= 0.5""".stripMargin
+  }
+
+  /** Band/row geometries swept by [[minhashBandTune]] — all factor
+    * the same 64-lane signature, so one signature pass feeds every
+    * geometry. */
+  val TuneGeoms: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8))
+
+  /** Band-fold multiplier (the docFingerprint outer-fold constant —
+    * distinct from the lane family, only collision-noise-relevant). */
+  val TuneFoldMult = 131L
+
+  /** K95: LSH GEOMETRY TUNING — the empirical S-curve table behind
+    * C2's banding choice: for each (bands, rows) factoring of the
+    * SAME 64-lane MinHash signature, the measured candidate-pair
+    * count, true-positive count (exact Jaccard ≥ 0.5 on the capped
+    * postings — the K4 truth set), and per-million recall/precision.
+    * This is the knob-calibration read a pipeline runs on a NEW
+    * corpus before committing a banding geometry (theory says
+    * P(candidate) = 1−(1−j^r)^b; this table is what the corpus
+    * actually does). One signature pass (the [[minhashSigAgg]]
+    * TypedImperativeAggregate) feeds all geometries: band values are
+    * integer folds of r consecutive lanes, candidates come from the
+    * standard (geometry, band, value)-keyed equi-join — shuffle ∝
+    * docs × Σbands, never docs² — and the exact-j verify joins the
+    * SAME shared-gram pair frame [[minhashEst]] trusts. Everything
+    * that reaches the hash gate is integer (counts and per-million
+    * ratios). */
+  def minhashBandTune(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFns.P
+    val gp = gramPosts(s, dir)
+    val posts = gp.select(col("doc_id"), strHash(col("gram")).as("h"))
+    val sig = minhashSigAgg(posts, "doc_id", "h").localCheckpoint()
+    val jp = exactJaccardPairs(gp).localCheckpoint()
+    val nExact = jp.filter(col("j") >= 0.5).agg(count(lit(1)).as("n_exact"))
+    val bandFrames = TuneGeoms.map { case (b, r) =>
+      val bvs = (0 until b).map { i =>
+        (0 until r).foldLeft(lit(0L)) { (acc, k) =>
+          pmod(acc * TuneFoldMult + element_at(col("sig"), i * r + k + 1), lit(P))
+        }
+      }
+      sig.select(col("doc_id"), lit(b).as("bands"), lit(r).as("rows_per_band"),
+          posexplode(array(bvs: _*)).as(Seq("band_idx", "bv")))
+    }
+    val bands = bandFrames.reduce(_ unionByName _)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.bands") === col("y.bands") &&
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.bands").as("bands"), col("x.rows_per_band").as("rows_per_band"),
+        col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    val out = cand
+      .join(jp.select(col("ia"), col("ib"), col("j")), Seq("ia", "ib"), "left_outer")
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("n_true"))
+      .crossJoin(broadcast(nExact))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_true"), col("n_exact"),
+        expr("(n_true * 1000000) div nullif(n_exact, 0)").as("recall_pm"),
+        expr("(n_true * 1000000) div nullif(n_candidates, 0)").as("precision_pm"))
+      .localCheckpoint() // 3-row table; release the cached postings
+    gp.unpersist()
+    out
+  }
+
+  lazy val minhashBandTuneSql: String = {
+    val aList = graft.functions.HashFns.A.mkString("[", ", ", "]")
+    val bList = graft.functions.HashFns.B.mkString("[", ", ", "]")
+    val geomCtes = TuneGeoms.map { case (b, r) =>
+      s"""bands_${b} AS (
+         |  SELECT doc_id, $b AS bands, $r AS rows_per_band,
+         |    k // $r AS band_idx,
+         |    list_reduce(list_prepend(0::BIGINT, list(m ORDER BY k)),
+         |      (a, x) -> (a * $TuneFoldMult + x) % ${graft.functions.HashFns.P}) AS bv
+         |  FROM sig GROUP BY doc_id, k // $r)""".stripMargin
+    }.mkString(",\n")
+    val allBands = TuneGeoms.map { case (b, _) => s"SELECT * FROM bands_$b" }
+      .mkString("\nUNION ALL ")
+    gramsCte + pairsCtes + s""",
+      |th AS (
+      |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+      |      [ascii(c)::BIGINT for c in string_split(gram, '')]),
+      |    (a, x) -> (a * 31 + x) % 1000000007) AS h
+      |  FROM p2),
+      |sig AS (
+      |  SELECT doc_id, k, min(($aList[k+1] * h + $bList[k+1]) % ${graft.functions.HashFns.P}) AS m
+      |  FROM th, (SELECT unnest(range(${graft.functions.HashFns.NumHashes})) AS k)
+      |  GROUP BY 1, 2),
+      |$geomCtes,
+      |allb AS ($allBands),
+      |cand AS (
+      |  SELECT DISTINCT x.bands, x.rows_per_band, x.doc_id AS ia, y.doc_id AS ib
+      |  FROM allb x JOIN allb y ON x.bands = y.bands AND x.band_idx = y.band_idx
+      |    AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      |ne AS (SELECT count(*) AS n_exact FROM jp WHERE j >= 0.5),
+      |agg AS (
+      |  SELECT c.bands, c.rows_per_band, count(*) AS n_candidates,
+      |    sum(CASE WHEN jp.j >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_true
+      |  FROM cand c LEFT JOIN jp ON jp.ia = c.ia AND jp.ib = c.ib
+      |  GROUP BY 1, 2)
+      |SELECT bands, rows_per_band, n_candidates, n_true, ne.n_exact,
+      |  (n_true * 1000000) // nullif(ne.n_exact, 0) AS recall_pm,
+      |  (n_true * 1000000) // nullif(n_candidates, 0) AS precision_pm
+      |FROM agg, ne""".stripMargin
   }
 
   /** Containment floor for [[containmentPairs]]. */

@@ -437,4 +437,27 @@ class DedupSpec extends SparkSpec {
     // and real duplication exists at this scale (excess > 0 somewhere)
     assert(got.values.map(_._3).sum > 0)
   }
+
+  test("minhash_band_tune: geometry S-curve is monotone and consistent with minhash_est") {
+    val rows = run("minhash_band_tune").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("n_exact"), r.getAs[Long]("recall_pm"),
+          r.getAs[Long]("precision_pm"))).toMap
+    assert(rows.keySet == graft.operators.Dedup.TuneGeoms.toSet)
+    val nExact = rows.values.head._3
+    // the truth set IS minhash_est's row count (same pairs, same floor)
+    assert(nExact == run("minhash_est").count())
+    rows.values.foreach { case (cand, tru, ex, rec, prec) =>
+      assert(tru <= cand && tru <= ex && ex == nExact)
+      assert(rec == tru * 1000000L / ex && prec == tru * 1000000L / cand)
+    }
+    // more rows per band => stricter bands: candidates shrink, recall
+    // can only drop (the S-curve steepens right of the threshold)
+    val byR = graft.operators.Dedup.TuneGeoms.sortBy(_._2).map(g => rows(g))
+    assert(byR.sliding(2).forall { case Seq(a, b) => a._1 >= b._1 },
+      "candidate volume must fall as rows-per-band grows")
+    assert(byR.sliding(2).forall { case Seq(a, b) => a._4 >= b._4 },
+      "recall must fall as rows-per-band grows")
+  }
 }

@@ -498,6 +498,26 @@ class SinkStreamSpec extends SparkSpec {
     val JdbcBatch = graft.ingest.Ingest.JdbcBatch
     val JdbcShards = graft.ingest.Ingest.JdbcShards
   }
+
+  test("stream_fanout: sinks partition the stream exactly (counts + checksums)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.StreamFanout.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("sum_ids"))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def sink(t: String) =
+      if (t == "purchase" || t == "view") "commerce"
+      else if (t == "error") "ops" else "engagement"
+    val expected = ev.groupBy(e => sink(e._3)).view.mapValues { es =>
+      (es.length.toLong, es.map(_._2).distinct.length.toLong, es.map(_._1).sum)
+    }.toMap
+    assert(got == expected)
+    // exhaustive + disjoint: the sinks partition the source exactly
+    assert(got.values.map(_._1).sum == ev.length.toLong)
+    assert(got.values.map(_._3).sum == ev.map(_._1).sum)
+  }
 }
 
 /** Reflection-proxy stand-in for a JDBC connection (no DB in the
