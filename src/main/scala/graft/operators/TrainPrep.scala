@@ -805,6 +805,58 @@ object TrainPrep {
        |  sum(CASE WHEN shard = shard0 THEN 1 ELSE 0 END)::BIGINT AS n_same0
        |FROM a GROUP BY 1, 2""".stripMargin
 
+  /** Negatives drawn per anchor by [[negativeSample]]. */
+  val NegK = 4L
+
+  /** K97: NEGATIVE SAMPLING — the contrastive-training companion to
+    * the retrieval family: for each anchor document (a deterministic
+    * 10% slice), [[NegK]] "random" negatives drawn by an arithmetic
+    * hash ring over the dense doc_id space — zero RNG, rerun-stable,
+    * engine-portable (the epoch_shards hash stream, salted by the
+    * draw index). Production samplers RESAMPLE on collisions; a
+    * resample loop is unbounded and un-oracle-able, so this emits
+    * the draw verbatim with HONEST `is_self` / `same_source` flags —
+    * the downstream filter (or the in-batch-negatives trick) owns
+    * the policy, and the flags quantify how often it triggers
+    * (≈1/N self, ≈1/S same-source). The hard-negative upgrade is a
+    * registered swap: K1's LSH buckets supply same-bucket-but-
+    * dissimilar candidates through the same (anchor, k) frame.
+    * Shape: anchors × K explode (map-side), ONE equi-join back to
+    * the doc table on neg_id — linear in anchors, no shuffle wider
+    * than the join. */
+  def negativeSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("source"))
+    val nFrame = docs.agg(count(lit(1)).as("n_docs"))
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("anchor_id"), col("source").as("anchor_source"))
+      .crossJoin(broadcast(nFrame))
+      .select(col("anchor_id"), col("anchor_source"), col("n_docs"),
+        explode(sequence(lit(1L), lit(NegK))).as("k"))
+      .withColumn("neg_id", expr(
+        s"((anchor_id % $PriP) * $PriMult + k * $EpMult2) % $PriP % n_docs"))
+      .join(docs.select(col("doc_id").as("neg_id"),
+        col("source").as("neg_source")), "neg_id")
+      .select(col("anchor_id"), col("k"), col("neg_id"),
+        (col("neg_id") === col("anchor_id")).as("is_self"),
+        (col("neg_source") === col("anchor_source")).as("same_source"))
+  }
+
+  val negativeSampleSql: String =
+    s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+       |a AS (SELECT doc_id AS anchor_id, source AS anchor_source
+       |      FROM documents WHERE doc_id % 10 = 0),
+       |c AS (SELECT anchor_id, anchor_source,
+       |        unnest(range(1, ${NegK + 1}))::BIGINT AS k FROM a),
+       |x AS (
+       |  SELECT anchor_id, k, anchor_source,
+       |    ((anchor_id % $PriP) * $PriMult + k * $EpMult2) % $PriP % n.n_docs
+       |      AS neg_id
+       |  FROM c, n)
+       |SELECT x.anchor_id, x.k, x.neg_id,
+       |  x.neg_id = x.anchor_id AS is_self,
+       |  d.source = x.anchor_source AS same_source
+       |FROM x JOIN documents d ON d.doc_id = x.neg_id""".stripMargin
+
   val systematicSampleSql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,

@@ -328,4 +328,27 @@ class TrainPrepSpec extends SparkSpec {
       assert(same < n, s"epoch $e failed to decorrelate: $same of $n")
     }
   }
+
+  test("negative_sample: the hash ring replays exactly; collision flags are honest") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val src = docs.toMap
+    val n = docs.length.toLong
+    val P = 1000000007L; val mult = 2654435761L
+    val expected = (for {
+      (id, s0) <- docs if id % 10 == 0; k <- 1L to TrainPrep.NegK
+    } yield {
+      val neg = ((id % P) * mult + k * TrainPrep.EpMult2) % P % n
+      (id, k, neg, neg == id, src(neg) == s0)
+    }).toSet
+    val got = run("negative_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    assert(got == expected)
+    // every anchor got exactly NegK draws
+    assert(got.groupBy(_._1).values.forall(_.size == TrainPrep.NegK.toInt))
+    // the ring genuinely spreads: not all draws share the anchor's source
+    assert(got.exists(!_._5) && got.size > docs.count(_._1 % 10 == 0))
+  }
 }
