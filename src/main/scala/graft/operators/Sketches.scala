@@ -780,15 +780,26 @@ object Sketches {
       .distinct()
   }
 
+  /** The per-source sketch+count aggregate — un-checkpointed so
+    * PlanSpec can assert the two-phase ObjectHashAggregate shape. */
+  private[graft] def kmvSourceSketch(d: DataFrame): DataFrame =
+    d.groupBy(col("source"))
+      .agg(call_function("kmv_agg", col("h"), lit(K)).as("sk"),
+        count(lit(1)).as("n"))
+
   /** The un-checkpointed estimate/exact plan over given postings,
     * split out so PlanSpec can assert the ObjectHashAggregate sketch
     * shape (the ngramNoveltyFrame convention — localCheckpoint above
     * truncates the executed plan). */
   private[graft] def kmvIntersectFrame(d: DataFrame): DataFrame = {
-    val skRows = d.groupBy(col("source"))
-      .agg(call_function("kmv_agg", col("h"), lit(K)).as("sk"))
-      .select(col("source"), explode(col("sk")).as("h"))
-    val srcs = d.select(col("source")).distinct()
+    // ONE combining pass over the postings yields sketch + exact
+    // count per source; the 20-row result is materialized once and
+    // every small-side frame (sketch rows, source list, pair matrix,
+    // n_a/n_b) derives from it — the cached postings are read only
+    // here and by the exact self-join below (2 passes, not 4)
+    val agg = kmvSourceSketch(d).localCheckpoint()
+    val skRows = agg.select(col("source"), explode(col("sk")).as("h"))
+    val srcs = agg.select(col("source"))
     val pairs = srcs.as("pa")
       .join(broadcast(srcs.as("pb")), col("pa.source") < col("pb.source"))
       .select(col("pa.source").as("sa"), col("pb.source").as("sb"))
@@ -805,7 +816,7 @@ object Sketches {
       .agg(count(lit(1)).as("sk_union_n"), max(col("h")).as("theta"),
         sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
           .as("sk_both"))
-    val n = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val n = agg.select(col("source"), col("n"))
     val c = d.as("x")
       .join(d.as("y"),
         col("x.h") === col("y.h") && col("x.source") < col("y.source"))

@@ -472,7 +472,7 @@ class PlanSpec extends SparkSpec {
 
   test("kmv_intersect: per-source sketches build via two-phase ObjectHashAggregate") {
     import graft.operators.Sketches
-    val p = Sketches.kmvIntersectFrame(Sketches.kmvPostings(spark, sf))
+    val p = Sketches.kmvSourceSketch(Sketches.kmvPostings(spark, sf))
       .queryExecution.executedPlan.toString
     assert(p.contains("ObjectHashAggregate"),
       s"kmv_agg should plan as ObjectHashAggregate:\n$p")
