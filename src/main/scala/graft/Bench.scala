@@ -60,6 +60,7 @@ object Bench {
     ingest.FetchFixture.ensure(spark, sfDir)
     ingest.DecisionFixture.ensure(spark, sfDir)
     operators.Dedup.ensureCorpusIndex(spark, sfDir) // dedup_incremental reads it
+    operators.Dedup.ensurePairStats(spark, sfDir) // the exact-similarity family reads it
     operators.Dedup.ensureClusterLabels(spark, sfDir) // dedup_apply reads it
     operators.CorpusClean.ensureBpeTokens(spark, sfDir) // bpe_apply reads it
     operators.Graph.ensureCoEdges(spark, sfDir) // the graph family reads it

