@@ -61,6 +61,7 @@ object Bench {
     ingest.DecisionFixture.ensure(spark, sfDir)
     operators.Dedup.ensureCorpusIndex(spark, sfDir) // dedup_incremental reads it
     operators.Dedup.ensurePairStats(spark, sfDir) // the exact-similarity family reads it
+    operators.Dedup.ensureMinhashSig(spark, sfDir) // minhash_est/band_tune read it
     operators.Dedup.ensureClusterLabels(spark, sfDir) // dedup_apply reads it
     operators.CorpusClean.ensureBpeTokens(spark, sfDir) // bpe_apply reads it
     operators.Graph.ensureCoEdges(spark, sfDir) // the graph family reads it

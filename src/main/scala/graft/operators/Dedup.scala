@@ -561,14 +561,40 @@ object Dedup {
 
   /** The persisted pair stats with the exact Jaccard derived — the
     * shared verify base for the whole exact-similarity family. */
-  private def pairStats(s: SparkSession, dir: String): DataFrame =
+    private def pairStats(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(ensurePairStats(s, dir))
       .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
 
+  /** Root for the materialized PORTABLE MinHash signatures (doc_id,
+    * sig: array<bigint>) — the strHash-laned signature the
+    * oracle-replayable estimators (minhash_est, minhash_band_tune)
+    * share; built once from the capped postings (the pair-stats
+    * lifecycle; C2's production path keeps its own xxhash64 index in
+    * [[CorpusIndexRoot]]). */
+  val MinhashSigRoot = "target/graft_minhash_sig"
+
+  def minhashSigPath(dir: String): String =
+    s"$MinhashSigRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("documents"),
+        s"dfCap=$DfCap;shingle=3;lanes=${graft.functions.HashFns.NumHashes};hash=strPoly31")
+
+  def ensureMinhashSig(s: SparkSession, dir: String): String = {
+    val path = minhashSigPath(dir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val gp = gramPosts(s, dir)
+      minhashSigAgg(gp.select(col("doc_id"), strHash(col("gram")).as("h")),
+        "doc_id", "h")
+        .write.mode("overwrite").parquet(path)
+      gp.unpersist()
+    }
+    path
+  }
+
+  private def portableSig(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureMinhashSig(s, dir))
+
   def minhashEst(s: SparkSession, dir: String): DataFrame = {
-    val gp = gramPosts(s, dir)
-    val posts = gp.select(col("doc_id"), strHash(col("gram")).as("h"))
-    val sig = minhashSigAgg(posts, "doc_id", "h")
+    val sig = portableSig(s, dir)
     val pairs = pairStats(s, dir)
       .filter(col("j") >= 0.5)
     val out = pairs
@@ -580,8 +606,6 @@ object Dedup {
       .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"),
         col("eq").as("sig_matches"),
         round(col("eq") / 64.0, 4).as("est_jaccard"))
-      .localCheckpoint() // pair-sized; release the cached postings
-    gp.unpersist()
     out
   }
 
@@ -637,9 +661,7 @@ object Dedup {
     * ratios). */
   def minhashBandTune(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFns.P
-    val gp = gramPosts(s, dir)
-    val posts = gp.select(col("doc_id"), strHash(col("gram")).as("h"))
-    val sig = minhashSigAgg(posts, "doc_id", "h").localCheckpoint()
+    val sig = portableSig(s, dir)
     val jp = pairStats(s, dir)
     val nExact = jp.filter(col("j") >= 0.5).agg(count(lit(1)).as("n_exact"))
     val bandFrames = TuneGeoms.map { case (b, r) =>
@@ -671,8 +693,6 @@ object Dedup {
         col("n_true"), col("n_exact"),
         expr("(n_true * 1000000) div nullif(n_exact, 0)").as("recall_pm"),
         expr("(n_true * 1000000) div nullif(n_candidates, 0)").as("precision_pm"))
-      .localCheckpoint() // 3-row table; release the cached postings
-    gp.unpersist()
     out
   }
 
