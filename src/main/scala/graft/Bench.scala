@@ -62,6 +62,7 @@ object Bench {
     operators.Dedup.ensureCorpusIndex(spark, sfDir) // dedup_incremental reads it
     operators.Dedup.ensurePairStats(spark, sfDir) // the exact-similarity family reads it
     operators.Dedup.ensureMinhashSig(spark, sfDir) // minhash_est/band_tune read it
+    operators.Ann.ensureKnnTopk(spark, sfDir) // knn_join/knn_label_eval read it
     operators.Dedup.ensureClusterLabels(spark, sfDir) // dedup_apply reads it
     operators.CorpusClean.ensureBpeTokens(spark, sfDir) // bpe_apply reads it
     operators.Graph.ensureCoEdges(spark, sfDir) // the graph family reads it

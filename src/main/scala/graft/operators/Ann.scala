@@ -196,7 +196,32 @@ object Ann {
     * construction; a corpus where N² dots are infeasible swaps the
     * pair generator for the banded-LSH candidates at a pruning
     * threshold — the ranking stages are unchanged. */
-  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+  /** Root for the materialized exact top-[[K]] neighbor lists — the
+    * O(N²)-by-declaration recall oracle that TWO operators consume
+    * (H7's ranking itself and K81's label eval): at 100 TB an exact
+    * ranking is a batch job whose output every eval joins, never an
+    * inline recompute (the pair-stats lifecycle). Subdir embeds an
+    * [[graft.ingest.ArtifactCache]] token over the embeddings table
+    * + the ranking constants. */
+  val KnnTopkRoot = "target/graft_knn_topk"
+
+  def knnTopkPath(dir: String): String =
+    s"$KnnTopkRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("embeddings"),
+        s"k=$K;blocks=${Dedup.CosBlocks}")
+
+  def ensureKnnTopk(s: SparkSession, dir: String): String = {
+    val path = knnTopkPath(dir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      knnJoinFresh(s, dir).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  def knnJoin(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureKnnTopk(s, dir))
+
+  /** The from-scratch exact ranking — the artifact builder. */
+  private[graft] def knnJoinFresh(s: SparkSession, dir: String): DataFrame = {
     val blocks = Dedup.CosBlocks
     val e = vecs(s, dir)
       .withColumn("blk", pmod(col("vec_id") * 2654435761L % 1000000007L, lit(blocks)))
