@@ -518,6 +518,33 @@ class SinkStreamSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == ev.length.toLong)
     assert(got.values.map(_._3).sum == ev.map(_._1).sum)
   }
+
+  test("stream_quantile: per-hour histogram quantiles replay the batch arithmetic exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches.QmWidth
+    val ev = Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+        expr(s"CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vq"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / QmWidth))
+    val expected = ev.groupBy(_._1).map { case (h, rows) =>
+      val hist = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val n = rows.length.toLong
+      def quant(p: Long): Long = {
+        val rank = (p * n + 99) / 100
+        var cum = 0L
+        hist.toSeq.sortBy(_._1).collectFirst {
+          case (b, c) if { cum += c; cum >= rank } => b * QmWidth
+        }.get
+      }
+      h -> (n, quant(50), quant(90))
+    }
+    val got = graft.streaming.Staging.withStatePartitions(spark)(
+      graft.streaming.StreamQuantile.run(spark, sf)).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("p50_q"), r.getAs[Long]("p90_q"))).toMap
+    assert(got == expected)
+    assert(got.values.forall { case (_, p50, p90) => p50 <= p90 })
+  }
 }
 
 /** Reflection-proxy stand-in for a JDBC connection (no DB in the
