@@ -55,7 +55,7 @@ object StreamFanout {
       .start()
     q.processAllAvailable()
     q.stop()
-    (routes.map(_._1) :+ "engagement").map { name =>
+    val report = (routes.map(_._1) :+ "engagement").map { name =>
       s.read.parquet(s"$base/$name")
         .agg(count(lit(1)).as("n_rows"),
           count_distinct(col("user_id")).as("n_users"),
@@ -63,6 +63,20 @@ object StreamFanout {
         .select(lit(name).as("sink"), col("n_rows"), col("n_users"),
           col("sum_ids"))
     }.reduce(_ unionByName _)
+      // 3-row report: materialize, then the per-run transport dirs can
+      // go — repeated runs must not accumulate event-sized temp parquet
+      .localCheckpoint()
+    deleteRec(java.nio.file.Paths.get(base))
+    report
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRec(c)) finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   val sql: String =

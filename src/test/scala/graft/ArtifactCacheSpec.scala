@@ -48,5 +48,10 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(operators.Dedup.clusterLabelsPath(a) != operators.Dedup.clusterLabelsPath(b))
     assert(operators.Dedup.corpusIndexPath(a) != operators.Dedup.corpusIndexPath(b))
     assert(operators.CorpusClean.bpeTokensPath(a) != operators.CorpusClean.bpeTokensPath(b))
+    assert(operators.Dedup.pairStatsPath(a) != operators.Dedup.pairStatsPath(b))
+    assert(operators.Dedup.minhashSigPath(a) != operators.Dedup.minhashSigPath(b))
+    // knn_topk keys on embeddings, not documents — same-basename roots
+    // with NO embeddings table still must not collide on basename alone
+    assert(operators.Ann.knnTopkPath(a).contains("sfX_"))
   }
 }
