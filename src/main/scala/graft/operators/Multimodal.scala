@@ -303,4 +303,90 @@ object Multimodal {
        |  SELECT doc_id, text, unnest(range(0, (strlen(text) - 1) // $FrameBytes + 1)) AS frame_idx
        |  FROM documents)
        |WHERE frame_idx % $FrameStride = 0""".stripMargin
+
+  /** VAD frame width (bytes ≙ 8-bit samples). */
+  val VadFrame = 16
+
+  /** K99: ENERGY-BASED VAD SEGMENTATION — the audio-side structure
+    * pass (voice-activity detection) over the `audio/wav` payloads:
+    * per [[VadFrame]]-byte frame, an integer energy (Σ (sample−32)²
+    * over the frame's bytes — 32 is the corpus's silence byte, the
+    * deterministic stand-in for a DC offset), frames zeroed on a
+    * doc-keyed cadence (idx ≡ doc_id mod 3 — the planted-silence
+    * convention: the container has no real audio, so silence is
+    * synthesized deterministically like scrub_pii's planted PII),
+    * then the CONTIGUOUS active segments recovered with the
+    * islands-and-gaps window (grp = idx − row_number over active
+    * frames) — per payload: frame/active counts, segment count,
+    * longest run, total energy. This is the shape a speech pipeline
+    * runs before chunking audio for ASR: map-side frame explode +
+    * energy fold (codegen'd HOF, no UDF), ONE doc-keyed window for
+    * the islands, one aggregate — shuffle ∝ active frames. All
+    * integer → full hash-gate oracle. */
+  def mmEnergyVad(s: SparkSession, dir: String): DataFrame = {
+    val audio = mediaTable(s, dir)
+      .filter(col("meta.mime") === "audio/wav")
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("t"))
+      .withColumn("nf", expr(s"(length(t) + ${VadFrame - 1}) div $VadFrame"))
+    val frames = audio
+      .select(col("doc_id"), col("nf"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("idx"),
+        col("t"))
+      .withColumn("frame",
+        expr(s"substring(t, CAST(idx * $VadFrame + 1 AS INT), $VadFrame)"))
+      .withColumn("energy", when(pmod(col("idx"), lit(3L)) === pmod(col("doc_id"), lit(3L)), 0L)
+        .otherwise(aggregate(
+          filter(split(col("frame"), ""), c => c =!= ""),
+          lit(0L),
+          (acc, c) => acc + (ascii(c).cast("long") - 32L) * (ascii(c).cast("long") - 32L))))
+      .select(col("doc_id"), col("nf"), col("idx"), col("energy"))
+    val active = frames.filter(col("energy") > 0)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("idx"))
+    val segs = active
+      .withColumn("grp", col("idx") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"), sum(col("energy")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("run")).as("n_active"),
+        max(col("run")).as("max_run"), sum(col("e")).as("total_energy"))
+    audio.select(col("doc_id"), col("nf").as("n_frames"))
+      .join(segs, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_segments", "n_active", "max_run", "total_energy"))
+  }
+
+  val mmEnergyVadSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, text AS t,
+       |    (strlen(text) + ${VadFrame - 1}) // $VadFrame AS nf
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |f AS (
+       |  SELECT doc_id, nf, unnest(range(0, nf))::BIGINT AS idx, t FROM a),
+       |e AS (
+       |  SELECT doc_id, nf, idx,
+       |    CASE WHEN idx % 3 = doc_id % 3 THEN 0
+       |         ELSE list_reduce(list_prepend(0::BIGINT,
+       |           [(ascii(c)::BIGINT - 32) * (ascii(c)::BIGINT - 32)
+       |            for c in list_filter(
+       |              string_split(substr(t, (idx * $VadFrame + 1)::INT, $VadFrame), ''),
+       |              c -> c <> '')]),
+       |           (acc, x) -> acc + x) END AS energy
+       |  FROM f),
+       |act AS (
+       |  SELECT doc_id, idx, energy,
+       |    idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+       |  FROM e WHERE energy > 0),
+       |seg AS (
+       |  SELECT doc_id, grp, count(*) AS run, sum(energy)::BIGINT AS e
+       |  FROM act GROUP BY 1, 2),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_segments, sum(run)::BIGINT AS n_active,
+       |    max(run) AS max_run, sum(e)::BIGINT AS total_energy
+       |  FROM seg GROUP BY 1)
+       |SELECT a.doc_id, a.nf AS n_frames,
+       |  coalesce(p.n_segments, 0)::BIGINT AS n_segments,
+       |  coalesce(p.n_active, 0)::BIGINT AS n_active,
+       |  coalesce(p.max_run, 0)::BIGINT AS max_run,
+       |  coalesce(p.total_energy, 0)::BIGINT AS total_energy
+       |FROM a LEFT JOIN per p USING (doc_id)""".stripMargin
 }

@@ -88,4 +88,37 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(textPairs.nonEmpty && gotPairs.intersect(textPairs).isEmpty)
   }
+
+  test("mm_energy_vad: frame energies, planted silence, and islands replay exactly") {
+    import graft.operators.Multimodal.VadFrame
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val nf = (t.length + VadFrame - 1) / VadFrame
+      val energies = (0 until nf).map { i =>
+        if (i % 3 == (id % 3).toInt) 0L
+        else t.slice(i * VadFrame, (i + 1) * VadFrame)
+          .map(c => (c.toLong - 32) * (c.toLong - 32)).sum
+      }
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+      energies.foreach { e =>
+        if (e > 0) cur += e
+        else { if (cur.nonEmpty) runs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      id -> (nf.toLong, runs.length.toLong, runs.map(_.length.toLong).sum,
+        if (runs.isEmpty) 0L else runs.map(_.length.toLong).max,
+        energies.sum)
+    }.toMap
+    val got = run("mm_energy_vad").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_segments"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("max_run"), r.getAs[Long]("total_energy"))).toMap
+    assert(got == expected)
+    // the planted silence genuinely segments: some doc has >1 segment
+    assert(expected.values.exists(_._2 > 1))
+  }
 }
