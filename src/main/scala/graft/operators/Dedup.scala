@@ -561,7 +561,7 @@ object Dedup {
 
   /** The persisted pair stats with the exact Jaccard derived — the
     * shared verify base for the whole exact-similarity family. */
-    private def pairStats(s: SparkSession, dir: String): DataFrame =
+  private def pairStats(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(ensurePairStats(s, dir))
       .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
 

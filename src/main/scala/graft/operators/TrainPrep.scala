@@ -823,7 +823,10 @@ object TrainPrep {
     * dissimilar candidates through the same (anchor, k) frame.
     * Shape: anchors × K explode (map-side), ONE equi-join back to
     * the doc table on neg_id — linear in anchors, no shuffle wider
-    * than the join. */
+    * than the join. The ring assumes DENSE doc ids (mod n lands on
+    * an existing row); on a sparse id space the inner join would
+    * silently drop draws, so the spec pins exactly [[NegK]] rows per
+    * anchor — a gap surfaces as a count mismatch, not a quiet bias. */
   def negativeSample(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"), col("source"))
     val nFrame = docs.agg(count(lit(1)).as("n_docs"))
