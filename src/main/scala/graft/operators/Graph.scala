@@ -92,9 +92,13 @@ object Graph {
        |edges AS (
        |  SELECT s1, s2 FROM shared ORDER BY shared DESC, s1, s2 LIMIT $MaxEdges)""".stripMargin
 
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val edges = coEdges(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Per-node triangle participation over `edges` — the degree-ordered
+    * wedge enumeration shared by [[triangleCount]] (top-K view) and
+    * [[clusteringCoef]] (full C(k) spectrum). Returns ALL nodes that
+    * close ≥1 triangle, materialized (localCheckpoint — bounded by
+    * the [[MaxEdges]]-capped node count) so the caller can release
+    * the edge cache immediately. */
+  private[graft] def triNodeCounts(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("s1").as("n"))
       .unionByName(edges.select(col("s2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -118,12 +122,19 @@ object Graph {
     val tri = wedges.join(closing, Seq("b", "c"))
     val out = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("node")).limit(TriK)
-      // materialize the ≤ TriK result rows, then release the cached
-      // edge frames — cached blocks must not outlive the operator
-      // (they'd accumulate across a 115-query session)
+      // materialize the ≤-node-count result rows, then release the
+      // cached oriented frame — cached blocks must not outlive the
+      // operator (they'd accumulate across a 200+-query session)
       .localCheckpoint()
     oriented.unpersist()
+    out
+  }
+
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = triNodeCounts(edges)
+      .orderBy(col("n_tri").desc, col("node")).limit(TriK)
     edges.unpersist()
     out
   }
@@ -150,6 +161,72 @@ object Graph {
        |nodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
        |SELECT node, count(*) AS n_tri FROM nodes
        |GROUP BY node ORDER BY n_tri DESC, node LIMIT $TriK""".stripMargin
+
+  /** K100: LOCAL CLUSTERING COEFFICIENT spectrum — the C(k)-vs-k
+    * curve (average clustering by degree) that diagnoses hierarchical
+    * vs random graph structure, read next to [[degreeDist]]'s hub
+    * check before trusting community algorithms. Per node with
+    * deg ≥ 2: cc = 2·tri / (deg·(deg−1)) as an exact per-million
+    * integer division (2·tri·10⁶ ≤ 2·deg²·10⁶ stays far under 2⁶³ at
+    * the [[MaxEdges]]-bounded degree); nodes closing zero triangles
+    * COUNT (left join, coalesce 0 — dropping them inflates C(k)).
+    *
+    * Scale shape: triangle participation reuses [[triNodeCounts]]'s
+    * degree-ordered wedge enumeration (shuffle ∝ wedges, out-degree
+    * O(√m) after orientation — never Σdeg² through one reducer); the
+    * spectrum aggregate is keyed by degree, output bounded by the
+    * distinct-degree count, never by nodes. */
+  def clusteringCoef(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = triNodeCounts(edges).withColumnRenamed("node", "n")
+    val deg = edges.select(col("s1").as("n"))
+      .unionByName(edges.select(col("s2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val perNode = deg.filter(col("deg") >= 2)
+      .join(tri, Seq("n"), "left")
+      .select(col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_pm", expr("(2 * n_tri * 1000000L) div (deg * (deg - 1))"))
+    val out = perNode.groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("n_tri")).as("n_tri_sum"),
+        sum(col("cc_pm")).as("cc_sum"))
+      .withColumn("avg_cc_pm", expr("cc_sum div n_nodes"))
+      .drop("cc_sum")
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
+
+  val clusteringCoefSql: String =
+    coEdgesCte + s""",
+       |deg AS (
+       |  SELECT n, count(*) AS deg FROM (
+       |    SELECT s1 AS n FROM edges UNION ALL SELECT s2 FROM edges)
+       |  GROUP BY n),
+       |o AS (
+       |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.s1 < e.s2)
+       |              THEN e.s1 ELSE e.s2 END AS src,
+       |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.s1 < e.s2)
+       |              THEN e.s2 ELSE e.s1 END AS dst,
+       |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.s1 < e.s2)
+       |              THEN d2.deg ELSE d1.deg END AS dd
+       |  FROM edges e JOIN deg d1 ON e.s1 = d1.n JOIN deg d2 ON e.s2 = d2.n),
+       |w AS (
+       |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+       |  FROM o x JOIN o y ON x.src = y.src
+       |  WHERE x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst)),
+       |tri AS (SELECT a, b, c FROM w JOIN o ON o.src = w.b AND o.dst = w.c),
+       |tn AS (
+       |  SELECT node, count(*) AS n_tri
+       |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node),
+       |pn AS (
+       |  SELECT d.deg, coalesce(tn.n_tri, 0) AS n_tri,
+       |    (2 * coalesce(tn.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1)) AS cc_pm
+       |  FROM deg d LEFT JOIN tn ON tn.node = d.n
+       |  WHERE d.deg >= 2)
+       |SELECT deg, count(*) AS n_nodes, sum(n_tri)::BIGINT AS n_tri_sum,
+       |  sum(cc_pm)::BIGINT // count(*) AS avg_cc_pm
+       |FROM pn GROUP BY deg""".stripMargin
 
   /** Power-of-two bin edges for [[degreeDist]] (degrees are bounded
     * by the [[MaxEdges]]-capped node degree, far under 2^20). */

@@ -326,4 +326,74 @@ object Maintenance {
       |  sum(CASE WHEN op <> 'd' AND prev_op = 'd' THEN 1 ELSE 0 END)::BIGINT
       |    AS n_resurrections
       |FROM seq GROUP BY user_id""".stripMargin
+
+  /** Root for the materialized aggregate view [[ivmAgg]] maintains —
+    * the write-once artifact lifecycle ([[graft.ingest.ArtifactCache]]
+    * token over the base table + the view definition version). */
+  val IvmViewRoot = "target/graft_ivm_view"
+
+  def ivmViewPath(dir: String): String =
+    s"$IvmViewRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("documents"), "ivm_view=source_lang_v1")
+
+  /** Build the per-(source, lang) aggregate view once and persist it —
+    * the "materialized view on disk" the incremental refresh reads. */
+  def ensureIvmView(s: SparkSession, dir: String): String = {
+    val p = ivmViewPath(dir)
+    if (!new java.io.File(s"$p/_SUCCESS").exists())
+      documents(s, dir).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** K101: INCREMENTAL VIEW MAINTENANCE — refresh the materialized
+    * per-(source, lang) aggregate view under the [[changes]] feed
+    * WITHOUT recomputing it from the base table: each change row
+    * contributes a signed delta (delete → (−1, −old_chars); update →
+    * (−1, −old) + (+1, +new); insert → (+1, +chars)), deltas fold to
+    * per-group (Δn, Δchars), and the refreshed view is
+    * old view ⟗ delta with groups driven to zero dropped. count/sum
+    * are self-maintainable aggregates — no base-group rescan exists
+    * anywhere in the refresh (min/max would need one on delete; that
+    * is exactly why this view carries count+sum).
+    *
+    * Scale shape: the refresh cost is ∝ |delta|, never |base| — old
+    * values for deleted/updated keys are fetched by ONE
+    * broadcast-keyed join against the base (the point-lookup a real
+    * store serves from its key index), the delta aggregate carries
+    * |touched-group| rows, and the view merge is a full-outer join of
+    * two group-cardinality frames. The driver oracle proves the
+    * incremental path equals the full recompute over the merged
+    * table — the IVM correctness contract. */
+  def ivmAgg(s: SparkSession, dir: String): DataFrame = {
+    val view = s.read.parquet(ensureIvmView(s, dir))
+    val ch = changes(s, dir)
+    // old rows for delete/update keys: one broadcast-keyed fetch
+    val touchedKeys = ch.filter(col("op") =!= "insert").select(col("doc_id"))
+    val removals = documents(s, dir)
+      .join(broadcast(touchedKeys), Seq("doc_id"))
+      .select(col("source"), col("lang"),
+        lit(-1L).as("dn"), (col("n_chars").cast("long") * -1L).as("dc"))
+    val additions = ch.filter(col("op") =!= "delete")
+      .select(col("source"), col("lang"), lit(1L).as("dn"), col("n_chars").as("dc"))
+    val delta = removals.unionByName(additions)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    view.join(delta, Seq("source", "lang"), "full_outer")
+      .select(col("source"), col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_chars"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** The oracle is the FULL recompute over the merged table — hash
+    * equality with the delta-only refresh is the IVM proof. */
+  val ivmAggSql: String =
+    s"""WITH $changesSql,
+       |$mergedCte
+       |SELECT source, lang, count(*) AS n_docs,
+       |  sum(n_chars)::BIGINT AS sum_chars
+       |FROM merged GROUP BY 1, 2""".stripMargin
 }

@@ -235,6 +235,80 @@ object Multimodal {
        |WHERE hamming <= $PhashRadius""".stripMargin
   }
 
+  /** Patch grid for [[mmPatchEmbed]] — the 4×4 byte-domain analog of
+    * an image pipeline's downsample-grid feature pass. */
+  val PatchN = 16
+
+  /** K104: PATCH-PROFILE FEATURES — the downsample-grid feature
+    * extraction an image pipeline runs per image (8×8 luma means)
+    * computed in the byte domain over the image/png payloads: each
+    * payload is cut into [[PatchN]] equal patches, the patch feature
+    * is its exact per-mille byte mean (sv·1000 div nv — integer, so
+    * the whole feature path rides the hash gate), and the corpus
+    * read is the per-(source, patch) profile — n_docs, average patch
+    * mean — plus the per-source average CONTRAST (max−min patch mean
+    * per doc): the light-level/structure summary that catches a
+    * source whose images are systematically washed out before any
+    * model sees them.
+    *
+    * Scale shape: the per-byte explode is the decode-analog MAP-SIDE
+    * stage (payload bytes never shuffle — the [[phashBands]]
+    * contract); what shuffles is (doc, patch) partial sums, then
+    * (source, patch) cells — bounded by docs × [[PatchN]] and
+    * sources × [[PatchN]]. Swapping the byte kernel for real luma
+    * decode changes only the per-byte projection. */
+  def mmPatchEmbed(s: SparkSession, dir: String): DataFrame = {
+    val imgs = documents(s, dir).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("len", length(col("payload")))
+    val bytes = imgs
+      .select(col("doc_id"), col("source"), col("len"),
+        explode(sequence(lit(0), col("len") - 1)).as("i"),
+        col("payload"))
+      .select(col("doc_id"), col("source"),
+        floor((col("i") * PatchN).cast("double") / col("len")).cast("long").as("patch"),
+        ascii(decode(col("payload").substr(col("i") + 1, lit(1)), "UTF-8")).as("v"))
+    val perPatch = bytes.groupBy(col("doc_id"), col("source"), col("patch"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+      .withColumn("pm", expr("(sv * 1000) div nv"))
+    val srcPatch = perPatch.groupBy(col("source"), col("patch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pm")).as("spm"))
+      .withColumn("avg_pm", expr("spm div n_docs")).drop("spm")
+    val srcContrast = perPatch.groupBy(col("doc_id"), col("source"))
+      .agg((max(col("pm")) - min(col("pm"))).as("contrast"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("contrast")).as("sc"))
+      .withColumn("contrast_pm", expr("sc div n"))
+      .select(col("source"), col("contrast_pm"))
+    srcPatch.join(srcContrast, Seq("source"))
+  }
+
+  val mmPatchEmbedSql: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id, source, text, strlen(text) AS len
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |b AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor((i * $PatchN)::DOUBLE / len) AS BIGINT) AS patch,
+       |    ascii(substr(text, CAST(i + 1 AS INT), 1)) AS v
+       |  FROM (SELECT doc_id, source, text, len, unnest(range(len)) AS i FROM imgs)),
+       |pp AS (
+       |  SELECT doc_id, source, patch,
+       |    (sum(v)::BIGINT * 1000) // count(*) AS pm
+       |  FROM b GROUP BY 1, 2, 3),
+       |sp AS (
+       |  SELECT source, patch, count(*) AS n_docs,
+       |    sum(pm)::BIGINT // count(*) AS avg_pm
+       |  FROM pp GROUP BY 1, 2),
+       |ct AS (
+       |  SELECT source, sum(c)::BIGINT // count(*) AS contrast_pm FROM (
+       |    SELECT doc_id, source, max(pm) - min(pm) AS c
+       |    FROM pp GROUP BY 1, 2)
+       |  GROUP BY source)
+       |SELECT source, patch, n_docs, avg_pm, contrast_pm
+       |FROM sp JOIN ct USING (source)""".stripMargin
+
   /** One decoded record — the typed batch-output schema. */
   case class Decoded(doc_id: Long, mime: String, n_bytes: Int, features: Array[Double])
 

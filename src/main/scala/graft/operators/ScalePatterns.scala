@@ -372,4 +372,86 @@ object ScalePatterns {
        |SELECT k AS nationkey, n_cust, n_supp, n_cust * n_supp AS est_pairs
        |FROM c JOIN p USING (k)
        |ORDER BY est_pairs DESC, nationkey LIMIT $JoinEstK""".stripMargin
+
+  /** Columns [[encodingAdvisor]] profiles (l_orderkey rides along as
+    * the constant-within-cluster control every clustered layout has). */
+  val EncCols: Seq[String] =
+    Seq("l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate",
+      "l_suppkey", "l_quantity")
+
+  /** K103: STORAGE-ENCODING ADVISOR — the per-column statistics a
+    * columnar writer's encoding chooser computes before committing a
+    * layout: run count under the table's cluster order, exact
+    * distinct cardinality, average run length, and the implied pick
+    * (RLE when the average run ≥ 2, else DICT when the dictionary is
+    * ≤ 1/50 of the rows, else PLAIN — integer comparisons only).
+    *
+    * Runs are counted WITHIN l_orderkey clusters (ordered by
+    * l_linenumber): that is the unit a real writer encodes — a row
+    * group of an orderkey-clustered file — and it is what makes the
+    * pass scale-sane: all six columns' run flags ride ONE keyed
+    * window exchange (no global sort anywhere; a total-order run
+    * count would serialize the table through one reducer for a
+    * statistic the file format doesn't even use). Distincts follow
+    * the column_profile discipline: one single-distinct two-phase
+    * aggregate per column over a pruned scan, 1-row-broadcast-joined
+    * back; the tempting 6-distincts-in-one-agg Expand is the measured
+    * trap. Output: 6 rows. */
+  /** In-cluster sort key for [[encodingAdvisor]]: l_linenumber is NOT
+    * unique within an order in this corpus, so the profiled columns
+    * ride along as tiebreaks — residual ties are then rows identical
+    * on every profiled column, for which adjacency order cannot
+    * change any run flag (engine-invariant by construction). */
+  private val EncOrder: Seq[String] =
+    Seq("l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate",
+      "l_suppkey", "l_quantity")
+
+  def encodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(EncOrder.map(col): _*)
+    val li = lineitem(s, dir)
+      .select((Seq("l_orderkey", "l_linenumber") ++ EncCols.drop(1)).distinct
+        .map(col): _*)
+    val flagged = EncCols.foldLeft(li) { (df, c) =>
+      val prev = lag(col(c), 1).over(w)
+      df.withColumn(s"__run_$c",
+        when(prev.isNull || prev =!= col(c), 1L).otherwise(0L))
+    }
+    val runAggs = EncCols.map(c => sum(col(s"__run_$c")).as(s"__runs_$c"))
+    val base = flagged.agg(count(lit(1)).as("n_rows"), runAggs: _*)
+    val withDistincts = EncCols.foldLeft(base) { (acc, c) =>
+      acc.crossJoin(broadcast(
+        lineitem(s, dir).agg(count_distinct(col(c)).as(s"__nd_$c"))))
+    }
+    val structs = EncCols.map { c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        col(s"__runs_$c").as("n_runs"), col(s"__nd_$c").as("n_distinct"))
+    }
+    withDistincts.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+      .withColumn("avg_run_len_pm", expr("(n_rows * 1000000L) div n_runs"))
+      .withColumn("pick",
+        when(expr("n_runs * 2 <= n_rows"), "rle")
+          .when(expr("n_distinct * 50 <= n_rows"), "dict")
+          .otherwise("plain"))
+  }
+
+  val encodingAdvisorSql: String = {
+    def row(c: String): String =
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  sum(CASE WHEN prev IS DISTINCT FROM v THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_runs,
+         |  count(DISTINCT v) AS n_distinct
+         |FROM (SELECT $c AS v,
+         |        lag($c) OVER (PARTITION BY l_orderkey
+         |                      ORDER BY ${EncOrder.mkString(", ")}) AS prev
+         |      FROM lineitem)""".stripMargin
+    "WITH per_col AS (\n" +
+      EncCols.map(row).mkString("", "\nUNION ALL\n", ")\n") +
+      """SELECT "column", n_rows, n_runs, n_distinct,
+        |  (n_rows * 1000000) // n_runs AS avg_run_len_pm,
+        |  CASE WHEN n_runs * 2 <= n_rows THEN 'rle'
+        |       WHEN n_distinct * 50 <= n_rows THEN 'dict'
+        |       ELSE 'plain' END AS pick
+        |FROM per_col""".stripMargin
+  }
 }

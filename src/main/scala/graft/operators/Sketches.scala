@@ -894,4 +894,68 @@ object Sketches {
        |JOIN n nb ON nb.source = p.sb
        |LEFT JOIN c ON c.sa = p.sa AND c.sb = p.sb
        |JOIN su ON su.sa = p.sa AND su.sb = p.sb""".stripMargin
+
+  /** K102: PRESENCE-BITMAP distinct counting — the EXACT mergeable
+    * distinct structure for dense bounded domains (the roaring-bitmap
+    * idea written relationally): active days per event type as packed
+    * 64-bit words (word = day div 64, bit = day mod 64), built by a
+    * `bit_or` aggregate whose map-side combiner IS the bitmap merge.
+    * Where KMV/HLL trade exactness for fixed size on UNBOUNDED
+    * domains, a calendar of days is bounded: state per group is
+    * span/64 longs — exact, mergeable by OR, and the natural
+    * union/intersection algebra for segment overlap.
+    *
+    * The mergeability proof rides in the result (the stats_merge /
+    * quantile_merge convention): the same bitmap built per user-shard
+    * and OR-merged across 8 shards must count identically to the
+    * direct build (`lossless`), and both must equal what the oracle
+    * computes as plain COUNT(DISTINCT day) — a wrong shift, OR, or
+    * popcount breaks the hash gate.
+    *
+    * Shape: two map-side-combined aggregates over (type, word) /
+    * (type, shard, word) cells — cell count bounded by
+    * types × span/64 (× shards), never by rows; popcount folds each
+    * group's words into one row per type. */
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      col("event_type"), col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val cells = ev
+      .withColumn("w", expr("d div 64"))
+      .withColumn("bit", expr("shiftleft(1L, cast(d % 64 as int))"))
+    val direct = cells.groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(bit)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bm)")).cast("long").as("n_days_direct"))
+    // shard-partial bitmaps, then the OR-merge (the mergeable contract)
+    val merged = cells
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(8L)).as("shard"), col("w"))
+      .agg(expr("bit_or(bit)").as("bm"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(bm)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(bm)")).cast("long").as("n_days_merged"))
+    val base = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+    base.join(direct, Seq("event_type")).join(merged, Seq("event_type"))
+      .withColumn("lossless", col("n_days_direct") === col("n_days_merged"))
+  }
+
+  /** The oracle counts distinct days straight — equality with BOTH
+    * bitmap legs is exactly the exactness claim. */
+  val bitmapDistinctSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  min(d) AS d_min, max(d) AS d_max,
+      |  count(DISTINCT d // 64) AS n_words,
+      |  count(DISTINCT d) AS n_days_direct,
+      |  count(DISTINCT d) AS n_days_merged,
+      |  count(DISTINCT d) = count(DISTINCT d) AS lossless
+      |FROM ev GROUP BY event_type""".stripMargin
 }

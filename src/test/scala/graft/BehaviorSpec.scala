@@ -850,4 +850,24 @@ class BehaviorSpec extends SparkSpec {
     val z = r.getAs[Double]("z")
     assert(z == 0.0 && diff == 0.0 || z.sign == diff.sign, s"z $z diff $diff")
   }
+
+  test("ivm_agg: delta-only refresh equals the full recompute over the merged table") {
+    val got = run("ivm_agg").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"))).toMap
+    val full = run("merge_delete")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sc"))).toMap
+    assert(got == full, "incremental refresh diverged from the full recompute")
+    // the fixture exercises every delta kind: deletes + updates shrink
+    // or rewrite existing groups, so got must differ from the base view
+    val base = Tables.documents(spark, sf)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(base != got.view.mapValues(_._1).toMap, "deltas must change the view")
+  }
 }

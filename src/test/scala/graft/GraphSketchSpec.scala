@@ -491,4 +491,48 @@ class GraphSketchSpec extends SparkSpec {
     // handshake invariant: degrees sum to 2m across communities
     assert(got.map(_.getAs[Long]("deg_sum")).sum == 2 * m)
   }
+
+  test("clustering_coef: C(k) spectrum matches a brute-force per-node recount") {
+    val edges = spark.read
+      .parquet(graft.operators.Graph.ensureCoEdges(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triOf = adj.map { case (n, nbrs) =>
+      val ns = nbrs.toSeq
+      n -> (for {
+        i <- ns.indices; j <- (i + 1) until ns.size
+        if adj(ns(i)).contains(ns(j))
+      } yield 1).size.toLong
+    }
+    val expected = adj.toSeq
+      .map { case (n, nbrs) => (nbrs.size.toLong, triOf(n)) }
+      .filter { case (deg, _) => deg >= 2 }
+      .map { case (deg, tri) =>
+        (deg, tri, 2L * tri * 1000000L / (deg * (deg - 1L))) }
+      .groupBy(_._1).view.mapValues { g =>
+        (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum / g.size) }.toMap
+    val got = run("clustering_coef").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_tri_sum"), r.getAs[Long]("avg_cc_pm"))).toMap
+    assert(got == expected)
+  }
+
+  test("bitmap_distinct: popcounts equal exact distinct days; shard OR-merge lossless") {
+    val rows = run("bitmap_distinct").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("lossless")), "shard merge must be lossless")
+    val exact = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getAs[Long]("n_days_direct") == exact(t), s"type $t direct")
+      assert(r.getAs[Long]("n_days_merged") == exact(t), s"type $t merged")
+      // word count never exceeds day count, and spans ≥ days/64
+      val words = r.getAs[Long]("n_words")
+      assert(words <= exact(t) && words >= (exact(t) + 63) / 64)
+    }
+  }
 }

@@ -121,4 +121,38 @@ class MultimodalSpec extends SparkSpec {
     // the planted silence genuinely segments: some doc has >1 segment
     assert(expected.values.exists(_._2 > 1))
   }
+
+  test("mm_patch_embed: per-source patch profile replays a local byte recount") {
+    import graft.operators.Multimodal.PatchN
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perPatch = docs.flatMap { case (id, src, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val len = bytes.length.toLong
+      bytes.zipWithIndex.map { case (b, i) =>
+        ((id, src, i.toLong * PatchN / len), (b & 0xff).toLong)
+      }
+    }.groupBy(_._1).view.mapValues { g =>
+      g.map(_._2).sum * 1000L / g.size
+    }.toMap
+    val expected = perPatch.toSeq
+      .groupBy { case ((_, src, p), _) => (src, p) }
+      .map { case (k, g) =>
+        k -> (g.size.toLong, g.map(_._2).sum / g.size) }
+    val contrast = perPatch.toSeq
+      .groupBy { case ((id, src, _), _) => (id, src) }
+      .toSeq.map { case ((_, src), g) =>
+        src -> (g.map(_._2).max - g.map(_._2).min) }
+      .groupBy(_._1).view.mapValues(g => g.map(_._2).sum / g.size).toMap
+    val got = run("mm_patch_embed").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("avg_pm")) == expected(key),
+        s"cell $key")
+      assert(r.getAs[Long]("contrast_pm") == contrast(key._1), s"source ${key._1}")
+    }
+  }
 }

@@ -514,4 +514,25 @@ class PlanSpec extends SparkSpec {
     assert(userExchanges <= 3, s"expected <= 3 user_id exchanges, got $userExchanges\n$p")
     assert(!p.contains("SortMergeJoin") || userExchanges <= 3)
   }
+
+  test("encoding_advisor: six run-flag lags fold into ONE window pass, no global sort") {
+    val p = plan("encoding_advisor")
+    // all six columns' lag flags ride a single Window operator (one
+    // l_orderkey exchange for it; count_distinct(l_orderkey)'s partial
+    // legitimately adds its own key shuffle, so count Windows, not
+    // exchanges)
+    val windows = "\\bWindow \\[".r.findAllIn(p).length
+    assert(windows == 1, s"expected 1 Window pass, got $windows\n$p")
+    // no global sort anywhere: runs are counted within clusters only
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"run counting must not globally sort the table:\n$p")
+  }
+
+  test("ivm_agg: refresh reads the persisted view; old-row fetch is a broadcast join") {
+    val p = plan("ivm_agg")
+    assert(p.contains("graft_ivm_view"),
+      s"refresh must read the materialized view artifact, not rebuild it:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"touched-key fetch must broadcast the delta keys:\n$p")
+  }
 }

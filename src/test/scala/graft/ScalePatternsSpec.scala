@@ -65,4 +65,41 @@ class ScalePatternsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"), "estimate must join histograms, not tables")
   }
+
+  test("encoding_advisor: runs/distincts replay a local recount; clustered key picks RLE") {
+    val rows = run("encoding_advisor").collect()
+    assert(rows.map(_.getAs[String]("column")).toSet == ScalePatterns.EncCols.toSet)
+    val byCol = rows.map(r => r.getAs[String]("column") -> r).toMap
+    val li = Tables.lineitem(spark, sf)
+    // l_orderkey is constant within its own cluster: runs = n_orders,
+    // and ≥2 lines/order on average makes it the RLE pick
+    val ok = byCol("l_orderkey")
+    assert(ok.getAs[Long]("n_runs") == li.select("l_orderkey").distinct().count())
+    assert(ok.getAs[String]("pick") == "rle")
+    // local recount of l_returnflag runs under the pinned total order
+    val local = li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"),
+        // NTZ timestamp → ISO string: lexical order = temporal order
+        col("l_shipdate").cast("string"), col("l_suppkey"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5), r.getDouble(6))))
+      .sortBy { case (okey, ord) => (okey, ord) }
+    val runs = local.zipWithIndex.count { case ((okey, ord), i) =>
+      i == 0 || local(i - 1)._1 != okey || local(i - 1)._2._2 != ord._2
+    }
+    val rf = byCol("l_returnflag")
+    assert(rf.getAs[Long]("n_runs") == runs.toLong, "l_returnflag run recount")
+    assert(rf.getAs[Long]("n_distinct") ==
+      li.select(count_distinct(col("l_returnflag"))).head().getLong(0))
+    rows.foreach { r =>
+      val (nRows, nRuns, nd) = (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("n_distinct"))
+      assert(nd <= nRuns && nRuns <= nRows, s"${r.getAs[String]("column")} bounds")
+      assert(r.getAs[Long]("avg_run_len_pm") == nRows * 1000000L / nRuns)
+      val expectPick = if (nRuns * 2 <= nRows) "rle"
+        else if (nd * 50 <= nRows) "dict" else "plain"
+      assert(r.getAs[String]("pick") == expectPick)
+    }
+  }
 }

@@ -545,6 +545,33 @@ class SinkStreamSpec extends SparkSpec {
     assert(got == expected)
     assert(got.values.forall { case (_, p50, p90) => p50 <= p90 })
   }
+
+  test("stream_drift: per-hour L1 drift vs the corpus profile replays exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches.QmWidth
+    val ev = Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vq"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / QmWidth))
+    val ref = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nRef = ev.length.toLong
+    val expected = ev.groupBy(_._1).map { case (h, rows) =>
+      val hist = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val n = rows.length.toLong
+      val l1 = (ref.keySet ++ hist.keySet).toSeq.map { b =>
+        math.abs(hist.getOrElse(b, 0L) * 1000000L / n -
+          ref.getOrElse(b, 0L) * 1000000L / nRef)
+      }.sum
+      h -> (n, l1, l1 > graft.streaming.StreamDrift.DriftThresholdPm)
+    }
+    val got = graft.streaming.Staging.withStatePartitions(spark)(
+      graft.streaming.StreamDrift.run(spark, sf)).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("l1_pm"), r.getAs[Boolean]("drifted"))).toMap
+    assert(got == expected)
+    // L1 of two distributions lives in [0, 2·10⁶]
+    got.values.foreach { case (_, l1, _) => assert(l1 >= 0 && l1 <= 2000000L) }
+  }
 }
 
 /** Reflection-proxy stand-in for a JDBC connection (no DB in the
