@@ -337,6 +337,73 @@ object Behavior {
        |  round(avg(CASE WHEN attributed THEN lag_s END), 4) AS avg_lag_s
        |FROM p GROUP BY 1""".stripMargin
 
+  /** K106: LINEAR MULTI-TOUCH ATTRIBUTION — K17's last-touch rule
+    * credits ONE click; the linear model splits each purchase's 10⁶
+    * credit units equally across EVERY click in the
+    * [[AttribWindowSec]] lookback (tp − W ≤ tc < tp, strict second
+    * ordering), the report marketing actually reconciles against
+    * spend: per click-HOUR, touches and credit received. Integer
+    * credit: each touch gets 10⁶ div k; the EARLIEST touch (by
+    * (ts, event_id)) also absorbs the 10⁶ mod k remainder, so credit
+    * conserves EXACTLY — Σ credit = 10⁶ × attributed purchases, the
+    * spec-pinned invariant a float split can never give.
+    *
+    * Scale shape: unlike last-touch (pure window form, K17), a
+    * multi-touch split must materialize (purchase, click) pairs —
+    * that is the model's real cost, and it is bounded the honest
+    * way: ONE user-keyed equi-join with the time-range predicate
+    * (the stream_join shape), fanout ∝ purchases × in-window clicks
+    * per user, never cross-user; k and the credit then ride a
+    * purchase-keyed window over the pair frame. */
+  def attributionLinear(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("tc"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t").as("tp"), col("event_id").as("purchase_id"))
+    val pairs = purchases.join(clicks, Seq("user_id"))
+      .filter(col("tc") < col("tp") && col("tc") >= col("tp") - AttribWindowSec)
+    val wP = Window.partitionBy(col("purchase_id"))
+    val wRank = wP.orderBy(col("tc"), col("click_id"))
+    pairs
+      .withColumn("k", count(lit(1)).over(wP))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("credit_pm",
+        expr("1000000L div k") +
+          when(col("rk") === 1, expr("1000000L % k")).otherwise(0L))
+      .groupBy(from_unixtime(col("tc"), "yyyy-MM-dd HH:00:00").as("hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct(col("purchase_id")).as("n_purchases_touched"),
+        sum(col("credit_pm")).as("credit_pm"))
+  }
+
+  val attributionLinearSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+       |    event_id, event_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT p.user_id, c.t AS tc, c.event_id AS click_id,
+       |    p.t AS tp, p.event_id AS purchase_id
+       |  FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+       |  JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+       |    ON c.user_id = p.user_id
+       |   AND c.t < p.t AND c.t >= p.t - $AttribWindowSec),
+       |cr AS (
+       |  SELECT *,
+       |    count(*) OVER (PARTITION BY purchase_id) AS k,
+       |    row_number() OVER (PARTITION BY purchase_id
+       |                       ORDER BY tc, click_id) AS rk
+       |  FROM pairs)
+       |SELECT strftime(to_timestamp(tc), '%Y-%m-%d %H:00:00') AS hour,
+       |  count(*) AS n_touches,
+       |  count(DISTINCT purchase_id) AS n_purchases_touched,
+       |  sum(1000000 // k + CASE WHEN rk = 1 THEN 1000000 % k ELSE 0 END)::BIGINT
+       |    AS credit_pm
+       |FROM cr GROUP BY 1""".stripMargin
+
   /** K-line: PEAK CONCURRENCY per day — the classic interval
     * sweep-line (max overlapping sessions), the capacity-planning
     * read over the sessionized stream. A global running sum over all
