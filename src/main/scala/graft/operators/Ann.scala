@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 import graft.functions.VecFns
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -447,8 +448,8 @@ object Ann {
     q.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"))
       .select(col("dim"), col("n").as("n_vecs"),
-        round(mean, 4).as("mean"),
-        round(variance, 6).as("variance"),
+        pround(mean, 4).as("mean"),
+        pround(variance, 6).as("variance"),
         (variance < DeadVarFloor).as("dead"))
   }
 
@@ -461,8 +462,9 @@ object Ann {
        |  SELECT dim, count(*) AS n, sum(q)::BIGINT AS sq, sum(q * q)::BIGINT AS sqq
        |  FROM q GROUP BY 1)
        |SELECT dim, n AS n_vecs,
-       |  round(sq::DOUBLE / n / 10000.0, 4) AS mean,
-       |  round((sqq::DOUBLE / n - (sq::DOUBLE / n) * (sq::DOUBLE / n)) / 100000000.0, 6) AS variance,
+       |  floor((sq::DOUBLE / n / 10000.0) * 10000.0 + 0.5) / 10000.0 AS mean,
+       |  floor(((sqq::DOUBLE / n - (sq::DOUBLE / n) * (sq::DOUBLE / n)) / 100000000.0)
+       |    * 1000000.0 + 0.5) / 1000000.0 AS variance,
        |  (sqq::DOUBLE / n - (sq::DOUBLE / n) * (sq::DOUBLE / n)) / 100000000.0 < $DeadVarFloor AS dead
        |FROM a""".stripMargin
 
@@ -496,9 +498,9 @@ object Ann {
         sum(coalesce(col("p"), lit(0L))).as("pq_hits"))
       .select(col("qid"), col("n_exact"), col("lsh_hits"), col("ivf_hits"),
         col("pq_hits"),
-        round(col("lsh_hits").cast("double") / col("n_exact"), 4).as("lsh_recall"),
-        round(col("ivf_hits").cast("double") / col("n_exact"), 4).as("ivf_recall"),
-        round(col("pq_hits").cast("double") / col("n_exact"), 4).as("pq_recall"))
+        pround(col("lsh_hits").cast("double") / col("n_exact"), 4).as("lsh_recall"),
+        pround(col("ivf_hits").cast("double") / col("n_exact"), 4).as("ivf_recall"),
+        pround(col("pq_hits").cast("double") / col("n_exact"), 4).as("pq_recall"))
   }
 
   lazy val annRecallSql: String =
@@ -518,9 +520,9 @@ object Ann {
        |SELECT qid, count(*) AS n_exact,
        |  sum(lh)::BIGINT AS lsh_hits, sum(ih)::BIGINT AS ivf_hits,
        |  sum(ph)::BIGINT AS pq_hits,
-       |  round(sum(lh) / count(*), 4) AS lsh_recall,
-       |  round(sum(ih) / count(*), 4) AS ivf_recall,
-       |  round(sum(ph) / count(*), 4) AS pq_recall
+       |  floor((sum(lh) / count(*)) * 10000.0 + 0.5) / 10000.0 AS lsh_recall,
+       |  floor((sum(ih) / count(*)) * 10000.0 + 0.5) / 10000.0 AS ivf_recall,
+       |  floor((sum(ph) / count(*)) * 10000.0 + 0.5) / 10000.0 AS pq_recall
        |FROM j GROUP BY qid""".stripMargin
 
   /** K76: EMBEDDING CENTROID DRIFT — per-label centroids and the
@@ -557,7 +559,7 @@ object Ann {
       .join(broadcast(sizes.select(col("label").as("label_a"), col("n").as("n_a"))), "label_a")
       .join(broadcast(sizes.select(col("label").as("label_b"), col("n").as("n_b"))), "label_b")
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
-        round(col("dot").cast("double") /
+        pround(col("dot").cast("double") /
           (sqrt(col("ra").cast("double")) * sqrt(col("rb").cast("double"))), 4)
           .as("cos_centroid"))
   }
@@ -581,8 +583,8 @@ object Ann {
        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
        |  GROUP BY 1, 2)
        |SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b,
-       |  round(dot::DOUBLE / (sqrt(ra.nrm::DOUBLE) * sqrt(rb.nrm::DOUBLE)), 4)
-       |    AS cos_centroid
+       |  floor((dot::DOUBLE / (sqrt(ra.nrm::DOUBLE) * sqrt(rb.nrm::DOUBLE)))
+       |    * 10000.0 + 0.5) / 10000.0 AS cos_centroid
        |FROM dt
        |JOIN nrm ra ON ra.label = label_a JOIN nrm rb ON rb.label = label_b
        |JOIN sz na ON na.label = label_a JOIN sz nb ON nb.label = label_b""".stripMargin

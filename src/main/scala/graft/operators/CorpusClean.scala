@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 import graft.functions.TextFns
 
 /** Corpus-cleaning operators (SURVEY.md §2 I-line): the
@@ -113,7 +114,7 @@ object CorpusClean {
         sum(when(col("is_boiler").isNull, length(col("seg")).cast("long"))
           .otherwise(0L)).as("clean_chars"))
       .withColumn("boiler_ratio",
-        round(col("n_boiler").cast("double") / col("n_segs"), 4))
+        pround(col("n_boiler").cast("double") / col("n_segs"), 4))
   }
 
   val boilerplateStripSql: String =
@@ -128,7 +129,7 @@ object CorpusClean {
       |SELECT doc_id, count(*) AS n_segs,
       |  sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
       |  sum(CASE WHEN b.seg IS NULL THEN length(ss.seg) ELSE 0 END)::BIGINT AS clean_chars,
-      |  round(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS boiler_ratio
+      |  floor((sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS boiler_ratio
       |FROM ss LEFT JOIN boiler b ON ss.source = b.source AND ss.seg = b.seg
       |GROUP BY doc_id""".stripMargin
 
@@ -166,9 +167,9 @@ object CorpusClean {
     val dupB = lit(1.0) - col("n_distinct_bg").cast("double") / greatest(col("n_bg"), lit(1L))
     words.join(bigrams, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_words"),
-        round(dupW, 4).as("dup_word_frac"),
-        round(topW, 4).as("top_word_frac"),
-        round(coalesce(dupB, lit(0.0)), 4).as("dup_bigram_frac"),
+        pround(dupW, 4).as("dup_word_frac"),
+        pround(topW, 4).as("top_word_frac"),
+        pround(coalesce(dupB, lit(0.0)), 4).as("dup_bigram_frac"),
         (dupW <= DupWordMax && topW <= TopWordMax).as("keep"))
   }
 
@@ -190,9 +191,9 @@ object CorpusClean {
        |        WHERE bg IS NOT NULL GROUP BY 1, 2)
        |  GROUP BY doc_id)
        |SELECT doc_id, n_words,
-       |  round(1.0 - n_distinct::DOUBLE / greatest(n_words, 1), 4) AS dup_word_frac,
-       |  round(top_cnt::DOUBLE / greatest(n_words, 1), 4) AS top_word_frac,
-       |  round(coalesce(1.0 - n_distinct_bg::DOUBLE / greatest(n_bg, 1), 0.0), 4) AS dup_bigram_frac,
+       |  floor((1.0 - n_distinct::DOUBLE / greatest(n_words, 1)) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+       |  floor((top_cnt::DOUBLE / greatest(n_words, 1)) * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+       |  floor((coalesce(1.0 - n_distinct_bg::DOUBLE / greatest(n_bg, 1), 0.0)) * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac,
        |  (1.0 - n_distinct::DOUBLE / greatest(n_words, 1)) <= $DupWordMax
        |    AND top_cnt::DOUBLE / greatest(n_words, 1) <= $TopWordMax AS keep
        |FROM words LEFT JOIN bg USING (doc_id)""".stripMargin
@@ -234,7 +235,7 @@ object CorpusClean {
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_frac",
-        round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
+        pround(col("n_dup_windows").cast("double") / col("n_windows"), 4))
       .withColumn("drop", col("n_dup_windows").cast("double") / col("n_windows") >= ContainMax)
   }
 
@@ -251,7 +252,7 @@ object CorpusClean {
        |  FROM ti),
        |own AS (SELECT win, min(doc_id) AS first_doc FROM wins GROUP BY win)
        |SELECT doc_id, n_windows, n_dup_windows,
-       |  round(n_dup_windows::DOUBLE / n_windows, 4) AS dup_frac,
+       |  floor((n_dup_windows::DOUBLE / n_windows) * 10000.0 + 0.5) / 10000.0 AS dup_frac,
        |  n_dup_windows::DOUBLE / n_windows >= $ContainMax AS "drop"
        |FROM (
        |  SELECT wins.doc_id, count(*) AS n_windows,
@@ -322,7 +323,7 @@ object CorpusClean {
       .join(broadcast(uni.select(col("w").as("wr"), col("c").as("cr"))), "wr")
       .crossJoin(broadcast(tot))
       .withColumn("lift",
-        round(col("n_pair").cast("double") * col("n_total") /
+        pround(col("n_pair").cast("double") * col("n_total") /
           (col("cl").cast("double") * col("cr")), 4))
       .orderBy(col("lift").desc, col("wl"), col("wr"))
       .limit(CollocK)
@@ -342,7 +343,7 @@ object CorpusClean {
        |    FROM t WHERE len(toks) >= 2) GROUP BY 1, 2
        |  HAVING count(*) >= $CollocMinCount)
        |SELECT wl, wr, n_pair,
-       |  round(n_pair::DOUBLE * tot.n_total / (ul.c::DOUBLE * ur.c), 4) AS lift
+       |  floor((n_pair::DOUBLE * tot.n_total / (ul.c::DOUBLE * ur.c)) * 10000.0 + 0.5) / 10000.0 AS lift
        |FROM bg CROSS JOIN tot
        |JOIN uni ul ON bg.wl = ul.w
        |JOIN uni ur ON bg.wr = ur.w
@@ -385,7 +386,7 @@ object CorpusClean {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
-        round(col("sum_q").cast("double") / (col("n_bigrams") * LmScale), 4).as("lm_score"),
+        pround(col("sum_q").cast("double") / (col("n_bigrams") * LmScale), 4).as("lm_score"),
         (col("sum_q").cast("double") / (col("n_bigrams") * LmScale) >= LmMin).as("fluent"))
   }
 
@@ -402,7 +403,7 @@ object CorpusClean {
        |cbg AS (SELECT w, w1, count(*) AS cbg FROM bg GROUP BY 1, 2),
        |cuni AS (SELECT w, count(*) AS cuni FROM toks GROUP BY 1)
        |SELECT doc_id, count(*) AS n_bigrams, sum(q)::BIGINT AS sum_q,
-       |  round(sum(q)::DOUBLE / (count(*) * $LmScale), 4) AS lm_score,
+       |  floor((sum(q)::DOUBLE / (count(*) * $LmScale)) * 10000.0 + 0.5) / 10000.0 AS lm_score,
        |  sum(q)::DOUBLE / (count(*) * $LmScale) >= $LmMin AS fluent
        |FROM (
        |  SELECT bg.doc_id, (cbg.cbg * $LmScale) // cuni.cuni AS q
@@ -520,7 +521,7 @@ object CorpusClean {
       .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("tokens_before"),
         sum(col("na")).as("tokens_after"))
       .withColumn("compression",
-        round(col("tokens_after").cast("double") / col("tokens_before"), 4))
+        pround(col("tokens_after").cast("double") / col("tokens_before"), 4))
   }
 
   /** The greedy-scan merge DECISION for pair (l, r) on a token frame
@@ -608,7 +609,7 @@ object CorpusClean {
        |aft AS (SELECT doc_id, count(*) AS na FROM t$BpeTrainRounds GROUP BY 1)
        |SELECT source, count(*)::BIGINT AS n_docs,
        |  sum(nb)::BIGINT AS tokens_before, sum(na)::BIGINT AS tokens_after,
-       |  round(sum(na)::DOUBLE / sum(nb), 4) AS compression
+       |  floor((sum(na)::DOUBLE / sum(nb)) * 10000.0 + 0.5) / 10000.0 AS compression
        |FROM documents JOIN bfr USING (doc_id) JOIN aft USING (doc_id)
        |GROUP BY source""".stripMargin
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 import graft.functions.HashFns._
 import graft.functions.VecFns
 
@@ -73,7 +74,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sb")), "ib")
       .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("j") >= 0.5)
-      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
+      .select(col("ia"), col("ib"), pround(col("j"), 4).as("jaccard"))
   }
 
   /** C1: exact dedup — group on md5(text) (32-byte keys shuffle, not
@@ -260,7 +261,7 @@ object Dedup {
       .withColumn("j", col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("j") >= 0.5)
       .select(col("ia").as("new_id"), col("ib").as("dup_of"),
-        round(col("j"), 4).as("jaccard"))
+        pround(col("j"), 4).as("jaccard"))
     (daily, bposts)
   }
 
@@ -318,7 +319,8 @@ object Dedup {
       |        GROUP BY 1, 2) i
       |  JOIN sizes sa ON i.ia = sa.doc_id
       |  JOIN sizes sb ON i.ib = sb.doc_id)
-      |SELECT ia AS new_id, ib AS dup_of, round(j, 4) AS jaccard
+      |SELECT ia AS new_id, ib AS dup_of,
+      |  floor((j) * 10000.0 + 0.5) / 10000.0 AS jaccard
       |FROM jp WHERE j >= 0.5""".stripMargin
 
   /** DuckDB twin of the 3-gram shingling in [[graft.functions.HashFns.shingles]]. */
@@ -356,7 +358,7 @@ object Dedup {
     * postings-join path (C4). */
   private val jaccardPairsSql: String =
     gramsCte + pairsCtes + "\n" +
-      "SELECT ia, ib, round(j, 4) AS jaccard FROM jp WHERE j >= 0.5"
+      "SELECT ia, ib, floor((j) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM jp WHERE j >= 0.5"
 
   val dedupMinhashLshSql: String = jaccardPairsSql
 
@@ -366,7 +368,7 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     pairStats(s, dir)
       .filter(col("j") >= 0.5)
-      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
+      .select(col("ia"), col("ib"), pround(col("j"), 4).as("jaccard"))
 
   val ngramJaccardSql: String = jaccardPairsSql
 
@@ -603,9 +605,9 @@ object Dedup {
       .withColumn("eq", aggregate(
         zip_with(col("siga"), col("sigb"), (a, b) => when(a === b, 1L).otherwise(0L)),
         lit(0L), (acc, x) => acc + x))
-      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"),
+      .select(col("ia"), col("ib"), pround(col("j"), 4).as("jaccard"),
         col("eq").as("sig_matches"),
-        round(col("eq") / 64.0, 4).as("est_jaccard"))
+        pround(col("eq") / 64.0, 4).as("est_jaccard"))
     out
   }
 
@@ -628,8 +630,9 @@ object Dedup {
       |  JOIN sig sa ON sa.doc_id = pr.ia
       |  JOIN sig sb ON sb.doc_id = pr.ib AND sb.k = sa.k
       |  GROUP BY 1, 2)
-      |SELECT pr.ia, pr.ib, round(j, 4) AS jaccard, eq AS sig_matches,
-      |  round(eq / 64.0, 4) AS est_jaccard
+      |SELECT pr.ia, pr.ib, floor((j) * 10000.0 + 0.5) / 10000.0 AS jaccard,
+      |  eq AS sig_matches,
+      |  floor((eq / 64.0) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
       |FROM jp pr JOIN eqs ON pr.ia = eqs.ia AND pr.ib = eqs.ib
       |WHERE j >= 0.5""".stripMargin
   }
@@ -752,12 +755,12 @@ object Dedup {
       .filter(col("cont") >= ContainMin)
       .select(col("ia"), col("ib"), col("inter"),
         col("sa").as("sz_a"), col("sb").as("sz_b"),
-        round(col("cont"), 4).as("containment"))
+        pround(col("cont"), 4).as("containment"))
 
   val containmentPairsSql: String =
     gramsCte + pairsCtes + "\n" +
       s"""SELECT ia, ib, cnt AS inter, sz_a, sz_b,
-         |  round(cnt::DOUBLE / least(sz_a, sz_b), 4) AS containment
+         |  floor((cnt::DOUBLE / least(sz_a, sz_b)) * 10000.0 + 0.5) / 10000.0 AS containment
          |FROM jp WHERE cnt::DOUBLE / least(sz_a, sz_b) >= $ContainMin""".stripMargin
 
   /** C3: SimHash near-dup pairs at hamming ≤ 7. 8×8-bit bands are

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 
 /** J-line: triangle counting over the supplier co-supply graph —
   * the graph-shape statistic (clustering / community density) a
@@ -250,7 +251,7 @@ object Graph {
     deg.groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
-        round(avg(col("deg")), 4).as("avg_deg"))
+        pround(avg(col("deg")), 4).as("avg_deg"))
       .orderBy(col("bin"))
   }
 
@@ -263,7 +264,7 @@ object Graph {
       |SELECT len(list_filter([${DegBins.mkString(",")}], p -> p <= deg)) AS bin,
       |  count(*) AS n_nodes,
       |  min(deg) AS min_deg, max(deg) AS max_deg,
-      |  round(avg(deg), 4) AS avg_deg
+      |  floor((avg(deg)) * 10000.0 + 0.5) / 10000.0 AS avg_deg
       |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin
 
   /** J-line: degree assortativity of the co-supply graph — the
@@ -407,7 +408,7 @@ object Graph {
       .join(broadcast(deg.select(col("n").as("n1"), col("deg").as("d1"))), "n1")
       .join(broadcast(deg.select(col("n").as("n2"), col("deg").as("d2"))), "n2")
       .select(col("n1"), col("n2"), col("common"), col("is_edge"),
-        round(col("common") /
+        pround(col("common") /
           (col("d1") + col("d2") - col("common")), 4).as("jaccard"))
       .crossJoin(broadcast(cut)) // 1-row scalar report frame
       .orderBy(col("common").desc, col("n1"), col("n2"))
@@ -436,7 +437,7 @@ object Graph {
       |SELECT n1, n2, common,
       |  coalesce((SELECT true FROM edges e WHERE e.s1 = n1 AND e.s2 = n2),
       |           false) AS is_edge,
-      |  round(common / (d1.deg + d2.deg - common), 4) AS jaccard,
+      |  floor((common / (d1.deg + d2.deg - common)) * 10000.0 + 0.5) / 10000.0 AS jaccard,
       |  cut.n_adj_dropped
       |FROM common JOIN deg d1 ON n1 = d1.n JOIN deg d2 ON n2 = d2.n, cut
       |ORDER BY common DESC, n1, n2 LIMIT $JaccTopK""".stripMargin

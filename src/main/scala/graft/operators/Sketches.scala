@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 
 /** Approximate analytics with ENGINE-PORTABLE determinism (round-3
   * H-line). The usual sketch stack (HLL, t-digest, reservoir samples)
@@ -49,7 +50,7 @@ object Sketches {
       .agg(count_distinct(col("user_id")).as("n_exact"))
     exact.join(hk, Seq("event_type"), "left_outer")
       .select(col("event_type"), col("n_exact"),
-        round(when(col("hk").isNull, col("n_exact").cast("double"))
+        pround(when(col("hk").isNull, col("n_exact").cast("double"))
           .otherwise(lit((K - 1).toDouble * M) / col("hk")), 4).as("est_distinct"))
   }
 
@@ -64,8 +65,8 @@ object Sketches {
        |n AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
        |      FROM events GROUP BY 1)
        |SELECT n.event_type, n.n_exact,
-       |  round(CASE WHEN k.hk IS NULL THEN n.n_exact::DOUBLE
-       |             ELSE ${(K - 1).toDouble} * $M / k.hk END, 4) AS est_distinct
+       |  floor((CASE WHEN k.hk IS NULL THEN n.n_exact::DOUBLE
+       |             ELSE ${(K - 1).toDouble} * $M / k.hk END) * 10000.0 + 0.5) / 10000.0 AS est_distinct
        |FROM n LEFT JOIN k USING (event_type)""".stripMargin
 
   /** K-line: KMV as a FIRST-CLASS AGGREGATE — same estimator as
@@ -86,7 +87,7 @@ object Sketches {
         count_distinct(col("user_id")).as("n_exact"))
       .select(col("event_type"), col("n_exact"),
         size(col("sk")).as("sketch_n"),
-        round(when(size(col("sk")) < K, col("n_exact").cast("double"))
+        pround(when(size(col("sk")) < K, col("n_exact").cast("double"))
           .otherwise(lit((K - 1).toDouble * M) / element_at(col("sk"), K)), 4)
           .as("est_distinct"))
   }
@@ -104,8 +105,8 @@ object Sketches {
        |n AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
        |      FROM events GROUP BY 1)
        |SELECT n.event_type, n.n_exact, sk.sketch_n,
-       |  round(CASE WHEN sk.sketch_n < $K THEN n.n_exact::DOUBLE
-       |             ELSE ${(K - 1).toDouble} * $M / sk.hk END, 4) AS est_distinct
+       |  floor((CASE WHEN sk.sketch_n < $K THEN n.n_exact::DOUBLE
+       |             ELSE ${(K - 1).toDouble} * $M / sk.hk END) * 10000.0 + 0.5) / 10000.0 AS est_distinct
        |FROM n JOIN sk USING (event_type)""".stripMargin
 
   /** Deterministic-sample keep threshold: ~10% of the hash space. */
@@ -159,7 +160,7 @@ object Sketches {
     val nDays = hashed.agg(count_distinct(col("day")).as("n_days"))
     val exact = events(s, dir).agg(count_distinct(col("user_id")).as("n_exact"))
     def est(n: org.apache.spark.sql.Column, hk: org.apache.spark.sql.Column) =
-      round(when(n < K, col("n_exact").cast("double"))
+      pround(when(n < K, col("n_exact").cast("double"))
         .otherwise(lit((K - 1).toDouble * M) / hk), 4)
     val out = exact.crossJoin(broadcast(nDays)).crossJoin(broadcast(merged))
       .crossJoin(broadcast(direct))
@@ -185,10 +186,10 @@ object Sketches {
        |ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
        |SELECT (SELECT count(DISTINCT day) FROM hashed) AS n_days,
        |  ex.n_exact,
-       |  round(CASE WHEN (SELECT count(*) FROM merged) < $K THEN ex.n_exact::DOUBLE
-       |             ELSE ${(K - 1).toDouble} * $M / (SELECT max(h) FROM merged) END, 4) AS est_merged,
-       |  round(CASE WHEN (SELECT count(*) FROM direct) < $K THEN ex.n_exact::DOUBLE
-       |             ELSE ${(K - 1).toDouble} * $M / (SELECT max(h) FROM direct) END, 4) AS est_direct
+       |  floor((CASE WHEN (SELECT count(*) FROM merged) < $K THEN ex.n_exact::DOUBLE
+       |             ELSE ${(K - 1).toDouble} * $M / (SELECT max(h) FROM merged) END) * 10000.0 + 0.5) / 10000.0 AS est_merged,
+       |  floor((CASE WHEN (SELECT count(*) FROM direct) < $K THEN ex.n_exact::DOUBLE
+       |             ELSE ${(K - 1).toDouble} * $M / (SELECT max(h) FROM direct) END) * 10000.0 + 0.5) / 10000.0 AS est_direct
        |FROM ex""".stripMargin
 
   /** I12: key-skew diagnostics — the DETECT half of the skew story
@@ -202,16 +203,16 @@ object Sketches {
       .agg(count(lit(1)).as("n_keys"),
         sum(col("cnt")).as("n_rows"),
         max(col("cnt")).as("max_cnt"),
-        round(avg(col("cnt")), 4).as("avg_cnt"),
-        round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"),
-        round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"))
+        pround(avg(col("cnt")), 4).as("avg_cnt"),
+        pround(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"),
+        pround(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"))
 
   val keySkewStatsSql: String =
     """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
       |SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS n_rows, max(cnt) AS max_cnt,
-      |  round(avg(cnt), 4) AS avg_cnt,
-      |  round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
-      |  round(max(cnt) / avg(cnt), 4) AS skew_ratio
+      |  floor((avg(cnt)) * 10000.0 + 0.5) / 10000.0 AS avg_cnt,
+      |  floor((quantile_cont(cnt, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99_cnt,
+      |  floor((max(cnt) / avg(cnt)) * 10000.0 + 0.5) / 10000.0 AS skew_ratio
       |FROM c""".stripMargin
 
   /** Two-phase heavy-hitter parameters: deterministic shard count,
@@ -498,9 +499,9 @@ object Sketches {
       .crossJoin(broadcast(bits.agg(count(lit(1)).as("set_bits"))))
       .select(col("m_bits"), col("k_probes"), col("n_members"),
         col("set_bits"),
-        round(lit(100.0) * col("set_bits") / BloomM, 4).as("fill_pct"),
+        pround(lit(100.0) * col("set_bits") / BloomM, 4).as("fill_pct"),
         col("n_nonmembers"), col("false_negs"), col("false_pos"),
-        round(lit(100.0) * col("false_pos") / col("n_nonmembers"), 4)
+        pround(lit(100.0) * col("false_pos") / col("n_nonmembers"), 4)
           .as("fpr_pct"))
   }
 
@@ -536,9 +537,9 @@ object Sketches {
        |  FROM tested)
        |SELECT $BloomM AS m_bits, ${BloomProbes.size} AS k_probes,
        |  n_members, (SELECT count(*) FROM bits)::BIGINT AS set_bits,
-       |  round(100.0 * (SELECT count(*) FROM bits) / $BloomM, 4) AS fill_pct,
+       |  floor((100.0 * (SELECT count(*) FROM bits) / $BloomM) * 10000.0 + 0.5) / 10000.0 AS fill_pct,
        |  n_nonmembers, false_negs, false_pos,
-       |  round(100.0 * false_pos / n_nonmembers, 4) AS fpr_pct
+       |  floor((100.0 * false_pos / n_nonmembers) * 10000.0 + 0.5) / 10000.0 AS fpr_pct
        |FROM agg""".stripMargin
   }
 
@@ -618,7 +619,7 @@ object Sketches {
       .select(col("event_type"), col("n_exact"), col("n_empty"),
         when(col("n_empty") > 0 && col("raw") <= HllSmallRange,
           lit("linear")).otherwise(lit("raw")).as("regime"),
-        round(when(col("n_empty") > 0 && col("raw") <= HllSmallRange,
+        pround(when(col("n_empty") > 0 && col("raw") <= HllSmallRange,
           col("lc")).otherwise(col("raw")), 4).as("est_hll"))
   }
 
@@ -655,8 +656,8 @@ object Sketches {
        |SELECT event_type, n_exact, n_empty,
        |  CASE WHEN n_empty > 0 AND raw <= $HllSmallRange
        |       THEN 'linear' ELSE 'raw' END AS regime,
-       |  round(CASE WHEN n_empty > 0 AND raw <= $HllSmallRange
-       |        THEN lc ELSE raw END, 4) AS est_hll
+       |  floor((CASE WHEN n_empty > 0 AND raw <= $HllSmallRange
+       |        THEN lc ELSE raw END) * 10000.0 + 0.5) / 10000.0 AS est_hll
        |FROM est""".stripMargin
   }
 

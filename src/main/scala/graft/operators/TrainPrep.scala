@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 import graft.functions.TextFns
 
 /** Training-set preparation operators (SURVEY.md G8/G9): the steps
@@ -207,7 +208,7 @@ object TrainPrep {
       .select(col("lang"), col("n_tokens"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("n_oov_types"), lit(0L)).as("n_oov_types"),
-        round(coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens"), 4)
+        pround(coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens"), 4)
           .as("oov_rate"))
   }
 
@@ -226,7 +227,7 @@ object TrainPrep {
        |SELECT tot.lang, n_tokens,
        |  coalesce(n_oov, 0)::BIGINT AS n_oov,
        |  coalesce(n_oov_types, 0)::BIGINT AS n_oov_types,
-       |  round(coalesce(n_oov, 0)::DOUBLE / n_tokens, 4) AS oov_rate
+       |  floor((coalesce(n_oov, 0)::DOUBLE / n_tokens) * 10000.0 + 0.5) / 10000.0 AS oov_rate
        |FROM tot LEFT JOIN oov ON tot.lang = oov.lang""".stripMargin
 
   /** K-line: PARETO TOKEN CONCENTRATION — per source, how much of
@@ -258,7 +259,7 @@ object TrainPrep {
         sum(col("take") * col("toks")).as("top_decile_tokens"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         col("top_decile_tokens"),
-        round(col("top_decile_tokens").cast("double") / col("total_tokens"), 4)
+        pround(col("top_decile_tokens").cast("double") / col("total_tokens"), 4)
           .as("top_decile_share"))
   }
 
@@ -280,7 +281,7 @@ object TrainPrep {
       |SELECT source, max(nd)::BIGINT AS n_docs,
       |  sum(cnt * toks)::BIGINT AS total_tokens,
       |  sum(take * toks)::BIGINT AS top_decile_tokens,
-      |  round(sum(take * toks)::DOUBLE / sum(cnt * toks), 4) AS top_decile_share
+      |  floor((sum(take * toks)::DOUBLE / sum(cnt * toks)) * 10000.0 + 0.5) / 10000.0 AS top_decile_share
       |FROM t GROUP BY 1""".stripMargin
 
   val NGram = 13
@@ -312,7 +313,7 @@ object TrainPrep {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .join(nGrams, "doc_id")
       .select(col("doc_id"), col("n_shared"), col("n_grams"),
-        round(col("n_shared").cast("double") / col("n_grams"), 4).as("ratio"))
+        pround(col("n_shared").cast("double") / col("n_grams"), 4).as("ratio"))
   }
 
   val decontaminateSql: String = {
@@ -332,7 +333,7 @@ object TrainPrep {
        |sh AS (SELECT test.doc_id, count(*) AS n_shared
        |       FROM test JOIN train_grams USING (gram) GROUP BY 1)
        |SELECT doc_id, n_shared, n_grams,
-       |  round(n_shared::DOUBLE / n_grams, 4) AS ratio
+       |  floor((n_shared::DOUBLE / n_grams) * 10000.0 + 0.5) / 10000.0 AS ratio
        |FROM sh JOIN ng USING (doc_id)""".stripMargin
   }
 
@@ -389,9 +390,9 @@ object TrainPrep {
       sum(col("n_chars")).cast("long").as("total_chars"),
       (count(lit(1)) - count_distinct(md5(col("text").cast("binary"))))
         .as("n_dup_texts"),
-      round(avg(col("n_chars")), 4).as("avg_chars"),
-      round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
-      round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
+      pround(avg(col("n_chars")), 4).as("avg_chars"),
+      pround(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+      pround(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
 
   val datasetCardSql: String =
     """SELECT count(*) AS n_docs,
@@ -399,9 +400,9 @@ object TrainPrep {
       |  count(DISTINCT source) AS n_sources,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_texts,
-      |  round(avg(n_chars), 4) AS avg_chars,
-      |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
-      |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+      |  floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+      |  floor((quantile_cont(n_chars, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50_chars,
+      |  floor((quantile_cont(n_chars, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95_chars
       |FROM documents""".stripMargin
 
   /** Funnel stage thresholds (ordered: a doc is attributed to its
@@ -501,8 +502,8 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("actual_tokens"))
       .withColumn("target_tokens", expr(s"(${MixBudget}L * ($pctCase)) div 100"))
       .select(col("lang"), col("n_docs"), col("actual_tokens"), col("target_tokens"),
-        round(col("target_tokens").cast("double") / col("actual_tokens"), 4).as("epochs"),
-        round(least(lit(1.0),
+        pround(col("target_tokens").cast("double") / col("actual_tokens"), 4).as("epochs"),
+        pround(least(lit(1.0),
           col("target_tokens").cast("double") / col("actual_tokens")), 4).as("sample_rate"),
         (col("target_tokens") > col("actual_tokens")).as("oversample"))
   }
@@ -516,8 +517,8 @@ object TrainPrep {
        |    ($MixBudget * ($pctCase)) // 100 AS target_tokens
        |  FROM documents GROUP BY lang)
        |SELECT lang, n_docs, actual_tokens, target_tokens,
-       |  round(target_tokens::DOUBLE / actual_tokens, 4) AS epochs,
-       |  round(least(1.0, target_tokens::DOUBLE / actual_tokens), 4) AS sample_rate,
+       |  floor((target_tokens::DOUBLE / actual_tokens) * 10000.0 + 0.5) / 10000.0 AS epochs,
+       |  floor((least(1.0, target_tokens::DOUBLE / actual_tokens)) * 10000.0 + 0.5) / 10000.0 AS sample_rate,
        |  target_tokens > actual_tokens AS oversample
        |FROM a""".stripMargin
   }
@@ -679,7 +680,7 @@ object TrainPrep {
       count(lit(1)).as("k_cells"))
     cells.crossJoin(broadcast(tot)) // 1-row scalar totals frame
       .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
-        round(col("n_docs").cast("double") / col("n_total"), 4).as("share"),
+        pround(col("n_docs").cast("double") / col("n_total"), 4).as("share"),
         expr(s"(n_total * ${BalScale}L) div (k_cells * n_docs)").as("weight_q"))
   }
 
@@ -689,7 +690,7 @@ object TrainPrep {
        |  FROM documents GROUP BY 1, 2),
        |tot AS (SELECT sum(n_docs)::BIGINT AS n_total, count(*) AS k_cells FROM cells)
        |SELECT source, lang, n_docs, n_chars,
-       |  round(n_docs::DOUBLE / n_total, 4) AS share,
+       |  floor((n_docs::DOUBLE / n_total) * 10000.0 + 0.5) / 10000.0 AS share,
        |  (n_total * $BalScale) // (k_cells * n_docs) AS weight_q
        |FROM cells, tot""".stripMargin
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 
 /** Query surface over the star schema (SURVEY.md §2 B*).
   *
@@ -317,10 +318,10 @@ object Analytics {
     events(s, dir)
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
-      .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
+      .agg(pround(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
 
   val jsonExtractSql: String =
-    """SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k FROM (
+    """SELECT event_type, floor((avg(k)) * 10000.0 + 0.5) / 10000.0 AS avg_k, max(k) AS max_k FROM (
       |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY event_type""".stripMargin
 
@@ -377,7 +378,7 @@ object Analytics {
       .withColumn("prev_rev", lag(col("rev"), 1).over(w))
       .withColumn("growth",
         when(col("prev_rev").isNotNull,
-          round((col("rev") - col("prev_rev")) / col("prev_rev"), 4)))
+          pround((col("rev") - col("prev_rev")) / col("prev_rev"), 4)))
   }
 
   val yoyGrowthSql: String =
@@ -390,8 +391,9 @@ object Analytics {
       |  GROUP BY 1, 2)
       |SELECT n_name, yr, rev,
       |  lag(rev) OVER (PARTITION BY n_name ORDER BY yr) AS prev_rev,
-      |  round((rev - lag(rev) OVER (PARTITION BY n_name ORDER BY yr))
-      |    / lag(rev) OVER (PARTITION BY n_name ORDER BY yr), 4) AS growth
+      |  floor(((rev - lag(rev) OVER (PARTITION BY n_name ORDER BY yr))
+      |    / lag(rev) OVER (PARTITION BY n_name ORDER BY yr))
+      |    * 10000.0 + 0.5) / 10000.0 AS growth
       |FROM yearly""".stripMargin
 
   /** K-line: promo revenue share per ship month — TPC-H Q14 shape
@@ -419,7 +421,7 @@ object Analytics {
         round(col("promo_q") / 10000.0, 4).as("promo_rev"),
         round(col("total_q") / 10000.0, 4).as("total_rev"),
         col("n_items"),
-        round(lit(100.0) * col("promo_q") / col("total_q"), 4).as("promo_pct"))
+        pround(lit(100.0) * col("promo_q") / col("total_q"), 4).as("promo_pct"))
   }
 
   val promoRevenueSql: String =
@@ -436,7 +438,7 @@ object Analytics {
       |  round(promo_q / 10000.0, 4) AS promo_rev,
       |  round(total_q / 10000.0, 4) AS total_rev,
       |  n_items,
-      |  round(100.0 * promo_q / total_q, 4) AS promo_pct
+      |  floor((100.0 * promo_q / total_q) * 10000.0 + 0.5) / 10000.0 AS promo_pct
       |FROM q""".stripMargin
 
   /** K-line: TPC-H Q17 shape — small-quantity lineitems vs each
@@ -467,7 +469,7 @@ object Analytics {
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_small"), sum(col("rev_q")).as("rev_qsum"))
       .select(col("p_brand"), col("n_small"),
-        round(col("rev_qsum") / 10000.0 / 7.0, 4).as("avg_yearly"))
+        pround(col("rev_qsum") / 10000.0 / 7.0, 4).as("avg_yearly"))
   }
 
   val q17SmallQtySql: String =
@@ -479,7 +481,7 @@ object Analytics {
       |  SELECT l_partkey, count(*) AS cnt, sum(qty)::BIGINT AS sum_qty
       |  FROM li GROUP BY 1)
       |SELECT p_brand, count(*) AS n_small,
-      |  round(sum(li.rev_q)::BIGINT / 10000.0 / 7.0, 4) AS avg_yearly
+      |  floor((sum(li.rev_q)::BIGINT / 10000.0 / 7.0) * 10000.0 + 0.5) / 10000.0 AS avg_yearly
       |FROM li JOIN st USING (l_partkey) JOIN part ON l_partkey = p_partkey
       |WHERE li.qty * st.cnt * 5 < st.sum_qty
       |GROUP BY 1""".stripMargin
@@ -719,7 +721,10 @@ object Analytics {
     * in DECIMAL(18,2) and reports as exact x100 cents; the cumulative
     * window is partitioned per cohort over calendar-bounded age rows,
     * never data-sized. Two shuffles total: the per-customer first
-    * order and the (cohort, age) cell aggregate. */
+    * order and the (cohort, age) cell aggregate. Per-customer LTV is
+    * an exact BIGINT floor division (cents, both operands positive) —
+    * the house no-float-reaches-the-hash convention; the r8 rounded
+    * double hit 0.00005-grid ties where Spark and DuckDB round apart. */
   def cohortLtv(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir).select(col("o_custkey"),
       (year(col("o_orderdate").cast("date")) * 12 +
@@ -738,8 +743,7 @@ object Analytics {
       .join(broadcast(sizes), "cohort_month")
       .select(col("cohort_month"), col("age"), col("n_orders"), col("n_active"),
         col("revenue_c"), col("cum_revenue_c"), col("cohort_size"),
-        round(col("cum_revenue_c").cast("double") / col("cohort_size") / 100.0, 4)
-          .as("ltv_per_customer"))
+        expr("cum_revenue_c div cohort_size").as("ltv_cents"))
   }
 
   val cohortLtvSql: String =
@@ -762,6 +766,6 @@ object Analytics {
       |  FROM cells)
       |SELECT cohort_month, age, n_orders, n_active, revenue_c, cum_revenue_c,
       |  cohort_size,
-      |  round(cum_revenue_c::DOUBLE / cohort_size / 100.0, 4) AS ltv_per_customer
+      |  (cum_revenue_c // cohort_size)::BIGINT AS ltv_cents
       |FROM cum JOIN sz USING (cohort_month)""".stripMargin
 }

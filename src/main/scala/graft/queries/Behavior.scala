@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 
 /** Behavioral / time-series analytics over `events` (round-3 H-line):
   * the query shapes a user of the reference's decisions-by-time table
@@ -146,7 +147,7 @@ object Behavior {
     val tot = trans.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
     trans.join(broadcast(tot), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n").cast("double") / col("n_from"), 4).as("p"))
+        pround(col("n").cast("double") / col("n_from"), 4).as("p"))
   }
 
   val eventTransitionsSql: String =
@@ -158,7 +159,8 @@ object Behavior {
       |c AS (SELECT from_type, to_type, count(*) AS n FROM t
       |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
       |tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
-      |SELECT from_type, to_type, n, round(n::DOUBLE / n_from, 4) AS p
+      |SELECT from_type, to_type, n,
+      |  floor((n::DOUBLE / n_from) * 10000.0 + 0.5) / 10000.0 AS p
       |FROM c JOIN tot USING (from_type)""".stripMargin
 
   /** K-line: FREQUENT ITEMSETS — unordered event-type co-occurrence
@@ -188,8 +190,8 @@ object Behavior {
       .join(broadcast(typeN.select(col("event_type").as("type_b"), col("n").as("nb"))), "type_b")
       .crossJoin(broadcast(nUsers))
       .select(col("type_a"), col("type_b"), col("n_ab"),
-        round(col("n_ab").cast("double") / col("nu"), 4).as("support"),
-        round((col("n_ab") * col("nu")).cast("double") / (col("na") * col("nb")), 4).as("lift"))
+        pround(col("n_ab").cast("double") / col("nu"), 4).as("support"),
+        pround((col("n_ab") * col("nu")).cast("double") / (col("na") * col("nb")), 4).as("lift"))
   }
 
   val itemsetsSql: String =
@@ -201,8 +203,8 @@ object Behavior {
       |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.event_type < y.event_type
       |  GROUP BY 1, 2)
       |SELECT type_a, type_b, n_ab,
-      |  round(n_ab::DOUBLE / nu.n, 4) AS support,
-      |  round((n_ab * nu.n)::DOUBLE / (ta.n * tb.n), 4) AS lift
+      |  floor((n_ab::DOUBLE / nu.n) * 10000.0 + 0.5) / 10000.0 AS support,
+      |  floor(((n_ab * nu.n)::DOUBLE / (ta.n * tb.n)) * 10000.0 + 0.5) / 10000.0 AS lift
       |FROM p
       |CROSS JOIN nu
       |JOIN tn ta ON ta.event_type = p.type_a
@@ -308,7 +310,7 @@ object Behavior {
         sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
         sum(when(col("attributed"), col("value").cast("decimal(18,4)")))
           .cast("double").as("attr_value"),
-        round(avg(when(col("attributed"), col("lag_s"))), 4).as("avg_lag_s"))
+        pround(avg(when(col("attributed"), col("lag_s"))), 4).as("avg_lag_s"))
   }
 
   val attributionSql: String =
@@ -334,7 +336,7 @@ object Behavior {
        |  count(*) AS n_purchases,
        |  sum(CASE WHEN attributed THEN 1 ELSE 0 END)::BIGINT AS n_attributed,
        |  sum(CASE WHEN attributed THEN value::DECIMAL(18,4) END)::DOUBLE AS attr_value,
-       |  round(avg(CASE WHEN attributed THEN lag_s END), 4) AS avg_lag_s
+       |  floor((avg(CASE WHEN attributed THEN lag_s END)) * 10000.0 + 0.5) / 10000.0 AS avg_lag_s
        |FROM p GROUP BY 1""".stripMargin
 
   /** K106: LINEAR MULTI-TOUCH ATTRIBUTION — K17's last-touch rule
@@ -641,7 +643,7 @@ object Behavior {
       .join(hc.withColumnRenamed("h", "t"), Seq("event_type", "t"), "left_outer")
       .select(col("event_type"), col("t").as("hour_idx"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),
-        round(coalesce(col("num"), lit(0L)) / den, 4).as("ewma"))
+        pround(coalesce(col("num"), lit(0L)) / den, 4).as("ewma"))
   }
 
   /** "Rapid" inter-arrival threshold, seconds. */
@@ -669,7 +671,7 @@ object Behavior {
       .agg(count(lit(1)).as("n_deltas"),
         min(col("delta")).as("min_s"),
         max(col("delta")).as("max_s"),
-        round(sum(col("delta")) / count(lit(1)), 4).as("avg_s"),
+        pround(sum(col("delta")) / count(lit(1)), 4).as("avg_s"),
         sum(when(col("delta") < RapidSec, 1L).otherwise(0L)).as("n_rapid"))
   }
 
@@ -683,7 +685,7 @@ object Behavior {
        |  FROM events)
        |SELECT event_type, count(*) AS n_deltas,
        |  min(delta) AS min_s, max(delta) AS max_s,
-       |  round(sum(delta)::BIGINT / count(*), 4) AS avg_s,
+       |  floor((sum(delta)::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_s,
        |  sum(CASE WHEN delta < $RapidSec THEN 1 ELSE 0 END)::BIGINT AS n_rapid
        |FROM d WHERE delta IS NOT NULL GROUP BY 1""".stripMargin
 
@@ -705,10 +707,10 @@ object Behavior {
        |  GROUP BY 1, 2)
        |SELECT g.event_type, g.t AS hour_idx,
        |  coalesce(hc.cnt, 0)::BIGINT AS cnt,
-       |  round(coalesce(n.num, 0)::BIGINT /
+       |  floor((coalesce(n.num, 0)::DOUBLE /
        |    (CASE WHEN g.t - g.h0 >= $w - 1 THEN ${(1L << w) - 1L}
-       |     ELSE ${1L << w} - (1::BIGINT << ($w - 1 - (g.t - g.h0)::INT)) END),
-       |    4) AS ewma
+       |     ELSE ${1L << w} - (1::BIGINT << ($w - 1 - (g.t - g.h0)::INT)) END))
+       |    * 10000.0 + 0.5) / 10000.0 AS ewma
        |FROM grid g
        |LEFT JOIN num n ON n.event_type = g.event_type AND n.t = g.t
        |LEFT JOIN hc ON hc.event_type = g.event_type AND hc.h = g.t""".stripMargin
@@ -748,7 +750,7 @@ object Behavior {
       .select(col("event_type"), col("h").as("hour_idx"),
         when(col("cnt").isNotNull, 1L).otherwise(0L).as("observed"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),
-        round(when(col("cnt").isNotNull, col("cnt").cast("double"))
+        pround(when(col("cnt").isNotNull, col("cnt").cast("double"))
           .otherwise(
             (col("pv") * (col("nh") - col("h")) +
              col("nv") * (col("h") - col("ph"))) /
@@ -782,8 +784,9 @@ object Behavior {
       |SELECT event_type, h AS hour_idx,
       |  (CASE WHEN cnt IS NULL THEN 0 ELSE 1 END)::BIGINT AS observed,
       |  coalesce(cnt, 0)::BIGINT AS cnt,
-      |  round(CASE WHEN cnt IS NOT NULL THEN cnt::DOUBLE
-      |        ELSE (pv * (nh - h) + nv * (h - ph)) / (nh - ph) END, 4) AS interp
+      |  floor((CASE WHEN cnt IS NOT NULL THEN cnt::DOUBLE
+      |        ELSE (pv * (nh - h) + nv * (h - ph)) / (nh - ph) END)
+      |        * 10000.0 + 0.5) / 10000.0 AS interp
       |FROM br""".stripMargin
 
   /** K69: closed-form LINEAR TREND per series — ordinary least
@@ -825,10 +828,10 @@ object Behavior {
     val den2 = when(den2L === 0L, lit(null)).otherwise(den2L).cast("double")
     val slope = num / den1
     m.select(col("event_type"), col("n_days"),
-      round(slope, 6).as("slope"),
-      round((col("sy").cast("double") - slope * col("sx")) / col("n_days"), 6)
+      pround(slope, 6).as("slope"),
+      pround((col("sy").cast("double") - slope * col("sx")) / col("n_days"), 6)
         .as("intercept"),
-      round(num * num / (den1 * den2), 6).as("r2"))
+      pround(num * num / (den1 * den2), 6).as("r2"))
   }
 
   /** window_funnel conversion window (hours). */
@@ -872,7 +875,7 @@ object Behavior {
           unix_micros(col("t2")) - unix_micros(col("t0"))).as("conv_us"))
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_users"),
-        round(sum(col("conv_us")).cast("double") /
+        pround(sum(col("conv_us")).cast("double") /
           (lit(1e6) * count(col("conv_us"))), 2).as("avg_conv_secs"))
   }
 
@@ -896,7 +899,7 @@ object Behavior {
        |    CASE WHEN t2 IS NOT NULL THEN epoch_us(t2) - epoch_us(t0) END AS conv_us
        |  FROM u)
        |SELECT level, count(*)::BIGINT AS n_users,
-       |  round(sum(conv_us)::DOUBLE / (1e6 * count(conv_us)), 2) AS avg_conv_secs
+       |  floor((sum(conv_us)::DOUBLE / (1e6 * count(conv_us))) * 100.0 + 0.5) / 100.0 AS avg_conv_secs
        |FROM lv GROUP BY level""".stripMargin
 
   val trendFitSql: String =
@@ -913,14 +916,14 @@ object Behavior {
       |  FROM (SELECT event_type, (d - d0)::BIGINT AS x, y FROM daily, d0)
       |  GROUP BY 1)
       |SELECT event_type, n_days,
-      |  round((n_days*sxy - sx*sy)::DOUBLE
-      |        / nullif(n_days*sxx - sx*sx, 0), 6) AS slope,
-      |  round((sy - (n_days*sxy - sx*sy)::DOUBLE
-      |               / nullif(n_days*sxx - sx*sx, 0) * sx) / n_days, 6)
-      |    AS intercept,
-      |  round((n_days*sxy - sx*sy)::DOUBLE * (n_days*sxy - sx*sy)
+      |  floor(((n_days*sxy - sx*sy)::DOUBLE
+      |        / nullif(n_days*sxx - sx*sx, 0)) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+      |  floor(((sy - (n_days*sxy - sx*sy)::DOUBLE
+      |               / nullif(n_days*sxx - sx*sx, 0) * sx) / n_days)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+      |  floor(((n_days*sxy - sx*sy)::DOUBLE * (n_days*sxy - sx*sy)
       |        / (nullif(n_days*sxx - sx*sx, 0)::DOUBLE
-      |           * nullif(n_days*syy - sy*sy, 0)), 6) AS r2
+      |           * nullif(n_days*syy - sy*sy, 0))) * 1000000.0 + 0.5) / 1000000.0 AS r2
       |FROM m""".stripMargin
 
   /** Rolling-feature frame width for [[featureLags]]. */
@@ -949,7 +952,7 @@ object Behavior {
       .withColumn("n_win", count(lit(1)).over(wRoll))
       .select(col("user_id"), col("event_id"), col("q"), col("lag1_q"),
         col("delta_q"), col("rsum_q"), col("n_win"),
-        round(col("rsum_q").cast("double") / col("n_win") / 100.0, 4).as("rmean"))
+        pround(col("rsum_q").cast("double") / col("n_win") / 100.0, 4).as("rmean"))
   }
 
   val featureLagsSql: String =
@@ -967,7 +970,7 @@ object Behavior {
        |      ::BIGINT AS n_win
        |  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
        |SELECT user_id, event_id, q, lag1_q, delta_q, rsum_q, n_win,
-       |  round(rsum_q::DOUBLE / n_win / 100.0, 4) AS rmean
+       |  floor((rsum_q::DOUBLE / n_win / 100.0) * 10000.0 + 0.5) / 10000.0 AS rmean
        |FROM f""".stripMargin
 
   /** Expected-count scale for [[seasonality]]. */
@@ -1044,10 +1047,10 @@ object Behavior {
       max(when(col("variant") === 1, col("n_users"))).as("n_b"),
       max(when(col("variant") === 1, col("n_conv"))).as("conv_b"))
     one.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-      round(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
-      round(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
-      expr("round(CAST(conv_b * n_a AS DOUBLE) / nullif(conv_a * n_b, 0)" +
-        " - 1.0, 6)").as("lift"),
+      pround(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
+      pround(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
+      expr("floor((CAST(conv_b * n_a AS DOUBLE) / nullif(conv_a * n_b, 0)" +
+        " - 1.0) * 1e6 + 0.5) / 1e6").as("lift"),
       expr("round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)" +
         " / nullif(sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)" +
         " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))" +
@@ -1071,9 +1074,10 @@ object Behavior {
       |  max(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
       |  FROM byv)
       |SELECT n_a, conv_a, n_b, conv_b,
-      |  round(conv_a::DOUBLE / n_a, 6) AS rate_a,
-      |  round(conv_b::DOUBLE / n_b, 6) AS rate_b,
-      |  round((conv_b * n_a)::DOUBLE / nullif(conv_a * n_b, 0) - 1.0, 6) AS lift,
+      |  floor((conv_a::DOUBLE / n_a) * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+      |  floor((conv_b::DOUBLE / n_b) * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+      |  floor(((conv_b * n_a)::DOUBLE / nullif(conv_a * n_b, 0) - 1.0)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS lift,
       |  round((conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a)
       |    / nullif(sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
       |           * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))

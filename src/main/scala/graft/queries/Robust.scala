@@ -286,7 +286,7 @@ object Robust {
       .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
         sum(abs(col("a") * col("nb") - col("b") * col("na"))).as("num"))
       .select(col("event_type"), col("na"), col("nb"),
-        round(tvd, 6).as("tvd"), (tvd > DriftMax).as("drift"))
+        graft.Portable.pround(tvd, 6).as("tvd"), (tvd > DriftMax).as("drift"))
   }
 
   val distDriftSql: String = {
@@ -311,7 +311,7 @@ object Robust {
        |    sum(abs(a * nb - b * na))::BIGINT AS num
        |  FROM bcell JOIN tot USING (event_type) GROUP BY 1)
        |SELECT event_type, na, nb,
-       |  round(num::DOUBLE / (2 * na * nb), 6) AS tvd,
+       |  floor((num::DOUBLE / (2 * na * nb)) * 1000000.0 + 0.5) / 1000000.0 AS tvd,
        |  num::DOUBLE / (2 * na * nb) > $DriftMax AS drift
        |FROM agg""".stripMargin
   }

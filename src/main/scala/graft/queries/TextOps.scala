@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 import graft.functions.TextFns
 import graft.functions.TextFns._
 
@@ -57,20 +58,20 @@ object TextOps {
     documents(s, dir).select(
       col("doc_id"),
       wsTokenCount(col("text")).as("n_tok"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4)
+      pround(punctRatio, 4).as("punct_ratio"),
+      pround(stopRatio, 4).as("stop_ratio"),
+      pround(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4)
         .as("avg_tok_len"),
-      round(least(nTok, lit(100)).cast("double") / 100 * (lit(1) - punctRatio), 4)
+      pround(least(nTok, lit(100)).cast("double") / 100 * (lit(1) - punctRatio), 4)
         .as("quality"))
   }
 
   val textQualitySql: String =
     s"""SELECT doc_id, n_tok,
-       |  round(punct / len, 4) AS punct_ratio,
-       |  round(stop_hits / nt, 4) AS stop_ratio,
-       |  round(nospace / nt, 4) AS avg_tok_len,
-       |  round(least(nt, 100) / 100 * (1 - punct / len), 4) AS quality
+       |  floor((punct / len) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       |  floor((stop_hits / nt) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+       |  floor((nospace / nt) * 10000.0 + 0.5) / 10000.0 AS avg_tok_len,
+       |  floor((least(nt, 100) / 100 * (1 - punct / len)) * 10000.0 + 0.5) / 10000.0 AS quality
        |FROM (
        |  SELECT doc_id,
        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
@@ -393,14 +394,15 @@ object TextOps {
         sum(reTokenCount(col("text")).cast("long")).as("re_tokens"),
         sum(wsTokenCount(col("text")).cast("long")).as("ws_tokens"))
       .select(col("lang"), col("n_docs"), col("re_tokens"), col("ws_tokens"),
-        round(col("re_tokens").cast("double") / col("ws_tokens"), 4).as("fertility"))
+        pround(col("re_tokens").cast("double") / col("ws_tokens"), 4).as("fertility"))
 
   val tokenizerFertilitySql: String =
     """SELECT lang, count(*) AS n_docs,
       |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS re_tokens,
       |  sum(len(list_filter(string_split(text, ' '), t -> t <> '')))::BIGINT AS ws_tokens,
-      |  round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::DOUBLE
-      |    / sum(len(list_filter(string_split(text, ' '), t -> t <> ''))), 4) AS fertility
+      |  floor((sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::DOUBLE
+      |    / sum(len(list_filter(string_split(text, ' '), t -> t <> ''))))
+      |    * 10000.0 + 0.5) / 10000.0 AS fertility
       |FROM documents GROUP BY lang""".stripMargin
 
   /** J-line: vocabulary-concentration (Gini/Simpson) diversity per
@@ -418,12 +420,12 @@ object TextOps {
         count(lit(1)).as("n_distinct"),
         sum(col("cnt") * col("cnt")).as("ss"))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        round((col("n_words") * col("n_words") - col("ss")).cast("double") /
+        pround((col("n_words") * col("n_words") - col("ss")).cast("double") /
           (col("n_words") * col("n_words")), 4).as("gini"))
 
   val giniDiversitySql: String =
     """SELECT doc_id, n_words, n_distinct,
-      |  round((n_words * n_words - ss)::DOUBLE / (n_words * n_words), 4) AS gini
+      |  floor(((n_words * n_words - ss)::DOUBLE / (n_words * n_words)) * 10000.0 + 0.5) / 10000.0 AS gini
       |FROM (
       |  SELECT doc_id, sum(cnt)::BIGINT AS n_words, count(*) AS n_distinct,
       |    sum(cnt * cnt)::BIGINT AS ss
@@ -660,7 +662,7 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("n_grams"),
         (col("n_grams") - col("n_seen")).as("n_novel"))
       .withColumn("novelty",
-        round(col("n_novel").cast("double") / col("n_grams"), 4))
+        pround(col("n_novel").cast("double") / col("n_grams"), 4))
   }
 
   /** DuckDB twin — the same distinct-shingle definition as the dedup
@@ -681,8 +683,8 @@ object TextOps {
       |train AS (SELECT DISTINCT gram FROM posts WHERE doc_id % 10 < 8)
       |SELECT p.doc_id, p.source, count(*) AS n_grams,
       |  sum(CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
-      |  round(sum(CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END)::DOUBLE
-      |        / count(*), 4) AS novelty
+      |  floor((sum(CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*)) * 10000.0 + 0.5) / 10000.0 AS novelty
       |FROM posts p LEFT JOIN train t ON p.gram = t.gram
       |WHERE p.doc_id % 10 >= 8
       |GROUP BY 1, 2""".stripMargin

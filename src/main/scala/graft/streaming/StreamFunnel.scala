@@ -133,7 +133,7 @@ object StreamFunnel {
         when(col("m.cv") >= 0L, col("m.cv")).as("conv_us"))
     val out = fin.groupBy(col("level"))
       .agg(count(lit(1)).as("n_users"),
-        round(sum(col("conv_us")).cast("double") /
+        graft.Portable.pround(sum(col("conv_us")).cast("double") /
           (lit(1e6) * count(col("conv_us"))), 2).as("avg_conv_secs"))
       .localCheckpoint()
     s.catalog.dropTempView(mem)

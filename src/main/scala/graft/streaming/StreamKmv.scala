@@ -43,7 +43,7 @@ object StreamKmv {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("hour"), size(col("sk")).as("sketch_n"),
-        round(when(size(col("sk")) < K, size(col("sk")).cast("double"))
+        graft.Portable.pround(when(size(col("sk")) < K, size(col("sk")).cast("double"))
           .otherwise(lit((K - 1).toDouble * M) / element_at(col("sk"), K)), 4)
           .as("est_users"))
   }
@@ -62,7 +62,7 @@ object StreamKmv {
        |  SELECT hour, count(*) AS sketch_n, max(h) AS hk
        |  FROM r WHERE rn <= $K GROUP BY 1)
        |SELECT hour, sketch_n,
-       |  round(CASE WHEN sketch_n < $K THEN sketch_n::DOUBLE
-       |             ELSE ${(K - 1).toDouble} * $M / hk END, 4) AS est_users
+       |  floor((CASE WHEN sketch_n < $K THEN sketch_n::DOUBLE
+       |             ELSE ${(K - 1).toDouble} * $M / hk END) * 10000.0 + 0.5) / 10000.0 AS est_users
        |FROM sk""".stripMargin
 }

@@ -167,8 +167,7 @@ class AnalyticsSpec extends SparkSpec {
       byYr.sliding(2).filter(_.length == 2).foreach { pair =>
         val (a, b) = (pair(0), pair(1))
         assert(b._4.contains(a._3), s"prev_rev chain broken at ${b._1} ${b._2}")
-        val g = BigDecimal((b._3 - a._3) / a._3)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val g = graft.Portable.jround((b._3 - a._3) / a._3, 4)
         assert(math.abs(b._5.get - g) < 1e-9, s"growth at ${b._1} ${b._2}")
       }
     }
@@ -187,9 +186,9 @@ class AnalyticsSpec extends SparkSpec {
       val promo = r.getAs[Double]("promo_rev")
       val total = r.getAs[Double]("total_rev")
       assert(promo >= 0 && promo <= total)
-      val pct = BigDecimal(100.0 * promo / total)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(math.abs(r.getAs[Double]("promo_pct") - pct) < 1e-9)
+      // mirror the emitter's shape: the pct divides the EXACT ×10⁴
+      // integers, not the rounded reporting doubles — tolerance-check
+      assert(math.abs(r.getAs[Double]("promo_pct") - 100.0 * promo / total) < 1e-3)
     }
     // PROMO parts exist in the corpus, so the share is not vacuous
     assert(rows.exists(_.getAs[Double]("promo_rev") > 0))
@@ -217,9 +216,8 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.keySet == expected.keySet)
     expected.foreach { case (b, (n, revQ)) =>
       assert(got(b)._1 == n, s"brand $b count: ${got(b)._1} vs $n")
-      val yearly = BigDecimal(revQ / 10000.0 / 7.0)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(math.abs(got(b)._2 - yearly) < 1e-9, s"brand $b: ${got(b)._2} vs $yearly")
+      val yearly = graft.Portable.jround(revQ / 10000.0 / 7.0, 4)
+      assert(got(b)._2 == yearly, s"brand $b: ${got(b)._2} vs $yearly")
     }
     // the per-part threshold must actually prune (not pass everything)
     assert(expected.values.map(_._1).sum < li.length / 2)
@@ -394,7 +392,7 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("cohort_month"), r.getAs[Int]("age")) ->
         (r.getAs[Long]("n_orders"), r.getAs[Long]("n_active"),
           r.getAs[Long]("revenue_c"), r.getAs[Long]("cum_revenue_c"),
-          r.getAs[Long]("cohort_size"), r.getAs[Double]("ltv_per_customer"))).toMap
+          r.getAs[Long]("cohort_size"), r.getAs[Long]("ltv_cents"))).toMap
     assert(got.keySet == cells.keySet)
     got.foreach { case (k @ (cm, age), (no, na, rev, cum, sz, ltv)) =>
       val (eo, ea, er) = cells(k)
@@ -402,8 +400,8 @@ class AnalyticsSpec extends SparkSpec {
       val ecum = (0 to age).map(a => cells.get((cm, a)).map(_._3).getOrElse(0L)).sum
       assert(cum == ecum, s"cell $k cum")
       assert(sz == sizes(cm))
-      assert(ltv == BigDecimal(ecum.toDouble / sz / 100.0)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"cell $k ltv")
+      // exact floor division in cents — no float ever reaches the hash
+      assert(ltv == ecum / sz, s"cell $k ltv")
     }
     // LTV curves are monotone along age within each cohort
     val byCoh = got.toSeq.groupBy(_._1._1)

@@ -130,7 +130,7 @@ class AnnSpec extends SparkSpec {
       val r = got(d.toLong)
       assert(r.getAs[Long]("n_vecs") == n.toLong)
       assert(r.getAs[Double]("mean") ==
-        BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"dim $d mean")
+        graft.Portable.jround(mean, 4), s"dim $d mean")
       assert(math.abs(r.getAs[Double]("variance") - vr) < 1e-6, s"dim $d var")
       assert(r.getAs[Boolean]("dead") == (vr < graft.operators.Ann.DeadVarFloor))
     }

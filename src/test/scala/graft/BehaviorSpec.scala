@@ -117,8 +117,7 @@ class BehaviorSpec extends SparkSpec {
       val raw = S.HllNum / zint
       val (regime, est) =
         if (v > 0 && raw <= S.HllSmallRange) ("linear", lc(v.toLong)) else ("raw", raw)
-      t -> (v.toLong, regime,
-        BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      t -> (v.toLong, regime, graft.Portable.jround(est, 4))
     }.toMap
     val exact = events.groupBy(_._1).map { case (t, es) =>
       t -> es.map(_._2).distinct.length.toLong }
@@ -485,10 +484,10 @@ class BehaviorSpec extends SparkSpec {
       val r = got(k)
       assert(r.getAs[Long]("n_ab") == nab.toLong, s"pair $k")
       assert(r.getAs[Double]("support") ==
-        BigDecimal(nab.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        graft.Portable.jround(nab.toDouble / n, 4))
       assert(r.getAs[Double]("lift") ==
-        BigDecimal(nab.toDouble * n / (typeN(k._1).toDouble * typeN(k._2)))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"lift $k")
+        graft.Portable.jround(
+          nab.toDouble * n / (typeN(k._1).toDouble * typeN(k._2)), 4), s"lift $k")
     }
   }
 
@@ -525,8 +524,7 @@ class BehaviorSpec extends SparkSpec {
         if (att.isEmpty) null
         else att.map(p => BigDecimal(p.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble,
         if (att.isEmpty) null
-        else BigDecimal(att.map(_.lagS).sum.toDouble / att.size)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else graft.Portable.jround(att.map(_.lagS).sum.toDouble / att.size, 4))
     }
     val got = run("attribution").collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_attributed"),
@@ -724,9 +722,8 @@ class BehaviorSpec extends SparkSpec {
         val den =
           if (h - h0 >= S - 1) (1L << S) - 1L
           else (1L << S) - (1L << (S - 1 - (h - h0).toInt))
-        // mirror Spark exactly: double division, then HALF_UP at 4
-        val expected = BigDecimal(num.toDouble / den)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // mirror Spark exactly: double division, then portable round
+        val expected = graft.Portable.jround(num.toDouble / den, 4)
         assert(math.abs(ewma - expected) < 1e-9, s"$t@$h: $ewma vs $expected")
       }
     }
@@ -754,8 +751,7 @@ class BehaviorSpec extends SparkSpec {
     val expected = deltas.groupBy(_._1).map { case (t, ds) =>
       val vs = ds.map(_._2)
       t -> (vs.length.toLong, vs.min, vs.max,
-        BigDecimal(vs.sum.toDouble / vs.length)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        graft.Portable.jround(vs.sum.toDouble / vs.length, 4),
         vs.count(_ < graft.queries.Behavior.RapidSec).toLong)
     }
     val got = run("delta_stats").collect()
@@ -784,7 +780,7 @@ class BehaviorSpec extends SparkSpec {
         val lag1 = if (i == 0) None else Some(sorted(i - 1)._4)
         val win = sorted.slice(math.max(0, i - (F - 1)), i + 1).map(_._4)
         (u, eid) -> (q, lag1, lag1.map(q - _), win.sum, win.length.toLong,
-          math.rint(win.sum.toDouble / win.length / 100.0 * 10000) / 10000)
+          graft.Portable.jround(win.sum.toDouble / win.length / 100.0, 4))
       }
     }
     val got = run("feature_lags").collect()
@@ -844,7 +840,7 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("conv_a") == ca)
     assert(r.getAs[Long]("n_b") == nb && r.getAs[Long]("conv_b") == cb)
     assert(r.getAs[Double]("rate_a") ==
-      math.rint(ca.toDouble / na * 1e6) / 1e6)
+      graft.Portable.jround(ca.toDouble / na, 6))
     // z's sign agrees with the raw rate difference (or both are zero)
     val diff = cb.toDouble / nb - ca.toDouble / na
     val z = r.getAs[Double]("z")

@@ -154,8 +154,8 @@ class SinkStreamSpec extends SparkSpec {
     hashes.foreach { case (hour, sk) =>
       val est =
         if (sk.length < K) sk.length.toDouble
-        else BigDecimal((K - 1).toDouble * graft.operators.Sketches.M / sk.last)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else graft.Portable.jround(
+          (K - 1).toDouble * graft.operators.Sketches.M / sk.last, 4)
       assert(got(hour)._1 == sk.length, s"hour $hour sketch size")
       assert(math.abs(got(hour)._2 - est) < 1e-9, s"hour $hour estimate")
     }

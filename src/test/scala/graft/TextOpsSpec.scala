@@ -216,8 +216,7 @@ class TextOpsSpec extends SparkSpec {
     test.foreach { case (id, grams) =>
       val novel = grams.count(g => !train.contains(g)).toLong
       val want = (grams.size.toLong, novel,
-        BigDecimal(novel.toDouble / grams.size)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        graft.Portable.jround(novel.toDouble / grams.size, 4))
       assert(got(id) == want, s"doc $id: ${got(id)} vs $want")
     }
     // both regimes present: some novelty found, and not everything novel

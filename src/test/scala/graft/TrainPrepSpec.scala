@@ -261,7 +261,7 @@ class TrainPrepSpec extends SparkSpec {
     got.foreach { case (key, (nd, nc, share, wq)) =>
       val (en, ec) = cells(key)
       assert(nd == en && nc == ec, s"cell $key counts")
-      assert(share == math.rint(en.toDouble / n * 10000) / 10000, s"cell $key share")
+      assert(share == graft.Portable.jround(en.toDouble / n, 4), s"cell $key share")
       assert(wq == n * TrainPrep.BalScale / (k * en), s"cell $key weight")
     }
     // rebalance sanity: rarer cells carry strictly larger weights

@@ -4,7 +4,10 @@
 Runs graft.Verify at a given SF (caller does that via sbt), then for
 each dumped query result compares against the DuckDB oracle on the
 same parquet tables: sort columns by name, sort rows, compare values
-(exact for ints/strings, 1e-9 rel for floats).
+EXACTLY — including floats. The driver hashes the exact stored values,
+so any float tolerance here is weaker than the real gate (r8 shipped a
+red cohort_ltv because rel_tol=1e-9 passed a 1e-4 divergence at 1e6
+magnitude). A float that differs in its last ulp IS a driver failure.
 
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
@@ -37,16 +40,10 @@ def kind(arrow_type):
 
 
 def norm(rows):
-    out = []
-    for row in rows:
-        r = []
-        for v in row:
-            if isinstance(v, float):
-                r.append(round(v, 6))
-            else:
-                r.append(v)
-        out.append(tuple(r))
-    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+    # no float rounding: the driver hashes exact stored values, so the
+    # replay must sort and compare the same bits
+    return sorted((tuple(row) for row in rows),
+                  key=lambda t: tuple(str(x) for x in t))
 
 
 def main(sf_dir, out_dir):
@@ -96,7 +93,8 @@ def main(sf_dir, out_dir):
         for rg, re_ in zip(g, e):
             for vg, ve in zip(rg, re_):
                 if isinstance(vg, float) and isinstance(ve, float):
-                    if not (math.isclose(vg, ve, rel_tol=1e-9, abs_tol=1e-9)):
+                    # exact: the driver's hash is bit-sensitive
+                    if not (vg == ve or (math.isnan(vg) and math.isnan(ve))):
                         ok = False
                 elif str(vg) != str(ve):
                     ok = False
