@@ -75,12 +75,12 @@ object VecFns {
   /** DuckDB CTEs computing the portable (vec_id, t, b) bucket keys
     * for every embedding — the literal replay of [[portableBuckets]]
     * (ends in a CTE named `buckets`). */
-  def portableBucketsSql(bits: Int, tables: Int): String =
+  def portableBucketsSql(bits: Int, tables: Int, src: String = "embeddings"): String =
     s"""posts AS (
        |  SELECT vec_id, d,
        |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
        |  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS d
-       |        FROM embeddings)),
+       |        FROM $src)),
        |projs AS (
        |  SELECT vec_id, k,
        |    sum(CASE WHEN (((k * $MaxDim + d + 1) * $HashMult) % $P) % 2 = 1

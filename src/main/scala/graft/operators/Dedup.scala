@@ -1100,42 +1100,166 @@ object Dedup {
         round(col("cos"), 4).as("cos"))
   }
 
-  /** The banded sign-LSH form of C5 — candidates from (band, bucket)
-    * collisions, exact cosine only on candidates. THE 100 TB path
-    * for thresholds that prune (see the regime note on [[CosFloor]]);
-    * at the verify threshold its recall-1 geometry is the permissive
-    * [[CosBandBits]]×[[CosBands]], spec-checked equal to the exact
-    * operator. Buckets are [[VecFns.portableBuckets]] (integer-
-    * quantized projections, portable signs), so the driver's DuckDB
-    * oracle replays the LSH itself — band misses, were any to occur,
-    * land identically on both engines instead of flaking the gate. */
-  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", VecFns.norm(col("embedding")))
-    val keys = VecFns.portableBuckets(e, "vec_id", "embedding", CosBandBits, CosBands)
+  /** K2 banded-LSH geometry and scenario constants.
+    *
+    * The r8 lesson (SURVEY §4, r8 VERDICT #3): at the 0.4 verify
+    * floor sign-LSH provably cannot prune — any recall-1 band
+    * geometry passes ~100% of random pairs, so the band join was
+    * pure overhead over C5's blocked exact join (6.7 s warm, slope
+    * 8.0, degenerating toward docs² at 100×). The banded operator is
+    * therefore REGISTERED where LSH earns its keep: a ≥ [[CosLshFloor]]
+    * near-dup hunt with [[CosLshBits]]×[[CosLshBands]] selective
+    * bands (planted near-dups at cos ≈ 0.998 collide per band w.p.
+    * ≈ 0.7 → miss ≈ 5e-7 over 12 bands — spec-measured FULL recall;
+    * random-pair survival ≈ 12/2⁸ ≈ 4.6% — a ~20× candidate cut
+    * that widens with narrower thresholds). Because this corpus's
+    * organic pairs top out at cos ≈ 0.51, the query runs the
+    * scenario such a floor exists for: RE-ENCODE DRIFT dedup —
+    * every vector also appears as a re-quantized copy (0.025 grid ≈
+    * a 10-bit re-encode, cos ≈ 0.998 against its original, id
+    * shifted by [[ReencOffset]]), and the operator must recover
+    * original↔re-encode matches from the union corpus WITHOUT
+    * touching the N² organic pairs. (Sign-plane agreement runs
+    * BELOW the Gaussian 1-θ/π estimate on these Rademacher planes —
+    * measured 0.845 vs 0.93 predicted at cos 0.975, recall 97% at a
+    * 0.1 grid — hence the tighter grid rather than more bands.) The
+    * 0.4-floor recall-1 equality against C5 stays a spec-only study
+    * (DedupSpec). */
+  val CosLshFloor = 0.7
+  val CosLshBits = 8
+  val CosLshBands = 12
+  val ReencGrid = 40.0
+  val ReencOffset = 10000000L
+
+  /** Exact-cosine verify of (va, vb) candidate rows against a
+    * (vec_id, embedding) frame — codegen'd [[VecFns.dot]], one
+    * double division, round(…, 4). Norms compute once per side. */
+  private def verifyCosPairs(cand: DataFrame, e: DataFrame,
+                             floor: Double): DataFrame = {
+    val en = e.withColumn("nrm", VecFns.norm(col("embedding")))
+    val ex = en.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val ey = en.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val denom = col("na") * col("nb")
+    cand.join(ex, "va").join(ey, "vb")
+      .withColumn("cos", when(denom === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
+      .filter(col("cos") >= floor)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Shared banded sign-LSH cosine pair kernel in its PERMISSIVE-
+    * geometry form: portable (t, b) bucket collisions → DISTINCT
+    * candidates → exact cosine ≥ floor. Dedup-before-verify is the
+    * right order here because permissive bands (the 2-bit × 32
+    * recall-1 study geometry) collide nearly every surviving pair in
+    * MANY bands — multiplicity ≈ bands — so deduping first saves
+    * ~bands× of the verify. The registered selective-band operator
+    * ([[dedupEmbeddingLsh]]) makes the OPPOSITE call — see its note.
+    * Buckets are [[VecFns.portableBuckets]] (integer-quantized
+    * projections, portable signs), so the DuckDB oracle replays the
+    * LSH itself — band misses land identically on both engines
+    * instead of flaking the gate. */
+  private[graft] def bandedCosPairs(e: DataFrame, bits: Int, bands: Int,
+                                    floor: Double): DataFrame = {
+    // vectors×bands rows (tiny); materialize so the self-join's two
+    // sides don't each re-run the bands-wide projection aggregate
+    val keys = VecFns.portableBuckets(e, "vec_id", "embedding", bits, bands)
+      .localCheckpoint()
     val cand = keys.as("x")
       .join(keys.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
-    val ex = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
-    val ey = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val denom = col("na") * col("nb")
-    cand.join(ex, "va").join(ey, "vb")
-      .withColumn("cos", when(denom === 0, lit(0.0))
-        .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
-      .filter(col("cos") >= CosFloor)
-      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+    verifyCosPairs(cand, e, floor)
   }
 
-  /** DuckDB twin of [[dedupEmbeddingLsh]]: portable buckets, (t, b)
-    * collision candidates, exact cosine ≥ [[CosFloor]]. */
+  /** The original ∪ re-encoded union corpus for [[dedupEmbeddingLsh]]
+    * (float-array roundtrip on the quantized copy, mirrored by the
+    * oracle's ::FLOAT[] cast). */
+  private def reencCorpus(s: SparkSession, dir: String): DataFrame = {
+    val orig = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    orig.unionByName(orig.select(
+      (col("vec_id") + ReencOffset).as("vec_id"),
+      transform(col("embedding"), x =>
+        (floor(x.cast("double") * ReencGrid + 0.5) / ReencGrid).cast("float"))
+        .as("embedding")))
+  }
+
+  /** Per-(t, b) bucket membership cap for [[dedupEmbeddingLsh]] —
+    * the JaccAdjCap convention applied to LSH buckets: a degenerate
+    * bucket (a tight sub-threshold cluster all sharing one
+    * signature) otherwise costs |bucket|² collisions. Rank is a
+    * pair-INVARIANT hash of vec_id mod [[ReencOffset]] salted by
+    * (t, b), so an original and its re-encode are kept or cut
+    * TOGETHER and each band is an independent draw: a planted pair
+    * in an n > cap bucket survives that band w.p. ≈ cap/n — even at
+    * n = 2·cap the 12-band miss is (1/2)¹² ≈ 2e-4. */
+  val BucketCap = 512
+
+  /** K2: banded sign-LSH near-dup pairs at [[CosLshFloor]] over the
+    * re-encode-drift union corpus — see the regime note on
+    * [[CosLshFloor]]. THE 100 TB path for thresholds that prune.
+    *
+    * Two deliberate inversions of the permissive-band kernel
+    * ([[bandedCosPairs]]), both scale calls:
+    * - BUCKET CAP [[BucketCap]] (pair-invariant hash rank) bounds
+    *   the quadratic cost of degenerate buckets — without it one
+    *   tight cluster sharing a signature costs |cluster|² per band.
+    * - VERIFY-THEN-DEDUP: selective bands leave candidate
+    *   multiplicity low (≈ 2-3 here), and the codegen'd 64-MAC dot
+    *   is cheaper per row than pushing the collision stream through
+    *   a distinct exchange — so collisions flow straight from the
+    *   bucket join through broadcast-attached vectors into the dot
+    *   + floor filter in ONE stage, and only the ~matches-sized
+    *   survivor set pays a distinct. (Measured at sf0.1: 6.0M raw
+    *   collisions; distinct-first spent ~2.5 s exchanging them,
+    *   verify-first runs the whole chain in ~1 s.) With permissive
+    *   bands (multiplicity ≈ bands) the trade flips — which is why
+    *   the study kernel keeps dedup-first. */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = reencCorpus(s, dir)
+    val keys = VecFns.portableBuckets(corpus, "vec_id", "embedding",
+      CosLshBits, CosLshBands).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("b"))
+      .orderBy(col("hk"), col("vec_id"))
+    val capped = keys
+      .withColumn("hk",
+        ((col("vec_id") % ReencOffset) + col("t") * 1009L + col("b") * 9176L)
+          * 2654435761L % 1000000007L)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BucketCap)
+      .select(col("vec_id"), col("t"), col("b"))
+    val collisions = capped.as("x")
+      .join(capped.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+    verifyCosPairs(collisions, corpus, CosLshFloor).distinct()
+  }
+
+  /** DuckDB twin of [[dedupEmbeddingLsh]]: the same union corpus,
+    * portable buckets, (t, b) collision candidates, exact cosine ≥
+    * [[CosLshFloor]]. */
   val dedupEmbeddingLshSql: String =
-    s"""WITH ${VecFns.portableBucketsSql(CosBandBits, CosBands)},
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $ReencOffset,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * $ReencGrid + 0.5) / $ReencGrid AS FLOAT))
+       |  FROM embeddings),
+       |${VecFns.portableBucketsSql(CosLshBits, CosLshBands, "corpus")},
+       |ranked AS (
+       |  SELECT vec_id, t, b, row_number() OVER (PARTITION BY t, b
+       |    ORDER BY ((vec_id % $ReencOffset) + t * 1009 + b * 9176)
+       |      * 2654435761 % 1000000007, vec_id) AS rn
+       |  FROM buckets),
+       |capped AS (SELECT vec_id, t, b FROM ranked WHERE rn <= $BucketCap),
        |cand AS (
        |  SELECT x.vec_id AS va, y.vec_id AS vb
-       |  FROM buckets x JOIN buckets y
+       |  FROM capped x JOIN capped y
        |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
        |  GROUP BY 1, 2)
        |SELECT va, vb, round(c, 4) AS cos FROM (
@@ -1143,9 +1267,9 @@ object Dedup {
        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
-       |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
-       |  JOIN embeddings b ON b.vec_id = cand.vb)
-       |WHERE c >= $CosFloor""".stripMargin
+       |  FROM cand JOIN corpus a ON a.vec_id = cand.va
+       |  JOIN corpus b ON b.vec_id = cand.vb)
+       |WHERE c >= $CosLshFloor""".stripMargin
 
   val dedupEmbeddingSql: String =
     """SELECT va, vb, round(c, 4) AS cos FROM (

@@ -173,14 +173,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("dedup_embedding LSH variant has recall 1 vs the blocked exact operator") {
+  test("banded LSH at the 0.4 floor: recall-1 study vs the blocked exact operator (spec-only)") {
+    // the r8 lesson kept as a STUDY: a recall-1 geometry at a weak
+    // floor (2-bit × 32 bands) matches the exact operator but prunes
+    // nothing — which is why the REGISTERED query runs at the 0.7
+    // pruning floor instead (see CosLshFloor). This pins the
+    // equivalence without paying it in the bench.
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val D = graft.operators.Dedup
     val exact = pairs(run("dedup_embedding"))
-    val lsh = pairs(graft.operators.Dedup.dedupEmbeddingLsh(spark, sf))
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val lsh = pairs(D.bandedCosPairs(e, D.CosBandBits, D.CosBands, D.CosFloor))
     assert(exact.nonEmpty)
     assert(lsh == exact,
       s"lsh=${lsh.size} exact=${exact.size} missed=${(exact.keySet -- lsh.keySet).take(5)}")
+  }
+
+  test("dedup_embedding_lsh: recovers every original↔re-encode pair, nothing organic") {
+    val D = graft.operators.Dedup
+    val rows = run("dedup_embedding_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos")))
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    // every emitted pair clears the pruning floor
+    rows.foreach { case (a, b, c) =>
+      assert(a < b && c >= D.CosLshFloor && c <= 1.0, s"pair ($a,$b,$c)")
+    }
+    // the planted matches: each original found against ITS re-encode
+    // (the 8×12 geometry's per-pair miss is ~1e-4; the planes are a
+    // fixed hash, so this is deterministic — full recall on this
+    // corpus, replayed identically by the oracle)
+    val planted = rows.collect {
+      case (a, b, _) if b == a + D.ReencOffset => a
+    }.toSet
+    assert(planted.size.toLong == nVecs,
+      s"planted recall ${planted.size}/$nVecs")
+    // and the floor kept the organic pair set out entirely: this
+    // corpus's organic (and re-encode-cross) cosines top out ≈ 0.55,
+    // so the OUTPUT is exactly the planted match set
+    assert(rows.length.toLong == nVecs,
+      s"${rows.length - nVecs} non-planted pairs cleared the 0.7 floor")
   }
 
   test("dedup_incremental: exactly the batch-vs-corpus subset of the true pair set") {
