@@ -16,6 +16,28 @@ import java.nio.file.{Files, Path, Paths}
   */
 object ArtifactCache {
 
+  /** JVM-wide build serialization for the write-once artifacts: the
+    * bare check-then-write in each `ensure*` let two concurrent
+    * first callers (parallel specs sharing one session) both miss
+    * `_SUCCESS` and run overlapping overwrite writes to the same
+    * path — and a reader could observe a half-overwritten dir. Same
+    * class of shared-state race Staging.scopeLock serializes;
+    * double-checked so the post-build fast path never contends. */
+  private val buildLock = new java.util.concurrent.locks.ReentrantLock()
+
+  /** Run `build` (which must end by writing `path` with a _SUCCESS
+    * marker) unless the artifact already exists; concurrent callers
+    * serialize and the losers see the winner's completed build. */
+  def ensure(path: String)(build: => Unit): String = {
+    def done = new java.io.File(s"$path/_SUCCESS").exists()
+    if (!done) {
+      buildLock.lock()
+      try if (!done) build
+      finally buildLock.unlock()
+    }
+    path
+  }
+
   /** 12-hex-char fingerprint of `dir`'s named source tables plus the
     * algorithm `signature`. Tables may be single parquet files or
     * directories of part files; a missing table contributes nothing

@@ -213,9 +213,9 @@ object Ann {
 
   def ensureKnnTopk(s: SparkSession, dir: String): String = {
     val path = knnTopkPath(dir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    graft.ingest.ArtifactCache.ensure(path) {
       knnJoinFresh(s, dir).write.mode("overwrite").parquet(path)
-    path
+    }
   }
 
   def knnJoin(s: SparkSession, dir: String): DataFrame =

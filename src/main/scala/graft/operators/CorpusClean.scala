@@ -491,12 +491,13 @@ object CorpusClean {
       graft.ingest.ArtifactCache.token(dir, Seq("documents"),
         s"rounds=$BpeTrainRounds;ws-lower")
 
-  /** Train + persist the encoded corpus at most once per (JVM, dir). */
+  /** Train + persist the encoded corpus at most once per (JVM, dir);
+    * concurrent first callers serialize on the ArtifactCache lock. */
   def ensureBpeTokens(s: SparkSession, dir: String): String = {
     val path = bpeTokensPath(dir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    graft.ingest.ArtifactCache.ensure(path) {
       bpeTrainRun(s, dir)._1.write.mode("overwrite").parquet(path)
-    path
+    }
   }
 
   /** K68: APPLY the trained BPE merges — the encode half of the

@@ -177,11 +177,13 @@ object Dedup {
     raw.unpersist()
   }
 
-  /** Build the corpus index at most once per (JVM, scale dir). */
+  /** Build the corpus index at most once per (JVM, scale dir);
+    * concurrent first callers serialize on the ArtifactCache lock. */
   def ensureCorpusIndex(s: SparkSession, dir: String): String = {
     val path = corpusIndexPath(dir)
-    if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+    graft.ingest.ArtifactCache.ensure(s"$path/bands") {
       buildCorpusIndex(s, dir, path)
+    }
     path
   }
 
@@ -206,12 +208,11 @@ object Dedup {
   def buildClusterLabels(s: SparkSession, dir: String, path: String): Unit =
     dedupClusters(s, dir).write.mode("overwrite").parquet(path)
 
-  /** Build the label frame at most once per (JVM, scale dir). */
+  /** Build the label frame at most once per (JVM, scale dir);
+    * concurrent first callers serialize on the ArtifactCache lock. */
   def ensureClusterLabels(s: SparkSession, dir: String): String = {
     val path = clusterLabelsPath(dir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      buildClusterLabels(s, dir, path)
-    path
+    graft.ingest.ArtifactCache.ensure(path)(buildClusterLabels(s, dir, path))
   }
 
   /** The DAILY-RUN half of incremental dedup: shingle ONLY today's
@@ -543,10 +544,11 @@ object Dedup {
       graft.ingest.ArtifactCache.token(dir, Seq("documents"),
         s"dfCap=$DfCap;shingle=3")
 
-  /** Build the pair-stats frame at most once per (JVM, scale dir). */
+  /** Build the pair-stats frame at most once per (JVM, scale dir);
+    * concurrent first callers serialize on the ArtifactCache lock. */
   def ensurePairStats(s: SparkSession, dir: String): String = {
     val path = pairStatsPath(dir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    graft.ingest.ArtifactCache.ensure(path) {
       val gp = gramPosts(s, dir)
       val sizes = gp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       gp.as("x")
@@ -582,14 +584,13 @@ object Dedup {
 
   def ensureMinhashSig(s: SparkSession, dir: String): String = {
     val path = minhashSigPath(dir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    graft.ingest.ArtifactCache.ensure(path) {
       val gp = gramPosts(s, dir)
       minhashSigAgg(gp.select(col("doc_id"), strHash(col("gram")).as("h")),
         "doc_id", "h")
         .write.mode("overwrite").parquet(path)
       gp.unpersist()
     }
-    path
   }
 
   private def portableSig(s: SparkSession, dir: String): DataFrame =

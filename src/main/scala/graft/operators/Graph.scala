@@ -68,13 +68,12 @@ object Graph {
       graft.ingest.ArtifactCache.token(dir, Seq("lineitem", "orders"),
         s"maxEdges=$MaxEdges")
 
-  /** Build the edge list at most once per (JVM, scale dir). */
-  def ensureCoEdges(s: SparkSession, dir: String): String = {
-    val path = coEdgesPath(dir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      coEdgesFresh(s, dir).write.mode("overwrite").parquet(path)
-    path
-  }
+  /** Build the edge list at most once per (JVM, scale dir);
+    * concurrent first callers serialize on the ArtifactCache lock. */
+  def ensureCoEdges(s: SparkSession, dir: String): String =
+    graft.ingest.ArtifactCache.ensure(coEdgesPath(dir)) {
+      coEdgesFresh(s, dir).write.mode("overwrite").parquet(coEdgesPath(dir))
+    }
 
   /** The shared graph input: the PERSISTED edge list (set semantics —
     * no operator depends on edge-row order). */
@@ -373,10 +372,13 @@ object Graph {
     out
   }
 
-  /** The un-checkpointed plan of [[jaccardNeighbors]], split out so
-    * PlanSpec can assert the join shape (localCheckpoint truncates
-    * the executed plan to a Scan ExistingRDD). */
-  private[graft] def jaccardNeighborsFrame(edges: DataFrame): DataFrame = {
+  /** The plan of [[jaccardNeighbors]], split out so PlanSpec can
+    * assert the join shape: with `barrier = false` the ranked frame
+    * stays un-checkpointed so the rank window and cap filter remain
+    * visible below the wedge join (localCheckpoint truncates the
+    * executed plan to a Scan ExistingRDD). */
+  private[graft] def jaccardNeighborsFrame(edges: DataFrame,
+                                           barrier: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col("s1").as("n"), col("s2").as("nb"))
       .unionByName(edges.select(col("s2").as("n"), col("s1").as("nb")))
@@ -386,11 +388,16 @@ object Graph {
     // uses TRUE degrees — the cap only prunes candidate generation.
     // The rank window shuffles on nb, the SAME key as the wedge join,
     // so the join reuses the partitioning instead of adding one.
-    val ranked = adj
+    // adjacency-sized (like the frames already cached here); both
+    // `capped` and the 1-row `cut` report derive from it, so without
+    // a barrier the degree broadcast + rank window would execute
+    // twice — once under the cut aggregate, once on the main path
+    val ranked0 = adj
       .join(broadcast(deg.select(col("n").as("mn"), col("deg").as("m_deg"))),
         col("n") === col("mn"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("nb")).orderBy(col("m_deg").desc, col("n"))))
+    val ranked = if (barrier) ranked0.localCheckpoint() else ranked0
     val capped = ranked.filter(col("rk") <= JaccAdjCap)
       .select(col("n"), col("nb"))
     // cut report: adjacency rows the cap dropped (0 until it binds)

@@ -340,12 +340,12 @@ object Maintenance {
     * the "materialized view on disk" the incremental refresh reads. */
   def ensureIvmView(s: SparkSession, dir: String): String = {
     val p = ivmViewPath(dir)
-    if (!new java.io.File(s"$p/_SUCCESS").exists())
+    graft.ingest.ArtifactCache.ensure(p) {
       documents(s, dir).groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("sum_chars"))
         .write.mode("overwrite").parquet(p)
-    p
+    }
   }
 
   /** K101: INCREMENTAL VIEW MAINTENANCE — refresh the materialized

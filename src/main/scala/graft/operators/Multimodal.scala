@@ -136,6 +136,11 @@ object Multimodal {
   def phashBands(s: SparkSession, dir: String): DataFrame = {
     val m = phashMedia(s, dir)
       .withColumn("len", length(col("payload")))
+      // Spark's sequence() auto-DESCENDS when start > stop, so a
+      // zero-length payload would explode to [0, -1] — rows range()
+      // on the oracle side never produces. Guard, don't assume the
+      // corpus keeps its min-length invariant.
+      .filter(col("len") > 0)
     val bytes = m
       .select(col("doc_id"), col("mime"), col("len"), col("payload"),
         explode(sequence(lit(0), col("len") - 1)).as("i"))
@@ -262,6 +267,8 @@ object Multimodal {
       .select(col("doc_id"), col("source"),
         encode(col("text"), "UTF-8").as("payload"))
       .withColumn("len", length(col("payload")))
+      // sequence() descends on empty payloads — see phashBands
+      .filter(col("len") > 0)
     val bytes = imgs
       .select(col("doc_id"), col("source"), col("len"),
         explode(sequence(lit(0), col("len") - 1)).as("i"),
@@ -402,6 +409,8 @@ object Multimodal {
       .filter(col("meta.mime") === "audio/wav")
       .select(col("doc_id"), decode(col("payload"), "UTF-8").as("t"))
       .withColumn("nf", expr(s"(length(t) + ${VadFrame - 1}) div $VadFrame"))
+      // sequence() descends on empty payloads — see phashBands
+      .filter(col("nf") > 0)
     val frames = audio
       .select(col("doc_id"), col("nf"),
         explode(sequence(lit(0L), col("nf") - 1)).as("idx"),

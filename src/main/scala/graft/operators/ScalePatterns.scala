@@ -414,8 +414,11 @@ object ScalePatterns {
         .map(col): _*)
     val flagged = EncCols.foldLeft(li) { (df, c) =>
       val prev = lag(col(c), 1).over(w)
+      // null-safe (<=>) so a run break matches the oracle's
+      // IS DISTINCT FROM on a future nullable column: non-null→null
+      // and null→null transitions score like DuckDB's
       df.withColumn(s"__run_$c",
-        when(prev.isNull || prev =!= col(c), 1L).otherwise(0L))
+        when(!(prev <=> col(c)), 1L).otherwise(0L))
     }
     val runAggs = EncCols.map(c => sum(col(s"__run_$c")).as(s"__runs_$c"))
     val base = flagged.agg(count(lit(1)).as("n_rows"), runAggs: _*)

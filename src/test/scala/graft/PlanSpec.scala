@@ -347,7 +347,8 @@ class PlanSpec extends SparkSpec {
     // the public operator localCheckpoints (truncating the plan), so
     // assert on the un-checkpointed frame over the same edges
     val p = graft.operators.Graph
-      .jaccardNeighborsFrame(graft.operators.Graph.coEdges(spark, sf))
+      .jaccardNeighborsFrame(graft.operators.Graph.coEdges(spark, sf),
+        barrier = false)
       .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("CartesianProduct"))
