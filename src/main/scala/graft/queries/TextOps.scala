@@ -528,18 +528,25 @@ object TextOps {
     out
   }
 
-  /** The (source, bigram) occurrence cells for [[keynessTerms]]. */
-  private[graft] def keynessCells(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir).select(col("source"), col("doc_id"),
-      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks
-      .withColumn("w1", lead(col("w"), 1).over(wDoc))
-      .filter(col("w1").isNotNull)
-      .select(col("source"), concat(col("w"), lit(" "), col("w1")).as("gram"))
+  /** The (source, bigram) occurrence cells for [[keynessTerms]] —
+    * bigrams are built MAP-SIDE from each document's token array
+    * (zip_with over the two shifted slices, the oracle's own
+    * list-comprehension shape), so the only rows-scale shuffle in
+    * the whole operator is the (source, gram) cell aggregate. The r8
+    * form paired tokens with a lead over a doc-keyed window, which
+    * forced a full token-stream exchange BEFORE any aggregation —
+    * strictly worse at every scale, since adjacency is a local
+    * array property, not a cross-row one. */
+  private[graft] def keynessCells(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"), TextFns.wsTokens(lower(col("text"))).as("ts"))
+      .filter(size(col("ts")) >= 2) // slice length must be >= 0
+      .select(col("source"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
       .groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("a"))
-  }
 
   /** The un-checkpointed scoring plan over given cells, split out so
     * PlanSpec can assert the single-aggregation / broadcast shape

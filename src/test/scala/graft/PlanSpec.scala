@@ -484,6 +484,15 @@ class PlanSpec extends SparkSpec {
 
   test("keyness_terms: the cell frame aggregates once and is CACHED for its four consumers") {
     import graft.queries.TextOps
+    // bigram build is map-side array algebra: NO window (hence no
+    // doc-keyed exchange of the raw token stream) below the cell
+    // aggregate — the only rows-scale exchange is (source, gram)
+    val cellPlan = TextOps.keynessCells(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!cellPlan.contains("Window"),
+      s"token-stream window exchange crept back under the cells:\n$cellPlan")
+    assert("Exchange".r.findAllIn(cellPlan).length == 1,
+      s"cells should shuffle exactly once, on (source, gram):\n$cellPlan")
     val sg = TextOps.keynessCells(spark, sf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
