@@ -269,7 +269,9 @@ object Ann {
     * driver's DuckDB oracle replays this end to end. */
   def knnJoinLsh(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    val b = portableBuckets(v, "vec_id", "embedding")
+    // vectors×tables rows (tiny); materialize so the self-join's two
+    // sides don't each re-run the tables-wide projection aggregate
+    val b = portableBuckets(v, "vec_id", "embedding").localCheckpoint()
     val cand = b.as("x").join(b.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.vec_id") < col("y.vec_id"))
