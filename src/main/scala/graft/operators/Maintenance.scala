@@ -359,14 +359,20 @@ object Maintenance {
     * anywhere in the refresh (min/max would need one on delete; that
     * is exactly why this view carries count+sum).
     *
-    * Scale shape: the refresh cost is ∝ |delta|, never |base| — old
-    * values for deleted/updated keys are fetched by ONE
-    * broadcast-keyed join against the base (the point-lookup a real
-    * store serves from its key index), the delta aggregate carries
-    * |touched-group| rows, and the view merge is a full-outer join of
-    * two group-cardinality frames. The driver oracle proves the
-    * incremental path equals the full recompute over the merged
-    * table — the IVM correctness contract. */
+    * Scale shape, with the IO term named honestly: SHUFFLE is
+    * ∝ |delta| (the old-row fetch is a broadcast-keyed join — no
+    * base-sized exchange anywhere, and the delta aggregate + view
+    * merge carry group-cardinality frames), but the fetch's READ is
+    * a scan of the base parquet: column-pruned to the four touched
+    * columns yet still ∝ |base| rows, because this container's base
+    * is a flat file with no key index. (A layout can't fix it HERE —
+    * the synthetic delta touches every 10th doc_id, so any
+    * key-range/bucket partitioning has all partitions touched.) In
+    * production the base lives in a keyed store and this join is the
+    * store's index point-lookup, ∝ |delta|; on a lake layout the
+    * fetch prunes to the delta's touched key partitions. The driver
+    * oracle proves the incremental path equals the full recompute
+    * over the merged table — the IVM correctness contract. */
   def ivmAgg(s: SparkSession, dir: String): DataFrame = {
     val view = s.read.parquet(ensureIvmView(s, dir))
     val ch = changes(s, dir)
