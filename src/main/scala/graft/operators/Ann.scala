@@ -63,14 +63,28 @@ object Ann {
       |      (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *
       |       sqrt(list_dot_product(ne::DOUBLE[], ne::DOUBLE[])))""".stripMargin
 
-  /** D1: exact top-k cosine neighbors — the recall baseline. */
-  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+  /** Exact top-[[K]] scoring of a GIVEN probe frame
+    * (qid, qe, qn = norm) against the corpus — the kernel D1 and the
+    * streaming search path ([[graft.streaming.StreamAnn]]) share:
+    * probes broadcast, corpus scans once per call, identical doubles
+    * to the all-in-one form. */
+  private[graft] def bruteforceFor(s: SparkSession, dir: String,
+                                   probeFrame: DataFrame): DataFrame = {
     val scored = vecs(s, dir)
-      .join(broadcast(probes(s, dir)), col("vec_id") =!= col("qid"))
+      .join(broadcast(probeFrame), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nb"),
         pairCos(col("qe"), col("embedding"), col("qn"), col("nn")).as("cos"))
     topK(scored)
   }
+
+  /** Probe shape (qid, qe, qn) from raw (vec_id, embedding) rows. */
+  private[graft] def asProbes(df: DataFrame): DataFrame =
+    df.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      VecFns.norm(col("embedding")).as("qn"))
+
+  /** D1: exact top-k cosine neighbors — the recall baseline. */
+  def annBruteforce(s: SparkSession, dir: String): DataFrame =
+    bruteforceFor(s, dir, probes(s, dir))
 
   val annBruteforceSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),

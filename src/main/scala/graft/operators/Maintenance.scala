@@ -22,7 +22,7 @@ object Maintenance {
 
   /** The synthesized change feed: (op, doc_id, text, lang, source,
     * n_chars). */
-  private def changes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def changes(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
     val deletes = d.filter(col("doc_id") % 10 === 0)
       .select(lit("delete").as("op"), col("doc_id"),

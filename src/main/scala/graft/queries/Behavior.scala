@@ -342,7 +342,7 @@ object Behavior {
   /** K106: LINEAR MULTI-TOUCH ATTRIBUTION — K17's last-touch rule
     * credits ONE click; the linear model splits each purchase's 10⁶
     * credit units equally across EVERY click in the
-    * [[AttribWindowSec]] lookback (tp − W ≤ tc < tp, strict second
+    * [[LinAttribWindowSec]] lookback (tp − W ≤ tc < tp, strict second
     * ordering), the report marketing actually reconciles against
     * spend: per click-HOUR, touches and credit received. Integer
     * credit: each touch gets 10⁶ div k; the EARLIEST touch (by
@@ -357,6 +357,13 @@ object Behavior {
     * (the stream_join shape), fanout ∝ purchases × in-window clicks
     * per user, never cross-user; k and the credit then ride a
     * purchase-keyed window over the pair frame. */
+  /** K106's own lookback: linear multi-touch conventionally uses a
+    * longer window than last-touch (a DAY of touches shares credit;
+    * K17 keeps its 30 min) — and at the test SFs the 24 h window is
+    * what makes multi-click purchases (k > 1, the split arithmetic)
+    * actually occur, so the spec's conservation probe is non-vacuous. */
+  val LinAttribWindowSec = 86400L
+
   def attributionLinear(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
       .select(col("user_id"), col("ts").cast("long").as("t"),
@@ -366,7 +373,7 @@ object Behavior {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("t").as("tp"), col("event_id").as("purchase_id"))
     val pairs = purchases.join(clicks, Seq("user_id"))
-      .filter(col("tc") < col("tp") && col("tc") >= col("tp") - AttribWindowSec)
+      .filter(col("tc") < col("tp") && col("tc") >= col("tp") - LinAttribWindowSec)
     val wP = Window.partitionBy(col("purchase_id"))
     val wRank = wP.orderBy(col("tc"), col("click_id"))
     pairs
@@ -392,7 +399,7 @@ object Behavior {
        |  FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
        |  JOIN (SELECT * FROM ev WHERE event_type = 'click') c
        |    ON c.user_id = p.user_id
-       |   AND c.t < p.t AND c.t >= p.t - $AttribWindowSec),
+       |   AND c.t < p.t AND c.t >= p.t - $LinAttribWindowSec),
        |cr AS (
        |  SELECT *,
        |    count(*) OVER (PARTITION BY purchase_id) AS k,

@@ -541,6 +541,50 @@ class BehaviorSpec extends SparkSpec {
     assert(totals.map(_._2).sum > 0 && totals.map(_._2).sum < totals.map(_._1).sum)
   }
 
+  test("attribution_linear: integer credit conserves exactly; cells replay locally") {
+    val W = graft.queries.Behavior.LinAttribWindowSec
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getString(3)))
+    val byUser = evs.groupBy(_._1)
+    // every (purchase, in-window click) pair, then the greedy credit
+    val pairs: Seq[(Long, Long, Long)] = byUser.values.toSeq.flatMap { us =>
+      val clicks = us.filter(_._4 == "click").toSeq
+      us.toSeq.filter(_._4 == "purchase").flatMap { p =>
+        val (tp, pid) = (p._2, p._3)
+        clicks.collect { case (_, tc, cid, _) if tc < tp && tc >= tp - W =>
+          (pid, tc, cid)
+        }
+      }
+    }
+    val credits = pairs.groupBy(_._1).values.flatMap { ps =>
+      val k = ps.size.toLong
+      val sorted = ps.sortBy(p => (p._2, p._3))
+      sorted.zipWithIndex.map { case ((_, tc, _), i) =>
+        (tc, 1000000L / k + (if (i == 0) 1000000L % k else 0L))
+      }
+    }.toSeq
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:00:00").withZone(java.time.ZoneOffset.UTC)
+    val expected = credits.groupBy(c => fmt.format(java.time.Instant.ofEpochSecond(c._1)))
+      .map { case (h, cs) => h -> (cs.size.toLong, cs.map(_._2).sum) }
+    val got = run("attribution_linear").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_touches"),
+        r.getAs[Long]("n_purchases_touched"), r.getAs[Long]("credit_pm"))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    expected.foreach { case (h, (nt, credit)) =>
+      assert(got(h)._1 == nt, s"hour $h touches: ${got(h)._1} vs $nt")
+      assert(got(h)._3 == credit, s"hour $h credit: ${got(h)._3} vs $credit")
+    }
+    // EXACT conservation: total credit = 1e6 per touched purchase —
+    // the invariant a float split can never give
+    val touchedPurchases = pairs.map(_._1).distinct.size.toLong
+    assert(got.values.map(_._3).sum == 1000000L * touchedPurchases)
+    // multi-touch purchases exist, so the split is not vacuous
+    assert(pairs.groupBy(_._1).values.exists(_.size > 1))
+  }
+
   test("burst_detect: flags replay the exact-integer trailing z-test; some but not all hours burst") {
     val got = run("burst_detect").collect()
       .map(r => (r.getString(0), r.getTimestamp(1)) ->

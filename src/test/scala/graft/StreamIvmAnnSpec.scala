@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** K107 stream_ivm and K108 stream_ann: the streamed form must equal
+  * its batch twin EXACTLY, and the equality must be earned across
+  * multiple micro-batches (one lucky batch proves nothing about
+  * accumulation). */
+class StreamIvmAnnSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("stream_ivm: three-wave incremental maintenance equals the batch refresh") {
+    val streamed = run("stream_ivm").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(graft.streaming.StreamIvm.dataBatches >= 3,
+      s"expected >= 3 data micro-batches, got ${graft.streaming.StreamIvm.dataBatches}")
+    val batch = SparkEntry.queries("ivm_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"diff=${(streamed.toSet diff batch.toSet).take(3)}")
+  }
+
+  test("stream_ann: two probe waves reproduce the exact batch top-K") {
+    val streamed = run("stream_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(graft.streaming.StreamAnn.dataBatches >= 2,
+      s"expected >= 2 data micro-batches, got ${graft.streaming.StreamAnn.dataBatches}")
+    val batch = SparkEntry.queries("ann_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"diff=${(streamed diff batch).take(3)}")
+  }
+}
