@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.floor
 
-/** Cross-engine tie-free rounding for RATIONAL quantities.
+/** Cross-engine tie-free rounding for every rounded-double emitter.
   *
   * `round(x, k)` on a DOUBLE is engine-specific exactly at half-way
   * ties: Spark HALF_UPs the double's SHORTEST DECIMAL REPR
@@ -27,14 +27,19 @@ import org.apache.spark.sql.functions.floor
   * formula; spec-side local recounts mirror it with [[jround]].
   *
   * Non-rational emitters (sums of arbitrary doubles, sqrt-based
-  * cosines, interpolated percentiles of raw doubles) keep plain
-  * round(x, k): their pre-round values cannot land exactly on the
-  * decimal half-grid, so the engines' tie rules never fire.
+  * cosines, interpolated percentiles of raw doubles) cannot land
+  * EXACTLY on the decimal half-grid, so for them plain round(x, k)
+  * would also agree — but "provably can't tie" is an argument per
+  * call site, and cohort_ltv shipped red because one site's argument
+  * was wrong. Every rounded-double emitter therefore routes through
+  * [[pround]] unconditionally: one mechanical rule, no per-site
+  * proof, and the oracle twin is textually the same arithmetic.
   *
-  * Scale bound: the scaled value must stay well inside 2^53 (Spark's
-  * floor returns LONG and the quotient re-enters double space);
-  * every consumer here rounds ratios, rates or per-entity averages —
-  * magnitudes ≤ 1e12 after scaling.
+  * Scale bound: Spark's floor returns LONG (DuckDB's returns
+  * DOUBLE), so the scaled value must stay inside 2^63 — and beyond
+  * 2^53 a double is already integral, making floor the identity on
+  * both engines. The largest consumers (group sums of prices at
+  * sf0.1, ×10^4) sit near 1e14; headroom is ~5e4×.
   */
 object Portable {
   /** Tie-free cross-engine round of a rational column to k places. */

@@ -53,7 +53,7 @@ object Ann {
       .filter(col("prk") <= K)
       .withColumn("rnk", row_number().over(full))
       .filter(col("rnk") <= K)
-      .select(col("qid"), col("nb"), col("rnk"), round(col("cos"), 4).as("cos"))
+      .select(col("qid"), col("nb"), col("rnk"), pround(col("cos"), 4).as("cos"))
   }
 
   /** Shared cosine expression (double, left-to-right — matches the
@@ -91,7 +91,7 @@ object Ann {
        |s AS (SELECT qid, e.vec_id AS nb, $cosSql AS c
        |      FROM q, (SELECT vec_id, embedding AS ne FROM embeddings) e
        |      WHERE e.vec_id <> qid)
-       |SELECT qid, nb, rnk, round(c, 4) AS cos FROM (
+       |SELECT qid, nb, rnk, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
        |  SELECT qid, nb, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
        |  FROM s) WHERE rnk <= $K""".stripMargin
 
@@ -138,7 +138,7 @@ object Ann {
        |  FROM (SELECT qid, nb, q.embedding AS qe, e.embedding AS ne
        |        FROM cand JOIN embeddings q ON q.vec_id = cand.qid
        |        JOIN embeddings e ON e.vec_id = cand.nb))
-       |SELECT qid, nb, rnk, round(c, 4) AS cos FROM (
+       |SELECT qid, nb, rnk, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
        |  SELECT qid, nb, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
        |  FROM s) WHERE rnk <= $K""".stripMargin
 
@@ -196,7 +196,7 @@ object Ann {
        |  FROM qcells JOIN assign a ON a.cid = qcells.cid
        |  JOIN embeddings e ON e.vec_id = a.vec_id
        |  WHERE a.vec_id <> qid)
-       |SELECT qid, nb, rnk, round(c, 4) AS cos FROM (
+       |SELECT qid, nb, rnk, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
        |  SELECT qid, nb, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
        |  FROM (SELECT qid, nb, $cosSql AS c FROM cand))
        |WHERE rnk <= $K""".stripMargin
@@ -265,7 +265,7 @@ object Ann {
        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
-       |SELECT vec_id, nb, rnk, round(c, 4) AS cos FROM (
+       |SELECT vec_id, nb, rnk, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
        |  SELECT vec_id, nb, c,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nb) AS rnk
        |  FROM s) WHERE rnk <= $K""".stripMargin
@@ -318,7 +318,7 @@ object Ann {
        |        JOIN embeddings b ON b.vec_id = cand.vb)),
        |s AS (SELECT va AS vec_id, vb AS nb, c FROM s0
        |      UNION ALL SELECT vb, va, c FROM s0)
-       |SELECT vec_id, nb, rnk, round(c, 4) AS cos FROM (
+       |SELECT vec_id, nb, rnk, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
        |  SELECT vec_id, nb, c,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nb) AS rnk
        |  FROM s) WHERE rnk <= $K""".stripMargin
@@ -389,17 +389,17 @@ object Ann {
         array_max(transform(col("e"),
           x => abs(x - quant(x) * col("scale")))).as("max_err"),
         size(filter(col("e"), x => abs(quant(x)) === 127.0)).as("n_clip"))
-      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-        round(col("max_err"), 6).as("max_err"), col("n_clip"))
+      .select(col("vec_id"), pround(col("scale"), 6).as("scale"),
+        pround(col("max_err"), 6).as("max_err"), col("n_clip"))
   }
 
   val embQuantizeSql: String =
     """WITH v AS (
       |  SELECT vec_id, e, greatest(list_max(list_transform(e, x -> abs(x))) / 127.0, 1e-30) AS scale
       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
-      |SELECT vec_id, round(scale, 6) AS scale,
-      |  round(list_max(list_transform(e,
-      |    x -> abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale))), 6) AS max_err,
+      |SELECT vec_id, floor((scale) * 1000000.0 + 0.5) / 1000000.0 AS scale,
+      |  floor((list_max(list_transform(e,
+      |    x -> abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale)))) * 1000000.0 + 0.5) / 1000000.0 AS max_err,
       |  len(list_filter(e,
       |    x -> abs(greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) = 127.0)) AS n_clip
       |FROM v""".stripMargin
@@ -420,10 +420,10 @@ object Ann {
       .agg(count(lit(1)).as("n_vecs"),
         min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
         sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
-        round(min(col("nrm")), 4).as("min_norm"),
-        round(expr("percentile(nrm, 0.5)"), 4).as("p50_norm"),
-        round(max(col("nrm")), 4).as("max_norm"),
-        round(avg(col("nrm")), 4).as("avg_norm"))
+        pround(min(col("nrm")), 4).as("min_norm"),
+        pround(expr("percentile(nrm, 0.5)"), 4).as("p50_norm"),
+        pround(max(col("nrm")), 4).as("max_norm"),
+        pround(avg(col("nrm")), 4).as("avg_norm"))
   }
 
   val vecHealthSql: String =
@@ -434,10 +434,10 @@ object Ann {
       |SELECT label, count(*) AS n_vecs,
       |  min(dim) AS min_dim, max(dim) AS max_dim,
       |  sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
-      |  round(min(nrm), 4) AS min_norm,
-      |  round(quantile_cont(nrm, 0.5), 4) AS p50_norm,
-      |  round(max(nrm), 4) AS max_norm,
-      |  round(avg(nrm), 4) AS avg_norm
+      |  floor((min(nrm)) * 10000.0 + 0.5) / 10000.0 AS min_norm,
+      |  floor((quantile_cont(nrm, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50_norm,
+      |  floor((max(nrm)) * 10000.0 + 0.5) / 10000.0 AS max_norm,
+      |  floor((avg(nrm)) * 10000.0 + 0.5) / 10000.0 AS avg_norm
       |FROM v GROUP BY label""".stripMargin
 
   /** Variance floor below which a dimension counts as dead. */
@@ -676,8 +676,8 @@ object Ann {
     (0 until d).map(j => (j.toLong, v(j).toLong, shareQ.toLong))
       .toDF("dim", "vq", "share_q")
       .select(col("dim"),
-        round(col("vq") / 10000.0, 4).as("loading"),
-        round(col("share_q") / 1000000.0, 6).as("top_share"))
+        pround(col("vq") / 10000.0, 4).as("loading"),
+        pround(col("share_q") / 1000000.0, 6).as("top_share"))
   }
 
   lazy val pcaPowerSql: String = {
@@ -716,8 +716,9 @@ object Ann {
        |tr AS (SELECT sum(c)::HUGEINT AS trace FROM cmat WHERE j = k),
        |sh AS (SELECT ((vcv * 1000000) // (vv * trace)) AS share_q
        |       FROM ray CROSS JOIN tr)
-       |SELECT v.j AS dim, round(v.v / 10000.0, 4) AS loading,
-       |  round(share_q / 1000000.0, 6) AS top_share
+       |SELECT v.j AS dim,
+       |  floor((v.v / 10000.0) * 10000.0 + 0.5) / 10000.0 AS loading,
+       |  floor((share_q / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS top_share
        |FROM v$PcaRounds v CROSS JOIN sh""".stripMargin
   }
 

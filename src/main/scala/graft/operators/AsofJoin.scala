@@ -61,7 +61,7 @@ object AsofJoin {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
         col("asof_click_id").as("click_id"),
         col("asof_click_ts").as("click_ts"),
-        round(col("asof_click_value"), 4).as("click_value"))
+        graft.Portable.pround(col("asof_click_value"), 4).as("click_value"))
   }
 
   /** DuckDB's native ASOF JOIN is the oracle. */
@@ -78,7 +78,7 @@ object AsofJoin {
       |  strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS p_ts,
       |  c.click_id,
       |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-      |  round(c.click_value, 4) AS click_value
+      |  floor((c.click_value) * 10000.0 + 0.5) / 10000.0 AS click_value
       |FROM p ASOF LEFT JOIN c
       |  ON p.user_id = c.user_id AND c.cts <= p.pts""".stripMargin
 }

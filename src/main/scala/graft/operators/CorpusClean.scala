@@ -143,8 +143,8 @@ object CorpusClean {
     * per-doc duplicate-word fraction, top-word fraction, and
     * duplicate-bigram fraction, plus the keep/drop verdict. Two
     * doc-keyed aggregates (words, bigrams) joined on doc_id; ratios
-    * are single divisions of exact integer counts, so round(_, 4)
-    * is engine-stable. */
+    * are single divisions of exact integer counts — exactly the
+    * tie-prone class — rounded via [[graft.Portable.pround]]. */
   def repetitionScore(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir).select(col("doc_id"),
       posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))

@@ -1098,7 +1098,7 @@ object Dedup {
       .filter(col("cos") >= CosFloor)
       .select(least(col("va"), col("vb")).as("va"),
         greatest(col("va"), col("vb")).as("vb"),
-        round(col("cos"), 4).as("cos"))
+        pround(col("cos"), 4).as("cos"))
   }
 
   /** K2 banded-LSH geometry and scenario constants.
@@ -1134,7 +1134,7 @@ object Dedup {
 
   /** Exact-cosine verify of (va, vb) candidate rows against a
     * (vec_id, embedding) frame — codegen'd [[VecFns.dot]], one
-    * double division, round(…, 4). Norms compute once per side. */
+    * double division, pround(…, 4). Norms compute once per side. */
   private def verifyCosPairs(cand: DataFrame, e: DataFrame,
                              floor: Double): DataFrame = {
     val en = e.withColumn("nrm", VecFns.norm(col("embedding")))
@@ -1145,7 +1145,7 @@ object Dedup {
       .withColumn("cos", when(denom === 0, lit(0.0))
         .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
       .filter(col("cos") >= floor)
-      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+      .select(col("va"), col("vb"), pround(col("cos"), 4).as("cos"))
   }
 
   /** Shared banded sign-LSH cosine pair kernel in its PERMISSIVE-
@@ -1263,7 +1263,7 @@ object Dedup {
        |  FROM capped x JOIN capped y
        |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
        |  GROUP BY 1, 2)
-       |SELECT va, vb, round(c, 4) AS cos FROM (
+       |SELECT va, vb, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
        |  SELECT va, vb,
        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
@@ -1273,7 +1273,7 @@ object Dedup {
        |WHERE c >= $CosLshFloor""".stripMargin
 
   val dedupEmbeddingSql: String =
-    """SELECT va, vb, round(c, 4) AS cos FROM (
+    """SELECT va, vb, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
       |  SELECT a.vec_id AS va, b.vec_id AS vb,
       |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
       |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
@@ -1319,14 +1319,14 @@ object Dedup {
       .withColumn("cos", when(denom === 0, lit(0.0))
         .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
       .filter(col("cos") >= CosFloor)
-      .select(col("cid"), col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+      .select(col("cid"), col("va"), col("vb"), pround(col("cos"), 4).as("cos"))
   }
 
   /** DuckDB twin: the same integer k-means labels (shared CTEs), the
     * same within-cluster exact cosine. */
   val dedupSemanticSql: String =
     KMeansIter.kmeansCtes + s"""
-      |SELECT cid, va, vb, round(c, 4) AS cos FROM (
+      |SELECT cid, va, vb, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
       |  SELECT la.cid AS cid, a.vec_id AS va, b.vec_id AS vb,
       |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
       |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *

@@ -299,7 +299,7 @@ object Graph {
     // and ANSI division would throw. Emit NULL, like the oracle.
     val out = m.select(col("m").as("n_endpoints"),
       when(den === 0.0, lit(null).cast("double"))
-        .otherwise(round(num / den, 4)).as("assortativity"),
+        .otherwise(pround(num / den, 4)).as("assortativity"),
       when(den === 0.0, lit(false))
         .otherwise(num / den < 0).as("disassortative"))
       .localCheckpoint() // one-row result; release the cached edges
@@ -329,7 +329,8 @@ object Graph {
       |    sqrt((m * sxx - sx * sx)::DOUBLE) * sqrt((m * syy - sy * sy)::DOUBLE) AS den
       |  FROM mom)
       |SELECT m AS n_endpoints,
-      |  CASE WHEN den = 0 THEN NULL ELSE round(num / den, 4) END AS assortativity,
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE floor((num / den) * 10000.0 + 0.5) / 10000.0 END AS assortativity,
       |  CASE WHEN den = 0 THEN false ELSE num / den < 0 END AS disassortative
       |FROM nd""".stripMargin
 

@@ -184,8 +184,9 @@ object Maintenance {
       val mm = kind match {
         case "int" => Seq(min(col(c)).cast("double").as(s"${c}_min_num"),
           max(col(c)).cast("double").as(s"${c}_max_num"))
-        case "double" => Seq(round(min(col(c)), 4).as(s"${c}_min_num"),
-          round(max(col(c)), 4).as(s"${c}_max_num"))
+        case "double" => Seq(
+          graft.Portable.pround(min(col(c)), 4).as(s"${c}_min_num"),
+          graft.Portable.pround(max(col(c)), 4).as(s"${c}_max_num"))
         case "ts" => Seq(date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_min_str"),
           date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_max_str"))
         case _ => Seq(min(col(c)).as(s"${c}_min_str"), max(col(c)).as(s"${c}_max_str"))
@@ -225,7 +226,8 @@ object Maintenance {
       val (minN, maxN, minS, maxS) = kind match {
         case "int" => (s"min($c)::DOUBLE", s"max($c)::DOUBLE",
           "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
-        case "double" => (s"round(min($c), 4)", s"round(max($c), 4)",
+        case "double" => (s"floor((min($c)) * 10000.0 + 0.5) / 10000.0",
+          s"floor((max($c)) * 10000.0 + 0.5) / 10000.0",
           "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
         case "ts" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
           s"strftime(CAST(min($c) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')",

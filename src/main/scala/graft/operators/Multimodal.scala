@@ -340,12 +340,13 @@ object Multimodal {
     }
     decoded.select(
       (col("doc_id") +: col("mime") +: col("n_bytes") +:
-        (0 until 8).map(i => round(element_at(col("features"), i + 1), 4).as(s"f$i"))): _*)
+        (0 until 8).map(i =>
+          graft.Portable.pround(element_at(col("features"), i + 1), 4).as(s"f$i"))): _*)
   }
 
   val mmDecodeSql: String = {
     val fs = (0 until 8)
-      .map(i => s"round(ascii(substr(text, ${i + 1}, 1)) / 255.0, 4) AS f$i")
+      .map(i => s"floor((ascii(substr(text, ${i + 1}, 1)) / 255.0) * 10000.0 + 0.5) / 10000.0 AS f$i")
       .mkString(",\n  ")
     s"""SELECT doc_id,
        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -23,10 +23,11 @@ object ScalePatterns {
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
       .groupBy(col("event_type"))
-      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 4).as("sum_value"))
+      .agg(sum(col("pn")).as("n"), graft.Portable.pround(sum(col("pv")), 4).as("sum_value"))
 
   val skewAggSql: String =
-    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    """SELECT event_type, count(*) AS n,
+      |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
   /** H19: salted skewed JOIN — [[skewAgg]]'s sibling for joins. A
@@ -49,12 +50,12 @@ object ScalePatterns {
     e.join(saltedDim.hint("merge"), Seq("event_type", "salt"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value") * col("w")), 4).as("weighted"))
+        graft.Portable.pround(sum(col("value") * col("w")), 4).as("weighted"))
   }
 
   val skewJoinSql: String =
     """SELECT e.event_type, count(*) AS n,
-      |  round(sum(e.value * d.w), 4) AS weighted
+      |  floor((sum(e.value * d.w)) * 10000.0 + 0.5) / 10000.0 AS weighted
       |FROM events e
       |JOIN (SELECT event_type, length(min(event_type))::BIGINT AS w
       |      FROM events GROUP BY 1) d
@@ -76,12 +77,12 @@ object ScalePatterns {
     l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+        graft.Portable.pround(sum(col("l_extendedprice")), 4).as("sum_price"))
   }
 
   val bucketedJoinSql: String =
     """SELECT o_orderpriority, count(*) AS n_lines,
-      |  round(sum(l_extendedprice), 4) AS sum_price
+      |  floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_price
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
@@ -330,7 +331,7 @@ object ScalePatterns {
     s.read.option("mergeSchema", "true").parquet(driftDir(dir))
       .groupBy(col("day").cast("int").as("day"),
         coalesce(col("o_orderstatus"), lit("<pre-drift>")).as("status"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("sum_price"))
+      .agg(count(lit(1)).as("n"), graft.Portable.pround(sum(col("o_totalprice")), 4).as("sum_price"))
   }
 
   val schemaDriftSql: String =
@@ -341,7 +342,8 @@ object ScalePatterns {
       |  SELECT 2 AS day, o_totalprice, o_orderstatus
       |  FROM orders WHERE o_orderkey % 2 = 1)
       |SELECT day, coalesce(o_orderstatus, '<pre-drift>') AS status,
-      |  count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+      |  count(*) AS n,
+      |  floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS sum_price
       |FROM u GROUP BY 1, 2""".stripMargin
 
   /** Keys reported by [[joinSizeEst]]. */

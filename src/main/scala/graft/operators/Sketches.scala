@@ -123,13 +123,13 @@ object Sketches {
       .filter(pmod(col("event_id") * Mult, lit(M)) < SampleCut)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_sample"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        pround(expr("percentile(value, 0.5)"), 4).as("p50"),
+        pround(expr("percentile(value, 0.9)"), 4).as("p90"))
 
   val sampleQuantilesSql: String =
     s"""SELECT event_type, count(*) AS n_sample,
-       |  round(quantile_cont(value, 0.5), 4) AS p50,
-       |  round(quantile_cont(value, 0.9), 4) AS p90
+       |  floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+       |  floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90
        |FROM events
        |WHERE (event_id * $Mult) % $M < $SampleCut
        |GROUP BY event_type""".stripMargin

@@ -26,23 +26,23 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(revenue), 4).as("sum_disc_price"),
-        round(sum(revenue * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        pround(sum(col("l_quantity")), 4).as("sum_qty"),
+        pround(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        pround(sum(revenue), 4).as("sum_disc_price"),
+        pround(sum(revenue * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        pround(avg(col("l_quantity")), 4).as("avg_qty"),
+        pround(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
+      |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
+      |  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
+      |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+      |  floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -64,7 +64,7 @@ object Analytics {
     l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(revenue), 4).as("rev"))
+      .agg(pround(sum(revenue), 4).as("rev"))
       .select(col("l_orderkey"), col("rev"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
@@ -73,7 +73,8 @@ object Analytics {
   }
 
   val q3JoinTopnSql: String =
-    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev,
+    """SELECT l_orderkey,
+      |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS rev,
       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -99,12 +100,13 @@ object Analytics {
       .join(broadcast(sup),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(revenue), 4).as("rev"))
+      .agg(pround(sum(revenue), 4).as("rev"))
       .orderBy(col("rev").desc, col("n_name"))
   }
 
   val q5MultijoinSql: String =
-    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+    """SELECT n_name,
+      |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS rev
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -137,13 +139,14 @@ object Analytics {
   def windowedCounts(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), pround(sum(col("value")), 4).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
   val windowedCountsSql: String =
     """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
-      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |  event_type, count(*) AS n,
+      |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** B6: gap-based sessionization (30 min) via lag + running sum —
@@ -208,7 +211,7 @@ object Analytics {
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(pround(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("sum_qty"), col("n"))
@@ -216,7 +219,7 @@ object Analytics {
   val rollupAggSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS flag,
       |  coalesce(l_linestatus, 'ALL') AS status,
-      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   /** B9: pivot event_type → count columns per user. */
@@ -257,7 +260,7 @@ object Analytics {
       .partitionBy(col("event_type")).orderBy(col("value"))
     val cum = cell.withColumn("cum", sum(col("cnt")).over(w))
     val n = cell.groupBy(col("event_type"))
-      .agg(sum(col("cnt")).as("n"), round(max(col("value")), 4).as("p100"))
+      .agg(sum(col("cnt")).as("n"), pround(max(col("value")), 4).as("p100"))
     def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
     def lo(p: Double) = floor(pos(p))
     val stats = cum.join(broadcast(n), "event_type")
@@ -268,7 +271,7 @@ object Analytics {
         min(when(col("cum") > lo(0.9), col("value"))).as("vl90"),
         min(when(col("cum") > lo(0.9) + 1, col("value"))).as("vu90"))
     def interp(p: Double, vl: Column, vu: Column) =
-      round(vl + (pos(p) - lo(p)) * (coalesce(vu, vl) - vl), 4)
+      pround(vl + (pos(p) - lo(p)) * (coalesce(vu, vl) - vl), 4)
     stats.select(col("event_type"),
       interp(0.5, col("vl50"), col("vu50")).as("p50"),
       interp(0.9, col("vl90"), col("vu90")).as("p90"),
@@ -283,7 +286,8 @@ object Analytics {
       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum
       |  FROM cell),
       |n AS (
-      |  SELECT event_type, sum(cnt)::BIGINT AS n, round(max(value), 4) AS p100
+      |  SELECT event_type, sum(cnt)::BIGINT AS n,
+      |    floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS p100
       |  FROM cell GROUP BY 1),
       |s AS (
       |  SELECT cum.event_type, n.n, n.p100,
@@ -293,8 +297,8 @@ object Analytics {
       |    min(CASE WHEN cum > floor(0.9 * (n.n - 1)) + 1 THEN value END) AS vu90
       |  FROM cum JOIN n USING (event_type) GROUP BY 1, 2, 3)
       |SELECT event_type,
-      |  round(vl50 + (0.5 * (n - 1) - floor(0.5 * (n - 1))) * (coalesce(vu50, vl50) - vl50), 4) AS p50,
-      |  round(vl90 + (0.9 * (n - 1) - floor(0.9 * (n - 1))) * (coalesce(vu90, vl90) - vl90), 4) AS p90,
+      |  floor((vl50 + (0.5 * (n - 1) - floor(0.5 * (n - 1))) * (coalesce(vu50, vl50) - vl50)) * 10000.0 + 0.5) / 10000.0 AS p50,
+      |  floor((vl90 + (0.9 * (n - 1) - floor(0.9 * (n - 1))) * (coalesce(vu90, vl90) - vl90)) * 10000.0 + 0.5) / 10000.0 AS p90,
       |  p100
       |FROM s""".stripMargin
 
@@ -343,14 +347,14 @@ object Analytics {
       .join(broadcast(n2), col("c_nationkey") === col("cnk"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("yr"))
-      .agg(count(lit(1)).as("n_items"), round(sum(revenue), 4).as("rev"))
+      .agg(count(lit(1)).as("n_items"), pround(sum(revenue), 4).as("rev"))
   }
 
   val tradeVolumeSql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  year(CAST(l_shipdate AS TIMESTAMP)) AS yr,
       |  count(*) AS n_items,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+      |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS rev
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -372,7 +376,7 @@ object Analytics {
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(pround(sum(col("o_totalprice")), 4).as("rev"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
     yearly
       .withColumn("prev_rev", lag(col("rev"), 1).over(w))
@@ -384,7 +388,7 @@ object Analytics {
   val yoyGrowthSql: String =
     """WITH yearly AS (
       |  SELECT n_name, year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
-      |    round(sum(o_totalprice), 4) AS rev
+      |    floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS rev
       |  FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
@@ -418,8 +422,8 @@ object Analytics {
         sum(revQ).as("total_q"),
         count(lit(1)).as("n_items"))
       .select(col("ship_month"),
-        round(col("promo_q") / 10000.0, 4).as("promo_rev"),
-        round(col("total_q") / 10000.0, 4).as("total_rev"),
+        pround(col("promo_q") / 10000.0, 4).as("promo_rev"),
+        pround(col("total_q") / 10000.0, 4).as("total_rev"),
         col("n_items"),
         pround(lit(100.0) * col("promo_q") / col("total_q"), 4).as("promo_pct"))
   }
@@ -435,8 +439,8 @@ object Analytics {
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY 1)
       |SELECT ship_month,
-      |  round(promo_q / 10000.0, 4) AS promo_rev,
-      |  round(total_q / 10000.0, 4) AS total_rev,
+      |  floor((promo_q / 10000.0) * 10000.0 + 0.5) / 10000.0 AS promo_rev,
+      |  floor((total_q / 10000.0) * 10000.0 + 0.5) / 10000.0 AS total_rev,
       |  n_items,
       |  floor((100.0 * promo_q / total_q) * 10000.0 + 0.5) / 10000.0 AS promo_pct
       |FROM q""".stripMargin
@@ -532,7 +536,7 @@ object Analytics {
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
-        round(col("rev_qsum") / 10000.0, 4).as("total_revenue"))
+        pround(col("rev_qsum") / 10000.0, 4).as("total_revenue"))
   }
 
   val topSupplierSql: String =
@@ -543,7 +547,8 @@ object Analytics {
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l_shipdate < TIMESTAMP '1996-04-01'
       |  GROUP BY 1)
-      |SELECT s_suppkey, s_name, round(rev_qsum / 10000.0, 4) AS total_revenue
+      |SELECT s_suppkey, s_name,
+      |  floor((rev_qsum / 10000.0) * 10000.0 + 0.5) / 10000.0 AS total_revenue
       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
       |WHERE rev_qsum = (SELECT max(rev_qsum) FROM rev)""".stripMargin
 
@@ -576,7 +581,7 @@ object Analytics {
       .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_cust"),
-        round(sum(col("bal_q")) / 100.0, 4).as("total_bal"))
+        pround(sum(col("bal_q")) / 100.0, 4).as("total_bal"))
   }
 
   lazy val idleCustomersSql: String =
@@ -588,7 +593,7 @@ object Analytics {
        |  SELECT count(*)::BIGINT AS n_pos, sum(bal_q)::BIGINT AS sum_pos_q
        |  FROM cust WHERE bal_q > 0)
        |SELECT c_mktsegment, count(*) AS n_cust,
-       |  round(sum(bal_q)::BIGINT / 100.0, 4) AS total_bal
+       |  floor((sum(bal_q)::BIGINT / 100.0) * 10000.0 + 0.5) / 10000.0 AS total_bal
        |FROM cust, pos
        |WHERE bal_q * n_pos > sum_pos_q
        |  AND NOT EXISTS (SELECT 1 FROM orders
@@ -654,8 +659,8 @@ object Analytics {
       .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_brand"),
-        round(col("vq") / 10000.0, 4).as("value"),
-        round(col("vq") / col("total"), 6).as("share"))
+        pround(col("vq") / 10000.0, 4).as("value"),
+        pround(col("vq") / col("total"), 6).as("share"))
   }
 
   val partValueShareSql: String =
@@ -666,8 +671,8 @@ object Analytics {
       |tot AS (
       |  SELECT count(*)::BIGINT AS n_parts, sum(vq)::BIGINT AS total FROM v)
       |SELECT p_partkey, p_brand,
-      |  round(vq / 10000.0, 4) AS value,
-      |  round(vq / total, 6) AS share
+      |  floor((vq / 10000.0) * 10000.0 + 0.5) / 10000.0 AS value,
+      |  floor((vq / total) * 1000000.0 + 0.5) / 1000000.0 AS share
       |FROM v CROSS JOIN tot
       |JOIN part ON l_partkey = p_partkey
       |WHERE vq::HUGEINT * n_parts * 2 > total::HUGEINT * 3""".stripMargin
@@ -698,7 +703,7 @@ object Analytics {
       .filter(col("price_q") === col("min_q") &&
         (col("runmin").isNull || col("price_q") < col("runmin")))
       .select(col("p_partkey"), col("p_size"),
-        round(col("price_q") / 100.0, 2).as("price"))
+        pround(col("price_q") / 100.0, 2).as("price"))
   }
 
   val skyline2dSql: String =
@@ -706,7 +711,8 @@ object Analytics {
       |  SELECT p_partkey, p_size,
       |    floor(p_retailprice * 100 + 0.5)::BIGINT AS price_q
       |  FROM part)
-      |SELECT p_partkey, p_size, round(price_q / 100.0, 2) AS price
+      |SELECT p_partkey, p_size,
+      |  floor((price_q / 100.0) * 100.0 + 0.5) / 100.0 AS price
       |FROM p a
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM p b

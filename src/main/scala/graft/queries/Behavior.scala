@@ -117,7 +117,7 @@ object Behavior {
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(pround(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("sum_qty"), col("n"))
@@ -125,7 +125,7 @@ object Behavior {
   val cubeAggSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS flag,
       |  coalesce(l_linestatus, 'ALL') AS status,
-      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
   /** J-line: event-transition (Markov) matrix — per-user consecutive
@@ -1058,10 +1058,10 @@ object Behavior {
       pround(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
       expr("floor((CAST(conv_b * n_a AS DOUBLE) / nullif(conv_a * n_b, 0)" +
         " - 1.0) * 1e6 + 0.5) / 1e6").as("lift"),
-      expr("round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)" +
+      expr("floor(((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)" +
         " / nullif(sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)" +
         " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))" +
-        " * (1.0 / n_a + 1.0 / n_b)), 0.0), 4)").as("z"))
+        " * (1.0 / n_a + 1.0 / n_b)), 0.0)) * 1e4 + 0.5) / 1e4").as("z"))
   }
 
   val abLiftSql: String =
@@ -1085,9 +1085,9 @@ object Behavior {
       |  floor((conv_b::DOUBLE / n_b) * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
       |  floor(((conv_b * n_a)::DOUBLE / nullif(conv_a * n_b, 0) - 1.0)
       |    * 1000000.0 + 0.5) / 1000000.0 AS lift,
-      |  round((conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a)
+      |  floor(((conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a)
       |    / nullif(sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
       |           * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
-      |           * (1.0 / n_a + 1.0 / n_b)), 0.0), 4) AS z
+      |           * (1.0 / n_a + 1.0 / n_b)), 0.0)) * 10000.0 + 0.5) / 10000.0 AS z
       |FROM one""".stripMargin
 }

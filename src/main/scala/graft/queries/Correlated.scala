@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 
 /** The remaining TPC-H CORRELATED-SUBQUERY shapes (SURVEY.md §2 K49+),
   * each decorrelated the way a 100 TB plan must run them: the
@@ -81,12 +82,12 @@ object Correlated {
         (col("p_brand") === "Brand#14" && col("l_quantity").between(10, 30)) ||
         (col("p_brand") === "Brand#22" && col("l_quantity").between(20, 40)))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("rev_q")) / 10000.0, 4).as("revenue"))
+        pround(sum(col("rev_q")) / 10000.0, 4).as("revenue"))
   }
 
   val q19DisjunctSql: String =
     """SELECT count(*) AS n_items,
-      |  round(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT) / 10000.0, 4) AS revenue
+      |  floor((sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT) / 10000.0) * 10000.0 + 0.5) / 10000.0 AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 10 AND l_quantity BETWEEN 1  AND 20)
       |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
@@ -218,7 +219,7 @@ object Correlated {
       .withColumn("min_q", min(col("bal_q")).over(w))
       .filter(col("bal_q") === col("min_q"))
       .select(col("p_partkey"), col("p_size"), col("s_suppkey"), col("s_name"),
-        round(col("bal_q") / 100.0, 2).as("acctbal"))
+        pround(col("bal_q") / 100.0, 2).as("acctbal"))
   }
 
   val q2MinBalSupplierSql: String =
@@ -231,7 +232,7 @@ object Correlated {
       |    floor(s_acctbal * 100 + 0.5)::BIGINT AS bal_q
       |  FROM pairs JOIN supplier ON l_suppkey = s_suppkey)
       |SELECT p_partkey, p_size, s_suppkey, s_name,
-      |  round(bal_q / 100.0, 2) AS acctbal
+      |  floor((bal_q / 100.0) * 100.0 + 0.5) / 100.0 AS acctbal
       |FROM wb w1
       |WHERE bal_q = (SELECT min(bal_q) FROM wb w2
       |               WHERE w2.p_partkey = w1.p_partkey)""".stripMargin

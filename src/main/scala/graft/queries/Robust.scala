@@ -108,8 +108,8 @@ object Robust {
       .withColumn("bin", size(filter(col("edges"), e => col("l_extendedprice") > e)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_rows"),
-        round(min(col("l_extendedprice")), 4).as("lo"),
-        round(max(col("l_extendedprice")), 4).as("hi"))
+        graft.Portable.pround(min(col("l_extendedprice")), 4).as("lo"),
+        graft.Portable.pround(max(col("l_extendedprice")), 4).as("hi"))
       .orderBy(col("bin"))
   }
 
@@ -121,7 +121,8 @@ object Robust {
     s"""WITH $ctes,
        |e AS (SELECT [$list] AS edges FROM pct)
        |SELECT bin, count(*) AS n_rows,
-       |  round(min(l_extendedprice), 4) AS lo, round(max(l_extendedprice), 4) AS hi
+       |  floor((min(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS lo,
+       |  floor((max(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS hi
        |FROM (SELECT l_extendedprice,
        |        len(list_filter(e.edges, x -> l_extendedprice > x)) AS bin
        |      FROM lineitem, e)
@@ -227,8 +228,8 @@ object Robust {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("dev") > col("mad") * MadK, 1L).otherwise(0L)).as("n_outliers"),
-        round(max(col("med")), 4).as("med"),
-        round(max(col("mad")), 4).as("mad"))
+        graft.Portable.pround(max(col("med")), 4).as("med"),
+        graft.Portable.pround(max(col("mad")), 4).as("mad"))
   }
 
   val outlierMadSql: String = {
@@ -245,7 +246,8 @@ object Robust {
        |$madCtes
        |SELECT d.event_type, count(*) AS n,
        |  sum(CASE WHEN dev > $MadK * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
-       |  round(max(d.med), 4) AS med, round(max(mad), 4) AS mad
+       |  floor((max(d.med)) * 10000.0 + 0.5) / 10000.0 AS med,
+       |  floor((max(mad)) * 10000.0 + 0.5) / 10000.0 AS mad
        |FROM devr d JOIN pct2 USING (event_type)
        |GROUP BY d.event_type""".stripMargin
   }
@@ -336,10 +338,10 @@ object Robust {
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
         sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
-        round(avg(col("value")), 4).as("mean_raw"),
-        round(avg(clamped), 4).as("mean_wins"),
-        round(max(col("lo")), 4).as("lo"),
-        round(max(col("hi")), 4).as("hi"))
+        graft.Portable.pround(avg(col("value")), 4).as("mean_raw"),
+        graft.Portable.pround(avg(clamped), 4).as("mean_wins"),
+        graft.Portable.pround(max(col("lo")), 4).as("lo"),
+        graft.Portable.pround(max(col("hi")), 4).as("hi"))
   }
 
   val winsorizeSql: String = {
@@ -350,9 +352,10 @@ object Robust {
        |SELECT event_type, count(*) AS n,
        |  sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_lo,
        |  sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_hi,
-       |  round(avg(value), 4) AS mean_raw,
-       |  round(avg(least(greatest(value, lo), hi)), 4) AS mean_wins,
-       |  round(max(lo), 4) AS lo, round(max(hi), 4) AS hi
+       |  floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS mean_raw,
+       |  floor((avg(least(greatest(value, lo), hi))) * 10000.0 + 0.5) / 10000.0 AS mean_wins,
+       |  floor((max(lo)) * 10000.0 + 0.5) / 10000.0 AS lo,
+       |  floor((max(hi)) * 10000.0 + 0.5) / 10000.0 AS hi
        |FROM events JOIN pct USING (event_type)
        |GROUP BY event_type""".stripMargin
   }

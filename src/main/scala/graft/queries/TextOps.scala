@@ -294,7 +294,7 @@ object TextOps {
         col("idf") * (col("tf") * (K1 + 1)) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("contrib")), 4).as("score"))
+      .agg(pround(sum(col("contrib")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(TopK)
   }
@@ -323,7 +323,7 @@ object TextOps {
       .withColumn("score", col("tf") * col("idf"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TfidfK)
-      .select(col("doc_id"), col("tok"), col("rnk"), round(col("score"), 4).as("score"))
+      .select(col("doc_id"), col("tok"), col("rnk"), pround(col("score"), 4).as("score"))
   }
 
   val tfidfTopTermsSql: String =
@@ -336,7 +336,7 @@ object TextOps {
        |scored AS (
        |  SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n / df.df) AS score
        |  FROM tf JOIN df USING (tok), n)
-       |SELECT doc_id, tok, rnk, round(score, 4) AS score FROM (
+       |SELECT doc_id, tok, rnk, floor((score) * 10000.0 + 0.5) / 10000.0 AS score FROM (
        |  SELECT doc_id, tok, score,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
        |  FROM scored) WHERE rnk <= $TfidfK""".stripMargin
@@ -353,7 +353,7 @@ object TextOps {
        |       WHERE tok IN ($terms) GROUP BY 1, 2),
        |idf AS (SELECT tok, ln((stats.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
        |        FROM tf, stats GROUP BY tok, stats.n)
-       |SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+       |SELECT doc_id, floor((sum(contrib)) * 10000.0 + 0.5) / 10000.0 AS score FROM (
        |  SELECT tf.doc_id,
        |    idf.idf * (tf.tf * ($K1 + 1)) /
        |      (tf.tf + $K1 * (1 - $B + $B * dl.dl / stats.avgdl)) AS contrib

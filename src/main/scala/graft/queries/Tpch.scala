@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.Portable.pround
 
 /** The rest of the TPC-H query-shape family (SURVEY.md §2 K55+) —
   * with [[Analytics]] (Q1/Q3/Q5/Q11/Q13/Q14/Q15/Q17/Q22) and
@@ -61,12 +62,12 @@ object Tpch {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(count(lit(1)).as("n_items"),
-        round(sum(floor(col("l_extendedprice") * col("l_discount") * 10000
+        pround(sum(floor(col("l_extendedprice") * col("l_discount") * 10000
           + lit(0.5)).cast("long")) / 10000.0, 4).as("forecast_revenue"))
 
   val q6RangeSumSql: String =
     """SELECT count(*) AS n_items,
-      |  round(sum(floor(l_extendedprice * l_discount * 10000 + 0.5)::BIGINT) / 10000.0, 4) AS forecast_revenue
+      |  floor((sum(floor(l_extendedprice * l_discount * 10000 + 0.5)::BIGINT) / 10000.0) * 10000.0 + 0.5) / 10000.0 AS forecast_revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -105,12 +106,12 @@ object Tpch {
       .join(broadcast(custG), col("o_custkey") === col("c_custkey"))
       .filter(col("supp_region") =!= col("cust_region"))
       .groupBy(col("supp_region"), col("cust_region"), col("l_year"))
-      .agg(round(sum(col("rev_q")) / 10000.0, 4).as("revenue"))
+      .agg(pround(sum(col("rev_q")) / 10000.0, 4).as("revenue"))
   }
 
   val q7NationTradeSql: String =
     """SELECT supp_region, cust_region, l_year,
-      |  round(sum(rev_q) / 10000.0, 4) AS revenue
+      |  floor((sum(rev_q) / 10000.0) * 10000.0 + 0.5) / 10000.0 AS revenue
       |FROM (
       |  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
       |    year(l_shipdate) AS l_year,
@@ -164,15 +165,15 @@ object Tpch {
           .otherwise(0L)).as("nation_rev_q"),
         sum(col("rev_q")).as("total_rev_q"))
       .select(col("o_year"), col("nation_rev_q"), col("total_rev_q"),
-        round(col("nation_rev_q") / col("total_rev_q"), 6).as("mkt_share"))
+        pround(col("nation_rev_q") / col("total_rev_q"), 6).as("mkt_share"))
   }
 
   val q8MarketShareSql: String =
     """SELECT o_year,
       |  sum(CASE WHEN supp_nation = 'NATION_12' THEN rev_q ELSE 0 END)::BIGINT AS nation_rev_q,
       |  sum(rev_q)::BIGINT AS total_rev_q,
-      |  round(sum(CASE WHEN supp_nation = 'NATION_12' THEN rev_q ELSE 0 END)::BIGINT
-      |        / sum(rev_q)::BIGINT, 6) AS mkt_share
+      |  floor((sum(CASE WHEN supp_nation = 'NATION_12' THEN rev_q ELSE 0 END)::BIGINT
+      |        / sum(rev_q)::BIGINT) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
       |FROM (
       |  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
       |    floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT AS rev_q
@@ -211,11 +212,12 @@ object Tpch {
           year(col("o_orderdate")).as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), col("o_year"))
-      .agg(round(sum(revQ - costQ) / 10000.0, 4).as("profit"))
+      .agg(pround(sum(revQ - costQ) / 10000.0, 4).as("profit"))
   }
 
   val q9ProfitProxySql: String =
-    """SELECT n_name, o_year, round(sum(profit_q) / 10000.0, 4) AS profit
+    """SELECT n_name, o_year,
+      |  floor((sum(profit_q) / 10000.0) * 10000.0 + 0.5) / 10000.0 AS profit
       |FROM (
       |  SELECT n_name, year(o_orderdate) AS o_year,
       |    floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT
@@ -251,13 +253,13 @@ object Tpch {
       .orderBy(col("rev_q").desc, col("c_custkey"))
       .limit(20)
       .select(col("c_custkey"), col("c_name"),
-        round(col("rev_q") / 10000.0, 4).as("returned_revenue"),
-        round(col("c_acctbal"), 2).as("acctbal"))
+        pround(col("rev_q") / 10000.0, 4).as("returned_revenue"),
+        pround(col("c_acctbal"), 2).as("acctbal"))
 
   val q10ReturnsSql: String =
     """SELECT c_custkey, c_name,
-      |  round(rev_q / 10000.0, 4) AS returned_revenue,
-      |  round(c_acctbal, 2) AS acctbal
+      |  floor((rev_q / 10000.0) * 10000.0 + 0.5) / 10000.0 AS returned_revenue,
+      |  floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal
       |FROM (
       |  SELECT o_custkey,
       |    sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT)::BIGINT AS rev_q

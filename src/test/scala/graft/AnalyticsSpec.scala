@@ -116,9 +116,9 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = Tables.events(spark, sf)
       .groupBy(col("event_type"))
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(max(col("value")), 4).as("p100"))
+      .agg(graft.Portable.pround(expr("percentile(value, 0.5)"), 4).as("p50"),
+        graft.Portable.pround(expr("percentile(value, 0.9)"), 4).as("p90"),
+        graft.Portable.pround(max(col("value")), 4).as("p100"))
       .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(grid == exact, s"grid=$grid\nexact=$exact")

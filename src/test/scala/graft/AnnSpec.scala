@@ -249,7 +249,7 @@ class AnnSpec extends SparkSpec {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val na = math.sqrt(a.map(x => x * x).sum.toDouble)
       val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
-      math.rint(dot / (na * nb) * 10000) / 10000
+      graft.Portable.jround(dot / (na * nb), 4)
     }
     val labels = cent.keys.toSeq.sorted
     val expected = (for {

@@ -12,7 +12,7 @@ class ScalePatternsSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val direct = Tables.events(spark, sf)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .agg(count(lit(1)).as("n"), graft.Portable.pround(sum("value"), 4).as("sv"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(salted == direct)
   }

@@ -64,9 +64,8 @@ class TpchSpec extends SparkSpec {
     rows.foreach { r =>
       val (num, den) = (r.getAs[Long]("nation_rev_q"), r.getAs[Long]("total_rev_q"))
       assert(num > 0 && num < den, "share degenerate (0 or 1) — nation choice wrong")
-      val share = BigDecimal(num.toDouble / den.toDouble)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(math.abs(r.getAs[Double]("mkt_share") - share) < 1e-9)
+      val share = graft.Portable.jround(num.toDouble / den.toDouble, 6)
+      assert(r.getAs[Double]("mkt_share") == share)
     }
   }
 
@@ -91,9 +90,8 @@ class TpchSpec extends SparkSpec {
         r.getAs[Double]("profit")).toMap
     assert(got.keySet == expected.keySet)
     expected.foreach { case (k, pq) =>
-      val want = BigDecimal(pq / 10000.0)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(math.abs(got(k) - want) < 1e-9, s"$k: ${got(k)} vs $want")
+      val want = graft.Portable.jround(pq / 10000.0, 4)
+      assert(got(k) == want, s"$k: ${got(k)} vs $want")
     }
   }
 
