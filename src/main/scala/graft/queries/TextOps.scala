@@ -273,7 +273,15 @@ object TextOps {
     * the expensive join is query-sized, not corpus-sized.
     * Deterministic tiebreak (score desc, doc_id) keeps the limit
     * stable. */
-  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+  def bm25Topk(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopK)
+
+  /** The un-limited BM25 scored frame (doc_id, score) for [[Bm25Query]]
+    * — shared by [[bm25Topk]] and the hybrid-retrieval fusion
+    * ([[graft.operators.Retrieval]]), which cuts it at its own depth. */
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val posts = docs.select(col("doc_id"),
       explode(wsTokens(lower(col("text")))).as("tok"))
@@ -295,8 +303,6 @@ object TextOps {
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(pround(sum(col("contrib")), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(TopK)
   }
 
   /** H10: per-document top-[[TfidfK]] TF-IDF terms — the classic
@@ -341,9 +347,12 @@ object TextOps {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
        |  FROM scored) WHERE rnk <= $TfidfK""".stripMargin
 
-  val bm25TopkSql: String = {
+  /** DuckDB twin of [[bm25Scored]] as CTEs ending in
+    * `bscore(doc_id, score)` — shared with the hybrid-retrieval
+    * fusion oracle. */
+  private[graft] val bm25ScoredCtes: String = {
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-    s"""WITH posts AS (
+    s"""posts AS (
        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
        |  FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM posts GROUP BY 1),
@@ -352,14 +361,20 @@ object TextOps {
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM posts
        |       WHERE tok IN ($terms) GROUP BY 1, 2),
        |idf AS (SELECT tok, ln((stats.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
-       |        FROM tf, stats GROUP BY tok, stats.n)
-       |SELECT doc_id, floor((sum(contrib)) * 10000.0 + 0.5) / 10000.0 AS score FROM (
-       |  SELECT tf.doc_id,
-       |    idf.idf * (tf.tf * ($K1 + 1)) /
-       |      (tf.tf + $K1 * (1 - $B + $B * dl.dl / stats.avgdl)) AS contrib
-       |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), stats)
-       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+       |        FROM tf, stats GROUP BY tok, stats.n),
+       |bscore AS (
+       |  SELECT doc_id, floor((sum(contrib)) * 10000.0 + 0.5) / 10000.0 AS score FROM (
+       |    SELECT tf.doc_id,
+       |      idf.idf * (tf.tf * ($K1 + 1)) /
+       |        (tf.tf + $K1 * (1 - $B + $B * dl.dl / stats.avgdl)) AS contrib
+       |    FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), stats)
+       |  GROUP BY doc_id)""".stripMargin
   }
+
+  val bm25TopkSql: String =
+    s"""WITH $bm25ScoredCtes
+       |SELECT doc_id, score FROM bscore
+       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
 
   /** J-line: language-ID confusion matrix — the accuracy audit of the
     * [[langId]] heuristic against the labeled `lang` column, as a
