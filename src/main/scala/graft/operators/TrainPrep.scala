@@ -861,6 +861,109 @@ object TrainPrep {
        |  d.source = x.anchor_source AS same_source
        |FROM x JOIN documents d ON d.doc_id = x.neg_id""".stripMargin
 
+  /** Cumulative corpus-fraction cuts (%) for the saturation stages. */
+  val SatCuts: Seq[Int] = Seq(10, 25, 50, 75)
+
+  /** K110: N-GRAM SATURATION CURVE — the Heaps-law "how much does new
+    * data add" read that sizes a crawl before training: docs are
+    * assigned to 5 deterministic growth stages (hash-draw percent vs
+    * [[SatCuts]] — the negative_sample multiplicative-hash family, so
+    * the "corpus at 10%/25%/50%/75%/100%" prefixes are rerun-stable
+    * and engine-portable), and each distinct 3-gram shingle is
+    * credited to the FIRST stage containing it (min over its docs).
+    * The stage histogram of first-appearances then yields, per stage:
+    * docs/tokens/new-grams in the stage, their cumulatives, and the
+    * integer new-grams-per-million-tokens rates whose decay IS the
+    * saturation signal (flat rate = fresh corpus, collapsing rate =
+    * you are re-crawling what you have).
+    *
+    * Scale: the only rows-scale shuffles are the gram-keyed
+    * min(stage) aggregate (∝ distinct grams, map-side combine — the
+    * ngram_novelty postings shape) and the 5-key doc aggregate; the
+    * cumulative is a ≤5×5 broadcast range-join, never a global
+    * window. Rates are exact BIGINT divisions (×10⁶ — the K80/K88
+    * convention); at ≥10¹³-token scale the ×10⁶ products swap to
+    * DECIMAL (the trend_fit note). */
+  def saturationCurve(s: SparkSession, dir: String): DataFrame = {
+    val pct = expr(s"(doc_id % $PriP) * $PriMult % $PriP % 100")
+    val bucket = when(pct < SatCuts(0), 1L).when(pct < SatCuts(1), 2L)
+      .when(pct < SatCuts(2), 3L).when(pct < SatCuts(3), 4L).otherwise(5L)
+    val base = documents(s, dir).select(col("doc_id"), col("text"),
+      bucket.as("bucket"),
+      TextFns.wsTokenCount(col("text")).cast("long").as("toks"))
+    val docAgg = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"))
+    val firstB = base
+      .select(col("bucket"),
+        explode(graft.functions.HashFns.shingles(col("text"))).as("gram"))
+      .groupBy(col("gram")).agg(min(col("bucket")).as("bucket"))
+    val gramHist = firstB.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_grams"))
+    val per = docAgg.join(gramHist, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("new_grams"))
+    per.alias("a").join(broadcast(per.alias("b")),
+        col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket"))
+      .agg(
+        max(when(col("b.bucket") === col("a.bucket"), col("b.n_docs"))).as("n_docs"),
+        sum(col("b.n_docs")).as("cum_docs"),
+        max(when(col("b.bucket") === col("a.bucket"), col("b.n_toks"))).as("n_toks"),
+        sum(col("b.n_toks")).as("cum_toks"),
+        max(when(col("b.bucket") === col("a.bucket"), col("b.new_grams"))).as("new_grams"),
+        sum(col("b.new_grams")).as("cum_grams"))
+      .withColumn("new_per_mtok",
+        expr("case when n_toks > 0 then new_grams * 1000000L div n_toks else 0L end"))
+      .withColumn("cum_per_mtok",
+        expr("case when cum_toks > 0 then cum_grams * 1000000L div cum_toks else 0L end"))
+      .orderBy(col("bucket"))
+  }
+
+  val saturationCurveSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks,
+       |    (doc_id % $PriP) * $PriMult % $PriP % 100 AS pct
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, text, toks,
+       |    CASE WHEN pct < ${SatCuts(0)} THEN 1 WHEN pct < ${SatCuts(1)} THEN 2
+       |         WHEN pct < ${SatCuts(2)} THEN 3 WHEN pct < ${SatCuts(3)} THEN 4
+       |         ELSE 5 END AS bucket
+       |  FROM t),
+       |d AS (SELECT bucket, count(*) AS n_docs, sum(toks)::BIGINT AS n_toks
+       |      FROM b GROUP BY 1),
+       |lt AS (SELECT bucket,
+       |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+       |       FROM b),
+       |g AS (
+       |  SELECT bucket, CASE WHEN len(toks) >= 3
+       |    THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                        for i in range(1, len(toks) - 1)])
+       |    ELSE [array_to_string(toks, ' ')] END AS gs
+       |  FROM lt),
+       |posts AS (SELECT bucket, unnest(gs) AS gram FROM g),
+       |fb AS (SELECT gram, min(bucket) AS bucket FROM posts GROUP BY 1),
+       |gh AS (SELECT bucket, count(*) AS new_grams FROM fb GROUP BY 1),
+       |per AS (SELECT d.bucket, n_docs, n_toks,
+       |          coalesce(gh.new_grams, 0) AS new_grams
+       |        FROM d LEFT JOIN gh USING (bucket))
+       |SELECT a.bucket,
+       |  max(CASE WHEN b.bucket = a.bucket THEN b.n_docs END)::BIGINT AS n_docs,
+       |  sum(b.n_docs)::BIGINT AS cum_docs,
+       |  max(CASE WHEN b.bucket = a.bucket THEN b.n_toks END)::BIGINT AS n_toks,
+       |  sum(b.n_toks)::BIGINT AS cum_toks,
+       |  max(CASE WHEN b.bucket = a.bucket THEN b.new_grams END)::BIGINT AS new_grams,
+       |  sum(b.new_grams)::BIGINT AS cum_grams,
+       |  (CASE WHEN max(CASE WHEN b.bucket = a.bucket THEN b.n_toks END) > 0
+       |     THEN max(CASE WHEN b.bucket = a.bucket THEN b.new_grams END) * 1000000
+       |          // max(CASE WHEN b.bucket = a.bucket THEN b.n_toks END)
+       |     ELSE 0 END)::BIGINT AS new_per_mtok,
+       |  (CASE WHEN sum(b.n_toks) > 0
+       |     THEN sum(b.new_grams) * 1000000 // sum(b.n_toks)
+       |     ELSE 0 END)::BIGINT AS cum_per_mtok
+       |FROM per a JOIN per b ON b.bucket <= a.bucket
+       |GROUP BY a.bucket""".stripMargin
+
   val systematicSampleSql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,

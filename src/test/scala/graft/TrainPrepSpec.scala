@@ -351,4 +351,39 @@ class TrainPrepSpec extends SparkSpec {
     // the ring genuinely spreads: not all draws share the anchor's source
     assert(got.exists(!_._5) && got.size > docs.count(_._1 % 10 == 0))
   }
+
+  test("saturation_curve: conservation, monotone cumulatives, exact integer rates") {
+    val rows = run("saturation_curve").collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (1L to 5L))
+    // per-stage values sum to the final cumulatives; stage-5 cum
+    // covers the whole corpus and the whole distinct-gram universe
+    val nDocs = Tables.documents(spark, sf).count()
+    val nGrams = Tables.documents(spark, sf)
+      .select(explode(graft.functions.HashFns.shingles(col("text"))).as("g"))
+      .distinct().count()
+    val last = rows.last
+    assert(last.getAs[Long]("cum_docs") == nDocs)
+    assert(last.getAs[Long]("cum_grams") == nGrams)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("new_grams")).sum == nGrams)
+    // cumulatives are running sums of the per-stage columns
+    var (cd, ct, cg) = (0L, 0L, 0L)
+    rows.foreach { r =>
+      cd += r.getAs[Long]("n_docs"); ct += r.getAs[Long]("n_toks")
+      cg += r.getAs[Long]("new_grams")
+      assert(r.getAs[Long]("cum_docs") == cd)
+      assert(r.getAs[Long]("cum_toks") == ct)
+      assert(r.getAs[Long]("cum_grams") == cg)
+      val npm = if (r.getAs[Long]("n_toks") > 0)
+        r.getAs[Long]("new_grams") * 1000000L / r.getAs[Long]("n_toks") else 0L
+      val cpm = if (ct > 0) cg * 1000000L / ct else 0L
+      assert(r.getAs[Long]("new_per_mtok") == npm)
+      assert(r.getAs[Long]("cum_per_mtok") == cpm)
+    }
+    // the saturation signal: the marginal new-gram rate decays as the
+    // corpus grows (later stages re-see earlier stages' grams)
+    val rates = rows.map(_.getAs[Long]("new_per_mtok"))
+    assert(rates.head > rates.last,
+      s"no saturation decay in $rates")
+  }
 }
