@@ -855,4 +855,91 @@ object Graph {
       |SELECT coalesce(hops, -1)::BIGINT AS hops, count(*)::BIGINT AS n_nodes,
       |  (SELECT mh FROM mx) < $BfsMaxHops AS converged
       |FROM nodes LEFT JOIN dist USING (n) GROUP BY 1""".stripMargin
+
+  /** Walks started per node. */
+  val RwWalks = 2
+  /** Steps per walk (output holds v0..v[[RwSteps]]). */
+  val RwSteps = 3
+  /** Hash-chain constants for the deterministic step draw (the
+    * negative_sample multiplicative family; P = [[graft.functions.HashFns.P]]). */
+  val RwM1 = 2654435761L
+  val RwM2 = 1103515245L
+
+  /** K111: DETERMINISTIC RANDOM WALKS — the node2vec/DeepWalk sampler
+    * that turns a graph into sequence training data: [[RwWalks]] walks
+    * of [[RwSteps]] steps from EVERY node of the shared co-supply
+    * graph. The next-hop draw is a hash chain, not an RNG:
+    * idx = 1 + (((cur mod P)·M1 + walk) mod P · M2 + step) mod P
+    * mod degree(cur), picking the idx-th neighbor in (node, nbr)
+    * order — rerun-stable and engine-replayable (the epoch_shards /
+    * negative_sample contract: a resumed 100 TB sampling job
+    * regenerates IDENTICAL walks, and the oracle replays them in
+    * SQL). Walk state is Markovian-by-construction: the draw depends
+    * only on (cur, walk, step), so colliding walks merge exactly as
+    * true random walks with a shared coin would.
+    *
+    * Scale: the indexed adjacency (node, nbr, idx, degree) is one
+    * window over the edge list (partitioned by node, bounded by
+    * degree) computed once and persisted in spirit with the co-edges
+    * artifact; each step is ONE (node, idx) equi-join of the walk
+    * frontier against it — shuffle ∝ walks per step, never edges ×
+    * walks; [[RwSteps]] is unrolled (the pagerank_iter convention:
+    * fixed rounds, no driver loop over data). No dead ends: every
+    * adjacency node has degree ≥ 1 by construction (undirected). */
+  def randomWalk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = graft.functions.HashFns.P
+    val edges = coEdges(s, dir)
+    val adj = edges.select(col("s1").as("node"), col("s2").as("nbr"))
+      .unionByName(edges.select(col("s2").as("node"), col("s1").as("nbr")))
+    val indexed = adj
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("nbr"))))
+      .withColumn("degree", count(lit(1)).over(
+        Window.partitionBy(col("node"))))
+      .localCheckpoint() // edge-list-sized; computed once, joined RwSteps times
+    val starts = indexed.select(col("node")).distinct()
+      .select(col("node").as("start"),
+        explode(sequence(lit(0L), lit(RwWalks - 1L))).as("walk"))
+      .withColumn("v0", col("start"))
+    (1 to RwSteps).foldLeft(starts) { (cur, t) =>
+      val prev = s"v${t - 1}"
+      cur.withColumn("want",
+          expr(s"((($prev % $P) * $RwM1 + walk) % $P * $RwM2 + $t) % $P"))
+        .join(indexed,
+          col(prev) === col("node") &&
+            col("want") % col("degree") + 1 === col("idx"))
+        .drop("node", "idx", "degree", "want")
+        .withColumnRenamed("nbr", s"v$t")
+    }.select(col("start") +: col("walk") +:
+      (0 to RwSteps).map(t => col(s"v$t")): _*)
+  }
+
+  lazy val randomWalkSql: String = {
+    val P = graft.functions.HashFns.P
+    val steps = (1 to RwSteps).map { t =>
+      val prev = if (t == 1) s"w0" else s"w${t - 1}"
+      s"""w$t AS (
+         |  SELECT c.*, a.nbr AS v$t FROM $prev c
+         |  JOIN adj a ON a.node = c.v${t - 1}
+         |    AND (((c.v${t - 1} % $P) * $RwM1 + c.walk) % $P * $RwM2 + $t) % $P
+         |        % a.degree + 1 = a.idx)""".stripMargin
+    }.mkString(",\n")
+    coEdgesCte + s""",
+      |adj0 AS (
+      |  SELECT s1 AS node, s2 AS nbr FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |adj AS (
+      |  SELECT node, nbr,
+      |    row_number() OVER (PARTITION BY node ORDER BY nbr) AS idx,
+      |    count(*) OVER (PARTITION BY node) AS degree
+      |  FROM adj0),
+      |w0 AS (
+      |  SELECT node AS start, unnest(range(0, $RwWalks))::BIGINT AS walk,
+      |    node AS v0
+      |  FROM (SELECT DISTINCT node FROM adj)),
+      |$steps
+      |SELECT start, walk, ${(0 to RwSteps).map(t => s"v$t").mkString(", ")}
+      |FROM w$RwSteps""".stripMargin
+  }
 }

@@ -535,4 +535,39 @@ class GraphSketchSpec extends SparkSpec {
       assert(words <= exact(t) && words >= (exact(t) + 63) / 64)
     }
   }
+
+  test("random_walk: hash-chain walks replay exactly on a local adjacency") {
+    import graft.operators.Graph
+    val edges = Graph.ensureCoEdges(spark, sf)
+    val adjRows = spark.read.parquet(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (adjRows.map { case (a, b) => (a, b) } ++
+      adjRows.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val P = graft.functions.HashFns.P
+    def next(cur: Long, walk: Long, t: Long): Long = {
+      val nbrs = adj(cur)
+      val h = (((cur % P) * Graph.RwM1 + walk) % P * Graph.RwM2 + t) % P
+      nbrs((h % nbrs.length).toInt)
+    }
+    val expected = (for {
+      start <- adj.keys.toSeq; walk <- 0L until Graph.RwWalks.toLong
+    } yield {
+      val path = (1 to Graph.RwSteps).scanLeft(start) {
+        (cur, t) => next(cur, walk, t.toLong)
+      }
+      (start, walk) -> path
+    }).toMap
+    val got = run("random_walk").collect()
+    assert(got.length == adj.size * Graph.RwWalks)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("start"), r.getAs[Long]("walk"))
+      val path = (0 to Graph.RwSteps).map(t => r.getAs[Long](s"v$t"))
+      assert(path == expected(key), s"walk $key diverged")
+      // every hop is a real edge
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(adj(a).contains(b), s"phantom edge $a->$b")
+      }
+    }
+  }
 }
