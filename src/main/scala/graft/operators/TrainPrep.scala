@@ -964,6 +964,63 @@ object TrainPrep {
        |FROM per a JOIN per b ON b.bucket <= a.bucket
        |GROUP BY a.bucket""".stripMargin
 
+  /** Second multiplicative-hash lane — a DIFFERENT multiplier from
+    * [[PriMult]] so the resampling draw is uncorrelated with the
+    * bottom-k priorities and the saturation stages. */
+  private val PriMult2 = 1103515245L
+
+  /** K112: IMPORTANCE RESAMPLING — per-document probabilistic
+    * acceptance with probability ∝ an integer quality weight (the
+    * DCLM/FineWeb-style "sample by quality score, don't threshold"
+    * curation move, vs G12 curate's hard cuts): weight w ∈ [0,100] is
+    * the capped stopword-density percent (200·hits div tokens — the
+    * E2 text_quality signal as an exact integer), and a doc is kept
+    * iff its deterministic hash draw (mod 100) < w. No RNG: the draw
+    * is the multiplicative-hash lane, so a resumed 100 TB curation
+    * job keeps IDENTICAL documents (the epoch_shards contract) and
+    * the oracle replays the acceptance in SQL. Per-source report:
+    * docs/kept, token mass in/kept, and Σw (= 100× the expected keep
+    * count, the calibration the spec checks the realized keeps
+    * against). Map-only scoring + one source-keyed aggregate — no
+    * shuffle wider than the report at any scale. */
+  def importanceResample(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("toks"),
+        TextFns.langScore(col("text"), "en").cast("long").as("hits"))
+      .withColumn("w",
+        expr("least(100L, (hits * 200L) div greatest(toks, 1L))"))
+      .withColumn("draw",
+        expr(s"(doc_id % $PriP) * $PriMult2 % $PriP % 100"))
+      .withColumn("kept", col("draw") < col("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("w")).as("sum_w"),
+        sum(col("toks")).as("toks_in"),
+        sum(when(col("kept"), col("toks")).otherwise(0L)).as("toks_kept"))
+
+  val importanceResampleSql: String = {
+    val sw = TextFns.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |        x -> list_contains($sw, x)))::BIGINT AS hits
+       |  FROM documents),
+       |w AS (
+       |  SELECT source, toks,
+       |    least(100, (hits * 200) // greatest(toks, 1)) AS w,
+       |    (doc_id % $PriP) * $PriMult2 % $PriP % 100 AS draw
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN draw < w THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(w)::BIGINT AS sum_w,
+       |  sum(toks)::BIGINT AS toks_in,
+       |  sum(CASE WHEN draw < w THEN toks ELSE 0 END)::BIGINT AS toks_kept
+       |FROM w GROUP BY source""".stripMargin
+  }
+
   val systematicSampleSql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,

@@ -386,4 +386,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(rates.head > rates.last,
       s"no saturation decay in $rates")
   }
+
+  test("importance_resample: acceptance replays exactly; sampling is non-trivial") {
+    val P = 1000000007L; val mult2 = 1103515245L
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("toks"),
+        graft.functions.TextFns.langScore(col("text"), "en").cast("long").as("hits"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val per = rows.map { case (_, id, toks, hits) =>
+        val w = math.min(100L, hits * 200L / math.max(toks, 1L))
+        val kept = (id % P) * mult2 % P % 100 < w
+        (toks, w, kept)
+      }
+      src -> (rows.length.toLong, per.count(_._3).toLong, per.map(_._2).sum,
+        per.map(_._1).sum, per.filter(_._3).map(_._1).sum)
+    }
+    val got = run("importance_resample").collect().map { r =>
+      r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("sum_w"), r.getAs[Long]("toks_in"), r.getAs[Long]("toks_kept"))
+    }.toMap
+    assert(got == expected)
+    // the weighting neither keeps everything nor drops everything
+    val (tot, kept) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(kept > 0 && kept < tot, s"degenerate sampling: $kept of $tot")
+  }
 }
