@@ -1021,6 +1021,66 @@ object TrainPrep {
        |FROM w GROUP BY source""".stripMargin
   }
 
+  /** Span-corruption targets: ~15% of tokens in mean-3-token spans. */
+  val ScRatePct = 15
+  val ScMeanLen = 3
+  /** Minimum tokens for a doc to receive spans. */
+  val ScMinTok = 8
+
+  /** K113: SPAN-CORRUPTION PLAN — the T5/UL2 denoising-objective data
+    * prep as a deterministic, shuffle-free relational pass: per doc,
+    * n_spans = max(1, n·[[ScRatePct]]% div [[ScMeanLen]]) spans of
+    * hash-drawn length 2..4 (mean [[ScMeanLen]]), each placed inside
+    * its own stride of the token range (stride = n div n_spans), so
+    * spans are NON-OVERLAPPING BY CONSTRUCTION — no sort-and-adjust
+    * pass, no cross-span coordination, every (doc, k) cell computes
+    * independently map-side. Draws are the multiplicative hash chain
+    * of (doc_id, k) — RNG-free (the random_walk/epoch_shards
+    * contract): a resumed 100 TB masking job regenerates IDENTICAL
+    * spans, and the oracle replays them in SQL. Output one row per
+    * span (token offsets) — the downstream tokenizer consumes
+    * (start, len) directly. Map-only explode; NO shuffle at any
+    * scale. */
+  def spanCorruption(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= ScMinTok)
+      .withColumn("n_spans",
+        expr(s"greatest(1L, (n_tok * $ScRatePct) div ${100 * ScMeanLen})"))
+      .withColumn("stride", expr("n_tok div n_spans"))
+      .withColumn("k", explode(expr("sequence(0L, n_spans - 1)")))
+      .withColumn("h1", expr(s"((doc_id % $PriP) * $PriMult + k) % $PriP"))
+      .withColumn("span_len", expr("least(2L + h1 % 3, stride)"))
+      .withColumn("off",
+        expr(s"(h1 * $PriMult2 % $PriP) % (stride - span_len + 1)"))
+      .select(col("doc_id"), col("n_tok"), col("n_spans"), col("k"),
+        (col("k") * col("stride") + col("off")).as("span_start"),
+        col("span_len"))
+
+  val spanCorruptionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tok
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, n_tok,
+       |    greatest(1, (n_tok * $ScRatePct) // ${100 * ScMeanLen}) AS n_spans
+       |  FROM t WHERE n_tok >= $ScMinTok),
+       |c AS (
+       |  SELECT doc_id, n_tok, n_spans, n_tok // n_spans AS stride,
+       |    unnest(range(0, n_spans))::BIGINT AS k
+       |  FROM e),
+       |h AS (
+       |  SELECT *, ((doc_id % $PriP) * $PriMult + k) % $PriP AS h1 FROM c),
+       |l AS (
+       |  SELECT *, least(2 + h1 % 3, stride) AS span_len FROM h)
+       |SELECT doc_id, n_tok, n_spans, k,
+       |  (k * stride + (h1 * $PriMult2 % $PriP) % (stride - span_len + 1))::BIGINT
+       |    AS span_start,
+       |  span_len::BIGINT AS span_len
+       |FROM l""".stripMargin
+
   val systematicSampleSql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,

@@ -413,4 +413,32 @@ class TrainPrepSpec extends SparkSpec {
     val (tot, kept) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
     assert(kept > 0 && kept < tot, s"degenerate sampling: $kept of $tot")
   }
+
+  test("span_corruption: spans in-bounds, non-overlapping, ~15% token coverage") {
+    val rows = run("span_corruption").collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("k"), r.getAs[Long]("span_start"), r.getAs[Long]("span_len"))
+    }
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, spans) =>
+      val n = spans.head._2
+      assert(spans.length.toLong == spans.head._3, s"doc $doc span count")
+      // each span inside its own stride => sorted spans never touch
+      val sorted = spans.sortBy(_._5)
+      sorted.foreach { case (_, _, _, _, st, len) =>
+        assert(st >= 0 && st + len <= n, s"doc $doc span [$st,+$len) out of [0,$n)")
+        assert(len >= 2 || len == spans.head._2 / spans.head._3, s"doc $doc len $len")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, s1, l1), (_, _, _, _, s2, _)) =>
+          assert(s1 + l1 <= s2, s"doc $doc overlapping spans")
+        case _ =>
+      }
+    }
+    // aggregate corruption ratio lands near the 15% target
+    val masked = rows.map(_._6).sum.toDouble
+    val toks = rows.groupBy(_._1).map(_._2.head._2).sum.toDouble
+    val ratio = masked / toks
+    assert(ratio > 0.08 && ratio < 0.22, s"corruption ratio $ratio")
+  }
 }
