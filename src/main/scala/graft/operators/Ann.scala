@@ -350,6 +350,62 @@ object Ann {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** K114: HARD-NEGATIVE MINING — the metric-learning data prep
+    * (FaceNet/contrastive-retrieval style) over the persisted H7
+    * exact ranking: for every anchor, count same-label (positive) vs
+    * different-label (negative) neighbors in its top-[[K]], and
+    * surface THE hardest negative — the highest-cosine different-
+    * label neighbor, i.e. the impostor the training loop most needs
+    * in the batch. Anchors whose whole top-[[K]] is same-label have
+    * no impostor and drop out (documented grain: one row per anchor
+    * WITH a hard negative). Determinism: the mined impostor orders by
+    * the artifact's ×10⁴-rounded cosine with nb tiebreak, so the pick
+    * is engine-exact. Scale: reuses the kNN artifact wholesale (the
+    * K81 contract — its LSH swap applies unchanged); downstream is
+    * two (vec, label)-keyed equi-joins of the K·N list frame against
+    * the N-row label frame (no broadcast assumed — the label side is
+    * corpus-sized), one per-anchor aggregate and one ≤K-row-per-
+    * anchor rank window. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val lab = embeddings(s, dir).select(col("vec_id"), col("label"))
+    val j = knnJoin(s, dir)
+      .join(lab, "vec_id")
+      .join(lab.select(col("vec_id").as("nb"), col("label").as("nb_label")),
+        "nb")
+    val counts = j.groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(when(col("nb_label") === col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("nb_label") =!= col("label"), 1L).otherwise(0L)).as("n_neg"))
+    val hn = j.filter(col("nb_label") =!= col("label"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nb").as("hn_id"), col("cos").as("hn_cos"))
+    counts.join(hn, "vec_id")
+      .select(col("vec_id"), col("label"), col("n_pos"), col("n_neg"),
+        col("hn_id"), col("hn_cos"))
+  }
+
+  lazy val hardNegativesSql: String =
+    s"""WITH knn AS ($knnJoinSql),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |j AS (
+       |  SELECT k.vec_id, a.label, k.nb, b.label AS nb_label, k.cos
+       |  FROM knn k JOIN lab a ON a.vec_id = k.vec_id
+       |  JOIN lab b ON b.vec_id = k.nb),
+       |c AS (
+       |  SELECT vec_id, label,
+       |    sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(CASE WHEN nb_label <> label THEN 1 ELSE 0 END)::BIGINT AS n_neg
+       |  FROM j GROUP BY 1, 2),
+       |h AS (
+       |  SELECT vec_id, nb AS hn_id, cos AS hn_cos FROM (
+       |    SELECT vec_id, nb, cos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb) AS rn
+       |    FROM j WHERE nb_label <> label) WHERE rn = 1)
+       |SELECT c.vec_id, c.label, c.n_pos, c.n_neg, h.hn_id, h.hn_cos
+       |FROM c JOIN h USING (vec_id)""".stripMargin
+
   lazy val knnLabelEvalSql: String =
     s"""WITH knn AS ($knnJoinSql),
        |votes AS (

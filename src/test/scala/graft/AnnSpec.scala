@@ -293,4 +293,31 @@ class AnnSpec extends SparkSpec {
     val diag = got.collect { case ((t2, p2), n) if t2 == p2 => n }.sum
     assert(diag > 0)
   }
+
+  test("hard_negatives: recounts from knn_join + labels; impostor is the max-cos cross-label neighbor") {
+    val lab = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = run("knn_join").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nb"), r.getAs[Double]("cos")))
+    val byAnchor = knn.groupBy(_._1)
+    val expected = byAnchor.flatMap { case (v, rows) =>
+      val neg = rows.filter(r => lab(r._2) != lab(v))
+      if (neg.isEmpty) None
+      else {
+        val hn = neg.minBy(r => (-r._3, r._2))
+        Some(v -> (lab(v), rows.size - neg.size, neg.size, hn._2, hn._3))
+      }
+    }
+    val got = run("hard_negatives").collect().map { r =>
+      r.getAs[Long]("vec_id") -> (r.getAs[Int]("label"),
+        r.getAs[Long]("n_pos").toInt, r.getAs[Long]("n_neg").toInt,
+        r.getAs[Long]("hn_id"), r.getAs[Double]("hn_cos"))
+    }.toMap
+    assert(got == expected.toMap)
+    assert(got.nonEmpty)
+    // counts cover the whole top-K list
+    got.foreach { case (v, (_, np, nn, _, _)) =>
+      assert(np + nn == byAnchor(v).size, s"anchor $v counts")
+    }
+  }
 }
