@@ -1081,6 +1081,56 @@ object TrainPrep {
        |  span_len::BIGINT AS span_len
        |FROM l""".stripMargin
 
+  /** Min-token cutoff grid for the retention sweep. */
+  val FsCuts: Seq[Long] = Seq(0L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  /** K115: FILTER-THRESHOLD SWEEP — the calibration read behind every
+    * "min length L" cleaning rule (Gopher/CCNet pick L from exactly
+    * this curve): for each cutoff in [[FsCuts]], the documents and
+    * token mass RETAINED by `tokens ≥ cutoff`, absolute and as exact
+    * per-million shares of the corpus. One curve answers "what does
+    * tightening the gate cost" BEFORE committing a 100 TB filter run
+    * — the marginal-loss complement of I13 filter_funnel's fixed
+    * pipeline accounting. Shape: each doc emits the |grid| cutoffs
+    * map-side (constant ×8 fanout, no join), one 8-key conditional
+    * aggregate, then the 1-row corpus-totals frame broadcasts in for
+    * the shares (integer ×10⁶ division — the K80 convention). No
+    * shuffle wider than the 8-row report at any scale. */
+  def filterSweep(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir)
+      .select(TextFns.wsTokenCount(col("text")).cast("long").as("toks"))
+    val totals = base.agg(count(lit(1)).as("total_docs"),
+      sum(col("toks")).as("total_toks"))
+    base
+      .withColumn("cutoff", explode(typedLit(FsCuts)))
+      .groupBy(col("cutoff"))
+      .agg(
+        sum(when(col("toks") >= col("cutoff"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("toks") >= col("cutoff"), col("toks")).otherwise(0L)).as("toks_kept"))
+      .crossJoin(broadcast(totals)) // 1-row scalar frame
+      .select(col("cutoff"), col("n_docs_kept"), col("toks_kept"),
+        expr("(n_docs_kept * 1000000) div total_docs").as("docs_share_pm"),
+        expr("(toks_kept * 1000000) div total_toks").as("toks_share_pm"))
+      .orderBy(col("cutoff"))
+  }
+
+  val filterSweepSql: String = {
+    val grid = FsCuts.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS total_docs, sum(toks)::BIGINT AS total_toks FROM t),
+       |g AS (SELECT toks, unnest($grid)::BIGINT AS cutoff FROM t)
+       |SELECT cutoff,
+       |  sum(CASE WHEN toks >= cutoff THEN 1 ELSE 0 END)::BIGINT AS n_docs_kept,
+       |  sum(CASE WHEN toks >= cutoff THEN toks ELSE 0 END)::BIGINT AS toks_kept,
+       |  (sum(CASE WHEN toks >= cutoff THEN 1 ELSE 0 END) * 1000000
+       |     // (SELECT total_docs FROM tot))::BIGINT AS docs_share_pm,
+       |  (sum(CASE WHEN toks >= cutoff THEN toks ELSE 0 END) * 1000000
+       |     // (SELECT total_toks FROM tot))::BIGINT AS toks_share_pm
+       |FROM g GROUP BY cutoff""".stripMargin
+  }
+
   val systematicSampleSql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,

@@ -441,4 +441,27 @@ class TrainPrepSpec extends SparkSpec {
     val ratio = masked / toks
     assert(ratio > 0.08 && ratio < 0.22, s"corruption ratio $ratio")
   }
+
+  test("filter_sweep: retention curve replays locally and is monotone in the cutoff") {
+    val toks = Tables.documents(spark, sf)
+      .select(graft.functions.TextFns.wsTokenCount(col("text")).cast("long"))
+      .collect().map(_.getLong(0))
+    val (td, tt) = (toks.length.toLong, toks.sum)
+    val rows = run("filter_sweep").collect()
+    assert(rows.map(_.getAs[Long]("cutoff")).toSeq == TrainPrep.FsCuts)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cutoff")
+      val kept = toks.filter(_ >= c)
+      assert(r.getAs[Long]("n_docs_kept") == kept.length.toLong)
+      assert(r.getAs[Long]("toks_kept") == kept.sum)
+      assert(r.getAs[Long]("docs_share_pm") == kept.length.toLong * 1000000L / td)
+      assert(r.getAs[Long]("toks_share_pm") == kept.sum * 1000000L / tt)
+    }
+    // cutoff 0 keeps the whole corpus; retention never increases
+    assert(rows.head.getAs[Long]("n_docs_kept") == td)
+    val keptSeq = rows.map(_.getAs[Long]("n_docs_kept"))
+    assert(keptSeq.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+    // the grid genuinely discriminates on this corpus
+    assert(keptSeq.last < td)
+  }
 }
