@@ -915,6 +915,62 @@ object Graph {
       (0 to RwSteps).map(t => col(s"v$t")): _*)
   }
 
+  /** Fanout caps per layer for the neighborhood sampler. */
+  val GsFan1 = 3
+  val GsFan2 = 2
+
+  /** K116: NEIGHBORHOOD FANOUT SAMPLING — the GraphSAGE/GNN
+    * minibatch sampler (2 layers, fanout [[GsFan1]]×[[GsFan2]]) as
+    * relational algebra over the shared co-supply graph: per node,
+    * keep the [[GsFan1]] neighbors with the smallest deterministic
+    * edge hash (h = ((node mod P)·M1 + nbr) mod P, tie → nbr) — the
+    * hash IS the sampler, so a resumed 100 TB epoch regenerates
+    * IDENTICAL neighborhoods (the random_walk contract) and the
+    * oracle replays the sample in SQL; layer 2 re-joins each sampled
+    * neighbor's OWN top-[[GsFan2]] of the same per-node sample table
+    * (one sample frame, built once, joined per layer — GraphSAGE's
+    * shared-neighborhood reuse). Output one row per (root, l1, l2)
+    * path, ≤ [[GsFan1]]·[[GsFan2]] per root.
+    *
+    * Scale: the sample table is ONE degree-bounded window over the
+    * edge list; each layer is ONE node-keyed equi-join of the
+    * (frontier × fanout) frame against it — shuffle ∝ sampled rows,
+    * never edges × roots. */
+  def graphSampleNeighbors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = graft.functions.HashFns.P
+    val edges = coEdges(s, dir)
+    val adj = edges.select(col("s1").as("node"), col("s2").as("nbr"))
+      .unionByName(edges.select(col("s2").as("node"), col("s1").as("nbr")))
+    val ranked = adj
+      .withColumn("h", expr(s"((node % $P) * $RwM1 + nbr) % $P"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("h"), col("nbr"))))
+      .localCheckpoint() // edge-list-sized; built once, joined per layer
+    val s1f = ranked.filter(col("rn") <= GsFan1)
+      .select(col("node").as("root"), col("nbr").as("l1"))
+    val s2f = ranked.filter(col("rn") <= GsFan2)
+      .select(col("node").as("l1"), col("nbr").as("l2"))
+    s1f.join(s2f, "l1")
+      .select(col("root"), col("l1"), col("l2"))
+  }
+
+  lazy val graphSampleNeighborsSql: String = {
+    val P = graft.functions.HashFns.P
+    coEdgesCte + s""",
+      |adj AS (
+      |  SELECT s1 AS node, s2 AS nbr FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |ranked AS (
+      |  SELECT node, nbr,
+      |    row_number() OVER (PARTITION BY node
+      |      ORDER BY ((node % $P) * $RwM1 + nbr) % $P, nbr) AS rn
+      |  FROM adj),
+      |s1 AS (SELECT node AS root, nbr AS l1 FROM ranked WHERE rn <= $GsFan1),
+      |s2 AS (SELECT node AS l1, nbr AS l2 FROM ranked WHERE rn <= $GsFan2)
+      |SELECT root, s1.l1, l2 FROM s1 JOIN s2 USING (l1)""".stripMargin
+  }
+
   lazy val randomWalkSql: String = {
     val P = graft.functions.HashFns.P
     val steps = (1 to RwSteps).map { t =>

@@ -570,4 +570,26 @@ class GraphSketchSpec extends SparkSpec {
       }
     }
   }
+
+  test("graph_sample_neighbors: fanout sample replays exactly on a local adjacency") {
+    import graft.operators.Graph
+    val adjRows = spark.read.parquet(Graph.ensureCoEdges(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (adjRows ++ adjRows.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val P = graft.functions.HashFns.P
+    def sample(node: Long, k: Int): Seq[Long] =
+      adj(node).sortBy(n => ((node % P) * Graph.RwM1 + n) % P -> n).take(k).toSeq
+    val expected = (for {
+      root <- adj.keys.toSeq; l1 <- sample(root, Graph.GsFan1)
+      l2 <- sample(l1, Graph.GsFan2)
+    } yield (root, l1, l2)).toSet
+    val got = run("graph_sample_neighbors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // fanout caps hold per root
+    got.groupBy(_._1).values.foreach(g =>
+      assert(g.size <= Graph.GsFan1 * Graph.GsFan2))
+    assert(got.nonEmpty)
+  }
 }
