@@ -516,6 +516,62 @@ object Dedup {
        |  sum(excess_chars)::BIGINT AS excess_chars
        |FROM per GROUP BY 1""".stripMargin
 
+  /** K117: DEDUP QUALITY-BIAS AUDIT — the curation sanity check "is
+    * dedup deleting my best documents": cross-tab of quality bucket
+    * (the K112 capped stopword-density percent, folded to 5 integer
+    * buckets of 20) × duplicate status (member of a PERSISTED
+    * cluster of size ≥ 2), with doc and token mass per cell and the
+    * exact integer dup-per-mille rate whose TILT across buckets is
+    * the bias signal (boilerplate duplicates cluster in the
+    * low-quality buckets on a healthy corpus; a flat or inverted
+    * tilt means the dedup threshold is eating content). Reads the
+    * write-once cluster-labels artifact — the clustering never
+    * reruns per audit; quality scoring is map-side; one doc-keyed
+    * equi-join + a 5-key aggregate. */
+  def dedupQualityAudit(s: SparkSession, dir: String): DataFrame = {
+    val tq = documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("toks"),
+        graft.functions.TextFns.langScore(col("text"), "en").cast("long").as("hits"))
+      .withColumn("w", expr("least(100L, (hits * 200L) div greatest(toks, 1L))"))
+      .withColumn("q_bucket", expr("least(4L, w div 20L)"))
+    val clu = s.read.parquet(ensureClusterLabels(s, dir))
+      .select(col("doc_id"), (col("cluster_size") > 1).as("is_dup"))
+    tq.join(clu, "doc_id")
+      .groupBy(col("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(col("toks")).as("toks"),
+        sum(when(col("is_dup"), col("toks")).otherwise(0L)).as("toks_dup"))
+      .withColumn("dup_per_mille", expr("(n_dup * 1000) div n_docs"))
+      .orderBy(col("q_bucket"))
+  }
+
+  lazy val dedupQualityAuditSql: String = {
+    val sw = graft.functions.TextFns.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |        x -> list_contains($sw, x)))::BIGINT AS hits
+       |  FROM documents),
+       |qb AS (
+       |  SELECT doc_id, toks,
+       |    least(4, least(100, (hits * 200) // greatest(toks, 1)) // 20) AS q_bucket
+       |  FROM q),
+       |clu AS (SELECT doc_id, cluster_size FROM ($dedupClustersSql)),
+       |j AS (
+       |  SELECT q_bucket, toks, cluster_size > 1 AS is_dup
+       |  FROM qb JOIN clu USING (doc_id))
+       |SELECT q_bucket, count(*) AS n_docs,
+       |  sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       |  sum(toks)::BIGINT AS toks,
+       |  sum(CASE WHEN is_dup THEN toks ELSE 0 END)::BIGINT AS toks_dup,
+       |  (sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+       |    AS dup_per_mille
+       |FROM j GROUP BY q_bucket""".stripMargin
+  }
+
   /** K-line: MinHash accuracy report — for every true near-dup pair
     * (exact Jaccard ≥ 0.5, the C4 set), the signature-agreement
     * estimate ĵ = |{k : sig_a[k] = sig_b[k]}| / 64 next to the exact

@@ -493,4 +493,38 @@ class DedupSpec extends SparkSpec {
     assert(byR.sliding(2).forall { case Seq(a, b) => a._4 >= b._4 },
       "recall must fall as rows-per-band grows")
   }
+
+  test("dedup_quality_audit: cells recount from cluster labels + quality weights") {
+    import org.apache.spark.sql.functions._
+    val lab = run("dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size"))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("toks"),
+        graft.functions.TextFns.langScore(col("text"), "en").cast("long").as("hits"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cells = docs.groupBy { case (id, toks, hits) =>
+      val w = math.min(100L, hits * 200L / math.max(toks, 1L))
+      math.min(4L, w / 20L)
+    }.map { case (b, rows) =>
+      val dup = rows.filter(r => lab(r._1) > 1)
+      b -> (rows.length.toLong, dup.length.toLong,
+        rows.map(_._2).sum, dup.map(_._2).sum)
+    }
+    val got = run("dedup_quality_audit").collect().map { r =>
+      r.getAs[Long]("q_bucket") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"),
+        r.getAs[Long]("toks"), r.getAs[Long]("toks_dup"))
+    }.toMap
+    assert(got == cells)
+    // conservation + per-mille formula + non-degenerate cross-tab
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+    run("dedup_quality_audit").collect().foreach { r =>
+      assert(r.getAs[Long]("dup_per_mille") ==
+        r.getAs[Long]("n_dup") * 1000L / r.getAs[Long]("n_docs"))
+    }
+    assert(got.size > 1, "quality buckets collapsed to one cell")
+    assert(got.values.map(_._2).sum > 0, "no duplicates reached the audit")
+  }
 }
