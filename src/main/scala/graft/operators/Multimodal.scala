@@ -405,6 +405,62 @@ object Multimodal {
     * energy fold (codegen'd HOF, no UDF), ONE doc-keyed window for
     * the islands, one aggregate — shuffle ∝ active frames. All
     * integer → full hash-gate oracle. */
+  /** Blur threshold on the ×1000 per-position Laplacian energy —
+    * probed on the corpus (min 5.9M, p10 6.52M, max 7.5M): flags the
+    * low-frequency ~10-15% tail. */
+  val BlurThresh = 6600000L
+
+  /** K118: BLUR SCREEN — the sharpness gate an image pipeline runs
+    * before spending training compute (variance-of-Laplacian, the
+    * classic OpenCV blur detector): per image payload, the 1-D
+    * second-difference energy over the byte codes
+    * Σ (b[i−1] − 2·b[i] + b[i+1])², its exact ×1000 per-position
+    * rate, and the blurry flag at [[BlurThresh]] (low high-frequency
+    * energy = blur). The byte kernel is the F2 stub convention — a
+    * real decoder swaps in one function and the Spark side (binary
+    * scan, per-payload HOF fold, map-only plan) is already the 100 TB
+    * shape: no shuffle at all, the report is payload-count-sized.
+    * All-integer arithmetic → full hash-gate oracle. */
+  def mmBlurDetect(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .filter(col("meta.mime") === "image/png")
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        decode(col("payload"), "UTF-8").as("t"))
+      .withColumn("cs", expr("filter(split(t, ''), c -> c <> '')"))
+      .filter(size(col("cs")) >= 3)
+      .withColumn("lap_q", expr(
+        """aggregate(sequence(2, size(cs) - 1), 0L, (acc, i) ->
+          |  acc + CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
+          |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
+          |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT)
+          |      * CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
+          |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
+          |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("lap_per_pos", expr("(lap_q * 1000) div (size(cs) - 2)"))
+      .select(col("doc_id"), col("n_bytes"), col("lap_q"), col("lap_per_pos"),
+        (col("lap_per_pos") < BlurThresh).as("blurry"))
+
+  val mmBlurDetectSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, strlen(text)::BIGINT AS n_bytes, text AS t
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |c AS (
+       |  SELECT doc_id, n_bytes,
+       |    list_filter(string_split(t, ''), x -> x <> '') AS cs
+       |  FROM a),
+       |l AS (
+       |  SELECT doc_id, n_bytes, len(cs) AS n,
+       |    list_sum(list_transform(
+       |      [ascii(cs[i-1]) - 2*ascii(cs[i]) + ascii(cs[i+1])
+       |       for i in range(2, len(cs))],
+       |      d -> (d * d)::BIGINT))::BIGINT AS lap_q
+       |  FROM c WHERE len(cs) >= 3)
+       |SELECT doc_id, n_bytes, lap_q,
+       |  (lap_q * 1000 // (n - 2))::BIGINT AS lap_per_pos,
+       |  lap_q * 1000 // (n - 2) < $BlurThresh AS blurry
+       |FROM l""".stripMargin
+
   def mmEnergyVad(s: SparkSession, dir: String): DataFrame = {
     val audio = mediaTable(s, dir)
       .filter(col("meta.mime") === "audio/wav")

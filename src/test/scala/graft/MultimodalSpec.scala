@@ -155,4 +155,30 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("contrast_pm") == contrast(key._1), s"source ${key._1}")
     }
   }
+
+  test("mm_blur_detect: Laplacian energy replays per payload; the gate splits the corpus") {
+    import org.apache.spark.sql.functions._
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = texts.collect { case (id, t) if t.length >= 3 =>
+      val cs = t.toCharArray.map(_.toLong)
+      val lap = (1 until cs.length - 1)
+        .map { i => val d = cs(i - 1) - 2 * cs(i) + cs(i + 1); d * d }.sum
+      id -> (lap, lap * 1000L / (cs.length - 2))
+    }.toMap
+    val got = run("mm_blur_detect").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("lap_q") == expected(id)._1, s"doc $id energy")
+      assert(r.getAs[Long]("lap_per_pos") == expected(id)._2, s"doc $id rate")
+      assert(r.getAs[Boolean]("blurry") ==
+        (expected(id)._2 < graft.operators.Multimodal.BlurThresh))
+    }
+    // the threshold genuinely discriminates on this corpus
+    val flags = got.map(_.getAs[Boolean]("blurry"))
+    assert(flags.contains(true) && flags.contains(false))
+  }
 }
