@@ -364,26 +364,30 @@ object Ann {
     * K81 contract — its LSH swap applies unchanged); downstream is
     * two (vec, label)-keyed equi-joins of the K·N list frame against
     * the N-row label frame (no broadcast assumed — the label side is
-    * corpus-sized), one per-anchor aggregate and one ≤K-row-per-
-    * anchor rank window. */
+    * corpus-sized) and ONE per-anchor aggregate folding the counts
+    * and the impostor argmax together (max(struct(cos, −nb)) = the
+    * (cos desc, nb asc) pick without a rank exchange); the oracle
+    * keeps the window formulation, so the hash gate cross-checks the
+    * two algebras. */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     val lab = embeddings(s, dir).select(col("vec_id"), col("label"))
     val j = knnJoin(s, dir)
       .join(lab, "vec_id")
       .join(lab.select(col("vec_id").as("nb"), col("label").as("nb_label")),
         "nb")
-    val counts = j.groupBy(col("vec_id"), col("label"))
+    // ONE pass: counts and the impostor argmax fold in the same
+    // aggregate — max(struct(cos, -nb)) picks highest cos, tie →
+    // smallest nb (the window ordering, without a second scan of the
+    // joined frame or a rank exchange)
+    j.groupBy(col("vec_id"), col("label"))
       .agg(
         sum(when(col("nb_label") === col("label"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("nb_label") =!= col("label"), 1L).otherwise(0L)).as("n_neg"))
-    val hn = j.filter(col("nb_label") =!= col("label"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nb").as("hn_id"), col("cos").as("hn_cos"))
-    counts.join(hn, "vec_id")
+        sum(when(col("nb_label") =!= col("label"), 1L).otherwise(0L)).as("n_neg"),
+        max(when(col("nb_label") =!= col("label"),
+          struct(col("cos"), (-col("nb")).as("nnb")))).as("m"))
+      .filter(col("n_neg") > 0)
       .select(col("vec_id"), col("label"), col("n_pos"), col("n_neg"),
-        col("hn_id"), col("hn_cos"))
+        (-col("m.nnb")).as("hn_id"), col("m.cos").as("hn_cos"))
   }
 
   lazy val hardNegativesSql: String =

@@ -899,8 +899,11 @@ object TrainPrep {
       .groupBy(col("gram")).agg(min(col("bucket")).as("bucket"))
     val gramHist = firstB.groupBy(col("bucket"))
       .agg(count(lit(1)).as("new_grams"))
+    // ≤5 rows — materialize before the range self-join, else the
+    // corpus-scale doc + gram aggregates execute once per side
     val per = docAgg.join(gramHist, Seq("bucket"), "left_outer")
       .na.fill(0L, Seq("new_grams"))
+      .localCheckpoint()
     per.alias("a").join(broadcast(per.alias("b")),
         col("b.bucket") <= col("a.bucket"))
       .groupBy(col("a.bucket"))
@@ -1097,16 +1100,21 @@ object TrainPrep {
     * the shares (integer ×10⁶ division — the K80 convention). No
     * shuffle wider than the 8-row report at any scale. */
   def filterSweep(s: SparkSession, dir: String): DataFrame = {
-    val base = documents(s, dir)
+    // ONE corpus scan: the cutoff-0 cell IS the corpus total
+    // (tokens >= 0 always holds), so the share denominators come from
+    // the 8-row aggregate itself, not a second pass
+    val agg = documents(s, dir)
       .select(TextFns.wsTokenCount(col("text")).cast("long").as("toks"))
-    val totals = base.agg(count(lit(1)).as("total_docs"),
-      sum(col("toks")).as("total_toks"))
-    base
       .withColumn("cutoff", explode(typedLit(FsCuts)))
       .groupBy(col("cutoff"))
       .agg(
         sum(when(col("toks") >= col("cutoff"), 1L).otherwise(0L)).as("n_docs_kept"),
         sum(when(col("toks") >= col("cutoff"), col("toks")).otherwise(0L)).as("toks_kept"))
+      .localCheckpoint() // 8 rows; feeds both the report and its totals
+    val totals = agg.filter(col("cutoff") === 0L)
+      .select(col("n_docs_kept").as("total_docs"),
+        col("toks_kept").as("total_toks"))
+    agg
       .crossJoin(broadcast(totals)) // 1-row scalar frame
       .select(col("cutoff"), col("n_docs_kept"), col("toks_kept"),
         expr("(n_docs_kept * 1000000) div total_docs").as("docs_share_pm"),
@@ -1119,16 +1127,18 @@ object TrainPrep {
     s"""WITH t AS (
        |  SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks
        |  FROM documents),
-       |tot AS (SELECT count(*) AS total_docs, sum(toks)::BIGINT AS total_toks FROM t),
-       |g AS (SELECT toks, unnest($grid)::BIGINT AS cutoff FROM t)
-       |SELECT cutoff,
-       |  sum(CASE WHEN toks >= cutoff THEN 1 ELSE 0 END)::BIGINT AS n_docs_kept,
-       |  sum(CASE WHEN toks >= cutoff THEN toks ELSE 0 END)::BIGINT AS toks_kept,
-       |  (sum(CASE WHEN toks >= cutoff THEN 1 ELSE 0 END) * 1000000
-       |     // (SELECT total_docs FROM tot))::BIGINT AS docs_share_pm,
-       |  (sum(CASE WHEN toks >= cutoff THEN toks ELSE 0 END) * 1000000
-       |     // (SELECT total_toks FROM tot))::BIGINT AS toks_share_pm
-       |FROM g GROUP BY cutoff""".stripMargin
+       |g AS (SELECT toks, unnest($grid)::BIGINT AS cutoff FROM t),
+       |agg AS (
+       |  SELECT cutoff,
+       |    sum(CASE WHEN toks >= cutoff THEN 1 ELSE 0 END)::BIGINT AS n_docs_kept,
+       |    sum(CASE WHEN toks >= cutoff THEN toks ELSE 0 END)::BIGINT AS toks_kept
+       |  FROM g GROUP BY cutoff),
+       |tot AS (SELECT n_docs_kept AS total_docs, toks_kept AS total_toks
+       |        FROM agg WHERE cutoff = 0)
+       |SELECT cutoff, n_docs_kept, toks_kept,
+       |  (n_docs_kept * 1000000 // (SELECT total_docs FROM tot))::BIGINT AS docs_share_pm,
+       |  (toks_kept * 1000000 // (SELECT total_toks FROM tot))::BIGINT AS toks_share_pm
+       |FROM agg""".stripMargin
   }
 
   val systematicSampleSql: String =
