@@ -421,23 +421,30 @@ object Multimodal {
     * scan, per-payload HOF fold, map-only plan) is already the 100 TB
     * shape: no shuffle at all, the report is payload-count-sized.
     * All-integer arithmetic → full hash-gate oracle. */
+  /** Adds `lap_q` and `lap_per_pos` (×1000 per-position Laplacian
+    * energy) to a frame with a text column `t` — the byte kernel
+    * shared by [[mmBlurDetect]] and the streaming media gate
+    * ([[graft.streaming.StreamMediaGate]]). Drops payloads shorter
+    * than 3 bytes (no interior position). */
+  private[graft] def withLap(df: DataFrame): DataFrame = df
+    .withColumn("cs", expr("filter(split(t, ''), c -> c <> '')"))
+    .filter(size(col("cs")) >= 3)
+    .withColumn("lap_q", expr(
+      """aggregate(sequence(2, size(cs) - 1), 0L, (acc, i) ->
+        |  acc + CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
+        |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
+        |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT)
+        |      * CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
+        |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
+        |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT))"""
+        .stripMargin))
+    .withColumn("lap_per_pos", expr("(lap_q * 1000) div (size(cs) - 2)"))
+
   def mmBlurDetect(s: SparkSession, dir: String): DataFrame =
-    mediaTable(s, dir)
+    withLap(mediaTable(s, dir)
       .filter(col("meta.mime") === "image/png")
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-        decode(col("payload"), "UTF-8").as("t"))
-      .withColumn("cs", expr("filter(split(t, ''), c -> c <> '')"))
-      .filter(size(col("cs")) >= 3)
-      .withColumn("lap_q", expr(
-        """aggregate(sequence(2, size(cs) - 1), 0L, (acc, i) ->
-          |  acc + CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
-          |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
-          |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT)
-          |      * CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
-          |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
-          |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT))"""
-          .stripMargin))
-      .withColumn("lap_per_pos", expr("(lap_q * 1000) div (size(cs) - 2)"))
+        decode(col("payload"), "UTF-8").as("t")))
       .select(col("doc_id"), col("n_bytes"), col("lap_q"), col("lap_per_pos"),
         (col("lap_per_pos") < BlurThresh).as("blurry"))
 
