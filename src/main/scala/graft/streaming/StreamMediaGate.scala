@@ -71,11 +71,17 @@ object StreamMediaGate {
         val fresh = firsts
           .join(seen.select(col("chash")), Seq("chash"), "left_anti")
           .localCheckpoint() // batch-sized; read 3× below (gate, registry, report)
+        // the flag is a PROJECT, not a filter: filtering directly on
+        // lap_per_pos lets PushPredicateThroughProject substitute the
+        // whole Laplacian expression (cs array build included) into
+        // every element_at of the fold — O(len²) per payload, 60 s at
+        // sf0.1. CollapseProject's multi-reference guard keeps the
+        // projected form at one cs build per row.
         val gated = Multimodal.withLap(
             fresh.filter(col("mime") === "image/png")
               .select(col("chash"), decode(col("payload"), "UTF-8").as("t")))
-          .filter(col("lap_per_pos") < Multimodal.BlurThresh)
-          .select(col("chash"), lit(true).as("blurry"))
+          .select(col("chash"),
+            (col("lap_per_pos") < Multimodal.BlurThresh).as("blurry"))
         val report = hashed.groupBy(col("mime"))
           .agg(count(lit(1)).as("n_arrivals"))
           .join(
