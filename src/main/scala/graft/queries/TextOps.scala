@@ -710,4 +710,59 @@ object TextOps {
       |FROM posts p LEFT JOIN train t ON p.gram = t.gram
       |WHERE p.doc_id % 10 >= 8
       |GROUP BY 1, 2""".stripMargin
+
+  /** K120: VOCABULARY DRIFT MONITOR — the one-number alarm a corpus
+    * ingest watches between the reference split and an incoming
+    * batch (K71's split convention: doc_id mod 10 < 8 = reference,
+    * ≥ 8 = incoming): total-variation distance between the two token
+    * distributions, plus OOV mass — the "did the crawl change under
+    * me" read (TVD is the engine-exact drift metric of the
+    * dist_drift family: no logs, the K5 lesson). ONE postings pass
+    * with conditional (ref, inc) counts per token — shuffle ∝ vocab
+    * with map-side combine; the 1-row totals broadcast back.
+    * Arithmetic: TVD/2 = Σ|ca·Nb − cb·Na| over 2·Na·Nb, emitted
+    * per-million with exact BIGINT cross-multiplication (safe to
+    * ~10⁹ tokens per side; at 10¹²-token scale the products swap to
+    * DECIMAL(38) — the trend_fit note — with the same div). */
+  def vocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(
+      (col("doc_id") % 10 < 8).as("is_ref"),
+      explode(wsTokens(lower(col("text")))).as("tok"))
+    val cell = toks.groupBy(col("tok"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cb"))
+    val tot = cell.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cell.crossJoin(broadcast(tot)) // 1-row scalar frame
+      .agg(
+        max(col("na")).as("n_tok_ref"), max(col("nb")).as("n_tok_inc"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_ref"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_inc"),
+        sum(when(col("ca") === 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("n_oov_types"),
+        sum(when(col("ca") === 0, col("cb")).otherwise(0L)).as("oov_toks"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("s"))
+      .select(col("n_tok_ref"), col("n_tok_inc"),
+        col("vocab_ref"), col("vocab_inc"), col("n_oov_types"),
+        expr("(oov_toks * 1000000) div n_tok_inc").as("oov_pm"),
+        expr("(s * 1000000) div (2 * n_tok_ref * n_tok_inc)").as("tvd_pm"))
+  }
+
+  val vocabDriftSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id % 10 < 8 AS is_ref,
+      |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+      |  FROM documents),
+      |cell AS (
+      |  SELECT tok,
+      |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS ca,
+      |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS cb
+      |  FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM cell)
+      |SELECT na AS n_tok_ref, nb AS n_tok_inc,
+      |  sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_ref,
+      |  sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_inc,
+      |  sum(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov_types,
+      |  (sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) * 1000000 // nb)::BIGINT AS oov_pm,
+      |  (sum(abs(ca * nb - cb * na)) * 1000000 // (2 * na * nb))::BIGINT AS tvd_pm
+      |FROM cell, tot GROUP BY na, nb""".stripMargin
 }

@@ -22,6 +22,34 @@ class TextOpsSpec extends SparkSpec {
     ("zh", "我 有 一 只 猫 它 是 我 的 朋友 就 在 这 里 和 我 一起"),
     ("zh", "这 是 一 个 很 好 的 地方 我 们 都 喜欢 在 这 里 吃饭 他 也 是"))
 
+  test("vocab_drift: TVD and OOV replay from local token counts; bounds hold") {
+    val rows = run("vocab_drift").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // local recount with the identical integer arithmetic
+    val toks = Tables.documents(spark, sf)
+      .select((col("doc_id") % 10 < 8).as("is_ref"),
+        explode(TextFns.wsTokens(lower(col("text")))).as("tok"))
+      .collect().map(x => (x.getBoolean(0), x.getString(1)))
+    val ca = toks.filter(_._1).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cb = toks.filterNot(_._1).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val (na, nb) = (ca.values.sum, cb.values.sum)
+    val vocab = ca.keySet ++ cb.keySet
+    val s0 = vocab.toSeq.map(t =>
+      (ca.getOrElse(t, 0L) * nb - cb.getOrElse(t, 0L) * na).abs).sum
+    val oov = vocab.toSeq.filter(t => !ca.contains(t))
+      .map(t => cb.getOrElse(t, 0L)).sum
+    assert(r.getAs[Long]("n_tok_ref") == na && r.getAs[Long]("n_tok_inc") == nb)
+    assert(r.getAs[Long]("vocab_ref") == ca.size.toLong)
+    assert(r.getAs[Long]("vocab_inc") == cb.size.toLong)
+    assert(r.getAs[Long]("n_oov_types") == vocab.count(t => !ca.contains(t)).toLong)
+    assert(r.getAs[Long]("oov_pm") == oov * 1000000L / nb)
+    assert(r.getAs[Long]("tvd_pm") == s0 * 1000000L / (2 * na * nb))
+    // TVD is a [0, 1] metric scaled per-million
+    val tvd = r.getAs[Long]("tvd_pm")
+    assert(tvd >= 0 && tvd <= 1000000)
+  }
+
   test("lang_id: >=90% accuracy on real-language fixtures") {
     import spark.implicits._
     val df = fixtures.toDF("truth", "text")
