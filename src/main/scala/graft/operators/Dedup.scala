@@ -572,6 +572,67 @@ object Dedup {
        |FROM j GROUP BY q_bucket""".stripMargin
   }
 
+  /** K121: CANONICAL-DOCUMENT ELECTION — dedup that keeps the BEST
+    * copy, not the first: per dup cluster (persisted labels, size
+    * ≥ 2), elect the member with the highest integer quality weight
+    * (K112's stopword-density percent; ties → longer doc → smaller
+    * id), and report the quality GAIN over K3 dedup_apply's
+    * first-seen (min-id) baseline — the number that justifies
+    * quality-aware election in a curation review. The argmax is the
+    * hard_negatives fold (max(struct(w, toks, −id)) — no rank
+    * window); one doc-keyed equi-join against the label artifact +
+    * one cluster-keyed aggregate, both ∝ dup-cluster members, never
+    * corpus². */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val clu = s.read.parquet(ensureClusterLabels(s, dir))
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("toks"),
+        graft.functions.TextFns.langScore(col("text"), "en").cast("long").as("hits"))
+      .withColumn("w", expr("least(100L, (hits * 200L) div greatest(toks, 1L))"))
+    clu.join(q, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("w"), col("toks"), (-col("doc_id")).as("nid"))).as("e"),
+        // the min-id member IS the cluster label (canonical = min(b))
+        max(when(col("doc_id") === col("cluster_id"), col("w"))).as("w_first"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("e.nid")).as("keep_id"), col("e.w").as("w_kept"),
+        col("w_first"), (col("e.w") - col("w_first")).as("quality_gain"))
+  }
+
+  lazy val dedupCanonicalSql: String = {
+    val sw = graft.functions.TextFns.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |        x -> list_contains($sw, x)))::BIGINT AS hits
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, toks,
+       |    least(100, (hits * 200) // greatest(toks, 1)) AS w
+       |  FROM q),
+       |m AS (
+       |  SELECT c.cluster_id, c.doc_id, w.w, w.toks
+       |  FROM ($dedupClustersSql) c JOIN w USING (doc_id)
+       |  WHERE c.cluster_size > 1),
+       |e AS (
+       |  SELECT cluster_id, doc_id AS keep_id, w AS w_kept FROM (
+       |    SELECT cluster_id, doc_id, w,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY w DESC, toks DESC, doc_id) AS rn
+       |    FROM m) WHERE rn = 1),
+       |f AS (SELECT cluster_id, w AS w_first FROM m WHERE doc_id = cluster_id),
+       |n AS (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY 1)
+       |SELECT cluster_id, n_members, keep_id,
+       |  w_kept::BIGINT AS w_kept, w_first::BIGINT AS w_first,
+       |  (w_kept - w_first)::BIGINT AS quality_gain
+       |FROM e JOIN f USING (cluster_id) JOIN n USING (cluster_id)""".stripMargin
+  }
+
   /** K-line: MinHash accuracy report — for every true near-dup pair
     * (exact Jaccard ≥ 0.5, the C4 set), the signature-agreement
     * estimate ĵ = |{k : sig_a[k] = sig_b[k]}| / 64 next to the exact

@@ -527,4 +527,38 @@ class DedupSpec extends SparkSpec {
     assert(got.size > 1, "quality buckets collapsed to one cell")
     assert(got.values.map(_._2).sum > 0, "no duplicates reached the audit")
   }
+
+  test("dedup_canonical: election replays from cluster labels + quality weights") {
+    import org.apache.spark.sql.functions._
+    val labels = run("dedup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size")))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("toks"),
+        graft.functions.TextFns.langScore(col("text"), "en").cast("long").as("hits"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        math.min(100L, r.getLong(2) * 200L / math.max(r.getLong(1), 1L))))
+      .toMap
+    val expected = labels.filter(_._3 > 1).groupBy(_._2).map { case (cid, ms) =>
+      val members = ms.map(_._1)
+      val keep = members.minBy { id =>
+        val (toks, w) = docs(id); (-w, -toks, id)
+      }
+      cid -> (members.length.toLong, keep, docs(keep)._2, docs(cid)._2)
+    }
+    val got = run("dedup_canonical").collect().map { r =>
+      r.getAs[Long]("cluster_id") -> (r.getAs[Long]("n_members"),
+        r.getAs[Long]("keep_id"), r.getAs[Long]("w_kept"), r.getAs[Long]("w_first"))
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "no dup clusters reached the election")
+    // the gain column is exactly elected-minus-baseline, never negative
+    run("dedup_canonical").collect().foreach { r =>
+      assert(r.getAs[Long]("quality_gain") ==
+        r.getAs[Long]("w_kept") - r.getAs[Long]("w_first"))
+      assert(r.getAs[Long]("quality_gain") >= 0)
+    }
+  }
 }
