@@ -915,6 +915,54 @@ object Graph {
       (0 to RwSteps).map(t => col(s"v$t")): _*)
   }
 
+  /** K122: EDGE-SUPPORT SPECTRUM — the k-truss preprocessing read
+    * (the edge analog of K40's k-core): per edge (u, v), its SUPPORT
+    * = |N(u) ∩ N(v)| (triangles through the edge), reported as the
+    * support histogram. Support ≥ k−2 is the k-truss MEMBERSHIP
+    * upper bound (the first peel round — a full truss decomposition
+    * iterates the peel; this is the spectrum that picks k before
+    * paying for it, and the 0-support row counts the bridge-like
+    * edges no community ever claims). Shape: one wedge enumeration —
+    * edge ⋈ adjacency on the u endpoint, closing semi-join on
+    * (v, c) — shuffle ∝ wedges exactly like J1's triangle count,
+    * bounded by the [[MaxEdges]] cut; zero-support edges recovered
+    * by a left join of the edge list. */
+  def edgeSupport(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint() // (s1 < s2), read 3×
+    val adj = edges.select(col("s1").as("a"), col("s2").as("b"))
+      .unionByName(edges.select(col("s2").as("a"), col("s1").as("b")))
+    val sup = edges.as("e")
+      .join(adj.as("x"), col("e.s1") === col("x.a"))
+      .select(col("e.s1").as("u"), col("e.s2").as("v"), col("x.b").as("c"))
+      .join(adj.select(col("a").as("v"), col("b").as("c")),
+        Seq("v", "c"), "left_semi")
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    edges.select(col("s1").as("u"), col("s2").as("v"))
+      .join(sup, Seq("u", "v"), "left_outer")
+      .na.fill(0L, Seq("support"))
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
+  }
+
+  /** DuckDB twin — the closing check is an INNER join (adjacency rows
+    * are unique, so inner ≡ semi; Spark keeps left_semi for the
+    * cleaner plan and the hash gate cross-checks the equivalence). */
+  lazy val edgeSupportSql: String =
+    coEdgesCte + s""",
+      |adj AS (
+      |  SELECT s1 AS a, s2 AS b FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |w AS (
+      |  SELECT e.s1 AS u, e.s2 AS v, x.b AS c
+      |  FROM edges e JOIN adj x ON x.a = e.s1),
+      |sup AS (
+      |  SELECT w.u, w.v, count(*) AS support
+      |  FROM w JOIN adj y ON y.a = w.v AND y.b = w.c
+      |  GROUP BY 1, 2)
+      |SELECT coalesce(support, 0)::BIGINT AS support, count(*) AS n_edges
+      |FROM edges LEFT JOIN sup ON sup.u = edges.s1 AND sup.v = edges.s2
+      |GROUP BY 1""".stripMargin
+
   /** Fanout caps per layer for the neighborhood sampler. */
   val GsFan1 = 3
   val GsFan2 = 2

@@ -592,4 +592,25 @@ class GraphSketchSpec extends SparkSpec {
       assert(g.size <= Graph.GsFan1 * Graph.GsFan2))
     assert(got.nonEmpty)
   }
+
+  test("edge_support: histogram recounts from a local adjacency; 3x support = triangles") {
+    import graft.operators.Graph
+    val edges = spark.read.parquet(Graph.ensureCoEdges(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = edges
+      .map { case (u, v) => (nbrs(u) intersect nbrs(v)).size.toLong }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("edge_support").collect()
+      .map(r => r.getAs[Long]("support") -> r.getAs[Long]("n_edges")).toMap
+    assert(got == expected)
+    // conservation + the triangle identity: sum(support) = 3 * triangles
+    assert(got.values.sum == edges.length.toLong)
+    // count per edge (a Set-valued for-comp would dedup the yields)
+    val triangles = edges.map { case (u, v) =>
+      (nbrs(u) intersect nbrs(v)).count(_ > v).toLong }.sum
+    val supSum = got.map { case (s0, n) => s0 * n }.sum
+    assert(supSum == 3 * triangles, s"sum(support)=$supSum vs 3x$triangles")
+  }
 }
