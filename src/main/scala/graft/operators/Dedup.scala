@@ -27,14 +27,41 @@ object Dedup {
   val DfCap = 1000
 
   /** Distinct 3-gram shingles as (doc_id, gram) POSTINGS, built
-    * relationally — posexplode tokens, `lead` window for the next
-    * two, concat — so shingling is whole-stage codegen plus one
-    * doc-keyed shuffle instead of an interpreted array lambda
-    * (measured ~4× on the LSH pipeline). Docs under 3 tokens
-    * contribute their whole text as one gram (same fallback as
-    * [[graft.functions.HashFns.shingles]] and the oracle). Grams
-    * over [[DfCap]] are excluded. */
+    * MAP-SIDE from each document's token array: nested zip_with over
+    * three shifted slices, so shingling stays whole-stage codegen
+    * with NO doc-keyed exchange — adjacency is a local array
+    * property, not a cross-row one. Docs under 3 tokens contribute
+    * their whole text as one gram (same fallback as
+    * [[graft.functions.HashFns.shingles]] and the oracle).
+    *
+    * Measured against the r8-r9 window-lead form
+    * ([[rawGramPostsWin]]) through the full C2 pipeline in one
+    * alternating [[graft.ABProbe]] session at sf0.1 (r10): warm
+    * median 3.12 vs 3.19 s, warm min 2.91 vs 3.09, first pass 5.4
+    * vs 11.3 s — the array form wins on every mark and removes the
+    * window's doc-keyed sort exchange, which only grows with
+    * corpus size. (The earlier "interpreted array lambda measured
+    * ~4×" note predates zip_with's codegen'd slice form.) */
   private def rawGramPosts(docs: DataFrame): DataFrame = {
+    val ts = col("ts")
+    val g3 = zip_with(
+      zip_with(slice(ts, lit(1), size(ts) - 2), slice(ts, lit(2), size(ts) - 2),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(ts, lit(3), size(ts) - 2),
+      (ab, c) => concat(ab, lit(" "), c))
+    docs
+      .select(col("doc_id"), graft.functions.TextFns.wsTokens(lower(col("text"))).as("ts"))
+      .select(col("doc_id"),
+        explode(when(size(ts) < 3, array(array_join(ts, " "))).otherwise(g3)).as("gram"))
+      .dropDuplicates("doc_id", "gram")
+  }
+
+  /** A/B probe variant of [[rawGramPosts]]: the r8-r9 window-lead
+    * build (posexplode + lead over a doc-keyed window). Kept as a
+    * probe hook so the window-vs-array choice stays re-measurable
+    * in one session ([[graft.ABProbe]]); the shipped form is the
+    * measured winner (see [[rawGramPosts]]). */
+  private[graft] def rawGramPostsWin(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(graft.functions.TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
     val w = org.apache.spark.sql.expressions.Window
@@ -49,6 +76,20 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", graft.functions.TextFns.wsTokens(lower(col("text")))).as("gram"))
     long3.unionByName(short).dropDuplicates("doc_id", "gram")
+  }
+
+  /** A/B probe twin of [[dedupMinhashLsh]] over either gram build. */
+  private[graft] def dedupMinhashLshProbe(s: SparkSession, dir: String,
+                                          arr: Boolean): DataFrame = {
+    val raw = if (arr) rawGramPosts(documents(s, dir)) else rawGramPostsWin(documents(s, dir))
+    val lowDf = raw.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= DfCap)
+      .select(col("gram"))
+    val gp = raw.join(lowDf, "gram").select(col("doc_id"), col("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = lshPairs(gp).localCheckpoint()
+    gp.unpersist()
+    out
   }
 
   private def gramPosts(s: SparkSession, dir: String): DataFrame = {
