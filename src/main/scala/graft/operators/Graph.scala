@@ -923,19 +923,34 @@ object Graph {
     * iterates the peel; this is the spectrum that picks k before
     * paying for it, and the 0-support row counts the bridge-like
     * edges no community ever claims). Shape: one wedge enumeration —
-    * edge ⋈ adjacency on the u endpoint, closing semi-join on
-    * (v, c) — shuffle ∝ wedges exactly like J1's triangle count,
-    * bounded by the [[MaxEdges]] cut; zero-support edges recovered
-    * by a left join of the edge list. */
+    * each edge enumerates common-neighbor CANDIDATES from its
+    * LOWER-degree endpoint (J1's degree orientation; support is
+    * symmetric so the side is free to choose), closing semi-join on
+    * the higher-degree endpoint's adjacency — so wedge volume is
+    * Σ_e min(deg_u, deg_v) (the structural bound a hub-skewed graph
+    * needs: from the s1 side it would be deg(hub)·|edges through
+    * hubs|), further bounded by the [[MaxEdges]] cut; zero-support
+    * edges recovered by a left join of the edge list. */
   def edgeSupport(s: SparkSession, dir: String): DataFrame = {
-    val edges = coEdges(s, dir).localCheckpoint() // (s1 < s2), read 3×
+    val edges = coEdges(s, dir).localCheckpoint() // (s1 < s2), read 4×
+    val deg = edges.select(col("s1").as("n"))
+      .unionByName(edges.select(col("s2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val d1 = deg.select(col("n").as("s1"), col("deg").as("deg1"))
+    val d2 = deg.select(col("n").as("s2"), col("deg").as("deg2"))
+    val fwd = col("deg1") < col("deg2") ||
+      (col("deg1") === col("deg2") && col("s1") < col("s2"))
+    val oriented = edges.join(broadcast(d1), "s1").join(broadcast(d2), "s2")
+      .select(col("s1").as("u"), col("s2").as("v"),
+        when(fwd, col("s1")).otherwise(col("s2")).as("lo"),
+        when(fwd, col("s2")).otherwise(col("s1")).as("hi"))
     val adj = edges.select(col("s1").as("a"), col("s2").as("b"))
       .unionByName(edges.select(col("s2").as("a"), col("s1").as("b")))
-    val sup = edges.as("e")
-      .join(adj.as("x"), col("e.s1") === col("x.a"))
-      .select(col("e.s1").as("u"), col("e.s2").as("v"), col("x.b").as("c"))
-      .join(adj.select(col("a").as("v"), col("b").as("c")),
-        Seq("v", "c"), "left_semi")
+    val sup = oriented
+      .join(adj.as("x"), col("lo") === col("x.a"))
+      .select(col("u"), col("v"), col("hi"), col("x.b").as("c"))
+      .join(adj.select(col("a").as("hi"), col("b").as("c")),
+        Seq("hi", "c"), "left_semi")
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
     edges.select(col("s1").as("u"), col("s2").as("v"))
       .join(sup, Seq("u", "v"), "left_outer")
@@ -944,20 +959,32 @@ object Graph {
       .orderBy(col("support"))
   }
 
-  /** DuckDB twin — the closing check is an INNER join (adjacency rows
-    * are unique, so inner ≡ semi; Spark keeps left_semi for the
-    * cleaner plan and the hash gate cross-checks the equivalence). */
+  /** DuckDB twin — same min-degree orientation; the closing check is
+    * an INNER join (adjacency rows are unique, so inner ≡ semi;
+    * Spark keeps left_semi for the cleaner plan and the hash gate
+    * cross-checks the equivalence). */
   lazy val edgeSupportSql: String =
     coEdgesCte + s""",
       |adj AS (
       |  SELECT s1 AS a, s2 AS b FROM edges
       |  UNION ALL SELECT s2, s1 FROM edges),
+      |deg AS (
+      |  SELECT n, count(*) AS deg FROM (
+      |    SELECT s1 AS n FROM edges UNION ALL SELECT s2 FROM edges)
+      |  GROUP BY n),
+      |o AS (
+      |  SELECT e.s1 AS u, e.s2 AS v,
+      |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.s1 < e.s2)
+      |              THEN e.s1 ELSE e.s2 END AS lo,
+      |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.s1 < e.s2)
+      |              THEN e.s2 ELSE e.s1 END AS hi
+      |  FROM edges e JOIN deg d1 ON e.s1 = d1.n JOIN deg d2 ON e.s2 = d2.n),
       |w AS (
-      |  SELECT e.s1 AS u, e.s2 AS v, x.b AS c
-      |  FROM edges e JOIN adj x ON x.a = e.s1),
+      |  SELECT o.u, o.v, o.hi, x.b AS c
+      |  FROM o JOIN adj x ON x.a = o.lo),
       |sup AS (
       |  SELECT w.u, w.v, count(*) AS support
-      |  FROM w JOIN adj y ON y.a = w.v AND y.b = w.c
+      |  FROM w JOIN adj y ON y.a = w.hi AND y.b = w.c
       |  GROUP BY 1, 2)
       |SELECT coalesce(support, 0)::BIGINT AS support, count(*) AS n_edges
       |FROM edges LEFT JOIN sup ON sup.u = edges.s1 AND sup.v = edges.s2
