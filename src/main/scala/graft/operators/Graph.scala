@@ -990,6 +990,130 @@ object Graph {
       |FROM edges LEFT JOIN sup ON sup.u = edges.s1 AND sup.v = edges.s2
       |GROUP BY 1""".stripMargin
 
+  /** Round budget for [[ktrussPeel]] — same 2× convergence headroom
+    * convention as [[KcoreRounds]]. */
+  val TrussRounds = 6
+
+  /** K123: K-TRUSS PEEL — the iterative support-recompute peel the
+    * K122 spectrum defers: each round SIMULTANEOUSLY removes every
+    * edge whose support (triangles through it) in the SURVIVING
+    * subgraph is < k−2, until fixpoint — the truss cascade that
+    * turns [[edgeSupport]]'s first-round histogram into actual
+    * k-truss membership ([[kcorePeel]]'s edge-centric sibling).
+    * k is PICKED FROM THE SPECTRUM, as K122's contract promises:
+    * the support threshold t = k−2 = max(1, ⌊max round-1 support /
+    * 2⌋), fixed for all later rounds — an absolute k cannot be
+    * meaningful across corpora (measured here: the sf0.001 cut
+    * graph is a support-8 clique shell, sf0.01 peaks at 81, the
+    * sf0.1 top-[[MaxEdges]] cut is 93% support-0), while half-max
+    * names a real core at every scale. The scalar t is ONE 1-row
+    * driver fetch off the round-1 scored frame (the bpe_train
+    * argmax precedent) and a scalar subquery in the oracle.
+    *
+    * Per round: one wedge enumeration over the surviving edges
+    * (min-degree-oriented exactly like [[edgeSupport]], degrees
+    * recounted per round — shuffle ∝ surviving wedges, bound
+    * Σ min(deg)), one closing semi-join, one edge-keyed aggregate;
+    * the scored edge frame is localCheckpoint'd per round (ONE
+    * materialization feeds the t fetch, the removal count and the
+    * survivor frame, lineage stays O(1) — the kcore convention).
+    * Reports per-round removals/survivors plus the picked k, with a
+    * RELATIONAL `converged` flag; rounds after convergence emit
+    * zeros so the row count is fixed and the oracle (the same peel
+    * UNROLLED as generated MATERIALIZED CTEs, deliberately
+    * enumerating wedges from the s1 side so the hash gate
+    * cross-checks the orientation algebra) compares exactly.
+    *
+    * Measured traces (all converge within the budget): sf0.001
+    * survives whole (t=4 on a support-8 clique shell), sf0.1
+    * stabilizes a 133-edge 3-truss at round 2, and sf0.01's
+    * top-half spectrum honestly cascades to EMPTY by round 3 —
+    * spectrum mass is not a closed truss, which is exactly the
+    * check a community-detection pipeline wants before trusting
+    * K122's histogram. */
+  def ktrussPeel(s: SparkSession, dir: String): DataFrame = {
+    var alive = coEdges(s, dir).localCheckpoint() // (s1 < s2)
+    var nAlive = alive.count()
+    var t = -1L
+    val rows = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    for (_ <- 1 to TrussRounds) {
+      val adj = alive.select(col("s1").as("a"), col("s2").as("b"))
+        .unionByName(alive.select(col("s2").as("a"), col("s1").as("b")))
+      val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val d1 = deg.select(col("a").as("s1"), col("deg").as("deg1"))
+      val d2 = deg.select(col("a").as("s2"), col("deg").as("deg2"))
+      val fwd = col("deg1") < col("deg2") ||
+        (col("deg1") === col("deg2") && col("s1") < col("s2"))
+      val oriented = alive.join(broadcast(d1), "s1").join(broadcast(d2), "s2")
+        .select(col("s1").as("u"), col("s2").as("v"),
+          when(fwd, col("s1")).otherwise(col("s2")).as("lo"),
+          when(fwd, col("s2")).otherwise(col("s1")).as("hi"))
+      val sup = oriented
+        .join(adj.as("x"), col("lo") === col("x.a"))
+        .select(col("u"), col("v"), col("hi"), col("x.b").as("c"))
+        .join(adj.select(col("a").as("hi"), col("b").as("c")),
+          Seq("hi", "c"), "left_semi")
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      val scored = alive.select(col("s1").as("u"), col("s2").as("v"))
+        .join(sup, Seq("u", "v"), "left_outer")
+        .na.fill(0L, Seq("support"))
+        .localCheckpoint()
+      if (t < 0) // round 1: the spectrum picks t = k - 2
+        t = math.max(1L,
+          scored.agg(coalesce(max(col("support")), lit(0L))).first().getLong(0) / 2)
+      val nRm = scored.filter(col("support") < t).count()
+      alive = scored.filter(col("support") >= t)
+        .select(col("u").as("s1"), col("v").as("s2"))
+      nAlive -= nRm
+      rows += ((rows.length + 1L, nRm, nAlive))
+    }
+    import s.implicits._
+    rows.toSeq.toDF("round", "n_removed", "n_remaining")
+      .withColumn("k_picked", lit(t + 2L))
+      .withColumn("converged", col("n_removed") === 0L)
+  }
+
+  /** The same cascade unrolled; wedges from the s1 side (support is
+    * orientation-invariant — the cross-check). AS MATERIALIZED is
+    * load-bearing, as in [[kcorePeelSql]]. */
+  lazy val ktrussPeelSql: String = {
+    val roundCtes = (1 to TrussRounds).map { r =>
+      val tCte = if (r == 1)
+        """,
+          |t AS MATERIALIZED (
+          |  SELECT greatest(1, coalesce(max(support), 0) // 2) AS tv FROM sup1)"""
+          .stripMargin
+      else ""
+      s"""adj$r AS MATERIALIZED (
+         |  SELECT s1 AS a, s2 AS b FROM alive${r - 1}
+         |  UNION ALL SELECT s2, s1 FROM alive${r - 1}),
+         |sup$r AS MATERIALIZED (
+         |  SELECT e.s1 AS u, e.s2 AS v, coalesce(t.c, 0) AS support
+         |  FROM alive${r - 1} e LEFT JOIN (
+         |    SELECT w.u, w.v, count(*) AS c
+         |    FROM (SELECT e2.s1 AS u, e2.s2 AS v, x.b AS c
+         |          FROM alive${r - 1} e2 JOIN adj$r x ON x.a = e2.s1) w
+         |    JOIN adj$r y ON y.a = w.v AND y.b = w.c
+         |    GROUP BY 1, 2) t ON t.u = e.s1 AND t.v = e.s2)$tCte,
+         |alive$r AS MATERIALIZED (
+         |  SELECT u AS s1, v AS s2 FROM sup$r
+         |  WHERE support >= (SELECT tv FROM t))""".stripMargin
+    }.mkString(",\n")
+    val roundRows = (1 to TrussRounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT count(*) FROM sup$r
+         |   WHERE support < (SELECT tv FROM t)) AS n_removed,
+         |  (SELECT count(*) FROM alive$r) AS n_remaining,
+         |  (SELECT tv + 2 FROM t) AS k_picked,
+         |  (SELECT count(*) FROM sup$r
+         |   WHERE support < (SELECT tv FROM t)) = 0 AS converged""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    coEdgesCte + s""",
+      |alive0 AS MATERIALIZED (SELECT s1, s2 FROM edges),
+      |$roundCtes
+      |$roundRows""".stripMargin
+  }
+
   /** Fanout caps per layer for the neighborhood sampler. */
   val GsFan1 = 3
   val GsFan2 = 2

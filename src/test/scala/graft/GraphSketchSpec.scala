@@ -613,4 +613,27 @@ class GraphSketchSpec extends SparkSpec {
     val supSum = got.map { case (s0, n) => s0 * n }.sum
     assert(supSum == 3 * triangles, s"sum(support)=$supSum vs 3x$triangles")
   }
+
+  test("ktruss_peel: per-round trace matches a local simultaneous peel") {
+    import graft.operators.Graph
+    var alive = spark.read.parquet(Graph.ensureCoEdges(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var t = -1L // picked from the round-1 spectrum, as the operator does
+    val expected = (1 to Graph.TrussRounds).map { r =>
+      val nbrs = (alive ++ alive.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def sup(e: (Long, Long)) = (nbrs(e._1) intersect nbrs(e._2)).size
+      if (t < 0) t = math.max(1L,
+        (if (alive.isEmpty) 0L else alive.map(sup(_).toLong).max) / 2)
+      val (keep, drop) = alive.partition(sup(_) >= t) // simultaneous
+      alive = keep
+      (r.toLong, drop.size.toLong, keep.size.toLong, t + 2, drop.isEmpty)
+    }
+    val got = SparkEntry.queries("ktruss_peel")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+    // the budget must actually reach the fixpoint at this scale
+    assert(got.last._5, "peel did not converge within TrussRounds")
+  }
 }
