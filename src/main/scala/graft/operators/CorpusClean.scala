@@ -133,6 +133,107 @@ object CorpusClean {
       |FROM ss LEFT JOIN boiler b ON ss.source = b.source AND ss.seg = b.seg
       |GROUP BY doc_id""".stripMargin
 
+  /** K124: HTML TEXT EXTRACTION — the markup-to-text step UPSTREAM
+    * of every other text operator (the CommonCrawl WET extraction;
+    * boilerplate_strip, line_dedup and lang_id all assume it already
+    * ran). The corpus is plain text, so each document is first
+    * wrapped in DETERMINISTIC doc_id-derived markup (the scrub_pii
+    * planting convention): head/title, a style block, a script
+    * block, heading + paragraph tags, planted character entities on
+    * id mod 3 / mod 4, an ad div on id mod 5. Extraction is the real
+    * pipeline: (1) drop script/style ELEMENTS with their content
+    * (`<(script|style)[^>]*>[^<]*</(script|style)>` — planted block
+    * content is '<'-free so the non-backreference form is exact in
+    * both regex dialects), (2) strip remaining tags to a space
+    * separator, (3) decode entities (&amp; &lt; &gt; &nbsp; &copy;),
+    * (4) collapse space runs + trim. Residual markup is counted
+    * AFTER tag-stripping but BEFORE entity decode (decoding &lt; is
+    * SUPPOSED to reintroduce a literal '<' — that is text, not
+    * markup). Per-doc accounting: html/extracted lengths, tag and
+    * entity counts, residual count (spec-pinned to 0 corpus-wide),
+    * net chars_stripped.
+    *
+    * Scale shape: map-only — one projection chain per document, no
+    * shuffle at all; at 100 TB this is the embarrassingly-parallel
+    * scan pass it is in production, and Catalyst keeps the chained
+    * regex stages as materialized per-row columns (multi-referenced
+    * non-cheap aliases survive CollapseProject). */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p{margin:0}</style><script>var d="), id,
+      lit(";</script></head><body><h1>Doc "), id, lit("</h1><p>"), col("text"),
+      when(col("doc_id") % 3 === 0, lit(" &amp; entities &lt;escaped&gt;"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("&nbsp;&copy;2026")).otherwise(lit("")),
+      lit("</p>"),
+      when(col("doc_id") % 5 === 0, lit("<div class=\"ad\">buy now</div>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&nbsp;" -> " ", "&copy;" -> "(c)")
+      .foldLeft(col("notags")) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    documents(s, dir)
+      .withColumn("html", html)
+      .withColumn("noscript",
+        regexp_replace(col("html"), ScriptStyleRe, " "))
+      .withColumn("notags", regexp_replace(col("noscript"), TagRe, " "))
+      .withColumn("clean", trim(regexp_replace(decoded, " {2,}", " ")))
+      .select(col("doc_id"),
+        length(col("html")).as("len_html"),
+        regexp_count(col("html"), lit(TagRe)).as("n_tags"),
+        regexp_count(col("html"), lit(EntityRe)).as("n_entities"),
+        regexp_count(col("notags"), lit("[<>]")).as("n_residual"),
+        length(col("clean")).as("len_text"),
+        (length(col("html")) - length(col("clean"))).as("chars_stripped"))
+  }
+
+  /** Extraction regexes — the common Java/RE2 subset (no
+    * backreferences, no lazy quantifiers), so Spark and DuckDB
+    * execute the IDENTICAL pattern text. */
+  val ScriptStyleRe = "<(script|style)[^>]*>[^<]*</(script|style)>"
+  val TagRe = "<[^>]*>"
+  val EntityRe = "&(amp|lt|gt|nbsp|copy);"
+
+  lazy val htmlExtractSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+       |    || '</title><style>p{margin:0}</style><script>var d='
+       |    || CAST(doc_id AS VARCHAR) || ';</script></head><body><h1>Doc '
+       |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' &amp; entities &lt;escaped&gt;'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0 THEN '&nbsp;&copy;2026' ELSE '' END
+       |    || '</p>'
+       |    || CASE WHEN doc_id % 5 = 0 THEN '<div class="ad">buy now</div>'
+       |            ELSE '' END
+       |    || '</body></html>' AS html
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, html,
+       |    regexp_replace(
+       |      regexp_replace(html, '$ScriptStyleRe', ' ', 'g'),
+       |      '$TagRe', ' ', 'g') AS notags
+       |  FROM h),
+       |d AS (
+       |  SELECT doc_id, html, notags,
+       |    trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(notags,
+       |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+       |        '&copy;', '(c)'),
+       |      ' {2,}', ' ', 'g')) AS clean
+       |  FROM t)
+       |SELECT doc_id,
+       |  length(html) AS len_html,
+       |  len(regexp_extract_all(html, '$TagRe')) AS n_tags,
+       |  len(regexp_extract_all(html, '$EntityRe')) AS n_entities,
+       |  len(regexp_extract_all(notags, '[<>]')) AS n_residual,
+       |  length(clean) AS len_text,
+       |  length(html) - length(clean) AS chars_stripped
+       |FROM d""".stripMargin
+
   /** Gopher-style repetition thresholds: a doc is dropped when more
     * than 60% of its words are repeats or one word exceeds 20% of
     * the text. */

@@ -448,4 +448,60 @@ class CorpusCleanSpec extends SparkSpec {
       }
     }
   }
+
+  test("html_extract: zero residual markup; columns match a char-walk extractor") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent local extraction: a character STATE MACHINE (not
+    // the operator's regexes), so the spec proves the regex pipeline
+    // implements the extraction semantics, not just itself
+    def wrap(id: Long, text: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"<html><head><title>Doc $id</title><style>p{margin:0}</style>"
+      sb ++= s"<script>var d=$id;</script></head><body><h1>Doc $id</h1><p>"
+      sb ++= text
+      if (id % 3 == 0) sb ++= " &amp; entities &lt;escaped&gt;"
+      if (id % 4 == 0) sb ++= "&nbsp;&copy;2026"
+      sb ++= "</p>"
+      if (id % 5 == 0) sb ++= "<div class=\"ad\">buy now</div>"
+      sb ++= "</body></html>"
+      sb.result()
+    }
+    def extract(html: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      var skipUntil: String = null // inside script/style content
+      while (i < html.length) {
+        if (html.charAt(i) == '<') {
+          val close = html.indexOf('>', i)
+          val tag = html.substring(i + 1, close)
+          if (skipUntil != null) { if (tag == skipUntil) skipUntil = null }
+          else if (tag == "script" || tag == "style") skipUntil = "/" + tag
+          if (skipUntil == null || tag == "script" || tag == "style") out += ' '
+          i = close + 1
+        } else { if (skipUntil == null) out += html.charAt(i); i += 1 }
+      }
+      val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+        "&nbsp;" -> " ", "&copy;" -> "(c)")
+        .foldLeft(out.result()) { case (acc, (e, r)) => acc.replace(e, r) }
+      decoded.replaceAll(" {2,}", " ").trim
+    }
+    val got = run("html_extract").collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val html = wrap(id, text)
+      val clean = extract(html)
+      val (lenHtml, nTags, nEnt, nRes, lenText, stripped) = got(id)
+      assert(nRes == 0, s"doc $id: residual markup $nRes")
+      assert(lenHtml == html.length, s"doc $id len_html")
+      assert(lenText == clean.length, s"doc $id len_text: spark $lenText vs local ${clean.length}")
+      assert(stripped == html.length - clean.length)
+      val localTags = "<[^>]*>".r.findAllIn(html).length
+      val localEnts = "&(amp|lt|gt|nbsp|copy);".r.findAllIn(html).length
+      assert(nTags == localTags && nEnt == localEnts)
+      // the original words survive extraction verbatim
+      assert(clean.contains(text.replaceAll(" {2,}", " ").trim), s"doc $id lost text")
+    }
+  }
 }
