@@ -16,24 +16,36 @@ import java.nio.file.{Files, Path, Paths}
   */
 object ArtifactCache {
 
-  /** JVM-wide build serialization for the write-once artifacts: the
+  /** PER-PATH build serialization for the write-once artifacts: the
     * bare check-then-write in each `ensure*` let two concurrent
     * first callers (parallel specs sharing one session) both miss
     * `_SUCCESS` and run overlapping overwrite writes to the same
     * path — and a reader could observe a half-overwritten dir. Same
     * class of shared-state race Staging.scopeLock serializes;
-    * double-checked so the post-build fast path never contends. */
-  private val buildLock = new java.util.concurrent.locks.ReentrantLock()
+    * double-checked so the post-build fast path never contends.
+    * The lock is keyed by artifact path (r9 advisory): only
+    * same-path builders serialize — concurrent first builds of
+    * UNRELATED artifacts (corpus index vs co-edges) proceed in
+    * parallel instead of queueing behind one JVM-wide lock held
+    * across multi-second Spark jobs. Entries are one lock object
+    * per distinct artifact path per JVM — bounded by the artifact
+    * roster, never evicted (eviction would reopen the race). */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
 
   /** Run `build` (which must end by writing `path` with a _SUCCESS
     * marker) unless the artifact already exists; concurrent callers
-    * serialize and the losers see the winner's completed build. */
+    * of the SAME path serialize and the losers see the winner's
+    * completed build. */
   def ensure(path: String)(build: => Unit): String = {
     def done = new java.io.File(s"$path/_SUCCESS").exists()
     if (!done) {
-      buildLock.lock()
+      val lock = buildLocks.computeIfAbsent(path,
+        _ => new java.util.concurrent.locks.ReentrantLock())
+      lock.lock()
       try if (!done) build
-      finally buildLock.unlock()
+      finally lock.unlock()
     }
     path
   }

@@ -744,10 +744,15 @@ object TextOps {
     * dist_drift family: no logs, the K5 lesson). ONE postings pass
     * with conditional (ref, inc) counts per token — shuffle ∝ vocab
     * with map-side combine; the 1-row totals broadcast back.
-    * Arithmetic: TVD/2 = Σ|ca·Nb − cb·Na| over 2·Na·Nb, emitted
-    * per-million with exact BIGINT cross-multiplication (safe to
-    * ~10⁹ tokens per side; at 10¹²-token scale the products swap to
-    * DECIMAL(38) — the trend_fit note — with the same div). */
+    * Arithmetic: TVD/2 = Σ|ca·Nb − cb·Na| over 2·Na·Nb, all of it in
+    * exact 128-bit integers (Spark DECIMAL(38,0), DuckDB HUGEINT) —
+    * in BIGINT the per-term product ca·Nb alone overflows past
+    * ~3·10⁹ tokens per side and the ×10⁶ scaling far earlier (the r9
+    * advisory); at 1e38 headroom the chain is exact beyond 10¹⁶
+    * tokens per side. The two per-million divisions are exact FLOOR
+    * division spelled portably as (x − x % d) / d: the subtraction
+    * makes the quotient integral, so Spark's scale-rounded decimal
+    * division and DuckDB's `//` return the identical value. */
   def vocabDrift(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir).select(
       (col("doc_id") % 10 < 8).as("is_ref"),
@@ -764,11 +769,17 @@ object TextOps {
         sum(when(col("ca") === 0 && col("cb") > 0, 1L).otherwise(0L))
           .as("n_oov_types"),
         sum(when(col("ca") === 0, col("cb")).otherwise(0L)).as("oov_toks"),
-        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("s"))
+        sum(abs(col("ca").cast("decimal(38,0)") * col("nb")
+          - col("cb").cast("decimal(38,0)") * col("na"))).as("s"))
+      .withColumn("o6", expr("CAST(oov_toks AS DECIMAL(38,0)) * 1000000"))
+      .withColumn("s6", expr("s * 1000000"))
+      .withColumn("dn", expr("CAST(n_tok_inc AS DECIMAL(38,0))"))
+      .withColumn("dd",
+        expr("2 * CAST(n_tok_ref AS DECIMAL(38,0)) * CAST(n_tok_inc AS DECIMAL(38,0))"))
       .select(col("n_tok_ref"), col("n_tok_inc"),
         col("vocab_ref"), col("vocab_inc"), col("n_oov_types"),
-        expr("(oov_toks * 1000000) div n_tok_inc").as("oov_pm"),
-        expr("(s * 1000000) div (2 * n_tok_ref * n_tok_inc)").as("tvd_pm"))
+        expr("CAST((o6 - o6 % dn) / dn AS BIGINT)").as("oov_pm"),
+        expr("CAST((s6 - s6 % dd) / dd AS BIGINT)").as("tvd_pm"))
   }
 
   val vocabDriftSql: String =
@@ -786,7 +797,9 @@ object TextOps {
       |  sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_ref,
       |  sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_inc,
       |  sum(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov_types,
-      |  (sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) * 1000000 // nb)::BIGINT AS oov_pm,
-      |  (sum(abs(ca * nb - cb * na)) * 1000000 // (2 * na * nb))::BIGINT AS tvd_pm
+      |  (sum(CASE WHEN ca = 0 THEN cb ELSE 0 END)::HUGEINT * 1000000
+      |     // nb::HUGEINT)::BIGINT AS oov_pm,
+      |  (sum(abs(ca::HUGEINT * nb - cb::HUGEINT * na)) * 1000000
+      |     // (2 * na::HUGEINT * nb))::BIGINT AS tvd_pm
       |FROM cell, tot GROUP BY na, nb""".stripMargin
 }

@@ -107,9 +107,12 @@ object StreamMediaGate {
       q.processAllAvailable()
       dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
     } finally q.stop()
-    Staging.clearDir(watch)
-    Staging.clearDir(Paths.get(registry))
-    Files.deleteIfExists(base)
+    // the registry is a Spark-written parquet dir (may hold crc
+    // sidecars or _temporary leftovers) — recursive delete, then
+    // assert the temp root is actually gone (r9 advisory: the
+    // single-level clear left base behind silently)
+    Staging.deleteTree(base)
+    assert(!Files.exists(base), s"stream_mgate temp root survived cleanup: $base")
 
     import scala.jdk.CollectionConverters._
     val p = s.conf.get("spark.sql.shuffle.partitions").toInt
