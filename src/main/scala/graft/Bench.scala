@@ -40,6 +40,50 @@ import org.apache.spark.sql.SparkSession
   *    empty flagged set is the claim "no query's cost grows faster
   *    than the data"; each member must have a documented reason.
   */
+/** Cross-RUN warm-regression detection — the `noisy` flag's blind
+  * spot (r9: stream_enrich measured 4.04 s warm, 2× every other run,
+  * and passed warm<cold because cold was slower still). Each bench
+  * compares its warm times against the PRIOR committed
+  * bench_last.json and flags queries whose warm minimum grew by more
+  * than [[Ratio]]. The flag is advisory by construction: the bench
+  * cannot know which queries' CODE changed between runs, so the
+  * consumer crosses out intentionally-changed queries and
+  * investigates the rest (an unchanged query should never regress
+  * 1.5× warm on the same box without a cause). Pure functions, so
+  * the planted-regression spec exercises them directly. */
+object BenchDrift {
+  /** Warm-growth factor that flags. */
+  val Ratio = 1.5
+
+  /** Ignore queries under this warm time — sub-second marks carry
+    * timer/JIT noise well past [[Ratio]]. */
+  val FloorSec = 0.3
+
+  /** Extract the queries_warm map from a committed bench_last.json
+    * line (the writer's own fixed shape — flat string keys, numeric
+    * values, no nesting inside the object). */
+  def parseWarm(json: String): Map[String, Double] = {
+    val body = """"queries_warm":\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    body.split(",").filter(_.nonEmpty).flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) =>
+          scala.util.Try(k.replaceAll("\"", "") -> v.toDouble).toOption
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** (name, priorWarm, nowWarm) for every query past the floor whose
+    * warm time grew by more than [[Ratio]] vs the prior run. */
+  def regressed(prior: Map[String, Double],
+                now: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+    now.flatMap { case (k, w) =>
+      prior.get(k).filter(p => p > 0 && w > FloorSec && w > p * Ratio)
+        .map(p => (k, p, w))
+    }.sortBy { case (_, p, w) => -(w - p) }
+}
+
 object Bench {
 
   /** Headline-to-slope corpus growth factor: sf0.1 vs sf0.01. */
@@ -140,9 +184,21 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = r3(results.collect { case (_, c, _) if c >= 0 => c }.sum)
     val warmTotal = r3(results.collect { case (_, _, w) if w >= 0 => w }.sum)
+    // cross-run drift vs the PRIOR committed bench_last.json, read
+    // before this run overwrites it (see BenchDrift)
+    val priorWarm =
+      try BenchDrift.parseWarm(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_last.json")))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    val drift = BenchDrift.regressed(priorWarm,
+      results.collect { case (k, _, w) if w > 0 => (k, w) })
+    val driftJson = drift.map { case (k, p, w) =>
+      "\"" + k + "\":[" + r3(p) + "," + r3(w) + "]"
+    }.mkString("{", ",", "}")
     val common = s""""value":$total,"unit":"sec","warm_total":$warmTotal,""" +
       s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
-      s""""sf":"$sfDir","failed":$failed,"noisy":$noisy,"slope_flagged":$slopeFlagged"""
+      s""""sf":"$sfDir","failed":$failed,"noisy":$noisy,""" +
+      s""""slope_flagged":$slopeFlagged,"warm_regressed":$driftJson"""
     val summary = s"""{"metric":"total_summary",$common}"""
     val line = s"""{"metric":"total",$common,"queries":${qjson(_._2)},""" +
       s""""queries_warm":${qjson(_._3)},"queries_slope":$slopeJson}"""

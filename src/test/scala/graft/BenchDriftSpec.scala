@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The VERDICT-r9 #7 gate: the cross-run warm-regression flag must
+  * catch a PLANTED regression the warm<cold `noisy` test is blind to
+  * (r9's stream_enrich: 2× warm vs every other run, but still under
+  * its own cold time). Pure-function tests — no Spark session. */
+class BenchDriftSpec extends AnyFunSuite {
+
+  // a committed bench_last.json line, shape-identical to the writer's
+  private val priorLine =
+    """{"metric":"total","value":10.0,"unit":"sec","warm_total":6.0,""" +
+      """"n_queries":3,"n_failed":0,"sf":"x","failed":[],"noisy":[],""" +
+      """"slope_flagged":[],"warm_regressed":{},""" +
+      """"queries":{"stream_enrich":2.087,"q1_agg":1.0,"tiny_q":0.2},""" +
+      """"queries_warm":{"stream_enrich":1.846,"q1_agg":0.9,"tiny_q":0.1},""" +
+      """"queries_slope":{}}"""
+
+  test("parseWarm reads the writer's own shape") {
+    val warm = BenchDrift.parseWarm(priorLine)
+    assert(warm == Map("stream_enrich" -> 1.846, "q1_agg" -> 0.9, "tiny_q" -> 0.1))
+  }
+
+  test("a planted stream_enrich-style regression is flagged; noise is not") {
+    val prior = BenchDrift.parseWarm(priorLine)
+    val now = Seq(
+      "stream_enrich" -> 4.04, // the r9 blind spot: 2.2x warm, warm < cold
+      "q1_agg" -> 1.2,         // 1.33x — under Ratio, not flagged
+      "tiny_q" -> 0.25)        // 2.5x but sub-floor timer noise
+    val got = BenchDrift.regressed(prior, now)
+    assert(got == Seq(("stream_enrich", 1.846, 4.04)))
+  }
+
+  test("missing prior entries and empty prior flag nothing") {
+    assert(BenchDrift.regressed(Map.empty, Seq("a" -> 9.0)).isEmpty)
+    assert(BenchDrift.regressed(Map("b" -> 1.0), Seq("a" -> 9.0)).isEmpty)
+  }
+
+  test("the in-tree committed bench_last.json parses non-empty") {
+    val p = java.nio.file.Paths.get("bench_last.json")
+    assume(java.nio.file.Files.exists(p))
+    val warm = BenchDrift.parseWarm(java.nio.file.Files.readString(p))
+    assert(warm.nonEmpty)
+    assert(warm.values.forall(_ >= 0))
+  }
+}
