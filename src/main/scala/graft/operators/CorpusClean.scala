@@ -469,7 +469,11 @@ object CorpusClean {
     * ranking. Shape: doc-keyed bigram postings equi-joined to the
     * corpus bigram table (shuffle ∝ corpus tokens) + a broadcast
     * unigram join; one doc-keyed aggregate finishes. */
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc integer core of [[lmScore]] — (doc_id, n_bigrams,
+    * sum_q) with q = cbg·LmScale div cuni per bigram instance —
+    * shared with [[graft.operators.TrainPrep.qualityAgreement]]'s
+    * fluency axis so the two operators can't drift. */
+  private[graft] def lmPerDoc(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir).select(col("doc_id"),
       posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -480,16 +484,22 @@ object CorpusClean {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cBg = bg.groupBy(col("w"), col("w1")).agg(count(lit(1)).as("cbg"))
     val cUni = toks.groupBy(col("w")).agg(count(lit(1)).as("cuni"))
-    bg
+    val out = bg
       .join(cBg, Seq("w", "w1"))
       .join(broadcast(cUni), Seq("w"))
       .select(col("doc_id"), expr(s"(cbg * ${LmScale}L) div cuni").as("q"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .localCheckpoint() // doc-count-sized; release the cached bigrams
+    bg.unpersist()
+    out
+  }
+
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmPerDoc(s, dir)
       .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
         pround(col("sum_q").cast("double") / (col("n_bigrams") * LmScale), 4).as("lm_score"),
         (col("sum_q").cast("double") / (col("n_bigrams") * LmScale) >= LmMin).as("fluent"))
-  }
 
   val lmScoreSql: String =
     s"""WITH toks AS (

@@ -468,6 +468,81 @@ object Multimodal {
        |  lap_q * 1000 // (n - 2) < $BlurThresh AS blurry
        |FROM l""".stripMargin
 
+  /** Planted image dimensions for [[mmAspectFilter]] — deterministic
+    * doc_id arithmetic (the mime-assignment convention): width
+    * 64..640, height 64..416 on independent mod lattices, so every
+    * rule class has real members at every scale. */
+  private def widthCol = lit(64) + (col("doc_id") % 37).cast("int") * 16
+  private def heightCol = lit(64) + (col("doc_id") % 23).cast("int") * 16
+
+  /** Admission thresholds for [[mmAspectFilter]]: LAION-style
+    * geometry rules — minimum side, max aspect ratio (×10), and a
+    * bytes-per-kilopixel floor (a payload far smaller than its
+    * claimed dimensions is a decode bomb or a junk thumbnail). */
+  val MmMinSide = 128
+  val MmMaxAspectX10 = 25L
+  val MmMinBytesPerKpx = 1L
+
+  /** K126: IMAGE GEOMETRY ADMISSION — the metadata-only gate a
+    * multimodal curation pipeline runs BEFORE decoding anything
+    * (the LAION-style width/height/aspect filter; K118
+    * mm_blur_detect assumes its survivors): per image payload,
+    * FIRST-MATCH verdict over planted dimensions — side under
+    * [[MmMinSide]] > aspect over [[MmMaxAspectX10]]/10 > payload
+    * bytes under [[MmMinBytesPerKpx]] per kilopixel > keep — then
+    * the per-verdict rollup (items, bytes, per-mille share). All
+    * arithmetic exact integers (aspect as max·10 div min, bpkp as
+    * bytes·1000 div pixels). Map-only classification + one tiny
+    * verdict aggregate — payloads never decode, never shuffle; at
+    * 100 TB this is the metadata scan that saves the decode fleet. */
+  def mmAspectFilter(s: SparkSession, dir: String): DataFrame = {
+    val imgs = mediaTable(s, dir)
+      .filter(col("meta.mime") === "image/png")
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        widthCol.as("w"), heightCol.as("h"))
+      .withColumn("aspect_x10",
+        expr("(greatest(w, h) * 10L) div least(w, h)"))
+      .withColumn("bytes_per_kpx",
+        expr("(n_bytes * 1000L) div (w * h)"))
+      .withColumn("verdict",
+        when(least(col("w"), col("h")) < MmMinSide, "drop_small")
+          .when(col("aspect_x10") > MmMaxAspectX10, "drop_aspect")
+          .when(col("bytes_per_kpx") < MmMinBytesPerKpx, "drop_thin")
+          .otherwise("keep"))
+    val byV = imgs.groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("total_bytes"))
+    val tot = byV.agg(sum(col("n_items")).as("n_total"))
+    byV.crossJoin(broadcast(tot)) // 1-row scalar frame
+      .select(col("verdict"), col("n_items"), col("total_bytes"), col("n_total"),
+        expr("(n_items * 1000) div n_total").as("share_permille"))
+  }
+
+  val mmAspectFilterSql: String =
+    s"""WITH i AS (
+       |  SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+       |    64 + (doc_id % 37) * 16 AS w,
+       |    64 + (doc_id % 23) * 16 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |c AS (
+       |  SELECT *,
+       |    (greatest(w, h) * 10) // least(w, h) AS aspect_x10,
+       |    (n_bytes * 1000) // (w * h) AS bytes_per_kpx
+       |  FROM i),
+       |v AS (
+       |  SELECT *,
+       |    CASE WHEN least(w, h) < $MmMinSide THEN 'drop_small'
+       |         WHEN aspect_x10 > $MmMaxAspectX10 THEN 'drop_aspect'
+       |         WHEN bytes_per_kpx < $MmMinBytesPerKpx THEN 'drop_thin'
+       |         ELSE 'keep' END AS verdict
+       |  FROM c),
+       |b AS (
+       |  SELECT verdict, count(*) AS n_items, sum(n_bytes)::BIGINT AS total_bytes
+       |  FROM v GROUP BY 1),
+       |t AS (SELECT sum(n_items)::BIGINT AS n_total FROM b)
+       |SELECT verdict, n_items, total_bytes, n_total,
+       |  (n_items * 1000 // n_total)::BIGINT AS share_permille
+       |FROM b, t""".stripMargin
+
   def mmEnergyVad(s: SparkSession, dir: String): DataFrame = {
     val audio = mediaTable(s, dir)
       .filter(col("meta.mime") === "audio/wav")

@@ -1141,6 +1141,126 @@ object TrainPrep {
        |FROM agg""".stripMargin
   }
 
+  /** K127: QUALITY-FILTER AGREEMENT — before trusting any single
+    * quality classifier as a 100 TB drop gate, measure how much two
+    * INDEPENDENT scorers agree (the DCLM/ensemble-filtering audit;
+    * the K115 filter_sweep sibling for the "which filter" decision
+    * rather than "which threshold"): axis A is the stopword-density
+    * weight (K112/K121's integer formula, bucketed by 8), axis B is
+    * the corpus-bigram fluency score ([[CorpusClean.lmPerDoc]]'s
+    * exact integer core, per-mille-bucketed — the SHARED helper, so
+    * this op and lm_score cannot drift). Emits the 4×4 cross-tab
+    * plus observed/expected agreement and Cohen's kappa, all exact
+    * integers: po/pe per-million via the vocab_drift DECIMAL(38,0)
+    * convention (pe's Σ row·col product overflows BIGINT past ~3e9
+    * docs), kappa with the sign split off so Spark's truncating
+    * `div` and DuckDB's floor `//` agree on negative values.
+    * Shape: the two per-doc scans + one doc-keyed join, ONE 16-row
+    * cell aggregate; every agreement statistic derives from the
+    * checkpointed cells, never from a corpus re-scan. */
+  def qualityAgreement(s: SparkSession, dir: String): DataFrame = {
+    val q = documents(s, dir).select(col("doc_id"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("toks"),
+        TextFns.langScore(col("text"), "en").cast("long").as("hits"))
+      .withColumn("wq", expr("least(100L, (hits * 200L) div greatest(toks, 1L))"))
+      .withColumn("a_bucket", expr("least(3L, wq div 8)"))
+    val lm = CorpusClean.lmPerDoc(s, dir)
+    val cells = q.join(lm, Seq("doc_id"), "left_outer")
+      .withColumn("fq", coalesce(
+        expr(s"(sum_q * 1000) div (n_bigrams * ${CorpusClean.LmScale}L)"), lit(0L)))
+      // (fq-30) div 2: Spark truncates, DuckDB floors — they differ
+      // only on negative operands, which greatest(0, ·) masks on both
+      .withColumn("b_bucket", expr("least(3L, greatest(0L, (fq - 30) div 2))"))
+      .groupBy(col("a_bucket"), col("b_bucket"))
+      .agg(count(lit(1)).as("n_docs_cell"))
+      .localCheckpoint() // ≤ 16 rows; all stats derive from here
+    val ra = cells.groupBy(col("a_bucket").as("k"))
+      .agg(sum(col("n_docs_cell")).as("ra"))
+    val cb = cells.groupBy(col("b_bucket").as("k"))
+      .agg(sum(col("n_docs_cell")).as("cb"))
+    val peNum = ra.join(cb, "k")
+      .agg(sum(col("ra").cast("decimal(38,0)") * col("cb")).as("pe_num"))
+    val stats = cells
+      .agg(sum(col("n_docs_cell")).as("n_docs"),
+        sum(when(col("a_bucket") === col("b_bucket"), col("n_docs_cell"))
+          .otherwise(0L)).as("diag"))
+      .crossJoin(broadcast(peNum))
+      .withColumn("po6", expr("CAST(diag AS DECIMAL(38,0)) * 1000000"))
+      .withColumn("nD", expr("CAST(n_docs AS DECIMAL(38,0))"))
+      .withColumn("po_pm", expr("CAST((po6 - po6 % nD) / nD AS BIGINT)"))
+      .withColumn("pe6", expr("pe_num * 1000000"))
+      .withColumn("n2", expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs"))
+      .withColumn("pe_pm", expr("CAST((pe6 - pe6 % n2) / n2 AS BIGINT)"))
+      .withColumn("kappa_pm", expr(
+        """CASE WHEN pe_pm = 1000000 THEN 1000000
+          |ELSE (CASE WHEN po_pm >= pe_pm THEN 1L ELSE -1L END)
+          |  * ((abs(po_pm - pe_pm) * 1000000L) div (1000000L - pe_pm))
+          |END""".stripMargin))
+      .select(col("n_docs"), col("po_pm"), col("pe_pm"), col("kappa_pm"))
+    cells.crossJoin(broadcast(stats)) // 1-row scalar frame
+  }
+
+  lazy val qualityAgreementSql: String = {
+    val sw = TextFns.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |        x -> list_contains($sw, x)))::BIGINT AS hits
+       |  FROM documents),
+       |a AS (
+       |  SELECT doc_id,
+       |    least(3, least(100, (hits * 200) // greatest(toks, 1)) // 8) AS a_bucket
+       |  FROM q),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w,
+       |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w, w1 FROM (
+       |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |    FROM toks)
+       |  WHERE w1 IS NOT NULL),
+       |cbg AS (SELECT w, w1, count(*) AS cbg FROM bg GROUP BY 1, 2),
+       |cuni AS (SELECT w, count(*) AS cuni FROM toks GROUP BY 1),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(q)::BIGINT AS sum_q
+       |  FROM (
+       |    SELECT bg.doc_id, (cbg.cbg * ${CorpusClean.LmScale}) // cuni.cuni AS q
+       |    FROM bg JOIN cbg USING (w, w1) JOIN cuni USING (w))
+       |  GROUP BY doc_id),
+       |f AS (
+       |  SELECT a.doc_id, a_bucket,
+       |    coalesce(least(3, greatest(0,
+       |      ((p.sum_q * 1000) // (p.n_bigrams * ${CorpusClean.LmScale}) - 30) // 2)), 0)
+       |      AS b_bucket
+       |  FROM a LEFT JOIN perdoc p USING (doc_id)),
+       |cells AS (
+       |  SELECT a_bucket, b_bucket, count(*) AS n_docs_cell FROM f GROUP BY 1, 2),
+       |ra AS (SELECT a_bucket AS k, sum(n_docs_cell)::BIGINT AS ra FROM cells GROUP BY 1),
+       |cb AS (SELECT b_bucket AS k, sum(n_docs_cell)::BIGINT AS cb FROM cells GROUP BY 1),
+       |st AS (
+       |  SELECT
+       |    (SELECT sum(n_docs_cell) FROM cells)::BIGINT AS n_docs,
+       |    (SELECT coalesce(sum(n_docs_cell), 0) FROM cells
+       |     WHERE a_bucket = b_bucket)::BIGINT AS diag,
+       |    (SELECT sum(ra::HUGEINT * cb) FROM ra JOIN cb USING (k)) AS pe_num),
+       |kv AS (
+       |  SELECT n_docs,
+       |    (diag::HUGEINT * 1000000 // n_docs)::BIGINT AS po_pm,
+       |    (pe_num * 1000000 // (n_docs::HUGEINT * n_docs))::BIGINT AS pe_pm
+       |  FROM st),
+       |k2 AS (
+       |  SELECT n_docs, po_pm, pe_pm,
+       |    CASE WHEN pe_pm = 1000000 THEN 1000000
+       |         ELSE (CASE WHEN po_pm >= pe_pm THEN 1 ELSE -1 END)
+       |           * ((abs(po_pm - pe_pm) * 1000000) // (1000000 - pe_pm))
+       |    END::BIGINT AS kappa_pm
+       |  FROM kv)
+       |SELECT a_bucket, b_bucket, n_docs_cell, n_docs, po_pm, pe_pm, kappa_pm
+       |FROM cells, k2""".stripMargin
+  }
+
   val systematicSampleSql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,

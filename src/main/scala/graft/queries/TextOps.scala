@@ -507,6 +507,94 @@ object TextOps {
       |  min(doc_id) AS keeper_doc
       |FROM u GROUP BY 1""".stripMargin
 
+  /** K125: URL ADMISSION FILTER — the crawl-frontier URL gate that
+    * runs BEFORE any fetch or text processing (the RefinedWeb/CCNet
+    * URL-filtering step; K36 url_dedup assumes its survivors):
+    * every planted URL (the K36 synthesis extended with ads paths,
+    * binary extensions and parameter bloat, all doc_id-derived) is
+    * classified by FIRST-MATCH rule precedence — blocklisted host >
+    * flagged path segment > non-content extension > parameter
+    * bloat > keep — and the report is the per-verdict rollup a
+    * curation review reads: URL count, distinct hosts, per-mille
+    * share. Precedence as a single CASE chain keeps the verdict
+    * total (every URL exactly one verdict; conservation
+    * spec-pinned). Map-only classification + one verdict-keyed
+    * aggregate + a 1-row total broadcast — at 100 TB the frontier
+    * scan dominates and nothing else shuffles. */
+  def urlFilter(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(lit("site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com"))
+    val url = concat(
+      lit("https://"), host,
+      when(col("doc_id") % 9 === 0, lit("/ads")).otherwise(lit("")),
+      lit("/page"), (col("doc_id") % 13).cast("string"),
+      when(col("doc_id") % 8 === 5, lit(".zip")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 2, lit("?a=1&b=2&c=3&d=4")).otherwise(lit("")))
+    val nParams = size(split(regexp_extract(col("url"), "\\?(.*)$", 1), "&"))
+      - when(regexp_extract(col("url"), "\\?(.*)$", 1) === "", 1).otherwise(0)
+    val verdict =
+      when(regexp_extract(col("url"), "https?://([a-z0-9.-]+)", 1)
+        .isin(BlockedHosts: _*), "drop_domain")
+        .when(col("url").rlike("/(ads|tracker)(/|$)"), "drop_path")
+        .when(col("url").rlike("\\.(zip|exe|jpg|png)([?#]|$)"), "drop_ext")
+        .when(col("n_params") > MaxUrlParams, "drop_params")
+        .otherwise("keep")
+    val scored = documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("n_params", nParams)
+      .withColumn("verdict", verdict)
+      .withColumn("host", regexp_extract(col("url"), "https?://([a-z0-9.-]+)", 1))
+    val byV = scored.groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("host")).as("n_hosts"))
+    val tot = byV.agg(sum(col("n_urls")).as("n_total"))
+    byV.crossJoin(broadcast(tot)) // 1-row scalar frame
+      .select(col("verdict"), col("n_urls"), col("n_hosts"), col("n_total"),
+        expr("(n_urls * 1000) div n_total").as("share_permille"))
+  }
+
+  /** Blocklisted crawl hosts (the planted stand-in for a domain
+    * blocklist feed) and the query-parameter bloat cap. */
+  val BlockedHosts: Seq[String] =
+    Seq("site5.example.com", "site6.example.com")
+  val MaxUrlParams = 3
+
+  val urlFilterSql: String = {
+    val hosts = BlockedHosts.map(h => s"'$h'").mkString(", ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       |    || CASE WHEN doc_id % 9 = 0 THEN '/ads' ELSE '' END
+       |    || '/page' || CAST(doc_id % 13 AS VARCHAR)
+       |    || CASE WHEN doc_id % 8 = 5 THEN '.zip' ELSE '' END
+       |    || CASE WHEN doc_id % 6 = 2 THEN '?a=1&b=2&c=3&d=4' ELSE '' END AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, url,
+       |    regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS host,
+       |    CASE WHEN regexp_extract(url, '\\?(.*)$$', 1) = '' THEN 0
+       |         ELSE len(string_split(regexp_extract(url, '\\?(.*)$$', 1), '&'))
+       |    END AS n_params
+       |  FROM u),
+       |v AS (
+       |  SELECT *,
+       |    CASE WHEN host IN ($hosts) THEN 'drop_domain'
+       |         WHEN regexp_matches(url, '/(ads|tracker)(/|$$)') THEN 'drop_path'
+       |         WHEN regexp_matches(url, '\\.(zip|exe|jpg|png)([?#]|$$)')
+       |           THEN 'drop_ext'
+       |         WHEN n_params > $MaxUrlParams THEN 'drop_params'
+       |         ELSE 'keep' END AS verdict
+       |  FROM c),
+       |b AS (
+       |  SELECT verdict, count(*) AS n_urls,
+       |    count(DISTINCT host)::BIGINT AS n_hosts
+       |  FROM v GROUP BY 1),
+       |t AS (SELECT sum(n_urls)::BIGINT AS n_total FROM b)
+       |SELECT verdict, n_urls, n_hosts, n_total,
+       |  (n_urls * 1000 // n_total)::BIGINT AS share_permille
+       |FROM b, t""".stripMargin
+  }
+
   /** Keyness list size per source and the occurrence floor below
     * which a phrase can't be called "distinctive" (rate estimates on
     * 1-2 occurrences are noise at any corpus size). */

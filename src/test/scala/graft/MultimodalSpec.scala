@@ -181,4 +181,31 @@ class MultimodalSpec extends SparkSpec {
     val flags = got.map(_.getAs[Boolean]("blurry"))
     assert(flags.contains(true) && flags.contains(false))
   }
+
+  test("mm_aspect_filter: geometry verdicts recount locally; conservation holds") {
+    import graft.operators.Multimodal
+    val imgs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._1 % 3 == 0)
+    def verdictOf(id: Long, nBytes: Long): (String, Long) = {
+      val w = 64 + (id % 37) * 16
+      val h = 64 + (id % 23) * 16
+      val aspect = math.max(w, h) * 10 / math.min(w, h)
+      val bpkp = nBytes * 1000 / (w * h)
+      val v =
+        if (math.min(w, h) < Multimodal.MmMinSide) "drop_small"
+        else if (aspect > Multimodal.MmMaxAspectX10) "drop_aspect"
+        else if (bpkp < Multimodal.MmMinBytesPerKpx) "drop_thin"
+        else "keep"
+      (v, nBytes)
+    }
+    val local = imgs.map { case (id, t) => verdictOf(id, t.length.toLong) }
+    val expected = local.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val rows = run("mm_aspect_filter").collect()
+    val got = rows.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_items"), r.getAs[Long]("total_bytes"))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == imgs.length.toLong)
+    rows.foreach(r => assert(r.getAs[Long]("n_total") == imgs.length.toLong))
+  }
 }

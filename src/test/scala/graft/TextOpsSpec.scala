@@ -306,4 +306,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.groupBy(_._1).values.forall(_.size <= TextOps.KeyK))
   }
+
+  test("url_filter: first-match verdicts recount locally; conservation holds") {
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    def urlOf(id: Long): String =
+      s"https://site${id % 7}.example.com" +
+        (if (id % 9 == 0) "/ads" else "") + s"/page${id % 13}" +
+        (if (id % 8 == 5) ".zip" else "") +
+        (if (id % 6 == 2) "?a=1&b=2&c=3&d=4" else "")
+    def verdictOf(id: Long): String = {
+      val u = urlOf(id)
+      val host = u.stripPrefix("https://").takeWhile(_ != '/')
+      if (TextOps.BlockedHosts.contains(host)) "drop_domain"
+      else if (u.contains("/ads/") || u.endsWith("/ads")) "drop_path"
+      else if (".*\\.(zip|exe|jpg|png)([?#].*|)$".r.matches(u)) "drop_ext"
+      else if (u.count(_ == '&') + (if (u.contains('?')) 1 else 0) > TextOps.MaxUrlParams)
+        "drop_params"
+      else "keep"
+    }
+    val expected = ids.groupBy(verdictOf).view.mapValues(_.length.toLong).toMap
+    val rows = run("url_filter").collect()
+    val got = rows.map(r => r.getString(0) -> r.getAs[Long]("n_urls")).toMap
+    assert(got == expected)
+    // conservation: every URL gets exactly one verdict
+    assert(got.values.sum == ids.length.toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") == ids.length.toLong)
+      assert(r.getAs[Long]("share_permille") ==
+        r.getAs[Long]("n_urls") * 1000L / ids.length)
+    }
+  }
 }

@@ -464,4 +464,58 @@ class TrainPrepSpec extends SparkSpec {
     // the grid genuinely discriminates on this corpus
     assert(keptSeq.last < td)
   }
+
+  test("quality_agreement: cross-tab and kappa recount from first principles") {
+    import graft.functions.TextFns
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sw = TextFns.stopwords("en").toSet
+    def toksOf(t: String) = t.split(" ").filter(_.nonEmpty)
+    // axis A: stopword-density weight bucket
+    val aB = docs.map { case (id, t) =>
+      val toks = toksOf(t).length.toLong max 1L
+      val hits = toksOf(t.toLowerCase).count(sw.contains).toLong
+      id -> math.min(3L, math.min(100L, hits * 200L / toks) / 8L)
+    }.toMap
+    // axis B: corpus-bigram fluency bucket (lmPerDoc semantics)
+    val perDocToks = docs.map { case (id, t) => id -> toksOf(t.toLowerCase) }
+    val bigrams = perDocToks.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map(p => (id, p)) }
+    val cbg = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cuni = perDocToks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val lmScale = graft.operators.CorpusClean.LmScale
+    val bB = docs.map { case (id, _) =>
+      val bgs = bigrams.filter(_._1 == id).map(_._2)
+      val fq = if (bgs.isEmpty) 0L
+      else {
+        val sumQ = bgs.map(p => cbg(p) * lmScale / cuni(p._1)).sum
+        sumQ * 1000L / (bgs.length * lmScale)
+      }
+      id -> math.min(3L, math.max(0L, (fq - 30L) / 2L))
+    }.toMap
+    val expectedCells = docs.map { case (id, _) => (aB(id), bB(id)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = run("quality_agreement").collect()
+    val gotCells = rows.map(r => (r.getAs[Long]("a_bucket"),
+      r.getAs[Long]("b_bucket")) -> r.getAs[Long]("n_docs_cell")).toMap
+    assert(gotCells == expectedCells)
+    // kappa from first principles (BigInt, same floor divisions)
+    val n = BigInt(docs.length)
+    val diag = BigInt(expectedCells.collect { case ((a, b), c) if a == b => c }.sum)
+    val ra = expectedCells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cb = expectedCells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val peNum = ra.map { case (k, r) => BigInt(r) * BigInt(cb.getOrElse(k, 0L)) }.sum
+    val poPm = (diag * 1000000) / n
+    val pePm = (peNum * 1000000) / (n * n)
+    val kappa = if (pePm == 1000000) BigInt(1000000)
+    else (if (poPm >= pePm) BigInt(1) else BigInt(-1)) *
+      ((poPm - pePm).abs * 1000000 / (1000000 - pePm))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == docs.length.toLong)
+      assert(BigInt(r.getAs[Long]("po_pm")) == poPm)
+      assert(BigInt(r.getAs[Long]("pe_pm")) == pePm)
+      assert(BigInt(r.getAs[Long]("kappa_pm")) == kappa)
+    }
+  }
 }
