@@ -472,27 +472,35 @@ object CorpusClean {
   /** The per-doc integer core of [[lmScore]] — (doc_id, n_bigrams,
     * sum_q) with q = cbg·LmScale div cuni per bigram instance —
     * shared with [[graft.operators.TrainPrep.qualityAgreement]]'s
-    * fluency axis so the two operators can't drift. */
-  private[graft] def lmPerDoc(s: SparkSession, dir: String): DataFrame = {
+    * fluency axis so the two operators can't drift. PlanSpec probes
+    * via barrier=false (the jaccardNeighborsFrame convention —
+    * the checkpoint hides the executed plan). */
+  private[graft] def lmPerDoc(s: SparkSession, dir: String,
+                              barrier: Boolean = true): DataFrame = {
     val toks = documents(s, dir).select(col("doc_id"),
       posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = toks
+    val bg0 = toks
       .withColumn("w1", lead(col("w"), 1).over(w))
       .filter(col("w1").isNotNull)
       .select(col("doc_id"), col("w"), col("w1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bg = if (barrier)
+      bg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bg0
     val cBg = bg.groupBy(col("w"), col("w1")).agg(count(lit(1)).as("cbg"))
     val cUni = toks.groupBy(col("w")).agg(count(lit(1)).as("cuni"))
-    val out = bg
+    val res = bg
       .join(cBg, Seq("w", "w1"))
       .join(broadcast(cUni), Seq("w"))
       .select(col("doc_id"), expr(s"(cbg * ${LmScale}L) div cuni").as("q"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
-      .localCheckpoint() // doc-count-sized; release the cached bigrams
-    bg.unpersist()
-    out
+    if (!barrier) res
+    else {
+      val out = res.localCheckpoint() // doc-count-sized; release the bigrams
+      bg.unpersist()
+      out
+    }
   }
 
   def lmScore(s: SparkSession, dir: String): DataFrame =

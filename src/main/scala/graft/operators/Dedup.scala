@@ -78,6 +78,12 @@ object Dedup {
     long3.unionByName(short).dropDuplicates("doc_id", "gram")
   }
 
+  /** The un-checkpointed C2 pipeline for plan probing (the
+    * ngramNoveltyFrame convention — [[dedupMinhashLsh]]'s
+    * localCheckpoint hides the executed plan). */
+  private[graft] def minhashLshFrame(s: SparkSession, dir: String): DataFrame =
+    lshPairs(gramPosts(s, dir))
+
   /** A/B probe twin of [[dedupMinhashLsh]] over either gram build. */
   private[graft] def dedupMinhashLshProbe(s: SparkSession, dir: String,
                                           arr: Boolean): DataFrame = {

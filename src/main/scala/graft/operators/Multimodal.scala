@@ -511,6 +511,8 @@ object Multimodal {
           .otherwise("keep"))
     val byV = imgs.groupBy(col("verdict"))
       .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("total_bytes"))
+      .localCheckpoint() // ≤ 4 rows; the total derives from it, so
+                         // the metadata scans ONCE (PlanSpec-gated)
     val tot = byV.agg(sum(col("n_items")).as("n_total"))
     byV.crossJoin(broadcast(tot)) // 1-row scalar frame
       .select(col("verdict"), col("n_items"), col("total_bytes"), col("n_total"),

@@ -1178,7 +1178,7 @@ object TrainPrep {
       .agg(sum(col("n_docs_cell")).as("ra"))
     val cb = cells.groupBy(col("b_bucket").as("k"))
       .agg(sum(col("n_docs_cell")).as("cb"))
-    val peNum = ra.join(cb, "k")
+    val peNum = ra.join(broadcast(cb), "k")
       .agg(sum(col("ra").cast("decimal(38,0)") * col("cb")).as("pe_num"))
     val stats = cells
       .agg(sum(col("n_docs_cell")).as("n_docs"),

@@ -547,6 +547,8 @@ object TextOps {
     val byV = scored.groupBy(col("verdict"))
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("host")).as("n_hosts"))
+      .localCheckpoint() // ≤ 5 rows; the total derives from it, so
+                         // the frontier scans ONCE (PlanSpec-gated)
     val tot = byV.agg(sum(col("n_urls")).as("n_total"))
     byV.crossJoin(broadcast(tot)) // 1-row scalar frame
       .select(col("verdict"), col("n_urls"), col("n_hosts"), col("n_total"),

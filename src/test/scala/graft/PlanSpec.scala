@@ -292,7 +292,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("lm_score: unigram counts broadcast into the scoring join") {
-    val p = plan("lm_score")
+    // the shipped op checkpoints its per-doc core (plan hidden);
+    // probe via barrier=false, the jaccardNeighborsFrame convention
+    val p = graft.operators.CorpusClean.lmPerDoc(spark, sf, barrier = false)
+      .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
       s"unigram join is not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
@@ -544,5 +547,41 @@ class PlanSpec extends SparkSpec {
       s"refresh must read the materialized view artifact, not rebuild it:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"touched-key fetch must broadcast the delta keys:\n$p")
+  }
+
+  test("gram postings build map-side: no doc-keyed window in the LSH pipeline (r10 A/B)") {
+    // the shipped op localCheckpoints (plan hidden); probe the
+    // un-checkpointed pipeline frame
+    val f = graft.operators.Dedup.minhashLshFrame(spark, sf)
+    val p = f.queryExecution.executedPlan.toString
+    spark.sharedState.cacheManager.clearCache() // drop the probe's postings cache mark
+    assert(!p.contains("Window"),
+      s"3-gram build regressed to the window-lead form:\n$p")
+  }
+
+  test("html_extract: map-only — classification never shuffles") {
+    val p = plan("html_extract")
+    assert(!p.contains("Exchange"), s"html_extract plans a shuffle:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("url_filter / mm_aspect_filter: one scan, verdict agg, scalar total broadcast") {
+    Seq("url_filter", "mm_aspect_filter").foreach { name =>
+      // the per-verdict frame is checkpointed and the total derives
+      // from it — so the visible plan has NO source re-scan (0
+      // FileScans; the one real scan ran at checkpoint time)
+      val p = plan(name)
+      assert("FileScan parquet".r.findAllIn(p).length <= 1,
+        s"$name re-scans its source:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name shuffles a join that should broadcast:\n$p")
+    }
+  }
+
+  test("quality_agreement: stats derive from checkpointed cells, never a corpus re-scan") {
+    val p = plan("quality_agreement")
+    assert(!p.contains("documents.parquet"),
+      s"agreement stats re-scan the corpus instead of the 16-row cells:\n$p")
+    assert(!p.contains("SortMergeJoin"))
   }
 }
