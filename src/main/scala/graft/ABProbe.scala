@@ -21,7 +21,10 @@ object ABProbe {
         queries.TextOps.keynessCells(s, dir)))),
     "gram" -> Seq(
       "win" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, arr = false)),
-      "arr" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, arr = true))))
+      "arr" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, arr = true))),
+    "kmvx" -> Seq(
+      "join" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = false)),
+      "grp" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

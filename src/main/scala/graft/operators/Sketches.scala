@@ -772,6 +772,50 @@ object Sketches {
     out
   }
 
+  /** Exact per-source-pair common-hash counts over the distinct
+    * (source, h) postings, in two A/B-able forms ([[graft.ABProbe]]
+    * `kmvx`): `grp = true` groups by h ONCE (collect the ≤|sources|
+    * member set, fan out its ordered pairs map-side — one h-keyed
+    * aggregate, no join), `grp = false` is the prior self-join on h
+    * (shuffles the postings twice). Same result set — adjacency per
+    * hash is tiny, ≤ C(|sources|, 2) pairs per h. r10 A/B at sf0.1
+    * (5 alternating rounds): warm is a tie (grp med/min 4.22/3.91
+    * vs join 4.35/3.76) but grp's first pass is 6.4 vs 17.4 s (far
+    * lighter plan/codegen) — the grouped form ships on the
+    * structural argument: one postings shuffle instead of two, and
+    * per-key fanout bounded by the source count, never corpus
+    * size. */
+  private[graft] def exactCommon(d: DataFrame, grp: Boolean): DataFrame =
+    if (grp) {
+      val ss = col("ss")
+      d.groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(ss) >= 2)
+        .select(explode(flatten(transform(ss, (a, i) =>
+          transform(slice(ss, i + 2, size(ss)),
+            b => struct(a.as("sa"), b.as("sb"))))))
+          .as("p"))
+        .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+        .agg(count(lit(1)).as("n_common"))
+    } else {
+      d.as("x")
+        .join(d.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source"), col("y.source"))
+        .agg(count(lit(1)).as("n_common"))
+        .select(col("x.source").as("sa"), col("y.source").as("sb"),
+          col("n_common"))
+    }
+
+  /** A/B probe twin of [[kmvIntersect]] over either exact-count form. */
+  private[graft] def kmvIntersectProbe(s: SparkSession, dir: String,
+                                       grp: Boolean): DataFrame = {
+    val d = kmvPostings(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = kmvIntersectFrameWith(d, grp).localCheckpoint()
+    d.unpersist()
+    out
+  }
+
   /** Distinct (source, shingle-hash) postings for [[kmvIntersect]]. */
   private[graft] def kmvPostings(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFns
@@ -792,7 +836,10 @@ object Sketches {
     * split out so PlanSpec can assert the ObjectHashAggregate sketch
     * shape (the ngramNoveltyFrame convention — localCheckpoint above
     * truncates the executed plan). */
-  private[graft] def kmvIntersectFrame(d: DataFrame): DataFrame = {
+  private[graft] def kmvIntersectFrame(d: DataFrame): DataFrame =
+    kmvIntersectFrameWith(d, grp = true)
+
+  private[graft] def kmvIntersectFrameWith(d: DataFrame, grp: Boolean): DataFrame = {
     // ONE combining pass over the postings yields sketch + exact
     // count per source; the 20-row result is materialized once and
     // every small-side frame (sketch rows, source list, pair matrix,
@@ -818,13 +865,7 @@ object Sketches {
         sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
           .as("sk_both"))
     val n = agg.select(col("source"), col("n"))
-    val c = d.as("x")
-      .join(d.as("y"),
-        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
-      .groupBy(col("x.source"), col("y.source"))
-      .agg(count(lit(1)).as("n_common"))
-      .select(col("x.source").as("sa"), col("y.source").as("sb"),
-        col("n_common"))
+    val c = exactCommon(d, grp)
     pairs
       .join(broadcast(n.select(col("source").as("sa"), col("n").as("n_a"))), "sa")
       .join(broadcast(n.select(col("source").as("sb"), col("n").as("n_b"))), "sb")
