@@ -477,8 +477,14 @@ object Graph {
       .localCheckpoint()
     var alive = adj.select(col("n")).distinct().localCheckpoint()
     var nAlive = alive.count()
+    var fixed = false // zero removals are terminal (degrees unchanged
+                      // => every later round removes zero — the
+                      // ktruss_peel monotone-fixpoint argument); emit
+                      // the zero rows without re-running the rounds
     val rows = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
-    for (_ <- 1 to KcoreRounds) {
+    for (_ <- 1 to KcoreRounds) if (fixed) {
+      rows += ((rows.length + 1L, 0L, nAlive))
+    } else {
       val aliveAdj = adj
         .join(alive, "n")
         .join(alive.withColumnRenamed("n", "nb"), "nb")
@@ -494,6 +500,7 @@ object Graph {
       val nRm = deg.filter(col("deg") < KcoreK).count()
       alive = deg.filter(col("deg") >= KcoreK).select(col("n"))
       nAlive -= nRm
+      fixed = nRm == 0
       rows += ((rows.length + 1L, nRm, nAlive))
     }
     import s.implicits._
