@@ -377,6 +377,89 @@ object TrainPrep {
        |        FROM documents))
        |GROUP BY shard, bin""".stripMargin
 
+  /** Context lengths swept by [[packEfficiency]]. */
+  val PackGrid: Seq[Int] = Seq(128, 256, 512, 1024, 2048)
+
+  /** K128: PACKING-EFFICIENCY SWEEP — the max_seq_len DECISION curve
+    * (the K115 filter_sweep convention applied to G9's packing):
+    * for each candidate context length L, concat-packing's two
+    * quality costs — the FRAGMENT rate (docs split across a sequence
+    * boundary: cross-sequence attention contamination or a truncated
+    * doc, depending on the trainer) and the tail PADDING per shard
+    * (concat packing's only padding) — next to the sequence count.
+    * Bigger L ⇒ fewer fragments but more tail pad per shard and
+    * coarser batching; the curve is the trade a pretraining setup
+    * reads before fixing L.
+    *
+    * Shape: G9's shard-local cumsum window runs ONCE (L-independent);
+    * the L grid fans out MAP-SIDE over the cumsum frame (rows ×
+    * |grid|, the filter_sweep pattern); per-L doc stats and per-L
+    * shard-tail stats are two tiny aggregates joined on L. All
+    * arithmetic exact BIGINT (per-million rates; products ≤ 10¹⁷ at
+    * 10¹¹ docs). */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shard = pmod(col("doc_id") * 2654435761L % 1000000007L, lit(PackShards))
+    val toks = documents(s, dir)
+      .select(col("doc_id"), shard.as("shard"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = toks
+      .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .localCheckpoint() // ONE window pass feeds both grid aggregates
+    val grid = PackGrid.map(_.toLong).toDF("len")
+    val docStats = cum.crossJoin(broadcast(grid))
+      .withColumn("split",
+        expr("(before + n_tok - 1) div len > before div len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_docs_split"))
+    val shardTails = cum.groupBy(col("shard"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .crossJoin(broadcast(grid))
+      .groupBy(col("len"))
+      .agg(sum(expr("(tot + len - 1) div len")).as("n_seqs"),
+        sum(expr("(len - tot % len) % len")).as("pad_tokens"))
+    docStats.join(shardTails, "len")
+      .select(col("len"), col("n_seqs"), col("n_docs"), col("n_docs_split"),
+        expr("(n_docs_split * 1000000) div n_docs").as("split_pm"),
+        col("pad_tokens"),
+        expr("(pad_tokens * 1000000) div (n_seqs * len)").as("pad_pm"))
+      .orderBy(col("len"))
+  }
+
+  val packEfficiencySql: String = {
+    val grid = PackGrid.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    (doc_id * 2654435761 % 1000000007) % $PackShards AS shard,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+       |  FROM t),
+       |g AS (SELECT unnest($grid)::BIGINT AS len),
+       |d AS (
+       |  SELECT len, count(*) AS n_docs,
+       |    sum(CASE WHEN (before + n_tok - 1) // len > before // len
+       |             THEN 1 ELSE 0 END)::BIGINT AS n_docs_split
+       |  FROM c, g GROUP BY len),
+       |sh AS (SELECT shard, sum(n_tok)::BIGINT AS tot FROM c GROUP BY 1),
+       |st AS (
+       |  SELECT len,
+       |    sum((tot + len - 1) // len)::BIGINT AS n_seqs,
+       |    sum((len - tot % len) % len)::BIGINT AS pad_tokens
+       |  FROM sh, g GROUP BY len)
+       |SELECT len, n_seqs, n_docs, n_docs_split,
+       |  (n_docs_split * 1000000 // n_docs)::BIGINT AS split_pm,
+       |  pad_tokens,
+       |  (pad_tokens * 1000000 // (n_seqs * len))::BIGINT AS pad_pm
+       |FROM d JOIN st USING (len)""".stripMargin
+  }
+
   /** H14: dataset card — the one-row datasheet a corpus release
     * ships with (and a pipeline alerts on): sizes, source/language
     * breadth, exact-duplicate rate, length distribution. One scan,

@@ -518,4 +518,36 @@ class TrainPrepSpec extends SparkSpec {
       assert(BigInt(r.getAs[Long]("kappa_pm")) == kappa)
     }
   }
+
+  test("pack_efficiency: the L-sweep recounts from a local shard cumsum") {
+    import graft.operators.TrainPrep
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .sortBy(_._1)
+    val byShard = docs.groupBy { case (id, _) =>
+      (id * 2654435761L % 1000000007L) % TrainPrep.PackShards }
+    val expected = TrainPrep.PackGrid.map(_.toLong).map { len =>
+      var nSplit = 0L
+      var nSeqs = 0L
+      var pad = 0L
+      byShard.values.foreach { sd =>
+        var before = 0L
+        sd.sortBy(_._1).foreach { case (_, n) =>
+          if ((before + n - 1) / len > before / len) nSplit += 1
+          before += n
+        }
+        nSeqs += (before + len - 1) / len
+        pad += (len - before % len) % len
+      }
+      val nDocs = docs.length.toLong
+      (len, nSeqs, nDocs, nSplit, nSplit * 1000000L / nDocs,
+        pad, pad * 1000000L / (nSeqs * len))
+    }
+    val got = run("pack_efficiency").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    // monotonicity: larger L never fragments MORE docs
+    got.map(_._4).sliding(2).foreach(p => assert(p.head >= p.last))
+  }
 }
