@@ -148,20 +148,27 @@ object Ann {
     * probe their [[IvfProbes]] nearest cells and only those cells'
     * vectors are scored. Fully oracle-able: seeds are deterministic
     * and assignment arithmetic is the same double cosine. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Top-n nearest IVF cells per row of `df`, with the cell rank
+    * `crn` retained — shared by [[annIvf]] (which drops the rank)
+    * and [[annProbeSweep]] (which sweeps it). */
+  private def nearestCells(s: SparkSession, dir: String, df: DataFrame,
+                           idCol: String, vecCol: String, nCol: String,
+                           n: Int): DataFrame = {
     val cent = vecs(s, dir).filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nn").as("cn"))
-    def nearestCells(df: DataFrame, idCol: String, vecCol: String,
-                     nCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
-      df.join(broadcast(cent), lit(true))
-        .withColumn("ccos", pairCos(col(vecCol), col("ce"), col(nCol), col("cn")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= n)
-        .select(col(idCol), col(vecCol), col(nCol), col("cid"))
-    }
-    val assign = nearestCells(vecs(s, dir), "vec_id", "embedding", "nn", 1)
-    val qcells = nearestCells(probes(s, dir), "qid", "qe", "qn", IvfProbes)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+    df.join(broadcast(cent), lit(true))
+      .withColumn("ccos", pairCos(col(vecCol), col("ce"), col(nCol), col("cn")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= n)
+      .select(col(idCol), col(vecCol), col(nCol), col("cid"), col("crn"))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val assign = nearestCells(s, dir, vecs(s, dir), "vec_id", "embedding", "nn", 1)
+      .drop("crn")
+    val qcells = nearestCells(s, dir, probes(s, dir), "qid", "qe", "qn", IvfProbes)
+      .drop("crn")
     // assignment is unique per vector (rn = 1), so (qid, nb) can't
     // repeat across probed cells — no dedup shuffle needed
     val scored = qcells.join(assign, "cid")
@@ -200,6 +207,94 @@ object Ann {
        |  SELECT qid, nb, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
        |  FROM (SELECT qid, nb, $cosSql AS c FROM cand))
        |WHERE rnk <= $K""".stripMargin
+  }
+
+  /** nprobe grid swept by [[annProbeSweep]] (out of [[IvfCentroids]]
+    * cells). */
+  val ProbeGrid: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** K129: IVF PROBE SWEEP — the index-tuning curve behind D3's
+    * fixed [[IvfProbes]]: recall@[[K]] against the exact baseline
+    * AND candidate volume (the cost axis) for every nprobe in
+    * [[ProbeGrid]] — the recall-vs-compute trade an ANN deployment
+    * reads before fixing nprobe (K18 ann_recall gives the single
+    * operating point; this is the curve through it). Candidates are
+    * scored ONCE with the cell rank retained and checkpointed; each
+    * grid point is a filter + rank window over that frame (the
+    * filter_sweep grid convention), so the expensive cosine work is
+    * nprobe-independent. Recall denominator is the full exact top-K
+    * set (|probes|·K). At 100 TB the probe set is a sample and the
+    * sweep costs one max-nprobe IVF search — not |grid| searches. */
+  def annProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assign = nearestCells(s, dir, vecs(s, dir), "vec_id", "embedding", "nn", 1)
+      .drop("crn")
+    val qc = nearestCells(s, dir, probes(s, dir), "qid", "qe", "qn", ProbeGrid.max)
+    val cand = qc.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("crn"), col("vec_id").as("nb"),
+        pairCos(col("qe"), col("embedding"), col("qn"), col("nn")).as("c"))
+      .localCheckpoint() // scored once; every grid point re-reads it
+    val grid = ProbeGrid.map(_.toLong).toDF("p")
+    val expl = cand.crossJoin(broadcast(grid)).filter(col("crn") <= col("p"))
+      .localCheckpoint() // ≤ |grid|× candidates; counted AND ranked
+    val wqp = Window.partitionBy(col("qid"), col("p"))
+      .orderBy(col("c").desc, col("nb"))
+    val topp = expl.withColumn("rnk", row_number().over(wqp))
+      .filter(col("rnk") <= K)
+    val gt = annBruteforce(s, dir).select(col("qid"), col("nb"))
+    val hits = topp.join(gt, Seq("qid", "nb"), "left_semi")
+      .groupBy(col("p")).agg(count(lit(1)).as("n_hits"))
+    val cost = expl.groupBy(col("p")).agg(count(lit(1)).as("n_cand"))
+    cost.join(hits, Seq("p"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("p"), lit(NumQueries.toLong).as("n_queries"), col("n_cand"),
+        col("n_hits"),
+        expr(s"(n_hits * 1000000) div (${NumQueries}L * ${K}L)").as("recall_pm"))
+      .orderBy(col("p"))
+  }
+
+  lazy val annProbeSweepSql: String = {
+    val centCos =
+      """list_dot_product(ve::DOUBLE[], ce::DOUBLE[]) /
+        |        (sqrt(list_dot_product(ve::DOUBLE[], ve::DOUBLE[])) *
+        |         sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[])))""".stripMargin
+    val grid = ProbeGrid.mkString("[", ", ", "]")
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $IvfCentroids),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $centCos DESC, cid) AS rn
+       |    FROM (SELECT vec_id, embedding AS ve FROM embeddings) e, cent) WHERE rn = 1),
+       |qc AS (
+       |  SELECT qid, qe, cid, rn AS crn FROM (
+       |    SELECT q.qid, q.qe, cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_dot_product(qe::DOUBLE[], ce::DOUBLE[]) /
+       |        (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *
+       |         sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))) DESC, cid) AS rn
+       |    FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries) q, cent)
+       |  WHERE rn <= ${ProbeGrid.max}),
+       |cand AS (
+       |  SELECT qid, crn, nb, $cosSql AS c FROM (
+       |    SELECT qc.qid, qc.crn, qc.qe, e.vec_id AS nb, e.embedding AS ne
+       |    FROM qc JOIN assign a ON a.cid = qc.cid
+       |    JOIN embeddings e ON e.vec_id = a.vec_id
+       |    WHERE a.vec_id <> qc.qid)),
+       |g AS (SELECT unnest($grid)::BIGINT AS p),
+       |x AS (SELECT p, qid, nb, c FROM cand, g WHERE crn <= p),
+       |r AS (
+       |  SELECT p, qid, nb,
+       |    row_number() OVER (PARTITION BY qid, p ORDER BY c DESC, nb) AS rnk
+       |  FROM x),
+       |topp AS (SELECT p, qid, nb FROM r WHERE rnk <= $K),
+       |gt AS (SELECT qid, nb FROM ($annBruteforceSql)),
+       |h AS (SELECT p, count(*) AS n_hits FROM topp JOIN gt USING (qid, nb) GROUP BY p),
+       |cn AS (SELECT p, count(*) AS n_cand FROM x GROUP BY p)
+       |SELECT cn.p, $NumQueries AS n_queries, cn.n_cand,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  (coalesce(h.n_hits, 0) * 1000000 // (${NumQueries} * $K))::BIGINT AS recall_pm
+       |FROM cn LEFT JOIN h ON h.p = cn.p""".stripMargin
   }
 
   /** H7: k-NN JOIN — top-[[K]] cosine neighbors for EVERY vector, not

@@ -320,4 +320,39 @@ class AnnSpec extends SparkSpec {
       assert(np + nn == byAnchor(v).size, s"anchor $v counts")
     }
   }
+
+  test("ann_probe_sweep: recall curve recounts locally and is monotone in nprobe") {
+    val A = graft.operators.Ann
+    // local exact cosine machinery over the collected embeddings
+    val em = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = em.keys.filter(_ < A.IvfCentroids).toSeq.sorted
+    def cellRank(v: Array[Double]): Seq[Long] =
+      cents.sortBy(c => (-cos(v, em(c)), c))
+    val assign = em.keys.map(id => id -> cellRank(em(id)).head).toMap
+    val queries = em.keys.filter(_ < A.NumQueries).toSeq.sorted
+    def topK(ids: Seq[Long], q: Long): Set[Long] =
+      ids.filter(_ != q).sortBy(n => (-cos(em(q), em(n)), n)).take(A.K).toSet
+    val gt = queries.map(q => q -> topK(em.keys.toSeq, q)).toMap
+    val expected = A.ProbeGrid.map { p =>
+      val stats = queries.map { q =>
+        val cells = cellRank(em(q)).take(p).toSet
+        val cand = em.keys.filter(n => n != q && cells.contains(assign(n))).toSeq
+        (cand.size.toLong, (topK(cand, q) intersect gt(q)).size.toLong)
+      }
+      (p.toLong, A.NumQueries.toLong, stats.map(_._1).sum, stats.map(_._2).sum,
+        stats.map(_._2).sum * 1000000L / (A.NumQueries.toLong * A.K))
+    }
+    val got = run("ann_probe_sweep").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // recall is monotone in nprobe; full probe budget reaches max recall
+    got.map(_._5).sliding(2).foreach(pr => assert(pr.head <= pr.last))
+  }
 }
