@@ -680,6 +680,78 @@ object Dedup {
        |FROM e JOIN f USING (cluster_id) JOIN n USING (cluster_id)""".stripMargin
   }
 
+  /** K130: SPLIT-LEAKAGE AUDIT — near-dup pairs CROSSING the
+    * train/val/test boundary (the measurement behind "Deduplicating
+    * Training Data Makes Language Models Better": an eval doc with a
+    * train-side near-duplicate is contamination that n-gram
+    * decontamination by exact match can miss, and the reason dedup
+    * runs BEFORE splitting). Pairs are the persisted verified
+    * near-dup set ([[ensurePairStats]], exact J ≥ 0.5 — join-cost,
+    * never a re-mine); splits are G8 sample_split's hash lanes, so
+    * this audits exactly the split the pipeline ships. Each pair is
+    * oriented by split precedence (train < val < test) and the
+    * report is per (split_a, split_b): pair count, distinct docs on
+    * each side (the (train, test) row's n_docs_b IS the count of
+    * contaminated test docs), per-mille share. One tiny aggregate
+    * over the pair artifact + a 1-row total broadcast. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def lane(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = pmod(c * 2654435761L % 1000000007L, lit(100))
+      when(h < 80, 0).when(h < 90, 1).otherwise(2)
+    }
+    val name = (c: org.apache.spark.sql.Column) =>
+      when(c === 0, "train").when(c === 1, "val").otherwise("test")
+    val fwd = col("xa") <= col("xb")
+    val cells = pairStats(s, dir).filter(col("j") >= 0.5)
+      .select(col("ia"), col("ib"))
+      .withColumn("xa", lane(col("ia"))).withColumn("xb", lane(col("ib")))
+      .select(
+        name(when(fwd, col("xa")).otherwise(col("xb"))).as("split_a"),
+        name(when(fwd, col("xb")).otherwise(col("xa"))).as("split_b"),
+        when(fwd, col("ia")).otherwise(col("ib")).as("doc_a"),
+        when(fwd, col("ib")).otherwise(col("ia")).as("doc_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+      .localCheckpoint() // ≤ 6 rows; the total derives from it
+    val tot = cells.agg(sum(col("n_pairs")).as("n_total"))
+    cells.crossJoin(broadcast(tot)) // 1-row scalar frame
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        expr("(n_pairs * 1000) div n_total").as("share_permille"))
+  }
+
+  lazy val splitLeakageSql: String =
+    gramsCte + pairsCtes + """,
+      |pr AS (SELECT ia, ib FROM jp WHERE j >= 0.5),
+      |m AS (
+      |  SELECT ia, ib,
+      |    CASE WHEN (ia * 2654435761 % 1000000007) % 100 < 80 THEN 0
+      |         WHEN (ia * 2654435761 % 1000000007) % 100 < 90 THEN 1
+      |         ELSE 2 END AS xa,
+      |    CASE WHEN (ib * 2654435761 % 1000000007) % 100 < 80 THEN 0
+      |         WHEN (ib * 2654435761 % 1000000007) % 100 < 90 THEN 1
+      |         ELSE 2 END AS xb
+      |  FROM pr),
+      |o AS (
+      |  SELECT CASE WHEN xa <= xb THEN xa ELSE xb END AS qa,
+      |         CASE WHEN xa <= xb THEN xb ELSE xa END AS qb,
+      |         CASE WHEN xa <= xb THEN ia ELSE ib END AS doc_a,
+      |         CASE WHEN xa <= xb THEN ib ELSE ia END AS doc_b
+      |  FROM m),
+      |cells AS (
+      |  SELECT CASE qa WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_a,
+      |         CASE qb WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_b,
+      |         count(*) AS n_pairs,
+      |         count(DISTINCT doc_a)::BIGINT AS n_docs_a,
+      |         count(DISTINCT doc_b)::BIGINT AS n_docs_b
+      |  FROM o GROUP BY 1, 2),
+      |t AS (SELECT sum(n_pairs)::BIGINT AS n_total FROM cells)
+      |SELECT split_a, split_b, n_pairs, n_docs_a, n_docs_b,
+      |  (n_pairs * 1000 // n_total)::BIGINT AS share_permille
+      |FROM cells, t""".stripMargin
+
   /** K-line: MinHash accuracy report — for every true near-dup pair
     * (exact Jaccard ≥ 0.5, the C4 set), the signature-agreement
     * estimate ĵ = |{k : sig_a[k] = sig_b[k]}| / 64 next to the exact

@@ -561,4 +561,32 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("quality_gain") >= 0)
     }
   }
+
+  test("split_leakage: boundary-crossing pairs recount from the verified pair set") {
+    // ground pairs from the already-spec-verified C4 query
+    val pairs = run("ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def lane(id: Long): Int = {
+      val h = (id * 2654435761L % 1000000007L) % 100
+      if (h < 80) 0 else if (h < 90) 1 else 2
+    }
+    val names = Array("train", "val", "test")
+    val oriented = pairs.map { case (ia, ib) =>
+      if (lane(ia) <= lane(ib)) (names(lane(ia)), names(lane(ib)), ia, ib)
+      else (names(lane(ib)), names(lane(ia)), ib, ia)
+    }
+    val expected = oriented.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> (g.length.toLong, g.map(_._3).distinct.length.toLong,
+        g.map(_._4).distinct.length.toLong)
+    }
+    val rows = run("split_leakage").collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_a"),
+        r.getAs[Long]("n_docs_b"))).toMap
+    assert(got == expected)
+    // conservation: every verified pair lands in exactly one cell
+    assert(got.values.map(_._1).sum == pairs.length.toLong)
+    rows.foreach(r => assert(r.getAs[Long]("share_permille") ==
+      r.getAs[Long]("n_pairs") * 1000L / pairs.length))
+  }
 }
