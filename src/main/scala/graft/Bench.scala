@@ -82,6 +82,32 @@ object BenchDrift {
       prior.get(k).filter(p => p > 0 && w > FloorSec && w > p * Ratio)
         .map(p => (k, p, w))
     }.sortBy { case (_, p, w) => -(w - p) }
+
+  /** Single-thread integer-spin calibration, milliseconds — a box-
+    * speed fingerprint emitted as `calib_ms` next to the timings.
+    * The r9→r10 lesson: `warm_regressed` comparisons often span
+    * boxes or load states (judge vs builder), and a 2× "regression"
+    * can be the BOX, not the plan; a prior/now calib ratio far from
+    * 1 tells the consumer to discount the flags before bisecting
+    * code. Pure ALU loop (no allocation, no syscalls) so it tracks
+    * core speed under contention, not JIT or IO state. */
+  def calibMs(): Double = {
+    var x = 0L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < 50000000L) {
+      x ^= java.lang.Long.rotateLeft(x + i * 0x9E3779B97F4A7C15L, 17)
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) Console.err.println(x) // defeat dead-code elimination
+    ms
+  }
+
+  /** Extract the prior run's calib_ms, if recorded. */
+  def parseCalib(json: String): Option[Double] =
+    """"calib_ms":([0-9.]+)""".r.findFirstMatchIn(json)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
 }
 
 object Bench {
@@ -195,10 +221,20 @@ object Bench {
     val driftJson = drift.map { case (k, p, w) =>
       "\"" + k + "\":[" + r3(p) + "," + r3(w) + "]"
     }.mkString("{", ",", "}")
+    // box-speed fingerprint: calib now + prior/now ratio (≫1 means
+    // the prior run had a faster box/state — discount warm_regressed)
+    val calib = BenchDrift.calibMs()
+    val priorCalib =
+      try BenchDrift.parseCalib(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_last.json")))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val calibRatio = priorCalib.map(p => r3(calib / p))
     val common = s""""value":$total,"unit":"sec","warm_total":$warmTotal,""" +
       s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
       s""""sf":"$sfDir","failed":$failed,"noisy":$noisy,""" +
-      s""""slope_flagged":$slopeFlagged,"warm_regressed":$driftJson"""
+      s""""slope_flagged":$slopeFlagged,"warm_regressed":$driftJson,""" +
+      s""""calib_ms":${r3(calib)}""" +
+      calibRatio.map(r => s""","calib_vs_prior":$r""").getOrElse("")
     val summary = s"""{"metric":"total_summary",$common}"""
     val line = s"""{"metric":"total",$common,"queries":${qjson(_._2)},""" +
       s""""queries_warm":${qjson(_._3)},"queries_slope":$slopeJson}"""

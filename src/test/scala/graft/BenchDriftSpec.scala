@@ -37,6 +37,14 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(BenchDrift.regressed(Map("b" -> 1.0), Seq("a" -> 9.0)).isEmpty)
   }
 
+  test("calib: fingerprint is positive and parse round-trips") {
+    val ms = BenchDrift.calibMs()
+    assert(ms > 0)
+    assert(BenchDrift.parseCalib(s"""{"x":1,"calib_ms":$ms,"y":2}""")
+      .contains(ms))
+    assert(BenchDrift.parseCalib("""{"no":"calib"}""").isEmpty)
+  }
+
   test("the in-tree committed bench_last.json parses non-empty") {
     val p = java.nio.file.Paths.get("bench_last.json")
     assume(java.nio.file.Files.exists(p))
