@@ -1090,4 +1090,61 @@ object Behavior {
       |           * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
       |           * (1.0 / n_a + 1.0 / n_b)), 0.0)) * 10000.0 + 0.5) / 10000.0 AS z
       |FROM one""".stripMargin
+
+  /** K131: TEMPORAL HOLDOUT AUDIT — the time-based train/test split
+    * (cutoff at 4/5 of the observed time RANGE, exact integer epoch
+    * seconds on both engines) with the USER-OVERLAP leakage read:
+    * per event type, how many distinct users appear on BOTH sides of
+    * the boundary — the standard eval-hygiene check for behavioral
+    * models (a user seen in training whose later events are "test"
+    * is memorization surface, the events-side analog of K130
+    * split_leakage's near-dup contamination). Shape: a 1-row min/max
+    * broadcast fixes the cutoff, ONE (type, user) combining
+    * aggregate sides every event, one type-keyed rollup — shuffle
+    * ∝ distinct (type, user), never events. */
+  def timeSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"),
+      col("ts").cast("long").as("t"))
+    val mm = ev.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    val sided = ev.crossJoin(broadcast(mm)) // 1-row scalar frame
+      .withColumn("cut", expr("tmin + ((tmax - tmin) * 4) div 5"))
+      .withColumn("is_train", col("t") <= col("cut"))
+    val perUser = sided.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("ev_tr"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("ev_te"))
+    perUser.groupBy(col("event_type"))
+      .agg(sum(col("ev_tr")).as("n_events_train"),
+        sum(col("ev_te")).as("n_events_test"),
+        sum(when(col("ev_tr") > 0, 1L).otherwise(0L)).as("n_users_train"),
+        sum(when(col("ev_te") > 0, 1L).otherwise(0L)).as("n_users_test"),
+        sum(when(col("ev_tr") > 0 && col("ev_te") > 0, 1L).otherwise(0L))
+          .as("n_users_both"))
+      .withColumn("leak_pm",
+        expr("(n_users_both * 1000000) div greatest(n_users_test, 1L)"))
+  }
+
+  val timeSplitSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+      |  FROM events),
+      |mm AS (SELECT min(t) AS tmin, max(t) AS tmax FROM ev),
+      |sided AS (
+      |  SELECT event_type, user_id,
+      |    t <= tmin + ((tmax - tmin) * 4) // 5 AS is_train
+      |  FROM ev, mm),
+      |pu AS (
+      |  SELECT event_type, user_id,
+      |    sum(CASE WHEN is_train THEN 1 ELSE 0 END)::BIGINT AS ev_tr,
+      |    sum(CASE WHEN is_train THEN 0 ELSE 1 END)::BIGINT AS ev_te
+      |  FROM sided GROUP BY 1, 2)
+      |SELECT event_type,
+      |  sum(ev_tr)::BIGINT AS n_events_train,
+      |  sum(ev_te)::BIGINT AS n_events_test,
+      |  sum(CASE WHEN ev_tr > 0 THEN 1 ELSE 0 END)::BIGINT AS n_users_train,
+      |  sum(CASE WHEN ev_te > 0 THEN 1 ELSE 0 END)::BIGINT AS n_users_test,
+      |  sum(CASE WHEN ev_tr > 0 AND ev_te > 0 THEN 1 ELSE 0 END)::BIGINT AS n_users_both,
+      |  (sum(CASE WHEN ev_tr > 0 AND ev_te > 0 THEN 1 ELSE 0 END) * 1000000
+      |     // greatest(sum(CASE WHEN ev_te > 0 THEN 1 ELSE 0 END), 1))::BIGINT AS leak_pm
+      |FROM pu GROUP BY 1""".stripMargin
 }

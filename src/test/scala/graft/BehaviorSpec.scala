@@ -910,4 +910,26 @@ class BehaviorSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
     assert(base != got.view.mapValues(_._1).toMap, "deltas must change the view")
   }
+
+  test("time_split: per-type counts and user leakage recount locally") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tmin = ev.map(_._3).min
+    val cut = tmin + (ev.map(_._3).max - tmin) * 4 / 5
+    val expected = ev.groupBy(_._1).map { case (ty, g) =>
+      val byUser = g.groupBy(_._2).view.mapValues { us =>
+        (us.count(_._3 <= cut).toLong, us.count(_._3 > cut).toLong) }.toMap
+      val uTr = byUser.values.count(_._1 > 0).toLong
+      val uTe = byUser.values.count(_._2 > 0).toLong
+      val uBoth = byUser.values.count(v => v._1 > 0 && v._2 > 0).toLong
+      ty -> (byUser.values.map(_._1).sum, byUser.values.map(_._2).sum,
+        uTr, uTe, uBoth, uBoth * 1000000L / math.max(uTe, 1L))
+    }
+    val got = run("time_split").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
