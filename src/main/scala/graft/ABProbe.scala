@@ -45,7 +45,11 @@ object ABProbe {
       }
       for ((label, _) <- vs) {
         val ts = times(label)
-        val warm = ts.drop(1) // pass 1 carries Janino/JIT compile
+        // pass 1 carries Janino/JIT compile; with rounds=1 there is no
+        // warm pass, so fall back to the full list rather than throw
+        val warm = if (ts.size >= 2) ts.drop(1) else ts
+        // median convention: upper-middle element for even sizes (a
+        // real observed time, never an interpolated value)
         println(f"ABPROBE $name/$label all=${ts.map(t => f"$t%.3f").mkString(" ")} " +
           f"warmMin=${warm.min}%.3f warmMed=${warm.sorted.apply(warm.size / 2)}%.3f")
       }

@@ -41,7 +41,13 @@ object ArtifactCache {
   def ensure(path: String)(build: => Unit): String = {
     def done = new java.io.File(s"$path/_SUCCESS").exists()
     if (!done) {
-      val lock = buildLocks.computeIfAbsent(path,
+      // key by the NORMALIZED absolute path (r10 advisory): two
+      // callers naming the same artifact through non-identical
+      // strings (trailing slash, relative vs absolute, a ./ segment)
+      // must land on the SAME lock, or the concurrent-overwrite race
+      // this serializes reopens between them
+      val key = Paths.get(path).toAbsolutePath.normalize.toString
+      val lock = buildLocks.computeIfAbsent(key,
         _ => new java.util.concurrent.locks.ReentrantLock())
       lock.lock()
       try if (!done) build

@@ -1261,8 +1261,12 @@ object TrainPrep {
       .agg(sum(col("n_docs_cell")).as("ra"))
     val cb = cells.groupBy(col("b_bucket").as("k"))
       .agg(sum(col("n_docs_cell")).as("cb"))
+    // coalesce: with disjoint marginal key sets the ra⋈cb join is
+    // empty and the sum would be NULL — degrade to pe=0 (kappa = po)
+    // rather than NULL-ing every agreement statistic (r10 advisory)
     val peNum = ra.join(broadcast(cb), "k")
-      .agg(sum(col("ra").cast("decimal(38,0)") * col("cb")).as("pe_num"))
+      .agg(coalesce(sum(col("ra").cast("decimal(38,0)") * col("cb")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
     val stats = cells
       .agg(sum(col("n_docs_cell")).as("n_docs"),
         sum(when(col("a_bucket") === col("b_bucket"), col("n_docs_cell"))
@@ -1327,7 +1331,8 @@ object TrainPrep {
        |    (SELECT sum(n_docs_cell) FROM cells)::BIGINT AS n_docs,
        |    (SELECT coalesce(sum(n_docs_cell), 0) FROM cells
        |     WHERE a_bucket = b_bucket)::BIGINT AS diag,
-       |    (SELECT sum(ra::HUGEINT * cb) FROM ra JOIN cb USING (k)) AS pe_num),
+       |    (SELECT coalesce(sum(ra::HUGEINT * cb), 0)
+       |     FROM ra JOIN cb USING (k)) AS pe_num),
        |kv AS (
        |  SELECT n_docs,
        |    (diag::HUGEINT * 1000000 // n_docs)::BIGINT AS po_pm,

@@ -198,7 +198,12 @@ class MultimodalSpec extends SparkSpec {
         else "keep"
       (v, nBytes)
     }
-    val local = imgs.map { case (id, t) => verdictOf(id, t.length.toLong) }
+    // UTF-8 byte length, matching the operator's
+    // length(encode(text,'UTF-8')) — t.length counts UTF-16 chars and
+    // only coincides on an all-ASCII corpus (r10 advisory)
+    val local = imgs.map { case (id, t) =>
+      verdictOf(id, t.getBytes("UTF-8").length.toLong)
+    }
     val expected = local.groupBy(_._1).view
       .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
     val rows = run("mm_aspect_filter").collect()
