@@ -104,10 +104,60 @@ object BenchDrift {
     ms
   }
 
-  /** Extract the prior run's calib_ms, if recorded. */
-  def parseCalib(json: String): Option[Double] =
-    """"calib_ms":([0-9.]+)""".r.findFirstMatchIn(json)
+  /** Extract a prior run's top-level numeric field, if recorded. */
+  def parseNum(json: String, key: String): Option[Double] =
+    (""""""" + key + """":([0-9.]+)""").r.findFirstMatchIn(json)
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+
+  /** Extract the prior run's calib_ms, if recorded. */
+  def parseCalib(json: String): Option[Double] = parseNum(json, "calib_ms")
+
+  /** PARALLEL-spin calibration, milliseconds of wall time for
+    * `threads` concurrent copies of the [[calibMs]] loop — the
+    * fingerprint [[calibMs]] cannot be: the r10 driver run measured
+    * calib 0.877× (box FASTER single-threaded) yet ran the 32-way
+    * bench 1.22× slower, because background load steals whole cores
+    * without slowing any single spinning thread. On an idle box with
+    * ≥ threads cores the wall time ≈ the single-thread time; under
+    * contention it grows with the stolen-core fraction, so a
+    * prior/now ratio far above 1 marks the run's 32-way throughput —
+    * and therefore its warm timings — as contention-suspect. */
+  def calibParMs(threads: Int = 32): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { k =>
+      val th = new Thread(() => {
+        var x = k.toLong
+        var i = 0L
+        while (i < 50000000L) {
+          x ^= java.lang.Long.rotateLeft(x + i * 0x9E3779B97F4A7C15L, 17)
+          i += 1
+        }
+        sink.addAndGet(x) // defeat dead-code elimination
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (sink.get() == 42L) Console.err.println(sink)
+    ms
+  }
+
+  /** Parallel-ratio ceiling past which `warm_regressed` flags are
+    * emitted as contention-suspect (`drift_discounted`: true). Set
+    * BELOW the r10 incident's 1.22× whole-suite slowdown so that
+    * class of phantom regression is caught; the idle-box run-to-run
+    * jitter observed on this loop is a few percent, far under it. */
+  val ParDriftMax = 1.15
+
+  /** True when the parallel fingerprint says this run's 32-way
+    * throughput is materially worse than the prior run's — consumers
+    * should treat `warm_regressed` as box contention, not plan
+    * regressions, and re-measure on an idle box before bisecting.
+    * A ratio BELOW 1 (current box faster) never discounts: any flag
+    * that still fires on a faster box is at least as real. */
+  def discountDrift(parRatio: Option[Double]): Boolean =
+    parRatio.exists(_ > ParDriftMax)
 }
 
 object Bench {
@@ -212,29 +262,35 @@ object Bench {
     val warmTotal = r3(results.collect { case (_, _, w) if w >= 0 => w }.sum)
     // cross-run drift vs the PRIOR committed bench_last.json, read
     // before this run overwrites it (see BenchDrift)
-    val priorWarm =
-      try BenchDrift.parseWarm(java.nio.file.Files.readString(
-        java.nio.file.Paths.get("bench_last.json")))
-      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    val priorJson =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("bench_last.json"))
+      catch { case scala.util.control.NonFatal(_) => "" }
+    val priorWarm = BenchDrift.parseWarm(priorJson)
     val drift = BenchDrift.regressed(priorWarm,
       results.collect { case (k, _, w) if w > 0 => (k, w) })
     val driftJson = drift.map { case (k, p, w) =>
       "\"" + k + "\":[" + r3(p) + "," + r3(w) + "]"
     }.mkString("{", ",", "}")
-    // box-speed fingerprint: calib now + prior/now ratio (≫1 means
-    // the prior run had a faster box/state — discount warm_regressed)
+    // box-speed fingerprints: single-thread calib (core speed) AND a
+    // 32-way parallel spin (whole-box throughput — the one contention
+    // actually moves; see BenchDrift.calibParMs). Each with its
+    // prior/now ratio; a parallel ratio past ParDriftMax stamps
+    // drift_discounted=true, telling consumers the warm_regressed
+    // flags are contention artifacts until re-measured idle.
     val calib = BenchDrift.calibMs()
-    val priorCalib =
-      try BenchDrift.parseCalib(java.nio.file.Files.readString(
-        java.nio.file.Paths.get("bench_last.json")))
-      catch { case scala.util.control.NonFatal(_) => None }
-    val calibRatio = priorCalib.map(p => r3(calib / p))
+    val calibPar = BenchDrift.calibParMs()
+    val calibRatio = BenchDrift.parseCalib(priorJson).map(p => r3(calib / p))
+    val calibParRatio =
+      BenchDrift.parseNum(priorJson, "calib_par_ms").map(p => r3(calibPar / p))
+    val discounted = BenchDrift.discountDrift(calibParRatio)
     val common = s""""value":$total,"unit":"sec","warm_total":$warmTotal,""" +
       s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
       s""""sf":"$sfDir","failed":$failed,"noisy":$noisy,""" +
       s""""slope_flagged":$slopeFlagged,"warm_regressed":$driftJson,""" +
-      s""""calib_ms":${r3(calib)}""" +
-      calibRatio.map(r => s""","calib_vs_prior":$r""").getOrElse("")
+      s""""drift_discounted":$discounted,""" +
+      s""""calib_ms":${r3(calib)},"calib_par_ms":${r3(calibPar)}""" +
+      calibRatio.map(r => s""","calib_vs_prior":$r""").getOrElse("") +
+      calibParRatio.map(r => s""","calib_par_vs_prior":$r""").getOrElse("")
     val summary = s"""{"metric":"total_summary",$common}"""
     val line = s"""{"metric":"total",$common,"queries":${qjson(_._2)},""" +
       s""""queries_warm":${qjson(_._3)},"queries_slope":$slopeJson}"""

@@ -45,6 +45,24 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(BenchDrift.parseCalib("""{"no":"calib"}""").isEmpty)
   }
 
+  test("calib_par: parallel fingerprint is positive, parses, and a " +
+    "contended-run flag is discounted") {
+    val ms = BenchDrift.calibParMs(threads = 4) // small N: spec speed
+    assert(ms > 0)
+    assert(BenchDrift.parseNum(s"""{"calib_par_ms":$ms,"y":2}""", "calib_par_ms")
+      .contains(ms))
+    // the r10 incident shape: single-thread calib says the box is
+    // FINE (0.877x) while the 32-way spin says it is contended —
+    // the planted stream_enrich-style flag must be stamped
+    // contention-suspect on exactly that evidence
+    assert(BenchDrift.regressed(BenchDrift.parseWarm(priorLine),
+      Seq("stream_enrich" -> 4.04)).nonEmpty) // flag still EMITTED...
+    assert(BenchDrift.discountDrift(Some(1.22)))  // ...but discounted
+    assert(!BenchDrift.discountDrift(Some(1.05))) // idle jitter: trusted
+    assert(!BenchDrift.discountDrift(Some(0.85))) // faster box: trusted
+    assert(!BenchDrift.discountDrift(None)) // no prior: nothing to claim
+  }
+
   test("the in-tree committed bench_last.json parses non-empty") {
     val p = java.nio.file.Paths.get("bench_last.json")
     assume(java.nio.file.Files.exists(p))
