@@ -732,4 +732,74 @@ object CorpusClean {
        |  floor((sum(na)::DOUBLE / sum(nb)) * 10000.0 + 0.5) / 10000.0 AS compression
        |FROM documents JOIN bfr USING (doc_id) JOIN aft USING (doc_id)
        |GROUP BY source""".stripMargin
+
+  /** K132: CCNET HEAD/MIDDLE/TAIL BUCKETS — the published CCNet
+    * (Wenzek et al., LREC 2020) corpus partition every
+    * CommonCrawl-derived training set inherits: within each language,
+    * documents are ordered by LM score and split into three
+    * equal-sized quality tertiles; training mixes then draw from
+    * "head" (and sometimes "middle") while "tail" is dropped or
+    * down-weighted. The score is the SHARED [[lmPerDoc]] integer
+    * fluency core (same column quality_agreement's b-axis uses, so
+    * the three quality consumers cannot drift): fq = sum_q·1000 div
+    * (n_bigrams·LmScale), higher = more fluent — CCNet orders by
+    * ascending perplexity, this orders by descending fluency, the
+    * same ranking. Buckets via ntile(3) over (fq DESC, doc_id): both
+    * engines assign oversized groups first on a TOTAL order, so the
+    * cut is engine-exact. Docs with no bigrams score 0 (tail-most).
+    *
+    * Shape: the lmPerDoc shuffles (∝ corpus tokens) + ONE ntile
+    * window PARTITIONED BY LANG (state per partition ∝ docs in that
+    * language — at 100 TB the per-lang rank is the standard
+    * distributed-sort-by-key, never a global single-partition
+    * window) + a ≤ langs×3 aggregate. */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val meta = documents(s, dir).select(col("doc_id"), col("lang"),
+      TextFns.wsTokenCount(col("text")).cast("long").as("toks"))
+    val scored = meta.join(lmPerDoc(s, dir), Seq("doc_id"), "left_outer")
+      .withColumn("fq", coalesce(
+        expr(s"(sum_q * 1000) div (n_bigrams * ${LmScale}L)"), lit(0L)))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("fq").desc, col("doc_id"))
+    scored.withColumn("b", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"),
+        min(col("fq")).as("min_fq"), max(col("fq")).as("max_fq"))
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w,
+       |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w, w1 FROM (
+       |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |    FROM toks)
+       |  WHERE w1 IS NOT NULL),
+       |cbg AS (SELECT w, w1, count(*) AS cbg FROM bg GROUP BY 1, 2),
+       |cuni AS (SELECT w, count(*) AS cuni FROM toks GROUP BY 1),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(q)::BIGINT AS sum_q
+       |  FROM (
+       |    SELECT bg.doc_id, (cbg.cbg * $LmScale) // cuni.cuni AS q
+       |    FROM bg JOIN cbg USING (w, w1) JOIN cuni USING (w))
+       |  GROUP BY doc_id),
+       |m AS (
+       |  SELECT d.doc_id, d.lang,
+       |    len(list_filter(string_split(d.text, ' '), x -> x <> ''))::BIGINT AS toks,
+       |    coalesce((p.sum_q * 1000) // (p.n_bigrams * $LmScale), 0) AS fq
+       |  FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+       |t AS (
+       |  SELECT lang, toks, fq,
+       |    ntile(3) OVER (PARTITION BY lang ORDER BY fq DESC, doc_id) AS b
+       |  FROM m)
+       |SELECT lang,
+       |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_toks,
+       |  min(fq)::BIGINT AS min_fq, max(fq)::BIGINT AS max_fq
+       |FROM t GROUP BY 1, 2""".stripMargin
 }

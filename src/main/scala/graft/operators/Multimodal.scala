@@ -613,4 +613,98 @@ object Multimodal {
        |  coalesce(p.max_run, 0)::BIGINT AS max_run,
        |  coalesce(p.total_energy, 0)::BIGINT AS total_energy
        |FROM a LEFT JOIN per p USING (doc_id)""".stripMargin
+
+  /** clip_gate admission floor: keep iff cos(image, text) ≥ 0.05 —
+    * expressed as the squared cross-multiplied test dot ≥ 0 ∧
+    * [[ClipCos2Den]]·dot² ≥ ‖a‖²·‖b‖², so the gate never touches a
+    * sqrt or a float. (LAION ships 0.28 for real CLIP towers; the
+    * byte-domain stand-in towers have a wider spread — 0.05 splits
+    * this corpus ~47/53, measured.) */
+  val ClipCos2Den = 400L
+
+  /** K134: CLIP-SCORE GATE — the LAION-400M/5B admission filter
+    * (Schuhmann et al., 2021): an image-text pair enters the corpus
+    * only if the cosine between its image-tower and text-tower
+    * embeddings clears a floor; everything below is presumed
+    * caption/image mismatch. Towers here: image = the K104
+    * patch-profile features (16 per-mille patch byte-means — the
+    * documented real-decoder swap-point), text = the doc's embedding
+    * folded 64→16 by exact-integer group-of-4 sums of the
+    * emb_quantize ×10⁴ lattice. Because both towers are exact
+    * integer vectors, the score and the gate run in pure integer
+    * algebra: dot, ‖a‖², ‖b‖² accumulate in one aggregate, and
+    * cos ≥ t tests as dot ≥ 0 ∧ dot²·[[ClipCos2Den]] ≥ ‖a‖²·‖b‖² in
+    * DECIMAL(38,0)/HUGEINT (the vocab_drift convention — dot² tops
+    * ~2⁸¹ here, past BIGINT) — no sqrt, no float, hash-exact.
+    *
+    * Shape: towers align on the (patch = fold-group) index, so the
+    * score is ONE doc-keyed equi-join + one 3-sum aggregate — no
+    * arrays materialize, payloads never shuffle (the phashBands
+    * contract), and the whole gate is rows-linear at any scale.
+    * Swapping real CLIP towers changes only the two tower
+    * projections. */
+  def clipGate(s: SparkSession, dir: String): DataFrame = {
+    val imgs = documents(s, dir).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("len", length(col("payload")))
+      .filter(col("len") > 0)
+    val imgTower = imgs
+      .select(col("doc_id"), col("source"), col("len"),
+        explode(sequence(lit(0), col("len") - 1)).as("i"), col("payload"))
+      .select(col("doc_id"), col("source"),
+        floor((col("i") * PatchN).cast("double") / col("len")).cast("long").as("k"),
+        ascii(decode(col("payload").substr(col("i") + 1, lit(1)), "UTF-8")).as("v"))
+      .groupBy(col("doc_id"), col("source"), col("k"))
+      .agg(expr("(sum(v) * 1000) div count(1)").as("pm"))
+    val txtTower = embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("doc_id"), (col("j") / 4).cast("long").as("k"),
+        floor(col("x").cast("double") * 10000 + 0.5).cast("long").as("q"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(col("q")).as("sq"))
+    imgTower.join(txtTower, Seq("doc_id", "k"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("pm") * col("sq")).as("dot"),
+        sum(col("pm") * col("pm")).as("na2"),
+        sum(col("sq") * col("sq")).as("nb2"))
+      .withColumn("kept", expr(
+        s"""dot >= 0 AND
+           |CAST(dot AS DECIMAL(38,0)) * dot * $ClipCos2Den >=
+           |CAST(na2 AS DECIMAL(38,0)) * nb2""".stripMargin))
+      .select(col("doc_id"), col("source"), col("dot"), col("na2"),
+        col("nb2"), col("kept"))
+  }
+
+  val clipGateSql: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id, source, text, strlen(text) AS len
+       |  FROM documents WHERE doc_id % 3 = 0 AND strlen(text) > 0),
+       |it AS (
+       |  SELECT doc_id, source, k, (sum(v)::BIGINT * 1000) // count(*) AS pm
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(floor((i * $PatchN)::DOUBLE / len) AS BIGINT) AS k,
+       |      ascii(substr(text, CAST(i + 1 AS INT), 1)) AS v
+       |    FROM (SELECT doc_id, source, text, len, unnest(range(len)) AS i
+       |          FROM imgs))
+       |  GROUP BY 1, 2, 3),
+       |tt AS (
+       |  SELECT doc_id, k, sum(q)::BIGINT AS sq FROM (
+       |    SELECT vec_id AS doc_id, (generate_subscripts(embedding, 1) - 1) // 4 AS k,
+       |      CAST(floor(unnest(embedding)::DOUBLE * 10000 + 0.5) AS BIGINT) AS q
+       |    FROM embeddings)
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, source,
+       |    sum(pm * sq)::BIGINT AS dot,
+       |    sum(pm * pm)::BIGINT AS na2,
+       |    sum(sq * sq)::BIGINT AS nb2
+       |  FROM it JOIN tt USING (doc_id, k)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, source, dot, na2, nb2,
+       |  (dot >= 0 AND
+       |   dot::HUGEINT * dot * $ClipCos2Den >= na2::HUGEINT * nb2) AS kept
+       |FROM sc""".stripMargin
 }

@@ -116,4 +116,123 @@ object Retrieval {
        |  ((CASE WHEN lex_rank > 0 THEN $RrfScale // ($RrfK + lex_rank) ELSE 0 END)
        | + (CASE WHEN vec_rank > 0 THEN $RrfScale // ($RrfK + vec_rank) ELSE 0 END))::BIGINT AS rrf_q
        |FROM f ORDER BY rrf_q DESC, doc_id LIMIT $FusedK""".stripMargin
+
+  /** bitext_mine neighborhood size (the paper's k). */
+  val BtK = 4
+  /** y-side block count for the balanced cross-pair equi-join. */
+  val BtBlocks = 16
+  /** Margin admission floor, per-mille: 1000 = the candidate's cosine
+    * clears the average of the two points' own top-[[BtK]]
+    * neighborhoods (ratio ≥ 1) — measured on the driver corpus the
+    * best-per-y margins span 907-1426‰, so the floor splits
+    * mismatches from genuine nearest pairs. */
+  val BtMarginFloor = 1000L
+
+  /** K135: MARGIN-BASED BITEXT MINING — the published CCMatrix /
+    * WikiMatrix pair-mining step (Artetxe & Schwenk, ACL 2019;
+    * Schwenk et al., 2021) that built the largest public translation
+    * corpora: a cross-lingual pair (x, y) is a translation candidate
+    * not when its cosine is high absolutely, but when it is high
+    * RELATIVE to each point's own neighborhood — margin(x,y) =
+    * cos(x,y) / (mean of x's top-k cosines + mean of y's top-k)/2,
+    * which cancels the hubness that wrecks raw-threshold mining.
+    * Sides here: lang='en' docs vs every non-en doc (embeddings
+    * aligned by vec_id = doc_id, the K109 convention); each non-en
+    * doc reports its best en candidate, admitted iff margin ≥
+    * [[BtMarginFloor]].
+    *
+    * Portability: candidates are the cos > 0 pairs (a non-positive
+    * cosine is never a translation hypothesis), scored on the ×10⁴
+    * half-up lattice c4 — so every sum, rank and division downstream
+    * is non-negative-integer (margin_pm = 2k·c4·1000 div
+    * (Σtop-k(x) + Σtop-k(y)): truncation = floor, engines agree),
+    * and ranks tie-break on ids. cos itself is the vec_dot double
+    * with the oracle's operand order.
+    *
+    * Scale shape: the exact all-pairs scoring is the DECLARED Θ(N²)
+    * oracle baseline of the D-family contract (the registered scale
+    * path swaps candidate generation to the K1/K2 banded-LSH or D3
+    * IVF forms); it distributes via the C5 trick adapted to a
+    * BIPARTITE set — y hashes to [[BtBlocks]] blocks, x replicates
+    * across them, so every pair meets on exactly one key, every key
+    * carries ≈ |pairs|/blocks rows, shuffle ∝ Nx·blocks + Ny. The
+    * pair frame persists once and feeds both neighborhood windows
+    * and the final rank (the multi-consumer lineage rule). */
+  def bitextMine(s: SparkSession, dir: String): DataFrame = {
+    val lang = documents(s, dir).select(col("doc_id"), col("lang"))
+    val e = embeddings(s, dir).join(lang, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("lang"),
+        VecFns.norm(col("embedding")).as("nrm"))
+    val xs = e.filter(col("lang") === "en").select(
+      col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"),
+      explode(sequence(lit(0L), lit(BtBlocks - 1L))).as("bb"))
+    val ys = e.filter(col("lang") =!= "en").select(
+      col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"),
+      col("lang"),
+      pmod(col("vec_id") * 2654435761L % 1000000007L, lit(BtBlocks)).as("bb"))
+    val denom = col("na") * col("nb")
+    val pairs = xs.join(ys, Seq("bb"))
+      .withColumn("cos", when(denom === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
+      .withColumn("c4", floor(col("cos") * 10000 + 0.5).cast("long"))
+      .filter(col("c4") > 0)
+      .select(col("va"), col("vb"), col("lang"), col("c4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wx = Window.partitionBy(col("va")).orderBy(col("c4").desc, col("vb"))
+    val sx = pairs.withColumn("r", row_number().over(wx))
+      .filter(col("r") <= BtK)
+      .groupBy(col("va")).agg(sum(col("c4")).as("sxa"))
+    val wy = Window.partitionBy(col("vb")).orderBy(col("c4").desc, col("va"))
+    val sy = pairs.withColumn("r", row_number().over(wy))
+      .filter(col("r") <= BtK)
+      .groupBy(col("vb")).agg(sum(col("c4")).as("syb"))
+    val wBest = Window.partitionBy(col("vb"))
+      .orderBy(col("margin_pm").desc, col("va"))
+    val out = pairs
+      .join(sx, Seq("va")).join(sy, Seq("vb"))
+      .withColumn("margin_pm",
+        expr(s"(${2 * BtK}L * c4 * 1000) div (sxa + syb)"))
+      .withColumn("r", row_number().over(wBest))
+      .filter(col("r") === 1 && col("margin_pm") >= BtMarginFloor)
+      .select(col("vb"), col("lang"), col("va"),
+        col("c4").as("cos_q4"), col("margin_pm"))
+      .localCheckpoint() // result ∝ non-en docs; release the pairs
+    pairs.unpersist()
+    out
+  }
+
+  val bitextMineSql: String =
+    s"""WITH docs AS (SELECT doc_id, lang FROM documents),
+       |x AS (
+       |  SELECT vec_id AS va, embedding AS ea FROM embeddings
+       |  JOIN docs ON doc_id = vec_id WHERE lang = 'en'),
+       |y AS (
+       |  SELECT vec_id AS vb, embedding AS eb, lang FROM embeddings
+       |  JOIN docs ON doc_id = vec_id WHERE lang <> 'en'),
+       |p AS (
+       |  SELECT va, vb, lang,
+       |    CAST(floor(list_dot_product(ea::DOUBLE[], eb::DOUBLE[]) /
+       |      (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[])) *
+       |       sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[])))
+       |      * 10000 + 0.5) AS BIGINT) AS c4
+       |  FROM x, y),
+       |pp AS (SELECT * FROM p WHERE c4 > 0),
+       |sx AS (
+       |  SELECT va, sum(c4)::BIGINT AS sxa FROM (
+       |    SELECT va, c4, row_number() OVER (PARTITION BY va ORDER BY c4 DESC, vb) AS r
+       |    FROM pp)
+       |  WHERE r <= $BtK GROUP BY 1),
+       |sy AS (
+       |  SELECT vb, sum(c4)::BIGINT AS syb FROM (
+       |    SELECT vb, c4, row_number() OVER (PARTITION BY vb ORDER BY c4 DESC, va) AS r
+       |    FROM pp)
+       |  WHERE r <= $BtK GROUP BY 1),
+       |m AS (
+       |  SELECT pp.vb, pp.lang, pp.va, pp.c4,
+       |    (${2 * BtK} * c4 * 1000) // (sxa + syb) AS margin_pm
+       |  FROM pp JOIN sx USING (va) JOIN sy USING (vb))
+       |SELECT vb, lang, va, c4 AS cos_q4, margin_pm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vb ORDER BY margin_pm DESC, va) AS r
+       |  FROM m)
+       |WHERE r = 1 AND margin_pm >= $BtMarginFloor""".stripMargin
 }

@@ -1384,4 +1384,126 @@ object TrainPrep {
        |  cum // stride - (cum - toks) // stride AS n_buckets
        |FROM s
        |WHERE cum // stride - (cum - toks) // stride > 0""".stripMargin
+
+  /** Hash-bucket count for the DSIR n-gram feature space. */
+  val DsirB = 1024L
+  /** Selected fraction: top quartile by importance score. */
+  val DsirKeepQuarter = 4L
+
+  /** K133: DSIR IMPORTANCE WEIGHTS — Data Selection via Importance
+    * Resampling (Xie et al., NeurIPS 2023), the published
+    * target-distribution selection step: score every raw document by
+    * how much more likely its HASHED N-GRAM features are under a
+    * target domain than under the raw pool, then select the
+    * highest-weight subset. Target here is the lang='en' slice (the
+    * paper's formal-English/Wikipedia target); features are unigrams
+    * + space-joined bigrams hashed into [[DsirB]] buckets with the
+    * portable polynomial fold ([[graft.functions.HashFns.strHash]]
+    * mod B — the paper's hashed feature trick IS what makes the
+    * method corpus-scale: the model is two B-sized histograms, never
+    * a vocabulary).
+    *
+    * The paper's log-ratio Σ_f c_f·log(p_tgt(f)/p_raw(f)) is
+    * transcendental — a cross-engine hash risk — so the weight is
+    * computed in FLOOR-LOG2 fixed point: ilog2(x) = length(bin(x))−1
+    * (exact integer in both engines), per-bucket contribution
+    * llr(f) = ilog2(tgt_f+1) − ilog2(raw_f+1) + ilog2(R+1) −
+    * ilog2(T+1) (the +1s are the paper's additive smoothing; R, T
+    * the histogram masses), per-doc score Σ occurrences — the same
+    * ordering signal at log2 granularity, exactly replayable in SQL.
+    * Selection: kept = score ≥ the exact top-quartile threshold,
+    * computed from the SCORE HISTOGRAM (a distinct-score cell
+    * aggregate + a cell-bounded cumulative window — the quantile_bins
+    * posture, never a corpus-rows window); threshold ties keep, so
+    * the kept mass is ≥ N/[[DsirKeepQuarter]] and rerun-stable.
+    *
+    * Shape: gram build is map-side (the keyness zip_with slices);
+    * rows-scale shuffles are the ≤2·[[DsirB]]-key histogram
+    * aggregates (map-side combine) and one doc-keyed score sum; the
+    * llr table broadcasts (≤ [[DsirB]] rows). */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    // tokens materialize as a COLUMN before the slice fanout —
+    // Catalyst expressions are trees, so inlining the tokenizer into
+    // each slice would re-run it per reference (the keyness lesson)
+    val ws = col("ws")
+    val grams = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFns.wsTokens(lower(col("text"))).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(ws,
+          when(size(ws) >= 2,
+            zip_with(slice(ws, lit(1), size(ws) - 1),
+              slice(ws, lit(2), size(ws) - 1),
+              (a, b) => concat(a, lit(" "), b)))
+            .otherwise(array().cast("array<string>")))).as("g"))
+    val feats = grams.select(col("doc_id"), col("lang"),
+      pmod(graft.functions.HashFns.strHash(col("g")), lit(DsirB)).as("f"))
+    val raw = feats.groupBy(col("f")).agg(count(lit(1)).as("craw"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(count(lit(1)).as("ctgt"))
+    val masses = raw.agg(sum(col("craw")).as("rtot"))
+      .crossJoin(tgt.agg(sum(col("ctgt")).as("ttot"))) // 1-row scalar frame
+    val llr = raw.join(tgt, Seq("f"), "left_outer")
+      .na.fill(0L, Seq("ctgt"))
+      .crossJoin(broadcast(masses))
+      .select(col("f"), expr(
+        """(length(bin(ctgt + 1)) - 1) - (length(bin(craw + 1)) - 1)
+          | + (length(bin(rtot + 1)) - 1) - (length(bin(ttot + 1)) - 1)"""
+          .stripMargin).cast("long").as("llr"))
+    val perDoc = feats.join(broadcast(llr), Seq("f"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("llr")).as("dsir_score"))
+    // exact top-quartile threshold from the distinct-score histogram
+    val hist = perDoc.groupBy(col("dsir_score")).agg(count(lit(1)).as("ns"))
+    val wDesc = Window.orderBy(col("dsir_score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum(col("ns")).over(wDesc))
+      .crossJoin(broadcast(hist.agg(sum(col("ns")).as("ntot"))))
+      .filter(col("cum") * DsirKeepQuarter >= col("ntot"))
+      .agg(max(col("dsir_score")).as("thr"))
+    perDoc.crossJoin(broadcast(thr)) // 1-row scalar frame
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("dsir_score"),
+        (col("dsir_score") >= col("thr")).as("kept"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(
+       |    toks || CASE WHEN len(toks) >= 2
+       |      THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+       |      ELSE [] END) AS g
+       |  FROM t),
+       |ft AS (
+       |  SELECT doc_id, lang, list_reduce(list_prepend(0::BIGINT,
+       |      [ascii(c)::BIGINT for c in string_split(g, '')]),
+       |    (a, x) -> (a * 31 + x) % 1000000007) % $DsirB AS f
+       |  FROM g),
+       |raw AS (SELECT f, count(*) AS craw FROM ft GROUP BY 1),
+       |tgt AS (SELECT f, count(*) AS ctgt FROM ft WHERE lang = 'en' GROUP BY 1),
+       |ms AS (SELECT (SELECT sum(craw) FROM raw) AS rtot,
+       |              (SELECT sum(ctgt) FROM tgt) AS ttot),
+       |llr AS (
+       |  SELECT raw.f,
+       |    ((length(bin(coalesce(ctgt, 0) + 1)) - 1) - (length(bin(craw + 1)) - 1)
+       |     + (length(bin(rtot + 1)) - 1) - (length(bin(ttot + 1)) - 1))::BIGINT AS llr
+       |  FROM raw LEFT JOIN tgt USING (f), ms),
+       |pd AS (
+       |  SELECT doc_id, lang, count(*)::BIGINT AS n_feats,
+       |    sum(llr)::BIGINT AS dsir_score
+       |  FROM ft JOIN llr USING (f) GROUP BY 1, 2),
+       |h AS (SELECT dsir_score, count(*) AS ns FROM pd GROUP BY 1),
+       |c AS (SELECT dsir_score,
+       |        sum(ns) OVER (ORDER BY dsir_score DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM h),
+       |thr AS (
+       |  SELECT max(dsir_score) AS thr FROM c
+       |  WHERE cum * $DsirKeepQuarter >= (SELECT sum(ns) FROM h))
+       |SELECT doc_id, lang, n_feats, dsir_score, dsir_score >= thr AS kept
+       |FROM pd, thr""".stripMargin
 }

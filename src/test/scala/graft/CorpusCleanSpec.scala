@@ -504,4 +504,29 @@ class CorpusCleanSpec extends SparkSpec {
       assert(clean.contains(text.replaceAll(" {2,}", " ").trim), s"doc $id lost text")
     }
   }
+
+  test("ccnet_buckets: tertiles partition each lang; quality orders head>=middle>=tail") {
+    val rows = run("ccnet_buckets").collect()
+    val perLang = rows.groupBy(_.getString(0))
+    val langCounts = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.keySet == langCounts.keySet)
+    perLang.foreach { case (lang, bs) =>
+      val byBucket = bs.map(r => r.getString(1) -> r).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"), s"$lang buckets")
+      // ntile: sizes partition the lang and differ by at most 1
+      val sizes = byBucket.view.mapValues(_.getAs[Long]("n_docs")).toMap
+      assert(sizes.values.sum == langCounts(lang))
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang sizes $sizes")
+      // fluency ordering across the cut (ties may sit exactly on it)
+      assert(byBucket("head").getAs[Long]("min_fq")
+        >= byBucket("middle").getAs[Long]("max_fq"))
+      assert(byBucket("middle").getAs[Long]("min_fq")
+        >= byBucket("tail").getAs[Long]("max_fq"))
+      // the split is non-degenerate: head is strictly more fluent
+      // than tail somewhere
+      assert(byBucket("head").getAs[Long]("max_fq")
+        > byBucket("tail").getAs[Long]("min_fq"), s"$lang flat fq")
+    }
+  }
 }

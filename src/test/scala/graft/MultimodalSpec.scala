@@ -213,4 +213,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == imgs.length.toLong)
     rows.foreach(r => assert(r.getAs[Long]("n_total") == imgs.length.toLong))
   }
+
+  test("clip_gate: integer two-tower score replays locally; gate discriminates") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) => id % 3 == 0 && t.getBytes("UTF-8").nonEmpty }
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def imgTower(t: String): Map[Long, Long] = {
+      val bytes = t.getBytes("UTF-8").map(b => (b & 0xff).toLong)
+      bytes.zipWithIndex
+        .groupBy { case (_, i) =>
+          math.floor(i.toLong * Multimodal.PatchN.toDouble / bytes.length).toLong
+        }
+        .view.mapValues(vs => vs.map(_._1).sum * 1000 / vs.length).toMap
+    }
+    def txtTower(e: Array[Float]): Map[Long, Long] =
+      e.zipWithIndex.groupBy(_._2 / 4).map { case (g, vs) =>
+        g.toLong -> vs.map(v => math.floor(v._1.toDouble * 10000 + 0.5).toLong).sum
+      }
+    val expected = docs.flatMap { case (id, t) =>
+      embs.get(id).map { e =>
+        val a = imgTower(t); val b = txtTower(e)
+        val ks = a.keySet.intersect(b.keySet)
+        val dot = ks.toSeq.map(k => a(k) * b(k)).sum
+        val na2 = ks.toSeq.map(k => a(k) * a(k)).sum
+        val nb2 = ks.toSeq.map(k => b(k) * b(k)).sum
+        val kept = dot >= 0 &&
+          BigInt(dot) * dot * Multimodal.ClipCos2Den >= BigInt(na2) * nb2
+        id -> ((dot, na2, nb2, kept))
+      }
+    }.toMap
+    val got = run("clip_gate").collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("dot"), r.getAs[Long]("na2"),
+        r.getAs[Long]("nb2"), r.getAs[Boolean]("kept")))).toMap
+    assert(got == expected)
+    // the floor genuinely splits this corpus
+    val flags = got.values.map(_._4)
+    assert(flags.exists(identity) && flags.exists(!_))
+  }
 }

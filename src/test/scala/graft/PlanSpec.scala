@@ -155,7 +155,10 @@ class PlanSpec extends SparkSpec {
       "100-currency grid) — cells, not customers, reach the single reducer"),
     "quantile_merge" -> ("the cumulative window runs over the histogram frame, " +
       "bounded by value-range/QmWidth (~50 buckets) at any corpus scale — " +
-      "recorded here although localCheckpoint truncates it out of the audited plan")
+      "recorded here although localCheckpoint truncates it out of the audited plan"),
+    "dsir_weights" -> ("the top-quartile threshold cumulates over the DISTINCT-" +
+      "score histogram (the quantile_bins posture) — cardinality bounded by the " +
+      "score range (sums of small ilog2 ratios), never corpus rows")
   )
 
   test("no query plans a CartesianProduct; no UNBOUNDED no-partition window (one audit pass)") {

@@ -59,4 +59,52 @@ class RetrievalSpec extends SparkSpec {
     rank1.foreach(r => assert(r.getAs[Long]("doc_id") == best))
     assert(rank1.length <= 1)
   }
+
+  test("bitext_mine: margin pipeline replays exactly from first principles") {
+    val langs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        s += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      s
+    }
+    val xs = embs.keys.filter(id => langs(id) == "en").toSeq.sorted
+    val ys = embs.keys.filter(id => langs(id) != "en").toSeq.sorted
+    val pairs = for {
+      va <- xs; vb <- ys
+      den = math.sqrt(dot(embs(va), embs(va))) * math.sqrt(dot(embs(vb), embs(vb)))
+      cos = if (den == 0) 0.0 else dot(embs(va), embs(vb)) / den
+      c4 = math.floor(cos * 10000 + 0.5).toLong
+      if c4 > 0
+    } yield (va, vb, c4)
+    def topkSum(grouped: Map[Long, Seq[(Long, Long)]]): Map[Long, Long] =
+      grouped.view.mapValues(
+        _.sortBy { case (other, c4) => (-c4, other) }
+          .take(Retrieval.BtK).map(_._2).sum).toMap
+    val sx = topkSum(pairs.groupBy(_._1).view
+      .mapValues(_.map(p => (p._2, p._3))).toMap)
+    val sy = topkSum(pairs.groupBy(_._2).view
+      .mapValues(_.map(p => (p._1, p._3))).toMap)
+    val margins = pairs.map { case (va, vb, c4) =>
+      (va, vb, c4, 2L * Retrieval.BtK * c4 * 1000 / (sx(va) + sy(vb)))
+    }
+    val expected = margins.groupBy(_._2).view.mapValues(
+      _.minBy { case (va, _, _, m) => (-m, va) }).toMap
+      .values.filter(_._4 >= Retrieval.BtMarginFloor)
+      .map { case (va, vb, c4, m) => vb -> ((va, c4, m)) }.toMap
+    val got = SparkEntry.queries("bitext_mine")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vb") ->
+        ((r.getAs[Long]("va"), r.getAs[Long]("cos_q4"),
+          r.getAs[Long]("margin_pm")))).toMap
+    assert(got == expected)
+    // the gate is non-trivial in both directions on this corpus
+    assert(got.nonEmpty && got.size < ys.size)
+    got.keys.foreach(vb => assert(langs(vb) != "en"))
+  }
 }

@@ -550,4 +550,58 @@ class TrainPrepSpec extends SparkSpec {
     // monotonicity: larger L never fragments MORE docs
     got.map(_._4).sliding(2).foreach(p => assert(p.head >= p.last))
   }
+
+  test("dsir_weights: hashed-feature importance scores replay exactly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def polyHash(t: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val feats = docs.flatMap { case (id, lang, text) =>
+      val ws = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val grams = ws ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      grams.map(g => (id, lang, polyHash(g) % TrainPrep.DsirB))
+    }
+    val raw = feats.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tgt = feats.filter(_._2 == "en").groupBy(_._3)
+      .view.mapValues(_.length.toLong).toMap
+    val rtot = raw.values.sum; val ttot = tgt.values.sum
+    val llr = raw.map { case (f, cr) =>
+      f -> (ilog2(tgt.getOrElse(f, 0L) + 1) - ilog2(cr + 1)
+        + ilog2(rtot + 1) - ilog2(ttot + 1))
+    }
+    val perDoc = feats.groupBy(_._1).view.mapValues { fs =>
+      (fs.length.toLong, fs.map(t => llr(t._3)).sum)
+    }.toMap
+    val n = perDoc.size
+    val scoresDesc = perDoc.values.map(_._2).toSeq.sorted.reverse
+    // threshold: max score with |{score >= thr}| * 4 >= N (tie-inclusive)
+    val thr = scoresDesc.zipWithIndex
+      .filter { case (_, i) => (i + 1) * TrainPrep.DsirKeepQuarter >= n }
+      .map(_._1).max
+    val got = run("dsir_weights").collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_feats"),
+        r.getAs[Long]("dsir_score"), r.getAs[Boolean]("kept")))).toMap
+    assert(got.size == n)
+    perDoc.foreach { case (id, (nf, score)) =>
+      assert(got(id) == ((nf, score, score >= thr)), s"doc $id")
+    }
+    // the selection is non-trivial and tie-inclusively >= a quarter
+    val kept = got.values.count(_._3)
+    assert(kept * TrainPrep.DsirKeepQuarter >= n && kept < n)
+    // target alignment: en docs are (on average) scored higher —
+    // the whole point of importance weighting toward the en target
+    def mean(ids: Iterable[Long]) =
+      ids.map(id => perDoc(id)._2).sum.toDouble / ids.size
+    val enIds = docs.filter(_._2 == "en").map(_._1)
+    val otherIds = docs.filter(_._2 != "en").map(_._1)
+    assert(mean(enIds) > mean(otherIds))
+  }
 }
