@@ -1506,4 +1506,68 @@ object TrainPrep {
        |  WHERE cum * $DsirKeepQuarter >= (SELECT sum(ns) FROM h))
        |SELECT doc_id, lang, n_feats, dsir_score, dsir_score >= thr AS kept
        |FROM pd, thr""".stripMargin
+
+  /** K136: TEMPERATURE-BASED LANGUAGE SAMPLING — the published
+    * multilingual-mix step (Lample & Conneau, XLM, 2019 §3.1;
+    * XLM-R/mT5 inherit it): a corpus's per-language sampling
+    * probability is flattened from its raw token share, q_l ∝ p_l^α,
+    * so low-resource languages are upsampled and the head language
+    * stops dominating the batch mix. α = 1/2 — XLM's published
+    * value — which matters HERE beyond fidelity: p^0.5 is sqrt, the
+    * one exponent that is IEEE-correctly-rounded in both engines, so
+    * the whole report stays on the hash gate where a pow(p, 0.3)
+    * would drift in the last ulp.
+    *
+    * Portability of the float path: the only non-integer steps are
+    * sqrt(tok_l) and the normalizer Σ_m sqrt(tok_m). Float addition
+    * is order-sensitive, so the normalizer folds LEFT-TO-RIGHT IN
+    * LANG ORDER on both engines (Spark: aggregate over the
+    * lang-sorted collect_list; DuckDB: list_reduce over
+    * list(ORDER BY lang)) — the keyness zip_with discipline applied
+    * to a reduction. Emitted shares are then half-up-floored to
+    * per-million BIGINTs; boost = q/p in exact integer per-mille.
+    *
+    * Shape: ONE lang-keyed aggregate (map-side combine), a ≤|langs|
+    * broadcast normalizer row, map-side arithmetic — the report is
+    * langs-sized at any corpus scale. */
+  def langTemperature(s: SparkSession, dir: String): DataFrame = {
+    val perLang = documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.wsTokenCount(col("text")).cast("long")).as("n_toks"))
+      .withColumn("s", sqrt(col("n_toks").cast("double")))
+      .localCheckpoint() // ≤ |langs| rows; all shares derive from here
+    val norm = perLang
+      .agg(sum(col("n_toks")).as("ttot"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("lang"), col("s")))),
+            x => x.getField("s")),
+          lit(0.0), (acc, x) => acc + x).as("ssum"))
+    perLang.crossJoin(broadcast(norm)) // 1-row scalar frame
+      .select(col("lang"), col("n_docs"), col("n_toks"),
+        expr("n_toks * 1000000 div ttot").as("p_pm"),
+        floor(col("s") * 1000000 / col("ssum") + 0.5).cast("long").as("q_pm"))
+      .withColumn("boost_pm",
+        expr("case when p_pm > 0 then q_pm * 1000 div p_pm else 0L end"))
+  }
+
+  val langTemperatureSql: String =
+    s"""WITH pl AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_toks
+       |  FROM documents GROUP BY 1),
+       |pls AS (SELECT lang, n_docs, n_toks, sqrt(n_toks::DOUBLE) AS s FROM pl),
+       |nm AS (
+       |  SELECT (SELECT sum(n_toks) FROM pls) AS ttot,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      (SELECT list(s ORDER BY lang) FROM pls)),
+       |      (a, x) -> a + x) AS ssum)
+       |SELECT lang, n_docs, n_toks,
+       |  (n_toks * 1000000 // ttot)::BIGINT AS p_pm,
+       |  CAST(floor(s * 1000000 / ssum + 0.5) AS BIGINT) AS q_pm,
+       |  (CASE WHEN n_toks * 1000000 // ttot > 0
+       |     THEN CAST(floor(s * 1000000 / ssum + 0.5) AS BIGINT) * 1000
+       |          // (n_toks * 1000000 // ttot)
+       |     ELSE 0 END)::BIGINT AS boost_pm
+       |FROM pls, nm""".stripMargin
 }

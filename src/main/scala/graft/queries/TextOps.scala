@@ -892,4 +892,123 @@ object TextOps {
       |  (sum(abs(ca::HUGEINT * nb - cb::HUGEINT * na)) * 1000000
       |     // (2 * na::HUGEINT * nb))::BIGINT AS tvd_pm
       |FROM cell, tot GROUP BY na, nb""".stripMargin
+
+  /** Winnowing gram size (tokens per k-gram). */
+  val WinK = 4
+  /** Winnowing window: every [[WinW]] consecutive k-grams contribute
+    * at least one fingerprint (the coverage guarantee). */
+  val WinW = 8
+  /** Position encoder for the rightmost-min argmax: key =
+    * (P − h)·[[WinM]] + p, so max(key) IS the window's minimal hash
+    * with rightmost-position tie-break, in one plain integer
+    * aggregate both engines share. Caps positions at 2²⁰ grams/doc —
+    * a ~1M-token document; longer docs raise WinM (key headroom:
+    * 2³⁰·WinM must stay under 2⁶³). */
+  val WinM = 1048576L
+
+  /** K137: WINNOWING FINGERPRINTS — the published local-fingerprint
+    * selection (Schleimer, Wilkerson & Aiken, SIGMOD 2003) behind
+    * MOSS and the code-corpus local-overlap dedup family: hash every
+    * k-gram, slide a w-gram window, keep each window's MINIMAL hash
+    * (rightmost on ties). Unlike E4's whole-doc hash or C2's global
+    * MinHash, the selected set is POSITIONAL and guarantees any
+    * shared run of ≥ w+k−1 tokens between two docs shares a
+    * fingerprint — the property that localizes copied spans instead
+    * of flagging whole documents. Report per doc: grams,
+    * fingerprints kept, density (expected ≈ 2/(w+1)), and how many
+    * of its fingerprints also appear in ANOTHER doc (the MOSS
+    * overlap signal).
+    *
+    * Determinism/portability: gram hashes are the portable poly fold
+    * ([[graft.functions.TextFns.docFingerprint]]'s char fold per
+    * gram string); the rightmost-min selection is max((P−h)·M + p) —
+    * a single integer aggregate, no argmax/struct-ordering
+    * dependence. Short docs (< w grams) winnow one whole-doc window;
+    * docs shorter than k tokens contribute their single whole-text
+    * gram.
+    *
+    * Scale shape: gram build is map-side slices; the window fanout
+    * is a BOUNDED ×w posexplode (shuffle ∝ tokens·w with map-side
+    * combine on the (doc, window) key); fingerprint dedup and the
+    * cross-doc share join are fingerprint-sized (∝ tokens·2/(w+1)).
+    * Nothing is pairwise. */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val grams = documents(s, dir)
+      .select(col("doc_id"), TextFns.wsTokens(lower(col("text"))).as("toks"))
+      .filter(size(toks) > 0)
+      .select(col("doc_id"),
+        when(size(toks) >= WinK,
+          transform(sequence(lit(0), size(toks) - WinK),
+            i => concat_ws(" ", slice(toks, i + 1, lit(WinK)))))
+          .otherwise(array(concat_ws(" ", toks))).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("ng"),
+        posexplode(col("gs")).as(Seq("p", "g")))
+      .select(col("doc_id"), col("ng"), col("p"),
+        graft.functions.HashFns.strHash(col("g")).as("h"))
+    // windows: ends i span [min(w−1, ng−1), ng−1]; gram p belongs to
+    // every end in [max(p, that floor), min(p+w−1, ng−1)] — nonempty
+    // for every p, and exactly the whole-doc window when ng < w
+    val wkeys = grams.select(col("doc_id"), col("ng"),
+        expr(s"(${graft.functions.HashFns.P}L - h) * $WinM + p").as("key"),
+        explode(sequence(
+          greatest(col("p"), least(lit(WinW - 1), col("ng") - 1)),
+          least(col("p") + (WinW - 1), col("ng") - 1))).as("i"))
+    val fps = wkeys.groupBy(col("doc_id"), col("ng"), col("i"))
+      .agg(max(col("key")).as("key"))
+      .select(col("doc_id"), col("ng"), col("key")).distinct()
+      .select(col("doc_id"), col("ng"),
+        expr(s"${graft.functions.HashFns.P}L - key div $WinM").as("h"))
+    val shared = fps.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    fps.join(shared, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(fps.groupBy(col("doc_id"), col("ng"))
+        .agg(count(lit(1)).as("n_fps")), Seq("doc_id"), "right_outer")
+      .na.fill(0L, Seq("n_shared"))
+      .select(col("doc_id"), col("ng").as("n_grams"), col("n_fps"),
+        col("n_shared"),
+        expr("n_fps * 1000000 div ng").as("density_pm"))
+  }
+
+  val winnowFingerprintSql: String = {
+    val P = graft.functions.HashFns.P
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE len(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) > 0),
+       |gr AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= $WinK
+       |    THEN [array_to_string(toks[i:i+${WinK - 1}], ' ')
+       |          for i in range(1, len(toks) - ${WinK - 2})]
+       |    ELSE [array_to_string(toks, ' ')] END AS gs
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id, len(gs) AS ng, generate_subscripts(gs, 1) - 1 AS p,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [ascii(c)::BIGINT for c in string_split(unnest(gs), '')]),
+       |      (a, x) -> (a * 31 + x) % $P) AS h
+       |  FROM gr),
+       |wk AS (
+       |  SELECT doc_id, ng, ($P - h) * $WinM + p AS key,
+       |    unnest(range(greatest(p, least(${WinW - 1}, ng - 1)),
+       |                 least(p + ${WinW - 1}, ng - 1) + 1)) AS i
+       |  FROM g),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, ng, key FROM (
+       |    SELECT doc_id, ng, i, max(key) AS key FROM wk GROUP BY 1, 2, 3)),
+       |fps AS (SELECT doc_id, ng, $P - key // $WinM AS h FROM sel),
+       |sh AS (SELECT h FROM fps GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |ns AS (
+       |  SELECT doc_id, count(*) AS n_shared
+       |  FROM fps WHERE h IN (SELECT h FROM sh) GROUP BY 1),
+       |nf AS (SELECT doc_id, ng, count(*) AS n_fps FROM fps GROUP BY 1, 2)
+       |SELECT nf.doc_id, ng AS n_grams, n_fps,
+       |  coalesce(ns.n_shared, 0) AS n_shared,
+       |  (n_fps * 1000000 // ng)::BIGINT AS density_pm
+       |FROM nf LEFT JOIN ns USING (doc_id)""".stripMargin
+  }
 }

@@ -336,4 +336,61 @@ class TextOpsSpec extends SparkSpec {
         r.getAs[Long]("n_urls") * 1000L / ids.length)
     }
   }
+
+  test("winnow_fingerprint: rightmost-min selection replays exactly; " +
+    "coverage guarantee holds") {
+    import graft.queries.TextOps.{WinK, WinM, WinW}
+    val P = graft.functions.HashFns.P
+    def polyHash(t: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        acc = (acc * 31 + cp) % P
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val local = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val grams =
+          if (toks.length >= WinK) toks.sliding(WinK).map(_.mkString(" ")).toArray
+          else Array(toks.mkString(" "))
+        val ng = grams.length
+        val keys = grams.zipWithIndex.map { case (g, p) =>
+          (P - polyHash(g)) * WinM + p
+        }
+        val floor = math.min(WinW - 1, ng - 1)
+        val selected = (floor until ng).map { i =>
+          keys.slice(math.max(0, i - WinW + 1), i + 1).max
+        }.distinct
+        val fps = selected.map(k => P - k / WinM)
+        Some(id -> ((ng.toLong, fps)))
+      }
+    }.toMap
+    val hashDocs = local.toSeq
+      .flatMap { case (id, (_, fps)) => fps.map(h => (h, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val got = run("winnow_fingerprint").collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_fps"), r.getAs[Long]("n_shared"),
+        r.getAs[Long]("density_pm")))).toMap
+    assert(got.keySet == local.keySet)
+    local.foreach { case (id, (ng, fps)) =>
+      val nShared = fps.count(h => hashDocs(h) >= 2).toLong
+      assert(got(id) == ((ng, fps.size.toLong, nShared,
+        fps.size * 1000000L / ng)), s"doc $id")
+      // the winnowing guarantee: a selected key serves at most W
+      // consecutive windows, so fingerprints >= ceil(windows / W);
+      // and never more than the gram count
+      val windows = ng - math.min(WinW - 1, ng - 1)
+      assert(fps.size.toLong >= (windows + WinW - 1) / WinW && fps.size <= ng)
+    }
+    // the corpus carries genuine cross-doc local overlap (the MOSS
+    // signal the operator exists to surface)
+    assert(got.values.exists(_._3 > 0))
+  }
 }

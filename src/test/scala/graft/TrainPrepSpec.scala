@@ -604,4 +604,33 @@ class TrainPrepSpec extends SparkSpec {
     val otherIds = docs.filter(_._2 != "en").map(_._1)
     assert(mean(enIds) > mean(otherIds))
   }
+
+  test("lang_temperature: alpha=1/2 shares replay exactly and flatten the mix") {
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ").count(_.nonEmpty).toLong))
+    val perLang = docs.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum)).toMap
+    val ttot = perLang.values.map(_._2).sum
+    // normalizer folds left-to-right in lang order — the operator's
+    // (and the oracle's) documented float-sum convention
+    val ssum = perLang.toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (acc, (_, (_, t))) => acc + math.sqrt(t.toDouble) }
+    val expected = perLang.map { case (lang, (nd, nt)) =>
+      val pPm = nt * 1000000L / ttot
+      val qPm = math.floor(math.sqrt(nt.toDouble) * 1000000 / ssum + 0.5).toLong
+      lang -> ((nd, nt, pPm, qPm, if (pPm > 0) qPm * 1000 / pPm else 0L))
+    }
+    val got = run("lang_temperature").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    // temperature flattens: the head language is down-weighted, the
+    // smallest language up-weighted, and the q shares still ≈ sum to 1
+    val head = perLang.maxBy(_._2._2)._1
+    val tail = perLang.minBy(_._2._2)._1
+    assert(got(head)._5 < 1000 && got(tail)._5 > 1000)
+    val qSum = got.values.map(_._4).sum
+    assert(math.abs(qSum - 1000000L) <= perLang.size)
+  }
 }
