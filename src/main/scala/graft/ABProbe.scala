@@ -24,7 +24,12 @@ object ABProbe {
       "arr" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, arr = true))),
     "kmvx" -> Seq(
       "join" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = false)),
-      "grp" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true))))
+      "grp" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true))),
+    "winnow" -> Seq(
+      "win" -> ((dir: String) => queries.TextOps.winnowFrame(
+        queries.TextOps.winnowFps(s, dir, fanout = false))),
+      "fan" -> ((dir: String) => queries.TextOps.winnowFrame(
+        queries.TextOps.winnowFps(s, dir, fanout = true)))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

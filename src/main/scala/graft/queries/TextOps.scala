@@ -932,7 +932,29 @@ object TextOps {
     * combine on the (doc, window) key); fingerprint dedup and the
     * cross-doc share join are fingerprint-sized (∝ tokens·2/(w+1)).
     * Nothing is pairwise. */
-  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    winnowFrame(winnowFps(s, dir, fanout = false))
+
+  /** The selected-fingerprint frame (doc_id, ng, h), in either plan
+    * form — A/B'd via [[graft.ABProbe]] (pair "winnow", the house
+    * measure-don't-guess rule) before the running-window form
+    * shipped:
+    *  - fanout = false (SHIPPED): ONE doc-keyed running window,
+    *    max(key) over ROWS [WinW−1 PRECEDING, CURRENT] per gram —
+    *    the frame self-truncates at partition start, which IS the
+    *    short-doc whole-window semantics; rows through the exchange
+    *    = grams ×1.
+    *  - fanout = true (probe variant): each gram replicated to the
+    *    ≤ w window-ends containing it, then a (doc, end) max
+    *    aggregate — no sort, but grams ×w through the shuffle.
+    *    Measured (ABProbe, sf0.1, 3 warm rounds): win 2.86 med /
+    *    2.84 min vs fan 3.25 / 3.20 — the ×w shuffle volume costs
+    *    more than the doc-keyed sort saves. The sort exchange grows
+    *    with corpus size (the rawGramPosts r10 lesson), so the fan
+    *    form stays in-tree as the re-measurable probe variant for
+    *    corpora where that term flips the trade. */
+  private[graft] def winnowFps(s: SparkSession, dir: String,
+                               fanout: Boolean): DataFrame = {
     val toks = col("toks")
     val grams = documents(s, dir)
       .select(col("doc_id"), TextFns.wsTokens(lower(col("text"))).as("toks"))
@@ -942,23 +964,44 @@ object TextOps {
           transform(sequence(lit(0), size(toks) - WinK),
             i => concat_ws(" ", slice(toks, i + 1, lit(WinK)))))
           .otherwise(array(concat_ws(" ", toks))).as("gs"))
-      .select(col("doc_id"), size(col("gs")).as("ng"),
+      .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
         posexplode(col("gs")).as(Seq("p", "g")))
       .select(col("doc_id"), col("ng"), col("p"),
         graft.functions.HashFns.strHash(col("g")).as("h"))
-    // windows: ends i span [min(w−1, ng−1), ng−1]; gram p belongs to
-    // every end in [max(p, that floor), min(p+w−1, ng−1)] — nonempty
-    // for every p, and exactly the whole-doc window when ng < w
-    val wkeys = grams.select(col("doc_id"), col("ng"),
-        expr(s"(${graft.functions.HashFns.P}L - h) * $WinM + p").as("key"),
-        explode(sequence(
-          greatest(col("p"), least(lit(WinW - 1), col("ng") - 1)),
-          least(col("p") + (WinW - 1), col("ng") - 1))).as("i"))
-    val fps = wkeys.groupBy(col("doc_id"), col("ng"), col("i"))
-      .agg(max(col("key")).as("key"))
-      .select(col("doc_id"), col("ng"), col("key")).distinct()
-      .select(col("doc_id"), col("ng"),
-        expr(s"${graft.functions.HashFns.P}L - key div $WinM").as("h"))
+      .withColumn("key",
+        expr(s"(${graft.functions.HashFns.P}L - h) * $WinM + p"))
+    val selected =
+      if (!fanout) {
+        // running max over the trailing w grams: row p carries the
+        // rightmost-min of the window ENDING at p; rows with
+        // p < min(w−1, ng−1) are partial prefixes of the first full
+        // window, dropped — except the whole-doc window of a short
+        // doc, which ends at ng−1 and survives the filter
+        val wSpec = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p"))
+          .rowsBetween(-(WinW - 1), 0)
+        grams
+          .withColumn("key", max(col("key")).over(wSpec))
+          .filter(col("p") >= least(lit(WinW - 1), col("ng") - 1))
+          .select(col("doc_id"), col("ng"), col("key")).distinct()
+      } else {
+        // windows: ends i span [min(w−1, ng−1), ng−1]; gram p belongs
+        // to every end in [max(p, that floor), min(p+w−1, ng−1)] —
+        // nonempty for every p, the whole-doc window when ng < w
+        grams.select(col("doc_id"), col("ng"), col("key"),
+            explode(sequence(
+              greatest(col("p"), least(lit(WinW - 1), col("ng") - 1)),
+              least(col("p") + (WinW - 1), col("ng") - 1))).as("i"))
+          .groupBy(col("doc_id"), col("ng"), col("i"))
+          .agg(max(col("key")).as("key"))
+          .select(col("doc_id"), col("ng"), col("key")).distinct()
+      }
+    selected.select(col("doc_id"), col("ng"),
+      expr(s"${graft.functions.HashFns.P}L - key div $WinM").as("h"))
+  }
+
+  /** The per-doc report over a selected-fingerprint frame. */
+  private[graft] def winnowFrame(fps: DataFrame): DataFrame = {
     val shared = fps.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

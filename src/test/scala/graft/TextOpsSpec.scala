@@ -393,4 +393,13 @@ class TextOpsSpec extends SparkSpec {
     // signal the operator exists to surface)
     assert(got.values.exists(_._3 > 0))
   }
+
+  test("winnow_fingerprint: the running-window and fanout forms select " +
+    "identical fingerprints") {
+    import graft.queries.TextOps
+    def set(fanout: Boolean) =
+      TextOps.winnowFps(spark, sf, fanout).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(set(fanout = false) == set(fanout = true))
+  }
 }
