@@ -29,7 +29,12 @@ object ABProbe {
       "win" -> ((dir: String) => queries.TextOps.winnowFrame(
         queries.TextOps.winnowFps(s, dir, fanout = false))),
       "fan" -> ((dir: String) => queries.TextOps.winnowFrame(
-        queries.TextOps.winnowFps(s, dir, fanout = true)))))
+        queries.TextOps.winnowFps(s, dir, fanout = true)))),
+    "winhash" -> Seq(
+      "str" -> ((dir: String) => queries.TextOps.winnowFrame(
+        queries.TextOps.winnowFps(s, dir, fanout = false))),
+      "tok" -> ((dir: String) => queries.TextOps.winnowFrame(
+        queries.TextOps.winnowFps(s, dir, fanout = false, tokHash = true)))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

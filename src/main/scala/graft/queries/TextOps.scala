@@ -954,22 +954,51 @@ object TextOps {
     *    form stays in-tree as the re-measurable probe variant for
     *    corpora where that term flips the trade. */
   private[graft] def winnowFps(s: SparkSession, dir: String,
-                               fanout: Boolean): DataFrame = {
+                               fanout: Boolean,
+                               tokHash: Boolean = false): DataFrame = {
+    val P = graft.functions.HashFns.P
     val toks = col("toks")
-    val grams = documents(s, dir)
+    val base = documents(s, dir)
       .select(col("doc_id"), TextFns.wsTokens(lower(col("text"))).as("toks"))
       .filter(size(toks) > 0)
-      .select(col("doc_id"),
-        when(size(toks) >= WinK,
-          transform(sequence(lit(0), size(toks) - WinK),
-            i => concat_ws(" ", slice(toks, i + 1, lit(WinK)))))
-          .otherwise(array(concat_ws(" ", toks))).as("gs"))
-      .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
-        posexplode(col("gs")).as(Seq("p", "g")))
-      .select(col("doc_id"), col("ng"), col("p"),
-        graft.functions.HashFns.strHash(col("g")).as("h"))
-      .withColumn("key",
-        expr(s"(${graft.functions.HashFns.P}L - h) * $WinM + p"))
+    // two gram-hash forms, ABProbe pair "winhash": the string form
+    // builds each 4-gram string and char-folds it (every token's
+    // chars re-folded in up to k grams); the tokHash form folds each
+    // token's chars ONCE and 131-combines the k token hashes per
+    // gram (the docFingerprint outer-fold family — different hash
+    // VALUES, so shipping it would need the oracle mirrored).
+    // MEASURED (sf0.1, 3 warm rounds): str 3.04 med / 2.99 min vs
+    // tok 3.71 / 3.64 — the "4× less hashing" reasoning LOSES: the
+    // aggregate-inside-transform nested HOF runs interpreted while
+    // concat_ws + the codegen'd StrPolyHash kernel stays in codegen
+    // (the r1 sketch lesson, reconfirmed). String form ships; tok
+    // stays as the re-measurable counter-example.
+    val grams = (if (!tokHash)
+      base
+        .select(col("doc_id"),
+          when(size(toks) >= WinK,
+            transform(sequence(lit(0), size(toks) - WinK),
+              i => concat_ws(" ", slice(toks, i + 1, lit(WinK)))))
+            .otherwise(array(concat_ws(" ", toks))).as("gs"))
+        .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
+          posexplode(col("gs")).as(Seq("p", "g")))
+        .select(col("doc_id"), col("ng"), col("p"),
+          graft.functions.HashFns.strHash(col("g")).as("h"))
+    else {
+      def fold(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0L), (acc, x) => (acc * 131 + x) % P)
+      base
+        .select(col("doc_id"),
+          transform(toks, t => graft.functions.HashFns.strHash(t)).as("ths"))
+        .select(col("doc_id"),
+          when(size(col("ths")) >= WinK,
+            transform(sequence(lit(0), size(col("ths")) - WinK),
+              i => fold(slice(col("ths"), i + 1, lit(WinK)))))
+            .otherwise(array(fold(col("ths")))).as("hs"))
+        .select(col("doc_id"), size(col("hs")).cast("long").as("ng"),
+          posexplode(col("hs")).as(Seq("p", "h")))
+    })
+      .withColumn("key", expr(s"(${P}L - h) * $WinM + p"))
     val selected =
       if (!fanout) {
         // running max over the trailing w grams: row p carries the
