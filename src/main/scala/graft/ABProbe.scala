@@ -34,7 +34,12 @@ object ABProbe {
       "str" -> ((dir: String) => queries.TextOps.winnowFrame(
         queries.TextOps.winnowFps(s, dir, fanout = false))),
       "tok" -> ((dir: String) => queries.TextOps.winnowFrame(
-        queries.TextOps.winnowFps(s, dir, fanout = false, tokHash = true)))))
+        queries.TextOps.winnowFps(s, dir, fanout = false, tokHash = true)))),
+    "winkernel" -> Seq(
+      "str" -> ((dir: String) => queries.TextOps.winnowFrame(
+        queries.TextOps.winnowFps(s, dir, fanout = false))),
+      "ker" -> ((dir: String) => queries.TextOps.winnowFrame(
+        queries.TextOps.winnowFps(s, dir, fanout = false, kernel = true)))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

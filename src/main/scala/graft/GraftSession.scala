@@ -83,6 +83,8 @@ object GraftFunctions {
       graft.plans.VecDotProduct(exprs(0), exprs(1))),
     "str_poly_hash" -> ((exprs: Seq[Expression]) =>
       graft.plans.StrPolyHash(exprs(0), exprs(1))),
+    "token_gram_hashes" -> ((exprs: Seq[Expression]) =>
+      graft.plans.TokenGramHashes(exprs(0), exprs(1))),
     "kmv_agg" -> ((exprs: Seq[Expression]) =>
       graft.plans.KmvAgg(exprs(0), intLit("kmv_agg", exprs(1)))),
     "minhash_agg" -> ((exprs: Seq[Expression]) =>

@@ -933,32 +933,39 @@ object TextOps {
     * cross-doc share join are fingerprint-sized (∝ tokens·2/(w+1)).
     * Nothing is pairwise. */
   def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
-    winnowFrame(winnowFps(s, dir, fanout = false))
+    winnowFrame(winnowFps(s, dir, fanout = false, kernel = true))
 
-  /** The selected-fingerprint frame (doc_id, ng, h), in either plan
-    * form — A/B'd via [[graft.ABProbe]] (pair "winnow", the house
-    * measure-don't-guess rule) before the running-window form
-    * shipped:
-    *  - fanout = false (SHIPPED): ONE doc-keyed running window,
-    *    max(key) over ROWS [WinW−1 PRECEDING, CURRENT] per gram —
-    *    the frame self-truncates at partition start, which IS the
-    *    short-doc whole-window semantics; rows through the exchange
-    *    = grams ×1.
-    *  - fanout = true (probe variant): each gram replicated to the
-    *    ≤ w window-ends containing it, then a (doc, end) max
-    *    aggregate — no sort, but grams ×w through the shuffle.
-    *    Measured (ABProbe, sf0.1, 3 warm rounds): win 2.86 med /
-    *    2.84 min vs fan 3.25 / 3.20 — the ×w shuffle volume costs
-    *    more than the doc-keyed sort saves. The sort exchange grows
-    *    with corpus size (the rawGramPosts r10 lesson), so the fan
-    *    form stays in-tree as the re-measurable probe variant for
-    *    corpora where that term flips the trade. */
+  /** The selected-fingerprint frame (doc_id, ng, h) — every plan
+    * form A/B'd via [[graft.ABProbe]] (the measure-don't-guess house
+    * rule), all forms fingerprint-set-equal by spec:
+    *  - SHIPPED: the codegen'd [[graft.plans.TokenGramHashes]] gram
+    *    kernel + ONE doc-keyed running window (max(key) over ROWS
+    *    [WinW−1 PRECEDING, CURRENT]; the frame self-truncates at
+    *    partition start, which IS the short-doc whole-window
+    *    semantics). ABProbe "winkernel": 0.80 s warm med vs 2.87 for
+    *    the column-chain gram build — 3.6×, the vec_dot lesson again
+    *    (gram strings + interpreted transform/slice/concat_ws were
+    *    ~2/3 of the operator).
+    *  - fanout = true: each gram replicated to the ≤ w window-ends
+    *    containing it, then a (doc, end) max aggregate — no sort,
+    *    but grams ×w through the shuffle. ABProbe "winnow": 3.25 vs
+    *    2.86 s — the ×w volume costs more than the doc-keyed sort
+    *    saves (the sort term grows with corpus size — rawGramPosts
+    *    r10 lesson — so fan stays re-measurable).
+    *  - tokHash = true: gram hashes composed from per-token hashes
+    *    in column algebra. ABProbe "winhash": 3.71 vs 3.04 s — the
+    *    aggregate-inside-transform nested HOF runs interpreted and
+    *    loses despite 4× less char hashing; kept as the
+    *    counter-example. (The kernel gets the same composition FOR
+    *    FREE in compiled code — that reasoning was right, the
+    *    column-algebra vehicle was wrong.) */
   private[graft] def winnowFps(s: SparkSession, dir: String,
                                fanout: Boolean,
-                               tokHash: Boolean = false): DataFrame = {
+                               tokHash: Boolean = false,
+                               kernel: Boolean = false): DataFrame = {
     val P = graft.functions.HashFns.P
     val toks = col("toks")
-    val base = documents(s, dir)
+    lazy val base = documents(s, dir)
       .select(col("doc_id"), TextFns.wsTokens(lower(col("text"))).as("toks"))
       .filter(size(toks) > 0)
     // two gram-hash forms, ABProbe pair "winhash": the string form
@@ -973,7 +980,17 @@ object TextOps {
     // concat_ws + the codegen'd StrPolyHash kernel stays in codegen
     // (the r1 sketch lesson, reconfirmed). String form ships; tok
     // stays as the re-measurable counter-example.
-    val grams = (if (!tokHash)
+    val grams = (if (kernel)
+      // the codegen'd one-pass kernel (plans/TokenGramHashes):
+      // identical hash values to the string form, no gram strings,
+      // no HOFs, the empty-doc filter folded into the empty array
+      documents(s, dir)
+        .select(col("doc_id"),
+          call_function("token_gram_hashes",
+            lower(col("text")), lit(WinK.toLong)).as("hs"))
+        .select(col("doc_id"), size(col("hs")).cast("long").as("ng"),
+          posexplode(col("hs")).as(Seq("p", "h")))
+    else if (!tokHash)
       base
         .select(col("doc_id"),
           when(size(toks) >= WinK,

@@ -171,4 +171,42 @@ class KernelPropertySpec extends AnyFunSuite {
       ab == ba && ab == refSketch(a ++ b, 5)
     })
   }
+
+  /** The definitional gram-hash chain TokenGramHashes replaces:
+    * ws-tokenize, join each n-gram with single spaces, char-fold. */
+  private def refGrams(s: String, n: Int): Seq[Long] = {
+    val toks = s.split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) Seq.empty
+    else if (toks.length < n) Seq(refFold(toks.mkString(" "), 31L))
+    else toks.sliding(n).map(g => refFold(g.mkString(" "), 31L)).toSeq
+  }
+
+  private def kernelGrams(s: String, n: Int): Seq[Long] =
+    graft.plans.TokenGramHashes.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+      .toLongArray().toSeq
+
+  test("TokenGramHashes equals the gram-string fold chain (spaces, " +
+    "short docs, empties included)") {
+    // free spaces: leading/trailing/consecutive separators must
+    // tokenize exactly like filter(split(s, \" \"), _ != \"\")
+    val spacey: Gen[String] = Gen.listOf(Gen.frequency(
+      3 -> Gen.choose(33.toChar, 126.toChar),
+      1 -> Gen.const(' '))).map(_.mkString)
+    check(forAll(Gen.zip(spacey, Gen.choose(1, 6))) { case (s, n) =>
+      kernelGrams(s, n) == refGrams(s, n)
+    })
+  }
+
+  test("TokenGramHashes handles astral code points like the chain") {
+    val scalar: Gen[Int] = Gen.frequency(
+      6 -> Gen.choose(33, 126),
+      1 -> Gen.const(32),
+      1 -> Gen.choose(0x10000, 0x14000))
+    val astral: Gen[String] =
+      Gen.listOf(scalar).map(_.flatMap(Character.toChars(_)).mkString)
+    check(forAll(Gen.zip(astral, Gen.choose(2, 4))) { case (s, n) =>
+      kernelGrams(s, n) == refGrams(s, n)
+    })
+  }
 }

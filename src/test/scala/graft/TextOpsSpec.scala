@@ -394,12 +394,14 @@ class TextOpsSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0))
   }
 
-  test("winnow_fingerprint: the running-window and fanout forms select " +
+  test("winnow_fingerprint: kernel, running-window and fanout forms select " +
     "identical fingerprints") {
     import graft.queries.TextOps
-    def set(fanout: Boolean) =
-      TextOps.winnowFps(spark, sf, fanout).collect()
+    def set(fanout: Boolean, kernel: Boolean = false) =
+      TextOps.winnowFps(spark, sf, fanout, kernel = kernel).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(set(fanout = false) == set(fanout = true))
+    val shipped = set(fanout = false, kernel = true)
+    assert(shipped == set(fanout = true))
+    assert(shipped == set(fanout = false))
   }
 }
