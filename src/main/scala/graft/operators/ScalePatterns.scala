@@ -18,16 +18,24 @@ object ScalePatterns {
     * identical to the direct groupBy (sums are associative), so the
     * oracle is the plain GROUP BY. */
   def skewAgg(s: SparkSession, dir: String): DataFrame =
+    // money sums ride DECIMAL (the sessionize convention): a double
+    // sum is order-dependent and the salted two-phase order differs
+    // from any single-pass order — decimal partials make phase-2
+    // combining EXACT, which is also what makes "result identical to
+    // the direct groupBy" literally true (sf0.1 lesson: double sums
+    // of exact-cent values diverge across engines at this volume)
     events(s, dir)
       .withColumn("salt", pmod(col("event_id"), lit(Salts)))
       .groupBy(col("event_type"), col("salt"))
-      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(28,2)")).as("pv"))
       .groupBy(col("event_type"))
-      .agg(sum(col("pn")).as("n"), graft.Portable.pround(sum(col("pv")), 4).as("sum_value"))
+      .agg(sum(col("pn")).as("n"),
+        graft.Portable.pround(sum(col("pv")).cast("double"), 4).as("sum_value"))
 
   val skewAggSql: String =
     """SELECT event_type, count(*) AS n,
-      |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+      |  floor((sum(CAST(value AS DECIMAL(28,2)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
   /** H19: salted skewed JOIN — [[skewAgg]]'s sibling for joins. A
@@ -50,12 +58,16 @@ object ScalePatterns {
     e.join(saltedDim.hint("merge"), Seq("event_type", "salt"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        graft.Portable.pround(sum(col("value") * col("w")), 4).as("weighted"))
+        // decimal(2-dec value) × integer weight is exact → the sum is
+        // order-independent (the skewAgg sf0.1 lesson)
+        graft.Portable.pround(
+          sum(col("value").cast("decimal(28,2)") * col("w")).cast("double"),
+          4).as("weighted"))
   }
 
   val skewJoinSql: String =
     """SELECT e.event_type, count(*) AS n,
-      |  floor((sum(e.value * d.w)) * 10000.0 + 0.5) / 10000.0 AS weighted
+      |  floor((sum(CAST(e.value AS DECIMAL(28,2)) * d.w)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS weighted
       |FROM events e
       |JOIN (SELECT event_type, length(min(event_type))::BIGINT AS w
       |      FROM events GROUP BY 1) d
@@ -77,12 +89,18 @@ object ScalePatterns {
     l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
-        graft.Portable.pround(sum(col("l_extendedprice")), 4).as("sum_price"))
+        // decimal sum: the double sum of ~120k exact-cent prices per
+        // priority group diverged from DuckDB's accumulation order at
+        // sf0.1 (…45.86 vs …45.8599 — the first cross-engine float-sum
+        // boundary hit, caught by the r11 sf0.1 sweep)
+        graft.Portable.pround(
+          sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double"),
+          4).as("sum_price"))
   }
 
   val bucketedJoinSql: String =
     """SELECT o_orderpriority, count(*) AS n_lines,
-      |  floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_price
+      |  floor((sum(CAST(l_extendedprice AS DECIMAL(28,2)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_price
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
@@ -331,7 +349,10 @@ object ScalePatterns {
     s.read.option("mergeSchema", "true").parquet(driftDir(dir))
       .groupBy(col("day").cast("int").as("day"),
         coalesce(col("o_orderstatus"), lit("<pre-drift>")).as("status"))
-      .agg(count(lit(1)).as("n"), graft.Portable.pround(sum(col("o_totalprice")), 4).as("sum_price"))
+      .agg(count(lit(1)).as("n"),
+        graft.Portable.pround(
+          sum(col("o_totalprice").cast("decimal(28,2)")).cast("double"),
+          4).as("sum_price"))
   }
 
   val schemaDriftSql: String =
@@ -343,7 +364,7 @@ object ScalePatterns {
       |  FROM orders WHERE o_orderkey % 2 = 1)
       |SELECT day, coalesce(o_orderstatus, '<pre-drift>') AS status,
       |  count(*) AS n,
-      |  floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS sum_price
+      |  floor((sum(CAST(o_totalprice AS DECIMAL(28,2)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_price
       |FROM u GROUP BY 1, 2""".stripMargin
 
   /** Keys reported by [[joinSizeEst]]. */

@@ -20,29 +20,50 @@ object Analytics {
   private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
   /** B1: grouped aggregation, TPC-H Q1 shape. Single shuffle with
-    * partial aggregation; scan reads only the 7 needed columns. */
+    * partial aggregation; scan reads only the 7 needed columns.
+    *
+    * Money sums ride DECIMAL (the r11 sf0.1 lesson, first hit by
+    * bucketed_join): a double sum of exact-decimal values is
+    * ORDER-DEPENDENT, and at sf0.1 row counts Spark's partial-agg
+    * order diverges from DuckDB's scan order past the ×10⁴ rounding
+    * grid. Each addend is exact at a known scale (price: cents;
+    * revenue = price·(1−disc): 4 dec; charge = revenue·(1+tax):
+    * 6 dec), so a per-row decimal cast recovers the exact lattice
+    * value identically in both engines and the decimal sum is exact
+    * in ANY order. sum(l_quantity) stays double: integer-valued
+    * addends sum exactly below 2⁵³ in any order. avg_disc divides
+    * the exact decimal sum by the count — one deterministic double
+    * division — where avg(double-sum) would inherit the order term. */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         pround(sum(col("l_quantity")), 4).as("sum_qty"),
-        pround(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        pround(sum(revenue), 4).as("sum_disc_price"),
-        pround(sum(revenue * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        pround(sum(col("l_extendedprice").cast("decimal(28,2)"))
+          .cast("double"), 4).as("sum_base_price"),
+        pround(sum(revenue.cast("decimal(28,4)"))
+          .cast("double"), 4).as("sum_disc_price"),
+        pround(sum((revenue * (lit(1) + col("l_tax"))).cast("decimal(28,6)"))
+          .cast("double"), 4).as("sum_charge"),
         pround(avg(col("l_quantity")), 4).as("avg_qty"),
-        pround(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(col("l_discount").cast("decimal(28,2)")).as("sdisc"),
         count(lit(1)).as("count_order"))
+      .withColumn("avg_disc",
+        pround(col("sdisc").cast("double") / col("count_order"), 4))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        col("avg_qty"), col("avg_disc"), col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
-      |  floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
-      |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
-      |  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
+      |  floor((sum(CAST(l_extendedprice AS DECIMAL(28,2)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
+      |  floor((sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
+      |  floor((sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
       |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-      |  floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+      |  floor((sum(CAST(l_discount AS DECIMAL(28,2)))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -64,7 +85,9 @@ object Analytics {
     l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(pround(sum(revenue), 4).as("rev"))
+      // exact 4-dec revenue lattice per row → order-free decimal sum
+      // (the q1Agg money-sum rule)
+      .agg(pround(sum(revenue.cast("decimal(28,4)")).cast("double"), 4).as("rev"))
       .select(col("l_orderkey"), col("rev"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
@@ -74,7 +97,7 @@ object Analytics {
 
   val q3JoinTopnSql: String =
     """SELECT l_orderkey,
-      |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS rev,
+      |  floor((sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rev,
       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -100,13 +123,13 @@ object Analytics {
       .join(broadcast(sup),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(pround(sum(revenue), 4).as("rev"))
+      .agg(pround(sum(revenue.cast("decimal(28,4)")).cast("double"), 4).as("rev"))
       .orderBy(col("rev").desc, col("n_name"))
   }
 
   val q5MultijoinSql: String =
     """SELECT n_name,
-      |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS rev
+      |  floor((sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rev
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -139,14 +162,16 @@ object Analytics {
   def windowedCounts(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), pround(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        pround(sum(col("value").cast("decimal(28,2)")).cast("double"), 4)
+          .as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
   val windowedCountsSql: String =
     """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
       |  event_type, count(*) AS n,
-      |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+      |  floor((sum(CAST(value AS DECIMAL(28,2)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** B6: gap-based sessionization (30 min) via lag + running sum —
@@ -347,14 +372,15 @@ object Analytics {
       .join(broadcast(n2), col("c_nationkey") === col("cnk"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("yr"))
-      .agg(count(lit(1)).as("n_items"), pround(sum(revenue), 4).as("rev"))
+      .agg(count(lit(1)).as("n_items"),
+        pround(sum(revenue.cast("decimal(28,4)")).cast("double"), 4).as("rev"))
   }
 
   val tradeVolumeSql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  year(CAST(l_shipdate AS TIMESTAMP)) AS yr,
       |  count(*) AS n_items,
-      |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS rev
+      |  floor((sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rev
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -376,7 +402,8 @@ object Analytics {
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
-      .agg(pround(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(pround(sum(col("o_totalprice").cast("decimal(28,2)"))
+        .cast("double"), 4).as("rev"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
     yearly
       .withColumn("prev_rev", lag(col("rev"), 1).over(w))
@@ -388,7 +415,7 @@ object Analytics {
   val yoyGrowthSql: String =
     """WITH yearly AS (
       |  SELECT n_name, year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
-      |    floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS rev
+      |    floor((sum(CAST(o_totalprice AS DECIMAL(28,2)))::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rev
       |  FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey

@@ -333,15 +333,28 @@ object Robust {
     val lims = gridPct(cells, Seq("event_type"), "value",
       Seq((WinsLo, "lo"), (WinsHi, "hi")))
     val clamped = least(greatest(col("value"), col("lo")), col("hi"))
+    // means divide EXACT decimal sums by the count (the q1Agg
+    // money-sum rule — a double avg inherits the accumulation-order
+    // term): raw values are exact cents; clamped rows take the
+    // interpolated lo/hi doubles, quantized per row to the 10⁻⁶
+    // lattice (identically in both engines — same input doubles), so
+    // mean_wins is defined ON that lattice and the sum is order-free
     events(s, dir).join(broadcast(lims), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
         sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
-        graft.Portable.pround(avg(col("value")), 4).as("mean_raw"),
-        graft.Portable.pround(avg(clamped), 4).as("mean_wins"),
+        sum(col("value").cast("decimal(28,2)")).as("sraw"),
+        sum(clamped.cast("decimal(28,6)")).as("swin"),
         graft.Portable.pround(max(col("lo")), 4).as("lo"),
         graft.Portable.pround(max(col("hi")), 4).as("hi"))
+      .withColumn("mean_raw",
+        graft.Portable.pround(col("sraw").cast("double") / col("n"), 4))
+      .withColumn("mean_wins",
+        graft.Portable.pround(col("swin").cast("double") / col("n"), 4))
+      .select(col("event_type"), col("n"), col("n_clamped_lo"),
+        col("n_clamped_hi"), col("mean_raw"), col("mean_wins"),
+        col("lo"), col("hi"))
   }
 
   val winsorizeSql: String = {
@@ -352,8 +365,8 @@ object Robust {
        |SELECT event_type, count(*) AS n,
        |  sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_lo,
        |  sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_hi,
-       |  floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS mean_raw,
-       |  floor((avg(least(greatest(value, lo), hi))) * 10000.0 + 0.5) / 10000.0 AS mean_wins,
+       |  floor((sum(CAST(value AS DECIMAL(28,2)))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS mean_raw,
+       |  floor((sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(28,6)))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS mean_wins,
        |  floor((max(lo)) * 10000.0 + 0.5) / 10000.0 AS lo,
        |  floor((max(hi)) * 10000.0 + 0.5) / 10000.0 AS hi
        |FROM events JOIN pct USING (event_type)

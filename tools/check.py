@@ -9,13 +9,19 @@ so any float tolerance here is weaker than the real gate (r8 shipped a
 red cohort_ltv because rel_tol=1e-9 passed a 1e-4 divergence at 1e6
 magnitude). A float that differs in its last ulp IS a driver failure.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [only,names]
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Cap DuckDB below the box so a heavy oracle fails ALONE instead of
+# taking the OS allocator down with it (sf0.1 lesson: one "bad
+# allocation" on an unrolled-CTE oracle poisoned every later query on
+# the shared connection).
+MEM_LIMIT = os.environ.get("GRAFT_DUCK_MEM", "48GB")
 
 
 def kind(arrow_type):
@@ -46,13 +52,23 @@ def norm(rows):
                   key=lambda t: tuple(str(x) for x in t))
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{MEM_LIMIT}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failed = []
     for name, sql in sorted(oracle.items()):
+        # fresh connection per query: an OOM-killed oracle must not
+        # poison the buffer pool the remaining queries run in
+        con = connect(sf_dir)
         try:
             got_tbl = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").arrow()
@@ -67,6 +83,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             failed.append(name)
             continue
+        finally:
+            try:
+                con.close()
+            except Exception:
+                pass
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             failed.append(name)
@@ -110,4 +131,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)
