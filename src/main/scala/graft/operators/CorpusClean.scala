@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -802,4 +802,198 @@ object CorpusClean {
        |  count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_toks,
        |  min(fq)::BIGINT AS min_fq, max(fq)::BIGINT AS max_fq
        |FROM t GROUP BY 1, 2""".stripMargin
+
+  /** Tokens per synthetic page line for [[c4Filters]] (the corpus has
+    * no newlines, so fixed-width token lines stand in for C4's
+    * newline-split lines, the [[SegTokens]] convention). */
+  val C4LineTokens = 8
+
+  /** C4's "bad phrase" line blocklist (Raffel et al. list the policy
+    * boilerplate family explicitly). */
+  val C4BadPhrases: Seq[String] =
+    Seq("terms of use", "privacy policy", "cookie policy", "uses cookies")
+
+  /** Planted special lines keyed on doc_id mod m — each exercises one
+    * named C4 rule: (modulus, synthetic line index, line text). Line
+    * indexes start at 1001, past any base line count. */
+  val C4Planted: Seq[(Int, Long, String)] = Seq(
+    (3,  1001L, "please enable javascript to view this page."),
+    (7,  1002L, "we updated our privacy policy and terms today."),
+    (11, 1003L, "click here."),
+    (13, 1004L, "lorem ipsum dolor sit amet."),
+    (17, 1005L, "var config = { mode: full };"))
+
+  /** Minimum kept lines for a page to survive (C4's "at least 3
+    * sentences" gate, applied after line filtering). */
+  val C4MinKeptLines = 3
+
+  /** K138: C4 CLEANING HEURISTICS — the line/page filter stack of C4
+    * (Raffel et al., JMLR 2020 §2.2), the cleaning pass T5 trained on
+    * and the template most later web corpora (MassiveText, RefinedWeb,
+    * FineWeb) start from: keep only lines ending in terminal
+    * punctuation, drop lines under 5 words, drop lines mentioning
+    * javascript or policy boilerplate ([[C4BadPhrases]]); drop whole
+    * pages containing "lorem ipsum" or a curly brace, and pages left
+    * with fewer than [[C4MinKeptLines]] kept lines. Pages are planted
+    * deterministically (html_extract convention): base lines are
+    * [[C4LineTokens]]-token slices with terminal punctuation assigned
+    * by (doc_id+si) mod 4 — so the no-punct rule fires on a known 1/4
+    * of base lines — plus one [[C4Planted]] line per matching modulus.
+    * Rules evaluate FIRST-MATCH in C4's published order (page gates on
+    * raw content first, then lines within raw-surviving pages, then
+    * the min-kept-lines page gate). Output: the fixed 9-row rule
+    * report (rule, level, n) — hits per named rule plus kept pages and
+    * kept lines — every count an exact integer.
+    *
+    * Scale shape: line construction is map-only (sequence + slice +
+    * a filtered planted union, all codegen'd); per-page accounting is
+    * ONE doc-keyed aggregate; the verdict frame collapses to a ≤4-row
+    * checkpointed cell table and the 9-row report derives from it
+    * (the url_filter single-scan posture) — shuffle ∝ pages, payload
+    * never wider than counters. */
+  def c4Filters(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    val base = docs
+      .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
+      .withColumn("n_lines", greatest(
+        ceil(size(col("toks")).cast("double") / C4LineTokens).cast("long"), lit(1L)))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_lines") - 1)).as("si"))
+      .select(col("doc_id"), col("si"),
+        concat(
+          concat_ws(" ", slice(col("toks"),
+            (col("si") * C4LineTokens + 1).cast("int"), lit(C4LineTokens))),
+          element_at(array(lit(""), lit("."), lit("!"), lit("?")),
+            (pmod(col("doc_id") + col("si"), lit(4L)) + 1).cast("int"))).as("line"))
+    val planted = C4Planted.map { case (m, si, txt) =>
+      docs.filter(col("doc_id") % m === 0)
+        .select(col("doc_id"), lit(si).as("si"), lit(txt).as("line"))
+    }.reduce(_ unionByName _)
+    val wcCol = size(filter(split(col("line"), " "), t => t =!= ""))
+    val cls = base.unionByName(planted)
+      .withColumn("wc", wcCol)
+      .withColumn("rule",
+        when(!col("line").rlike("[.!?\"]$"), "line_no_terminal_punct")
+          .when(col("wc") < 5, "line_min_words")
+          .when(col("line").contains("javascript"), "line_javascript")
+          .when(C4BadPhrases.map(p => col("line").contains(p)).reduce(_ || _),
+            "line_bad_phrase")
+          .otherwise("kept"))
+    def hit(r: String) = sum(when(col("rule") === r, 1L).otherwise(0L))
+    val perDoc = cls.groupBy(col("doc_id")).agg(
+      max(col("line").contains("lorem ipsum").cast("int")).as("has_lorem"),
+      max(col("line").contains("{").cast("int")).as("has_curly"),
+      hit("line_no_terminal_punct").as("n_term"),
+      hit("line_min_words").as("n_short"),
+      hit("line_javascript").as("n_js"),
+      hit("line_bad_phrase").as("n_phrase"),
+      hit("kept").as("n_keep"))
+    val byV = perDoc
+      .withColumn("verdict",
+        when(col("has_lorem") === 1, "page_lorem_ipsum")
+          .when(col("has_curly") === 1, "page_curly_brace")
+          .when(col("n_keep") < C4MinKeptLines, "page_min_lines")
+          .otherwise("kept"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("n_term")).as("t"),
+        sum(col("n_short")).as("sh"), sum(col("n_js")).as("j"),
+        sum(col("n_phrase")).as("ph"), sum(col("n_keep")).as("k"))
+      .localCheckpoint() // ≤ 4 rows; the 9-row report derives from it
+    def vSum(c: Column, pred: Column) =
+      coalesce(sum(when(pred, c)), lit(0L))
+    val lineScope = col("verdict").isin("page_min_lines", "kept")
+    val one = byV.agg(
+      vSum(col("n_pages"), col("verdict") === "page_lorem_ipsum").as("pg_lorem"),
+      vSum(col("n_pages"), col("verdict") === "page_curly_brace").as("pg_curly"),
+      vSum(col("n_pages"), col("verdict") === "page_min_lines").as("pg_min"),
+      vSum(col("n_pages"), col("verdict") === "kept").as("pg_kept"),
+      vSum(col("t"), lineScope).as("l_term"),
+      vSum(col("sh"), lineScope).as("l_short"),
+      vSum(col("j"), lineScope).as("l_js"),
+      vSum(col("ph"), lineScope).as("l_phrase"),
+      vSum(col("k"), col("verdict") === "kept").as("l_kept"))
+    def rrow(rule: String, level: String, n: Column) =
+      struct(lit(rule).as("rule"), lit(level).as("level"),
+        n.cast("long").as("n"))
+    one.select(explode(array(
+        rrow("page_lorem_ipsum", "page", col("pg_lorem")),
+        rrow("page_curly_brace", "page", col("pg_curly")),
+        rrow("page_min_lines", "page", col("pg_min")),
+        rrow("kept_pages", "page", col("pg_kept")),
+        rrow("line_no_terminal_punct", "line", col("l_term")),
+        rrow("line_min_words", "line", col("l_short")),
+        rrow("line_javascript", "line", col("l_js")),
+        rrow("line_bad_phrase", "line", col("l_phrase")),
+        rrow("kept_lines", "line", col("l_kept")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.level").as("level"),
+        col("r.n").as("n"))
+  }
+
+  val c4FiltersSql: String = {
+    val plantedSql = C4Planted.map { case (m, si, txt) =>
+      s"SELECT doc_id, CAST($si AS BIGINT) AS si, '$txt' AS line FROM documents WHERE doc_id % $m = 0"
+    }.mkString("\n       |  UNION ALL ")
+    val phrasePred = C4BadPhrases
+      .map(p => s"contains(line, '$p')").mkString(" OR ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+       |    greatest(CAST(ceil(len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+       |      / $C4LineTokens) AS BIGINT), 1) AS n_lines
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, si,
+       |    array_to_string(toks[(si * $C4LineTokens + 1):((si + 1) * $C4LineTokens)], ' ')
+       |      || ['', '.', '!', '?'][CAST((doc_id + si) % 4 AS INT) + 1] AS line
+       |  FROM (SELECT doc_id, toks, unnest(range(0, n_lines)) AS si FROM t)),
+       |lines_ AS (
+       |  SELECT * FROM base
+       |  UNION ALL $plantedSql),
+       |cls AS (
+       |  SELECT doc_id, line,
+       |    CASE WHEN NOT regexp_matches(line, '[.!?"]$$') THEN 'line_no_terminal_punct'
+       |         WHEN len(list_filter(string_split(line, ' '), x -> x <> '')) < 5
+       |           THEN 'line_min_words'
+       |         WHEN contains(line, 'javascript') THEN 'line_javascript'
+       |         WHEN $phrasePred THEN 'line_bad_phrase'
+       |         ELSE 'kept' END AS rule
+       |  FROM lines_),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN contains(line, 'lorem ipsum') THEN 1 ELSE 0 END) AS has_lorem,
+       |    max(CASE WHEN contains(line, '{') THEN 1 ELSE 0 END) AS has_curly,
+       |    sum(CASE WHEN rule = 'line_no_terminal_punct' THEN 1 ELSE 0 END)::BIGINT AS n_term,
+       |    sum(CASE WHEN rule = 'line_min_words' THEN 1 ELSE 0 END)::BIGINT AS n_short,
+       |    sum(CASE WHEN rule = 'line_javascript' THEN 1 ELSE 0 END)::BIGINT AS n_js,
+       |    sum(CASE WHEN rule = 'line_bad_phrase' THEN 1 ELSE 0 END)::BIGINT AS n_phrase,
+       |    sum(CASE WHEN rule = 'kept' THEN 1 ELSE 0 END)::BIGINT AS n_keep
+       |  FROM cls GROUP BY doc_id),
+       |v AS (
+       |  SELECT *,
+       |    CASE WHEN has_lorem = 1 THEN 'page_lorem_ipsum'
+       |         WHEN has_curly = 1 THEN 'page_curly_brace'
+       |         WHEN n_keep < $C4MinKeptLines THEN 'page_min_lines'
+       |         ELSE 'kept' END AS verdict
+       |  FROM perdoc),
+       |o AS (
+       |  SELECT
+       |    coalesce(sum(CASE WHEN verdict = 'page_lorem_ipsum' THEN 1 END), 0)::BIGINT AS pg_lorem,
+       |    coalesce(sum(CASE WHEN verdict = 'page_curly_brace' THEN 1 END), 0)::BIGINT AS pg_curly,
+       |    coalesce(sum(CASE WHEN verdict = 'page_min_lines' THEN 1 END), 0)::BIGINT AS pg_min,
+       |    coalesce(sum(CASE WHEN verdict = 'kept' THEN 1 END), 0)::BIGINT AS pg_kept,
+       |    coalesce(sum(CASE WHEN verdict IN ('page_min_lines', 'kept') THEN n_term END), 0)::BIGINT AS l_term,
+       |    coalesce(sum(CASE WHEN verdict IN ('page_min_lines', 'kept') THEN n_short END), 0)::BIGINT AS l_short,
+       |    coalesce(sum(CASE WHEN verdict IN ('page_min_lines', 'kept') THEN n_js END), 0)::BIGINT AS l_js,
+       |    coalesce(sum(CASE WHEN verdict IN ('page_min_lines', 'kept') THEN n_phrase END), 0)::BIGINT AS l_phrase,
+       |    coalesce(sum(CASE WHEN verdict = 'kept' THEN n_keep END), 0)::BIGINT AS l_kept
+       |  FROM v)
+       |SELECT 'page_lorem_ipsum' AS rule, 'page' AS level, pg_lorem AS n FROM o
+       |UNION ALL SELECT 'page_curly_brace', 'page', pg_curly FROM o
+       |UNION ALL SELECT 'page_min_lines', 'page', pg_min FROM o
+       |UNION ALL SELECT 'kept_pages', 'page', pg_kept FROM o
+       |UNION ALL SELECT 'line_no_terminal_punct', 'line', l_term FROM o
+       |UNION ALL SELECT 'line_min_words', 'line', l_short FROM o
+       |UNION ALL SELECT 'line_javascript', 'line', l_js FROM o
+       |UNION ALL SELECT 'line_bad_phrase', 'line', l_phrase FROM o
+       |UNION ALL SELECT 'kept_lines', 'line', l_kept FROM o""".stripMargin
+  }
 }

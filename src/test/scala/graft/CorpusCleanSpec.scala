@@ -529,4 +529,57 @@ class CorpusCleanSpec extends SparkSpec {
         > byBucket("tail").getAs[Long]("min_fq"), s"$lang flat fq")
     }
   }
+
+  test("c4_filters: first-match rule counts replay from first principles; conservation holds") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def linesOf(id: Long, text: String): Seq[String] = {
+      val ts = tokens(text)
+      val nLines = math.max(math.ceil(ts.length / CorpusClean.C4LineTokens.toDouble).toLong, 1L)
+      val base = (0L until nLines).map { si =>
+        val body = ts.slice((si * CorpusClean.C4LineTokens).toInt,
+          (si * CorpusClean.C4LineTokens).toInt + CorpusClean.C4LineTokens).mkString(" ")
+        body + Seq("", ".", "!", "?")(((id + si) % 4).toInt)
+      }
+      base ++ CorpusClean.C4Planted.collect { case (m, _, txt) if id % m == 0 => txt }
+    }
+    def lineRule(l: String): String =
+      if (!l.matches(".*[.!?\"]$")) "line_no_terminal_punct"
+      else if (l.split(" ").count(_.nonEmpty) < 5) "line_min_words"
+      else if (l.contains("javascript")) "line_javascript"
+      else if (CorpusClean.C4BadPhrases.exists(l.contains)) "line_bad_phrase"
+      else "kept"
+    var pgLorem, pgCurly, pgMin, pgKept = 0L
+    var lTerm, lShort, lJs, lPhrase, lKept = 0L
+    docs.foreach { case (id, text) =>
+      val ls = linesOf(id, text)
+      if (ls.exists(_.contains("lorem ipsum"))) pgLorem += 1
+      else if (ls.exists(_.contains("{"))) pgCurly += 1
+      else {
+        val rs = ls.map(lineRule)
+        lTerm += rs.count(_ == "line_no_terminal_punct")
+        lShort += rs.count(_ == "line_min_words")
+        lJs += rs.count(_ == "line_javascript")
+        lPhrase += rs.count(_ == "line_bad_phrase")
+        val kept = rs.count(_ == "kept")
+        if (kept < CorpusClean.C4MinKeptLines) pgMin += 1
+        else { pgKept += 1; lKept += kept }
+      }
+    }
+    val got = run("c4_filters").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got.size == 9)
+    assert(got(("page_lorem_ipsum", "page")) == pgLorem)
+    assert(got(("page_curly_brace", "page")) == pgCurly)
+    assert(got(("page_min_lines", "page")) == pgMin)
+    assert(got(("kept_pages", "page")) == pgKept)
+    assert(got(("line_no_terminal_punct", "line")) == lTerm)
+    assert(got(("line_min_words", "line")) == lShort)
+    assert(got(("line_javascript", "line")) == lJs)
+    assert(got(("line_bad_phrase", "line")) == lPhrase)
+    assert(got(("kept_lines", "line")) == lKept)
+    // pages conserve; every rule actually fires on this corpus
+    assert(pgLorem + pgCurly + pgMin + pgKept == docs.length.toLong)
+    assert(Seq(pgLorem, pgCurly, lTerm, lShort, lJs, lPhrase, lKept).forall(_ > 0))
+  }
 }
