@@ -996,4 +996,108 @@ object CorpusClean {
        |UNION ALL SELECT 'line_bad_phrase', 'line', l_phrase FROM o
        |UNION ALL SELECT 'kept_lines', 'line', l_kept FROM o""".stripMargin
   }
+
+  /** Anchor-tag regexes — the common Java/RE2 subset (the
+    * [[ScriptStyleRe]] convention): a full tag, then href / inner
+    * text / rel="nofollow" read from the tag string itself, so href
+    * and anchor text can never mis-align. */
+  val AnchorTagRe = "<a [^>]*>[^<]*</a>"
+  val HrefRe = "href=\"([^\"]*)\""
+  val AnchorTextRe = ">([^<]*)<"
+  val HostRe = "https?://([a-z0-9.-]+)"
+
+  /** K139: ANCHOR-TEXT MINING — the hyperlink anchor-text harvest
+    * behind ORCAS-class click/anchor corpora and anchor-based
+    * retrieval pretraining (anchor text ≈ a human-written query for
+    * the target page; used as weak supervision for dense retrievers
+    * and as a document-expansion field in web ranking since
+    * TREC-Web). Pages are planted deterministically (html_extract
+    * convention): every doc links its own site{doc_id%7} target with
+    * its first three tokens as anchor text, docs ≡0 mod 4 add a
+    * second link (tokens 4-6 → site{(doc_id+1)%7}), docs ≡0 mod 6 add
+    * a rel="nofollow" tracker link — which anchor pipelines DROP (the
+    * publisher opted out of endorsement) but must still count.
+    * Per target host: links seen / kept, distinct linking docs,
+    * distinct kept anchor texts, kept anchor tokens, nofollow drops.
+    *
+    * Scale shape: tag extraction is map-only regexp_extract_all over
+    * the page (payloads never shuffle — tags do, and a tag is tens of
+    * bytes); ONE host-keyed combining aggregate ends the plan. At
+    * crawl scale this is the classic "invert the web graph by anchor"
+    * map-reduce, shuffle ∝ links. */
+  def anchorExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val toks = TextFns.wsTokens(col("text"))
+    val page = concat(
+      lit("<html><body><p>"), col("text"), lit("</p><a href=\"https://site"),
+      (id % 7).cast("string"), lit(".example.com/page"),
+      (id % 13).cast("string"), lit("\">"),
+      concat_ws(" ", slice(col("toks"), 1, 3)), lit("</a>"),
+      when(id % 4 === 0, concat(
+        lit("<a href=\"https://site"), ((id + 1) % 7).cast("string"),
+        lit(".example.com/hub\">"), concat_ws(" ", slice(col("toks"), 4, 3)),
+        lit("</a>"))).otherwise(lit("")),
+      when(id % 6 === 0,
+        lit("<a href=\"https://ads.example.com/track\" rel=\"nofollow\">click here</a>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val tags = documents(s, dir)
+      .select(id, toks.as("toks"), col("text"))
+      .withColumn("page", page)
+      .select(id, explode(regexp_extract_all(col("page"), lit(AnchorTagRe), lit(0))).as("tag"))
+    tags
+      .select(id,
+        regexp_extract(regexp_extract(col("tag"), HrefRe, 1), HostRe, 1).as("host"),
+        regexp_extract(col("tag"), AnchorTextRe, 1).as("anchor"),
+        col("tag").contains("rel=\"nofollow\"").as("nofollow"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        sum(when(!col("nofollow"), 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(when(!col("nofollow"), col("anchor"))).as("n_anchor_texts"),
+        coalesce(sum(when(!col("nofollow"),
+          size(filter(split(col("anchor"), " "), t => t =!= "")).cast("long"))), lit(0L))
+          .as("anchor_tokens"),
+        sum(when(col("nofollow"), 1L).otherwise(0L)).as("n_nofollow"))
+  }
+
+  val anchorExtractSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks, text
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    '<html><body><p>' || text || '</p><a href="https://site'
+       |    || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page'
+       |    || CAST(doc_id % 13 AS VARCHAR) || '">'
+       |    || array_to_string(toks[1:3], ' ') || '</a>'
+       |    || CASE WHEN doc_id % 4 = 0 THEN
+       |         '<a href="https://site' || CAST((doc_id + 1) % 7 AS VARCHAR)
+       |         || '.example.com/hub">' || array_to_string(toks[4:6], ' ') || '</a>'
+       |       ELSE '' END
+       |    || CASE WHEN doc_id % 6 = 0 THEN
+       |         '<a href="https://ads.example.com/track" rel="nofollow">click here</a>'
+       |       ELSE '' END
+       |    || '</body></html>' AS page
+       |  FROM p),
+       |tg AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(page, '$AnchorTagRe')) AS tag
+       |  FROM h),
+       |a AS (
+       |  SELECT doc_id,
+       |    regexp_extract(regexp_extract(tag, 'href="([^"]*)"', 1),
+       |      'https?://([a-z0-9.-]+)', 1) AS host,
+       |    regexp_extract(tag, '>([^<]*)<', 1) AS anchor,
+       |    contains(tag, 'rel="nofollow"') AS nofollow
+       |  FROM tg)
+       |SELECT host, count(*)::BIGINT AS n_links,
+       |  sum(CASE WHEN NOT nofollow THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(DISTINCT CASE WHEN NOT nofollow THEN anchor END)::BIGINT AS n_anchor_texts,
+       |  coalesce(sum(CASE WHEN NOT nofollow
+       |    THEN len(list_filter(string_split(anchor, ' '), x -> x <> '')) END), 0)::BIGINT
+       |    AS anchor_tokens,
+       |  sum(CASE WHEN nofollow THEN 1 ELSE 0 END)::BIGINT AS n_nofollow
+       |FROM a GROUP BY host""".stripMargin
 }

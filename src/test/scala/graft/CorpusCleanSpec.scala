@@ -582,4 +582,38 @@ class CorpusCleanSpec extends SparkSpec {
     assert(pgLorem + pgCurly + pgMin + pgKept == docs.length.toLong)
     assert(Seq(pgLorem, pgCurly, lTerm, lShort, lJs, lPhrase, lKept).forall(_ > 0))
   }
+
+  test("anchor_extract: per-host link/anchor stats replay from the planted pages") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // (host, docId, anchor, nofollow) per planted link
+    val links = docs.flatMap { case (id, text) =>
+      val ts = tokens(text)
+      val self = (s"site${id % 7}.example.com", id, ts.slice(0, 3).mkString(" "), false)
+      val hub = if (id % 4 == 0)
+        Seq((s"site${(id + 1) % 7}.example.com", id, ts.slice(3, 6).mkString(" "), false))
+      else Seq.empty
+      val ads = if (id % 6 == 0)
+        Seq(("ads.example.com", id, "click here", true)) else Seq.empty
+      Seq(self) ++ hub ++ ads
+    }
+    val got = run("anchor_extract").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byHost = links.groupBy(_._1)
+    assert(got.keySet == byHost.keySet)
+    byHost.foreach { case (host, ls) =>
+      val r = got(host)
+      val kept = ls.filterNot(_._4)
+      assert(r.getAs[Long]("n_links") == ls.length.toLong, s"$host links")
+      assert(r.getAs[Long]("n_kept") == kept.length.toLong, s"$host kept")
+      assert(r.getAs[Long]("n_docs") == ls.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("n_anchor_texts") == kept.map(_._3).distinct.length.toLong)
+      assert(r.getAs[Long]("anchor_tokens") ==
+        kept.map(_._3.split(" ").count(_.nonEmpty).toLong).sum)
+      assert(r.getAs[Long]("n_nofollow") == ls.count(_._4).toLong)
+    }
+    // the nofollow host carries NO anchor supervision
+    assert(got("ads.example.com").getAs[Long]("n_kept") == 0L)
+    assert(got("ads.example.com").getAs[Long]("n_anchor_texts") == 0L)
+  }
 }
