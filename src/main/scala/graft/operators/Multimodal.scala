@@ -707,4 +707,106 @@ object Multimodal {
        |  (dot >= 0 AND
        |   dot::HUGEINT * dot * $ClipCos2Den >= na2::HUGEINT * nb2) AS kept
        |FROM sc""".stripMargin
+
+  /** Scene-cut frame width (bytes per synthetic video frame) and the
+    * planted-shot cadence / content threshold. */
+  val SceneFrame = 32
+  val SceneShotLen = 5
+  val SceneCutThreshold = 500L
+
+  /** K140: CONTENT-BASED SCENE-CUT DETECTION — the PySceneDetect
+    * ContentDetector pass a video curation pipeline runs before clip
+    * sampling (video-LLM corpora cut clips at scene boundaries, not
+    * mid-shot, so frames within a training clip are visually
+    * coherent): per frame an integer luma proxy (byte-sum fold over
+    * the [[SceneFrame]]-byte frame — the real decoder's mean-HSL swap
+    * point, the VAD kernel convention), shots PLANTED as a brightness
+    * step every [[SceneShotLen]] frames (level cycles (idx div 5 +
+    * doc_id) mod 3 at +1000/level — the planted-silence convention:
+    * no codecs in the container), a cut flagged when the
+    * frame-to-frame luma delta reaches [[SceneCutThreshold]]. Per
+    * video: frames, cuts, shots (cut-run segmentation via the
+    * cumulative-flag window), longest shot, mean shot length in
+    * frames-per-mille. All integer -> full hash-gate oracle.
+    *
+    * Scale shape: frame explode + luma fold are map-side (payloads
+    * never shuffle -- frames carry doc_id, idx, one long); the lag and
+    * cumulative-cut windows are doc-keyed (frames-per-payload bounded
+    * by payload size, never corpus-wide); two combining aggregates
+    * end the plan. At 100 TB this is the per-shard frame scan it is
+    * in production, shuffle volume ∝ frames x 24 bytes. */
+  def sceneCut(s: SparkSession, dir: String): DataFrame = {
+    val video = mediaTable(s, dir)
+      .filter(col("meta.mime") === "video/mp4")
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("t"))
+      .withColumn("nf", expr(s"(length(t) + ${SceneFrame - 1}) div $SceneFrame"))
+      .filter(col("nf") > 0) // sequence() descends on empty payloads
+    val frames = video
+      .select(col("doc_id"), explode(sequence(lit(0L), col("nf") - 1)).as("idx"), col("t"))
+      .withColumn("frame",
+        expr(s"substring(t, CAST(idx * $SceneFrame + 1 AS INT), $SceneFrame)"))
+      .withColumn("luma",
+        aggregate(filter(split(col("frame"), ""), c => c =!= ""), lit(0L),
+          (acc, c) => acc + ascii(c).cast("long"))
+          + lit(1000L) * pmod(expr(s"idx div $SceneShotLen") + col("doc_id"), lit(3L)))
+      .select(col("doc_id"), col("idx"), col("luma"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("idx"))
+    val flagged = frames
+      .withColumn("prev", lag(col("luma"), 1).over(wDoc))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("luma") - col("prev")) >= SceneCutThreshold, 1L).otherwise(0L))
+      .withColumn("shot", sum(col("cut")).over(wDoc))
+    val shots = flagged.groupBy(col("doc_id"), col("shot"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shots"), max(col("len")).as("max_shot"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"))
+      .join(shots, Seq("doc_id"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        col("n_shots"), col("max_shot"),
+        expr("(n_frames * 1000) div (n_cuts + 1)").as("avg_shot_pm"))
+  }
+
+  val sceneCutSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id, text AS t,
+       |    (strlen(text) + ${SceneFrame - 1}) // $SceneFrame AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |f AS (SELECT doc_id, unnest(range(0, nf))::BIGINT AS idx, t FROM v),
+       |l AS (
+       |  SELECT doc_id, idx,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [ascii(c)::BIGINT for c in list_filter(
+       |        string_split(substr(t, (idx * $SceneFrame + 1)::INT, $SceneFrame), ''),
+       |        c -> c <> '')]),
+       |      (acc, x) -> acc + x)
+       |    + 1000 * ((idx // $SceneShotLen + doc_id) % 3) AS luma
+       |  FROM f),
+       |c AS (
+       |  SELECT doc_id, idx, luma,
+       |    lag(luma) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+       |  FROM l),
+       |g AS (
+       |  SELECT doc_id, idx,
+       |    CASE WHEN prev IS NOT NULL AND abs(luma - prev) >= $SceneCutThreshold
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM c),
+       |sflag AS (
+       |  SELECT doc_id, idx, cut,
+       |    sum(cut) OVER (PARTITION BY doc_id ORDER BY idx
+       |      ROWS UNBOUNDED PRECEDING) AS shot
+       |  FROM g),
+       |sh AS (SELECT doc_id, shot, count(*) AS len FROM sflag GROUP BY 1, 2),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_shots, max(len)::BIGINT AS max_shot
+       |  FROM sh GROUP BY 1),
+       |agg AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_frames, sum(cut)::BIGINT AS n_cuts
+       |  FROM sflag GROUP BY 1)
+       |SELECT a.doc_id, a.n_frames, a.n_cuts, p.n_shots, p.max_shot,
+       |  (a.n_frames * 1000 // (a.n_cuts + 1))::BIGINT AS avg_shot_pm
+       |FROM agg a JOIN per p USING (doc_id)""".stripMargin
 }

@@ -253,4 +253,38 @@ class MultimodalSpec extends SparkSpec {
     val flags = got.values.map(_._4)
     assert(flags.exists(identity) && flags.exists(!_))
   }
+
+  test("scene_cut: luma/cut/shot pipeline replays from first principles") {
+    import Multimodal.{SceneFrame, SceneShotLen, SceneCutThreshold}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._1 % 3 == 2) // the video/mp4 mime bucket
+    val expected = docs.map { case (id, t) =>
+      val nf = (t.length + SceneFrame - 1) / SceneFrame
+      val lumas = (0L until nf).map { idx =>
+        val frame = t.slice((idx * SceneFrame).toInt,
+          (idx * SceneFrame).toInt + SceneFrame)
+        frame.map(_.toLong).sum + 1000L * ((idx / SceneShotLen + id) % 3)
+      }
+      val cuts = lumas.zipWithIndex.map { case (l, i) =>
+        if (i > 0 && math.abs(l - lumas(i - 1)) >= SceneCutThreshold) 1L else 0L
+      }
+      val shotIds = cuts.scanLeft(0L)(_ + _).drop(1)
+      val shotLens = shotIds.groupBy(identity).values.map(_.size.toLong)
+      val nCuts = cuts.sum
+      id -> ((nf.toLong, nCuts, nCuts + 1, shotLens.max,
+        nf.toLong * 1000 / (nCuts + 1)))
+    }.toMap
+    val got = run("scene_cut").collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_cuts"), r.getAs[Long]("n_shots"),
+        r.getAs[Long]("max_shot"), r.getAs[Long]("avg_shot_pm")))).toMap
+    assert(got == expected)
+    // the planted brightness steps produce real cuts somewhere
+    assert(got.values.exists(_._2 > 0))
+    // every video segments into at least one shot, none longer than its frames
+    got.values.foreach { case (nf, _, ns, mx, _) =>
+      assert(ns >= 1 && mx <= nf)
+    }
+  }
 }
