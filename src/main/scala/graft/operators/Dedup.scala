@@ -1652,4 +1652,68 @@ object Dedup {
        |FROM c a JOIN c b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
        |  AND abs(a.n_chars - b.n_chars) <= $EditMaxLenDiff
        |WHERE levenshtein(a.text, b.text) * 5 <= greatest(a.n_chars, b.n_chars)""".stripMargin
+
+  /** Soft-dedup weight floor, per-mille (every doc keeps a positive
+    * sampling weight -- the method down-weights, never removes). */
+  val SoftWFloor = 100L
+
+  /** K141: SOFT DEDUPLICATION -- the SoftDeDup reweighting (Xia et
+    * al., ACL 2024): instead of REMOVING near-duplicates, down-weight
+    * each document's sampling probability by its "data commonness" --
+    * how corpus-frequent its n-grams are -- so duplicated mass trains
+    * less without the hard-dedup cliff (the paper reports equal-loss
+    * speedups over exact removal). Commonness rides the SAME distinct
+    * 3-gram postings the C2 family builds ([[rawGramPosts]] -- one
+    * kernel, multiple consumers): per doc, the mean floor-log2
+    * document frequency of its grams in per-mille
+    * (c_pm = Sigma ilog2(df) * 1000 div n_grams, ilog2(x) =
+    * length(bin(x)) - 1 -- the dsir_weights fixed-point idiom, exact
+    * in both engines; df >= 1 so the log is total). The published
+    * monotone-decreasing reweighting maps the corpus commonness range
+    * linearly onto [[[SoftWFloor]], 1000] per-mille:
+    * w_pm = floor + (cmax - c_pm) * (1000 - floor) div
+    * max(cmax - cmin, 1) -- unique docs sample at full weight,
+    * the most-common doc at the floor, all exact integers.
+    *
+    * Scale shape: gram build map-side; the df aggregate and the
+    * postings-df join are gram-keyed combining shuffles (the family's
+    * documented rows-scale shuffle, carrying 24-byte keys + counters);
+    * one doc-keyed sum; the (cmin, cmax) normalizer is a 1-row
+    * broadcast scalar frame. Nothing pairwise -- this is the whole
+    * point: soft dedup costs ONE postings pass where hard dedup pays
+    * candidate generation + verify. */
+  def softDedup(s: SparkSession, dir: String): DataFrame = {
+    val posts = rawGramPosts(documents(s, dir))
+    val df = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val perDoc = posts.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(expr("length(bin(df)) - 1")).as("c_sum"))
+      .withColumn("commonness_pm", expr("(c_sum * 1000) div n_grams"))
+    val range = perDoc.agg(min(col("commonness_pm")).as("cmin"),
+      max(col("commonness_pm")).as("cmax"))
+    perDoc.crossJoin(broadcast(range)) // 1-row scalar frame
+      .select(col("doc_id"), col("n_grams"), col("commonness_pm"),
+        expr(s"$SoftWFloor + ((cmax - commonness_pm) * ${1000 - SoftWFloor}) div greatest(cmax - cmin, 1)")
+          .cast("long").as("weight_pm"))
+  }
+
+  val softDedupSql: String =
+    s"""$gramsCte,
+       |posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+       |dfq AS (SELECT gram, count(*) AS df FROM posts GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |    sum(length(bin(df)) - 1)::BIGINT AS c_sum
+       |  FROM posts JOIN dfq USING (gram) GROUP BY 1),
+       |pm AS (
+       |  SELECT doc_id, n_grams,
+       |    (c_sum * 1000 // n_grams)::BIGINT AS commonness_pm
+       |  FROM per),
+       |r AS (
+       |  SELECT min(commonness_pm) AS cmin, max(commonness_pm) AS cmax FROM pm)
+       |SELECT doc_id, n_grams, commonness_pm,
+       |  ($SoftWFloor + ((cmax - commonness_pm) * ${1000 - SoftWFloor})
+       |    // greatest(cmax - cmin, 1))::BIGINT AS weight_pm
+       |FROM pm, r""".stripMargin
 }

@@ -589,4 +589,36 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("share_permille") ==
       r.getAs[Long]("n_pairs") * 1000L / pairs.length))
   }
+
+  test("soft_dedup: commonness and weights replay from a local gram-df recount") {
+    import graft.operators.Dedup.SoftWFloor
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val ts = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ts.mkString(" "))
+    }
+    val perDoc = docs.map { case (id, t) => id -> grams(t) }
+    val dfMap = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val cpm = perDoc.map { case (id, gs) =>
+      id -> ((gs.toSeq.map(g => ilog2(dfMap(g))).sum * 1000L / gs.size, gs.size.toLong))
+    }.toMap
+    val cmin = cpm.values.map(_._1).min
+    val cmax = cpm.values.map(_._1).max
+    val got = run("soft_dedup").collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("commonness_pm"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("weight_pm")))).toMap
+    assert(got.keySet == cpm.keySet)
+    got.foreach { case (id, (c, n, w)) =>
+      assert((c, n) == cpm(id), s"doc $id commonness")
+      val expW = SoftWFloor + (cmax - c) * (1000L - SoftWFloor) / math.max(cmax - cmin, 1L)
+      assert(w == expW, s"doc $id weight")
+    }
+    // monotone: the most common doc sits at the floor, the rarest at 1000
+    assert(got.values.exists(_._3 == SoftWFloor) || cmax == cmin)
+    assert(got.values.exists(_._3 == 1000L) || cmax == cmin)
+    assert(got.values.forall(v => v._3 >= SoftWFloor && v._3 <= 1000L))
+  }
 }
