@@ -852,25 +852,29 @@ object CorpusClean {
     * (the url_filter single-scan posture) — shuffle ∝ pages, payload
     * never wider than counters. */
   def c4Filters(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir).select(col("doc_id"), col("text"))
-    val base = docs
-      .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
-      .withColumn("n_lines", greatest(
-        ceil(size(col("toks")).cast("double") / C4LineTokens).cast("long"), lit(1L)))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0L), col("n_lines") - 1)).as("si"))
-      .select(col("doc_id"), col("si"),
-        concat(
-          concat_ws(" ", slice(col("toks"),
-            (col("si") * C4LineTokens + 1).cast("int"), lit(C4LineTokens))),
-          element_at(array(lit(""), lit("."), lit("!"), lit("?")),
-            (pmod(col("doc_id") + col("si"), lit(4L)) + 1).cast("int"))).as("line"))
-    val planted = C4Planted.map { case (m, si, txt) =>
-      docs.filter(col("doc_id") % m === 0)
-        .select(col("doc_id"), lit(si).as("si"), lit(txt).as("line"))
-    }.reduce(_ unionByName _)
+    // ONE corpus scan: base lines AND planted lines both come out of
+    // a single per-doc struct-array concat (a unioned per-rule scan
+    // would read the corpus once per planted rule at 100 TB)
+    def lrow(si: Column, line: Column) =
+      struct(si.cast("long").as("si"), line.as("line"))
+    val baseArr = transform(
+      sequence(lit(0L), greatest(
+        ceil(size(col("toks")).cast("double") / C4LineTokens).cast("long"), lit(1L)) - 1),
+      si => lrow(si, concat(
+        concat_ws(" ", slice(col("toks"),
+          (si * C4LineTokens + 1).cast("int"), lit(C4LineTokens))),
+        element_at(array(lit(""), lit("."), lit("!"), lit("?")),
+          (pmod(col("doc_id") + si, lit(4L)) + 1).cast("int")))))
+    val plantedArr = filter(
+      array(C4Planted.map { case (m, si, txt) =>
+        when(col("doc_id") % m === 0, lrow(lit(si), lit(txt)))
+          .otherwise(lit(null))
+      }: _*), x => x.isNotNull)
     val wcCol = size(filter(split(col("line"), " "), t => t =!= ""))
-    val cls = base.unionByName(planted)
+    val cls = documents(s, dir)
+      .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(concat(baseArr, plantedArr)).as("p"))
+      .select(col("doc_id"), col("p.si").as("si"), col("p.line").as("line"))
       .withColumn("wc", wcCol)
       .withColumn("rule",
         when(!col("line").rlike("[.!?\"]$"), "line_no_terminal_punct")

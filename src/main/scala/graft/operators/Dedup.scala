@@ -1683,7 +1683,10 @@ object Dedup {
     * point: soft dedup costs ONE postings pass where hard dedup pays
     * candidate generation + verify. */
   def softDedup(s: SparkSession, dir: String): DataFrame = {
+    // two consumers (df aggregate + the postings-df join) — persist
+    // so the gram build runs once (the gramPosts convention)
     val posts = rawGramPosts(documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val perDoc = posts.join(df, "gram")
       .groupBy(col("doc_id"))

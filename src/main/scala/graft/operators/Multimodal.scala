@@ -758,16 +758,17 @@ object Multimodal {
         when(col("prev").isNotNull &&
           abs(col("luma") - col("prev")) >= SceneCutThreshold, 1L).otherwise(0L))
       .withColumn("shot", sum(col("cut")).over(wDoc))
-    val shots = flagged.groupBy(col("doc_id"), col("shot"))
+    // the whole report derives from the shot-length cells alone:
+    // shot ids are 0..n_cuts, so n_cuts = n_shots - 1 and
+    // n_frames = Σ len — ONE pass, no self-join of the frame pipeline
+    flagged.groupBy(col("doc_id"), col("shot"))
       .agg(count(lit(1)).as("len"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shots"), max(col("len")).as("max_shot"))
-    flagged.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"))
-      .join(shots, Seq("doc_id"))
-      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
-        col("n_shots"), col("max_shot"),
-        expr("(n_frames * 1000) div (n_cuts + 1)").as("avg_shot_pm"))
+      .agg(sum(col("len")).as("n_frames"), count(lit(1)).as("n_shots"),
+        max(col("len")).as("max_shot"))
+      .select(col("doc_id"), col("n_frames"),
+        (col("n_shots") - 1).as("n_cuts"), col("n_shots"), col("max_shot"),
+        expr("(n_frames * 1000) div n_shots").as("avg_shot_pm"))
   }
 
   val sceneCutSql: String =

@@ -587,4 +587,24 @@ class PlanSpec extends SparkSpec {
       s"agreement stats re-scan the corpus instead of the 16-row cells:\n$p")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("c4_filters / anchor_extract / scene_cut: ONE corpus scan each — planted fixtures never re-read") {
+    Seq("c4_filters", "anchor_extract", "scene_cut").foreach { name =>
+      val p = plan(name)
+      // c4_filters checkpoints its <=4-row verdict cells, so 0 scans
+      // are also legal (the real scan ran at checkpoint time)
+      assert("FileScan parquet".r.findAllIn(p).length <= 1,
+        s"$name re-scans its source:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name goes pairwise:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name shuffles a join:\n$p")
+    }
+  }
+
+  test("soft_dedup: postings persist once, nothing pairwise, df join stays gram-keyed") {
+    val p = plan("soft_dedup")
+    assert(p.contains("InMemoryTableScan"),
+      s"gram postings should come from the persisted frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"soft_dedup goes pairwise:\n$p")
+    spark.sharedState.cacheManager.clearCache() // drop the probe's postings cache mark
+  }
 }
