@@ -1100,4 +1100,101 @@ object TextOps {
        |  (n_fps * 1000000 // ng)::BIGINT AS density_pm
        |FROM nf LEFT JOIN ns USING (doc_id)""".stripMargin
   }
+
+  /** Robots rules fixture: (host, path prefix, allow). Every site
+    * host disallows /ads and /private but re-allows /ads/ok (the
+    * RFC's worked longest-match example shape); the two
+    * [[BlockedHosts]] also carry a root disallow -- under
+    * longest-match their /ads/ok stays reachable, which is exactly
+    * the subtle RFC behavior a naive first-match gate gets wrong. */
+  val RobotsRules: Seq[(String, String, Boolean)] =
+    (0 to 6).flatMap { h =>
+      val host = s"site$h.example.com"
+      Seq((host, "/ads", false), (host, "/ads/ok", true),
+        (host, "/private", false))
+    } ++ BlockedHosts.map(h => (h, "/", false))
+
+  /** K142: ROBOTS.TXT ADMISSION GATE -- the RFC 9309 (Robots
+    * Exclusion Protocol) longest-match evaluation every responsible
+    * crawl pipeline runs before fetching (and training-data builds
+    * re-run at corpus time to honor late opt-outs): a URL's verdict
+    * comes from the LONGEST matching path prefix among its host's
+    * rules, allow winning exact ties -- NOT first match (the
+    * /ads/ok allow must beat the shorter /ads and even a root
+    * disallow). URLs planted on the url_filter host lattice with
+    * five path families exercising nested allow-within-disallow.
+    * The tie algebra rides one integer: score = 2*len(prefix) +
+    * allowBit, per-URL verdict = max(score) -- decode allow =
+    * score odd, unmatched URLs default-allow per the RFC. Per host:
+    * urls, allowed, denied, default-allowed.
+    *
+    * Scale shape: the rule table is crawl-metadata-sized and
+    * BROADCASTS (a real robots corpus is ~rules-per-host x hosts,
+    * always << URLs); the prefix join is map-side against it; one
+    * URL-keyed max and one host-keyed rollup end the plan --
+    * shuffle ∝ URLs, never URLs x rules. */
+  def robotsGate(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val path = when(id % 5 === 0, concat(lit("/ads/page"), (id % 13).cast("string")))
+      .when(id % 5 === 1, concat(lit("/private/doc"), (id % 13).cast("string")))
+      .when(id % 5 === 2, concat(lit("/ads/ok/page"), (id % 13).cast("string")))
+      .when(id % 5 === 3, concat(lit("/page"), (id % 13).cast("string")))
+      .otherwise(concat(lit("/docs/page"), (id % 13).cast("string")))
+    val urls = documents(s, dir).select(id,
+      concat(lit("site"), (id % 7).cast("string"), lit(".example.com")).as("host"),
+      path.as("path"))
+    val rules = RobotsRules.map { case (h, pfx, allow) =>
+      struct(lit(h).as("host"), lit(pfx).as("prefix"),
+        lit(if (allow) 1L else 0L).as("abit"))
+    }
+    val ruleDf = s.range(1)
+      .select(explode(array(rules: _*)).as("r"))
+      .select(col("r.host").as("host"), col("r.prefix").as("prefix"),
+        col("r.abit").as("abit"))
+    val matched = urls.join(broadcast(ruleDf),
+        urls("host") === ruleDf("host") &&
+          col("path").startsWith(col("prefix")), "left_outer")
+      .select(col("doc_id"), urls("host").as("host"),
+        when(col("prefix").isNotNull,
+          length(col("prefix")) * 2 + col("abit")).as("score"))
+    matched.groupBy(col("doc_id"), col("host"))
+      .agg(max(col("score")).as("best"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("best").isNull || col("best") % 2 === 1, 1L).otherwise(0L))
+          .as("n_allowed"),
+        sum(when(col("best").isNotNull && col("best") % 2 === 0, 1L).otherwise(0L))
+          .as("n_denied"),
+        sum(when(col("best").isNull, 1L).otherwise(0L)).as("n_default"))
+  }
+
+  val robotsGateSql: String = {
+    val ruleRows = RobotsRules.map { case (h, pfx, allow) =>
+      s"('$h', '$pfx', ${if (allow) 1 else 0})"
+    }.mkString(", ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+       |    CASE WHEN doc_id % 5 = 0 THEN '/ads/page' || CAST(doc_id % 13 AS VARCHAR)
+       |         WHEN doc_id % 5 = 1 THEN '/private/doc' || CAST(doc_id % 13 AS VARCHAR)
+       |         WHEN doc_id % 5 = 2 THEN '/ads/ok/page' || CAST(doc_id % 13 AS VARCHAR)
+       |         WHEN doc_id % 5 = 3 THEN '/page' || CAST(doc_id % 13 AS VARCHAR)
+       |         ELSE '/docs/page' || CAST(doc_id % 13 AS VARCHAR) END AS path
+       |  FROM documents),
+       |r AS (SELECT * FROM (VALUES $ruleRows) AS t(host, prefix, abit)),
+       |m AS (
+       |  SELECT u.doc_id, u.host,
+       |    CASE WHEN r.prefix IS NOT NULL
+       |         THEN strlen(r.prefix) * 2 + r.abit END AS score
+       |  FROM u LEFT JOIN r
+       |    ON u.host = r.host AND starts_with(u.path, r.prefix)),
+       |b AS (
+       |  SELECT doc_id, host, max(score)::BIGINT AS best
+       |  FROM m GROUP BY 1, 2)
+       |SELECT host, count(*)::BIGINT AS n_urls,
+       |  sum(CASE WHEN best IS NULL OR best % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+       |  sum(CASE WHEN best IS NOT NULL AND best % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_denied,
+       |  sum(CASE WHEN best IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_default
+       |FROM b GROUP BY host""".stripMargin
+  }
 }

@@ -404,4 +404,42 @@ class TextOpsSpec extends SparkSpec {
     assert(shipped == set(fanout = true))
     assert(shipped == set(fanout = false))
   }
+
+  test("robots_gate: longest-match beats first-match; allow wins ties; root-deny loses to /ads/ok") {
+    import graft.queries.TextOps.RobotsRules
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    def pathOf(id: Long): String = (id % 5) match {
+      case 0 => s"/ads/page${id % 13}"
+      case 1 => s"/private/doc${id % 13}"
+      case 2 => s"/ads/ok/page${id % 13}"
+      case 3 => s"/page${id % 13}"
+      case _ => s"/docs/page${id % 13}"
+    }
+    // RFC 9309 reference evaluation: longest matching prefix, allow on ties
+    def verdictOf(id: Long): (String, Option[Boolean]) = {
+      val host = s"site${id % 7}.example.com"
+      val p = pathOf(id)
+      val ms = RobotsRules.filter(r => r._1 == host && p.startsWith(r._2))
+      val v = if (ms.isEmpty) None
+        else Some(ms.maxBy(r => (r._2.length, r._3))._3)
+      (host, v)
+    }
+    var exp = Map.empty[String, (Long, Long, Long, Long)].withDefaultValue((0L, 0L, 0L, 0L))
+    ids.foreach { id =>
+      val (h, v) = verdictOf(id)
+      val (n, a, d, df) = exp(h)
+      exp += h -> ((n + 1, a + (if (v.getOrElse(true)) 1 else 0),
+        d + (if (v.contains(false)) 1 else 0), df + (if (v.isEmpty) 1 else 0)))
+    }
+    val got = run("robots_gate").collect().map(r =>
+      r.getString(0) -> ((r.getAs[Long]("n_urls"), r.getAs[Long]("n_allowed"),
+        r.getAs[Long]("n_denied"), r.getAs[Long]("n_default")))).toMap
+    assert(got == exp.toMap)
+    // the RFC subtlety is live on this corpus: the blocked hosts still
+    // allow SOME url (an /ads/ok one outranking the root disallow)
+    val blockedWithAllow = got.filter { case (h, v) =>
+      graft.queries.TextOps.BlockedHosts.contains(h) && v._2 > 0 }
+    assert(blockedWithAllow.nonEmpty)
+    got.values.foreach { case (n, a, d, _) => assert(a + d == n) }
+  }
 }
