@@ -810,4 +810,83 @@ object Multimodal {
        |SELECT a.doc_id, a.n_frames, a.n_cuts, p.n_shots, p.max_shot,
        |  (a.n_frames * 1000 // (a.n_cuts + 1))::BIGINT AS avg_shot_pm
        |FROM agg a JOIN per p USING (doc_id)""".stripMargin
+
+  /** Image token budget per planted image (a ViT-patch-grid stand-in:
+    * interleaved trainers charge each <image> a fixed patch count). */
+  val ImgTokens = 64L
+
+  /** K143: INTERLEAVED IMAGE-TEXT ASSEMBLY — the OBELICS / MMC4 /
+    * Flamingo document shape: images sit at in-document positions
+    * between text segments, and the PACKING ledger per page — how many
+    * image tokens vs text tokens, and the longest text run between
+    * images — decides sequence-length budgeting before training (an
+    * interleaved batch overflows its context not on text alone but on
+    * text + 64·images). Pages planted deterministically: segments are
+    * the 8-token I-line convention; doc d carries (d mod 3)+1 images
+    * at segment positions (d + 3j) mod n_segs (DOM order, the OBELICS
+    * convention — MMC4 would CLIP-match instead; position planting is
+    * that step's deterministic stand-in). Per page: segments, distinct
+    * image slots, text/image/total tokens, image token share (‰), and
+    * the longest text-only run (segments before the first image,
+    * between consecutive images, after the last — the runs sum to
+    * n_segs, the spec's conservation check).
+    *
+    * Scale shape: map-ONLY — positions, gaps and runs are per-row
+    * array algebra (sort/distinct/zip_with over a ≤3-element array);
+    * no shuffle at all (html_extract posture, PlanSpec-gated); at
+    * 100 TB this is an embarrassingly-parallel scan. */
+  def mmInterleave(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val nsegs = col("n_segs")
+    val ps = col("ps")
+    documents(s, dir)
+      .select(id, graft.functions.TextFns.wsTokens(col("text")).as("toks"))
+      .withColumn("n_segs", greatest(
+        ceil(size(col("toks")).cast("double") / 8).cast("long"), lit(1L)))
+      .withColumn("ps", array_sort(array_distinct(
+        transform(sequence(lit(0L), pmod(id, lit(3L))),
+          j => pmod(id + j * 3L, nsegs)))))
+      .withColumn("runs", concat(
+        array(element_at(ps, 1)),
+        zip_with(slice(ps, lit(1), size(ps) - 1), slice(ps, lit(2), size(ps) - 1),
+          (a, b) => b - a),
+        array(nsegs - element_at(ps, size(ps)))))
+      .select(id, nsegs,
+        size(ps).cast("long").as("n_imgs"),
+        size(col("toks")).cast("long").as("text_tokens"),
+        (size(ps) * ImgTokens).as("img_tokens"),
+        (size(col("toks")) + size(ps) * ImgTokens).as("total_tokens"),
+        expr(s"(size(ps) * $ImgTokens * 1000) div (size(toks) + size(ps) * $ImgTokens)")
+          .as("img_share_pm"),
+        array_max(col("runs")).as("max_text_run"))
+  }
+
+  val mmInterleaveSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, toks,
+       |    greatest(CAST(ceil(len(toks)::DOUBLE / 8) AS BIGINT), 1) AS n_segs
+       |  FROM t),
+       |pos AS (
+       |  SELECT doc_id, toks, n_segs,
+       |    list_sort(list_distinct(
+       |      [(doc_id + j * 3) % n_segs for j in range(0, doc_id % 3 + 1)])) AS ps
+       |  FROM seg),
+       |runs AS (
+       |  SELECT doc_id, toks, n_segs, ps,
+       |    [ps[1]] || [ps[i + 1] - ps[i] for i in range(1, len(ps))]
+       |      || [n_segs - ps[len(ps)]] AS rs
+       |  FROM pos)
+       |SELECT doc_id, n_segs,
+       |  len(ps)::BIGINT AS n_imgs,
+       |  len(toks)::BIGINT AS text_tokens,
+       |  (len(ps) * $ImgTokens)::BIGINT AS img_tokens,
+       |  (len(toks) + len(ps) * $ImgTokens)::BIGINT AS total_tokens,
+       |  ((len(ps) * $ImgTokens * 1000) // (len(toks) + len(ps) * $ImgTokens))::BIGINT
+       |    AS img_share_pm,
+       |  list_max(rs)::BIGINT AS max_text_run
+       |FROM runs""".stripMargin
 }

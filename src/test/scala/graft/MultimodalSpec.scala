@@ -287,4 +287,29 @@ class MultimodalSpec extends SparkSpec {
       assert(ns >= 1 && mx <= nf)
     }
   }
+
+  test("mm_interleave: positions/runs replay exactly; text runs conserve to n_segs") {
+    import Multimodal.ImgTokens
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ").count(_.nonEmpty).toLong
+      val nSegs = math.max(math.ceil(toks / 8.0).toLong, 1L)
+      val ps = (0L to id % 3).map(j => (id + j * 3) % nSegs).distinct.sorted
+      val runs = Seq(ps.head) ++ ps.sliding(2).collect { case Seq(a, b) => b - a } ++
+        Seq(nSegs - ps.last)
+      assert(runs.sum == nSegs) // conservation of the reference itself
+      val total = toks + ps.size * ImgTokens
+      id -> ((nSegs, ps.size.toLong, toks, ps.size * ImgTokens, total,
+        ps.size * ImgTokens * 1000 / total, runs.max))
+    }.toMap
+    val got = run("mm_interleave").collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_imgs"),
+        r.getAs[Long]("text_tokens"), r.getAs[Long]("img_tokens"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("img_share_pm"),
+        r.getAs[Long]("max_text_run")))).toMap
+    assert(got == expected)
+    // interleaving is real: some page carries 3 images, some 1
+    assert(got.values.map(_._2).toSet.intersect(Set(1L, 3L)).size == 2)
+  }
 }

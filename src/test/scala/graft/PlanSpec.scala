@@ -600,6 +600,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("mm_interleave: map-only — the packing ledger never shuffles") {
+    val p = plan("mm_interleave")
+    assert(!p.contains("Exchange"), s"mm_interleave plans a shuffle:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1)
+  }
+
   test("soft_dedup: postings persist once, nothing pairwise, df join stays gram-keyed") {
     val p = plan("soft_dedup")
     assert(p.contains("InMemoryTableScan"),
