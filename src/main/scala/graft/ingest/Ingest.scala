@@ -402,6 +402,85 @@ object Ingest {
       |  sum(CASE WHEN bad_num THEN NULL ELSE n_chars END)::BIGINT AS sum_chars,
       |  count(DISTINCT lang)::BIGINT AS n_langs
       |FROM r GROUP BY 1""".stripMargin
+
+  /** K145: WARC RECORD INTEGRITY — the CommonCrawl WARC/WET header
+    * pass every web corpus runs FIRST (ISO 28500: a crawl archive is
+    * typed records with declared Content-Length; only `response`
+    * records with sound lengths feed extraction — K124 html_extract
+    * sits immediately downstream): records planted deterministically
+    * (version line, WARC-Type on doc_id mod 5 — request / metadata /
+    * response — Target-URI on the url_filter host lattice, a
+    * Content-Length corrupted by +5 on doc_id mod 11, blank line,
+    * payload); headers parse with regexp_extract in the shared
+    * subset, the payload re-measures AFTER the header/payload split
+    * (instr on the blank line — the real integrity check, never
+    * trusting the planted arithmetic), and the declared length is
+    * compared to the measured one. Per WARC-Type: records, bad
+    * lengths, measured payload bytes, distinct target hosts.
+    *
+    * Scale shape: record synthesis + header parse + length check are
+    * map-only (one projection chain per record); ONE type-keyed
+    * combining aggregate ends the plan (3 rows out). At 100 TB this
+    * is the per-shard WARC scan it is in production. */
+  def warcStats(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val wtype = when(id % 5 === 0, "request")
+      .when(id % 5 === 1, "metadata").otherwise("response")
+    val declared = length(col("text")) +
+      when(id % 11 === 0, 5).otherwise(0)
+    val rec = concat(
+      lit("WARC/1.0\nWARC-Type: "), wtype,
+      lit("\nWARC-Record-ID: <urn:uuid:"), id.cast("string"),
+      lit(">\nWARC-Target-URI: https://site"), (id % 7).cast("string"),
+      lit(".example.com/page"), (id % 13).cast("string"),
+      lit("\nContent-Length: "), declared.cast("string"),
+      lit("\n\n"), col("text"))
+    Tables.documents(s, dir)
+      .select(id, rec.as("rec"))
+      .select(id,
+        regexp_extract(col("rec"), "WARC-Type: ([a-z]+)", 1).as("wtype"),
+        regexp_extract(col("rec"), "WARC-Target-URI: https://([a-z0-9.-]+)", 1)
+          .as("host"),
+        regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
+          .cast("long").as("declared"),
+        // measure the payload from the record itself, after the
+        // header/blank-line split — never trust the header
+        (length(col("rec")) - (instr(col("rec"), "\n\n") + 1)).as("measured"))
+      .groupBy(col("wtype"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("declared") =!= col("measured"), 1L).otherwise(0L))
+          .as("n_bad_length"),
+        sum(col("measured")).as("payload_bytes"),
+        countDistinct(col("host")).as("n_hosts"))
+  }
+
+  val warcStatsSql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    'WARC/1.0' || chr(10) || 'WARC-Type: '
+      |    || CASE WHEN doc_id % 5 = 0 THEN 'request'
+      |            WHEN doc_id % 5 = 1 THEN 'metadata'
+      |            ELSE 'response' END
+      |    || chr(10) || 'WARC-Record-ID: <urn:uuid:' || CAST(doc_id AS VARCHAR)
+      |    || '>' || chr(10) || 'WARC-Target-URI: https://site'
+      |    || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page'
+      |    || CAST(doc_id % 13 AS VARCHAR)
+      |    || chr(10) || 'Content-Length: '
+      |    || CAST(strlen(text) + CASE WHEN doc_id % 11 = 0 THEN 5 ELSE 0 END AS VARCHAR)
+      |    || chr(10) || chr(10) || text AS rec
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    regexp_extract(rec, 'WARC-Type: ([a-z]+)', 1) AS wtype,
+      |    regexp_extract(rec, 'WARC-Target-URI: https://([a-z0-9.-]+)', 1) AS host,
+      |    CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS declared,
+      |    strlen(rec) - (strpos(rec, chr(10) || chr(10)) + 1) AS measured
+      |  FROM r)
+      |SELECT wtype, count(*)::BIGINT AS n_records,
+      |  sum(CASE WHEN declared <> measured THEN 1 ELSE 0 END)::BIGINT AS n_bad_length,
+      |  sum(measured)::BIGINT AS payload_bytes,
+      |  count(DISTINCT host)::BIGINT AS n_hosts
+      |FROM h GROUP BY 1""".stripMargin
 }
 
 /** Deterministic dirty-CSV fixture for K37: the documents table as

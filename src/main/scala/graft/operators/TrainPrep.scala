@@ -1570,4 +1570,95 @@ object TrainPrep {
        |          // (n_toks * 1000000 // ttot)
        |     ELSE 0 END)::BIGINT AS boost_pm
        |FROM pls, nm""".stripMargin
+
+  /** UniMax per-language epoch cap (the paper's k: no language
+    * repeats more than this many times). */
+  val UnimaxEpochCap = 2L
+
+  /** K144: UNIMAX BUDGET ALLOCATION — the UniMax sampler (Chung et
+    * al., "UniMax: Fairer and More Effective Language Sampling", ICLR
+    * 2023), the successor to K136's temperature flattening that mT5's
+    * follow-ups adopted: allocate a total training-token budget
+    * UNIFORMLY across languages, except no language may exceed
+    * [[UnimaxEpochCap]] epochs of its own corpus — the water-filling
+    * that gives tail languages a fair share without degenerate
+    * repetition. Budget T = (3·total) div 2 (corpus-derived, so the
+    * op is scale-free); caps sort ascending and the capped set is the
+    * exact integer prefix test cap_i·(L−i+1) < T − Σ_{j<i}cap_j made
+    * prefix-monotone by a cumulative AND; uncapped languages split
+    * the residue by floor division. Per lang: docs, tokens, cap,
+    * capped flag, allocation, epochs‰ — the spec replays sequential
+    * water-filling and pins Σalloc ≤ T with the uniform-split
+    * residue property.
+    *
+    * Shape: ONE lang-keyed corpus aggregate; the per-lang frame
+    * localCheckpoints (≤|langs| rows — report-sized) so the ordering
+    * windows, the capped-sum normalizer and the final projection all
+    * derive from it without re-scanning the corpus; windows order a
+    * langs-sized frame, never rows. */
+  def unimaxBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = documents(s, dir)
+      .select(col("lang"), graft.functions.TextFns.wsTokenCount(col("text"))
+        .cast("long").as("tk"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_toks"))
+      .localCheckpoint() // <= |langs| rows; everything below derives from it
+    val tot = perLang.agg(sum(col("n_toks")).as("tot"),
+      count(lit(1)).as("nl"))
+    val w = Window.orderBy(col("cap"), col("lang"))
+    val flagged = perLang.crossJoin(broadcast(tot)) // 1-row scalar frame
+      .withColumn("budget", expr("(3 * tot) div 2"))
+      .withColumn("cap", col("n_toks") * UnimaxEpochCap)
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cprev", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("f",
+        (col("cap") * (col("nl") - col("i") + 1) < col("budget") - col("cprev"))
+          .cast("int"))
+      .withColumn("capped",
+        min(col("f")).over(w.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+    val sums = flagged.agg(
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("csum"),
+      coalesce(sum(when(!col("capped"), 1L)), lit(0L)).as("nun"))
+    flagged.crossJoin(broadcast(sums)) // 1-row scalar frame
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(expr("(budget - csum) div greatest(nun, 1)")))
+      .select(col("lang"), col("n_docs"), col("n_toks"), col("cap"),
+        col("capped"), col("alloc"),
+        expr("(alloc * 1000) div n_toks").as("epochs_pm"))
+  }
+
+  val unimaxBudgetSql: String =
+    s"""WITH pl AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_toks
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT sum(n_toks)::BIGINT AS tot, count(*)::BIGINT AS nl FROM pl),
+       |f AS (
+       |  SELECT pl.*, t.tot, t.nl, (3 * t.tot) // 2 AS budget,
+       |    n_toks * $UnimaxEpochCap AS cap,
+       |    row_number() OVER (ORDER BY n_toks * $UnimaxEpochCap, lang) AS i,
+       |    coalesce(sum(n_toks * $UnimaxEpochCap) OVER (
+       |      ORDER BY n_toks * $UnimaxEpochCap, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+       |  FROM pl, t),
+       |g AS (
+       |  SELECT *, CASE WHEN cap * (nl - i + 1) < budget - cprev THEN 1 ELSE 0 END AS fl
+       |  FROM f),
+       |h AS (
+       |  SELECT *, min(fl) OVER (ORDER BY cap, lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+       |  FROM g),
+       |sums AS (
+       |  SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)::BIGINT AS csum,
+       |    coalesce(sum(CASE WHEN NOT capped THEN 1 END), 0)::BIGINT AS nun
+       |  FROM h)
+       |SELECT lang, n_docs, n_toks, cap::BIGINT AS cap, capped,
+       |  (CASE WHEN capped THEN cap
+       |        ELSE (budget - csum) // greatest(nun, 1) END)::BIGINT AS alloc,
+       |  ((CASE WHEN capped THEN cap
+       |         ELSE (budget - csum) // greatest(nun, 1) END) * 1000 // n_toks)::BIGINT
+       |    AS epochs_pm
+       |FROM h, sums""".stripMargin
 }

@@ -162,4 +162,25 @@ class IngestSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan.take(800))
   }
+
+  test("warc_stats: header parse + measured lengths replay; planted corruption found") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def typeOf(id: Long) = (id % 5) match {
+      case 0 => "request"; case 1 => "metadata"; case _ => "response"
+    }
+    val exp = docs.groupBy { case (id, _) => typeOf(id) }.map { case (t, ds) =>
+      t -> ((ds.length.toLong,
+        ds.count { case (id, _) => id % 11 == 0 }.toLong,
+        ds.map(_._2.length.toLong).sum,
+        ds.map { case (id, _) => s"site${id % 7}.example.com" }.distinct.length.toLong))
+    }
+    val got = SparkEntry.queries("warc_stats")(spark, sf).collect().map(r =>
+      r.getString(0) -> ((r.getAs[Long]("n_records"), r.getAs[Long]("n_bad_length"),
+        r.getAs[Long]("payload_bytes"), r.getAs[Long]("n_hosts")))).toMap
+    assert(got == exp)
+    // the corruption is really detected by MEASUREMENT, not the mod:
+    // every planted +5 record mismatches, nothing else does
+    assert(got.values.map(_._2).sum == docs.count(_._1 % 11 == 0).toLong)
+  }
 }

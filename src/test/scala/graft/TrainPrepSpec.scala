@@ -633,4 +633,49 @@ class TrainPrepSpec extends SparkSpec {
     val qSum = got.values.map(_._4).sum
     assert(math.abs(qSum - 1000000L) <= perLang.size)
   }
+
+  test("unimax_budget: water-filling replays sequentially; caps bind exactly") {
+    import TrainPrep.UnimaxEpochCap
+    val perLang = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val total = perLang.values.map(_._2).sum
+    val budget = 3 * total / 2
+    // reference: the documented convention — capped set is the
+    // ascending-cap prefix passing cap·left < remaining (cumulative
+    // AND), uncapped langs split the residue by floor division
+    val order = perLang.toSeq.map { case (l, (_, tk)) => (l, tk * UnimaxEpochCap) }
+      .sortBy { case (l, c) => (c, l) }
+    var remaining = budget
+    var left = order.size.toLong
+    var anyUncapped = false
+    val capped = order.map { case (l, cap) =>
+      val f = !anyUncapped && cap * left < remaining
+      if (f) remaining -= cap else anyUncapped = true
+      left -= 1
+      l -> f
+    }.toMap
+    val csum = order.collect { case (l, cap) if capped(l) => cap }.sum
+    val nun = capped.values.count(!_).toLong
+    val alloc = order.map { case (l, cap) =>
+      l -> (if (capped(l)) cap else (budget - csum) / math.max(nun, 1L))
+    }.toMap
+    val got = run("unimax_budget").collect().map(r =>
+      r.getString(0) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("cap"), r.getAs[Boolean]("capped"), r.getAs[Long]("alloc"),
+        r.getAs[Long]("epochs_pm")))).toMap
+    assert(got.keySet == perLang.keySet)
+    got.foreach { case (l, (nd, tk, cap, cp, al, epm)) =>
+      assert((nd, tk) == perLang(l), s"$l corpus stats")
+      assert(cap == tk * UnimaxEpochCap)
+      assert(cp == capped(l), s"$l capped flag")
+      assert(al == alloc(l), s"$l allocation")
+      assert(epm == al * 1000 / tk)
+    }
+    // water-filling semantics hold: nobody exceeds its cap, the
+    // budget is respected, and both branches live on this corpus
+    got.values.foreach { case (_, _, cap, _, al, _) => assert(al <= cap) }
+    assert(got.values.map(_._5).sum <= budget)
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
 }
