@@ -158,6 +158,36 @@ object BenchDrift {
     * that still fires on a faster box is at least as real. */
   def discountDrift(parRatio: Option[Double]): Boolean =
     parRatio.exists(_ > ParDriftMax)
+
+  /** Either-stamp discount: contention (parallel spin) OR degraded
+    * scan path ([[calibScanMs]]) marks the run's warm flags suspect.
+    * The r11-continuation incident motivated the second stamp: a box
+    * ran scan-heavy sub-second queries 1.5-4× slower (q1_agg
+    * 0.24→0.81 s warm, worktree cross-check flat) while BOTH spin
+    * fingerprints read ~1.0 — pure-ALU loops cannot see I/O /
+    * page-cache / VM-scheduler state. */
+  def discountDrift(parRatio: Option[Double], scanRatio: Option[Double]): Boolean =
+    discountDrift(parRatio) || scanRatio.exists(_ > ParDriftMax)
+
+  /** SCAN-shaped calibration, milliseconds — the third fingerprint:
+    * a fixed parquet read + aggregate over the smallest table, min of
+    * `passes` (first pass additionally warms the footer cache; min
+    * discards it). Times the whole scan path — file listing, footer
+    * decode, column read, codegen'd agg — the layer the spin
+    * fingerprints are blind to. Table choice is deliberate: nation is
+    * SF-INVARIANT (25 rows at every scale), so the stamp is
+    * comparable across runs AND scales, a pure box-path probe that
+    * never grows with the corpus. */
+  def calibScanMs(spark: SparkSession, sfDir: String, passes: Int = 3): Double = {
+    val times = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("n_nationkey"))).collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    times.min
+  }
 }
 
 object Bench {
@@ -279,18 +309,26 @@ object Bench {
     // flags are contention artifacts until re-measured idle.
     val calib = BenchDrift.calibMs()
     val calibPar = BenchDrift.calibParMs()
+    // third fingerprint: the scan path (I/O + footer + codegen agg)
+    // over the SF-invariant 25-row nation table — the layer the two
+    // pure-ALU spins are blind to (the r11-continuation incident)
+    val calibScan = BenchDrift.calibScanMs(spark, sfDir)
     val calibRatio = BenchDrift.parseCalib(priorJson).map(p => r3(calib / p))
     val calibParRatio =
       BenchDrift.parseNum(priorJson, "calib_par_ms").map(p => r3(calibPar / p))
-    val discounted = BenchDrift.discountDrift(calibParRatio)
+    val calibScanRatio =
+      BenchDrift.parseNum(priorJson, "calib_scan_ms").map(p => r3(calibScan / p))
+    val discounted = BenchDrift.discountDrift(calibParRatio, calibScanRatio)
     val common = s""""value":$total,"unit":"sec","warm_total":$warmTotal,""" +
       s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
       s""""sf":"$sfDir","failed":$failed,"noisy":$noisy,""" +
       s""""slope_flagged":$slopeFlagged,"warm_regressed":$driftJson,""" +
       s""""drift_discounted":$discounted,""" +
-      s""""calib_ms":${r3(calib)},"calib_par_ms":${r3(calibPar)}""" +
+      s""""calib_ms":${r3(calib)},"calib_par_ms":${r3(calibPar)},""" +
+      s""""calib_scan_ms":${r3(calibScan)}""" +
       calibRatio.map(r => s""","calib_vs_prior":$r""").getOrElse("") +
-      calibParRatio.map(r => s""","calib_par_vs_prior":$r""").getOrElse("")
+      calibParRatio.map(r => s""","calib_par_vs_prior":$r""").getOrElse("") +
+      calibScanRatio.map(r => s""","calib_scan_vs_prior":$r""").getOrElse("")
     val summary = s"""{"metric":"total_summary",$common}"""
     val line = s"""{"metric":"total",$common,"queries":${qjson(_._2)},""" +
       s""""queries_warm":${qjson(_._3)},"queries_slope":$slopeJson}"""

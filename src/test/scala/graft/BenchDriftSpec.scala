@@ -63,6 +63,20 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(!BenchDrift.discountDrift(None)) // no prior: nothing to claim
   }
 
+  test("calib_scan: stamp parses, and the r11-continuation incident " +
+    "shape is discounted (live probe: PlanSpec)") {
+    assert(BenchDrift.parseNum("""{"calib_scan_ms":12.5}""", "calib_scan_ms")
+      .contains(12.5))
+    // the r11-continuation shape: BOTH spins flat (core + 32-way
+    // throughput fine) while the scan path runs 1.5-4x — the flags
+    // must be stamped suspect on the scan evidence alone
+    assert(BenchDrift.discountDrift(Some(0.98), Some(1.6)))
+    // either stamp suffices; neither stamp → trusted
+    assert(BenchDrift.discountDrift(Some(1.22), Some(1.0)))
+    assert(!BenchDrift.discountDrift(Some(0.98), Some(1.05)))
+    assert(!BenchDrift.discountDrift(None, None))
+  }
+
   test("the in-tree committed bench_last.json parses non-empty") {
     val p = java.nio.file.Paths.get("bench_last.json")
     assume(java.nio.file.Files.exists(p))

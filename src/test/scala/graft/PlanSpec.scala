@@ -600,6 +600,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("calib_scan: the live scan fingerprint is positive and fast") {
+    val ms = BenchDrift.calibScanMs(spark, sf)
+    assert(ms > 0 && ms < 10000)
+  }
+
   test("mm_interleave: map-only — the packing ledger never shuffles") {
     val p = plan("mm_interleave")
     assert(!p.contains("Exchange"), s"mm_interleave plans a shuffle:\n$p")
