@@ -984,4 +984,90 @@ object Ann {
        |                               ORDER BY qdist, vec_id) AS rank FROM ad)
        |WHERE rank <= $PqTopK""".stripMargin
   }
+
+  /** Matryoshka truncation dims (full = 64, the corpus width). */
+  val MrlDims: Seq[Int] = Seq(4, 16, 64)
+
+  /** K146: MATRYOSHKA TRUNCATION RECALL — the MRL evaluation
+    * (Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    * 2022) that production embedding APIs now ship against: how much
+    * retrieval recall survives when vectors truncate to their first
+    * d dimensions (the storage/latency knob — a 4x truncation is a
+    * 4x index-size cut IF recall holds). For each d in [[MrlDims]]:
+    * exact top-[[K]] cosine over the d-prefix slices, intersected
+    * with the full-width top-[[K]] ground truth; per dim: probe
+    * count, hit count, recall per-mille. The d = 64 row is the
+    * full-width identity (recall 1000) — the eval's built-in sanity
+    * anchor, spec-pinned.
+    *
+    * Shape: the D-family declared exact baseline — probes broadcast,
+    * corpus scanned once per dim (|MrlDims| passes over a PROBE
+    * SAMPLE at any real scale), the ground-truth frame
+    * localCheckpoints at K·probes rows and every join after is
+    * probe-set-sized. Slices keep prefix order, so the doubles are
+    * the same left-to-right folds D1 rides — fully oracle-able. */
+  def mrlRecall(s: SparkSession, dir: String): DataFrame = {
+    val fullK = bruteforceFor(s, dir, probes(s, dir))
+      .select(col("qid"), col("nb"))
+      .localCheckpoint() // K x NumQueries rows; joined once per dim
+    val perDim = MrlDims.map { d =>
+      val qd = probes(s, dir)
+        .select(col("qid"), slice(col("qe"), 1, d).as("qe"))
+        .withColumn("qn", VecFns.norm(col("qe")))
+      val scored = embeddings(s, dir)
+        .select(col("vec_id"), slice(col("embedding"), 1, d).as("ne"))
+        .withColumn("nn", VecFns.norm(col("ne")))
+        .join(broadcast(qd), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nb"),
+          pairCos(col("qe"), col("ne"), col("qn"), col("nn")).as("cos"))
+      topK(scored).select(col("qid"), col("nb"), lit(d.toLong).as("dim"))
+    }.reduce(_ unionByName _)
+    perDim
+      .join(fullK.withColumn("hit", lit(1L)), Seq("qid", "nb"), "left_outer")
+      .groupBy(col("dim"))
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .select(col("dim"), col("n_queries"), col("hits"),
+        expr(s"(hits * 1000) div (${K} * n_queries)").as("recall_pm"))
+  }
+
+  val mrlRecallSql: String = {
+    def cosD(d: Int): String =
+      s"""CASE WHEN sqrt(list_dot_product(qe[1:$d]::DOUBLE[], qe[1:$d]::DOUBLE[]))
+         |        * sqrt(list_dot_product(ne[1:$d]::DOUBLE[], ne[1:$d]::DOUBLE[])) = 0
+         |     THEN 0.0
+         |     ELSE list_dot_product(qe[1:$d]::DOUBLE[], ne[1:$d]::DOUBLE[]) /
+         |       (sqrt(list_dot_product(qe[1:$d]::DOUBLE[], qe[1:$d]::DOUBLE[])) *
+         |        sqrt(list_dot_product(ne[1:$d]::DOUBLE[], ne[1:$d]::DOUBLE[]))) END"""
+        .stripMargin
+    val dimCtes = MrlDims.map { d =>
+      s"""t$d AS (
+         |  SELECT qid, nb, $d AS dim FROM (
+         |    SELECT qid, e.vec_id AS nb,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ${cosD(d)} DESC, e.vec_id) AS rnk
+         |    FROM q, (SELECT vec_id, embedding AS ne FROM embeddings) e
+         |    WHERE e.vec_id <> qid)
+         |  WHERE rnk <= $K)"""
+        .stripMargin
+    }.mkString(",\n")
+    val dimUnion = MrlDims.map(d => s"SELECT * FROM t$d").mkString(" UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |fullk AS (
+       |  SELECT qid, nb FROM (
+       |    SELECT qid, e.vec_id AS nb,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ${cosD(64)} DESC, e.vec_id) AS rnk
+       |    FROM q, (SELECT vec_id, embedding AS ne FROM embeddings) e
+       |    WHERE e.vec_id <> qid)
+       |  WHERE rnk <= $K),
+       |$dimCtes,
+       |u AS ($dimUnion)
+       |SELECT dim::BIGINT AS dim, count(DISTINCT u.qid)::BIGINT AS n_queries,
+       |  coalesce(sum(CASE WHEN f.nb IS NOT NULL THEN 1 END), 0)::BIGINT AS hits,
+       |  (coalesce(sum(CASE WHEN f.nb IS NOT NULL THEN 1 END), 0) * 1000
+       |    // ($K * count(DISTINCT u.qid)))::BIGINT AS recall_pm
+       |FROM u LEFT JOIN fullk f ON u.qid = f.qid AND u.nb = f.nb
+       |GROUP BY 1""".stripMargin
+  }
 }

@@ -355,4 +355,34 @@ class AnnSpec extends SparkSpec {
     // recall is monotone in nprobe; full probe budget reaches max recall
     got.map(_._5).sliding(2).foreach(pr => assert(pr.head <= pr.last))
   }
+
+  test("mrl_recall: truncation recall replays locally; full width is the identity") {
+    import graft.operators.Ann.{K, MrlDims, NumQueries}
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def topk(d: Int, qid: Long): Seq[Long] = {
+      val qe = vecs.toMap.apply(qid).take(d)
+      val qn = math.sqrt(qe.map(x => x * x).sum)
+      vecs.filter(_._1 != qid).map { case (id, v) =>
+        val ne = v.take(d)
+        val nn = math.sqrt(ne.map(x => x * x).sum)
+        val c = if (qn * nn == 0) 0.0
+          else ne.zip(qe).foldLeft(0.0) { case (a, (x, y)) => a + x * y } / (qn * nn)
+        (id, c)
+      }.sortBy { case (id, c) => (-c, id) }.take(K).map(_._1).toSeq
+    }
+    val qids = vecs.map(_._1).filter(_ < NumQueries)
+    val expected = MrlDims.map { d =>
+      val hits = qids.map(q => topk(d, q).toSet.intersect(topk(64, q).toSet).size).sum
+      d.toLong -> ((qids.length.toLong, hits.toLong,
+        hits.toLong * 1000 / (K * qids.length)))
+    }.toMap
+    val got = run("mrl_recall").collect().map(r =>
+      r.getAs[Long]("dim") -> ((r.getAs[Long]("n_queries"), r.getAs[Long]("hits"),
+        r.getAs[Long]("recall_pm")))).toMap
+    assert(got == expected)
+    // the full-width row is the identity, and truncation really costs recall
+    assert(got(64L)._3 == 1000L)
+    assert(got(4L)._3 < 1000L)
+  }
 }
