@@ -1719,4 +1719,98 @@ object Dedup {
        |  ($SoftWFloor + ((cmax - commonness_pm) * ${1000 - SoftWFloor})
        |    // greatest(cmax - cmin, 1))::BIGINT AS weight_pm
        |FROM pm, r""".stripMargin
+
+  /** CDC window (bytes of rolling context) and boundary mask modulus
+    * (expected chunk length ≈ the modulus). */
+  val CdcWin = 8
+  val CdcMask = 32L
+
+  /** K147: CONTENT-DEFINED CHUNKING — the LBFS/Rabin chunking
+    * (Muthitacharoen et al., SOSP 2001) that restic/borg-class blob
+    * stores and dataset-snapshot systems run under every large
+    * corpus: cut each payload where a rolling window hash hits a
+    * mask (h mod [[CdcMask]] = 0 over the trailing [[CdcWin]]
+    * bytes), so boundaries follow CONTENT — an insertion reshifts
+    * only its own chunk's cuts, and identical spans across documents
+    * land in identical chunks (fixed-size blocks would lose
+    * alignment after one byte). FastCDC's min/max-size
+    * normalization is the production refinement deliberately
+    * dropped here: it makes cuts sequential; the bare mask keeps
+    * every boundary an independent map-side predicate. Chunks then
+    * dedup by content hash — the corpus-level CAS ledger: chunks,
+    * unique chunks, bytes, reclaimable duplicate bytes, the hottest
+    * chunk's copy count, mean chunk length in per-mille bytes.
+    *
+    * Scale shape: boundary detection and chunk slicing are map-ONLY
+    * array algebra per document (window hash = the shared
+    * str_poly_hash fold over an 8-byte slice; chunk partition proven
+    * by Σlen = payload len, spec-pinned); the ONLY rows-scale
+    * shuffle is the (hash)-keyed combining aggregate over 16-byte
+    * keys + counters — payloads never shuffle, exactly the mm_dedup
+    * posture at chunk granularity. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val bounds = when(col("len") > CdcWin, filter(
+      sequence(lit(CdcWin.toLong), col("len") - 1),
+      i => pmod(graft.functions.HashFns.strHash(
+        t.substr((i - CdcWin + 1).cast("int"), lit(CdcWin))), lit(CdcMask)) === 0))
+      .otherwise(array().cast("array<long>"))
+    val chunks = documents(s, dir)
+      .select(col("doc_id"), col("text").as("t"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("cuts", concat(array(lit(0L)), bounds, array(col("len"))))
+      .select(col("doc_id"), t,
+        explode(zip_with(
+          slice(col("cuts"), lit(1), size(col("cuts")) - 1),
+          slice(col("cuts"), lit(2), size(col("cuts")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("c"))
+      .select(col("doc_id"),
+        md5(t.substr((col("c.a") + 1).cast("int"),
+          (col("c.b") - col("c.a")).cast("int")).cast("binary")).as("h"),
+        (col("c.b") - col("c.a")).as("l"))
+    val byHash = chunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("copies"), sum(col("l")).as("bytes_all"),
+        min(col("l")).as("bytes_one"))
+    byHash.agg(
+      sum(col("copies")).as("n_chunks"),
+      count(lit(1)).as("n_unique"),
+      sum(col("bytes_all")).as("total_bytes"),
+      sum(col("bytes_all") - col("bytes_one")).as("dup_bytes"),
+      max(col("copies")).as("max_copies"))
+      .select(col("n_chunks"), col("n_unique"), col("total_bytes"),
+        col("dup_bytes"), col("max_copies"),
+        expr("(total_bytes * 1000) div n_chunks").as("avg_chunk_len_pm"))
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text AS t, strlen(text)::BIGINT AS len FROM documents),
+       |b AS (
+       |  SELECT doc_id, t, len,
+       |    [0::BIGINT] ||
+       |    [i for i in range($CdcWin::BIGINT, len) if
+       |       list_reduce(list_prepend(0::BIGINT,
+       |         [ascii(c)::BIGINT for c in list_filter(
+       |            string_split(substr(t, (i - ${CdcWin - 1})::INT, $CdcWin), ''),
+       |            c -> c <> '')]),
+       |         (a, x) -> (a * 31 + x) % 1000000007) % $CdcMask = 0]
+       |    || [len] AS cuts
+       |  FROM d),
+       |ci AS (
+       |  SELECT doc_id, t, cuts, unnest(range(1, len(cuts)))::BIGINT AS i FROM b),
+       |ch AS (
+       |  SELECT doc_id,
+       |    md5(substr(t, (cuts[i] + 1)::INT, (cuts[i + 1] - cuts[i])::INT)) AS h,
+       |    cuts[i + 1] - cuts[i] AS l
+       |  FROM ci),
+       |g AS (
+       |  SELECT h, count(*) AS copies, sum(l)::BIGINT AS bytes_all,
+       |    min(l) AS bytes_one
+       |  FROM ch GROUP BY 1)
+       |SELECT sum(copies)::BIGINT AS n_chunks, count(*)::BIGINT AS n_unique,
+       |  sum(bytes_all)::BIGINT AS total_bytes,
+       |  sum(bytes_all - bytes_one)::BIGINT AS dup_bytes,
+       |  max(copies)::BIGINT AS max_copies,
+       |  (sum(bytes_all) * 1000 // sum(copies))::BIGINT AS avg_chunk_len_pm
+       |FROM g""".stripMargin
 }

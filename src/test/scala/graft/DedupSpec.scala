@@ -621,4 +621,35 @@ class DedupSpec extends SparkSpec {
     assert(got.values.exists(_._3 == 1000L) || cmax == cmin)
     assert(got.values.forall(v => v._3 >= SoftWFloor && v._3 <= 1000L))
   }
+
+  test("cdc_chunks: mask cuts + CAS ledger replay; chunks partition every payload") {
+    import graft.operators.Dedup.{CdcWin, CdcMask}
+    val P = 1000000007L
+    def polyHash(w: String): Long = w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val allChunks = docs.flatMap { t =>
+      val len = t.length.toLong
+      val bounds = if (len > CdcWin)
+        (CdcWin.toLong to len - 1).filter { i =>
+          polyHash(t.substring((i - CdcWin).toInt, i.toInt)) % CdcMask == 0
+        } else Seq.empty[Long]
+      val cuts = Seq(0L) ++ bounds ++ Seq(len)
+      val chunks = cuts.sliding(2).collect { case Seq(a, b) =>
+        t.substring(a.toInt, b.toInt) }.toSeq
+      assert(chunks.map(_.length.toLong).sum == len) // partition invariant
+      chunks
+    }
+    val byHash = allChunks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r = run("cdc_chunks").collect()(0)
+    assert(r.getAs[Long]("n_chunks") == allChunks.length.toLong)
+    assert(r.getAs[Long]("n_unique") == byHash.size.toLong)
+    assert(r.getAs[Long]("total_bytes") == allChunks.map(_.length.toLong).sum)
+    assert(r.getAs[Long]("dup_bytes") ==
+      byHash.map { case (c, n) => (n - 1) * c.length.toLong }.sum)
+    assert(r.getAs[Long]("max_copies") == byHash.values.max)
+    assert(r.getAs[Long]("avg_chunk_len_pm") ==
+      allChunks.map(_.length.toLong).sum * 1000 / allChunks.length)
+    // content-defined dedup is real on this corpus: shared spans collide
+    assert(r.getAs[Long]("dup_bytes") > 0)
+  }
 }
