@@ -235,4 +235,146 @@ object Retrieval {
        |  SELECT *, row_number() OVER (PARTITION BY vb ORDER BY margin_pm DESC, va) AS r
        |  FROM m)
        |WHERE r = 1 AND margin_pm >= $BtMarginFloor""".stripMargin
+
+  /** MMR: λ in tenths (0.7 relevance / 0.3 diversity — the paper's
+    * headline setting), picks per query, candidate pool depth. */
+  val MmrLambda10 = 7L
+  val MmrK = 5
+  val MmrC = 20
+
+  /** K148: MMR DIVERSIFICATION — Maximal Marginal Relevance
+    * (Carbonell & Goldstein, SIGIR 1998), the result-diversification
+    * step RAG stacks run between retrieval and the context window:
+    * from each query's top-[[MmrC]] cosine candidates, greedily pick
+    * [[MmrK]] maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s) — the
+    * first pick is pure relevance, every later pick is penalized by
+    * its similarity to what is ALREADY in the context, so near-dup
+    * passages stop crowding out coverage. All arithmetic on the ×10⁴
+    * half-up lattice (the bitext_mine convention): score =
+    * [[MmrLambda10]]·rel4 − 3·maxsim4 in BIGINT, argmax tie-broken
+    * by nb — engine-exact, so the greedy TRAJECTORY (not just the
+    * set) rides the hash gate. The greedy loop is inherently
+    * sequential in [[MmrK]]; it unrolls as [[MmrK]] dataframe rounds
+    * (the bpe_train iterative contract — K is a constant, never
+    * data-scale).
+    *
+    * Shape: candidate generation is the D-family exact baseline
+    * (probes broadcast, one corpus scan; IVF/PQ swap at scale);
+    * candidates AND their pairwise sims persist once
+    * (probe-set-sized: ≤ C·|probes| and C²·|probes| rows), and every
+    * round is an integer join + argmax window over those persisted
+    * frames — nothing after the scan touches the corpus. */
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ann
+    val lat = (c: org.apache.spark.sql.Column) =>
+      floor(c * 10000 + 0.5).cast("long")
+    // top-C cosine candidates per probe, embeddings kept for sims
+    val qs = embeddings(s, dir).filter(col("vec_id") < Ann.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn", VecFns.norm(col("qe")))
+    val scored = embeddings(s, dir)
+      .select(col("vec_id").as("nb"), col("embedding").as("ne"))
+      .withColumn("nn", VecFns.norm(col("ne")))
+      .join(broadcast(qs), col("nb") =!= col("qid"))
+      .withColumn("cos", when(col("qn") * col("nn") === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("qe"), col("ne")) / (col("qn") * col("nn"))))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+    val cands = scored
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= MmrC)
+      .select(col("qid"), col("nb"), lat(col("cos")).as("rel4"), col("ne"), col("nn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cands.select(col("qid"), col("nb").as("a"),
+      col("ne").as("ea"), col("nn").as("na"))
+    val b = cands.select(col("qid"), col("nb").as("b"),
+      col("ne").as("eb"), col("nn").as("nb2"))
+    val pairs = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+      .withColumn("sim4", lat(when(col("na") * col("nb2") === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("ea"), col("eb")) / (col("na") * col("nb2")))))
+      .select(col("qid"), col("a"), col("b"), col("sim4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ws = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nb"))
+    def pick(pool: DataFrame, r: Int): DataFrame = pool
+      .withColumn("rn2", row_number().over(ws)).filter(col("rn2") === 1)
+      .select(col("qid"), col("nb"), lit(r.toLong).as("rnk"), col("score"))
+    // round 1: pure relevance (S empty -> diversity term 0)
+    var picked = pick(cands.withColumn("score", lit(MmrLambda10) * col("rel4")), 1)
+    var selected = picked.select(col("qid"), col("nb"))
+    (2 to MmrK).foreach { r =>
+      val ms = pairs
+        .join(selected.withColumnRenamed("nb", "b"), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a")).agg(max(col("sim4")).as("ms"))
+        .withColumnRenamed("a", "nb")
+      val pool = cands
+        .join(selected, Seq("qid", "nb"), "left_anti")
+        .join(ms, Seq("qid", "nb"), "left_outer")
+        .na.fill(0L, Seq("ms"))
+        .withColumn("score",
+          lit(MmrLambda10) * col("rel4") - lit(10 - MmrLambda10) * col("ms"))
+      val p = pick(pool, r)
+      picked = picked.unionByName(p)
+      selected = selected.unionByName(p.select(col("qid"), col("nb")))
+    }
+    picked
+  }
+
+  val mmrDiversifySql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      s"""m$r AS (
+         |  SELECT p.qid, p.a AS nb, max(p.sim4) AS ms
+         |  FROM pairs p JOIN sel${r - 1} s ON p.qid = s.qid AND p.b = s.nb
+         |  GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT c.qid, c.nb,
+         |    $MmrLambda10 * c.rel4 - ${10 - MmrLambda10} * coalesce(m.ms, 0) AS score
+         |  FROM cands c LEFT JOIN m$r m USING (qid, nb)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+         |                    WHERE s.qid = c.qid AND s.nb = c.nb)),
+         |p$r AS (
+         |  SELECT qid, nb, $r AS rnk, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, nb) AS rn FROM c$r)
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT qid, nb FROM sel${r - 1}
+         |          UNION ALL SELECT qid, nb FROM p$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK)
+      .map(r => s"SELECT qid, nb, rnk, score FROM p$r").mkString("\n|UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id < ${graft.operators.Ann.NumQueries}),
+       |sc AS (
+       |  SELECT qid, e.vec_id AS nb, e.embedding AS ne,
+       |    CASE WHEN sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+       |              * sqrt(list_dot_product(ne::DOUBLE[], ne::DOUBLE[])) = 0 THEN 0.0
+       |         ELSE list_dot_product(qe::DOUBLE[], ne::DOUBLE[]) /
+       |           (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *
+       |            sqrt(list_dot_product(ne::DOUBLE[], ne::DOUBLE[]))) END AS c
+       |  FROM q, (SELECT vec_id, embedding FROM embeddings) e(vec_id, embedding)
+       |  WHERE e.vec_id <> qid),
+       |cands AS (
+       |  SELECT qid, nb, ne,
+       |    CAST(floor(c * 10000 + 0.5) AS BIGINT) AS rel4
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY c DESC, nb) AS rn FROM sc)
+       |  WHERE rn <= $MmrC),
+       |pairs AS (
+       |  SELECT a.qid, a.nb AS a, b.nb AS b,
+       |    CAST(floor((CASE WHEN sqrt(list_dot_product(a.ne::DOUBLE[], a.ne::DOUBLE[]))
+       |                          * sqrt(list_dot_product(b.ne::DOUBLE[], b.ne::DOUBLE[])) = 0
+       |                     THEN 0.0
+       |                     ELSE list_dot_product(a.ne::DOUBLE[], b.ne::DOUBLE[]) /
+       |                       (sqrt(list_dot_product(a.ne::DOUBLE[], a.ne::DOUBLE[])) *
+       |                        sqrt(list_dot_product(b.ne::DOUBLE[], b.ne::DOUBLE[]))) END)
+       |         * 10000 + 0.5) AS BIGINT) AS sim4
+       |  FROM cands a JOIN cands b ON a.qid = b.qid AND a.nb <> b.nb),
+       |p1 AS (
+       |  SELECT qid, nb, 1 AS rnk, $MmrLambda10 * rel4 AS score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY $MmrLambda10 * rel4 DESC, nb) AS rn FROM cands)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT qid, nb FROM p1),
+       |$rounds
+       |$out""".stripMargin
+  }
 }

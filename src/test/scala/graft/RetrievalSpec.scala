@@ -107,4 +107,47 @@ class RetrievalSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < ys.size)
     got.keys.foreach(vb => assert(langs(vb) != "en"))
   }
+
+  test("mmr_diversify: the greedy trajectory replays exactly; diversity really changes picks") {
+    import graft.operators.Retrieval.{MmrC, MmrK, MmrLambda10}
+    import graft.operators.Ann.NumQueries
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0
+      else a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y } / (na * nb)
+    }
+    def lat(c: Double): Long = math.floor(c * 10000 + 0.5).toLong
+    val qids = vecs.keys.filter(_ < NumQueries).toSeq.sorted
+    val expected = qids.flatMap { q =>
+      val cands = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(MmrC)
+        .map { case (id, c) => (id, lat(c)) }
+      var sel = List.empty[Long]
+      (1 to MmrK).map { r =>
+        val best = cands.filterNot(c => sel.contains(c._1)).map { case (id, r4) =>
+          val ms = if (sel.isEmpty) 0L
+            else sel.map(s => lat(cos(vecs(id), vecs(s)))).max
+          (id, MmrLambda10 * r4 - (10 - MmrLambda10) * ms)
+        }.minBy { case (id, sc) => (-sc, id) }
+        sel = sel :+ best._1
+        (q, best._1, r.toLong, best._2)
+      }
+    }.toSet
+    val got = SparkEntry.queries("mmr_diversify")(spark, sf).collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("nb"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("score"))).toSet
+    assert(got == expected)
+    assert(got.size == qids.size * MmrK)
+    // diversity bites: for some query the MMR set differs from pure top-K
+    val mmrSets = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val topkSets = qids.map { q =>
+      q -> vecs.toSeq.filter(_._1 != q).map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(MmrK).map(_._1).toSet
+    }.toMap
+    assert(qids.exists(q => mmrSets(q) != topkSets(q)))
+  }
 }
