@@ -1070,4 +1070,90 @@ object Ann {
        |FROM u LEFT JOIN fullk f ON u.qid = f.qid AND u.nb = f.nb
        |GROUP BY 1""".stripMargin
   }
+
+  /** K149: HUBNESS DIAGNOSTICS — the k-occurrence skew read
+    * (Radovanovic et al., JMLR 2010): in high-dimensional spaces a
+    * few "hub" points appear in a disproportionate share of OTHER
+    * points' k-NN lists while anti-hubs vanish from all of them —
+    * the pathology that silently biases kNN labels, dedup
+    * neighborhoods and retrieval, and the reason K135 bitext_mine
+    * normalizes by neighborhood margins at all. Reads the PERSISTED
+    * exact top-[[K]] artifact (H7's ensureKnnTopk — artifact-backed,
+    * join-cost-only like every audit): per vector its k-occurrence
+    * N_k (appearances in others' lists), then one diagnostic row —
+    * max N_k, anti-hub count (N_k = 0), exact p99 of the
+    * N_k distribution (orphans included, integer cum-histogram
+    * cut at cum·100 ≥ 99·N), the top-1%-hubs' share of ALL list
+    * slots in per-mille, and hub_index = N·ΣN_k² div (N·K)² per
+    * mille — the second-moment ratio that reads exactly 1000 under
+    * perfect uniformity and grows with skew.
+    *
+    * Shape: ONE count aggregate over the artifact (shuffle ∝ vecs,
+    * 8-byte keys), a distinct-value histogram + cum window
+    * (quantile_bins posture — cells, never rows), two 1-row
+    * broadcast scalar frames. Nothing rescans the corpus. */
+  def hubStats(s: SparkSession, dir: String): DataFrame = {
+    val occ = knnJoin(s, dir).groupBy(col("nb")).agg(count(lit(1)).as("kocc"))
+      .localCheckpoint() // vecs-sized cells; feeds 3 tiny consumers
+    val nvRow = embeddings(s, dir).agg(count(lit(1)).as("ntot"))
+    val base = occ.agg(max(col("kocc")).as("max_kocc"),
+      sum(col("kocc")).as("slots"),
+      sum(col("kocc") * col("kocc")).as("s2"),
+      count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(nvRow)) // 1-row scalar frame
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("kocc").desc, col("nb"))
+    val topShare = occ
+      .withColumn("rn", row_number().over(wTop))
+      .crossJoin(broadcast(nvRow))
+      .filter(col("rn") <= expr("(ntot + 99) div 100"))
+      .agg(coalesce(sum(col("kocc")), lit(0L)).as("top_slots"))
+    val hist = occ.groupBy(col("kocc")).agg(count(lit(1)).as("nv"))
+      .unionByName(base.select(lit(0L).as("kocc"),
+        (col("ntot") - col("n_occ")).as("nv")))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("kocc"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val p99 = hist
+      .withColumn("cum", sum(col("nv")).over(wCum))
+      .crossJoin(broadcast(nvRow))
+      .filter(col("cum") * 100 >= col("ntot") * 99)
+      .agg(min(col("kocc")).as("p99_kocc"))
+    base
+      .crossJoin(broadcast(topShare)) // 1-row scalar frames
+      .crossJoin(broadcast(p99))
+      .select(col("ntot").as("n_vecs"),
+        col("max_kocc"),
+        (col("ntot") - col("n_occ")).as("n_antihubs"),
+        col("p99_kocc"),
+        expr("(top_slots * 1000) div slots").as("top1pct_share_pm"),
+        expr(s"(ntot * s2 * 1000) div (slots * slots)").as("hub_index_pm"))
+  }
+
+  val hubStatsSql: String =
+    s"""WITH knn AS ($knnJoinSql),
+       |occ AS (SELECT nb, count(*)::BIGINT AS kocc FROM knn GROUP BY 1),
+       |nv AS (SELECT count(*)::BIGINT AS ntot FROM embeddings),
+       |base AS (
+       |  SELECT max(kocc) AS max_kocc, sum(kocc)::BIGINT AS slots,
+       |    sum(kocc * kocc)::BIGINT AS s2, count(*)::BIGINT AS n_occ
+       |  FROM occ),
+       |tops AS (
+       |  SELECT coalesce(sum(kocc), 0)::BIGINT AS top_slots FROM (
+       |    SELECT kocc, row_number() OVER (ORDER BY kocc DESC, nb) AS rn FROM occ), nv
+       |  WHERE rn <= (ntot + 99) // 100),
+       |hist AS (
+       |  SELECT kocc, count(*)::BIGINT AS nvv FROM occ GROUP BY 1
+       |  UNION ALL
+       |  SELECT 0::BIGINT, (SELECT ntot FROM nv) - n_occ FROM base),
+       |p99 AS (
+       |  SELECT min(kocc)::BIGINT AS p99_kocc FROM (
+       |    SELECT kocc, sum(nvv) OVER (ORDER BY kocc
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM hist), nv
+       |  WHERE cum * 100 >= ntot * 99)
+       |SELECT nv.ntot AS n_vecs, base.max_kocc,
+       |  (nv.ntot - base.n_occ)::BIGINT AS n_antihubs, p99.p99_kocc,
+       |  (tops.top_slots * 1000 // base.slots)::BIGINT AS top1pct_share_pm,
+       |  (nv.ntot * base.s2 * 1000 // (base.slots * base.slots))::BIGINT AS hub_index_pm
+       |FROM base, nv, tops, p99""".stripMargin
 }

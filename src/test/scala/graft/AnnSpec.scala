@@ -385,4 +385,29 @@ class AnnSpec extends SparkSpec {
     assert(got(64L)._3 == 1000L)
     assert(got(4L)._3 < 1000L)
   }
+
+  test("hub_stats: k-occurrence diagnostics replay from the kNN lists") {
+    import graft.operators.Ann.K
+    val knn = SparkEntry.queries("knn_join")(spark, sf)
+      .select("vec_id", "nb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val occ = knn.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val koccAll = (0L until nVecs).map(v => v -> occ.getOrElse(v, 0L))
+    val slots = occ.values.sum
+    val s2 = occ.values.map(x => x * x).sum
+    val topN = ((nVecs + 99) / 100).toInt
+    val topSlots = occ.toSeq.sortBy { case (v, c) => (-c, v) }.take(topN).map(_._2).sum
+    val sortedK = koccAll.map(_._2).sorted
+    val p99 = sortedK((math.ceil(nVecs * 99 / 100.0).toInt - 1).max(0))
+    val r = SparkEntry.queries("hub_stats")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_vecs") == nVecs)
+    assert(r.getAs[Long]("max_kocc") == occ.values.max)
+    assert(r.getAs[Long]("n_antihubs") == koccAll.count(_._2 == 0).toLong)
+    assert(r.getAs[Long]("p99_kocc") == p99)
+    assert(r.getAs[Long]("top1pct_share_pm") == topSlots * 1000 / slots)
+    assert(r.getAs[Long]("hub_index_pm") == nVecs * s2 * 1000 / (slots * slots))
+    // hubness is real in this 64-dim space: skew above uniform
+    assert(r.getAs[Long]("hub_index_pm") > 1000L)
+    assert(r.getAs[Long]("top1pct_share_pm") > 10L) // > uniform 1% = 10 pm
+  }
 }
