@@ -1101,16 +1101,26 @@ object Ann {
       sum(col("kocc") * col("kocc")).as("s2"),
       count(lit(1)).as("n_occ"))
       .crossJoin(broadcast(nvRow)) // 1-row scalar frame
-    val wTop = org.apache.spark.sql.expressions.Window
-      .orderBy(col("kocc").desc, col("nb"))
-    val topShare = occ
-      .withColumn("rn", row_number().over(wTop))
-      .crossJoin(broadcast(nvRow))
-      .filter(col("rn") <= expr("(ntot + 99) div 100"))
-      .agg(coalesce(sum(col("kocc")), lit(0L)).as("top_slots"))
     val hist = occ.groupBy(col("kocc")).agg(count(lit(1)).as("nv"))
       .unionByName(base.select(lit(0L).as("kocc"),
         (col("ntot") - col("n_occ")).as("nv")))
+      .localCheckpoint() // distinct-kocc CELLS; feeds both cuts
+    // top-1% slot share from the DESC cell cumulative: the first cell
+    // crossing r = ceil(N/100) contributes partially ((cumn-r) of its
+    // equal-valued members fall outside the cut) — the top-r-VALUES
+    // sum without any rows-scale ordering
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("kocc").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val topShare = hist
+      .withColumn("cumn", sum(col("nv")).over(wDesc))
+      .withColumn("cums", sum(col("nv") * col("kocc")).over(wDesc))
+      .crossJoin(broadcast(nvRow))
+      .withColumn("r", expr("(ntot + 99) div 100"))
+      .filter(col("cumn") >= col("r"))
+      .orderBy(col("kocc").desc).limit(1)
+      .select((col("cums") - (col("cumn") - col("r")) * col("kocc"))
+        .as("top_slots"))
     val wCum = org.apache.spark.sql.expressions.Window
       .orderBy(col("kocc"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1138,14 +1148,18 @@ object Ann {
        |  SELECT max(kocc) AS max_kocc, sum(kocc)::BIGINT AS slots,
        |    sum(kocc * kocc)::BIGINT AS s2, count(*)::BIGINT AS n_occ
        |  FROM occ),
-       |tops AS (
-       |  SELECT coalesce(sum(kocc), 0)::BIGINT AS top_slots FROM (
-       |    SELECT kocc, row_number() OVER (ORDER BY kocc DESC, nb) AS rn FROM occ), nv
-       |  WHERE rn <= (ntot + 99) // 100),
        |hist AS (
        |  SELECT kocc, count(*)::BIGINT AS nvv FROM occ GROUP BY 1
        |  UNION ALL
        |  SELECT 0::BIGINT, (SELECT ntot FROM nv) - n_occ FROM base),
+       |tops AS (
+       |  SELECT (cums - (cumn - r) * kocc)::BIGINT AS top_slots FROM (
+       |    SELECT kocc,
+       |      sum(nvv) OVER (ORDER BY kocc DESC ROWS UNBOUNDED PRECEDING) AS cumn,
+       |      sum(nvv * kocc) OVER (ORDER BY kocc DESC ROWS UNBOUNDED PRECEDING) AS cums,
+       |      (SELECT (ntot + 99) // 100 FROM nv) AS r
+       |    FROM hist)
+       |  WHERE cumn >= r ORDER BY kocc DESC LIMIT 1),
        |p99 AS (
        |  SELECT min(kocc)::BIGINT AS p99_kocc FROM (
        |    SELECT kocc, sum(nvv) OVER (ORDER BY kocc
@@ -1156,4 +1170,111 @@ object Ann {
        |  (tops.top_slots * 1000 // base.slots)::BIGINT AS top1pct_share_pm,
        |  (nv.ntot * base.s2 * 1000 // (base.slots * base.slots))::BIGINT AS hub_index_pm
        |FROM base, nv, tops, p99""".stripMargin
+
+  /** K150: RECIPROCAL NEAREST NEIGHBORS — the mutual-kNN filter
+    * (the reciprocal-NN re-ranking idea of Qin et al., CVPR 2011,
+    * and the mutual-neighbor condition unsupervised pair mining
+    * uses before trusting a match): a pair qualifies only when each
+    * point appears in the OTHER's top-[[K]] list — one-directional
+    * neighbors are exactly where hubs (K149) flood in, so the
+    * mutual cut is the cheap high-precision filter run before
+    * expensive pair verification. Reads the persisted exact top-K
+    * artifact; emits each mutual pair once (va < vb) with both
+    * ranks and the shared cosine.
+    *
+    * Shape: ONE self-equi-join of the artifact on the flipped key
+    * (shuffle ∝ N·K rows of 24-byte keys), nothing corpus-scale;
+    * at 100 TB the artifact is the index and this is join-cost-only
+    * like every audit. */
+  def mutualKnn(s: SparkSession, dir: String): DataFrame = {
+    val a = knnJoin(s, dir)
+      .select(col("vec_id").as("va"), col("nb").as("vb"),
+        col("rnk").as("rnk_ab"), col("cos"))
+    val b = knnJoin(s, dir)
+      .select(col("vec_id").as("vb"), col("nb").as("va"),
+        col("rnk").as("rnk_ba"))
+    a.join(b, Seq("va", "vb"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), col("rnk_ab"), col("rnk_ba"), col("cos"))
+  }
+
+  val mutualKnnSql: String =
+    s"""WITH knn AS ($knnJoinSql)
+       |SELECT a.vec_id AS va, a.nb AS vb, a.rnk AS rnk_ab, b.rnk AS rnk_ba, a.cos
+       |FROM knn a JOIN knn b ON a.vec_id = b.nb AND a.nb = b.vec_id
+       |WHERE a.vec_id < a.nb""".stripMargin
+
+  /** NDCG@[[K]] position weights, ×10⁶: W(i) = round(10⁶/log2(i+1)),
+    * and their prefix sums (the ideal-DCG lookup). Computed once on
+    * the JVM and injected VERBATIM into the oracle SQL, so both
+    * engines share the exact integers (the SimA/SimB convention) —
+    * NDCG's irrational discounts never touch the hash gate. */
+  val NdcgW: Seq[Long] =
+    (1 to K).map(i => math.round(1e6 / (math.log(i + 1) / math.log(2))))
+  val NdcgCw: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+
+  /** K151: NDCG@K OF THE APPROXIMATE PATHS — the graded ranking
+    * eval (Järvelin & Kekäläinen, TOIS 2002) next to K18's flat
+    * recall: recall says WHETHER the exact neighbors came back,
+    * NDCG@K says WHERE — a path that returns them at ranks 4-5
+    * scores the same recall but materially lower NDCG, which is the
+    * difference a downstream top-1 consumer feels. Per approximate
+    * path (D2 LSH / D3 IVF / K72 PQ): micro-averaged
+    * NDCG = Σ_q DCG_q · 1000 div Σ_q IDCG_q, DCG = Σ hit(rank)·W(rank),
+    * IDCG = CW[hits] (all hits packed at the top), with the
+    * [[NdcgW]] integer weight table shared verbatim across engines.
+    *
+    * Shape: the three ranked pipelines are the family's documented
+    * forms; everything after is probe-set-sized joins + one 3-row
+    * rollup — the ann_recall posture with rank-weighted sums. */
+  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    val ex = annBruteforce(s, dir).select(col("qid"), col("nb"), lit(1L).as("hit"))
+      .localCheckpoint() // K x NumQueries rows; joined by all three paths
+    val wArr = array(NdcgW.map(lit): _*)
+    val cwArr = array((0L +: NdcgCw).map(lit): _*)
+    def scoreOf(path: String, ranked: DataFrame): DataFrame = ranked
+      .filter(col("rnk") <= K) // NDCG@K: only the top-K of each list scores
+      .join(ex, Seq("qid", "nb"), "left_outer")
+      .na.fill(0L, Seq("hit"))
+      .groupBy(col("qid"))
+      .agg(sum(col("hit") * element_at(wArr, col("rnk").cast("int"))).as("dcg"),
+        element_at(cwArr, (sum(col("hit")) + 1).cast("int")).as("idcg"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("dcg")).as("sum_dcg"), sum(col("idcg")).as("sum_idcg"))
+      .select(lit(path).as("path"), col("n_queries"), col("sum_dcg"),
+        col("sum_idcg"),
+        when(col("sum_idcg") === 0, 0L)
+          .otherwise(expr("(sum_dcg * 1000) div sum_idcg")).as("ndcg_pm"))
+    scoreOf("lsh", annLsh(s, dir).select(col("qid"), col("nb"), col("rnk")))
+      .unionByName(scoreOf("ivf",
+        annIvf(s, dir).select(col("qid"), col("nb"), col("rnk"))))
+      .unionByName(scoreOf("pq", annPq(s, dir).select(
+        col("probe_id").as("qid"), col("neighbor").as("nb"),
+        col("rank").as("rnk"))))
+  }
+
+  lazy val ndcgEvalSql: String = {
+    val wList = NdcgW.mkString("[", ", ", "]")
+    val cwList = (0L +: NdcgCw).mkString("[", ", ", "]")
+    def pathSql(path: String, sql: String, q: String, n: String, r: String) =
+      s"""SELECT '$path' AS path, count(*)::BIGINT AS n_queries,
+         |  sum(dcg)::BIGINT AS sum_dcg, sum(idcg)::BIGINT AS sum_idcg,
+         |  CASE WHEN sum(idcg) = 0 THEN 0
+         |       ELSE sum(dcg) * 1000 // sum(idcg) END::BIGINT AS ndcg_pm
+         |FROM (
+         |  SELECT a.$q,
+         |    sum(CASE WHEN e.nb IS NULL THEN 0
+         |             ELSE ($wList)[a.$r] END)::BIGINT AS dcg,
+         |    ($cwList)[(sum(CASE WHEN e.nb IS NULL THEN 0 ELSE 1 END) + 1)::BIGINT]::BIGINT AS idcg
+         |  FROM ($sql) a
+         |  LEFT JOIN ex e ON e.qid = a.$q AND e.nb = a.$n
+         |  WHERE a.$r <= $K
+         |  GROUP BY a.$q)"""
+        .stripMargin
+    s"""WITH ex AS (SELECT qid, nb FROM ($annBruteforceSql))
+       |${pathSql("lsh", annLshSql, "qid", "nb", "rnk")}
+       |UNION ALL ${pathSql("ivf", annIvfSql, "qid", "nb", "rnk")}
+       |UNION ALL ${pathSql("pq", annPqSql, "probe_id", "neighbor", "rank")}"""
+      .stripMargin
+  }
 }

@@ -410,4 +410,61 @@ class AnnSpec extends SparkSpec {
     assert(r.getAs[Long]("hub_index_pm") > 1000L)
     assert(r.getAs[Long]("top1pct_share_pm") > 10L) // > uniform 1% = 10 pm
   }
+
+  test("mutual_knn: pairs are exactly the bidirectional top-K intersections") {
+    val knn = SparkEntry.queries("knn_join")(spark, sf)
+      .select("vec_id", "nb", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rnk").toLong))
+    val lists = knn.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val expected = (for {
+      (va, ns) <- lists.toSeq
+      (vb, rab) <- ns.toSeq
+      if va < vb
+      rba <- lists.get(vb).flatMap(_.get(va))
+    } yield (va, vb, rab, rba)).toSet
+    val got = SparkEntry.queries("mutual_knn")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
+        r.getAs[Int]("rnk_ab").toLong, r.getAs[Int]("rnk_ba").toLong)).toSet
+    assert(got == expected)
+    // the mutual cut is a real filter: strictly fewer pairs than directed edges
+    assert(got.nonEmpty && got.size < knn.length)
+  }
+
+  test("ndcg_eval: weight table is the rounded 1/log2 discounts; micro-NDCG replays") {
+    import graft.operators.Ann.{K, NdcgW, NdcgCw}
+    assert(NdcgW == Seq(1000000L, 630930L, 500000L, 430677L, 386853L))
+    assert(NdcgCw.last == NdcgW.sum)
+    val ex = SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .select("qid", "nb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def replay(name: String, q: String, n: String, r: String): (Long, Long) = {
+      val rows = SparkEntry.queries(name)(spark, sf)
+        .select(q, n, r).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getAs[Int](2).toLong))
+        .filter(_._3 <= K) // NDCG@K scores only the top-K of each list
+      val byQ = rows.groupBy(_._1)
+      val dcg = byQ.values.map(_.map { case (qq, nb, rk) =>
+        if (ex.contains((qq, nb))) NdcgW(rk.toInt - 1) else 0L }.sum).sum
+      val idcg = byQ.values.map { l =>
+        val hits = l.count { case (qq, nb, _) => ex.contains((qq, nb)) }
+        if (hits == 0) 0L else NdcgCw(hits - 1)
+      }.sum
+      (dcg, idcg)
+    }
+    val got = SparkEntry.queries("ndcg_eval")(spark, sf).collect()
+      .map(x => x.getString(0) -> ((x.getAs[Long]("sum_dcg"),
+        x.getAs[Long]("sum_idcg"), x.getAs[Long]("ndcg_pm")))).toMap
+    Seq(("lsh", "ann_lsh", "qid", "nb", "rnk"),
+        ("ivf", "ann_ivf", "qid", "nb", "rnk"),
+        ("pq", "ann_pq", "probe_id", "neighbor", "rank")).foreach {
+      case (path, op, q, n, r) =>
+        val (dcg, idcg) = replay(op, q, n, r)
+        assert(got(path)._1 == dcg, s"$path dcg")
+        assert(got(path)._2 == idcg, s"$path idcg")
+        assert(got(path)._3 == (if (idcg == 0) 0L else dcg * 1000 / idcg))
+    }
+    // NDCG is bounded by 1 and the position weighting is live
+    assert(got.values.forall(v => v._3 <= 1000L))
+  }
 }

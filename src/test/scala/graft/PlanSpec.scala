@@ -158,7 +158,13 @@ class PlanSpec extends SparkSpec {
       "recorded here although localCheckpoint truncates it out of the audited plan"),
     "dsir_weights" -> ("the top-quartile threshold cumulates over the DISTINCT-" +
       "score histogram (the quantile_bins posture) — cardinality bounded by the " +
-      "score range (sums of small ilog2 ratios), never corpus rows")
+      "score range (sums of small ilog2 ratios), never corpus rows"),
+    "unimax_budget" -> ("the water-filling windows order the per-LANGUAGE frame " +
+      "(localCheckpointed, <= |langs| rows at any corpus scale); the corpus-scale " +
+      "work is the one lang-keyed aggregate before it"),
+    "hub_stats" -> ("both cumulative cuts (p99 and the top-1% partial-cell sum) " +
+      "run over the DISTINCT-k-occurrence histogram (quantile_bins posture) — " +
+      "cells bounded by the N_k value range, never vectors")
   )
 
   test("no query plans a CartesianProduct; no UNBOUNDED no-partition window (one audit pass)") {
