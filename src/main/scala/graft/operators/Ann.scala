@@ -1277,4 +1277,78 @@ object Ann {
        |UNION ALL ${pathSql("pq", annPqSql, "probe_id", "neighbor", "rank")}"""
       .stripMargin
   }
+
+  /** ColBERT folding: 64 dims -> [[CbTokens]] sub-vectors of
+    * [[CbDim]] dims, and the result depth. */
+  val CbTokens = 16
+  val CbDim = 4
+  val CbTopK = 5
+
+  /** K152: LATE-INTERACTION MAXSIM — the ColBERT scoring function
+    * (Khattab & Zaharia, SIGIR 2020): instead of one dot product per
+    * (query, doc), score = Σ over query token-vectors of the MAX
+    * similarity against any doc token-vector — fine-grained term
+    * matching that single-vector retrieval provably cannot express
+    * (a doc matching half the query terms perfectly beats one
+    * matching all terms weakly). Token embeddings stand in as the
+    * [[CbTokens]]×[[CbDim]] FOLD of the 64-dim corpus vectors (the
+    * K134 clip_gate folding convention — the documented swap point
+    * for a real token-level encoder). Every sub-vector quantizes to
+    * the ×10⁴ half-up lattice FIRST, so each of the 16×16 4-dim dots
+    * is an exact BIGINT and the MaxSim sum, ranking and hash are
+    * integer-identical across engines. Top-[[CbTopK]] per probe with
+    * nb tie-break.
+    *
+    * Shape: probes broadcast, ONE corpus scan; the 16×16 dot grid is
+    * per-row HOF algebra inside codegen (no explode — the pair never
+    * leaves its row); the only shuffle is the two-phase top-K rank.
+    * At 100 TB the candidate set comes from an index (D2/D3) and
+    * MaxSim re-scores candidates — exactly how ColBERT deploys. */
+  def colbertMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val q4 = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+    def dot4(qc: org.apache.spark.sql.Column, nc: org.apache.spark.sql.Column,
+             i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      (0 until CbDim).map { t =>
+        element_at(qc, (i * CbDim + t + 1).cast("int")) *
+          element_at(nc, (j * CbDim + t + 1).cast("int"))
+      }.reduce(_ + _)
+    val qs = embeddings(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), q4(col("embedding")).as("qe4"))
+    val scored = embeddings(s, dir)
+      .select(col("vec_id").as("nb"), q4(col("embedding")).as("ne4"))
+      .join(broadcast(qs), col("nb") =!= col("qid"))
+      .select(col("qid"), col("nb"),
+        aggregate(sequence(lit(0), lit(CbTokens - 1)), lit(0L),
+          (acc, i) => acc + array_max(
+            transform(sequence(lit(0), lit(CbTokens - 1)),
+              j => dot4(col("qe4"), col("ne4"), i, j)))).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nb"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= CbTopK)
+      .select(col("qid"), col("nb"), col("rnk"), col("score"))
+  }
+
+  val colbertMaxsimSql: String = {
+    val dotTerms = (1 to CbDim)
+      .map(t => s"qe4[i * $CbDim + $t] * ne4[j * $CbDim + $t]").mkString(" + ")
+    s"""WITH qz AS (
+       |  SELECT vec_id AS qid,
+       |    [CAST(floor(x::DOUBLE * 10000 + 0.5) AS BIGINT) for x in embedding] AS qe4
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |nz AS (
+       |  SELECT vec_id AS nb,
+       |    [CAST(floor(x::DOUBLE * 10000 + 0.5) AS BIGINT) for x in embedding] AS ne4
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT qid, nb,
+       |    list_sum([list_max([$dotTerms
+       |      for j in range(0, $CbTokens)])
+       |      for i in range(0, $CbTokens)])::BIGINT AS score
+       |  FROM qz, nz WHERE nb <> qid)
+       |SELECT qid, nb, rnk, score FROM (
+       |  SELECT qid, nb, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $CbTopK""".stripMargin
+  }
 }

@@ -467,4 +467,33 @@ class AnnSpec extends SparkSpec {
     // NDCG is bounded by 1 and the position weighting is live
     assert(got.values.forall(v => v._3 <= 1000L))
   }
+
+  test("colbert_maxsim: the 16x16 MaxSim grid replays; late interaction beats single-dot ties") {
+    import graft.operators.Ann.{CbDim, CbTokens, CbTopK, NumQueries}
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray)
+      .toMap
+    def maxsim(q: Array[Long], d: Array[Long]): Long =
+      (0 until CbTokens).map { i =>
+        (0 until CbTokens).map { j =>
+          (0 until CbDim).map(t => q(i * CbDim + t) * d(j * CbDim + t)).sum
+        }.max
+      }.sum
+    val qids = vecs.keys.filter(_ < NumQueries).toSeq.sorted
+    val expected = qids.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, maxsim(vecs(q), v)) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(CbTopK)
+        .zipWithIndex.map { case ((id, sc), r) => (q, id, (r + 1).toLong, sc) }
+    }.toSet
+    val got = SparkEntry.queries("colbert_maxsim")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nb"),
+        r.getAs[Int]("rnk").toLong, r.getAs[Long]("score"))).toSet
+    assert(got == expected)
+    // late interaction genuinely reorders vs the single-vector ranking
+    val single = SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .select("qid", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)) != single)
+  }
 }
