@@ -39,7 +39,10 @@ object ABProbe {
       "str" -> ((dir: String) => queries.TextOps.winnowFrame(
         queries.TextOps.winnowFps(s, dir, fanout = false))),
       "ker" -> ((dir: String) => queries.TextOps.winnowFrame(
-        queries.TextOps.winnowFps(s, dir, fanout = false, kernel = true)))))
+        queries.TextOps.winnowFps(s, dir, fanout = false, kernel = true)))),
+    "maxsim" -> Seq(
+      "hof" -> ((dir: String) => operators.Ann.colbertMaxsimProbe(s, dir, hof = true)),
+      "ker" -> ((dir: String) => operators.Ann.colbertMaxsimProbe(s, dir, hof = false))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

@@ -85,6 +85,8 @@ object GraftFunctions {
       graft.plans.StrPolyHash(exprs(0), exprs(1))),
     "token_gram_hashes" -> ((exprs: Seq[Expression]) =>
       graft.plans.TokenGramHashes(exprs(0), exprs(1))),
+    "maxsim_score" -> ((exprs: Seq[Expression]) =>
+      graft.plans.MaxSimScore(exprs(0), exprs(1), exprs(2))),
     "kmv_agg" -> ((exprs: Seq[Expression]) =>
       graft.plans.KmvAgg(exprs(0), intLit("kmv_agg", exprs(1)))),
     "minhash_agg" -> ((exprs: Seq[Expression]) =>

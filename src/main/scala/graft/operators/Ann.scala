@@ -1304,7 +1304,19 @@ object Ann {
     * leaves its row); the only shuffle is the two-phase top-K rank.
     * At 100 TB the candidate set comes from an index (D2/D3) and
     * MaxSim re-scores candidates — exactly how ColBERT deploys. */
-  def colbertMaxsim(s: SparkSession, dir: String): DataFrame = {
+  def colbertMaxsim(s: SparkSession, dir: String): DataFrame =
+    colbertMaxsimProbe(s, dir, hof = false)
+
+  /** A/B probe twin: `hof = true` is the original nested-HOF column
+    * form (aggregate → array_max → transform with element_at dots —
+    * CodegenFallback, every T² dot walks an interpreted tree);
+    * `hof = false` is the shipped codegen'd
+    * [[graft.plans.MaxSimScore]] kernel, bit-identical by the
+    * KernelPropertySpec property test and the spec's set equality.
+    * Measured via [[graft.ABProbe]] at sf0.1 (warm med): kernel wins
+    * — see SURVEY §4. */
+  private[graft] def colbertMaxsimProbe(s: SparkSession, dir: String,
+                                        hof: Boolean): DataFrame = {
     val q4 = (c: org.apache.spark.sql.Column) =>
       transform(c, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
     def dot4(qc: org.apache.spark.sql.Column, nc: org.apache.spark.sql.Column,
@@ -1313,16 +1325,20 @@ object Ann {
         element_at(qc, (i * CbDim + t + 1).cast("int")) *
           element_at(nc, (j * CbDim + t + 1).cast("int"))
       }.reduce(_ + _)
+    val score =
+      if (hof)
+        aggregate(sequence(lit(0), lit(CbTokens - 1)), lit(0L),
+          (acc, i) => acc + array_max(
+            transform(sequence(lit(0), lit(CbTokens - 1)),
+              j => dot4(col("qe4"), col("ne4"), i, j))))
+      else call_function("maxsim_score", col("qe4"), col("ne4"),
+        lit(CbDim.toLong))
     val qs = embeddings(s, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), q4(col("embedding")).as("qe4"))
     val scored = embeddings(s, dir)
       .select(col("vec_id").as("nb"), q4(col("embedding")).as("ne4"))
       .join(broadcast(qs), col("nb") =!= col("qid"))
-      .select(col("qid"), col("nb"),
-        aggregate(sequence(lit(0), lit(CbTokens - 1)), lit(0L),
-          (acc, i) => acc + array_max(
-            transform(sequence(lit(0), lit(CbTokens - 1)),
-              j => dot4(col("qe4"), col("ne4"), i, j)))).as("score"))
+      .select(col("qid"), col("nb"), score.as("score"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nb"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= CbTopK)
       .select(col("qid"), col("nb"), col("rnk"), col("score"))

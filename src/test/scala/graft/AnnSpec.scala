@@ -496,4 +496,12 @@ class AnnSpec extends SparkSpec {
       .select("qid", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.map(t => (t._1, t._2)) != single)
   }
+
+  test("colbert_maxsim: kernel and HOF probe forms are row-identical") {
+    def rows(hof: Boolean) =
+      graft.operators.Ann.colbertMaxsimProbe(spark, sf, hof).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nb"),
+        r.getAs[Int]("rnk"), r.getAs[Long]("score"))).toSet
+    assert(rows(hof = true) == rows(hof = false))
+  }
 }

@@ -35,8 +35,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on a bad descriptor
     assert(GraftFunctions.all.map(_._1).toSet ==
-      Set("vec_dot", "str_poly_hash", "token_gram_hashes", "kmv_agg",
-        "minhash_agg", "bloom_agg", "bloom_contains"))
+      Set("vec_dot", "str_poly_hash", "token_gram_hashes", "maxsim_score",
+        "kmv_agg", "minhash_agg", "bloom_agg", "bloom_contains"))
   }
 
   test("sketch sizes must be positive integer literals — analysis error, not a CCE") {

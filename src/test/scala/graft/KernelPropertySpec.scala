@@ -209,4 +209,28 @@ class KernelPropertySpec extends AnyFunSuite {
       kernelGrams(s, n) == refGrams(s, n)
     })
   }
+
+  test("MaxSimScore.compute equals the definitional double-loop on random arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val arrGen = for {
+      d <- Gen.choose(1, 6)
+      ta <- Gen.choose(0, 8)
+      tb <- Gen.choose(0, 8)
+      a <- Gen.listOfN(ta * d, Gen.choose(-10000L, 10000L))
+      b <- Gen.listOfN(tb * d, Gen.choose(-10000L, 10000L))
+    } yield (d, a.toArray, b.toArray)
+    def ref(a: Array[Long], b: Array[Long], d: Int): Long = {
+      val ta = a.length / d; val tb = b.length / d
+      if (tb == 0) 0L
+      else (0 until ta).map { i =>
+        (0 until tb).map { j =>
+          (0 until d).map(t => a(i * d + t) * b(j * d + t)).sum
+        }.max
+      }.sum
+    }
+    check(forAll(arrGen) { case (d, a, b) =>
+      graft.plans.MaxSimScore.compute(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b), d) == ref(a, b, d)
+    })
+  }
 }
