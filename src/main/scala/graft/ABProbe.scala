@@ -42,7 +42,10 @@ object ABProbe {
         queries.TextOps.winnowFps(s, dir, fanout = false, kernel = true)))),
     "maxsim" -> Seq(
       "hof" -> ((dir: String) => operators.Ann.colbertMaxsimProbe(s, dir, hof = true)),
-      "ker" -> ((dir: String) => operators.Ann.colbertMaxsimProbe(s, dir, hof = false))))
+      "ker" -> ((dir: String) => operators.Ann.colbertMaxsimProbe(s, dir, hof = false))),
+    "cdc" -> Seq(
+      "hof" -> ((dir: String) => operators.Dedup.cdcChunksProbe(s, dir, hof = true)),
+      "ker" -> ((dir: String) => operators.Dedup.cdcChunksProbe(s, dir, hof = false))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

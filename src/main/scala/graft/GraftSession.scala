@@ -87,6 +87,8 @@ object GraftFunctions {
       graft.plans.TokenGramHashes(exprs(0), exprs(1))),
     "maxsim_score" -> ((exprs: Seq[Expression]) =>
       graft.plans.MaxSimScore(exprs(0), exprs(1), exprs(2))),
+    "cdc_boundaries" -> ((exprs: Seq[Expression]) =>
+      graft.plans.CdcBoundaries(exprs(0), exprs(1), exprs(2))),
     "kmv_agg" -> ((exprs: Seq[Expression]) =>
       graft.plans.KmvAgg(exprs(0), intLit("kmv_agg", exprs(1)))),
     "minhash_agg" -> ((exprs: Seq[Expression]) =>

@@ -1748,13 +1748,26 @@ object Dedup {
     * shuffle is the (hash)-keyed combining aggregate over 16-byte
     * keys + counters — payloads never shuffle, exactly the mm_dedup
     * posture at chunk granularity. */
-  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksProbe(s, dir, hof = false)
+
+  /** A/B probe twin: `hof = true` is the original per-position
+    * HOF-filter boundary scan (CodegenFallback, one w-char substring
+    * allocation + char fold per position); `hof = false` is the
+    * shipped codegen'd [[graft.plans.CdcBoundaries]] prefix-hash
+    * kernel — bit-identical (KernelPropertySpec + the row-identity
+    * spec), measured via [[graft.ABProbe]] — see SURVEY §4. */
+  private[graft] def cdcChunksProbe(s: SparkSession, dir: String,
+                                    hof: Boolean): DataFrame = {
     val t = col("t")
-    val bounds = when(col("len") > CdcWin, filter(
-      sequence(lit(CdcWin.toLong), col("len") - 1),
-      i => pmod(graft.functions.HashFns.strHash(
-        t.substr((i - CdcWin + 1).cast("int"), lit(CdcWin))), lit(CdcMask)) === 0))
-      .otherwise(array().cast("array<long>"))
+    val bounds =
+      if (hof)
+        when(col("len") > CdcWin, filter(
+          sequence(lit(CdcWin.toLong), col("len") - 1),
+          i => pmod(graft.functions.HashFns.strHash(
+            t.substr((i - CdcWin + 1).cast("int"), lit(CdcWin))), lit(CdcMask)) === 0))
+          .otherwise(array().cast("array<long>"))
+      else call_function("cdc_boundaries", t, lit(CdcWin.toLong), lit(CdcMask))
     val chunks = documents(s, dir)
       .select(col("doc_id"), col("text").as("t"),
         length(col("text")).cast("long").as("len"))

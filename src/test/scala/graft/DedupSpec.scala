@@ -652,4 +652,11 @@ class DedupSpec extends SparkSpec {
     // content-defined dedup is real on this corpus: shared spans collide
     assert(r.getAs[Long]("dup_bytes") > 0)
   }
+
+  test("cdc_chunks: kernel and HOF probe forms are row-identical") {
+    def row(hof: Boolean) = graft.operators.Dedup.cdcChunksProbe(spark, sf, hof)
+      .collect()(0)
+    val a = row(hof = true); val b = row(hof = false)
+    assert((0 until a.length).forall(i => a.get(i) == b.get(i)))
+  }
 }

@@ -36,7 +36,8 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // would throw on a bad descriptor
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("vec_dot", "str_poly_hash", "token_gram_hashes", "maxsim_score",
-        "kmv_agg", "minhash_agg", "bloom_agg", "bloom_contains"))
+        "cdc_boundaries", "kmv_agg", "minhash_agg", "bloom_agg",
+        "bloom_contains"))
   }
 
   test("sketch sizes must be positive integer literals — analysis error, not a CCE") {

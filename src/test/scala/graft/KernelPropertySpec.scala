@@ -233,4 +233,32 @@ class KernelPropertySpec extends AnyFunSuite {
         ArrayData.toArrayData(a), ArrayData.toArrayData(b), d) == ref(a, b, d)
     })
   }
+
+  test("CdcBoundaries equals the per-position substring-hash filter (ASCII + astral)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val gen = for {
+      s <- Gen.frequency(
+        4 -> asciiString,
+        1 -> Gen.listOf(Gen.oneOf(Gen.choose(32.toChar, 126.toChar),
+          Gen.const('\u00e9'), Gen.const('\ud83d'))).map(_.filter(
+          c => !Character.isSurrogate(c)).mkString + "\ud83d\ude00"),
+      )
+      w <- Gen.choose(1, 6)
+      mask <- Gen.oneOf(2L, 8L, 32L)
+    } yield (s, w, mask)
+    def ref(s: String, w: Int, mask: Long): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.length <= w) Seq.empty
+      else (w to cps.length - 1).filter { i =>
+        val h = cps.slice(i - w, i).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+        h % mask == 0
+      }.map(_.toLong)
+    }
+    check(forAll(gen) { case (s, w, mask) =>
+      val got = graft.plans.CdcBoundaries
+        .compute(UTF8String.fromString(s), w, mask).toLongArray().toSeq
+      got == ref(s, w, mask)
+    })
+  }
 }
