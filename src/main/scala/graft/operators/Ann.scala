@@ -1367,4 +1367,57 @@ object Ann {
        |  FROM sc)
        |WHERE rnk <= $CbTopK""".stripMargin
   }
+
+  /** K153: kNN LABEL-NOISE FILTERING — the Deep k-NN noisy-label
+    * filter (Bahri, Jiang & Gupta, ICML 2020): a training point is
+    * flagged when its OWN label agrees with at most half of its
+    * k nearest neighbors' labels — neighborhood disagreement is the
+    * model-free noise signal, and the paper shows filtering on it
+    * beats loss-based cleaning at realistic noise rates. The
+    * class-conditional read (per label: points, flagged, flag rate,
+    * mean neighbor agreement — label noise is rarely uniform) a
+    * pipeline inspects BEFORE k-NN-label evals (K81's confusion
+    * matrix) can be trusted. Rides the persisted exact top-[[K]]
+    * artifact wholesale (the K81/K114 contract — the LSH swap
+    * applies unchanged).
+    *
+    * Shape: two (vec,label)-keyed equi-joins of the K·N list frame
+    * against the N-row label frame, one per-point aggregate, one
+    * L-sized rollup — join-cost-only, nothing rescans vectors. */
+  def labelNoiseKnn(s: SparkSession, dir: String): DataFrame = {
+    val lab = embeddings(s, dir).select(col("vec_id"), col("label"))
+    val perPoint = knnJoin(s, dir).select(col("vec_id"), col("nb"))
+      .join(lab.select(col("vec_id").as("nb"), col("label").as("nl")), "nb")
+      .join(lab, "vec_id")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("nl") === col("label"), 1L).otherwise(0L)).as("agree"),
+        count(lit(1)).as("k"))
+    perPoint
+      .withColumn("flagged", col("agree") * 2 <= col("k"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("agree")).as("agree_sum"), sum(col("k")).as("k_sum"))
+      .select(col("label"), col("n_points"), col("n_flagged"),
+        expr("(n_flagged * 1000) div n_points").as("flag_pm"),
+        expr("(agree_sum * 1000) div k_sum").as("agree_pm"))
+  }
+
+  val labelNoiseKnnSql: String =
+    s"""WITH knn AS ($knnJoinSql),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |pp AS (
+       |  SELECT k.vec_id, o.label,
+       |    sum(CASE WHEN n.label = o.label THEN 1 ELSE 0 END)::BIGINT AS agree,
+       |    count(*)::BIGINT AS kk
+       |  FROM knn k
+       |  JOIN lab n ON n.vec_id = k.nb
+       |  JOIN lab o ON o.vec_id = k.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT label, count(*)::BIGINT AS n_points,
+       |  sum(CASE WHEN agree * 2 <= kk THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       |  (sum(CASE WHEN agree * 2 <= kk THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+       |    AS flag_pm,
+       |  (sum(agree) * 1000 // sum(kk))::BIGINT AS agree_pm
+       |FROM pp GROUP BY label""".stripMargin
 }

@@ -504,4 +504,30 @@ class AnnSpec extends SparkSpec {
         r.getAs[Int]("rnk"), r.getAs[Long]("score"))).toSet
     assert(rows(hof = true) == rows(hof = false))
   }
+
+  test("label_noise_knn: per-class flag rates replay from the neighbor lists") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = SparkEntry.queries("knn_join")(spark, sf)
+      .select("vec_id", "nb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perPoint = knn.groupBy(_._1).map { case (v, ns) =>
+      val agree = ns.count { case (_, nb) => labels(nb) == labels(v) }.toLong
+      (v, labels(v), agree, ns.length.toLong)
+    }
+    val exp = perPoint.groupBy(_._2).map { case (l, ps) =>
+      val n = ps.size.toLong
+      val fl = ps.count(p => p._3 * 2 <= p._4).toLong
+      val ag = ps.map(_._3).sum
+      val kk = ps.map(_._4).sum
+      l -> ((n, fl, fl * 1000 / n, ag * 1000 / kk))
+    }
+    val got = SparkEntry.queries("label_noise_knn")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Long]("n_points"),
+        r.getAs[Long]("n_flagged"), r.getAs[Long]("flag_pm"),
+        r.getAs[Long]("agree_pm")))).toMap
+    assert(got == exp)
+    // conservation + the filter is live on this corpus
+    assert(got.values.map(_._1).sum == labels.size.toLong)
+    assert(got.values.exists(_._2 > 0))
+  }
 }
