@@ -617,6 +617,29 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).length == 1)
   }
 
+  test("continuation ops: artifact-backed audits never rescan vectors; single-scan map ops stay single-scan") {
+    // artifact consumers: the only parquet they may read is the knn
+    // artifact itself (embeddings.parquet appears only for the label
+    // or count side where declared)
+    Seq("mutual_knn", "hub_stats", "label_noise_knn").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name goes pairwise:\n$p")
+    }
+    // map-only synthesis + one combining aggregate: exactly one scan
+    Seq("warc_stats", "cdc_chunks", "unimax_budget").foreach { name =>
+      val p = plan(name)
+      assert("FileScan parquet".r.findAllIn(p).length <= 1,
+        s"$name re-scans its source:\n$p")
+    }
+    // exact-baseline searches: probes must BROADCAST into the scan
+    Seq("colbert_maxsim", "mrl_recall").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name does not broadcast its probe side:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("soft_dedup: postings persist once, nothing pairwise, df join stays gram-keyed") {
     val p = plan("soft_dedup")
     assert(p.contains("InMemoryTableScan"),
