@@ -1661,4 +1661,109 @@ object TrainPrep {
        |         ELSE (budget - csum) // greatest(nun, 1) END) * 1000 // n_toks)::BIGINT
        |    AS epochs_pm
        |FROM h, sums""".stripMargin
+
+  /** Conformal miscoverage levels, per-mille. */
+  val ConformalAlphas: Seq[Long] = Seq(50L, 100L)
+
+  /** K154: SPLIT-CONFORMAL GATE CALIBRATION — the distribution-free
+    * threshold calibration (split conformal prediction — Vovk et
+    * al.; Angelopoulos & Bates 2023 tutorial) for a quality gate:
+    * instead of hand-picking a fluency floor, take the calibration
+    * lane's k-th smallest score with k = ⌊α·(n_cal+1)⌋ — then
+    * P(a fresh in-distribution doc scores below the floor) ≤ α by
+    * exchangeability alone, NO model or distribution assumption.
+    * Scores are the SHARED lmPerDoc integer fluency (the
+    * ccnet_buckets fq — three consumers, one kernel); lanes are
+    * sample_split's own multiplicative-hash lanes (calibrate on
+    * val, report held-out coverage on test — the K130/K131 split
+    * hygiene). Per [[ConformalAlphas]] level: calibration size, the
+    * exact order-statistic rank, the threshold, and the test-lane
+    * empirical coverage in per-mille (expected ≥ 1000−α, the
+    * guarantee made measurable; k floors at 1 for vacuous-α sizes).
+    *
+    * Shape: ONE corpus scoring pass (persisted — the lanes and both
+    * consumers read it); the order statistic cuts the DISTINCT-score
+    * cum-histogram (quantile_bins posture, cells never rows); each α
+    * is a 1-row broadcast threshold joined against the test lane —
+    * |alphas| passes over a lane, never the corpus. */
+  def conformalGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusClean
+    val scored = documents(s, dir).select(col("doc_id"))
+      .join(CorpusClean.lmPerDoc(s, dir), Seq("doc_id"), "left_outer")
+      .withColumn("fq", coalesce(
+        expr(s"(sum_q * 1000) div (n_bigrams * ${CorpusClean.LmScale}L)"), lit(0L)))
+      .withColumn("h", pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100)))
+      .select(col("doc_id"), col("fq"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cal = scored.filter(col("h") >= 80 && col("h") < 90)
+    val tst = scored.filter(col("h") >= 90)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("fq"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cal.groupBy(col("fq")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .localCheckpoint() // distinct-score CELLS; one per alpha cut
+    ConformalAlphas.map { a =>
+      val kf = nCal.select(lit(a).as("alpha_pm"), col("n_cal"),
+        greatest(expr(s"($a * (n_cal + 1)) div 1000"), lit(1L)).as("k"))
+      val thr = cum.crossJoin(broadcast(kf)) // cells x 1 row
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("alpha_pm"), col("n_cal"), col("k"))
+        .agg(min(col("fq")).as("threshold"))
+      tst.crossJoin(broadcast(thr)) // 1-row scalar frame
+        .groupBy(col("alpha_pm"), col("n_cal"), col("k"), col("threshold"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("fq") >= col("threshold"), 1L).otherwise(0L)).as("n_keep"))
+        .select(col("alpha_pm"), col("n_cal"), col("k"), col("threshold"),
+          col("n_test"), col("n_keep"),
+          expr("(n_keep * 1000) div n_test").as("coverage_pm"))
+    }.reduce(_ unionByName _)
+  }
+
+  val conformalGateSql: String = {
+    val alphaBlocks = ConformalAlphas.map { a =>
+      s"""SELECT t.alpha_pm, t.n_cal, t.k, t.threshold,
+         |  count(*)::BIGINT AS n_test,
+         |  sum(CASE WHEN s.fq >= t.threshold THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+         |  (sum(CASE WHEN s.fq >= t.threshold THEN 1 ELSE 0 END) * 1000
+         |    // count(*))::BIGINT AS coverage_pm
+         |FROM (
+         |  SELECT a.alpha_pm, a.n_cal, a.k, min(c.fq)::BIGINT AS threshold
+         |  FROM (SELECT $a AS alpha_pm, n_cal,
+         |          greatest(($a * (n_cal + 1)) // 1000, 1) AS k FROM n) a, cum c
+         |  WHERE c.cum >= a.k GROUP BY 1, 2, 3) t, tst s
+         |GROUP BY 1, 2, 3, 4"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w,
+       |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w, w1 FROM (
+       |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |    FROM toks)
+       |  WHERE w1 IS NOT NULL),
+       |cbg AS (SELECT w, w1, count(*) AS cbg FROM bg GROUP BY 1, 2),
+       |cuni AS (SELECT w, count(*) AS cuni FROM toks GROUP BY 1),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(q)::BIGINT AS sum_q
+       |  FROM (
+       |    SELECT bg.doc_id, (cbg.cbg * ${graft.operators.CorpusClean.LmScale}) // cuni.cuni AS q
+       |    FROM bg JOIN cbg USING (w, w1) JOIN cuni USING (w))
+       |  GROUP BY doc_id),
+       |m AS (
+       |  SELECT d.doc_id,
+       |    coalesce((p.sum_q * 1000) // (p.n_bigrams * ${graft.operators.CorpusClean.LmScale}), 0) AS fq,
+       |    (d.doc_id * 2654435761 % 1000000007) % 100 AS h
+       |  FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+       |cal AS (SELECT fq FROM m WHERE h >= 80 AND h < 90),
+       |tst AS (SELECT fq FROM m WHERE h >= 90),
+       |n AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+       |hist AS (SELECT fq, count(*)::BIGINT AS c FROM cal GROUP BY 1),
+       |cum AS (
+       |  SELECT fq, sum(c) OVER (ORDER BY fq ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM hist)
+       |$alphaBlocks""".stripMargin
+  }
 }

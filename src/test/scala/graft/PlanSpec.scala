@@ -164,7 +164,10 @@ class PlanSpec extends SparkSpec {
       "work is the one lang-keyed aggregate before it"),
     "hub_stats" -> ("both cumulative cuts (p99 and the top-1% partial-cell sum) " +
       "run over the DISTINCT-k-occurrence histogram (quantile_bins posture) — " +
-      "cells bounded by the N_k value range, never vectors")
+      "cells bounded by the N_k value range, never vectors"),
+    "conformal_gate" -> ("the order-statistic cut cumulates over the DISTINCT-" +
+      "fluency-score histogram of the calibration LANE (quantile_bins posture) — " +
+      "cells bounded by the fq value range (a per-mille ratio), never docs")
   )
 
   test("no query plans a CartesianProduct; no UNBOUNDED no-partition window (one audit pass)") {

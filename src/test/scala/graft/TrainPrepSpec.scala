@@ -678,4 +678,52 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.values.map(_._5).sum <= budget)
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
   }
+
+  test("conformal_gate: order-statistic thresholds replay; held-out coverage meets the guarantee") {
+    import TrainPrep.ConformalAlphas
+    import graft.operators.CorpusClean.LmScale
+    // per-doc fq from first principles (the ccnet_buckets scoring)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String) = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val allToks = docs.flatMap { case (_, t) => toks(t) }
+    val cuni = allToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val allBg = docs.flatMap { case (_, t) => toks(t).sliding(2).collect {
+      case Seq(a, b) => (a, b) }.toSeq }
+    val cbg = allBg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val fqOf = docs.map { case (id, t) =>
+      val bgs = toks(t).sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      val fq = if (bgs.isEmpty) 0L
+        else {
+          val sumQ = bgs.map { case (a, b) => cbg((a, b)) * LmScale / cuni(a) }.sum
+          sumQ * 1000 / (bgs.length.toLong * LmScale)
+        }
+      id -> fq
+    }.toMap
+    def lane(id: Long): Int = ((id * 2654435761L % 1000000007L) % 100).toInt
+    val cal = docs.map(_._1).filter(i => lane(i) >= 80 && lane(i) < 90).map(fqOf).sorted
+    val tst = docs.map(_._1).filter(i => lane(i) >= 90).map(fqOf)
+    val got = run("conformal_gate").collect()
+      .map(r => r.getAs[Long]("alpha_pm") -> r).toMap
+    assert(got.keySet == ConformalAlphas.toSet)
+    ConformalAlphas.foreach { a =>
+      val r = got(a)
+      val k = math.max(a * (cal.length + 1) / 1000, 1L)
+      val t = cal((k - 1).toInt)
+      assert(r.getAs[Long]("n_cal") == cal.length.toLong)
+      assert(r.getAs[Long]("k") == k, s"alpha $a k")
+      assert(r.getAs[Long]("threshold") == t, s"alpha $a threshold")
+      assert(r.getAs[Long]("n_test") == tst.length.toLong)
+      val keep = tst.count(_ >= t).toLong
+      assert(r.getAs[Long]("n_keep") == keep)
+      assert(r.getAs[Long]("coverage_pm") == keep * 1000 / tst.length)
+      // the finite-sample guarantee, read empirically with slack for
+      // the small held-out lane (binomial noise, not a violation)
+      assert(r.getAs[Long]("coverage_pm") >= 1000 - a - 100,
+        s"alpha $a coverage ${r.getAs[Long]("coverage_pm")}")
+    }
+    // the two levels produce genuinely different thresholds or ranks
+    assert(got(ConformalAlphas.head).getAs[Long]("k")
+      != got(ConformalAlphas.last).getAs[Long]("k"))
+  }
 }
