@@ -39,6 +39,13 @@ import org.apache.spark.sql.SparkSession
   *    slack absorbs timer noise on sub-100 ms denominators). An
   *    empty flagged set is the claim "no query's cost grows faster
   *    than the data"; each member must have a documented reason.
+  *  - `queries_start`: each query's wall-clock start offset (seconds
+  *    since sweep start) — localizes a mid-run contention episode
+  *    to a time window instead of leaving it implied by sort order.
+  *  - `warm_transient` vs `warm_regressed`: cross-run flags are
+  *    re-measured once at end-of-run; flags that clear move to
+  *    `warm_transient` (a time-windowed box episode), flags that
+  *    persist stay in `warm_regressed` (see BenchDrift.splitTransient).
   */
 /** Cross-RUN warm-regression detection — the `noisy` flag's blind
   * spot (r9: stream_enrich measured 4.04 s warm, 2× every other run,
@@ -169,6 +176,30 @@ object BenchDrift {
   def discountDrift(parRatio: Option[Double], scanRatio: Option[Double]): Boolean =
     discountDrift(parRatio) || scanRatio.exists(_ > ParDriftMax)
 
+  /** End-of-run re-measure verdict on the warm_regressed flags. The
+    * r11 driver incident this answers: 41 queries flagged up to 16×
+    * (dedup_clusters 1.78→18.7 s, html_extract slope 43) in ONE
+    * contiguous band of the alphabetical sweep order — a time-windowed
+    * box contention episode mid-run that the three run-LEVEL calib
+    * stamps could say was suspect but could not localize; an idle
+    * re-run reproduced none of it. The localizer is mechanical: after
+    * the sweep, re-measure just the flagged set once; a flag whose
+    * re-measured warm time is back within [[Ratio]] of its prior has
+    * CLEARED — the episode ended, the plan is fine — and moves to the
+    * `warm_transient` field ((prior, flagged, re-measured) triple). A
+    * flag that still exceeds prior×[[Ratio]] (or whose re-measure
+    * failed: no evidence of clearing) stays in `warm_regressed`.
+    * Returns (persistent, transient). */
+  def splitTransient(flags: Seq[(String, Double, Double)],
+                     re: Map[String, Double])
+      : (Seq[(String, Double, Double)], Seq[(String, Double, Double, Double)]) = {
+    val transient = flags.flatMap { case (k, p, w) =>
+      re.get(k).filter(r => r > 0 && r <= p * Ratio).map(r => (k, p, w, r))
+    }
+    val cleared = transient.map(_._1).toSet
+    (flags.filterNot(f => cleared(f._1)), transient)
+  }
+
   /** SCAN-shaped calibration, milliseconds — the third fingerprint:
     * a fixed parquet read + aggregate over the smallest table, min of
     * `passes` (first pass additionally warms the footer cache; min
@@ -246,14 +277,22 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
+    // per-query wall-clock start offsets (seconds since sweep start)
+    // go out as `queries_start`: when a contention episode hits
+    // mid-run, the ≥Ratio flags cluster in one WINDOW of these
+    // offsets (the r11 driver incident showed as one contiguous
+    // alphabetical band) — the offsets let a consumer see the window
+    // directly instead of inferring it from sort order.
+    val sweepT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val start = (System.nanoTime() - sweepT0) / 1e9
       val cold = once(fn, sfDir)
       val warm =
         if (cold < 0) -1.0
         else math.min(once(fn, sfDir), once(fn, sfDir)) match {
           case w if w < 0 => -1.0; case w => w
         }
-      (name, cold, warm)
+      (name, cold, warm, start)
     }
     // slope probe at the smaller SF: two passes, min — these timings
     // only feed the ratio, never the headline numbers
@@ -273,14 +312,15 @@ object Bench {
     // full line is ALSO written to bench_last.json (committed with
     // the round snapshot) so stdout truncation can never lose data.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    def qjson(sel: ((String, Double, Double)) => Double) =
+    def qjson(sel: ((String, Double, Double, Double)) => Double) =
       results.map(t => "\"" + t._1 + "\":" + r3(sel(t))).mkString("{", ",", "}")
-    val failed = results.collect { case (k, c, _) if c < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, c, _, _) if c < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val noisy = results.collect { case (k, c, w) if c >= 0 && w > c => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val noisy = results.collect {
+      case (k, c, w, _) if c >= 0 && w > c => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val slopes: Seq[(String, Double)] = results.collect {
-      case (k, _, w) if w > 0 && slopeTimes.getOrElse(k, -1.0) > 0 =>
+      case (k, _, w, _) if w > 0 && slopeTimes.getOrElse(k, -1.0) > 0 =>
         k -> r3(w / slopeTimes(k))
     }
     val slopeJson = slopes.map { case (k, s) => "\"" + k + "\":" + s }
@@ -288,8 +328,8 @@ object Bench {
     val slopeFlagged = slopes.collect {
       case (k, s) if s > SlopeDiv * SlopeSlack => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    val total = r3(results.collect { case (_, c, _) if c >= 0 => c }.sum)
-    val warmTotal = r3(results.collect { case (_, _, w) if w >= 0 => w }.sum)
+    val total = r3(results.collect { case (_, c, _, _) if c >= 0 => c }.sum)
+    val warmTotal = r3(results.collect { case (_, _, w, _) if w >= 0 => w }.sum)
     // cross-run drift vs the PRIOR committed bench_last.json, read
     // before this run overwrites it (see BenchDrift)
     val priorJson =
@@ -297,9 +337,19 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => "" }
     val priorWarm = BenchDrift.parseWarm(priorJson)
     val drift = BenchDrift.regressed(priorWarm,
-      results.collect { case (k, _, w) if w > 0 => (k, w) })
-    val driftJson = drift.map { case (k, p, w) =>
+      results.collect { case (k, _, w, _) if w > 0 => (k, w) })
+    // end-of-run re-measure of JUST the flagged set (one warm pass
+    // each, sweep-order): flags that clear were a mid-run contention
+    // episode, not a plan regression — see BenchDrift.splitTransient
+    val reMeasured: Map[String, Double] = drift.map { case (k, _, _) =>
+      k -> once(SparkEntry.queries(k), sfDir)
+    }.toMap
+    val (persistent, transient) = BenchDrift.splitTransient(drift, reMeasured)
+    val driftJson = persistent.map { case (k, p, w) =>
       "\"" + k + "\":[" + r3(p) + "," + r3(w) + "]"
+    }.mkString("{", ",", "}")
+    val transientJson = transient.map { case (k, p, w, r) =>
+      "\"" + k + "\":[" + r3(p) + "," + r3(w) + "," + r3(r) + "]"
     }.mkString("{", ",", "}")
     // box-speed fingerprints: single-thread calib (core speed) AND a
     // 32-way parallel spin (whole-box throughput — the one contention
@@ -323,6 +373,7 @@ object Bench {
       s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
       s""""sf":"$sfDir","failed":$failed,"noisy":$noisy,""" +
       s""""slope_flagged":$slopeFlagged,"warm_regressed":$driftJson,""" +
+      s""""warm_transient":$transientJson,""" +
       s""""drift_discounted":$discounted,""" +
       s""""calib_ms":${r3(calib)},"calib_par_ms":${r3(calibPar)},""" +
       s""""calib_scan_ms":${r3(calibScan)}""" +
@@ -331,7 +382,8 @@ object Bench {
       calibScanRatio.map(r => s""","calib_scan_vs_prior":$r""").getOrElse("")
     val summary = s"""{"metric":"total_summary",$common}"""
     val line = s"""{"metric":"total",$common,"queries":${qjson(_._2)},""" +
-      s""""queries_warm":${qjson(_._3)},"queries_slope":$slopeJson}"""
+      s""""queries_warm":${qjson(_._3)},"queries_start":${qjson(_._4)},""" +
+      s""""queries_slope":$slopeJson}"""
     println(summary)
     println(line)
     try java.nio.file.Files.writeString(

@@ -77,6 +77,28 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(!BenchDrift.discountDrift(None, None))
   }
 
+  test("a planted mid-run contention band clears on re-measure → transient") {
+    // the r11 driver incident shape: a contiguous band of the
+    // alphabetical sweep (here c..e) runs 3-16x while a box episode
+    // lasts, then the box recovers before end-of-run
+    val prior = Map("a" -> 1.0, "c" -> 1.0, "d" -> 2.0, "e" -> 1.0, "z" -> 1.0)
+    val now = Seq("a" -> 1.05, "c" -> 6.0, "d" -> 9.0, "e" -> 4.0, "z" -> 1.1)
+    val flags = BenchDrift.regressed(prior, now)
+    assert(flags.map(_._1) == Seq("d", "c", "e")) // sorted by growth
+    // episode over by re-measure time: c and e are back at prior,
+    // d's re-measure FAILED (-1) — no evidence of clearing, persists
+    val re = Map("c" -> 1.1, "d" -> -1.0, "e" -> 1.4)
+    val (persistent, transient) = BenchDrift.splitTransient(flags, re)
+    assert(transient == Seq(("c", 1.0, 6.0, 1.1), ("e", 1.0, 4.0, 1.4)))
+    assert(persistent == Seq(("d", 2.0, 9.0)))
+    // a re-measure still past prior*Ratio does NOT clear
+    val (p2, t2) = BenchDrift.splitTransient(flags, Map("d" -> 3.5))
+    assert(p2.map(_._1) == Seq("d", "c", "e") && t2.isEmpty)
+    // no re-measure data at all: everything persists (conservative)
+    val (p3, t3) = BenchDrift.splitTransient(flags, Map.empty)
+    assert(p3 == flags && t3.isEmpty)
+  }
+
   test("the in-tree committed bench_last.json parses non-empty") {
     val p = java.nio.file.Paths.get("bench_last.json")
     assume(java.nio.file.Files.exists(p))
