@@ -78,6 +78,23 @@ object GraftFunctions {
         "paramName" -> "`k`", "paramType" -> "positive \"INT\" literal"))
   }
 
+  /** Window/divisor args of the scalar kernels must be POSITIVE
+    * plan-time constants: `cdc_boundaries(text, 8, 0)` would hit
+    * modulo-by-zero and `maxsim_score(a, b, 0)` divide-by-zero at
+    * execution time otherwise. Same analysis-time contract as
+    * [[intLit]]; int literals are widened so SQL callers can write
+    * bare `8` where the kernel takes bigint. */
+  private def posLongLit(fn: String, param: String, e: Expression): Expression =
+    e match {
+      case Literal(v: Int, IntegerType) if v > 0 => Literal(v.toLong, LongType)
+      case l @ Literal(v: Long, LongType) if v > 0 => l
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map("funcName" -> s"`$fn`",
+          "paramName" -> s"`$param`",
+          "paramType" -> "positive \"BIGINT\" literal"))
+    }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((exprs: Seq[Expression]) =>
       graft.plans.VecDotProduct(exprs(0), exprs(1))),
@@ -86,9 +103,12 @@ object GraftFunctions {
     "token_gram_hashes" -> ((exprs: Seq[Expression]) =>
       graft.plans.TokenGramHashes(exprs(0), exprs(1))),
     "maxsim_score" -> ((exprs: Seq[Expression]) =>
-      graft.plans.MaxSimScore(exprs(0), exprs(1), exprs(2))),
+      graft.plans.MaxSimScore(exprs(0), exprs(1),
+        posLongLit("maxsim_score", "d", exprs(2)))),
     "cdc_boundaries" -> ((exprs: Seq[Expression]) =>
-      graft.plans.CdcBoundaries(exprs(0), exprs(1), exprs(2))),
+      graft.plans.CdcBoundaries(exprs(0),
+        posLongLit("cdc_boundaries", "w", exprs(1)),
+        posLongLit("cdc_boundaries", "mask", exprs(2)))),
     "kmv_agg" -> ((exprs: Seq[Expression]) =>
       graft.plans.KmvAgg(exprs(0), intLit("kmv_agg", exprs(1)))),
     "minhash_agg" -> ((exprs: Seq[Expression]) =>

@@ -466,7 +466,7 @@ object Ingest {
       |    || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page'
       |    || CAST(doc_id % 13 AS VARCHAR)
       |    || chr(10) || 'Content-Length: '
-      |    || CAST(strlen(text) + CASE WHEN doc_id % 11 = 0 THEN 5 ELSE 0 END AS VARCHAR)
+      |    || CAST(length(text) + CASE WHEN doc_id % 11 = 0 THEN 5 ELSE 0 END AS VARCHAR)
       |    || chr(10) || chr(10) || text AS rec
       |  FROM documents),
       |h AS (
@@ -474,7 +474,7 @@ object Ingest {
       |    regexp_extract(rec, 'WARC-Type: ([a-z]+)', 1) AS wtype,
       |    regexp_extract(rec, 'WARC-Target-URI: https://([a-z0-9.-]+)', 1) AS host,
       |    CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS declared,
-      |    strlen(rec) - (strpos(rec, chr(10) || chr(10)) + 1) AS measured
+      |    length(rec) - (strpos(rec, chr(10) || chr(10)) + 1) AS measured
       |  FROM r)
       |SELECT wtype, count(*)::BIGINT AS n_records,
       |  sum(CASE WHEN declared <> measured THEN 1 ELSE 0 END)::BIGINT AS n_bad_length,

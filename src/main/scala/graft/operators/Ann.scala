@@ -1219,10 +1219,18 @@ object Ann {
     * NDCG@K says WHERE — a path that returns them at ranks 4-5
     * scores the same recall but materially lower NDCG, which is the
     * difference a downstream top-1 consumer feels. Per approximate
-    * path (D2 LSH / D3 IVF / K72 PQ): micro-averaged
-    * NDCG = Σ_q DCG_q · 1000 div Σ_q IDCG_q, DCG = Σ hit(rank)·W(rank),
-    * IDCG = CW[hits] (all hits packed at the top), with the
-    * [[NdcgW]] integer weight table shared verbatim across engines.
+    * path (D2 LSH / D3 IVF / K72 PQ), two micro-averaged metrics off
+    * the same DCG = Σ hit(rank)·W(rank), both with the [[NdcgW]]
+    * integer weight table shared verbatim across engines:
+    *  - `ndcg_pm`: STANDARD NDCG@K — denominator n_queries·CW[K],
+    *    the ideal DCG of the full relevant set (the exact path
+    *    returns exactly K relevant neighbors per query, so IDCG@K is
+    *    the constant CW[K]). Penalizes both misordering AND misses.
+    *  - `rank_quality_pm`: ordering-only variant — denominator
+    *    Σ_q CW[hits_q] (all RETRIEVED hits packed at the top), so a
+    *    path that returns one exact neighbor at rank 1 scores 1000
+    *    despite 20% recall. Measures placement of what came back;
+    *    read next to K18's recall, which measures what came back.
     *
     * Shape: the three ranked pipelines are the family's documented
     * forms; everything after is probe-set-sized joins + one 3-row
@@ -1243,8 +1251,12 @@ object Ann {
         sum(col("dcg")).as("sum_dcg"), sum(col("idcg")).as("sum_idcg"))
       .select(lit(path).as("path"), col("n_queries"), col("sum_dcg"),
         col("sum_idcg"),
+        when(col("n_queries") === 0, 0L)
+          .otherwise(expr(s"(sum_dcg * 1000) div (n_queries * ${NdcgCw.last})"))
+          .as("ndcg_pm"),
         when(col("sum_idcg") === 0, 0L)
-          .otherwise(expr("(sum_dcg * 1000) div sum_idcg")).as("ndcg_pm"))
+          .otherwise(expr("(sum_dcg * 1000) div sum_idcg"))
+          .as("rank_quality_pm"))
     scoreOf("lsh", annLsh(s, dir).select(col("qid"), col("nb"), col("rnk")))
       .unionByName(scoreOf("ivf",
         annIvf(s, dir).select(col("qid"), col("nb"), col("rnk"))))
@@ -1259,8 +1271,11 @@ object Ann {
     def pathSql(path: String, sql: String, q: String, n: String, r: String) =
       s"""SELECT '$path' AS path, count(*)::BIGINT AS n_queries,
          |  sum(dcg)::BIGINT AS sum_dcg, sum(idcg)::BIGINT AS sum_idcg,
+         |  CASE WHEN count(*) = 0 THEN 0
+         |       ELSE sum(dcg) * 1000 // (count(*) * ${NdcgCw.last})
+         |       END::BIGINT AS ndcg_pm,
          |  CASE WHEN sum(idcg) = 0 THEN 0
-         |       ELSE sum(dcg) * 1000 // sum(idcg) END::BIGINT AS ndcg_pm
+         |       ELSE sum(dcg) * 1000 // sum(idcg) END::BIGINT AS rank_quality_pm
          |FROM (
          |  SELECT a.$q,
          |    sum(CASE WHEN e.nb IS NULL THEN 0

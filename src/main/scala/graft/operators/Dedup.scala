@@ -1797,7 +1797,7 @@ object Dedup {
 
   val cdcChunksSql: String =
     s"""WITH d AS (
-       |  SELECT doc_id, text AS t, strlen(text)::BIGINT AS len FROM documents),
+       |  SELECT doc_id, text AS t, length(text)::BIGINT AS len FROM documents),
        |b AS (
        |  SELECT doc_id, t, len,
        |    [0::BIGINT] ||

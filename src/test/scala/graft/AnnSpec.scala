@@ -454,7 +454,8 @@ class AnnSpec extends SparkSpec {
     }
     val got = SparkEntry.queries("ndcg_eval")(spark, sf).collect()
       .map(x => x.getString(0) -> ((x.getAs[Long]("sum_dcg"),
-        x.getAs[Long]("sum_idcg"), x.getAs[Long]("ndcg_pm")))).toMap
+        x.getAs[Long]("sum_idcg"), x.getAs[Long]("ndcg_pm"),
+        x.getAs[Long]("rank_quality_pm"), x.getAs[Long]("n_queries")))).toMap
     Seq(("lsh", "ann_lsh", "qid", "nb", "rnk"),
         ("ivf", "ann_ivf", "qid", "nb", "rnk"),
         ("pq", "ann_pq", "probe_id", "neighbor", "rank")).foreach {
@@ -462,10 +463,17 @@ class AnnSpec extends SparkSpec {
         val (dcg, idcg) = replay(op, q, n, r)
         assert(got(path)._1 == dcg, s"$path dcg")
         assert(got(path)._2 == idcg, s"$path idcg")
-        assert(got(path)._3 == (if (idcg == 0) 0L else dcg * 1000 / idcg))
+        // standard NDCG@K: the exact path returns K relevant per
+        // query, so IDCG@K is the constant CW[K] per query
+        assert(got(path)._3 == dcg * 1000 / (got(path)._5 * NdcgCw.last))
+        // ordering-only variant: denominator is CW[retrieved hits]
+        assert(got(path)._4 == (if (idcg == 0) 0L else dcg * 1000 / idcg))
+        // completeness penalty is real: ndcg_pm never exceeds the
+        // ordering-only score (equality iff recall is perfect)
+        assert(got(path)._3 <= got(path)._4, s"$path ndcg vs rank_quality")
     }
-    // NDCG is bounded by 1 and the position weighting is live
-    assert(got.values.forall(v => v._3 <= 1000L))
+    // both are bounded by 1 and the position weighting is live
+    assert(got.values.forall(v => v._3 <= 1000L && v._4 <= 1000L))
   }
 
   test("colbert_maxsim: the 16x16 MaxSim grid replays; late interaction beats single-dot ties") {

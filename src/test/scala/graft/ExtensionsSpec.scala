@@ -60,6 +60,33 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel window/divisor args must be positive literals — analysis " +
+    "error, not runtime modulo/divide-by-zero") {
+    val byName = GraftFunctions.all.toMap
+    // happy paths: bigint literal, and int literal widened for SQL callers
+    assert(byName("cdc_boundaries")(Seq(Literal("x"), Literal(8L), Literal(64L)))
+      .isInstanceOf[graft.plans.CdcBoundaries])
+    assert(byName("maxsim_score")(Seq(Literal(null), Literal(null), Literal(4)))
+      .asInstanceOf[graft.plans.MaxSimScore].third == Literal(4L))
+    // cdc_boundaries(text, 8, 0) would modulo-by-zero at execution
+    for (bad <- Seq(Literal(0L), Literal(-2L), Literal("x"),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.LongType, nullable = false))) {
+      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+        byName("cdc_boundaries")(Seq(Literal("x"), Literal(8L), bad))
+      }
+      assert(e1.getMessage.contains("cdc_boundaries"), e1.getMessage)
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      byName("cdc_boundaries")(Seq(Literal("x"), Literal(0L), Literal(64L)))
+    }
+    // maxsim_score(a, b, 0) would divide-by-zero at execution
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      byName("maxsim_score")(Seq(Literal(null), Literal(null), Literal(0L)))
+    }
+    assert(e2.getMessage.contains("maxsim_score"), e2.getMessage)
+  }
+
   test("shared builders construct the expected expression nodes") {
     val byName = GraftFunctions.all.toMap
     val vd = byName("vec_dot")(Seq(Literal(null), Literal(null)))
