@@ -45,7 +45,11 @@ object ABProbe {
       "ker" -> ((dir: String) => operators.Ann.colbertMaxsimProbe(s, dir, hof = false))),
     "cdc" -> Seq(
       "hof" -> ((dir: String) => operators.Dedup.cdcChunksProbe(s, dir, hof = true)),
-      "ker" -> ((dir: String) => operators.Dedup.cdcChunksProbe(s, dir, hof = false))))
+      "ker" -> ((dir: String) => operators.Dedup.cdcChunksProbe(s, dir, hof = false))),
+    "pagerank" -> Seq(
+      "ship" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "ship")),
+      "ckpt" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "ckpt")),
+      "pre" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "pre"))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

@@ -29,6 +29,17 @@ class GraphSketchSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pagerank_iter: probe forms are row-identical (node-side div + " +
+    "checkpoints change the plan, never the ranks)") {
+    val forms = Seq("ship", "ckpt", "pre").map { f =>
+      f -> PageRankIter.pagerankIterProbe(spark, sf, f).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }.toMap
+    assert(forms("ship").nonEmpty)
+    assert(forms("ckpt") == forms("ship"), "ckpt vs ship")
+    assert(forms("pre") == forms("ship"), "pre vs ship")
+  }
+
   test("kmv_merge: merged per-day sketches estimate EXACTLY like the direct sketch") {
     val r = run("kmv_merge").head()
     assert(r.getAs[Double]("est_merged") == r.getAs[Double]("est_direct"),
