@@ -177,6 +177,20 @@ object Retrieval {
       .withColumn("c4", floor(col("cos") * 10000 + 0.5).cast("long"))
       .filter(col("c4") > 0)
       .select(col("va"), col("vb"), col("lang"), col("c4"))
+    marginMine(pairs)
+  }
+
+  /** The CCMatrix margin computation over a (va, vb, lang, c4)
+    * candidate-pair frame — the SHARED downstream both candidate
+    * legs feed (the H7→K1 swap contract): [[bitextMine]]'s exact
+    * bipartite blocked join and [[bitextMineLsh]]'s sign-LSH bucket
+    * collisions produce the same pair schema, and everything from
+    * the top-k neighborhood sums to the per-y best-margin admission
+    * is this one function. Persists the pair frame (three consumers:
+    * two neighborhood windows + the final scoring join);
+    * localCheckpoints the ∝-non-en-docs result before releasing it. */
+  private[graft] def marginMine(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wx = Window.partitionBy(col("va")).orderBy(col("c4").desc, col("vb"))
     val sx = pairs.withColumn("r", row_number().over(wx))
@@ -201,22 +215,59 @@ object Retrieval {
     out
   }
 
-  val bitextMineSql: String =
-    s"""WITH docs AS (SELECT doc_id, lang FROM documents),
-       |x AS (
-       |  SELECT vec_id AS va, embedding AS ea FROM embeddings
-       |  JOIN docs ON doc_id = vec_id WHERE lang = 'en'),
-       |y AS (
-       |  SELECT vec_id AS vb, embedding AS eb, lang FROM embeddings
-       |  JOIN docs ON doc_id = vec_id WHERE lang <> 'en'),
-       |p AS (
-       |  SELECT va, vb, lang,
-       |    CAST(floor(list_dot_product(ea::DOUBLE[], eb::DOUBLE[]) /
-       |      (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[])) *
-       |       sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[])))
-       |      * 10000 + 0.5) AS BIGINT) AS c4
-       |  FROM x, y),
-       |pp AS (SELECT * FROM p WHERE c4 > 0),
+  /** K135-LSH: the REGISTERED index-side swap for [[bitextMine]]
+    * (r11 VERDICT item 4 — every other D/K-family exact baseline has
+    * one): candidate (x, y) pairs come from shared (table, bucket)
+    * sign-LSH keys ([[VecFns.portableBuckets]], the D2/K1 bucket
+    * pipeline) instead of the Θ(Nx·Ny) bipartite blocked join;
+    * scoring, the top-[[BtK]] neighborhood sums and the per-y
+    * best-margin admission are the UNCHANGED [[marginMine]]. The
+    * neighborhoods are computed over the RETRIEVED candidates —
+    * exactly how the published pipelines deploy (CCMatrix mines
+    * margins over FAISS-retrieved neighborhoods, never all pairs) —
+    * so margins can differ from the exact leg where a bucket misses
+    * a neighbor; the recall spec pins how much. Candidate volume is
+    * Σ_t Σ_b n_b(x)·n_b(y) — bounded by bucket occupancy, not the
+    * bipartite product; at 100 TB widen [[graft.operators.Ann.LshBits]]
+    * / add tables exactly as the K1 contract documents. Buckets for
+    * BOTH sides come from ONE projection pass over the corpus (the
+    * vectors×tables frame is tiny — localCheckpoint'd, the K1
+    * convention), and the DuckDB oracle replays the whole pipeline
+    * since the buckets are the portable integer projections. */
+  def bitextMineLsh(s: SparkSession, dir: String): DataFrame = {
+    val lang = documents(s, dir).select(col("doc_id"), col("lang"))
+    val e = embeddings(s, dir).join(lang, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("lang"),
+        VecFns.norm(col("embedding")).as("nrm"))
+    val b = VecFns.portableBuckets(e, "vec_id", "embedding",
+        Ann.LshBits, Ann.LshTables)
+      .join(e.select(col("vec_id"), col("lang")), "vec_id")
+      .localCheckpoint() // vectors×tables rows (tiny)
+    val cand = b.filter(col("lang") === "en").as("x")
+      .join(b.filter(col("lang") =!= "en").as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val xs = e.filter(col("lang") === "en").select(
+      col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val ys = e.filter(col("lang") =!= "en").select(
+      col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"),
+      col("lang"))
+    val denom = col("na") * col("nb")
+    val pairs = cand.join(xs, "va").join(ys, "vb")
+      .withColumn("cos", when(denom === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("ea"), col("eb")) / denom))
+      .withColumn("c4", floor(col("cos") * 10000 + 0.5).cast("long"))
+      .filter(col("c4") > 0)
+      .select(col("va"), col("vb"), col("lang"), col("c4"))
+    marginMine(pairs)
+  }
+
+  /** Margin-tail CTEs shared by both oracle legs — the literal
+    * replay of [[marginMine]]; expects a CTE `p` with
+    * (va, vb, lang, c4). */
+  private lazy val bitextMarginSqlTail: String =
+    s"""pp AS (SELECT * FROM p WHERE c4 > 0),
        |sx AS (
        |  SELECT va, sum(c4)::BIGINT AS sxa FROM (
        |    SELECT va, c4, row_number() OVER (PARTITION BY va ORDER BY c4 DESC, vb) AS r
@@ -235,6 +286,48 @@ object Retrieval {
        |  SELECT *, row_number() OVER (PARTITION BY vb ORDER BY margin_pm DESC, va) AS r
        |  FROM m)
        |WHERE r = 1 AND margin_pm >= $BtMarginFloor""".stripMargin
+
+  lazy val bitextMineSql: String =
+    s"""WITH docs AS (SELECT doc_id, lang FROM documents),
+       |x AS (
+       |  SELECT vec_id AS va, embedding AS ea FROM embeddings
+       |  JOIN docs ON doc_id = vec_id WHERE lang = 'en'),
+       |y AS (
+       |  SELECT vec_id AS vb, embedding AS eb, lang FROM embeddings
+       |  JOIN docs ON doc_id = vec_id WHERE lang <> 'en'),
+       |p AS (
+       |  SELECT va, vb, lang,
+       |    CAST(floor(list_dot_product(ea::DOUBLE[], eb::DOUBLE[]) /
+       |      (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[])) *
+       |       sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[])))
+       |      * 10000 + 0.5) AS BIGINT) AS c4
+       |  FROM x, y),
+       |$bitextMarginSqlTail""".stripMargin
+
+  lazy val bitextMineLshSql: String =
+    s"""WITH ${VecFns.portableBucketsSql(Ann.LshBits, Ann.LshTables)},
+       |docs AS (SELECT doc_id, lang FROM documents),
+       |x AS (
+       |  SELECT vec_id AS va, embedding AS ea FROM embeddings
+       |  JOIN docs ON doc_id = vec_id WHERE lang = 'en'),
+       |y AS (
+       |  SELECT vec_id AS vb, embedding AS eb, lang FROM embeddings
+       |  JOIN docs ON doc_id = vec_id WHERE lang <> 'en'),
+       |cand AS (
+       |  SELECT bx.vec_id AS va, bb.vec_id AS vb
+       |  FROM buckets bx JOIN buckets bb ON bx.t = bb.t AND bx.b = bb.b
+       |  JOIN docs dx ON dx.doc_id = bx.vec_id
+       |  JOIN docs dy ON dy.doc_id = bb.vec_id
+       |  WHERE dx.lang = 'en' AND dy.lang <> 'en'
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT va, vb, lang,
+       |    CAST(floor(list_dot_product(ea::DOUBLE[], eb::DOUBLE[]) /
+       |      (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[])) *
+       |       sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[])))
+       |      * 10000 + 0.5) AS BIGINT) AS c4
+       |  FROM cand JOIN x USING (va) JOIN y USING (vb)),
+       |$bitextMarginSqlTail""".stripMargin
 
   /** MMR: λ in tenths (0.7 relevance / 0.3 diversity — the paper's
     * headline setting), picks per query, candidate pool depth. */

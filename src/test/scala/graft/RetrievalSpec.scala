@@ -108,6 +108,29 @@ class RetrievalSpec extends SparkSpec {
     got.keys.foreach(vb => assert(langs(vb) != "en"))
   }
 
+  test("bitext_mine_lsh: the registered index-side swap — candidates from " +
+    "bucket collisions, same margin downstream, recall vs the exact leg") {
+    val exact = SparkEntry.queries("bitext_mine")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vb") -> r.getAs[Long]("va")).toMap
+    val lsh = SparkEntry.queries("bitext_mine_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vb"),
+        (r.getAs[Long]("va"), r.getAs[Long]("cos_q4"), r.getAs[Long]("margin_pm"))))
+    val lshMap = lsh.map { case (vb, t) => vb -> t }.toMap
+    assert(lsh.length == lshMap.size, "one best candidate per y")
+    // margins are over the RETRIEVED neighborhoods (the deployed
+    // CCMatrix shape), so admissions can differ from the exact leg;
+    // recall of the exact leg's (vb -> va) picks is the claim
+    val hits = exact.count { case (vb, va) => lshMap.get(vb).exists(_._1 == va) }
+    assert(exact.nonEmpty)
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.5, s"pair recall $recall ($hits/${exact.size})")
+    // candidate generation is a real cut AND the floor still gates
+    assert(lshMap.nonEmpty)
+    lsh.foreach { case (_, (_, c4, m)) =>
+      assert(c4 > 0 && m >= graft.operators.Retrieval.BtMarginFloor)
+    }
+  }
+
   test("mmr_diversify: the greedy trajectory replays exactly; diversity really changes picks") {
     import graft.operators.Retrieval.{MmrC, MmrK, MmrLambda10}
     import graft.operators.Ann.NumQueries
