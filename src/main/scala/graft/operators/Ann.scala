@@ -1435,4 +1435,89 @@ object Ann {
        |    AS flag_pm,
        |  (sum(agree) * 1000 // sum(kk))::BIGINT AS agree_pm
        |FROM pp GROUP BY label""".stripMargin
+
+  /** k-center coreset size. */
+  val KcK = 5
+
+  /** K158: K-CENTER-GREEDY CORESET — the classic 2-approximation
+    * farthest-point selection (Gonzalez 1985) as deployed for
+    * training-data subset selection by Sener & Savarese (ICLR 2018,
+    * "Active Learning for CNNs: A Core-Set Approach"): seed with the
+    * smallest vec_id, then each round add the point FARTHEST from
+    * its nearest already-selected center — after k rounds the
+    * selected set's covering radius is within 2× of the optimal
+    * k-center cover, so a model trained on the coreset has a
+    * bounded loss gap on the full set (their Thm 1). The
+    * per-round pick's min-distance IS the covering radius of the
+    * previous center set, so the emitted radius sequence is the
+    * coverage-vs-budget curve a curator reads to size the subset
+    * (non-increasing; spec-pinned). Distances are squared L2 in
+    * doubles via the codegen'd vec_dot kernel with the oracle's
+    * operand order (d² = ‖a‖² + ‖b‖² − 2a·b — the pairCos
+    * convention), so argmax/min comparisons see bit-identical
+    * doubles on both engines; output radius rounds ×10⁴ half-up
+    * AFTER selection (the knn_join convention).
+    *
+    * Shape: [[KcK]] rounds over ONE persisted corpus frame; each
+    * round is a ≤[[KcK]]-row broadcast nested-loop against the scan,
+    * a vec_id-keyed min, and a 1-row TakeOrdered argmax collected
+    * driver-side (the bpe_train bounded-argmax contract — K is a
+    * constant, never data-scale); the result frame is K rows built
+    * from the picks. The greedy loop is inherently sequential; the
+    * corpus work per round is one map-side join + one combining
+    * aggregate, shuffle ∝ corpus rows. */
+  def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val v = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("n2", VecFns.dot(col("embedding"), col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = v.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id")).collect()(0).getLong(0)
+    var picks = Vector((1L, seed, 0.0))
+    for (r <- 2 to KcK) {
+      val ids = picks.map(_._2)
+      val centers = v.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("n2").as("cn2"))
+      val p = v.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(centers)) // ≤ KcK-row grid
+        .select(col("vec_id"),
+          (col("n2") + col("cn2") -
+            lit(2.0) * VecFns.dot(col("embedding"), col("ce"))).as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .collect()(0) // 1-row argmax (the bpe_train contract)
+      picks = picks :+ ((r.toLong, p.getLong(0), p.getDouble(1)))
+    }
+    v.unpersist()
+    import s.implicits._
+    picks.map { case (r, id, d2) =>
+      (r, id, math.floor(d2 * 10000 + 0.5) / 10000)
+    }.toDF("round", "center_id", "radius2")
+  }
+
+  lazy val kcenterCoresetSql: String = {
+    val rounds = (2 to KcK).map { r =>
+      val prev = r - 1
+      s"""d$r AS (
+         |  SELECT v.vec_id, min(v.n2 + c.n2 - 2 * list_dot_product(v.e, c.e)) AS dmin
+         |  FROM v, c$prev c
+         |  WHERE v.vec_id NOT IN (SELECT vec_id FROM c$prev)
+         |  GROUP BY v.vec_id),
+         |p$r AS (SELECT vec_id, dmin FROM d$r ORDER BY dmin DESC, vec_id LIMIT 1),
+         |c$r AS (SELECT * FROM c$prev
+         |        UNION ALL SELECT v.vec_id, v.e, v.n2 FROM v JOIN p$r USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (2 to KcK).map(r =>
+      s"UNION ALL SELECT $r::BIGINT, vec_id, floor(dmin * 10000 + 0.5) / 10000 FROM p$r")
+      .mkString("\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id, e, n2 FROM v ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |SELECT 1::BIGINT AS round, vec_id AS center_id, 0.0 AS radius2 FROM c1
+       |$out""".stripMargin
+  }
 }

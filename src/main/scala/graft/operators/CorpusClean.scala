@@ -1104,4 +1104,126 @@ object CorpusClean {
        |    AS anchor_tokens,
        |  sum(CASE WHEN nofollow THEN 1 ELSE 0 END)::BIGINT AS n_nofollow
        |FROM a GROUP BY host""".stripMargin
+
+  /** FineWeb custom-filter thresholds, per-mille, and the short-line
+    * char cut — the three DOCUMENT-level heuristics of Penedo et al.
+    * 2024 (The FineWeb Datasets, §3.6), selected by ablation from the
+    * C4/MassiveText candidate pool with these exact published
+    * values: drop the doc when the fraction of lines ending in
+    * punctuation is ≤ 0.12, when the fraction of characters in
+    * DUPLICATED lines is ≥ 0.10, or when the fraction of lines
+    * shorter than 30 chars is ≥ 0.67. */
+  val FwPunctPm = 120L
+  val FwDupPm = 100L
+  val FwShortPm = 670L
+  val FwShortChars = 30
+
+  /** The planted within-doc duplicate line for the dup-chars rule
+    * (boilerplate-shaped, punctuation-terminated so it never trips
+    * the punct rule instead). */
+  val FwDupLine = "subscribe to our newsletter for updates."
+
+  /** K156: FINEWEB CUSTOM FILTERS — the doc-level quality gate stack
+    * of Penedo et al. 2024 ([[FwPunctPm]]/[[FwDupPm]]/[[FwShortPm]]),
+    * the published refinement ON TOP of the C4 line rules (K138):
+    * where C4 drops individual lines, FineWeb drops whole documents
+    * whose LINE-STATISTICS profile says boilerplate/listing/nav page.
+    * Lines are the K138 synthetic-line convention ([[C4LineTokens]]-
+    * token slices, terminal punct on (doc_id+si) mod 4 ≠ 0), with
+    * three deterministic planted populations so each published rule
+    * fires on a known doc class: docs ≡0 (mod 19) lose ALL terminal
+    * punctuation (punct ratio 0 ≤ 120‰), docs ≡0 (mod 23) repeat
+    * [[FwDupLine]] on every third line (duplicated-line chars ≥
+    * 100‰), docs ≡0 (mod 29) truncate every line to 2 tokens (short
+    * lines ≥ 670‰). Verdicts evaluate FIRST-MATCH in the paper's
+    * listing order; every ratio test is an exact integer
+    * cross-multiplication (n·1000 vs threshold·denominator — no
+    * float ever divides). Output: per verdict, doc/line/char counts.
+    *
+    * Scale shape: line construction is map-only (sequence + slice,
+    * codegen'd); duplicate detection is a (doc, line)-keyed combining
+    * aggregate followed by a doc-keyed one — shuffle ∝ lines, the
+    * line_dedup posture, never pairwise; the report is the ≤4-row
+    * verdict aggregate. */
+  def finewebFilters(s: SparkSession, dir: String): DataFrame = {
+    val lineArr = transform(
+      sequence(lit(0L), greatest(
+        ceil(size(col("toks")).cast("double") / C4LineTokens).cast("long"),
+        lit(1L)) - 1),
+      si => {
+        val width = when(col("doc_id") % 29 === 0, lit(2))
+          .otherwise(lit(C4LineTokens))
+        val body = concat_ws(" ",
+          slice(col("toks"), (si * C4LineTokens + 1).cast("int"), width))
+        val punct = when(col("doc_id") % 19 === 0, lit(""))
+          .otherwise(element_at(array(lit(""), lit("."), lit("!"), lit("?")),
+            (pmod(col("doc_id") + si, lit(4L)) + 1).cast("int")))
+        when(col("doc_id") % 23 === 0 && si % 3 === 0, lit(FwDupLine))
+          .otherwise(concat(body, punct))
+      })
+    val lines = documents(s, dir)
+      .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(lineArr).as("line"))
+    val perLine = lines.groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("copies"))
+      .withColumn("len", length(col("line")).cast("long"))
+    val perDoc = perLine.groupBy(col("doc_id")).agg(
+      sum(col("copies")).as("n_lines"),
+      sum(col("copies") * col("len")).as("n_chars"),
+      sum(when(col("line").rlike("[.!?\"]$"), col("copies")).otherwise(0L))
+        .as("n_punct"),
+      sum(when(col("copies") >= 2, col("copies") * col("len")).otherwise(0L))
+        .as("dup_chars"),
+      sum(when(col("len") < FwShortChars, col("copies")).otherwise(0L))
+        .as("n_short"))
+    perDoc
+      .withColumn("verdict",
+        when(col("n_punct") * 1000 <= lit(FwPunctPm) * col("n_lines"),
+          "punct_ratio")
+          .when(col("dup_chars") * 1000 >= lit(FwDupPm) * col("n_chars"),
+            "dup_line_chars")
+          .when(col("n_short") * 1000 >= lit(FwShortPm) * col("n_lines"),
+            "short_lines")
+          .otherwise("kept"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_lines")).as("n_lines"),
+        sum(col("n_chars")).as("n_chars"))
+  }
+
+  val finewebFiltersSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+       |    greatest(CAST(ceil(len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+       |      / $C4LineTokens) AS BIGINT), 1) AS n_lines
+       |  FROM documents),
+       |lines_ AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 23 = 0 AND si % 3 = 0 THEN '$FwDupLine'
+       |         ELSE array_to_string(toks[(si * $C4LineTokens + 1):(si * $C4LineTokens
+       |                + CASE WHEN doc_id % 29 = 0 THEN 2 ELSE $C4LineTokens END)], ' ')
+       |           || CASE WHEN doc_id % 19 = 0 THEN ''
+       |              ELSE ['', '.', '!', '?'][CAST((doc_id + si) % 4 AS INT) + 1] END
+       |    END AS line
+       |  FROM (SELECT doc_id, toks, unnest(range(0, n_lines)) AS si FROM t)),
+       |pl AS (
+       |  SELECT doc_id, line, count(*)::BIGINT AS copies, length(line)::BIGINT AS len
+       |  FROM lines_ GROUP BY doc_id, line),
+       |pd AS (
+       |  SELECT doc_id,
+       |    sum(copies)::BIGINT AS n_lines,
+       |    sum(copies * len)::BIGINT AS n_chars,
+       |    sum(CASE WHEN regexp_matches(line, '[.!?"]$$') THEN copies ELSE 0 END)::BIGINT AS n_punct,
+       |    sum(CASE WHEN copies >= 2 THEN copies * len ELSE 0 END)::BIGINT AS dup_chars,
+       |    sum(CASE WHEN len < $FwShortChars THEN copies ELSE 0 END)::BIGINT AS n_short
+       |  FROM pl GROUP BY doc_id),
+       |v AS (
+       |  SELECT n_lines, n_chars,
+       |    CASE WHEN n_punct * 1000 <= $FwPunctPm * n_lines THEN 'punct_ratio'
+       |         WHEN dup_chars * 1000 >= $FwDupPm * n_chars THEN 'dup_line_chars'
+       |         WHEN n_short * 1000 >= $FwShortPm * n_lines THEN 'short_lines'
+       |         ELSE 'kept' END AS verdict
+       |  FROM pd)
+       |SELECT verdict, count(*)::BIGINT AS n_docs, sum(n_lines)::BIGINT AS n_lines,
+       |  sum(n_chars)::BIGINT AS n_chars
+       |FROM v GROUP BY 1""".stripMargin
 }

@@ -889,4 +889,169 @@ object Multimodal {
        |    AS img_share_pm,
        |  list_max(rs)::BIGINT AS max_text_run
        |FROM runs""".stripMargin
+
+  /** Landmark-fingerprint constants: frame width (bytes), band count
+    * (byte-position folds per frame — the spectral-band stand-in),
+    * target-zone width (frames), fan-out (pairs per anchor), and the
+    * pair-report floor. */
+  val AfFrame = 16
+  val AfBands = 4
+  val AfTz = 6
+  val AfFan = 3
+  val AfMinCommon = 5L
+  /** Planted time-shifted twin: audio docs ≡ 4 (mod 9) get a copy at
+    * doc_id + [[AfShiftBase]] prefixed with [[AfShiftFrames]] frames
+    * of silence (the corpus silence byte 32 = ' '), so a true match
+    * with a known alignment offset exists deterministically. */
+  val AfShiftBase = 10000000L
+  val AfShiftFrames = 2
+
+  /** K159: AUDIO LANDMARK FINGERPRINTING — the Shazam constellation
+    * algorithm (Wang, ISMIR 2003): per recording, pick spectral
+    * PEAKS (robust to noise/codec), pair each anchor peak with
+    * nearby peaks in a target zone, hash (band₁, band₂, Δt) +
+    * coarse energies, then match recordings by joining hashes and
+    * VOTING on the time offset t₁−t₂ — a true match concentrates
+    * its votes at ONE offset (the alignment), noise scatters. The
+    * decode stub convention (F2): with no real DSP in the container,
+    * "bands" are byte-position folds of each [[AfFrame]]-byte frame
+    * (Σ(byte−32)² over positions ≡ b mod [[AfBands]]) and peaks are
+    * strict time-local maxima per (doc, band); the plumbing —
+    * constellation, target-zone pairing with fan-out cap, packed
+    * integer hash with floor-log2 energy bits (the dsir ilog2
+    * convention), offset-vote histogram, argmax-encoded best offset
+    * — is the real algorithm, swap the band kernel for an FFT and it
+    * IS Wang 2003. The planted shifted twin (above) pins the
+    * signature: every landmark shared, all votes at offset
+    * −[[AfShiftFrames]].
+    *
+    * Shape: frame/band construction is map-only; peaks are one
+    * (doc, band)-keyed window (shuffle ∝ frames); pairing is a
+    * per-doc range self-join bounded by [[AfTz]]×[[AfBands]]
+    * candidates per anchor, cut to [[AfFan]]; matching is ONE
+    * hash-keyed equi-join whose bucket occupancy the energy bits
+    * keep small (at 100 TB: DfCap-style hot-hash cap + banding, the
+    * C2 posture), then a pair-keyed vote aggregate — nothing
+    * pairwise over the corpus. */
+  def audioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val base = mediaTable(s, dir)
+      .filter(col("meta.mime") === "audio/wav")
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("t"))
+    val shifted = base.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + AfShiftBase).as("doc_id"),
+        concat(lit(" " * (AfFrame * AfShiftFrames)), col("t")).as("t"))
+    val audio = base.unionByName(shifted)
+    val frames = audio
+      .withColumn("nf", expr(s"(length(t) + ${AfFrame - 1}) div $AfFrame"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), explode(sequence(lit(0L), col("nf") - 1)).as("idx"),
+        col("t"))
+      .withColumn("frame",
+        expr(s"substring(t, CAST(idx * $AfFrame + 1 AS INT), $AfFrame)"))
+    def bandE(b: Int) = when(length(col("frame")) >= b + 1, expr(
+      s"""aggregate(sequence(CAST(${b + 1} AS INT), CAST(length(frame) AS INT), 4), 0L,
+         |(acc, p) -> acc + (ascii(substring(frame, p, 1)) - 32L)
+         |          * (ascii(substring(frame, p, 1)) - 32L))""".stripMargin))
+      .otherwise(0L)
+    val cells = frames.select(col("doc_id"), col("idx"),
+      posexplode(array((0 until AfBands).map(bandE): _*)).as(Seq("band", "energy")))
+    val wBand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("band")).orderBy(col("idx"))
+    val peaks = cells
+      .withColumn("pl", coalesce(lag(col("energy"), 1).over(wBand), lit(-1L)))
+      .withColumn("pn", coalesce(lead(col("energy"), 1).over(wBand), lit(-1L)))
+      .filter(col("energy") > 0 && col("energy") > col("pl") &&
+        col("energy") > col("pn"))
+      .select(col("doc_id"), col("idx"), col("band"), col("energy"))
+    val wAnchor = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("t1"), col("b1"))
+      .orderBy(col("dt"), col("b2"))
+    val fps = peaks.as("a").join(peaks.as("p"),
+        col("a.doc_id") === col("p.doc_id") &&
+          col("p.idx") > col("a.idx") && col("p.idx") <= col("a.idx") + AfTz)
+      .select(col("a.doc_id").as("doc_id"), col("a.idx").as("t1"),
+        col("a.band").as("b1"), col("p.band").as("b2"),
+        (col("p.idx") - col("a.idx")).as("dt"),
+        col("a.energy").as("e1"), col("p.energy").as("e2"))
+      .withColumn("rnk", row_number().over(wAnchor))
+      .filter(col("rnk") <= AfFan)
+      .select(col("doc_id"), col("t1"), expr(
+        s"""((((b1 * $AfBands + b2) * ${AfTz + 1} + dt) * 64
+           | + (length(bin(e1 + 1)) - 1)) * 64
+           | + (length(bin(e2 + 1)) - 1))""".stripMargin).as("h"))
+    val votes = fps.as("x").join(fps.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        (col("x.t1") - col("y.t1")).as("off"))
+      .agg(count(lit(1)).as("v"))
+    votes.groupBy(col("da"), col("db"))
+      .agg(sum(col("v")).as("n_common"),
+        // argmax encode: (votes, smaller offset wins ties) — the
+        // hard_negatives integer-argmax convention, shared verbatim
+        // with the oracle
+        max(col("v") * 1000000L + (lit(500000L) - col("off"))).as("enc"))
+      .filter(col("n_common") >= AfMinCommon)
+      .select(col("da"), col("db"), col("n_common"),
+        expr("enc div 1000000").as("best_votes"),
+        expr("500000 - (enc % 1000000)").as("best_offset"))
+  }
+
+  val audioFingerprintSql: String = {
+    val bandList = (0 until AfBands).map { b =>
+      s"""coalesce(list_sum([(ascii(substr(frame, p, 1))::BIGINT - 32)
+         |      * (ascii(substr(frame, p, 1))::BIGINT - 32)
+         |      for p in range(${b + 1}, length(frame) + 1, 4)]), 0)::BIGINT"""
+        .stripMargin
+    }.mkString(",\n       |    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text AS t FROM documents WHERE doc_id % 3 = 1),
+       |audio AS (
+       |  SELECT doc_id, t FROM base
+       |  UNION ALL
+       |  SELECT doc_id + $AfShiftBase, repeat(' ', ${AfFrame * AfShiftFrames}) || t
+       |  FROM base WHERE doc_id % 9 = 4),
+       |f AS (
+       |  SELECT doc_id, unnest(range(0, (length(t) + ${AfFrame - 1}) // $AfFrame))::BIGINT AS idx, t
+       |  FROM audio WHERE length(t) > 0),
+       |fr AS (
+       |  SELECT doc_id, idx, substr(t, (idx * $AfFrame + 1)::INT, $AfFrame) AS frame FROM f),
+       |es AS (
+       |  SELECT doc_id, idx,
+       |    [$bandList] AS el
+       |  FROM fr),
+       |cells AS (
+       |  SELECT doc_id, idx, b.b::BIGINT AS band, el[b.b + 1] AS energy
+       |  FROM es, (SELECT unnest(range($AfBands)) AS b) b),
+       |pk AS (
+       |  SELECT doc_id, idx, band, energy FROM (
+       |    SELECT doc_id, idx, band, energy,
+       |      coalesce(lag(energy) OVER w, -1) AS pl,
+       |      coalesce(lead(energy) OVER w, -1) AS pn
+       |    FROM cells
+       |    WINDOW w AS (PARTITION BY doc_id, band ORDER BY idx))
+       |  WHERE energy > 0 AND energy > pl AND energy > pn),
+       |fp AS (
+       |  SELECT doc_id, t1,
+       |    ((((b1 * $AfBands + b2) * ${AfTz + 1} + dt) * 64
+       |      + (length(bin(e1 + 1)) - 1)) * 64
+       |      + (length(bin(e2 + 1)) - 1))::BIGINT AS h
+       |  FROM (
+       |    SELECT a.doc_id, a.idx AS t1, a.band AS b1, p.band AS b2,
+       |      p.idx - a.idx AS dt, a.energy AS e1, p.energy AS e2,
+       |      row_number() OVER (PARTITION BY a.doc_id, a.idx, a.band
+       |                         ORDER BY p.idx - a.idx, p.band) AS rnk
+       |    FROM pk a JOIN pk p ON a.doc_id = p.doc_id
+       |      AND p.idx > a.idx AND p.idx <= a.idx + $AfTz)
+       |  WHERE rnk <= $AfFan),
+       |votes AS (
+       |  SELECT x.doc_id AS da, y.doc_id AS db, x.t1 - y.t1 AS off,
+       |    count(*)::BIGINT AS v
+       |  FROM fp x JOIN fp y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT da, db, sum(v)::BIGINT AS n_common,
+       |  (max(v * 1000000 + (500000 - off)) // 1000000)::BIGINT AS best_votes,
+       |  (500000 - (max(v * 1000000 + (500000 - off)) % 1000000))::BIGINT AS best_offset
+       |FROM votes GROUP BY 1, 2
+       |HAVING sum(v) >= $AfMinCommon""".stripMargin
+  }
 }

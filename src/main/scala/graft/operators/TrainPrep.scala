@@ -1766,4 +1766,129 @@ object TrainPrep {
        |  FROM hist)
        |$alphaBlocks""".stripMargin
   }
+
+  /** GPT-3 quality-sampling shape parameter (Brown et al. 2020,
+    * Appendix A: `np.random.pareto(9)`) and the admission draw's LCG
+    * multiplier (MINSTD, Park & Miller 1988 — a THIRD hash lane, so
+    * the draw is uncorrelated with sample_split's PriMult lanes and
+    * importance_resample's PriMult2 draw). */
+  val PqAlpha = 9
+  val PqMult = 48271L
+
+  /** K157: PARETO QUALITY SAMPLING — the GPT-3 corpus admission rule
+    * (Brown et al. 2020, Appendix A): a scored document is KEPT iff
+    * `score > 1 − pareto(α=9)` — high-quality docs are near-certain
+    * admits while low-quality docs keep a heavy-tailed lottery
+    * ticket, preserving diversity a hard threshold destroys. The
+    * published rule is exactly polynomial once inverted: with
+    * u = (h+1)/P hash-uniform and the Lomax draw u^(−1/α) − 1,
+    * keep ⟺ u^(−1/α) > 2 − s ⟺ u · (2−s)^α < 1 ⟺
+    * (h+1) · (200 − s_pct)^α < P · 100^α for s quantized to percent —
+    * EXACT DECIMAL(38) integer algebra (the clip_gate
+    * cross-multiplication posture), no float, no transcendental:
+    * P(keep | s) = (2−s)^−9, i.e. 100% at s=1, ~2.6% at s=0.5,
+    * 2^−9 ≈ 0.2% at s=0. The quality score stand-in is the SHARED
+    * lmPerDoc fluency passed through its own empirical CDF in
+    * percent (s_pct = strictly-below mass ·100 div n — a
+    * rank-calibrated probability, the documented swap point for a
+    * real quality classifier's calibrated score; the raw per-mille
+    * fluency spans only ~[29,38] on this corpus, carrying no percent
+    * signal). The CDF is the DISTINCT-score cum-histogram (the
+    * conformal_gate cells — never a corpus-global row window).
+    * Output: per score decile — docs, kept docs, admission
+    * per-mille, kept bigram mass.
+    *
+    * Shape: the lmPerDoc shuffles (∝ corpus tokens) + a doc-keyed
+    * left join; the CDF is a ≤|distinct fq| cell frame broadcast
+    * back; everything after is map-only integer algebra into a
+    * ≤11-row decile aggregate — admission itself never shuffles. */
+  def paretoQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusClean
+    val base = documents(s, dir).select(col("doc_id"))
+      .join(CorpusClean.lmPerDoc(s, dir), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr(
+          s"(sum_q * 1000) div (n_bigrams * ${CorpusClean.LmScale}L)"),
+          lit(0L)).as("fq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.agg(count(lit(1)).as("n_all"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("fq"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cells = base.groupBy(col("fq")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(n)) // cells x 1 row
+      .select(col("fq"), expr("((cum - c) * 100) div n_all").as("s_pct"))
+      .localCheckpoint() // distinct-score CELLS
+    val scored = base.join(broadcast(cells), "fq")
+      .withColumn("h", expr(s"(doc_id % 1000000007L) * $PqMult % 1000000007L"))
+      // (200 − s_pct)^9 by exact squaring chain; every step's
+      // precision pinned so Spark never routes through double
+      .withColumn("b", (lit(200L) - col("s_pct")).cast("decimal(4,0)"))
+      .withColumn("b2", (col("b") * col("b")).cast("decimal(9,0)"))
+      .withColumn("b4", (col("b2") * col("b2")).cast("decimal(19,0)"))
+      .withColumn("b9",
+        (col("b4") * col("b4") * col("b")).cast("decimal(38,0)"))
+      .withColumn("keep",
+        (col("h") + 1).cast("decimal(12,0)") * col("b9") <
+          lit(new java.math.BigDecimal("1000000007000000000000000000")))
+    val out = scored.withColumn("decile", expr("s_pct div 10"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_bigrams")).otherwise(0L))
+          .as("kept_bigrams"))
+      .withColumn("kept_pm", expr("(n_kept * 1000) div n_docs"))
+      .select(col("decile"), col("n_docs"), col("n_kept"), col("kept_pm"),
+        col("kept_bigrams"))
+      .localCheckpoint() // ≤11 rows; release the scored frame
+    base.unpersist()
+    out
+  }
+
+  val paretoQualityGateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w,
+       |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w, w1 FROM (
+       |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |    FROM toks)
+       |  WHERE w1 IS NOT NULL),
+       |cbg AS (SELECT w, w1, count(*) AS cbg FROM bg GROUP BY 1, 2),
+       |cuni AS (SELECT w, count(*) AS cuni FROM toks GROUP BY 1),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(q)::BIGINT AS sum_q
+       |  FROM (
+       |    SELECT bg.doc_id, (cbg.cbg * ${graft.operators.CorpusClean.LmScale}) // cuni.cuni AS q
+       |    FROM bg JOIN cbg USING (w, w1) JOIN cuni USING (w))
+       |  GROUP BY doc_id),
+       |m0 AS (
+       |  SELECT d.doc_id,
+       |    coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |    coalesce((p.sum_q * 1000) // (p.n_bigrams * ${graft.operators.CorpusClean.LmScale}), 0)::BIGINT AS fq
+       |  FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+       |hist AS (SELECT fq, count(*)::BIGINT AS c FROM m0 GROUP BY 1),
+       |cells AS (
+       |  SELECT fq,
+       |    ((sum(c) OVER (ORDER BY fq ROWS UNBOUNDED PRECEDING) - c) * 100)
+       |      // (SELECT count(*) FROM m0) AS s_pct
+       |  FROM hist),
+       |m AS (
+       |  SELECT m0.doc_id, m0.n_bigrams, cells.s_pct,
+       |    (m0.doc_id % 1000000007) * $PqMult % 1000000007 AS h
+       |  FROM m0 JOIN cells USING (fq)),
+       |k AS (
+       |  SELECT s_pct // 10 AS decile, n_bigrams,
+       |    (h + 1)::HUGEINT * ((200 - s_pct)::HUGEINT * (200 - s_pct)
+       |      * (200 - s_pct) * (200 - s_pct) * (200 - s_pct) * (200 - s_pct)
+       |      * (200 - s_pct) * (200 - s_pct) * (200 - s_pct))
+       |      < '1000000007000000000000000000'::HUGEINT AS keep
+       |  FROM m)
+       |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  (sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS kept_pm,
+       |  coalesce(sum(CASE WHEN keep THEN n_bigrams END), 0)::BIGINT AS kept_bigrams
+       |FROM k GROUP BY 1""".stripMargin
 }

@@ -538,4 +538,46 @@ class AnnSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == labels.size.toLong)
     assert(got.values.exists(_._2 > 0))
   }
+
+  test("kcenter_coreset: the greedy farthest-point trajectory replays; " +
+    "the covering radius is non-increasing") {
+    import graft.operators.Ann.KcK
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    // the kernel's accumulation order: left-to-right, floats promoted
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        s += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      s
+    }
+    val n2 = vecs.map { case (id, e) => id -> dot(e, e) }.toMap
+    val emb = vecs.toMap
+    var picks = Vector((1L, vecs.head._1, 0.0))
+    for (r <- 2 to KcK) {
+      val ids = picks.map(_._2).toSet
+      val cand = vecs.filter(v => !ids.contains(v._1)).map { case (id, e) =>
+        val dmin = ids.map(c => n2(id) + n2(c) - 2.0 * dot(e, emb(c))).min
+        (id, dmin)
+      }
+      val best = cand.minBy { case (id, d) => (-d, id) }
+      picks = picks :+ ((r.toLong, best._1, best._2))
+    }
+    val expected = picks.map { case (r, id, d2) =>
+      (r, id, math.floor(d2 * 10000 + 0.5) / 10000)
+    }
+    val got = SparkEntry.queries("kcenter_coreset")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("center_id"),
+        r.getAs[Double]("radius2"))).sortBy(_._1).toVector
+    assert(got == expected)
+    // the k-center curve: each pick's radius is <= the previous one
+    // (the farthest remaining point can only get closer as the
+    // center set grows), and the selection is a real spread
+    val radii = got.drop(1).map(_._3)
+    radii.sliding(2).foreach { case Seq(a, b) => assert(b <= a, s"$b > $a") }
+    assert(got.map(_._2).distinct.size == KcK)
+    assert(radii.head > 0.0)
+  }
 }

@@ -583,6 +583,56 @@ class CorpusCleanSpec extends SparkSpec {
     assert(Seq(pgLorem, pgCurly, lTerm, lShort, lJs, lPhrase, lKept).forall(_ > 0))
   }
 
+  test("fineweb_filters: doc-level verdicts replay from first principles; " +
+    "every published rule fires") {
+    import CorpusClean.{C4LineTokens, FwDupLine, FwDupPm, FwPunctPm,
+      FwShortChars, FwShortPm}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def linesOf(id: Long, text: String): Seq[String] = {
+      val ts = tokens(text)
+      val nLines = math.max(math.ceil(ts.length / C4LineTokens.toDouble).toLong, 1L)
+      (0L until nLines).map { si =>
+        if (id % 23 == 0 && si % 3 == 0) FwDupLine
+        else {
+          val width = if (id % 29 == 0) 2 else C4LineTokens
+          val body = ts.slice((si * C4LineTokens).toInt,
+            (si * C4LineTokens).toInt + width).mkString(" ")
+          val punct = if (id % 19 == 0) ""
+            else Seq("", ".", "!", "?")(((id + si) % 4).toInt)
+          body + punct
+        }
+      }
+    }
+    def verdictOf(ls: Seq[String]): String = {
+      val n = ls.length.toLong
+      val chars = ls.map(_.length.toLong).sum
+      val punct = ls.count(_.matches(".*[.!?\"]$")).toLong
+      val copies = ls.groupBy(identity).view.mapValues(_.length).toMap
+      val dupChars = ls.collect {
+        case l if copies(l) >= 2 => l.length.toLong
+      }.sum
+      val short = ls.count(_.length < FwShortChars).toLong
+      if (punct * 1000 <= FwPunctPm * n) "punct_ratio"
+      else if (dupChars * 1000 >= FwDupPm * chars) "dup_line_chars"
+      else if (short * 1000 >= FwShortPm * n) "short_lines"
+      else "kept"
+    }
+    val expected = docs.map { case (id, text) =>
+      val ls = linesOf(id, text)
+      (verdictOf(ls), ls.length.toLong, ls.map(_.length.toLong).sum)
+    }.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)).toMap
+    val got = run("fineweb_filters").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_lines"), r.getAs[Long]("n_chars")))).toMap
+    assert(got == expected)
+    // each published rule fires on its planted class, and most docs keep
+    Seq("punct_ratio", "dup_line_chars", "short_lines", "kept").foreach(v =>
+      assert(got.contains(v), s"$v never fired"))
+    assert(got("kept")._1 > got.filterKeys(_ != "kept").values.map(_._1).sum)
+  }
+
   test("anchor_extract: per-host link/anchor stats replay from the planted pages") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))

@@ -312,4 +312,67 @@ class MultimodalSpec extends SparkSpec {
     // interleaving is real: some page carries 3 images, some 1
     assert(got.values.map(_._2).toSet.intersect(Set(1L, 3L)).size == 2)
   }
+
+  test("audio_fingerprint: landmark matching replays; the planted shifted " +
+    "twin matches at exactly its alignment offset") {
+    import graft.operators.Multimodal.{AfBands, AfFan, AfFrame, AfMinCommon,
+      AfShiftBase, AfShiftFrames, AfTz}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val base = docs.filter(_._1 % 3 == 1)
+    val audio = base ++ base.filter(_._1 % 9 == 4).map { case (id, t) =>
+      (id + AfShiftBase, (" " * (AfFrame * AfShiftFrames)) + t)
+    }
+    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    // (doc, t1, hash) landmark fingerprints, from first principles
+    val fps = audio.flatMap { case (id, t) =>
+      val nf = (t.length + AfFrame - 1) / AfFrame
+      val cells = for (idx <- 0 until nf; b <- 0 until AfBands) yield {
+        val fr = t.slice(idx * AfFrame, idx * AfFrame + AfFrame)
+        val e = fr.zipWithIndex.collect { case (c, p) if p % AfBands == b =>
+          (c.toLong - 32) * (c.toLong - 32) }.sum
+        ((b, idx), e)
+      }
+      val byBand = cells.toMap
+      val peaks = cells.collect { case ((b, idx), e)
+        if e > 0 && e > byBand.getOrElse((b, idx - 1), -1L) &&
+          e > byBand.getOrElse((b, idx + 1), -1L) => (idx.toLong, b.toLong, e) }
+      peaks.flatMap { case (t1, b1, e1) =>
+        peaks.filter(p => p._1 > t1 && p._1 <= t1 + AfTz)
+          .sortBy(p => (p._1 - t1, p._2))
+          .take(AfFan)
+          .map { case (t2, b2, e2) =>
+            (id, t1, (((b1 * AfBands + b2) * (AfTz + 1) + (t2 - t1)) * 64
+              + ilog2(e1 + 1)) * 64 + ilog2(e2 + 1))
+          }
+      }
+    }
+    val expected = (for {
+      (da, ta, ha) <- fps; (db, tb, hb) <- fps
+      if ha == hb && da < db
+    } yield ((da, db), ta - tb))
+      .groupBy(_._1).view.mapValues { g =>
+        val votes = g.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+        val enc = votes.map { case (off, v) => v * 1000000L + (500000L - off) }.max
+        (g.length.toLong, enc / 1000000, 500000L - enc % 1000000)
+      }.filter(_._2._1 >= AfMinCommon).toMap
+    val got = run("audio_fingerprint").collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Long]("best_votes"),
+          r.getAs[Long]("best_offset")))).toMap
+    assert(got == expected)
+    // the Shazam signature on every planted twin: the offset-vote
+    // argmax (plurality by construction) lands on the alignment
+    // offset -AfShiftFrames with a solid vote count (repeated in-doc
+    // hash patterns legitimately scatter some mass across other
+    // offsets — n_common >= best_votes is the algorithm's real shape)
+    val twins = base.map(_._1).filter(_ % 9 == 4)
+    assert(twins.nonEmpty)
+    twins.foreach { id =>
+      val r = got.get((id, id + AfShiftBase))
+      assert(r.isDefined, s"planted twin $id not matched")
+      assert(r.get._3 == -AfShiftFrames.toLong, s"twin $id offset ${r.get._3}")
+      assert(r.get._2 >= AfMinCommon, s"twin $id weak alignment: $r")
+    }
+  }
 }

@@ -726,4 +726,58 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(ConformalAlphas.head).getAs[Long]("k")
       != got(ConformalAlphas.last).getAs[Long]("k"))
   }
+
+  test("pareto_quality_gate: the GPT-3 admission rule replays in exact " +
+    "integer algebra; admission is monotone in score") {
+    import graft.operators.CorpusClean.LmScale
+    import TrainPrep.PqMult
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String) = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val cuni = docs.flatMap { case (_, t) => toks(t) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cbg = docs.flatMap { case (_, t) =>
+      toks(t).sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val P = BigInt("1000000007")
+    val rhs = P * BigInt(100).pow(9)
+    val fqOf = docs.map { case (id, t) =>
+      val bgs = toks(t).sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      val fq = if (bgs.isEmpty) 0L
+        else bgs.map { case (a, b) => cbg((a, b)) * LmScale / cuni(a) }.sum *
+          1000 / (bgs.length.toLong * LmScale)
+      (id, fq, bgs.length.toLong)
+    }
+    // score = empirical CDF of fq in percent (strictly-below mass)
+    val below = fqOf.map(_._2).groupBy(identity).view.mapValues(_.length).toMap
+      .toSeq.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (fq, c)) => (fq, acc + c) }
+    val belowOf = below.zip(below.tail).map { case ((_, acc), (fq, _)) => fq -> acc }.toMap
+    val perDoc = fqOf.map { case (id, fq, nbg) =>
+      val sPct = belowOf(fq) * 100 / docs.length
+      val h = BigInt(id % 1000000007L) * PqMult % P
+      val keep = (h + 1) * BigInt(200 - sPct).pow(9) < rhs
+      (sPct / 10, keep, nbg)
+    }
+    val expected = perDoc.groupBy(_._1).view.mapValues { g =>
+      val kept = g.filter(_._2)
+      (g.length.toLong, kept.length.toLong,
+        kept.length.toLong * 1000 / g.length, kept.map(_._3).sum)
+    }.toMap
+    val got = run("pareto_quality_gate").collect()
+      .map(r => r.getAs[Long]("decile") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("kept_pm"),
+        r.getAs[Long]("kept_bigrams")))).toMap
+    assert(got == expected.map { case (k, v) => k.toLong -> v })
+    // the Pareto signature on the fixed corpus: the top stable decile
+    // admits at a strictly higher rate than the bottom stable one
+    // (P(keep|s): ~0.2% at s=0 vs ~42% at s=0.9 — the lottery tail)
+    val stable = got.toSeq.sortBy(_._1).filter(_._2._1 >= 20)
+    assert(stable.size >= 2, s"score CDF failed to spread deciles: $got")
+    assert(stable.head._2._3 < stable.last._2._3,
+      s"admission not increasing: ${stable.head} vs ${stable.last}")
+    // the gate is a real cut: some docs kept, some dropped
+    val (tot, kept) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(kept > 0 && kept < tot)
+  }
 }
