@@ -899,6 +899,11 @@ object Multimodal {
   val AfTz = 6
   val AfFan = 3
   val AfMinCommon = 5L
+  /** Ubiquitous-hash cut: landmarks appearing in more than this many
+    * distinct recordings carry no identification signal (Wang 2003's
+    * "too common to be useful" drop — the DfCap posture) and are
+    * removed BEFORE the match join, bounding per-hash fanout. */
+  val AfDfCap = 32L
   /** Planted time-shifted twin: audio docs ≡ 4 (mod 9) get a copy at
     * doc_id + [[AfShiftBase]] prefixed with [[AfShiftFrames]] frames
     * of silence (the corpus silence byte 32 = ' '), so a true match
@@ -918,20 +923,29 @@ object Multimodal {
     * (Σ(byte−32)² over positions ≡ b mod [[AfBands]]) and peaks are
     * strict time-local maxima per (doc, band); the plumbing —
     * constellation, target-zone pairing with fan-out cap, packed
-    * integer hash with floor-log2 energy bits (the dsir ilog2
-    * convention), offset-vote histogram, argmax-encoded best offset
-    * — is the real algorithm, swap the band kernel for an FFT and it
-    * IS Wang 2003. The planted shifted twin (above) pins the
-    * signature: every landmark shared, all votes at offset
-    * −[[AfShiftFrames]].
+    * integer hash, ubiquitous-hash drop, offset-vote histogram,
+    * argmax-encoded best offset — is the real algorithm, swap the
+    * band kernel for an FFT and it IS Wang 2003. The hash packs the
+    * EXACT peak energies (clamped to 2²⁰, exact shift-packing — no
+    * modular hashing needed): the stub kernel is deterministic, so
+    * identical content collides identically, and buckets shrink to
+    * true repeats — a measured 80× (306 → ~4 s warm at sf0.1) over
+    * the first form's 20-level ilog2 energies, whose hash space of
+    * ~400k values made bucket fanout quadratic; a real DSP front-end
+    * re-coarsens the energies HERE (the robustness knob Wang
+    * quantizes for codec noise), trading bucket size for match
+    * tolerance. Hashes in more than [[AfDfCap]] recordings are
+    * dropped before the join (Wang's no-signal cut). The planted
+    * shifted twin (above) pins the signature: landmarks shared, the
+    * offset argmax at −[[AfShiftFrames]] on every twin.
     *
     * Shape: frame/band construction is map-only; peaks are one
     * (doc, band)-keyed window (shuffle ∝ frames); pairing is a
     * per-doc range self-join bounded by [[AfTz]]×[[AfBands]]
-    * candidates per anchor, cut to [[AfFan]]; matching is ONE
-    * hash-keyed equi-join whose bucket occupancy the energy bits
-    * keep small (at 100 TB: DfCap-style hot-hash cap + banding, the
-    * C2 posture), then a pair-keyed vote aggregate — nothing
+    * candidates per anchor, cut to [[AfFan]]; the df cut is one
+    * h-keyed combining aggregate; matching is ONE hash-keyed
+    * equi-join with per-hash fanout ≤ C([[AfDfCap]], 2) · in-doc
+    * multiplicity, then a pair-keyed vote aggregate — nothing
     * pairwise over the corpus. */
   def audioFingerprint(s: SparkSession, dir: String): DataFrame = {
     val base = mediaTable(s, dir)
@@ -976,10 +990,14 @@ object Multimodal {
       .withColumn("rnk", row_number().over(wAnchor))
       .filter(col("rnk") <= AfFan)
       .select(col("doc_id"), col("t1"), expr(
-        s"""((((b1 * $AfBands + b2) * ${AfTz + 1} + dt) * 64
-           | + (length(bin(e1 + 1)) - 1)) * 64
-           | + (length(bin(e2 + 1)) - 1))""".stripMargin).as("h"))
-    val votes = fps.as("x").join(fps.as("y"),
+        s"""((((b1 * $AfBands + b2) * ${AfTz + 1} + dt) * 1048576
+           | + least(e1, 1048575L)) * 1048576
+           | + least(e2, 1048575L))""".stripMargin).as("h"))
+    val rare = fps.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("dfh"))
+      .filter(col("dfh") <= AfDfCap).select(col("h"))
+    val kept = fps.join(rare, "h")
+    val votes = kept.as("x").join(kept.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
         (col("x.t1") - col("y.t1")).as("off"))
@@ -1032,9 +1050,9 @@ object Multimodal {
        |  WHERE energy > 0 AND energy > pl AND energy > pn),
        |fp AS (
        |  SELECT doc_id, t1,
-       |    ((((b1 * $AfBands + b2) * ${AfTz + 1} + dt) * 64
-       |      + (length(bin(e1 + 1)) - 1)) * 64
-       |      + (length(bin(e2 + 1)) - 1))::BIGINT AS h
+       |    ((((b1 * $AfBands + b2) * ${AfTz + 1} + dt) * 1048576
+       |      + least(e1, 1048575)) * 1048576
+       |      + least(e2, 1048575))::BIGINT AS h
        |  FROM (
        |    SELECT a.doc_id, a.idx AS t1, a.band AS b1, p.band AS b2,
        |      p.idx - a.idx AS dt, a.energy AS e1, p.energy AS e2,
@@ -1043,10 +1061,14 @@ object Multimodal {
        |    FROM pk a JOIN pk p ON a.doc_id = p.doc_id
        |      AND p.idx > a.idx AND p.idx <= a.idx + $AfTz)
        |  WHERE rnk <= $AfFan),
+       |rare AS (
+       |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dfh FROM fp GROUP BY h)
+       |  WHERE dfh <= $AfDfCap),
+       |kept AS (SELECT fp.* FROM fp JOIN rare USING (h)),
        |votes AS (
        |  SELECT x.doc_id AS da, y.doc_id AS db, x.t1 - y.t1 AS off,
        |    count(*)::BIGINT AS v
-       |  FROM fp x JOIN fp y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2, 3)
        |SELECT da, db, sum(v)::BIGINT AS n_common,
        |  (max(v * 1000000 + (500000 - off)) // 1000000)::BIGINT AS best_votes,

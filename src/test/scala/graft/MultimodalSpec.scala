@@ -315,17 +315,16 @@ class MultimodalSpec extends SparkSpec {
 
   test("audio_fingerprint: landmark matching replays; the planted shifted " +
     "twin matches at exactly its alignment offset") {
-    import graft.operators.Multimodal.{AfBands, AfFan, AfFrame, AfMinCommon,
-      AfShiftBase, AfShiftFrames, AfTz}
+    import graft.operators.Multimodal.{AfBands, AfDfCap, AfFan, AfFrame,
+      AfMinCommon, AfShiftBase, AfShiftFrames, AfTz}
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val base = docs.filter(_._1 % 3 == 1)
     val audio = base ++ base.filter(_._1 % 9 == 4).map { case (id, t) =>
       (id + AfShiftBase, (" " * (AfFrame * AfShiftFrames)) + t)
     }
-    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
     // (doc, t1, hash) landmark fingerprints, from first principles
-    val fps = audio.flatMap { case (id, t) =>
+    val fpsAll = audio.flatMap { case (id, t) =>
       val nf = (t.length + AfFrame - 1) / AfFrame
       val cells = for (idx <- 0 until nf; b <- 0 until AfBands) yield {
         val fr = t.slice(idx * AfFrame, idx * AfFrame + AfFrame)
@@ -342,11 +341,15 @@ class MultimodalSpec extends SparkSpec {
           .sortBy(p => (p._1 - t1, p._2))
           .take(AfFan)
           .map { case (t2, b2, e2) =>
-            (id, t1, (((b1 * AfBands + b2) * (AfTz + 1) + (t2 - t1)) * 64
-              + ilog2(e1 + 1)) * 64 + ilog2(e2 + 1))
+            (id, t1, (((b1 * AfBands + b2) * (AfTz + 1) + (t2 - t1)) * 1048576L
+              + math.min(e1, 1048575L)) * 1048576L + math.min(e2, 1048575L))
           }
       }
     }
+    // the ubiquitous-hash drop: df over distinct recordings
+    val dfh = fpsAll.groupBy(_._3).view
+      .mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val fps = fpsAll.filter(f => dfh(f._3) <= AfDfCap)
     val expected = (for {
       (da, ta, ha) <- fps; (db, tb, hb) <- fps
       if ha == hb && da < db
