@@ -404,4 +404,149 @@ object Maintenance {
        |SELECT source, lang, count(*) AS n_docs,
        |  sum(n_chars)::BIGINT AS sum_chars
        |FROM merged GROUP BY 1, 2""".stripMargin
+
+  /** Record-linkage constants: the planted second-source key offset,
+    * the assumed conditional-on-match agreement rates m per field in
+    * per-mille (the published-practice priors a real run refines
+    * with EM — the documented swap point), and the Fellegi-Sunter
+    * decision thresholds on the floor-log2 score. */
+  val RlTwinBase = 10000000L
+  val RlMName = 980L
+  val RlMBal = 650L
+  val RlMSeg = 900L
+  val RlThLink = 3L
+  val RlThPoss = -2L
+
+  /** The five TPC-H market segments, in sorted order (the planted
+    * segment perturbation cycles to the next one). */
+  val RlSegs: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** K161: PROBABILISTIC RECORD LINKAGE — the Fellegi-Sunter model
+    * (JASA 1969), the canonical entity-resolution method every
+    * modern linker (Splink, dedupe.io) still implements: candidate
+    * pairs get a field-agreement pattern γ, each field contributes
+    * log(m/u) when it agrees and log((1−m)/(1−u)) when it doesn't
+    * (m = P(agree | match), u = P(agree | non-match)), and the
+    * summed score drives the THREE-way decision — link / possible
+    * (clerical review) / non-link — that is the model's defining
+    * output. Here: a planted second source (customers ≡0 mod 7,
+    * key + [[RlTwinBase]], acctbal +1.0 when ≡0 mod 3, market
+    * segment cycled when ≡0 mod 5), BLOCKING on nationkey (the
+    * standard candidate cut — pairs ∝ N²/blocks, never all-pairs),
+    * comparison fields (name, acctbal, mktsegment). u-probabilities
+    * are MEASURED on the candidate population (exact integer
+    * agreement counts); m are the [[RlMName]]/[[RlMBal]]/[[RlMSeg]]
+    * priors; weights in FLOOR-LOG2 fixed point (the dsir ilog2
+    * convention: ilog2(m·np+1) − ilog2(1000·u+1)), so the whole
+    * score is exact integer algebra. Score 0 is the even-odds point
+    * (match and non-match equally likely under the priors); the
+    * decision thresholds are the ±2 clerical band around it —
+    * measured on this corpus the band is scale-stable (pattern-7
+    * twins score 8/14/21 at sf0.001/0.01/0.1 — evidence GROWS with
+    * the candidate pool as agreement gets rarer — while the planted
+    * doubly-perturbed twins sit at −2..4 and pure non-matches at
+    * −11..−4, so the three-way split is invariant across the 100×
+    * range). Output per
+    * (pattern, score, decision): pair count and true-twin count —
+    * the confusion accounting a linkage run is judged by.
+    *
+    * Shape: ONE blocked equi-join (∝ Σ_block |A_b|·|B_b|), the pair
+    * frame persisted for its two consumers (the 1-row u aggregate
+    * and the pattern rollup); everything after is map-only integer
+    * algebra into a ≤8-row report. */
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val segs = array(RlSegs.map(lit): _*)
+    val c = customer(s, dir).select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val twins = c.filter(col("c_custkey") % 7 === 0).select(
+      (col("c_custkey") + RlTwinBase).as("b_key"),
+      col("c_name").as("b_name"),
+      col("c_nationkey").as("b_nation"),
+      when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.0)
+        .otherwise(col("c_acctbal")).as("b_bal"),
+      when(col("c_custkey") % 5 === 0,
+        element_at(segs,
+          (array_position(segs, col("c_mktsegment")) % 5 + 1).cast("int")))
+        .otherwise(col("c_mktsegment")).as("b_seg"))
+    val pairs = c.join(twins, col("c_nationkey") === col("b_nation"))
+      .select(col("c_custkey").as("da"), col("b_key").as("db"),
+        (col("c_name") === col("b_name")).cast("long").as("g_name"),
+        (col("c_acctbal") === col("b_bal")).cast("long").as("g_bal"),
+        (col("c_mktsegment") === col("b_seg")).cast("long").as("g_seg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val u = pairs.agg(count(lit(1)).as("np"), sum(col("g_name")).as("u_name"),
+      sum(col("g_bal")).as("u_bal"), sum(col("g_seg")).as("u_seg"))
+    def ilog2(x: org.apache.spark.sql.Column) =
+      (length(bin(x)) - 1).cast("long")
+    def llr(g: org.apache.spark.sql.Column, m: Long,
+            uc: org.apache.spark.sql.Column) =
+      when(g === 1,
+        ilog2(lit(m) * col("np") + 1) - ilog2(lit(1000L) * uc + 1))
+        .otherwise(ilog2(lit(1000 - m) * col("np") + 1) -
+          ilog2(lit(1000L) * (col("np") - uc) + 1))
+    val out = pairs.crossJoin(broadcast(u)) // 1-row scalar frame
+      .withColumn("pattern", col("g_name") * 4 + col("g_bal") * 2 + col("g_seg"))
+      .withColumn("score", llr(col("g_name"), RlMName, col("u_name"))
+        + llr(col("g_bal"), RlMBal, col("u_bal"))
+        + llr(col("g_seg"), RlMSeg, col("u_seg")))
+      .withColumn("decision",
+        when(col("score") >= RlThLink, "link")
+          .when(col("score") >= RlThPoss, "possible").otherwise("non_link"))
+      .groupBy(col("pattern"), col("score"), col("decision"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("db") === col("da") + RlTwinBase, 1L).otherwise(0L))
+          .as("n_true"))
+      .localCheckpoint() // ≤8 rows; release the pair frame
+    pairs.unpersist()
+    out
+  }
+
+  val recordLinkageSql: String = {
+    val segList = RlSegs.map(v => s"'$v'").mkString("[", ", ", "]")
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       |  FROM customer),
+       |twins AS (
+       |  SELECT c_custkey + $RlTwinBase AS b_key, c_name AS b_name,
+       |    c_nationkey AS b_nation,
+       |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+       |         ELSE c_acctbal END AS b_bal,
+       |    CASE WHEN c_custkey % 5 = 0
+       |         THEN ($segList)[(list_position($segList, c_mktsegment) % 5 + 1)::INT]
+       |         ELSE c_mktsegment END AS b_seg
+       |  FROM c WHERE c_custkey % 7 = 0),
+       |pairs AS (
+       |  SELECT c_custkey AS da, b_key AS db,
+       |    CASE WHEN c_name = b_name THEN 1 ELSE 0 END::BIGINT AS g_name,
+       |    CASE WHEN c_acctbal = b_bal THEN 1 ELSE 0 END::BIGINT AS g_bal,
+       |    CASE WHEN c_mktsegment = b_seg THEN 1 ELSE 0 END::BIGINT AS g_seg
+       |  FROM c JOIN twins ON c_nationkey = b_nation),
+       |u AS (
+       |  SELECT count(*)::BIGINT AS np, sum(g_name)::BIGINT AS u_name,
+       |    sum(g_bal)::BIGINT AS u_bal, sum(g_seg)::BIGINT AS u_seg
+       |  FROM pairs),
+       |sc AS (
+       |  SELECT da, db, g_name * 4 + g_bal * 2 + g_seg AS pattern,
+       |    (CASE WHEN g_name = 1
+       |        THEN (length(bin($RlMName * np + 1)) - 1) - (length(bin(1000 * u_name + 1)) - 1)
+       |        ELSE (length(bin(${1000 - RlMName} * np + 1)) - 1)
+       |           - (length(bin(1000 * (np - u_name) + 1)) - 1) END
+       |   + CASE WHEN g_bal = 1
+       |        THEN (length(bin($RlMBal * np + 1)) - 1) - (length(bin(1000 * u_bal + 1)) - 1)
+       |        ELSE (length(bin(${1000 - RlMBal} * np + 1)) - 1)
+       |           - (length(bin(1000 * (np - u_bal) + 1)) - 1) END
+       |   + CASE WHEN g_seg = 1
+       |        THEN (length(bin($RlMSeg * np + 1)) - 1) - (length(bin(1000 * u_seg + 1)) - 1)
+       |        ELSE (length(bin(${1000 - RlMSeg} * np + 1)) - 1)
+       |           - (length(bin(1000 * (np - u_seg) + 1)) - 1) END)::BIGINT AS score
+       |  FROM pairs, u)
+       |SELECT pattern, score,
+       |  CASE WHEN score >= $RlThLink THEN 'link'
+       |       WHEN score >= $RlThPoss THEN 'possible'
+       |       ELSE 'non_link' END AS decision,
+       |  count(*)::BIGINT AS n_pairs,
+       |  sum(CASE WHEN db = da + $RlTwinBase THEN 1 ELSE 0 END)::BIGINT AS n_true
+       |FROM sc GROUP BY 1, 2, 3""".stripMargin
+  }
 }

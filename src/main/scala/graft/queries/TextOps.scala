@@ -1197,4 +1197,115 @@ object TextOps {
        |  sum(CASE WHEN best IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_default
        |FROM b GROUP BY host""".stripMargin
   }
+
+  /** Rank-bucket ceiling for [[zipfFit]]: ilog2(rank) ≤ 40 covers
+    * 10¹² vocabulary types. */
+  val ZipfBMax = 40
+
+  /** K160: ZIPF RANK-FREQUENCY FIT — the power-law health check on
+    * the corpus vocabulary (Zipf 1949; the estimation pitfalls per
+    * Newman 2005 / Clauset et al. 2009): token frequency vs rank
+    * should fall as f(r) ∝ r^(−s) with s ≈ 1 for natural language —
+    * a truncated tail (over-deduped or template-heavy corpus) or a
+    * flattened head (boilerplate flooding) bends the line, which is
+    * why corpus audits read the fitted slope next to type/token
+    * counts (K11/J11 siblings). Fit: OLS of ilog2(freq) on
+    * ilog2(rank) — the dsir floor-log2 fixed point, so both axes are
+    * EXACT integers and the moment sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are BIGINT (the trend_fit contract: engines divide the same
+    * exact integers, doubles match without an iterative fitter).
+    * The rank axis never materializes per-type ranks: the frequency
+    * HISTOGRAM (cells ∝ distinct frequency values) is cut into
+    * power-of-two rank ranges by exact interval intersection —
+    * each (f, cnt) cell with cumulative rank range (lo, hi] spreads
+    * its count over the ilog2 buckets it overlaps, all in closed
+    * form. Output: one row — types, tokens, top frequency, slope
+    * (expected < 0), intercept, r².
+    *
+    * Shape: ONE token-keyed count (∝ corpus tokens, map-side
+    * combine) → distinct-frequency histogram (quantile_bins cells) →
+    * a ≤cells×[[ZipfBMax]] bucket-split explode → a 6-sum moment
+    * aggregate. Nothing rank-sorts the vocabulary. */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val freq = documents(s, dir)
+      .select(explode(TextFns.wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val hist = freq.groupBy(col("f")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranged = hist
+      .withColumn("hi", sum(col("cnt")).over(wCum))
+      .withColumn("lo", col("hi") - col("cnt"))
+      .localCheckpoint() // distinct-frequency CELLS
+    val cells = ranged
+      .select(col("f"), col("lo"), col("hi"),
+        explode(sequence(lit(0), lit(ZipfBMax))).as("b"))
+      .withColumn("bl", expr("shiftleft(1L, b)"))
+      .withColumn("bh", expr("shiftleft(1L, b + 1) - 1"))
+      .withColumn("k",
+        greatest(lit(0L),
+          least(col("hi"), col("bh")) - greatest(col("lo") + 1, col("bl")) + 1))
+      .filter(col("k") > 0)
+      .select(col("b").cast("long").as("x"),
+        (length(bin(col("f"))) - 1).cast("long").as("y"), col("k"))
+    val m = cells.agg(
+      sum(col("k")).as("n"), sum(col("x") * col("k")).as("sx"),
+      sum(col("y") * col("k")).as("sy"),
+      sum(col("x") * col("y") * col("k")).as("sxy"),
+      sum(col("x") * col("x") * col("k")).as("sxx"),
+      sum(col("y") * col("y") * col("k")).as("syy"))
+    val tot = freq.agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"),
+      max(col("f")).as("top_freq"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den1L = col("n") * col("sxx") - col("sx") * col("sx")
+    val den2L = col("n") * col("syy") - col("sy") * col("sy")
+    val den1 = when(den1L === 0L, lit(null)).otherwise(den1L).cast("double")
+    val den2 = when(den2L === 0L, lit(null)).otherwise(den2L).cast("double")
+    val slope = num / den1
+    tot.crossJoin(broadcast(m)) // 1-row scalar frames
+      .select(col("n_types"), col("n_tokens"), col("top_freq"),
+        pround(slope, 6).as("slope"),
+        pround((col("sy").cast("double") - slope * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        pround(num * num / (den1 * den2), 6).as("r2"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH freq AS (
+       |  SELECT w, count(*)::BIGINT AS f FROM (
+       |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+       |    FROM documents)
+       |  GROUP BY w),
+       |hist AS (SELECT f, count(*)::BIGINT AS cnt FROM freq GROUP BY f),
+       |ranged AS (
+       |  SELECT f, cnt,
+       |    sum(cnt) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS hi,
+       |    sum(cnt) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) - cnt AS lo
+       |  FROM hist),
+       |cells AS (
+       |  SELECT b::BIGINT AS x, (length(bin(f)) - 1)::BIGINT AS y,
+       |    greatest(0, least(hi, (1::BIGINT << (b + 1)::INT) - 1)
+       |      - greatest(lo + 1, 1::BIGINT << b::INT) + 1)::BIGINT AS k
+       |  FROM ranged, (SELECT unnest(range(0, ${ZipfBMax + 1})) AS b)
+       |  WHERE greatest(0, least(hi, (1::BIGINT << (b + 1)::INT) - 1)
+       |      - greatest(lo + 1, 1::BIGINT << b::INT) + 1) > 0),
+       |m AS (
+       |  SELECT sum(k)::BIGINT AS n, sum(x * k)::BIGINT AS sx,
+       |    sum(y * k)::BIGINT AS sy, sum(x * y * k)::BIGINT AS sxy,
+       |    sum(x * x * k)::BIGINT AS sxx, sum(y * y * k)::BIGINT AS syy
+       |  FROM cells),
+       |tot AS (
+       |  SELECT count(*)::BIGINT AS n_types, sum(f)::BIGINT AS n_tokens,
+       |    max(f)::BIGINT AS top_freq
+       |  FROM freq)
+       |SELECT n_types, n_tokens, top_freq,
+       |  floor(((n * sxy - sx * sy)::DOUBLE / nullif(n * sxx - sx * sx, 0)::DOUBLE)
+       |    * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       |  floor(((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+       |      / nullif(n * sxx - sx * sx, 0)::DOUBLE) * sx) / n)
+       |    * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+       |  floor(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+       |      / (nullif(n * sxx - sx * sx, 0)::DOUBLE * nullif(n * syy - sy * sy, 0)::DOUBLE))
+       |    * 1000000.0 + 0.5) / 1000000.0 AS r2
+       |FROM tot, m""".stripMargin
 }

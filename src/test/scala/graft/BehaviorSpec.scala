@@ -932,4 +932,57 @@ class BehaviorSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("record_linkage: Fellegi-Sunter scores replay from first principles; " +
+    "full-agreement pairs are links and are all true twins") {
+    import graft.operators.Maintenance.{RlMBal, RlMName, RlMSeg, RlSegs,
+      RlThLink, RlThPoss, RlTwinBase}
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3),
+        r.getString(4)))
+    val twins = cust.filter(_._1 % 7 == 0).map { case (k, n, nat, bal, seg) =>
+      val b = if (k % 3 == 0) bal + 1.0 else bal
+      val sg = if (k % 5 == 0) RlSegs((RlSegs.indexOf(seg) + 1) % 5) else seg
+      (k + RlTwinBase, n, nat, b, sg)
+    }
+    val pairs = for {
+      (ka, na, nata, bala, sega) <- cust
+      (kb, nb, natb, balb, segb) <- twins
+      if nata == natb
+    } yield (ka, kb, if (na == nb) 1L else 0L, if (bala == balb) 1L else 0L,
+      if (sega == segb) 1L else 0L)
+    val np = pairs.length.toLong
+    val (uName, uBal, uSeg) =
+      (pairs.map(_._3).sum, pairs.map(_._4).sum, pairs.map(_._5).sum)
+    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    def llr(g: Long, m: Long, u: Long): Long =
+      if (g == 1) ilog2(m * np + 1) - ilog2(1000 * u + 1)
+      else ilog2((1000 - m) * np + 1) - ilog2(1000 * (np - u) + 1)
+    val expected = pairs.map { case (ka, kb, gn, gb, gs) =>
+      val score = llr(gn, RlMName, uName) + llr(gb, RlMBal, uBal) +
+        llr(gs, RlMSeg, uSeg)
+      val dec = if (score >= RlThLink) "link"
+        else if (score >= RlThPoss) "possible" else "non_link"
+      ((gn * 4 + gb * 2 + gs, score, dec), kb == ka + RlTwinBase)
+    }.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.count(_._2).toLong)).toMap
+    val got = run("record_linkage").collect()
+      .map(r => (r.getAs[Long]("pattern"), r.getAs[Long]("score"),
+        r.getAs[String]("decision")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_true")))).toMap
+    assert(got == expected)
+    // the three-way decision is live and full agreement means twin:
+    // names are unique, so pattern 7 pairs are exactly true matches
+    val p7 = got.filter(_._1._1 == 7L)
+    assert(p7.nonEmpty)
+    p7.foreach { case ((_, _, dec), (n, t)) =>
+      assert(dec == "link" && n == t, s"pattern-7 $dec $n/$t")
+    }
+    assert(got.keys.map(_._3).toSet == Set("link", "possible", "non_link"))
+    // conservation: pairs and true twins both fully accounted
+    assert(got.values.map(_._1).sum == np)
+    assert(got.values.map(_._2).sum == twins.length.toLong)
+  }
 }

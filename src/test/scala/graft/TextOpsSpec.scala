@@ -442,4 +442,38 @@ class TextOpsSpec extends SparkSpec {
     assert(blockedWithAllow.nonEmpty)
     got.values.foreach { case (n, a, d, _) => assert(a + d == n) }
   }
+
+  test("zipf_fit: the ilog2 rank-frequency OLS replays from a local " +
+    "vocabulary count; the slope is negative (a real power-law decay)") {
+    import graft.queries.TextOps.ZipfBMax
+    val freq = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    // per-type ranks by (freq desc); cell algebra must equal the
+    // brute-force per-rank assignment
+    val ranked = freq.values.toSeq.sortBy(-_).zipWithIndex
+      .map { case (f, i) => (i + 1L, f) } // rank -> freq
+    val pts = ranked.map { case (r, f) => (ilog2(r), ilog2(f)) }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val num = (n * sxy - sx * sy).toDouble
+    val den1 = (n * sxx - sx * sx).toDouble
+    val den2 = (n * syy - sy * sy).toDouble
+    val slope = num / den1
+    val r = SparkEntry.queries("zipf_fit")(spark, sf).head()
+    assert(r.getAs[Long]("n_types") == freq.size.toLong)
+    assert(r.getAs[Long]("n_tokens") == freq.values.sum)
+    assert(r.getAs[Long]("top_freq") == freq.values.max)
+    assert(r.getAs[Double]("slope") == r6(slope))
+    assert(r.getAs[Double]("intercept") == r6((sy - slope * sx) / n))
+    assert(r.getAs[Double]("r2") == r6(num * num / (den1 * den2)))
+    // a genuine Zipf decay on this corpus, and the bucket ceiling holds
+    assert(r.getAs[Double]("slope") < 0, s"slope ${r.getAs[Double]("slope")}")
+    assert(ilog2(freq.size.toLong) <= ZipfBMax)
+  }
 }
