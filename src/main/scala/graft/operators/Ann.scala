@@ -1495,6 +1495,135 @@ object Ann {
     }.toDF("round", "center_id", "radius2")
   }
 
+  /** DBSCAN parameters: the cosine eps (on the artifact's ×10⁴
+    * lattice), the core-point density floor, and the propagation
+    * round budget (unrolled in the oracle like CcRounds). */
+  val DbEps = 0.35
+  val DbMinPts = 3
+  val DbRounds = 4
+
+  /** K162: DBSCAN CLUSTERING — the canonical density-based clusterer
+    * (Ester, Kriegel, Sander & Xu, KDD 1996; 2014 KDD test-of-time):
+    * CORE points have ≥ [[DbMinPts]] neighbors within eps, clusters
+    * are the connected components of the core-point eps-graph,
+    * BORDER points attach to a core neighbor, the rest is NOISE —
+    * the labels/K81-independent structure read on an embedding space
+    * (how many dense regions, how much of the corpus is in none).
+    * The eps-neighborhood is approximated by the PERSISTED H7 top-K
+    * artifact filtered to cos ≥ [[DbEps]] (the standard kNN-graph
+    * DBSCAN deployment at scale — exact eps-range search is the
+    * declared oracle-side luxury; here BOTH engines read the same
+    * artifact contract, so they agree exactly), symmetrized.
+    * Components by [[DbRounds]] min-label propagation rounds with
+    * the relationally-computed `converged` flag (the cc_labels
+    * contract); border points take the MINIMUM adjacent core
+    * component (deterministic where the paper leaves it arbitrary).
+    * Output per cluster: core/border counts, plus the cluster=−1
+    * noise row and the convergence flag.
+    *
+    * Shape: everything after the artifact read is (vec, vec)-sized —
+    * edge symmetrize + degree count (one shuffle ∝ K·N), the
+    * propagation's per-round equi-join + combining min (∝ core
+    * edges), and report-sized rollups. Nothing rescans the corpus. */
+  def dbscanCluster(s: SparkSession, dir: String): DataFrame = {
+    val k = knnJoin(s, dir).select(col("vec_id"), col("nb"), col("cos"))
+      .filter(col("cos") >= DbEps)
+    val sym = k.select(col("vec_id").as("a"), col("nb").as("b"))
+      .unionByName(k.select(col("nb").as("a"), col("vec_id").as("b")))
+      .distinct()
+      .localCheckpoint() // ≤ 2·K·N rows; four consumers below
+    val core = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= DbMinPts).select(col("a").as("n"))
+    val coreEdges = sym
+      .join(core.select(col("n").as("a")), "a")
+      .join(core.select(col("n").as("b")), "b")
+      .select(col("a").as("n"), col("b").as("nb"))
+      .localCheckpoint()
+    var lab = core.withColumn("lab", col("n")).localCheckpoint()
+    for (r <- 1 to DbRounds) {
+      val viaNb = coreEdges
+        .join(lab.select(col("n").as("nb"), col("lab").as("nl")), "nb")
+        .groupBy(col("n")).agg(min(col("nl")).as("nl"))
+      lab = lab.join(viaNb, Seq("n"), "left_outer")
+        .select(col("n"),
+          least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+      if (r % 4 == 0) lab = lab.localCheckpoint()
+    }
+    val better = coreEdges
+      .join(lab.select(col("n").as("nb"), col("lab").as("nl")), "nb")
+      .join(lab, "n")
+      .filter(col("nl") < col("lab"))
+      .agg(count(lit(1)).as("nbetter"))
+      .select((col("nbetter") === 0L).as("converged"))
+    val borderLab = sym
+      .join(lab.select(col("n").as("b"), col("lab")), "b")
+      .join(core.select(col("n").as("a")), Seq("a"), "left_anti")
+      .groupBy(col("a")).agg(min(col("lab")).as("lab"))
+    val clusters = lab.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_core"))
+      .join(borderLab.groupBy(col("lab")).agg(count(lit(1)).as("n_border")),
+        Seq("lab"), "full_outer")
+      .na.fill(0L, Seq("n_core", "n_border"))
+      .select(col("lab").as("cluster"), col("n_core"), col("n_border"),
+        lit(0L).as("n_noise"))
+    val noise = embeddings(s, dir).agg(count(lit(1)).as("n_all"))
+      .crossJoin(broadcast(lab.agg(count(lit(1)).as("nc"))))
+      .crossJoin(broadcast(borderLab.agg(count(lit(1)).as("nb_"))))
+      .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), (col("n_all") - col("nc") - col("nb_")).as("n_noise"))
+    clusters.unionByName(noise)
+      .crossJoin(broadcast(better)) // 1-row scalar convergence frame
+  }
+
+  lazy val dbscanClusterSql: String = {
+    val roundCtes = (1 to DbRounds).map { r =>
+      s"""lab$r AS MATERIALIZED (
+         |  SELECT l.n, least(l.lab, coalesce(min(x.nl), l.lab)) AS lab
+         |  FROM lab${r - 1} l
+         |  LEFT JOIN (SELECT a.n, p.lab AS nl FROM core_edges a
+         |             JOIN lab${r - 1} p ON a.nb = p.n) x ON x.n = l.n
+         |  GROUP BY l.n, l.lab)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (
+       |  SELECT vec_id, nb, cos FROM ($knnJoinSql) WHERE cos >= $DbEps),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT vec_id AS a, nb AS b FROM knn
+       |    UNION ALL SELECT nb, vec_id FROM knn)),
+       |core AS MATERIALIZED (
+       |  SELECT a AS n FROM sym GROUP BY a HAVING count(*) >= $DbMinPts),
+       |core_edges AS MATERIALIZED (
+       |  SELECT s.a AS n, s.b AS nb FROM sym s
+       |  JOIN core c1 ON s.a = c1.n JOIN core c2 ON s.b = c2.n),
+       |lab0 AS MATERIALIZED (SELECT n, n AS lab FROM core),
+       |$roundCtes,
+       |conv AS (
+       |  SELECT count(*) = 0 AS converged
+       |  FROM core_edges a JOIN lab$DbRounds p ON a.nb = p.n
+       |  JOIN lab$DbRounds l ON a.n = l.n
+       |  WHERE p.lab < l.lab),
+       |border AS MATERIALIZED (
+       |  SELECT s.a, min(p.lab) AS lab FROM sym s
+       |  JOIN lab$DbRounds p ON s.b = p.n
+       |  WHERE s.a NOT IN (SELECT n FROM core)
+       |  GROUP BY s.a),
+       |cc AS (SELECT lab, count(*)::BIGINT AS n_core FROM lab$DbRounds GROUP BY lab),
+       |bc AS (SELECT lab, count(*)::BIGINT AS n_border FROM border GROUP BY lab),
+       |clusters AS (
+       |  SELECT coalesce(cc.lab, bc.lab) AS cluster,
+       |    coalesce(cc.n_core, 0)::BIGINT AS n_core,
+       |    coalesce(bc.n_border, 0)::BIGINT AS n_border,
+       |    0::BIGINT AS n_noise
+       |  FROM cc FULL OUTER JOIN bc ON cc.lab = bc.lab
+       |  UNION ALL
+       |  SELECT -1::BIGINT,  0::BIGINT, 0::BIGINT,
+       |    ((SELECT count(*) FROM embeddings)
+       |     - (SELECT count(*) FROM lab$DbRounds)
+       |     - (SELECT count(*) FROM border))::BIGINT)
+       |SELECT cluster, n_core, n_border, n_noise, conv.converged
+       |FROM clusters, conv""".stripMargin
+  }
+
   lazy val kcenterCoresetSql: String = {
     val rounds = (2 to KcK).map { r =>
       val prev = r - 1

@@ -539,6 +539,53 @@ class AnnSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0))
   }
 
+  test("dbscan_cluster: core/border/noise replay against a local " +
+    "union-find over the eps-kNN graph") {
+    import graft.operators.Ann.{DbEps, DbMinPts}
+    val knn = SparkEntry.queries("knn_join")(spark, sf)
+      .select("vec_id", "nb", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= DbEps)
+    val sym = knn.flatMap { case (a, b, _) => Seq((a, b), (b, a)) }.distinct
+    val deg = sym.groupBy(_._1).view.mapValues(_.length).toMap
+    val core = deg.filter(_._2 >= DbMinPts).keySet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map[Long, Long]() ++
+      core.map(c => c -> c)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      parent(x) = r; r
+    }
+    sym.filter { case (a, b) => core(a) && core(b) }.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val compOf = core.map(c => c -> find(c)).toMap
+    val borderOf = sym.filter { case (a, b) => !core(a) && core(b) }
+      .groupBy(_._1).view.mapValues(_.map(p => compOf(p._2)).min).toMap
+    val nAll = Tables.embeddings(spark, sf).count()
+    val expCore = compOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expBorder = borderOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("dbscan_cluster")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster") -> ((r.getAs[Long]("n_core"),
+        r.getAs[Long]("n_border"), r.getAs[Long]("n_noise"),
+        r.getAs[Boolean]("converged")))).toMap
+    // the bounded-round propagation must declare convergence on this
+    // corpus — only then are its labels the true components
+    assert(got.values.forall(_._4), "propagation did not converge")
+    val gotClusters = got.filter(_._1 >= 0)
+    assert(gotClusters.keySet == (expCore.keySet ++ expBorder.keySet))
+    gotClusters.foreach { case (c, (nc, nb, nn, _)) =>
+      assert(nc == expCore.getOrElse(c, 0L), s"cluster $c core")
+      assert(nb == expBorder.getOrElse(c, 0L), s"cluster $c border")
+      assert(nn == 0L)
+    }
+    assert(got(-1L)._3 == nAll - compOf.size - borderOf.size)
+    // the structure is non-trivial: >1 cluster, some noise, some border
+    assert(gotClusters.size > 1 && got(-1L)._3 > 0)
+    assert(gotClusters.values.map(_._2).sum > 0)
+  }
+
   test("kcenter_coreset: the greedy farthest-point trajectory replays; " +
     "the covering radius is non-increasing") {
     import graft.operators.Ann.KcK
