@@ -1293,6 +1293,79 @@ object Ann {
       .stripMargin
   }
 
+  /** Reciprocal-rank lattice for [[mrrEval]]: lcm(1..[[K]]) — every
+    * 1/rank with rank ≤ K is the EXACT integer [[MrrLcm]]/rank on
+    * this lattice, so reciprocal ranks sum without floats. */
+  val MrrLcm: Long = (1 to K).foldLeft(1L) { (a, b) =>
+    a / java.math.BigInteger.valueOf(a).gcd(java.math.BigInteger.valueOf(b)).longValue * b
+  }
+
+  /** K164: MRR@K OF THE APPROXIMATE PATHS — Mean Reciprocal Rank,
+    * the first-hit metric standardized by the TREC-8 QA track
+    * (Voorhees 1999) and the default eval of retrieval systems whose
+    * consumer takes ONE answer (RAG context pick, dedup canonical
+    * pick): per query, score 1/rank of the FIRST exact neighbor the
+    * approximate path returns, 0 when none does. Completes the
+    * ranking-eval family — K18 recall (what came back), K151 NDCG
+    * (where it all landed), MRR (where the first hit landed) — all
+    * off the same persisted exact ranking and the same three
+    * approximate pipelines. Engine-portability: reciprocal ranks
+    * live on the exact [[MrrLcm]] = lcm(1..K) integer lattice
+    * (1/rank = MrrLcm/rank exactly, rank ≤ K), so sum_rr is an
+    * order-free BIGINT sum and mrr_pm = (sum_rr·1000) div
+    * (n_queries·MrrLcm) — no float ever touches the hash gate.
+    *
+    * Shape: probe-set-sized joins against the broadcast exact set +
+    * a per-query min + one 3-row rollup (the ndcg_eval posture). */
+  def mrrEval(s: SparkSession, dir: String): DataFrame = {
+    val ex = annBruteforce(s, dir).select(col("qid"), col("nb"))
+      .localCheckpoint() // K x NumQueries rows; joined by all three paths
+    def scoreOf(path: String, ranked: DataFrame): DataFrame = ranked
+      .filter(col("rnk") <= K)
+      .join(ex, Seq("qid", "nb")) // hits only
+      .groupBy(col("qid")).agg(min(col("rnk")).as("first_rnk"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr(s"$MrrLcm div first_rnk")).as("sum_rr"))
+      .select(lit(path).as("path"), col("n_hit"),
+        coalesce(col("sum_rr"), lit(0L)).as("sum_rr"))
+    val nq = annBruteforce(s, dir).select(col("qid")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    scoreOf("lsh", annLsh(s, dir).select(col("qid"), col("nb"), col("rnk")))
+      .unionByName(scoreOf("ivf",
+        annIvf(s, dir).select(col("qid"), col("nb"), col("rnk"))))
+      .unionByName(scoreOf("pq", annPq(s, dir).select(
+        col("probe_id").as("qid"), col("neighbor").as("nb"),
+        col("rank").as("rnk"))))
+      .crossJoin(broadcast(nq)) // 1-row scalar frame
+      .select(col("path"), col("n_queries"), col("n_hit"), col("sum_rr"),
+        when(col("n_queries") === 0L, 0L)
+          .otherwise(expr(s"(sum_rr * 1000) div (n_queries * $MrrLcm)"))
+          .as("mrr_pm"))
+  }
+
+  lazy val mrrEvalSql: String = {
+    def pathSql(path: String, sql: String, q: String, n: String, r: String) =
+      s"""SELECT '$path' AS path, count(*)::BIGINT AS n_hit,
+         |  coalesce(sum($MrrLcm // first_rnk), 0)::BIGINT AS sum_rr
+         |FROM (
+         |  SELECT a.$q, min(a.$r)::BIGINT AS first_rnk
+         |  FROM ($sql) a
+         |  JOIN ex e ON e.qid = a.$q AND e.nb = a.$n
+         |  WHERE a.$r <= $K
+         |  GROUP BY a.$q)"""
+        .stripMargin
+    s"""WITH ex AS (SELECT qid, nb FROM ($annBruteforceSql)),
+       |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n_queries FROM ex),
+       |paths AS (
+       |${pathSql("lsh", annLshSql, "qid", "nb", "rnk")}
+       |UNION ALL ${pathSql("ivf", annIvfSql, "qid", "nb", "rnk")}
+       |UNION ALL ${pathSql("pq", annPqSql, "probe_id", "neighbor", "rank")})
+       |SELECT path, n_queries, n_hit, sum_rr,
+       |  CASE WHEN n_queries = 0 THEN 0
+       |       ELSE sum_rr * 1000 // (n_queries * $MrrLcm) END::BIGINT AS mrr_pm
+       |FROM paths CROSS JOIN nq""".stripMargin
+  }
+
   /** ColBERT folding: 64 dims -> [[CbTokens]] sub-vectors of
     * [[CbDim]] dims, and the result depth. */
   val CbTokens = 16
@@ -1649,4 +1722,94 @@ object Ann {
        |SELECT 1::BIGINT AS round, vec_id AS center_id, 0.0 AS radius2 FROM c1
        |$out""".stripMargin
   }
+
+  /** [[lofOutliers]] fixed point: local reachability density is the
+    * exact integer lrd = [[LofScale]] div Σreach (reciprocals on a
+    * 10¹² lattice — the record_linkage/dsir integer-division
+    * convention, no float in the score). */
+  val LofScale = 1000000000000L
+  val LofTopK = 20
+
+  /** [[lofOutliers]] flag threshold, ppm: LOF ≥ 1.5 is the usual
+    * "clearly less dense than its neighborhood" read. */
+  val LofFlagPpm = 1500000L
+
+  /** K169: LOCAL OUTLIER FACTOR — the canonical density-based
+    * outlier score (Breunig, Kriegel, Ng & Sander, SIGMOD 2000;
+    * 2025 test-of-time in spirit — it is what sklearn/ELKI ship as
+    * THE local outlier method): a point is outlying not by absolute
+    * distance (K9 `outlier_mad`'s univariate read) but by the RATIO
+    * of its neighbors' local density to its own — LOF ≈ 1 inside any
+    * uniform region regardless of that region's density, > 1 only
+    * where a point is sparser than its OWN neighborhood, which is
+    * what makes it the right embedding-space screen next to J6
+    * `vec_health` (global norms), K149 `hub_stats` (k-occurrence),
+    * K162 `dbscan_cluster` (binary noise verdict): LOF grades the
+    * noise. Fourth consumer of the persisted H7 top-K artifact —
+    * everything is artifact-sized joins, and the D2 LSH swap reaches
+    * it unchanged. Definitions on the artifact: d = 1 − cos on the
+    * ×10⁴ integer grid; k-distance(o) = max d over o's list;
+    * reach(p←o) = max(d(p,o), kdist(o)); Σreach floored at 1 so a
+    * pure-duplicate neighborhood scores lrd-ratio exactly 1.
+    * Engine-portability: lrd on the [[LofScale]] reciprocal lattice,
+    * LOF_ppm = (Σreach_p · (Σ_o lrd_o div K)) div 10⁶ — the integer-
+    * division ORDER is part of the spec (mean floored before the
+    * product), every step exact BIGINT in both engines.
+    *
+    * Shape: three artifact-keyed joins + two combining aggregates
+    * (N·K rows max), a 1-row summary, a ([[LofTopK]], score, id)
+    * deterministic cut. */
+  def lofOutliers(s: SparkSession, dir: String): DataFrame = {
+    val k = knnJoin(s, dir).select(col("vec_id"), col("nb"),
+      (lit(10000L) - floor(col("cos") * 10000 + lit(0.5)).cast("long")).as("d"))
+      .localCheckpoint() // N·K rows; read by kdist, reach and sum_r
+    val kd = k.groupBy(col("vec_id")).agg(max(col("d")).as("kdist"))
+    val reach = k
+      .join(kd.select(col("vec_id").as("nb"), col("kdist").as("kd_o")), "nb")
+      .select(col("vec_id"), greatest(col("d"), col("kd_o")).as("reach"))
+    val sp = reach.groupBy(col("vec_id"))
+      .agg(greatest(sum(col("reach")), lit(1L)).as("sreach"))
+      .withColumn("r", expr(s"$LofScale div sreach"))
+      .localCheckpoint() // N rows; self-joined through the artifact
+    val sumr = k.join(sp.select(col("vec_id").as("nb"), col("r")), "nb")
+      .groupBy(col("vec_id")).agg(sum(col("r")).as("sum_r"))
+    val lof = sp.join(sumr, "vec_id").join(kd, "vec_id")
+      .select(col("vec_id"), col("kdist"), col("sreach"),
+        expr(s"(sreach * (sum_r div $K)) div 1000000").as("lof_ppm"))
+      .localCheckpoint() // N rows; summary + report both read it
+    val summary = lof.agg(count(lit(1)).as("n_vecs"),
+      sum(when(col("lof_ppm") >= LofFlagPpm, 1L).otherwise(0L)).as("n_flagged"))
+    lof.crossJoin(broadcast(summary)) // 1-row scalar report frame
+      .orderBy(col("lof_ppm").desc, col("vec_id"))
+      .limit(LofTopK)
+  }
+
+  lazy val lofOutliersSql: String =
+    s"""WITH k AS (
+       |  SELECT vec_id, nb,
+       |    (10000 - floor(cos * 10000 + 0.5))::BIGINT AS d
+       |  FROM ($knnJoinSql)),
+       |kd AS (SELECT vec_id, max(d)::BIGINT AS kdist FROM k GROUP BY 1),
+       |reach AS (
+       |  SELECT k.vec_id, greatest(k.d, o.kdist) AS reach
+       |  FROM k JOIN kd o ON k.nb = o.vec_id),
+       |sp AS (
+       |  SELECT vec_id, greatest(sum(reach), 1)::BIGINT AS sreach
+       |  FROM reach GROUP BY 1),
+       |spr AS (SELECT vec_id, sreach, $LofScale // sreach AS r FROM sp),
+       |sumr AS (
+       |  SELECT k.vec_id, sum(p.r)::BIGINT AS sum_r
+       |  FROM k JOIN spr p ON k.nb = p.vec_id GROUP BY 1),
+       |lof AS (
+       |  SELECT s.vec_id, kd.kdist, s.sreach,
+       |    ((s.sreach * (m.sum_r // $K)) // 1000000)::BIGINT AS lof_ppm
+       |  FROM spr s JOIN sumr m USING (vec_id) JOIN kd USING (vec_id)),
+       |summ AS (
+       |  SELECT count(*)::BIGINT AS n_vecs,
+       |    sum(CASE WHEN lof_ppm >= $LofFlagPpm THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_flagged
+       |  FROM lof)
+       |SELECT vec_id, kdist, sreach, lof_ppm, n_vecs, n_flagged
+       |FROM lof, summ
+       |ORDER BY lof_ppm DESC, vec_id LIMIT $LofTopK""".stripMargin
 }

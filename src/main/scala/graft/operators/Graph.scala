@@ -450,6 +450,200 @@ object Graph {
       |FROM common JOIN deg d1 ON n1 = d1.n JOIN deg d2 ON n2 = d2.n, cut
       |ORDER BY common DESC, n1, n2 LIMIT $JaccTopK""".stripMargin
 
+  /** [[adamicAdar]] fixed-point scale: the common-neighbor weight is
+    * w(z) = AaScale div max(1, ilog2(deg z)) — the dsir floor-log2
+    * convention standing in for Adamic–Adar's 1/ln(deg), EXACT
+    * integers in both engines. */
+  val AaScale = 1000000L
+  val AaTopK = 50
+
+  /** K167: ADAMIC–ADAR LINK PREDICTION — the common-neighbor score
+    * of Adamic & Adar 2003 ("Friends and neighbors on the Web"),
+    * the strongest of the classic local link predictors in the
+    * Liben-Nowell & Kleinberg 2007 study and the standard relatedness
+    * read on co-occurrence graphs: a pair is as related as the sum
+    * over shared neighbors of 1/log(degree) — a shared RARE neighbor
+    * is strong evidence, a shared hub is nearly none. That hub
+    * discount is precisely what K38 `jaccard_neighbors`' raw overlap
+    * lacks and what a blocking stage (K161 record_linkage) wants for
+    * scoring candidate pairs: pairs connected only through hubs drop
+    * to the bottom. Engine-portability: weights live on the exact
+    * [[AaScale]]/ilog2 integer lattice (ilog2 = length(bin(deg))−1,
+    * the dsir floor-log2 house convention; ln's irrationals never
+    * touch the hash gate), so aa_fp is an order-free BIGINT sum.
+    *
+    * Shape: the persisted co-supply graph (write-once artifact, this
+    * is its 8th consumer) → degree frame (broadcast) → the SAME
+    * hot-key-capped wedge join as K38 (top-[[JaccAdjCap]] members per
+    * wedge key by (degree, id), cut reported — fanout per key is
+    * bounded, the curse-of-the-last-reducer guard) → pair-keyed
+    * weighted sum → deterministic ([[AaTopK]], score, id) cut. */
+  def adamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = adamicAdarFrame(edges)
+    edges.unpersist()
+    out
+  }
+
+  /** The plan of [[adamicAdar]] over a given edge list, split out so
+    * the spec can pin the hub discount on a planted degree spectrum
+    * (the jaccardNeighborsFrame convention). */
+  private[graft] def adamicAdarFrame(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("s1").as("n"), col("s2").as("nb"))
+      .unionByName(edges.select(col("s2").as("n"), col("s1").as("nb")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // wedge-key cap (the K38 contract): candidate generation bounded,
+    // weights below use TRUE degrees
+    val ranked = adj
+      .join(broadcast(deg.select(col("n").as("mn"), col("deg").as("m_deg"))),
+        col("n") === col("mn"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nb")).orderBy(col("m_deg").desc, col("n"))))
+      .localCheckpoint() // adjacency-sized; capped + cut both read it
+    val capped = ranked.filter(col("rk") <= JaccAdjCap)
+      .select(col("n"), col("nb"))
+    val cut = ranked.agg(
+      sum(when(col("rk") > JaccAdjCap, 1L).otherwise(0L)).as("n_adj_dropped"))
+    val wz = deg.select(col("n").as("z"),
+      expr(s"$AaScale div greatest(1L, length(bin(deg)) - 1)").as("w"))
+    val a = capped.select(col("n").as("n1"), col("nb").as("z"))
+    val b = capped.select(col("n").as("n2"), col("nb").as("z"))
+    val scored = a.join(b, "z").filter(col("n1") < col("n2"))
+      .join(broadcast(wz), "z")
+      .groupBy(col("n1"), col("n2"))
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("aa_fp"))
+    val out = scored
+      .join(edges.select(col("s1").as("n1"), col("s2").as("n2"),
+        lit(true).as("is_edge")), Seq("n1", "n2"), "left_outer")
+      .na.fill(false, Seq("is_edge"))
+      .crossJoin(broadcast(cut)) // 1-row scalar report frame
+      .select(col("n1"), col("n2"), col("common"), col("aa_fp"),
+        col("is_edge"), col("n_adj_dropped"))
+      .orderBy(col("aa_fp").desc, col("n1"), col("n2"))
+      .limit(AaTopK)
+      .localCheckpoint() // report-sized; caller releases its edge cache
+    out
+  }
+
+  val adamicAdarSql: String =
+    coEdgesCte + s""",
+      |adj AS (
+      |  SELECT s1 AS n, s2 AS nb FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY 1),
+      |ranked AS (
+      |  SELECT a.n, a.nb, row_number() OVER (
+      |    PARTITION BY a.nb ORDER BY d.deg DESC, a.n) AS rk
+      |  FROM adj a JOIN deg d ON a.n = d.n),
+      |capped AS (SELECT n, nb FROM ranked WHERE rk <= $JaccAdjCap),
+      |cut AS (
+      |  SELECT CAST(coalesce(sum(CASE WHEN rk > $JaccAdjCap THEN 1 ELSE 0 END),
+      |                       0) AS BIGINT) AS n_adj_dropped
+      |  FROM ranked),
+      |wz AS (
+      |  SELECT n AS z, $AaScale // greatest(1, length(bin(deg)) - 1) AS w
+      |  FROM deg),
+      |scored AS (
+      |  SELECT a.n AS n1, b.n AS n2, count(*)::BIGINT AS common,
+      |    sum(w.w)::BIGINT AS aa_fp
+      |  FROM capped a
+      |  JOIN capped b ON a.nb = b.nb AND a.n < b.n
+      |  JOIN wz w ON w.z = a.nb
+      |  GROUP BY 1, 2)
+      |SELECT n1, n2, common, aa_fp,
+      |  coalesce((SELECT true FROM edges e WHERE e.s1 = n1 AND e.s2 = n2),
+      |           false) AS is_edge,
+      |  cut.n_adj_dropped
+      |FROM scored, cut
+      |ORDER BY aa_fp DESC, n1, n2 LIMIT $AaTopK""".stripMargin
+
+  /** Report depth per role for [[hitsScores]]. */
+  val HitsTopK = 20
+
+  /** K168: HITS HUB/AUTHORITY SCORING — Kleinberg's link-analysis
+    * dual (JACM 1999, "Authoritative sources in a hyperlinked
+    * environment"), the companion read to I10 `pagerank_iter` on any
+    * DIRECTED interaction graph: an AUTHORITY is pointed at by good
+    * hubs, a HUB points at good authorities — the mutually recursive
+    * pair a = Aᵀh, h = Aa. Where PageRank ranks by random-surfer
+    * mass, HITS separates the two roles a crawl/curation pipeline
+    * actually treats differently: hub-ness prioritizes link-rich
+    * index pages for FETCHING (next to K139 `anchor_extract`'s link
+    * mining), authority-ness weights pages for KEEPING. Graph here:
+    * the customer→supplier purchase bipartite (distinct pairs from
+    * the fact chain) — hubs are broad buyers, authorities are
+    * widely-bought-from suppliers. Engine-portability: HITS'
+    * normalization only rescales (the RANKING is normalization-
+    * invariant), so the operator runs the power iteration UNNORMALIZED
+    * over exact BIGINT sums — h⁰ = 1, a¹ = Aᵀh⁰ (= in-degree),
+    * h¹ = Aa¹, a² = Aᵀh¹ — and reports score₁/score₂ per role with a
+    * deterministic (score₂, id) top-[[HitsTopK]] cut; no float, no
+    * sqrt, nothing order-dependent.
+    *
+    * Shape: one distinct pair projection (∝ fact rows, map-side
+    * combine) persisted for the three sparse mat-vecs; each mat-vec
+    * is a broadcast of the ≤node-sized score frame into an edge scan
+    * + a node-keyed combining sum (the I10 "pre" form's posture).
+    * Two iterations are the reference-rank read; more converge the
+    * same way (swap point documented). */
+  def hitsScores(s: SparkSession, dir: String): DataFrame = {
+    val e = lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a1 = A^T 1: in-degree of each supplier
+    val a1 = e.groupBy(col("sk")).agg(count(lit(1)).as("a1"))
+    // h1 = A a1: each customer sums its suppliers' a1
+    val h1 = e.join(broadcast(a1), "sk")
+      .groupBy(col("c")).agg(sum(col("a1")).as("h1"), count(lit(1)).as("outdeg"))
+    // a2 = A^T h1: each supplier sums its buyers' h1
+    val a2 = e.join(broadcast(h1.select(col("c"), col("h1"))), "c")
+      .groupBy(col("sk")).agg(sum(col("h1")).as("a2"), count(lit(1)).as("indeg"))
+    val auth = a2.join(broadcast(a1), "sk")
+      .select(lit("authority").as("role"), col("sk").as("node"),
+        col("indeg").as("degree"), col("a1").as("score1"), col("a2").as("score2"))
+      .orderBy(col("score2").desc, col("node")).limit(HitsTopK)
+    // h2 = A a2 for the hub side's second iterate
+    val h2 = e.join(broadcast(a2.select(col("sk"), col("a2"))), "sk")
+      .groupBy(col("c")).agg(sum(col("a2")).as("h2"))
+    val hub = h2.join(broadcast(h1), "c")
+      .select(lit("hub").as("role"), col("c").as("node"),
+        col("outdeg").as("degree"), col("h1").as("score1"), col("h2").as("score2"))
+      .orderBy(col("score2").desc, col("node")).limit(HitsTopK)
+    val out = auth.unionByName(hub).localCheckpoint() // report-sized
+    e.unpersist()
+    out
+  }
+
+  val hitsScoresSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |a1 AS (SELECT sk, count(*)::BIGINT AS a1 FROM e GROUP BY sk),
+       |h1 AS (
+       |  SELECT e.c, sum(a1.a1)::BIGINT AS h1, count(*)::BIGINT AS outdeg
+       |  FROM e JOIN a1 USING (sk) GROUP BY e.c),
+       |a2 AS (
+       |  SELECT e.sk, sum(h1.h1)::BIGINT AS a2, count(*)::BIGINT AS indeg
+       |  FROM e JOIN h1 USING (c) GROUP BY e.sk),
+       |h2 AS (
+       |  SELECT e.c, sum(a2.a2)::BIGINT AS h2
+       |  FROM e JOIN a2 USING (sk) GROUP BY e.c),
+       |auth AS (
+       |  SELECT 'authority' AS role, sk AS node, indeg AS degree,
+       |    a1.a1 AS score1, a2.a2 AS score2
+       |  FROM a2 JOIN a1 USING (sk)
+       |  ORDER BY score2 DESC, node LIMIT $HitsTopK),
+       |hub AS (
+       |  SELECT 'hub' AS role, c AS node, outdeg AS degree,
+       |    h1.h1 AS score1, h2.h2 AS score2
+       |  FROM h2 JOIN h1 USING (c)
+       |  ORDER BY score2 DESC, node LIMIT $HitsTopK)
+       |SELECT * FROM auth UNION ALL SELECT * FROM hub""".stripMargin
+
   /** k-core threshold and peel-round budget. k=5 exercises every
     * regime on this corpus: no peel at sf0.001 (complete K10, deg 9),
     * a surviving 97-node core at sf0.01, a 6-round full cascade at

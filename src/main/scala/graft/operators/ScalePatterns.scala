@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -479,5 +479,155 @@ object ScalePatterns {
         |       WHEN n_distinct * 50 <= n_rows THEN 'dict'
         |       ELSE 'plain' END AS pick
         |FROM per_col""".stripMargin
+  }
+
+  /** Granule count for [[zoneMapPrune]] — the modeled file count per
+    * layout generation (a lake at 100 TB has more files, but the
+    * pruning RATE the report measures is layout-determined, not
+    * file-count-determined). */
+  val ZmGranules = 64L
+
+  /** [[zoneMapPrune]] date axis origin + the probe predicate bounds,
+    * as day numbers since the origin — computed once on the JVM and
+    * injected VERBATIM into both engines (the SimA/SimB convention).
+    * The generator's shipdate span is fixed (1995-01-02 .. 2001-11-04,
+    * verified at sf0.001 AND sf0.1) at every SF, so the probes hit
+    * the same calendar slice at any scale. */
+  val ZmEpoch: java.time.LocalDate = java.time.LocalDate.of(1995, 1, 1)
+  private def zmDay(y: Int, m: Int, d: Int): Long =
+    java.time.LocalDate.of(y, m, d).toEpochDay - ZmEpoch.toEpochDay
+  /** Sorted-layout granule span: the generator date axis end. */
+  val ZmDateSpan: Long = zmDay(2002, 1, 1)
+  val ZmShip1moLo: Long = zmDay(1997, 6, 1)
+  val ZmShip1moHi: Long = zmDay(1997, 6, 30)
+  val ZmShip6moLo: Long = zmDay(1998, 1, 1)
+  val ZmShip6moHi: Long = zmDay(1998, 6, 30)
+
+  /** K165: ZONE-MAP PRUNING REPORT — min/max data skipping, the
+    * Small Materialized Aggregates of Moerkotte (VLDB 1998) as
+    * deployed by every modern lake/warehouse (Snowflake's pruning,
+    * Dageville et al. SIGMOD 2016; Delta/Iceberg file skipping;
+    * ClickHouse minmax indexes): per file-granule, keep min/max of
+    * the filter columns; a predicate whose range is disjoint from a
+    * granule's [min,max] skips the granule without reading it. The
+    * operator quantifies WHAT [[zorderLayout]] only lays out — how
+    * many granules and rows each probe predicate actually skips —
+    * and contrasts TWO layouts of the same rows: `natural`
+    * (write-order: equal-width l_orderkey ranges, the as-ingested
+    * file sequence) vs `shipdate_sorted` (equal-width ship-day
+    * ranges, the sorted rewrite). A date probe prunes ~nothing on
+    * the natural layout (every file spans all dates) and ~everything
+    * on the sorted one — the measured case for paying the sort at
+    * 100 TB; a key probe shows the opposite, which is why the sort
+    * key must match the probe workload. Granule ids are EXACT
+    * integer algebra off the 1-row min/max stats frame (map-only, no
+    * global sort models the layout); all counts exact, share one
+    * integer division.
+    *
+    * Shape: one stats agg (1 row, broadcast) → map-only granule id →
+    * two granule-keyed combining aggs (≤[[ZmGranules]] rows each) →
+    * constant-size probe evaluation. Shuffle ∝ rows only in the two
+    * zone-map builds — exactly the maintenance pass a real lake runs
+    * per file write. */
+  def zoneMapPrune(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(
+      col("l_orderkey").as("k"),
+      datediff(col("l_shipdate").cast("date"),
+        lit(ZmEpoch.toString).cast("date")).cast("long").as("d"))
+    val stats = li.agg(
+      min(col("k")).as("kmin"), max(col("k")).as("kmax"),
+      count(lit(1)).as("n_total")).localCheckpoint() // 1-row scalar frame
+    val g = li.crossJoin(broadcast(stats))
+      .select(col("k"), col("d"), col("n_total"),
+        expr(s"((k - kmin) * $ZmGranules) div (kmax - kmin + 1)").as("gnat"),
+        expr(s"(d * $ZmGranules) div $ZmDateSpan").as("gsort"))
+    def zones(gid: String): DataFrame = g.groupBy(col(gid).as("gid"))
+      .agg(min(col("d")).as("dlo"), max(col("d")).as("dhi"),
+        min(col("k")).as("klo"), max(col("k")).as("khi"),
+        count(lit(1)).as("n"), first(col("n_total")).as("n_total"))
+    def probe(layout: String, z: DataFrame, pred: String, m: DataFrame,
+              lo: Column, hi: Column, isDate: Boolean): DataFrame = {
+      val (zlo, zhi) = if (isDate) (col("dlo"), col("dhi")) else (col("klo"), col("khi"))
+      val survive = !(zhi < lo || zlo > hi)
+      z.agg(count(lit(1)).as("n_granules"),
+        sum(when(survive, 0L).otherwise(1L)).as("n_pruned"),
+        sum(when(survive, col("n")).otherwise(0L)).as("rows_scanned"),
+        first(col("n_total")).as("n_total"))
+        .crossJoin(broadcast(m)) // two 1-row scalar frames
+        .select(lit(layout).as("layout"), lit(pred).as("pred"),
+          col("n_granules"), col("n_pruned"), col("rows_scanned"),
+          col("rows_matched"),
+          expr("(rows_scanned * 1000) div n_total").as("scan_share_pm"))
+    }
+    def matched(c: Column, lo: Column, hi: Column): DataFrame = g
+      .agg(sum(when(c.between(lo, hi), 1L).otherwise(0L)).as("rows_matched"))
+      .localCheckpoint() // 1-row scalar frame, read by both layouts
+    val znat = zones("gnat").localCheckpoint()  // <= ZmGranules rows,
+    val zsort = zones("gsort").localCheckpoint() // three probes each
+    // 1-row scalar read (the bpe_train bounded class): the key-decile
+    // probe's bounds are layout-model constants derived from the span
+    val st = stats.select(col("kmin"),
+      expr(s"kmin + (kmax - kmin + 1) div 10").as("khi_p")).head()
+    val (kLo, kHi) = (st.getLong(0), st.getLong(1))
+    val m1 = matched(col("d"), lit(ZmShip1moLo), lit(ZmShip1moHi))
+    val m6 = matched(col("d"), lit(ZmShip6moLo), lit(ZmShip6moHi))
+    val mk = matched(col("k"), lit(kLo), lit(kHi))
+    Seq(
+      probe("natural", znat, "ship_1mo", m1, lit(ZmShip1moLo), lit(ZmShip1moHi), isDate = true),
+      probe("natural", znat, "ship_6mo", m6, lit(ZmShip6moLo), lit(ZmShip6moHi), isDate = true),
+      probe("natural", znat, "key_decile", mk, lit(kLo), lit(kHi), isDate = false),
+      probe("shipdate_sorted", zsort, "ship_1mo", m1, lit(ZmShip1moLo), lit(ZmShip1moHi), isDate = true),
+      probe("shipdate_sorted", zsort, "ship_6mo", m6, lit(ZmShip6moLo), lit(ZmShip6moHi), isDate = true),
+      probe("shipdate_sorted", zsort, "key_decile", mk, lit(kLo), lit(kHi), isDate = false)
+    ).reduce(_.unionByName(_))
+  }
+
+  val zoneMapPruneSql: String = {
+    val gsortDen = ZmDateSpan
+    def probe(layout: String, ztab: String, pred: String,
+              lo: String, hi: String, isDate: Boolean): String = {
+      val (zlo, zhi) = if (isDate) ("dlo", "dhi") else ("klo", "khi")
+      val v = if (isDate) "d" else "k"
+      s"""SELECT '$layout' AS layout, '$pred' AS pred,
+         |  (SELECT count(*) FROM $ztab)::BIGINT AS n_granules,
+         |  (SELECT sum(CASE WHEN $zhi < $lo OR $zlo > $hi THEN 1 ELSE 0 END)
+         |   FROM $ztab)::BIGINT AS n_pruned,
+         |  (SELECT sum(CASE WHEN $zhi < $lo OR $zlo > $hi THEN 0 ELSE n END)
+         |   FROM $ztab)::BIGINT AS rows_scanned,
+         |  (SELECT sum(CASE WHEN $v BETWEEN $lo AND $hi THEN 1 ELSE 0 END)
+         |   FROM g)::BIGINT AS rows_matched,
+         |  ((SELECT sum(CASE WHEN $zhi < $lo OR $zlo > $hi THEN 0 ELSE n END)
+         |    FROM $ztab) * 1000 // (SELECT n_total FROM stats))::BIGINT
+         |    AS scan_share_pm""".stripMargin
+    }
+    val kLo = "(SELECT kmin FROM stats)"
+    val kHi = "(SELECT kmin + (kmax - kmin + 1) // 10 FROM stats)"
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS k,
+       |    date_diff('day', DATE '$ZmEpoch', l_shipdate::DATE)::BIGINT AS d
+       |  FROM lineitem),
+       |stats AS (
+       |  SELECT min(k)::BIGINT AS kmin, max(k)::BIGINT AS kmax,
+       |    count(*)::BIGINT AS n_total
+       |  FROM li),
+       |g AS (
+       |  SELECT k, d,
+       |    ((k - kmin) * $ZmGranules) // (kmax - kmin + 1) AS gnat,
+       |    (d * $ZmGranules) // $gsortDen AS gsort
+       |  FROM li CROSS JOIN stats),
+       |znat AS (
+       |  SELECT gnat AS gid, min(d) AS dlo, max(d) AS dhi,
+       |    min(k) AS klo, max(k) AS khi, count(*)::BIGINT AS n
+       |  FROM g GROUP BY gnat),
+       |zsort AS (
+       |  SELECT gsort AS gid, min(d) AS dlo, max(d) AS dhi,
+       |    min(k) AS klo, max(k) AS khi, count(*)::BIGINT AS n
+       |  FROM g GROUP BY gsort)
+       |${probe("natural", "znat", "ship_1mo", ZmShip1moLo.toString, ZmShip1moHi.toString, isDate = true)}
+       |UNION ALL ${probe("natural", "znat", "ship_6mo", ZmShip6moLo.toString, ZmShip6moHi.toString, isDate = true)}
+       |UNION ALL ${probe("natural", "znat", "key_decile", kLo, kHi, isDate = false)}
+       |UNION ALL ${probe("shipdate_sorted", "zsort", "ship_1mo", ZmShip1moLo.toString, ZmShip1moHi.toString, isDate = true)}
+       |UNION ALL ${probe("shipdate_sorted", "zsort", "ship_6mo", ZmShip6moLo.toString, ZmShip6moHi.toString, isDate = true)}
+       |UNION ALL ${probe("shipdate_sorted", "zsort", "key_decile", kLo, kHi, isDate = false)}""".stripMargin
   }
 }

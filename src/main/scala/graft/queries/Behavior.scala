@@ -1147,4 +1147,94 @@ object Behavior {
       |  (sum(CASE WHEN ev_tr > 0 AND ev_te > 0 THEN 1 ELSE 0 END) * 1000000
       |     // greatest(sum(CASE WHEN ev_te > 0 THEN 1 ELSE 0 END), 1))::BIGINT AS leak_pm
       |FROM pu GROUP BY 1""".stripMargin
+
+  /** [[cusumChangepoint]] tuning, all exact-integer: the allowance
+    * (slack) is k = μ·[[CusumKa]]/[[CusumKd]] per day (the standard
+    * k = δ/2 with the shift-to-detect δ set to half the mean), and
+    * the decision interval is H = [[CusumH]]·μ·[[CusumKd]]-scaled
+    * accumulated excess ("H mean-days"). */
+  val CusumKa = 1L
+  val CusumKd = 4L
+  val CusumH = 3L
+
+  /** K166: CUSUM CHANGE-POINT DETECTION — Page's cumulative-sum
+    * control chart (Biometrika 1954), the canonical sequential test
+    * for a small PERSISTENT level shift and the complement of K23
+    * `burst_detect`'s 3σ spike rule: a burst is a point anomaly one
+    * window sees; a regime shift (ingest source turned off, a
+    * schema change halving an event type's rate) moves the level a
+    * little every day and never trips a spike test — CUSUM
+    * accumulates exactly that drift. Per event type over daily
+    * counts x_t with corpus mean μ: S⁺_t = max(0, S⁺_{t-1} + x_t − μ
+    * − k), alarmed when S⁺ exceeds H (and symmetrically S⁻ for
+    * downward shifts). RELATIONAL FORM: the recursion has the exact
+    * prefix-sum closed form S_t = P_t − min_{0≤j≤t} P_j with
+    * P_t = Σ_{i≤t}(x_i − μ − k) — a running sum plus a running min,
+    * two frames of one ordered window, no iteration and no UDAF.
+    * Engine-portability: deviations are scaled by n·[[CusumKd]] so
+    * μ = total/n and k = μ/4 never divide — every value on the
+    * chart is an exact BIGINT.
+    *
+    * Shape: one (type, day)-keyed combining count (∝ events) → a
+    * ≤types-row broadcast stats join → per-type ordered windows
+    * (partitions bounded by days-per-type, never corpus-global). */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val st = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("total"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val e = daily.join(broadcast(st), "event_type")
+      .withColumn("ep", lit(CusumKd) * (col("nd") * col("x") - col("total"))
+        - lit(CusumKa) * col("total"))
+      .withColumn("en", lit(CusumKd) * (col("total") - col("nd") * col("x"))
+        - lit(CusumKa) * col("total"))
+      .withColumn("pp", sum(col("ep")).over(w))
+      .withColumn("pn", sum(col("en")).over(w))
+      .withColumn("cusum_pos", col("pp") - least(min(col("pp")).over(w), lit(0L)))
+      .withColumn("cusum_neg", col("pn") - least(min(col("pn")).over(w), lit(0L)))
+    e.select(col("event_type"), col("day"), col("x"),
+      col("cusum_pos"), col("cusum_neg"),
+      when(col("cusum_pos") > lit(CusumH * CusumKd) * col("total"), 1L)
+        .otherwise(0L).as("alarm_pos"),
+      when(col("cusum_neg") > lit(CusumH * CusumKd) * col("total"), 1L)
+        .otherwise(0L).as("alarm_neg"))
+  }
+
+  val cusumChangepointSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         date_trunc('day', CAST(ts AS TIMESTAMP))::TIMESTAMP AS day,
+       |         count(*)::BIGINT AS x
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, count(*)::BIGINT AS nd, sum(x)::BIGINT AS total
+       |  FROM daily GROUP BY 1),
+       |e AS (
+       |  SELECT d.event_type, d.day, d.x, st.total,
+       |    $CusumKd * (st.nd * d.x - st.total) - $CusumKa * st.total AS ep,
+       |    $CusumKd * (st.total - st.nd * d.x) - $CusumKa * st.total AS en
+       |  FROM daily d JOIN st USING (event_type)),
+       |p1 AS (
+       |  SELECT event_type, day, x, total,
+       |    sum(ep) OVER fr AS pp, sum(en) OVER fr AS pn
+       |  FROM e
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |p AS (
+       |  SELECT event_type, day, x, total, pp, pn,
+       |    min(pp) OVER fr AS mp, min(pn) OVER fr AS mn
+       |  FROM p1
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day, x,
+       |  (pp - least(mp, 0))::BIGINT AS cusum_pos,
+       |  (pn - least(mn, 0))::BIGINT AS cusum_neg,
+       |  (CASE WHEN pp - least(mp, 0) > $CusumH * $CusumKd * total
+       |        THEN 1 ELSE 0 END)::BIGINT AS alarm_pos,
+       |  (CASE WHEN pn - least(mn, 0) > $CusumH * $CusumKd * total
+       |        THEN 1 ELSE 0 END)::BIGINT AS alarm_neg
+       |FROM p""".stripMargin
 }

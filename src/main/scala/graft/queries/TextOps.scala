@@ -1308,4 +1308,88 @@ object TextOps {
        |      / (nullif(n * sxx - sx * sx, 0)::DOUBLE * nullif(n * syy - sy * sy, 0)::DOUBLE))
        |    * 1000000.0 + 0.5) / 1000000.0 AS r2
        |FROM tot, m""".stripMargin
+
+  /** Count-class ceiling for [[goodTuring]]: the per-class report
+    * covers r = 0 (the unseen class) through r = [[GtMaxR]]; classes
+    * above are the reliably-estimated head Good–Turing leaves raw. */
+  val GtMaxR = 10
+
+  /** K163: GOOD–TURING UNSEEN-MASS ESTIMATE — the frequency
+    * re-estimation of Good 1953 in the Simple Good–Turing formulation
+    * of Gale & Sampson 1995 ("Good–Turing frequency estimation
+    * without tears"): the probability mass of EVENTS NEVER SEEN in
+    * the corpus is N₁/N (the singleton share), and each observed
+    * count class r is re-estimated as r* = (r+1)·N_{r+1}/N_r, where
+    * N_r is the frequency-of-frequencies histogram. Computed over
+    * word TRIGRAMS — the objects LM smoothing actually discounts
+    * (Katz backoff and Kneser–Ney are built on exactly these N_r;
+    * the synthetic corpus' unigram vocabulary is ~31 always-frequent
+    * types, a deliberately closed class where the estimate would be
+    * vacuous, while its trigram space has a real singleton tail at
+    * every SF). The principled companion to
+    * [[graft.operators.TrainPrep.vocabCoverage]] and [[zipfFit]]:
+    * coverage measures the mass of KNOWN out-of-vocab tokens,
+    * Good–Turing estimates the mass of contexts the corpus has not
+    * shown at all. Engine-portability: masses are EXACT per-mille
+    * integers — gt_mass_pm(r) = ((r+1)·N_{r+1}·1000) div N, so the
+    * r = 0 row's gt_mass_pm IS the Good–Turing unseen estimate
+    * ⌊1000·N₁/N⌋ — and r* is the one division, [[pround]]ed.
+    *
+    * Shape: map-only positional trigram build (NO distinct — raw
+    * multiplicity is the count being modeled) → ONE gram-keyed count
+    * (∝ corpus tokens, map-side combine) → frequency-of-frequencies
+    * histogram (cells ∝ distinct counts) → a broadcast join onto the
+    * fixed (GtMaxR+1)-row class grid. Constant row count at any
+    * corpus scale. */
+  def goodTuring(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.wsTokens(lower(col("text")))
+    val freq = documents(s, dir)
+      .select(toks.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 2),
+        i => concat_ws(" ",
+          element_at(col("ts"), i), element_at(col("ts"), i + 1),
+          element_at(col("ts"), i + 2)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val hist = freq.groupBy(col("f")).agg(count(lit(1)).as("nr"))
+    val tot = freq.agg(sum(col("f")).as("n_tokens"))
+    val grid = tot.select(explode(sequence(lit(0L), lit(GtMaxR.toLong))).as("r"))
+    grid
+      .join(hist.select(col("f").as("r"), col("nr").as("n_types")), Seq("r"), "left_outer")
+      .join(hist.select((col("f") - 1L).as("r"), col("nr").as("n_next")), Seq("r"), "left_outer")
+      .na.fill(0L, Seq("n_types", "n_next"))
+      .crossJoin(broadcast(tot)) // 1-row scalar frame
+      .select(col("r"), col("n_types"), col("n_next"), col("n_tokens"),
+        expr("(r * n_types * 1000) div n_tokens").as("raw_mass_pm"),
+        expr("((r + 1) * n_next * 1000) div n_tokens").as("gt_mass_pm"),
+        pround(((col("r") + 1L) * col("n_next")).cast("double") /
+          when(col("n_types") === 0L, lit(null)).otherwise(col("n_types")).cast("double"), 6)
+          .as("r_star"))
+  }
+
+  val goodTuringSql: String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |tri AS (
+       |  SELECT unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+       |                 for i in range(1, len(ts) - 1)]) AS w
+       |  FROM toks WHERE len(ts) >= 3),
+       |freq AS (SELECT w, count(*)::BIGINT AS f FROM tri GROUP BY w),
+       |hist AS (SELECT f, count(*)::BIGINT AS nr FROM freq GROUP BY f),
+       |tot AS (SELECT sum(f)::BIGINT AS n_tokens FROM freq),
+       |grid AS (SELECT r::BIGINT AS r FROM (SELECT unnest(range(0, ${GtMaxR + 1})) AS r))
+       |SELECT g.r,
+       |  coalesce(h.nr, 0)::BIGINT AS n_types,
+       |  coalesce(h2.nr, 0)::BIGINT AS n_next,
+       |  t.n_tokens,
+       |  (g.r * coalesce(h.nr, 0) * 1000 // t.n_tokens)::BIGINT AS raw_mass_pm,
+       |  ((g.r + 1) * coalesce(h2.nr, 0) * 1000 // t.n_tokens)::BIGINT AS gt_mass_pm,
+       |  floor((((g.r + 1) * coalesce(h2.nr, 0))::DOUBLE
+       |      / nullif(coalesce(h.nr, 0), 0)::DOUBLE)
+       |    * 1000000.0 + 0.5) / 1000000.0 AS r_star
+       |FROM grid g
+       |LEFT JOIN hist h ON h.f = g.r
+       |LEFT JOIN hist h2 ON h2.f = g.r + 1
+       |CROSS JOIN tot t""".stripMargin
 }

@@ -476,6 +476,74 @@ class AnnSpec extends SparkSpec {
     assert(got.values.forall(v => v._3 <= 1000L && v._4 <= 1000L))
   }
 
+  test("mrr_eval: reciprocal ranks replay on the lcm(1..K) lattice; " +
+    "first-hit scoring is live") {
+    import graft.operators.Ann.{K, MrrLcm}
+    assert(MrrLcm == 60L) // lcm(1..5)
+    val ex = SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .select("qid", "nb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQ = ex.map(_._1).size.toLong
+    def replay(name: String, q: String, n: String, r: String): (Long, Long) = {
+      val rows = SparkEntry.queries(name)(spark, sf)
+        .select(q, n, r).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getAs[Int](2).toLong))
+        .filter(_._3 <= K)
+      val firstByQ = rows.filter { case (qq, nb, _) => ex.contains((qq, nb)) }
+        .groupBy(_._1).view.mapValues(_.map(_._3).min)
+      (firstByQ.size.toLong, firstByQ.values.map(MrrLcm / _).sum)
+    }
+    val got = SparkEntry.queries("mrr_eval")(spark, sf).collect()
+      .map(x => x.getString(0) -> ((x.getAs[Long]("n_queries"),
+        x.getAs[Long]("n_hit"), x.getAs[Long]("sum_rr"),
+        x.getAs[Long]("mrr_pm")))).toMap
+    Seq(("lsh", "ann_lsh", "qid", "nb", "rnk"),
+        ("ivf", "ann_ivf", "qid", "nb", "rnk"),
+        ("pq", "ann_pq", "probe_id", "neighbor", "rank")).foreach {
+      case (path, op, q, n, r) =>
+        val (nHit, sumRr) = replay(op, q, n, r)
+        assert(got(path)._1 == nQ, s"$path n_queries")
+        assert(got(path)._2 == nHit, s"$path n_hit")
+        assert(got(path)._3 == sumRr, s"$path sum_rr")
+        assert(got(path)._4 == sumRr * 1000L / (nQ * MrrLcm), s"$path mrr_pm")
+        // MRR is bounded by hit rate: a first hit scores at most 1/1
+        assert(got(path)._4 <= nHit * 1000L / nQ + 1L, s"$path bound")
+    }
+    // the metric is non-vacuous: at least one path lands a first hit
+    assert(got.values.exists(_._3 > 0L))
+  }
+
+  test("lof_outliers: the reciprocal-lattice LOF replays from the kNN " +
+    "artifact; dense-uniform points sit near 1, the flag is a ratio read") {
+    import graft.operators.Ann.{K, LofScale, LofFlagPpm, LofTopK}
+    val art = SparkEntry.queries("knn_join")(spark, sf)
+      .select("vec_id", "nb", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        10000L - math.floor(r.getDouble(2) * 10000 + 0.5).toLong))
+    val byV = art.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val kdist = byV.map { case (v, l) => v -> l.map(_._2).max }
+    val sreach = byV.map { case (v, l) =>
+      v -> math.max(1L, l.map { case (o, d) => math.max(d, kdist(o)) }.sum) }
+    val lrd = sreach.map { case (v, s) => v -> LofScale / s }
+    val lof = byV.map { case (v, l) =>
+      v -> sreach(v) * (l.map(o => lrd(o._1)).sum / K) / 1000000L }
+    val expected = lof.toSeq.sortBy { case (v, s) => (-s, v) }.take(LofTopK)
+      .map { case (v, s) => (v, kdist(v), sreach(v), s) }
+    val nFlagged = lof.values.count(_ >= LofFlagPpm).toLong
+    val got = SparkEntry.queries("lof_outliers")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kdist"),
+        r.getAs[Long]("sreach"), r.getAs[Long]("lof_ppm"),
+        r.getAs[Long]("n_vecs"), r.getAs[Long]("n_flagged")))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == expected)
+    assert(got.forall(_._5 == byV.size.toLong))
+    assert(got.forall(_._6 == nFlagged))
+    // LOF's defining property on any non-degenerate corpus: scores
+    // spread around 1 (some points denser than their neighborhood,
+    // some sparser) — the top outlier is a real ratio, not a constant
+    assert(lof.values.min < 1000000L && got.head._4 > 1000000L,
+      s"lof range [${lof.values.min}, ${got.head._4}]")
+  }
+
   test("colbert_maxsim: the 16x16 MaxSim grid replays; late interaction beats single-dot ties") {
     import graft.operators.Ann.{CbDim, CbTokens, CbTopK, NumQueries}
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()

@@ -985,4 +985,37 @@ class BehaviorSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == np)
     assert(got.values.map(_._2).sum == twins.length.toLong)
   }
+
+  test("cusum_changepoint: the prefix-min closed form equals Page's " +
+    "recursion replayed day by day") {
+    import graft.queries.Behavior.{CusumKa, CusumKd, CusumH}
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    val got = SparkEntry.queries("cusum_changepoint")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((r.getAs[Long]("x"), r.getAs[Long]("cusum_pos"),
+          r.getAs[Long]("cusum_neg"), r.getAs[Long]("alarm_pos"),
+          r.getAs[Long]("alarm_neg")))).toMap
+    assert(got.size == daily.size)
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(r => (r._2, r._3))
+      val nd = series.length.toLong
+      val total = series.map(_._2).sum
+      var sp = 0L; var sn = 0L
+      series.foreach { case (day, x) =>
+        // Page 1954: S_t = max(0, S_{t-1} + (x_t - mu - k)), scaled by nd*Kd
+        sp = math.max(0L, sp + CusumKd * (nd * x - total) - CusumKa * total)
+        sn = math.max(0L, sn + CusumKd * (total - nd * x) - CusumKa * total)
+        val g = got((t, day))
+        assert(g._1 == x, s"$t/$day x")
+        assert(g._2 == sp, s"$t/$day cusum_pos")
+        assert(g._3 == sn, s"$t/$day cusum_neg")
+        assert(g._4 == (if (sp > CusumH * CusumKd * total) 1L else 0L))
+        assert(g._5 == (if (sn > CusumH * CusumKd * total) 1L else 0L))
+      }
+    }
+  }
 }

@@ -647,4 +647,92 @@ class GraphSketchSpec extends SparkSpec {
     // the budget must actually reach the fixpoint at this scale
     assert(got.last._5, "peel did not converge within TrussRounds")
   }
+
+  test("adamic_adar: the floor-log2 weighted overlap replays brute force; " +
+    "hub neighbors weigh less than rare ones") {
+    import graft.operators.Graph.{AaScale, AaTopK, MaxEdges}
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shared = pairs.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val sks = ps.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length) yield (sks(i), sks(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val edges = shared.sortBy { case ((s1, s2), c) => (-c, s1, s2) }
+      .take(MaxEdges).map(_._1).toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    def w(z: Long): Long = AaScale / math.max(1L, ilog2(adj(z).size.toLong))
+    val nodes = adj.keys.toSeq.sorted
+    val expected = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      (a, b) = (nodes(i), nodes(j))
+      zs = adj(a) & adj(b) if zs.nonEmpty
+    } yield (a, b) -> ((zs.size.toLong, zs.toSeq.map(w).sum, edges((a, b)))))
+      .sortBy { case ((a, b), (_, s, _)) => (-s, a, b) }
+      .take(AaTopK)
+    val got = run("adamic_adar").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getAs[Long]("common"),
+        r.getAs[Long]("aa_fp"), r.getAs[Boolean]("is_edge"),
+        r.getAs[Long]("n_adj_dropped"))))
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((p, (c, s, e, cut)), (_, (ce, se, ee))) =>
+      assert(c == ce && s == se && e == ee, s"pair $p")
+      assert(cut == 0L, "cap inert at spec scale")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("adamic_adar: the hub discount is live on a planted degree spectrum") {
+    import graft.operators.Graph.AaScale
+    import spark.implicits._
+    // hub z=100 with 16 spokes (ilog2 deg = 4 -> w = AaScale/4); rare
+    // z=200 shared by exactly {1, 2} (deg 2 -> ilog2 = 1 -> w = AaScale).
+    // Pair (1,2) shares BOTH z's; pair (3,4) shares only the hub: same
+    // is_edge status, but (1,2) outranks every hub-only pair, and the
+    // hub-only pairs score exactly the discounted AaScale/4.
+    val hubEdges = (1L to 16L).map(i => (100L, i))
+    val rare = Seq((200L, 1L), (200L, 2L))
+    val edges = (hubEdges ++ rare).toDF("s1", "s2")
+      .select(least(col("s1"), col("s2")).as("s1"),
+        greatest(col("s1"), col("s2")).as("s2"))
+    val got = graft.operators.Graph.adamicAdarFrame(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("aa_fp")).toMap
+    val wHub = AaScale / 4  // deg(100) = 16
+    val wRare = AaScale     // deg(200) = 2
+    assert(got((1L, 2L)) == wHub + wRare)
+    assert(got((3L, 4L)) == wHub)
+    // the discount orders pairs the raw common-count cannot
+    assert(got((1L, 2L)) > got((3L, 4L)))
+  }
+
+  test("hits_scores: two unnormalized power iterations replay exactly; " +
+    "hubs and authorities are distinct roles") {
+    import graft.operators.Graph.HitsTopK
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bySk = pairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val byC = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val h1 = byC.map { case (c, sks) => c -> sks.map(a1).sum }
+    val a2 = bySk.map { case (sk, cs) => sk -> cs.map(h1).sum }
+    val h2 = byC.map { case (c, sks) => c -> sks.map(a2).sum }
+    val expAuth = a2.toSeq.sortBy { case (n, s) => (-s, n) }.take(HitsTopK)
+      .map { case (n, s) => ("authority", n, bySk(n).length.toLong, a1(n), s) }
+    val expHub = h2.toSeq.sortBy { case (n, s) => (-s, n) }.take(HitsTopK)
+      .map { case (n, s) => ("hub", n, byC(n).length.toLong, h1(n), s) }
+    val got = run("hits_scores").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("degree"),
+        r.getAs[Long]("score1"), r.getAs[Long]("score2"))).toSeq
+      .sortBy(t => (t._1, -t._5, t._2))
+    assert(got == (expAuth ++ expHub).sortBy(t => (t._1, -t._5, t._2)))
+    // degree alone does not decide rank 1 everywhere: HITS weighs WHO
+    // points, not just how many — and both roles carry real mass
+    assert(expAuth.nonEmpty && expHub.nonEmpty)
+    assert(expAuth.head._5 > 0L && expHub.head._5 > 0L)
+  }
 }

@@ -102,4 +102,61 @@ class ScalePatternsSpec extends SparkSpec {
       assert(r.getAs[String]("pick") == expectPick)
     }
   }
+
+  test("zone_map_prune: every probe replays from a local zone-map build; " +
+    "the sorted layout prunes the date probes, the natural layout the key probe") {
+    import graft.operators.ScalePatterns._
+    val epoch = ZmEpoch.toEpochDay
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date")).collect()
+      .map(r => (r.getLong(0),
+        r.getDate(1).toLocalDate.toEpochDay - epoch))
+    val kmin = rows.map(_._1).min; val kmax = rows.map(_._1).max
+    val den = ZmDateSpan
+    val kHi = kmin + (kmax - kmin + 1) / 10
+    def zonesOf(gid: ((Long, Long)) => Long) = rows.groupBy(gid).values.map { v =>
+      (v.map(_._2).min, v.map(_._2).max, v.map(_._1).min, v.map(_._1).max,
+        v.size.toLong)
+    }
+    val znat = zonesOf { case (k, _) => (k - kmin) * ZmGranules / (kmax - kmin + 1) }
+    val zsort = zonesOf { case (_, d) => d * ZmGranules / den }
+    def expect(z: Iterable[(Long, Long, Long, Long, Long)], lo: Long, hi: Long,
+               isDate: Boolean) = {
+      def rng(t: (Long, Long, Long, Long, Long)) =
+        if (isDate) (t._1, t._2) else (t._3, t._4)
+      val pruned = z.count { t => val (a, b) = rng(t); b < lo || a > hi }
+      val scanned = z.collect { case t if { val (a, b) = rng(t); !(b < lo || a > hi) } => t._5 }.sum
+      val matched = rows.count { case (k, d) =>
+        val v = if (isDate) d else k; v >= lo && v <= hi }
+      (z.size.toLong, pruned.toLong, scanned, matched.toLong,
+        scanned * 1000L / rows.length)
+    }
+    val got = SparkEntry.queries("zone_map_prune")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_granules"), r.getAs[Long]("n_pruned"),
+          r.getAs[Long]("rows_scanned"), r.getAs[Long]("rows_matched"),
+          r.getAs[Long]("scan_share_pm")))).toMap
+    assert(got.size == 6)
+    val cases = Seq(
+      ("natural", "ship_1mo", znat, ZmShip1moLo, ZmShip1moHi, true),
+      ("natural", "ship_6mo", znat, ZmShip6moLo, ZmShip6moHi, true),
+      ("natural", "key_decile", znat, kmin, kHi, false),
+      ("shipdate_sorted", "ship_1mo", zsort, ZmShip1moLo, ZmShip1moHi, true),
+      ("shipdate_sorted", "ship_6mo", zsort, ZmShip6moLo, ZmShip6moHi, true),
+      ("shipdate_sorted", "key_decile", zsort, kmin, kHi, false))
+    cases.foreach { case (lay, pred, z, lo, hi, isDate) =>
+      assert(got((lay, pred)) == expect(z, lo, hi, isDate), s"$lay/$pred")
+    }
+    // the measured layout story: the sorted rewrite prunes the 1-month
+    // date probe hard, the natural (key-ordered) layout prunes the key
+    // probe hard, and neither layout prunes the other's probe
+    assert(got(("shipdate_sorted", "ship_1mo"))._2 >
+      got(("natural", "ship_1mo"))._2)
+    assert(got(("natural", "key_decile"))._2 >
+      got(("shipdate_sorted", "key_decile"))._2)
+    assert(got(("shipdate_sorted", "ship_1mo"))._5 < 200L, "sorted scans <20%")
+    assert(got(("natural", "key_decile"))._5 < 300L, "key probe pruned on natural")
+    // a zone-map never loses rows: scanned >= matched everywhere
+    got.values.foreach(v => assert(v._3 >= v._4))
+  }
 }

@@ -476,4 +476,38 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("slope") < 0, s"slope ${r.getAs[Double]("slope")}")
     assert(ilog2(freq.size.toLong) <= ZipfBMax)
   }
+
+  test("good_turing: every class row replays from a local frequency-of-" +
+    "frequencies count; the r=0 row carries the N1/N unseen mass") {
+    import graft.queries.TextOps.GtMaxR
+    val freq = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+      .filter(_.length >= 3)
+      .flatMap(ts => ts.sliding(3).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nr = freq.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = freq.values.sum
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val rows = SparkEntry.queries("good_turing")(spark, sf).collect()
+      .map(r => r.getAs[Long]("r") -> r).toMap
+    assert(rows.size == GtMaxR + 1)
+    for (r <- 0L to GtMaxR.toLong) {
+      val row = rows(r)
+      val nT = nr.getOrElse(r, 0L)
+      val nNext = nr.getOrElse(r + 1, 0L)
+      assert(row.getAs[Long]("n_types") == nT, s"r=$r n_types")
+      assert(row.getAs[Long]("n_next") == nNext, s"r=$r n_next")
+      assert(row.getAs[Long]("n_tokens") == n)
+      assert(row.getAs[Long]("raw_mass_pm") == r * nT * 1000L / n, s"r=$r raw")
+      assert(row.getAs[Long]("gt_mass_pm") == (r + 1) * nNext * 1000L / n, s"r=$r gt")
+      if (nT == 0L) assert(row.isNullAt(row.fieldIndex("r_star")), s"r=$r r_star null")
+      else assert(row.getAs[Double]("r_star") ==
+        r6((r + 1).toDouble * nNext.toDouble / nT.toDouble), s"r=$r r_star")
+    }
+    // the defining Good-Turing read: unseen mass = N1/N, as the r=0 row
+    assert(rows(0L).getAs[Long]("gt_mass_pm") ==
+      nr.getOrElse(1L, 0L) * 1000L / n)
+    assert(rows(0L).getAs[Long]("n_types") == 0L) // nothing observed 0 times
+    assert(nr.getOrElse(1L, 0L) > 0L, "corpus has singletons (metric non-vacuous)")
+  }
 }
