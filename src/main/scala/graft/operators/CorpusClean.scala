@@ -1226,4 +1226,123 @@ object CorpusClean {
        |SELECT verdict, count(*)::BIGINT AS n_docs, sum(n_lines)::BIGINT AS n_lines,
        |  sum(n_chars)::BIGINT AS n_chars
        |FROM v GROUP BY 1""".stripMargin
+
+  /** K170: BFF BLOOM-FILTER PARAGRAPH DEDUP — the Dolma toolkit's
+    * `bff` deduper (Soldaini et al., ACL 2024: "Dolma: an Open Corpus
+    * of Three Trillion Tokens…"), the production answer to the
+    * question I1 `line_dedup` leaves open at 100 TB: cross-shard
+    * paragraph dedup where the PRIOR shards' exact paragraph set is
+    * too big to join — ship a Bloom filter of the prior paragraphs
+    * instead (m bits, not terabytes of text) and drop any incoming
+    * paragraph whose k probe bits are all set, paying a measured
+    * false-positive rate (good paragraphs dropped as collateral) for
+    * the bounded-size membership artifact. This operator runs the
+    * deployed shape on the novelty split (prior = doc_id%10 < 8,
+    * incoming = rest; paragraphs = the [[SegTokens]]-token segment
+    * convention) and reports the price per source: paragraphs in,
+    * Bloom-dropped, truly duplicated (the exact join the Bloom
+    * replaces — computable at verify scale), false positives, and
+    * the filter fill — at production n the report is the m-sizing
+    * read (fill → 1 means the filter is undersized, the documented
+    * BFF tuning knob). Machinery is K30 `bloom_calibrate`'s portable
+    * relational bit array verbatim (squared affine probes mod
+    * [[Sketches.BloomM]], DISTINCT set-bit rows broadcast — never a
+    * native bloom blob the oracle can't replay) over the portable
+    * [[graft.functions.HashFns.strHash]] paragraph key; every count
+    * exact, two ‰ integer divisions.
+    *
+    * Shape: prior segs → distinct keys → ≤m-row set-bit frame
+    * (broadcast); incoming segs probe map-side + one exact left-semi
+    * join for the truth column (dropped at production scale, kept
+    * here because the gate needs the FP accounting); per-source
+    * aggregate. Shuffle ∝ segments. */
+  def bffDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches.{BloomM, BloomProbes, M}
+    val probesOf = (key: Column) => array(
+      BloomProbes.map { case (a, b) =>
+        val g = pmod(key * a + b, lit(M))
+        pmod(pmod(g * g, lit(M)), lit(BloomM)) }: _*)
+    val src = documents(s, dir).select(col("doc_id"), col("source"))
+    val segs = segments(s, dir)
+      .withColumn("key", graft.functions.HashFns.strHash(col("seg")))
+      .localCheckpoint() // segment frame; prior + incoming legs
+    val prior = segs.filter(col("doc_id") % 10 < 8)
+    val priorSegs = prior.select(col("seg")).distinct()
+    val bits = prior.select(col("key")).distinct()
+      .select(explode(probesOf(col("key"))).as("bit")).distinct()
+      .localCheckpoint() // <= BloomM rows: THE shipped artifact
+    val incoming = segs.filter(col("doc_id") % 10 >= 8)
+    val probed = incoming
+      .select(col("doc_id"), col("si"), col("seg"),
+        explode(probesOf(col("key"))).as("bit"))
+      .join(broadcast(bits.withColumn("set", lit(1))), Seq("bit"), "left_outer")
+      .na.fill(0, Seq("set"))
+      .groupBy(col("doc_id"), col("si"), col("seg"))
+      .agg(sum(col("set")).as("hits"))
+      .withColumn("bloom_pos",
+        when(col("hits") === BloomProbes.size, 1L).otherwise(0L))
+    val truth = probed
+      .join(priorSegs.withColumn("true_dup", lit(1L)), Seq("seg"), "left_outer")
+      .na.fill(0L, Seq("true_dup"))
+      .join(broadcast(src), "doc_id")
+    truth.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_para_in"),
+        sum(col("bloom_pos")).as("n_dropped"),
+        sum(col("true_dup")).as("n_true_dup"),
+        sum(when(col("bloom_pos") === 1L && col("true_dup") === 0L, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("set_bits")))) // 1-row
+      .select(col("source"), col("n_para_in"), col("n_dropped"),
+        col("n_true_dup"), col("n_false_pos"),
+        lit(BloomM.toLong).as("m_bits"), col("set_bits"),
+        expr("(n_dropped * 1000) div n_para_in").as("drop_pm"),
+        expr(s"(n_false_pos * 1000) div greatest(n_para_in - n_true_dup, 1)")
+          .as("fp_pm"))
+  }
+
+  val bffDedupSql: String = {
+    import graft.operators.Sketches.{BloomM, BloomProbes, M}
+    val values = BloomProbes.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    segsCte + s""",
+      |keyed AS (
+      |  SELECT doc_id, si, seg,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |        [ascii(c)::BIGINT for c in string_split(seg, '')]),
+      |      (a, x) -> (a * 31 + x) % $M) AS key
+      |  FROM segs),
+      |p(a, b) AS (VALUES $values),
+      |prior_segs AS (SELECT DISTINCT seg FROM keyed WHERE doc_id % 10 < 8),
+      |bits AS (
+      |  SELECT DISTINCT
+      |    (((key * a + b) % $M) * ((key * a + b) % $M) % $M) % $BloomM AS bit
+      |  FROM (SELECT DISTINCT key FROM keyed WHERE doc_id % 10 < 8)
+      |  CROSS JOIN p),
+      |probed AS (
+      |  SELECT k.doc_id, k.si, k.seg,
+      |    CASE WHEN sum(CASE WHEN t.bit IS NULL THEN 0 ELSE 1 END)
+      |           = ${BloomProbes.size} THEN 1 ELSE 0 END AS bloom_pos
+      |  FROM (SELECT doc_id, si, seg,
+      |          (((key * a + b) % $M) * ((key * a + b) % $M) % $M) % $BloomM AS pb
+      |        FROM keyed CROSS JOIN p
+      |        WHERE doc_id % 10 >= 8) k
+      |  LEFT JOIN bits t ON k.pb = t.bit
+      |  GROUP BY 1, 2, 3),
+      |truth AS (
+      |  SELECT d.source, pr.bloom_pos,
+      |    CASE WHEN ps.seg IS NULL THEN 0 ELSE 1 END AS true_dup
+      |  FROM probed pr
+      |  LEFT JOIN prior_segs ps ON pr.seg = ps.seg
+      |  JOIN documents d ON pr.doc_id = d.doc_id)
+      |SELECT source, count(*)::BIGINT AS n_para_in,
+      |  sum(bloom_pos)::BIGINT AS n_dropped,
+      |  sum(true_dup)::BIGINT AS n_true_dup,
+      |  sum(CASE WHEN bloom_pos = 1 AND true_dup = 0 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_false_pos,
+      |  $BloomM::BIGINT AS m_bits,
+      |  (SELECT count(*) FROM bits)::BIGINT AS set_bits,
+      |  (sum(bloom_pos) * 1000 // count(*))::BIGINT AS drop_pm,
+      |  (sum(CASE WHEN bloom_pos = 1 AND true_dup = 0 THEN 1 ELSE 0 END) * 1000
+      |     // greatest(count(*) - sum(true_dup), 1))::BIGINT AS fp_pm
+      |FROM truth GROUP BY source""".stripMargin
+  }
 }

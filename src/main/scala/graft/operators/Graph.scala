@@ -986,6 +986,168 @@ object Graph {
       |    AS contrib_pm
       |FROM degc dc LEFT JOIN inc ic USING (community), mm""".stripMargin
 
+  /** Synchronous local-move sweeps for [[louvainMove]]. */
+  val LvRounds = 3
+
+  /** K171: LOUVAIN LOCAL-MOVE PHASE — the greedy modularity-gain
+    * sweep of Blondel, Guillaume, Lambiotte & Lefebvre 2008 ("Fast
+    * unfolding of communities in large networks"), in the SYNCHRONOUS
+    * parallel form distributed implementations use (Staudt &
+    * Meyerhenke, TPDS 2016): from singleton communities, every node
+    * simultaneously evaluates the modularity gain of joining each
+    * neighbor community and takes the best strictly-improving move;
+    * [[LvRounds]] sweeps. This is the modularity-OPTIMIZING
+    * counterpart to K91 `label_propagation` (frequency argmax, no
+    * objective) and the producer of what K93 `modularity` only
+    * measures; the community structure read on entity graphs before
+    * per-community curation. Exact-integer algebra: the gain of
+    * i→C against staying reduces to comparing s(C) = 2m·k_{i,C} −
+    * k_i·(Σtot_C − [i∈C]·k_i) across candidate communities (the
+    * 1/2m·(…) gain scaled by 2m² — scaling preserves the argmax), so
+    * every score is BIGINT and the argmax is the deterministic
+    * (s desc, community asc) window pick; ties stay. Reports the
+    * final communities with the K93 contrib_pm convention plus the
+    * singleton-baseline q0_pm, the achieved q_pm and the last
+    * sweep's move count (0 = converged).
+    *
+    * Shape: per sweep, two community-keyed combining aggregates
+    * (k_{i,C} and Σtot) + one per-node window over ≤deg+1 candidate
+    * rows — shuffle ∝ adjacency per sweep, labels localCheckpoint'd
+    * (the kcore lineage convention); oracle = the sweeps unrolled as
+    * MATERIALIZED CTEs (the cc_labels contract). */
+  def louvainMove(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = coEdges(s, dir).localCheckpoint()
+    val adj = lpaAdj(edges)
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val mF = edges.agg(count(lit(1)).as("m")) // 1-row scalar frame
+    var lab = deg.select(col("n"), col("n").as("lab")).localCheckpoint()
+    var labPrev = lab
+    for (_ <- 1 to LvRounds) {
+      val nbc = adj
+        .join(lab.select(col("n").as("nb"), col("lab").as("c")), "nb")
+        .groupBy(col("n"), col("c")).agg(count(lit(1)).as("kic"))
+      val cand = nbc
+        .unionByName(lab.select(col("n"), col("lab").as("c"), lit(0L).as("kic")))
+        .groupBy(col("n"), col("c")).agg(max(col("kic")).as("kic"))
+      val tot = lab.join(deg, "n")
+        .groupBy(col("lab").as("c")).agg(sum(col("deg")).as("tot"))
+      val sc = cand.join(tot, "c").join(deg, "n").join(lab, "n")
+        .crossJoin(broadcast(mF))
+        .withColumn("s", lit(2L) * col("m") * col("kic") - col("deg") *
+          (col("tot") - when(col("lab") === col("c"), col("deg"))
+            .otherwise(lit(0L))))
+      val w = Window.partitionBy(col("n")).orderBy(col("s").desc, col("c"))
+      val best = sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("n"), col("c").as("bc"), col("s").as("bs"))
+      val stay = sc.filter(col("lab") === col("c"))
+        .select(col("n"), col("s").as("ss"))
+      labPrev = lab
+      lab = lab.join(best, "n").join(stay, "n")
+        .select(col("n"),
+          when(col("bs") > col("ss"), col("bc")).otherwise(col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    val moved = lab.join(labPrev.withColumnRenamed("lab", "plab"), "n")
+      .agg(sum(when(col("lab") =!= col("plab"), 1L).otherwise(0L))
+        .as("n_moved_last"))
+    val el = edges
+      .join(lab.select(col("n").as("s1"), col("lab").as("l1")), "s1")
+      .join(lab.select(col("n").as("s2"), col("lab").as("l2")), "s2")
+    val inC = el.filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("community")).agg(count(lit(1)).as("in_edges"))
+    val degC = deg.join(lab, "n")
+      .groupBy(col("lab").as("community"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    val comm = degC.join(inC, Seq("community"), "left_outer")
+      .na.fill(0L, Seq("in_edges"))
+      .crossJoin(broadcast(mF))
+      .select(col("community"), col("n_nodes"), col("in_edges"), col("deg_sum"),
+        expr("(in_edges * 1000000) div m - " +
+          "(deg_sum * deg_sum * 1000000) div (4 * m * m)").as("contrib_pm"))
+      .localCheckpoint() // community-sized; report + q total read it
+    val q0 = deg.crossJoin(broadcast(mF))
+      .agg(sum(expr("0 - (deg * deg * 1000000) div (4 * m * m)")).as("q0_pm"))
+    val qt = comm.agg(sum(col("contrib_pm")).as("q_pm"))
+    comm.crossJoin(broadcast(q0)) // 1-row scalar report frames
+      .crossJoin(broadcast(qt))
+      .crossJoin(broadcast(moved))
+  }
+
+  lazy val louvainMoveSql: String = {
+    val roundCtes = (1 to LvRounds).map { r =>
+      val prev = s"lv${r - 1}"
+      s"""nbc$r AS MATERIALIZED (
+         |  SELECT a.n, l.lab AS c, count(*)::BIGINT AS kic
+         |  FROM adj a JOIN $prev l ON l.n = a.nb GROUP BY 1, 2),
+         |cand$r AS MATERIALIZED (
+         |  SELECT n, c, max(kic)::BIGINT AS kic FROM (
+         |    SELECT n, c, kic FROM nbc$r
+         |    UNION ALL SELECT n, lab AS c, 0 FROM $prev)
+         |  GROUP BY 1, 2),
+         |tot$r AS MATERIALIZED (
+         |  SELECT l.lab AS c, sum(d.deg)::BIGINT AS tot
+         |  FROM $prev l JOIN deg d USING (n) GROUP BY 1),
+         |sc$r AS MATERIALIZED (
+         |  SELECT cd.n, cd.c, l.lab,
+         |    2 * mm.m * cd.kic - d.deg *
+         |      (t.tot - CASE WHEN l.lab = cd.c THEN d.deg ELSE 0 END) AS s
+         |  FROM cand$r cd
+         |  JOIN tot$r t ON t.c = cd.c
+         |  JOIN deg d ON d.n = cd.n
+         |  JOIN $prev l ON l.n = cd.n, mm),
+         |best$r AS MATERIALIZED (
+         |  SELECT n, c AS bc, s AS bs FROM (
+         |    SELECT n, c, s,
+         |      row_number() OVER (PARTITION BY n ORDER BY s DESC, c) AS rk
+         |    FROM sc$r) WHERE rk = 1),
+         |stay$r AS MATERIALIZED (SELECT n, s AS ss FROM sc$r WHERE lab = c),
+         |lv$r AS MATERIALIZED (
+         |  SELECT l.n, CASE WHEN b.bs > st.ss THEN b.bc ELSE l.lab END AS lab
+         |  FROM $prev l JOIN best$r b USING (n) JOIN stay$r st USING (n))"""
+        .stripMargin
+    }.mkString(",\n")
+    coEdgesCte + s""",
+      |adj AS MATERIALIZED (
+      |  SELECT s1 AS n, s2 AS nb FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |deg AS MATERIALIZED (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+      |mm AS (SELECT count(*)::BIGINT AS m FROM edges),
+      |lv0 AS MATERIALIZED (SELECT n, n AS lab FROM deg),
+      |$roundCtes,
+      |mv AS (
+      |  SELECT sum(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_moved_last
+      |  FROM lv$LvRounds a JOIN lv${LvRounds - 1} b USING (n)),
+      |el AS (
+      |  SELECT la.lab AS l1, lb.lab AS l2
+      |  FROM edges e JOIN lv$LvRounds la ON la.n = e.s1
+      |  JOIN lv$LvRounds lb ON lb.n = e.s2),
+      |inc AS (SELECT l1 AS community, count(*)::BIGINT AS in_edges
+      |        FROM el WHERE l1 = l2 GROUP BY 1),
+      |degc AS (
+      |  SELECT l.lab AS community, sum(d.deg)::BIGINT AS deg_sum,
+      |    count(*)::BIGINT AS n_nodes
+      |  FROM deg d JOIN lv$LvRounds l USING (n) GROUP BY 1),
+      |comm AS (
+      |  SELECT dc.community, dc.n_nodes,
+      |    coalesce(ic.in_edges, 0)::BIGINT AS in_edges, dc.deg_sum,
+      |    ((coalesce(ic.in_edges, 0) * 1000000) // mm.m
+      |      - (dc.deg_sum * dc.deg_sum * 1000000) // (4 * mm.m * mm.m))::BIGINT
+      |      AS contrib_pm
+      |  FROM degc dc LEFT JOIN inc ic USING (community), mm),
+      |q0 AS (
+      |  SELECT sum(0 - (deg * deg * 1000000) // (4 * mm.m * mm.m))::BIGINT
+      |    AS q0_pm
+      |  FROM deg, mm),
+      |qt AS (SELECT sum(contrib_pm)::BIGINT AS q_pm FROM comm)
+      |SELECT community, n_nodes, in_edges, deg_sum, contrib_pm,
+      |  q0_pm, q_pm, n_moved_last
+      |FROM comm, q0, qt, mv""".stripMargin
+  }
+
   /** BFS hop budget. At the tested SFs this exercises every regime:
     * 1-hop (sf0.001's complete K10), 2-hop dense (sf0.01), and a
     * real 8-layer expansion at sf0.1 where one node is first reached

@@ -666,4 +666,63 @@ class CorpusCleanSpec extends SparkSpec {
     assert(got("ads.example.com").getAs[Long]("n_kept") == 0L)
     assert(got("ads.example.com").getAs[Long]("n_anchor_texts") == 0L)
   }
+
+  test("bff_dedup: bloom verdicts replay from a local bit array; no " +
+    "false negatives, false positives are exactly the bloom's surplus") {
+    import graft.operators.Sketches.{BloomM, BloomProbes, M}
+    import graft.operators.CorpusClean.SegTokens
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def segsOf(text: String): Seq[String] = {
+      val ts = tokens(text)
+      val n = math.max(1L, math.ceil(ts.length.toDouble / SegTokens).toLong)
+      (0L until n).map(si =>
+        ts.slice((si * SegTokens).toInt, (si * SegTokens).toInt + SegTokens)
+          .mkString(" "))
+    }
+    def polyHash(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31L + cp) % M
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    def probes(key: Long): Seq[Long] = BloomProbes.map { case (a, b) =>
+      val g = Math.floorMod(key * a + b, M); Math.floorMod(g * g, M) % BloomM }
+    val all = docs.flatMap { case (d, src, t) => segsOf(t).map(sg => (d, src, sg)) }
+    val priorSegs = all.filter(_._1 % 10 < 8).map(_._3).toSet
+    val bits = priorSegs.map(polyHash).flatMap(probes)
+    val incoming = all.filter(_._1 % 10 >= 8)
+    val verdicts = incoming.map { case (d, src, sg) =>
+      val pos = probes(polyHash(sg)).forall(bits.contains)
+      val dup = priorSegs.contains(sg)
+      (src, pos, dup)
+    }
+    val expected = verdicts.groupBy(_._1).view.mapValues { v =>
+      val in = v.length.toLong
+      val drop = v.count(_._2).toLong
+      val dup = v.count(_._3).toLong
+      val fp = v.count(x => x._2 && !x._3).toLong
+      (in, drop, dup, fp, bits.size.toLong,
+        drop * 1000L / in, fp * 1000L / math.max(in - dup, 1L))
+    }.toMap
+    val got = run("bff_dedup").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_para_in"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("n_true_dup"),
+        r.getAs[Long]("n_false_pos"), r.getAs[Long]("set_bits"),
+        r.getAs[Long]("drop_pm"), r.getAs[Long]("fp_pm")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) => assert(got(src) == e, s"source $src") }
+    // the Bloom guarantee: every true duplicate IS dropped (no false
+    // negatives), so surplus drops are exactly the false positives
+    assert(verdicts.forall(v => !v._3 || v._2), "false negative!")
+    got.values.foreach(v => assert(v._2 == v._3 + v._4))
+    // both error legs of the report are non-vacuous on this corpus
+    assert(got.values.map(_._3).sum > 0L, "some true cross-shard dup exists")
+    assert(got.values.map(_._1).sum > got.values.map(_._3).sum,
+      "some incoming paragraphs are genuinely new")
+  }
 }
