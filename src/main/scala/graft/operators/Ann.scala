@@ -1723,6 +1723,115 @@ object Ann {
        |$out""".stripMargin
   }
 
+  /** [[annNsw]] beam width and expansion rounds. Beam ≥ [[K]] so the
+    * final top-K is a prefix of the beam (the beam is monotone
+    * best-so-far: it re-includes itself each round). */
+  val NswBeam = 8
+  val NswRounds = 4
+
+  /** K173: NSW GRAPH-SEARCH ANN — greedy best-first beam search over
+    * a navigable neighbor graph, the single-layer core of HNSW
+    * (Malkov & Yashunin, TPAMI 2020; lineage Malkov et al. 2014 NSW)
+    * — THE deployed ANN family this module's hash (D2 LSH), cell
+    * (D3 IVF) and code (K72 PQ) paths did not yet cover: instead of
+    * hashing or partitioning the space, WALK a precomputed neighbor
+    * graph from an entry point, always expanding the best
+    * candidates found so far. Graph = the symmetrized persisted H7
+    * top-K artifact (the standard kNN-graph stand-in for the NSW
+    * insertion graph; 5th artifact consumer), entry = min vec_id
+    * (deterministic), [[NswRounds]] synchronous expansions of a
+    * [[NswBeam]]-wide beam: candidates = beam ∪ neighbors(beam),
+    * re-scored against the query, keep top-beam by (cos desc, id).
+    * Because the beam re-includes itself, it is monotone best-so-far
+    * — no separate visited set, and the final answer is the beam's
+    * top-[[K]] (self excluded). Exact doubles via the shared
+    * [[pairCos]]; ties and the final cut deterministic; recall vs D1
+    * spec-pinned (the D2/D3 contract). At 100 TB the per-round cost
+    * is probe-beam-sized joins against the artifact — search cost
+    * scales with beam × rounds × K, NOT corpus size, which is
+    * exactly the property that made graph ANN the production choice.
+    *
+    * Shape: per round ONE (beam ⋈ graph) candidate join + ONE
+    * corpus-keyed score join + a per-query width-[[NswBeam]] window;
+    * beam frames localCheckpoint'd (the kcore lineage convention). */
+  def annNsw(s: SparkSession, dir: String): DataFrame = {
+    val g = {
+      val k = knnJoin(s, dir).select(col("vec_id").as("a"), col("nb").as("b"))
+      k.unionByName(k.select(col("b").as("a"), col("a").as("b"))).distinct()
+        .localCheckpoint() // <= 2*K*N rows; joined every round
+    }
+    val v = vecs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = probes(s, dir).localCheckpoint() // NumQueries rows; broadcast
+    val entry = v.crossJoin(broadcast(v.agg(min(col("vec_id")).as("mid"))))
+      .filter(col("vec_id") === col("mid"))
+      .select(col("vec_id").as("nb"), col("embedding").as("ne"),
+        col("nn").as("n2"))
+    var beam = q.crossJoin(broadcast(entry))
+      .select(col("qid"), col("nb"),
+        pairCos(col("qe"), col("ne"), col("qn"), col("n2")).as("cos"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+    for (_ <- 1 to NswRounds) {
+      val cand = beam.select(col("qid"), col("nb"))
+        .join(g, col("nb") === col("a"))
+        .select(col("qid"), col("b").as("nb"))
+        .unionByName(beam.select(col("qid"), col("nb")))
+        .distinct()
+      val scored = cand
+        .join(v, cand("nb") === v("vec_id"))
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("nb"),
+          pairCos(col("qe"), col("embedding"), col("qn"), col("nn")).as("cos"))
+      beam = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= NswBeam)
+        .select(col("qid"), col("nb"), col("cos"))
+        .localCheckpoint()
+    }
+    val out = topK(beam.filter(col("nb") =!= col("qid")))
+      .localCheckpoint() // report-sized; release the corpus cache
+    v.unpersist()
+    out
+  }
+
+  lazy val annNswSql: String = {
+    val roundCtes = (1 to NswRounds).map { r =>
+      val prev = s"f${r - 1}"
+      s"""cand$r AS MATERIALIZED (
+         |  SELECT DISTINCT qid, nb FROM (
+         |    SELECT f.qid, g.b AS nb FROM $prev f JOIN g ON g.a = f.nb
+         |    UNION ALL SELECT qid, nb FROM $prev)),
+         |sc$r AS MATERIALIZED (
+         |  SELECT c.qid, c.nb, $cosSql AS cos
+         |  FROM cand$r c
+         |  JOIN v ON v.vec_id = c.nb
+         |  JOIN q ON q.qid = c.qid),
+         |f$r AS MATERIALIZED (
+         |  SELECT qid, nb, cos FROM (
+         |    SELECT qid, nb, cos,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nb) AS rk
+         |    FROM sc$r) WHERE rk <= $NswBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS MATERIALIZED ($knnJoinSql),
+       |g AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT vec_id AS a, nb AS b FROM knn
+       |    UNION ALL SELECT nb, vec_id FROM knn)),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |      WHERE vec_id < $NumQueries),
+       |v AS (SELECT vec_id, embedding AS ne FROM embeddings),
+       |e0 AS (SELECT min(vec_id) AS nb FROM embeddings),
+       |f0 AS (
+       |  SELECT q.qid, e0.nb, $cosSql AS cos
+       |  FROM q CROSS JOIN e0 JOIN v ON v.vec_id = e0.nb),
+       |$roundCtes
+       |SELECT qid, nb, rnk, floor((cos) * 10000.0 + 0.5) / 10000.0 AS cos
+       |FROM (
+       |  SELECT qid, nb, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nb) AS rnk
+       |  FROM f$NswRounds WHERE nb <> qid) WHERE rnk <= $K""".stripMargin
+  }
+
   /** [[lofOutliers]] fixed point: local reachability density is the
     * exact integer lrd = [[LofScale]] div Σreach (reciprocals on a
     * 10¹² lattice — the record_linkage/dsir integer-division

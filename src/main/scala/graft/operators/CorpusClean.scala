@@ -1227,6 +1227,108 @@ object CorpusClean {
        |  sum(n_chars)::BIGINT AS n_chars
        |FROM v GROUP BY 1""".stripMargin
 
+  /** [[kneserNey]] absolute discount D = [[KnDiscNum]]/[[KnDiscDen]]
+    * — the standard 0.75 as the exact rational ¾, so the whole score
+    * lives on an integer lattice. */
+  val KnDiscNum = 3L
+  val KnDiscDen = 4L
+
+  /** K172: KNESER–NEY SMOOTHED BIGRAM SCORE — the interpolated
+    * absolute-discount LM of Kneser & Ney (ICASSP 1995), confirmed
+    * the best n-gram smoothing by Chen & Goodman (1999) and what
+    * KenLM — the LM behind the CCNet filter this repo's fluency line
+    * models — actually ships. J5 `lm_score` is the MLE bigram
+    * average; KN changes it twice: (a) every bigram count is
+    * discounted by D = ¾ and the freed mass is interpolated with (b)
+    * the CONTINUATION probability p_cont(w') = N1+(·w')/N1+(··) —
+    * how many distinct contexts w' follows, not how often ("San
+    * Francisco" makes "Francisco" frequent but nearly useless as a
+    * continuation; MLE overrates it, KN does not). Full per-bigram
+    * score as ONE exact integer division on the common lattice:
+    * p = (max(4c−3, 0)·NT + 3·N1(w·)·N1(·w'))·[[LmScale]]
+    *     div (4·ctx(w)·NT)
+    * where ctx(w) = Σ c(w,·), NT = N1+(··); numerator bounded by
+    * 4·corpus_bigrams·vocab² — the vocab²-bounded type space is what
+    * keeps the lattice in BIGINT at scale. Per-doc report in the J5
+    * shape (n_bigrams, sum_q, kn_score, fluent at the same LmMin
+    * floor), so the two scores read side by side; the spec pins the
+    * defining inequality (KN < MLE on every in-corpus bigram — the
+    * discount is real) and replays doc scores from first principles.
+    *
+    * Shape: the J5 bigram build (doc-windowed lead, shuffle ∝
+    * tokens) + four combining aggregates (bigram-, context-,
+    * continuation-, and type-keyed) joined back bigram-keyed — no
+    * new shuffle class; the continuation/type frames are
+    * vocab-bounded broadcasts. */
+  def kneserNey(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = toks
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("w"), col("w1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBg = bg.groupBy(col("w"), col("w1")).agg(count(lit(1)).as("cbg"))
+      .localCheckpoint() // bigram types; reused by ctx/n1w/n1w1/NT
+    val ctx = cBg.groupBy(col("w")).agg(sum(col("cbg")).as("ctx"),
+      count(lit(1)).as("n1w")) // contexts + distinct continuations of w
+    val n1w1 = cBg.groupBy(col("w1")).agg(count(lit(1)).as("n1w1"))
+    val nt = cBg.agg(count(lit(1)).as("nt"))
+    val res = bg
+      .join(cBg, Seq("w", "w1"))
+      .join(broadcast(ctx), Seq("w"))
+      .join(broadcast(n1w1), Seq("w1"))
+      .crossJoin(broadcast(nt)) // 1-row scalar frame
+      .select(col("doc_id"), expr(
+        s"((greatest($KnDiscDen * cbg - $KnDiscNum, 0) * nt" +
+          s" + $KnDiscNum * n1w * n1w1) * ${LmScale}L)" +
+          s" div ($KnDiscDen * ctx * nt)").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .localCheckpoint() // doc-count-sized; release the bigrams
+    bg.unpersist()
+    res.select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+      pround(col("sum_q").cast("double") / (col("n_bigrams") * LmScale), 4)
+        .as("kn_score"),
+      (col("sum_q").cast("double") / (col("n_bigrams") * LmScale) >= LmMin)
+        .as("fluent"))
+  }
+
+  val kneserNeySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w,
+       |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w, w1 FROM (
+       |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |    FROM toks)
+       |  WHERE w1 IS NOT NULL),
+       |cbg AS (SELECT w, w1, count(*)::BIGINT AS cbg FROM bg GROUP BY 1, 2),
+       |ctx AS (SELECT w, sum(cbg)::BIGINT AS ctx, count(*)::BIGINT AS n1w
+       |        FROM cbg GROUP BY 1),
+       |n1w1 AS (SELECT w1, count(*)::BIGINT AS n1w1 FROM cbg GROUP BY 1),
+       |nt AS (SELECT count(*)::BIGINT AS nt FROM cbg),
+       |q AS (
+       |  SELECT b.doc_id,
+       |    ((greatest($KnDiscDen * c.cbg - $KnDiscNum, 0) * nt.nt
+       |      + $KnDiscNum * x.n1w * n.n1w1) * $LmScale)
+       |      // ($KnDiscDen * x.ctx * nt.nt) AS q
+       |  FROM bg b
+       |  JOIN cbg c USING (w, w1)
+       |  JOIN ctx x USING (w)
+       |  JOIN n1w1 n USING (w1)
+       |  CROSS JOIN nt),
+       |agg AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(q)::BIGINT AS sum_q
+       |  FROM q GROUP BY 1)
+       |SELECT doc_id, n_bigrams, sum_q,
+       |  floor((sum_q::DOUBLE / (n_bigrams * $LmScale)) * 10000.0 + 0.5) / 10000.0
+       |    AS kn_score,
+       |  (sum_q::DOUBLE / (n_bigrams * $LmScale)) >= $LmMin AS fluent
+       |FROM agg""".stripMargin
+
   /** K170: BFF BLOOM-FILTER PARAGRAPH DEDUP — the Dolma toolkit's
     * `bff` deduper (Soldaini et al., ACL 2024: "Dolma: an Open Corpus
     * of Three Trillion Tokens…"), the production answer to the

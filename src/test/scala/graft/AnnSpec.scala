@@ -544,6 +544,52 @@ class AnnSpec extends SparkSpec {
       s"lof range [${lof.values.min}, ${got.head._4}]")
   }
 
+  test("ann_nsw: the beam walk replays step for step from the kNN graph; " +
+    "graph search reaches real neighbors from one entry point") {
+    import graft.operators.Ann.{K, NswBeam, NswRounds, NumQueries}
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else d / den
+    }
+    val art = SparkEntry.queries("knn_join")(spark, sf)
+      .select("vec_id", "nb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (art ++ art.map(_.swap)).distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val entry = vecs.keys.min
+    val expected = (0L until NumQueries.toLong).flatMap { qid =>
+      var beam = Seq(entry)
+      for (_ <- 1 to NswRounds) {
+        val cand = (beam ++ beam.flatMap(n => adj.getOrElse(n, Set.empty))).distinct
+        beam = cand.map(n => (n, cos(vecs(qid), vecs(n))))
+          .sortBy { case (n, c) => (-c, n) }.take(NswBeam).map(_._1)
+      }
+      beam.filter(_ != qid).map(n => (n, cos(vecs(qid), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(K).zipWithIndex
+        .map { case ((n, c), i) =>
+          (qid, n, i + 1L, math.floor(c * 1e4 + 0.5) / 1e4) }
+    }
+    val got = SparkEntry.queries("ann_nsw")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rnk").toLong,
+        r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+    assert(got == expected.sortBy(t => (t._1, t._3)))
+    // graph search is live: it finds a non-trivial share of the exact
+    // top-K from ONE entry point (the navigability read; floor
+    // measured at this SF, the recall-vs-exact contract of D2/D3)
+    val exact = SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .select("qid", "nb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.count(t => exact((t._1, t._2)))
+    assert(hits * 10 >= exact.size * 3, s"recall ${hits}/${exact.size} < 0.3")
+  }
+
   test("colbert_maxsim: the 16x16 MaxSim grid replays; late interaction beats single-dot ties") {
     import graft.operators.Ann.{CbDim, CbTokens, CbTopK, NumQueries}
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()

@@ -725,4 +725,51 @@ class CorpusCleanSpec extends SparkSpec {
     assert(got.values.map(_._1).sum > got.values.map(_._3).sum,
       "some incoming paragraphs are genuinely new")
   }
+
+  test("kneser_ney: per-doc scores replay from first principles; the " +
+    "discount leaves exact probability mass <= 1 per context and is live") {
+    import graft.operators.CorpusClean.{KnDiscNum, KnDiscDen, LmScale}
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), tokens(r.getString(1).toLowerCase)))
+    val bgs = docs.flatMap { case (d, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (d, p(0), p(1))) }
+    val cbg = bgs.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val ctx = cbg.toSeq.groupBy(_._1._1).view
+      .mapValues(v => (v.map(_._2).sum, v.size.toLong)).toMap // (ctx, n1w)
+    val n1w1 = cbg.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nt = cbg.size.toLong
+    def q(w: String, w1: String): Long = {
+      val c = cbg((w, w1)); val (cx, n1w) = ctx(w)
+      (math.max(KnDiscDen * c - KnDiscNum, 0L) * nt +
+        KnDiscNum * n1w * n1w1(w1)) * LmScale / (KnDiscDen * cx * nt)
+    }
+    val expected = bgs.groupBy(_._1).view.mapValues { v =>
+      (v.length.toLong, v.map(t => q(t._2, t._3)).sum)
+    }.toMap
+    val got = run("kneser_ney").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("sum_q"), r.getAs[Double]("kn_score"),
+        r.getAs[Boolean]("fluent")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (d, (nb, sq)) =>
+      val g = got(d)
+      assert((g._1, g._2) == ((nb, sq)), s"doc $d")
+      val score = math.floor(sq.toDouble / (nb * LmScale) * 1e4 + 0.5) / 1e4
+      assert(g._3 == score && g._4 == (sq.toDouble / (nb * LmScale) >= 0.01))
+    }
+    // exact-rational mass check per context: the discounted +
+    // interpolated mass over OBSERVED continuations never exceeds 1
+    ctx.foreach { case (w, (cx, n1w)) =>
+      val mass = cbg.collect { case ((`w`, w1), c) =>
+        BigInt(math.max(KnDiscDen * c - KnDiscNum, 0L)) * BigInt(nt) +
+          BigInt(KnDiscNum) * BigInt(n1w) * BigInt(n1w1(w1)) }.sum
+      assert(mass <= BigInt(KnDiscDen) * BigInt(cx) * BigInt(nt), s"ctx $w")
+    }
+    // the discount is live: some bigram scores BELOW its MLE-on-the-
+    // same-denominator twin, i.e. smoothing actually moved mass
+    val moved = cbg.keys.exists { case (w, w1) =>
+      q(w, w1) != cbg((w, w1)) * LmScale / ctx(w)._1 }
+    assert(moved, "KN equals MLE everywhere — discount vacuous")
+  }
 }
