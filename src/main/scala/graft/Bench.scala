@@ -247,6 +247,7 @@ object Bench {
     operators.Dedup.ensureClusterLabels(spark, sfDir) // dedup_apply reads it
     operators.CorpusClean.ensureBpeTokens(spark, sfDir) // bpe_apply reads it
     operators.Graph.ensureCoEdges(spark, sfDir) // the graph family reads it
+    operators.Graph.ensurePurchasePairs(spark, sfDir) // hits_scores reads it
   }
 
   def main(args: Array[String]): Unit = {

@@ -562,6 +562,32 @@ object Graph {
   /** Report depth per role for [[hitsScores]]. */
   val HitsTopK = 20
 
+  /** Root for the materialized DIRECTED customer→supplier purchase
+    * pairs — the bipartite edge list of the fact chain, distinct
+    * (o_custkey, l_suppkey). Write-once artifact (the coEdges
+    * lifecycle): the lineitem⨝orders distinct is the expensive stage
+    * (~5 s warm at sf0.1, measured — the whole fact join), and the
+    * link-analysis consumers ([[hitsScores]]; I10 `pagerank_iter` is
+    * the documented next swap, pending its own A/B per house rule)
+    * only need the ~edge-sized result. */
+  val PurchasePairsRoot = "target/graft_purchase_pairs"
+
+  def purchasePairsPath(dir: String): String =
+    s"$PurchasePairsRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("lineitem", "orders"), "v1")
+
+  def ensurePurchasePairs(s: SparkSession, dir: String): String =
+    graft.ingest.ArtifactCache.ensure(purchasePairsPath(dir)) {
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+        .write.mode("overwrite").parquet(purchasePairsPath(dir))
+    }
+
+  private[graft] def purchasePairs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensurePurchasePairs(s, dir))
+
   /** K168: HITS HUB/AUTHORITY SCORING — Kleinberg's link-analysis
     * dual (JACM 1999, "Authoritative sources in a hyperlinked
     * environment"), the companion read to I10 `pagerank_iter` on any
@@ -589,10 +615,7 @@ object Graph {
     * Two iterations are the reference-rank read; more converge the
     * same way (swap point documented). */
   def hitsScores(s: SparkSession, dir: String): DataFrame = {
-    val e = lineitem(s, dir)
-      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
+    val e = purchasePairs(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a1 = A^T 1: in-degree of each supplier
     val a1 = e.groupBy(col("sk")).agg(count(lit(1)).as("a1"))
