@@ -49,7 +49,10 @@ object ABProbe {
     "pagerank" -> Seq(
       "ship" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "ship")),
       "ckpt" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "ckpt")),
-      "pre" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "pre"))))
+      "pre" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "pre"))),
+    "prart" -> Seq(
+      "pre" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "pre")),
+      "art" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "art"))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

@@ -26,7 +26,7 @@ object PageRankIter {
   val TopK = 20
 
   def pagerankIter(s: SparkSession, dir: String): DataFrame =
-    pagerankIterProbe(s, dir, "pre")
+    pagerankIterProbe(s, dir, "art")
 
   /** A/B probe forms (VERDICT-r11 item 5 — the operator predates the
     * ABProbe/localCheckpoint era; see SURVEY §4 for the numbers):
@@ -47,15 +47,30 @@ object PageRankIter {
     *    string columns and the per-edge work is a hash probe + sum,
     *    with no deg column riding on every edge.
     *
-    * All three are integer-identical by construction (deg is a
+    *  - `"art"` (SHIPPED, r12): the `"pre"` plan fed from the shared
+    *    write-once purchase-pairs artifact
+    *    ([[Graph.purchasePairs]]) instead of re-deriving the
+    *    lineitem⨝orders distinct per run — A/B'd at sf0.1 (4
+    *    alternating rounds): warm med 1.83 vs 4.45 s, cold 3.2 vs
+    *    11.4 s; the fact-chain distinct WAS the query.
+    *
+    * All four are integer-identical by construction (deg is a
     * per-src constant, so dividing before or after the edge join is
-    * the same `div`); GraphSketchSpec row-identity-checks them. */
+    * the same `div`; the artifact holds the identical distinct
+    * rows); GraphSketchSpec row-identity-checks them. */
   private[graft] def pagerankIterProbe(s: SparkSession, dir: String,
                                        form: String): DataFrame = {
-    val pairs = lineitem(s, dir)
-      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
+    // "art" = the "pre" plan fed from the shared write-once purchase-
+    // pairs artifact (Graph.purchasePairs) instead of re-deriving the
+    // lineitem⨝orders distinct per run — identical rows by the
+    // artifact contract
+    val pre = form == "pre" || form == "art"
+    val pairs =
+      if (form == "art") Graph.purchasePairs(s, dir)
+      else lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
     val rawEdges = pairs
       .select(concat(lit("c"), col("c")).as("src"), concat(lit("s"), col("sk")).as("dst"))
       .unionByName(pairs
@@ -65,7 +80,7 @@ object PageRankIter {
     // from re-deriving the corpus lineage every step
     val deg = if (form == "ship") degRaw else degRaw.localCheckpoint()
     val edges =
-      (if (form == "pre") rawEdges else rawEdges.join(deg, "src"))
+      (if (pre) rawEdges else rawEdges.join(deg, "src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("node"))
 
@@ -74,7 +89,7 @@ object PageRankIter {
       // them so each iteration is a map-side join over the edge table
       // plus ONE dst-keyed shuffle — never a sort of the edges
       val m =
-        if (form == "pre") {
+        if (pre) {
           val contrib = rank.join(deg, col("node") === col("src"))
             .select(col("src"), expr("r div deg").as("ct"))
           edges.join(broadcast(contrib), "src")

@@ -31,13 +31,14 @@ class GraphSketchSpec extends SparkSpec {
 
   test("pagerank_iter: probe forms are row-identical (node-side div + " +
     "checkpoints change the plan, never the ranks)") {
-    val forms = Seq("ship", "ckpt", "pre").map { f =>
+    val forms = Seq("ship", "ckpt", "pre", "art").map { f =>
       f -> PageRankIter.pagerankIterProbe(spark, sf, f).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
     }.toMap
     assert(forms("ship").nonEmpty)
     assert(forms("ckpt") == forms("ship"), "ckpt vs ship")
     assert(forms("pre") == forms("ship"), "pre vs ship")
+    assert(forms("art") == forms("ship"), "art vs ship")
   }
 
   test("kmv_merge: merged per-day sketches estimate EXACTLY like the direct sketch") {
