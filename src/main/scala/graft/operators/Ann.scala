@@ -1328,8 +1328,8 @@ object Ann {
         sum(expr(s"$MrrLcm div first_rnk")).as("sum_rr"))
       .select(lit(path).as("path"), col("n_hit"),
         coalesce(col("sum_rr"), lit(0L)).as("sum_rr"))
-    val nq = annBruteforce(s, dir).select(col("qid")).distinct()
-      .agg(count(lit(1)).as("n_queries"))
+    val nq = ex.select(col("qid")).distinct()
+      .agg(count(lit(1)).as("n_queries")) // off the checkpointed ex
     scoreOf("lsh", annLsh(s, dir).select(col("qid"), col("nb"), col("rnk")))
       .unionByName(scoreOf("ivf",
         annIvf(s, dir).select(col("qid"), col("nb"), col("rnk"))))
