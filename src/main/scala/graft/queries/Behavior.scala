@@ -1148,6 +1148,125 @@ object Behavior {
       |     // greatest(sum(CASE WHEN ev_te > 0 THEN 1 ELSE 0 END), 1))::BIGINT AS leak_pm
       |FROM pu GROUP BY 1""".stripMargin
 
+  /** [[seqPatterns]] minimum support, per-mille of sequences. */
+  val SeqMinSupPm = 10L
+
+  /** K174: SEQUENTIAL PATTERN MINING — frequent subsequences in the
+    * PrefixSpan sense (Pei et al., ICDE 2001; the pattern-growth
+    * test-of-time line): pattern ⟨a, b, c⟩ is supported by a user
+    * iff the sequence contains a, then b, then c at strictly
+    * increasing positions, any gaps — the ORDERED generalization of
+    * K19 `itemsets` (co-occurrence, no order) and the unwindowed
+    * sibling of K70 `window_funnel` (which demands the steps inside
+    * one window). The sequence DATABASE is user-DAYS — the standard
+    * sequence-mining unit choice is whatever bounds one behavioral
+    * episode, and both extremes were MEASURED degenerate here: whole
+    * user histories (~70 events over 5 types) saturate every pattern
+    * at 1000‰ so order carries nothing, while B6's 30-min sessions
+    * average ~2 events so the level-3 lattice is empty (max support
+    * 1‰); user-days carry a real spread (level-3 survivors at every
+    * SF, direction-asymmetric pairs — the §2 row records the
+    * numbers). Levels 1–3 with support ≥ [[SeqMinSupPm]]‰ of
+    * sequences. RELATIONAL FORM — PrefixSpan's projected databases
+    * become occurrence-order algebra: with pos = the sequence's
+    * (ts, event_id) row number,
+    * ⟨a,b⟩ ⊑ seq ⟺ first(a) < last(b), and ⟨a,b,c⟩ ⊑ seq ⟺
+    * min{pos(b) : pos(b) > first(a)} < last(c) — exists-semantics,
+    * exact, and repeats fall out free (⟨a,a⟩ ⟺ first(a) < last(a)
+    * ⟺ count ≥ 2). Every support an exact session count, one ‰
+    * integer division.
+    *
+    * Shape: one per-(user, day) ordered window (partitions bounded
+    * by events-per-user-day) → a sequences×T first/last frame (T =
+    * distinct types) → per-sequence T²/T³ lattice joins — candidate
+    * volume is sequences·T³, NEVER events², the bound that makes
+    * pattern mining feasible at 100 TB (T is small for event
+    * taxonomies). */
+  def seqPatterns(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy(col("u"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val occ = events(s, dir)
+      .withColumn("sid", date_trunc("day", col("ts")))
+      .withColumnRenamed("user_id", "u")
+      .select(col("u"), col("sid"), col("event_type").as("e"),
+        row_number().over(wp).as("pos"))
+      .localCheckpoint() // events-sized; three lattice legs read it
+    val fl = occ.groupBy(col("u"), col("sid"), col("e"))
+      .agg(min(col("pos")).as("fst"), max(col("pos")).as("lst"))
+      .localCheckpoint() // sessions x T rows
+    val nu = occ.select(col("u"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_seqs"))
+    val l1 = fl.groupBy(col("e").as("e1"))
+      .agg(count(lit(1)).as("n_sup"))
+      .select(lit(1L).as("level"), col("e1"), lit(null).cast("string").as("e2"),
+        lit(null).cast("string").as("e3"), col("n_sup"))
+    val l2 = fl.select(col("u"), col("sid"), col("e").as("e1"), col("fst"))
+      .join(fl.select(col("u"), col("sid"), col("e").as("e2"), col("lst")),
+        Seq("u", "sid"))
+      .filter(col("fst") < col("lst"))
+      .groupBy(col("e1"), col("e2")).agg(count(lit(1)).as("n_sup"))
+      .select(lit(2L).as("level"), col("e1"), col("e2"),
+        lit(null).cast("string").as("e3"), col("n_sup"))
+    // min pos of b strictly after first(a), per (session, a, b)
+    val mab = occ.select(col("u"), col("sid"), col("e").as("e2"), col("pos"))
+      .join(fl.select(col("u"), col("sid"), col("e").as("e1"), col("fst")),
+        Seq("u", "sid"))
+      .filter(col("pos") > col("fst"))
+      .groupBy(col("u"), col("sid"), col("e1"), col("e2"))
+      .agg(min(col("pos")).as("mab"))
+    val l3 = mab
+      .join(fl.select(col("u"), col("sid"), col("e").as("e3"), col("lst")),
+        Seq("u", "sid"))
+      .filter(col("mab") < col("lst"))
+      .groupBy(col("e1"), col("e2"), col("e3")).agg(count(lit(1)).as("n_sup"))
+      .select(lit(3L).as("level"), col("e1"), col("e2"), col("e3"), col("n_sup"))
+    l1.unionByName(l2).unionByName(l3)
+      .crossJoin(broadcast(nu)) // 1-row scalar frame
+      .filter(col("n_sup") * 1000 >= lit(SeqMinSupPm) * col("n_seqs"))
+      .select(col("level"), col("e1"), col("e2"), col("e3"),
+        col("n_sup"), col("n_seqs"),
+        expr("(n_sup * 1000) div n_seqs").as("support_pm"))
+  }
+
+  val seqPatternsSql: String =
+    s"""WITH occ AS (
+       |  SELECT user_id AS u, date_trunc('day', CAST(ts AS TIMESTAMP)) AS sid,
+       |    event_type AS e,
+       |    row_number() OVER (PARTITION BY user_id,
+       |                         date_trunc('day', CAST(ts AS TIMESTAMP))
+       |                       ORDER BY ts, event_id) AS pos
+       |  FROM events),
+       |fl AS (
+       |  SELECT u, sid, e, min(pos) AS fst, max(pos) AS lst
+       |  FROM occ GROUP BY 1, 2, 3),
+       |nu AS (
+       |  SELECT count(*)::BIGINT AS n_seqs
+       |  FROM (SELECT DISTINCT u, sid FROM occ)),
+       |l1 AS (
+       |  SELECT 1::BIGINT AS level, e AS e1, NULL::VARCHAR AS e2,
+       |    NULL::VARCHAR AS e3, count(*)::BIGINT AS n_sup
+       |  FROM fl GROUP BY e),
+       |l2 AS (
+       |  SELECT 2::BIGINT AS level, a.e AS e1, b.e AS e2,
+       |    NULL::VARCHAR AS e3, count(*)::BIGINT AS n_sup
+       |  FROM fl a JOIN fl b ON a.u = b.u AND a.sid = b.sid AND a.fst < b.lst
+       |  GROUP BY 2, 3),
+       |mab AS (
+       |  SELECT o.u, o.sid, a.e AS e1, o.e AS e2, min(o.pos) AS mab
+       |  FROM occ o JOIN fl a ON a.u = o.u AND a.sid = o.sid AND o.pos > a.fst
+       |  GROUP BY 1, 2, 3, 4),
+       |l3 AS (
+       |  SELECT 3::BIGINT AS level, m.e1, m.e2, c.e AS e3,
+       |    count(*)::BIGINT AS n_sup
+       |  FROM mab m JOIN fl c ON c.u = m.u AND c.sid = m.sid AND m.mab < c.lst
+       |  GROUP BY 2, 3, 4),
+       |allp AS (
+       |  SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+       |SELECT level, e1, e2, e3, n_sup, n_seqs,
+       |  (n_sup * 1000 // n_seqs)::BIGINT AS support_pm
+       |FROM allp, nu
+       |WHERE n_sup * 1000 >= $SeqMinSupPm * n_seqs""".stripMargin
+
   /** [[cusumChangepoint]] tuning, all exact-integer: the allowance
     * (slack) is k = μ·[[CusumKa]]/[[CusumKd]] per day (the standard
     * k = δ/2 with the shift-to-detect δ set to half the mean), and

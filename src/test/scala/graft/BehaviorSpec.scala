@@ -986,6 +986,55 @@ class BehaviorSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == twins.length.toLong)
   }
 
+  test("seq_patterns: supports replay against brute-force subsequence " +
+    "containment; order is live (itemsets cannot express it)") {
+    import graft.queries.Behavior.SeqMinSupPm
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getTimestamp(1).getTime, r.getTimestamp(1).getNanos, r.getLong(2)),
+        r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // sequence database = user-days (the measured non-degenerate unit)
+    val seqs: Map[(Long, String), Seq[String]] = byUser.toSeq.flatMap {
+      case (u, evs) =>
+        evs.map { case (_, (ms, _, _), e) =>
+          val day = new java.sql.Timestamp(ms).toLocalDateTime.toLocalDate.toString
+          ((u, day), e)
+        }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def contains(seq: Seq[String], pat: Seq[String]): Boolean = {
+      var i = 0
+      seq.foreach { e => if (i < pat.length && e == pat(i)) i += 1 }
+      i == pat.length
+    }
+    val types = seqs.values.flatten.toSet.toSeq.sorted
+    val nu = seqs.size.toLong
+    def sup(pat: Seq[String]): Long =
+      seqs.values.count(contains(_, pat)).toLong
+    val expected = (
+      types.map(a => (1L, a, null: String, null: String, sup(Seq(a)))) ++
+      (for (a <- types; b <- types) yield
+        (2L, a, b, null: String, sup(Seq(a, b)))) ++
+      (for (a <- types; b <- types; c <- types) yield
+        (3L, a, b, c, sup(Seq(a, b, c))))
+    ).filter(t => t._5 * 1000L >= SeqMinSupPm * nu)
+      .map(t => (t._1, t._2, t._3, t._4) -> ((t._5, t._5 * 1000L / nu))).toMap
+    val got = SparkEntry.queries("seq_patterns")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+        -> ((r.getAs[Long]("n_sup"), r.getAs[Long]("support_pm")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"pattern $k") }
+    assert(got.forall(_._1._1 >= 1L) && got.exists(_._1._1 == 3L))
+    // order matters somewhere: some pair supports differ by direction
+    // (else the operator degenerates to co-occurrence)
+    val l2 = got.collect { case ((2L, a, b, _), (s, _)) => (a, b) -> s }.toMap
+    assert(l2.exists { case ((a, b), s) =>
+      a != b && l2.get((b, a)).exists(_ != s) },
+      "every pair symmetric — order carries no information here")
+  }
+
   test("cusum_changepoint: the prefix-min closed form equals Page's " +
     "recursion replayed day by day") {
     import graft.queries.Behavior.{CusumKa, CusumKd, CusumH}
