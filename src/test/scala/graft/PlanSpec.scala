@@ -650,4 +650,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"soft_dedup goes pairwise:\n$p")
     spark.sharedState.cacheManager.clearCache() // drop the probe's postings cache mark
   }
+
+  test("r12 session-2 ops: artifact reads stay artifact reads, bloom bits " +
+    "broadcast, lattice joins are equi-joins") {
+    // lof consumes ONLY the persisted kNN artifact (joins over it);
+    // the fact-chain link scores read the purchase-pairs artifact,
+    // never the raw fact chain
+    Seq("lof_outliers", "adamic_adar", "louvain_move").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name goes pairwise:\n$p")
+    }
+    val hits = plan("hits_scores")
+    assert(!hits.contains("lineitem"),
+      s"hits_scores re-derives the fact chain instead of the artifact:\n$hits")
+    val pr = plan("pagerank_iter")
+    assert(!pr.contains("lineitem"),
+      s"pagerank_iter re-derives the fact chain instead of the artifact:\n$pr")
+    // bff: the <=m-row set-bit frame must BROADCAST into the probe join
+    val bff = plan("bff_dedup")
+    assert(bff.contains("BroadcastHashJoin"),
+      s"bff_dedup does not broadcast its bit array:\n$bff")
+    assert(!bff.contains("CartesianProduct"))
+    // seq_patterns: the T^2/T^3 lattice joins are (u, sid)-keyed
+    // equi-joins (the only nested loop is the 1-row n_seqs scalar)
+    val sq = plan("seq_patterns")
+    assert(!sq.contains("CartesianProduct"), s"seq_patterns goes pairwise:\n$sq")
+    assert(sq.contains("HashJoin") || sq.contains("SortMergeJoin"),
+      s"seq_patterns lattice is not an equi-join:\n$sq")
+    // ann_nsw: beam expansion joins the graph and corpus by key; the
+    // only nested loop is the 1-row entry seed
+    val nsw = plan("ann_nsw")
+    assert(!nsw.contains("CartesianProduct"), s"ann_nsw goes pairwise:\n$nsw")
+  }
 }
