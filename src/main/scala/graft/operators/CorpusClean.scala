@@ -679,33 +679,33 @@ object CorpusClean {
     * of [[bpeTrainRun]]'s loop. */
   private lazy val bpeCtes: String = {
     val base =
-      """t0 AS (
+      """t0 AS MATERIALIZED (
         |  SELECT doc_id,
         |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos,
         |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
         |  FROM documents)""".stripMargin
     val rounds = (1 to BpeTrainRounds).map { k =>
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          |  SELECT w, w1, count(*) AS n FROM (
          |    SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
          |    FROM t${k - 1}) WHERE w1 IS NOT NULL GROUP BY 1, 2),
-         |b$k AS (SELECT w AS l, w1 AS r, n FROM c$k ORDER BY n DESC, w, w1 LIMIT 1),
-         |f$k AS (
+         |b$k AS MATERIALIZED (SELECT w AS l, w1 AS r, n FROM c$k ORDER BY n DESC, w, w1 LIMIT 1),
+         |f$k AS MATERIALIZED (
          |  SELECT doc_id, pos, w,
          |    coalesce(lead(w) OVER win = (SELECT r FROM b$k), false)
          |      AND w = (SELECT l FROM b$k) AS flag
          |  FROM t${k - 1} WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-         |g$k AS (
+         |g$k AS MATERIALIZED (
          |  SELECT *, flag AND NOT coalesce(lag(flag) OVER win, false) AS istart
          |  FROM f$k WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-         |m$k AS (
+         |m$k AS MATERIALIZED (
          |  SELECT *, flag AND (pos - ispos) % 2 = 0 AS m FROM (
          |    SELECT *, max(CASE WHEN istart THEN pos END)
          |      OVER (PARTITION BY doc_id ORDER BY pos
          |            ROWS UNBOUNDED PRECEDING) AS ispos
          |    FROM g$k)),
-         |a$k AS (SELECT count(*) AS applied FROM m$k WHERE m),
-         |t$k AS (
+         |a$k AS MATERIALIZED (SELECT count(*) AS applied FROM m$k WHERE m),
+         |t$k AS MATERIALIZED (
          |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
          |    CASE WHEN m THEN w || '_' || (SELECT r FROM b$k) ELSE w END AS w
          |  FROM (SELECT *, coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
