@@ -372,4 +372,90 @@ object Robust {
        |FROM events JOIN pct USING (event_type)
        |GROUP BY event_type""".stripMargin
   }
+
+  /** Benford expected first-digit masses ×10⁶ —
+    * round(10⁶·log₁₀(1 + 1/d)) for d = 1..9, computed once on the
+    * JVM and injected VERBATIM into both engines (the NdcgW
+    * convention): the law's irrational logs never touch the hash
+    * gate. */
+  val BenfordPpm: Seq[Long] =
+    (1 to 9).map(d => math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+
+  /** K175: BENFORD FIRST-DIGIT AUDIT — Newcomb 1881 / Benford 1938,
+    * formalized by Hill 1995 ("A statistical derivation of the
+    * significant-digit law"): naturally occurring multi-scale
+    * positive quantities have first digit d with probability
+    * log₁₀(1+1/d) — and systematic DEVIATION from it is the
+    * standard screen for fabricated, truncated, capped or
+    * synthetically generated numeric columns (forensic accounting's
+    * canonical test; a data-quality read next to K3 `outlier_mad`
+    * and J22 `column_profile` before trusting a numeric column).
+    * Columns audited: o_totalprice and l_extendedprice. Exact
+    * integer algebra end to end: values drop to the cents lattice
+    * (floor(x·100+0.5), leading digit unchanged by the ×100 shift),
+    * the first digit is the leading character of the BIGINT's
+    * decimal string (no float log10 anywhere near the hash gate),
+    * expected masses are the verbatim [[BenfordPpm]] table, and the
+    * summary per column is the total-variation distance ×10⁶:
+    * tvd_ppm = Σ_d |obs_ppm − exp_ppm| div 2. On THIS corpus the
+    * audit fires by design — the generator draws sums of uniforms,
+    * nothing multi-scale, and the spec pins that the detector sees
+    * it (tvd far above the Benford-conformance band) while the
+    * arithmetic replays exactly.
+    *
+    * Shape: map-only digit extraction → one 9-key combining
+    * aggregate per column + a 1-row total broadcast — no shuffle
+    * wider than 9 rows at any corpus size. */
+  def benfordCheck(s: SparkSession, dir: String): DataFrame = {
+    val expArr = array(BenfordPpm.map(lit): _*)
+    def leg(table: DataFrame, colName: String): DataFrame = {
+      val digits = table
+        .select(substring(
+          floor(col(colName) * 100 + lit(0.5)).cast("long").cast("string"),
+          1, 1).cast("int").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+      val scored = digits.crossJoin(broadcast(tot)) // 1-row scalar frame
+        .select(lit(colName).as("column"), col("d"), col("n_obs"),
+          col("n_total"),
+          expr("(n_obs * 1000000) div n_total").as("obs_ppm"),
+          element_at(expArr, col("d")).as("exp_ppm"))
+        .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+        .localCheckpoint() // 9 rows; report + tvd read it
+      val tvd = scored.agg(
+        expr("sum(abs(dev_ppm)) div 2").as("tvd_ppm"))
+      scored.crossJoin(broadcast(tvd)) // 1-row scalar frame
+    }
+    leg(orders(s, dir), "o_totalprice")
+      .unionByName(leg(lineitem(s, dir), "l_extendedprice"))
+  }
+
+  val benfordCheckSql: String = {
+    val expList = BenfordPpm.mkString("[", ", ", "]")
+    def leg(table: String, colName: String): String =
+      s"""SELECT '$colName' AS "column", d, n_obs, n_total, obs_ppm,
+         |  ($expList)[d]::BIGINT AS exp_ppm,
+         |  obs_ppm - ($expList)[d] AS dev_ppm,
+         |  (SELECT (sum(abs(obs_ppm2 - ($expList)[d2])) // 2)::BIGINT
+         |   FROM (SELECT d AS d2, (n_obs * 1000000 // n_total) AS obs_ppm2
+         |         FROM dig_$colName, tot_$colName)) AS tvd_ppm
+         |FROM (SELECT d, n_obs, n_total,
+         |        (n_obs * 1000000 // n_total)::BIGINT AS obs_ppm
+         |      FROM dig_$colName, tot_$colName)""".stripMargin
+    s"""WITH dig_o_totalprice AS (
+       |  SELECT substr(CAST(floor(o_totalprice * 100 + 0.5)::BIGINT AS VARCHAR), 1, 1)::INT AS d,
+       |    count(*)::BIGINT AS n_obs
+       |  FROM orders GROUP BY 1),
+       |tot_o_totalprice AS (
+       |  SELECT sum(n_obs)::BIGINT AS n_total FROM dig_o_totalprice),
+       |dig_l_extendedprice AS (
+       |  SELECT substr(CAST(floor(l_extendedprice * 100 + 0.5)::BIGINT AS VARCHAR), 1, 1)::INT AS d,
+       |    count(*)::BIGINT AS n_obs
+       |  FROM lineitem GROUP BY 1),
+       |tot_l_extendedprice AS (
+       |  SELECT sum(n_obs)::BIGINT AS n_total FROM dig_l_extendedprice)
+       |${leg("orders", "o_totalprice")}
+       |UNION ALL
+       |${leg("lineitem", "l_extendedprice")}""".stripMargin
+  }
 }

@@ -410,4 +410,47 @@ class AnalyticsSpec extends SparkSpec {
       assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
     }
   }
+
+  test("benford_check: digit masses replay from a local count; the " +
+    "verbatim log table is the law; the synthetic generator is detected") {
+    import graft.queries.Robust.BenfordPpm
+    // the injected table IS round(1e6*log10(1+1/d)) and sums to ~1e6
+    BenfordPpm.zipWithIndex.foreach { case (v, i) =>
+      assert(v == math.round(1e6 * math.log10(1.0 + 1.0 / (i + 1))))
+    }
+    assert(math.abs(BenfordPpm.sum - 1000000L) <= 2L)
+    def replay(vals: Array[Double]): (Map[Int, Long], Long, Long) = {
+      val ds = vals.map(v =>
+        math.floor(v * 100 + 0.5).toLong.toString.charAt(0).asDigit)
+      val cnt = ds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = vals.length.toLong
+      val tvd = cnt.map { case (d, c) =>
+        math.abs(c * 1000000L / n - BenfordPpm(d - 1)) }.sum / 2
+      (cnt, n, tvd)
+    }
+    val oVals = Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(_.getDouble(0))
+    val lVals = Tables.lineitem(spark, sf).select("l_extendedprice").collect()
+      .map(_.getDouble(0))
+    val got = SparkEntry.queries("benford_check")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getAs[Long]("n_obs"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("obs_ppm"), r.getAs[Long]("exp_ppm"),
+          r.getAs[Long]("dev_ppm"), r.getAs[Long]("tvd_ppm")))).toMap
+    Seq(("o_totalprice", oVals), ("l_extendedprice", lVals)).foreach {
+      case (c, vals) =>
+        val (cnt, n, tvd) = replay(vals)
+        cnt.foreach { case (d, exp) =>
+          val g = got((c, d))
+          assert(g._1 == exp && g._2 == n, s"$c digit $d count")
+          assert(g._3 == exp * 1000000L / n, s"$c digit $d obs_ppm")
+          assert(g._4 == BenfordPpm(d - 1), s"$c digit $d exp_ppm")
+          assert(g._5 == g._3 - g._4 && g._6 == tvd, s"$c digit $d tvd")
+        }
+        // the detector fires: a sum-of-uniforms generator is nothing
+        // like a multi-scale Benford population (conformance band is
+        // tvd below a few % — this corpus sits far above)
+        assert(tvd > 100000L, s"$c tvd $tvd suspiciously Benford")
+    }
+  }
 }
