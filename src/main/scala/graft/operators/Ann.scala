@@ -1723,11 +1723,19 @@ object Ann {
        |$out""".stripMargin
   }
 
-  /** [[annNsw]] beam width and expansion rounds. Beam ≥ [[K]] so the
-    * final top-K is a prefix of the beam (the beam is monotone
-    * best-so-far: it re-includes itself each round). */
+  /** [[annNsw]] beam width and expansion rounds. Beam must STRICTLY
+    * exceed [[K]]: the query point itself occupies one beam slot
+    * (cos = 1.0, excluded only at the final cut), so only
+    * NswBeam − 1 non-self candidates are guaranteed — the final
+    * top-K is a prefix of the beam (monotone best-so-far: the beam
+    * re-includes itself each round) only when NswBeam > K. The
+    * require makes a future K/NswBeam bump fail fast instead of
+    * silently returning fewer than K rows per query. */
   val NswBeam = 8
   val NswRounds = 4
+  require(NswBeam > K,
+    s"NswBeam ($NswBeam) must exceed K ($K): the query's self slot " +
+      "leaves only NswBeam - 1 guaranteed non-self candidates")
 
   /** K173: NSW GRAPH-SEARCH ANN — greedy best-first beam search over
     * a navigable neighbor graph, the single-layer core of HNSW

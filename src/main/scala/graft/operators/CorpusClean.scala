@@ -1247,9 +1247,18 @@ object CorpusClean {
     * score as ONE exact integer division on the common lattice:
     * p = (max(4c−3, 0)·NT + 3·N1(w·)·N1(·w'))·[[LmScale]]
     *     div (4·ctx(w)·NT)
-    * where ctx(w) = Σ c(w,·), NT = N1+(··); numerator bounded by
-    * 4·corpus_bigrams·vocab² — the vocab²-bounded type space is what
-    * keeps the lattice in BIGINT at scale. Per-doc report in the J5
+    * where ctx(w) = Σ c(w,·), NT = N1+(··). LATTICE BOUND (exact,
+    * not the loose vocab² hand-wave): the dominant numerator term is
+    * 4·c·NT·[[LmScale]] ≤ 4·corpus_bigrams·bigram_types·10⁶, so
+    * BIGINT (9.2×10¹⁸) holds iff corpus_bigrams × bigram_types ≲
+    * 2.3×10¹² — e.g. a 10⁸-bigram corpus with ≤2×10⁴ distinct
+    * bigram types, or 10⁶ bigrams with 2×10⁶ types. Beyond that the
+    * engines DIVERGE rather than both failing: Spark (non-ANSI)
+    * wraps silently while DuckDB raises out-of-range — so a corpus
+    * near the bound must either drop [[LmScale]] a decade or split
+    * the score into its discounted and continuation divisions
+    * (different rounding; oracle must move in lockstep). All tested
+    * SFs sit ≥6 orders below the bound. Per-doc report in the J5
     * shape (n_bigrams, sum_q, kn_score, fluent at the same LmMin
     * floor), so the two scores read side by side; the spec pins the
     * defining inequality (KN < MLE on every in-corpus bigram — the

@@ -417,6 +417,17 @@ object Maintenance {
   val RlThLink = 3L
   val RlThPoss = -2L
 
+  /** Blocking-key name-prefix length. TPC-H customer names are
+    * `Customer#` + 9 digits, so a 15-char prefix ("Customer#" + the
+    * 6 high digits) buckets ≤1000 consecutive keys per prefix — the
+    * NUMBER of blocks grows ∝ N while each block stays bounded, so
+    * candidate pairs grow ∝ N, not N² (nationkey alone is 25 values
+    * forever: Σ_b |A_b|·|B_b| ≈ N·M/25, quadratic — the bench slope
+    * probe read 7.2 under it, the suite max; the Splink-standard fix
+    * is exactly this compound nation × name-prefix block). Twins
+    * keep the name verbatim, so prefix blocking loses zero recall. */
+  val RlPrefixLen = 15
+
   /** The five TPC-H market segments, in sorted order (the planted
     * segment perturbation cycles to the next one). */
   val RlSegs: Seq[String] =
@@ -432,8 +443,12 @@ object Maintenance {
     * (clerical review) / non-link — that is the model's defining
     * output. Here: a planted second source (customers ≡0 mod 7,
     * key + [[RlTwinBase]], acctbal +1.0 when ≡0 mod 3, market
-    * segment cycled when ≡0 mod 5), BLOCKING on nationkey (the
-    * standard candidate cut — pairs ∝ N²/blocks, never all-pairs),
+    * segment cycled when ≡0 mod 5), BLOCKING on the compound
+    * nationkey × name-prefix([[RlPrefixLen]]) key — the Splink-style
+    * cardinality-GROWING block: nation alone is 25 values forever
+    * (candidates ∝ N², the one quadratic in the suite until r13),
+    * while the compound key's block count grows ∝ N so candidates
+    * grow ∝ N with zero recall loss (twins keep the name verbatim) —
     * comparison fields (name, acctbal, mktsegment). u-probabilities
     * are MEASURED on the candidate population (exact integer
     * agreement counts); m are the [[RlMName]]/[[RlMBal]]/[[RlMSeg]]
@@ -443,11 +458,13 @@ object Maintenance {
     * (match and non-match equally likely under the priors); the
     * decision thresholds are the ±2 clerical band around it —
     * measured on this corpus the band is scale-stable (pattern-7
-    * twins score 8/14/21 at sf0.001/0.01/0.1 — evidence GROWS with
-    * the candidate pool as agreement gets rarer — while the planted
-    * doubly-perturbed twins sit at −2..4 and pure non-matches at
-    * −11..−4, so the three-way split is invariant across the 100×
-    * range). Output per
+    * twins score 8/12/12 at sf0.001/0.01/0.1: under the linear
+    * compound block the in-block agreement rates become
+    * scale-INVARIANT once blocks saturate, so evidence plateaus
+    * instead of growing with a quadratic pool — while the planted
+    * doubly-perturbed twins sit at −2..1 (possible) and pure
+    * non-matches at −11..−4, so the three-way split is invariant
+    * across the 100× range). Output per
     * (pattern, score, decision): pair count and true-twin count —
     * the confusion accounting a linkage run is judged by.
     *
@@ -455,7 +472,10 @@ object Maintenance {
     * frame persisted for its two consumers (the 1-row u aggregate
     * and the pattern rollup); everything after is map-only integer
     * algebra into a ≤8-row report. */
-  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+  /** The blocked candidate-pair frame (exposed for the plan gate:
+    * the compound block must survive as equi-join keys). */
+  private[graft] def recordLinkagePairs(s: SparkSession,
+                                        dir: String): DataFrame = {
     val segs = array(RlSegs.map(lit): _*)
     val c = customer(s, dir).select(col("c_custkey"), col("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -469,11 +489,17 @@ object Maintenance {
         element_at(segs,
           (array_position(segs, col("c_mktsegment")) % 5 + 1).cast("int")))
         .otherwise(col("c_mktsegment")).as("b_seg"))
-    val pairs = c.join(twins, col("c_nationkey") === col("b_nation"))
+    c.join(twins, col("c_nationkey") === col("b_nation") &&
+        substring(col("c_name"), 1, RlPrefixLen) ===
+          substring(col("b_name"), 1, RlPrefixLen))
       .select(col("c_custkey").as("da"), col("b_key").as("db"),
         (col("c_name") === col("b_name")).cast("long").as("g_name"),
         (col("c_acctbal") === col("b_bal")).cast("long").as("g_bal"),
         (col("c_mktsegment") === col("b_seg")).cast("long").as("g_seg"))
+  }
+
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = recordLinkagePairs(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val u = pairs.agg(count(lit(1)).as("np"), sum(col("g_name")).as("u_name"),
       sum(col("g_bal")).as("u_bal"), sum(col("g_seg")).as("u_seg"))
@@ -521,7 +547,8 @@ object Maintenance {
        |    CASE WHEN c_name = b_name THEN 1 ELSE 0 END::BIGINT AS g_name,
        |    CASE WHEN c_acctbal = b_bal THEN 1 ELSE 0 END::BIGINT AS g_bal,
        |    CASE WHEN c_mktsegment = b_seg THEN 1 ELSE 0 END::BIGINT AS g_seg
-       |  FROM c JOIN twins ON c_nationkey = b_nation),
+       |  FROM c JOIN twins ON c_nationkey = b_nation
+       |    AND substr(c_name, 1, $RlPrefixLen) = substr(b_name, 1, $RlPrefixLen)),
        |u AS (
        |  SELECT count(*)::BIGINT AS np, sum(g_name)::BIGINT AS u_name,
        |    sum(g_bal)::BIGINT AS u_bal, sum(g_seg)::BIGINT AS u_seg

@@ -401,7 +401,13 @@ object Robust {
     * audit fires by design — the generator draws sums of uniforms,
     * nothing multi-scale, and the spec pins that the detector sees
     * it (tvd far above the Benford-conformance band) while the
-    * arithmetic replays exactly.
+    * arithmetic replays exactly. Domain guard: Benford's law is
+    * defined on d ∈ 1..9 only, so rows whose cents-lattice value
+    * has no nonzero leading digit (x ∈ [0, 0.005) ⇒ d = 0, or
+    * negative/NULL ⇒ no digit) are dropped BEFORE the totals in
+    * both engines — without the guard d = 0 would crash Spark's
+    * 1-based element_at while DuckDB's list[0] returned NULL, a
+    * crash plus engine divergence on valid numeric input.
     *
     * Shape: map-only digit extraction → one 9-key combining
     * aggregate per column + a 1-row total broadcast — no shuffle
@@ -413,6 +419,7 @@ object Robust {
         .select(substring(
           floor(col(colName) * 100 + lit(0.5)).cast("long").cast("string"),
           1, 1).cast("int").as("d"))
+        .filter(col("d").between(1, 9)) // Benford domain; see docstring
         .groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
       val tot = digits.agg(sum(col("n_obs")).as("n_total"))
       val scored = digits.crossJoin(broadcast(tot)) // 1-row scalar frame
@@ -443,15 +450,15 @@ object Robust {
          |        (n_obs * 1000000 // n_total)::BIGINT AS obs_ppm
          |      FROM dig_$colName, tot_$colName)""".stripMargin
     s"""WITH dig_o_totalprice AS (
-       |  SELECT substr(CAST(floor(o_totalprice * 100 + 0.5)::BIGINT AS VARCHAR), 1, 1)::INT AS d,
-       |    count(*)::BIGINT AS n_obs
-       |  FROM orders GROUP BY 1),
+       |  SELECT d, count(*)::BIGINT AS n_obs FROM (
+       |    SELECT TRY_CAST(substr(CAST(floor(o_totalprice * 100 + 0.5)::BIGINT AS VARCHAR), 1, 1) AS INT) AS d
+       |    FROM orders) WHERE d BETWEEN 1 AND 9 GROUP BY 1),
        |tot_o_totalprice AS (
        |  SELECT sum(n_obs)::BIGINT AS n_total FROM dig_o_totalprice),
        |dig_l_extendedprice AS (
-       |  SELECT substr(CAST(floor(l_extendedprice * 100 + 0.5)::BIGINT AS VARCHAR), 1, 1)::INT AS d,
-       |    count(*)::BIGINT AS n_obs
-       |  FROM lineitem GROUP BY 1),
+       |  SELECT d, count(*)::BIGINT AS n_obs FROM (
+       |    SELECT TRY_CAST(substr(CAST(floor(l_extendedprice * 100 + 0.5)::BIGINT AS VARCHAR), 1, 1) AS INT) AS d
+       |    FROM lineitem) WHERE d BETWEEN 1 AND 9 GROUP BY 1),
        |tot_l_extendedprice AS (
        |  SELECT sum(n_obs)::BIGINT AS n_total FROM dig_l_extendedprice)
        |${leg("orders", "o_totalprice")}

@@ -935,8 +935,8 @@ class BehaviorSpec extends SparkSpec {
 
   test("record_linkage: Fellegi-Sunter scores replay from first principles; " +
     "full-agreement pairs are links and are all true twins") {
-    import graft.operators.Maintenance.{RlMBal, RlMName, RlMSeg, RlSegs,
-      RlThLink, RlThPoss, RlTwinBase}
+    import graft.operators.Maintenance.{RlMBal, RlMName, RlMSeg,
+      RlPrefixLen, RlSegs, RlThLink, RlThPoss, RlTwinBase}
     val cust = Tables.customer(spark, sf)
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .collect()
@@ -950,7 +950,7 @@ class BehaviorSpec extends SparkSpec {
     val pairs = for {
       (ka, na, nata, bala, sega) <- cust
       (kb, nb, natb, balb, segb) <- twins
-      if nata == natb
+      if nata == natb && na.take(RlPrefixLen) == nb.take(RlPrefixLen)
     } yield (ka, kb, if (na == nb) 1L else 0L, if (bala == balb) 1L else 0L,
       if (sega == segb) 1L else 0L)
     val np = pairs.length.toLong
@@ -984,6 +984,45 @@ class BehaviorSpec extends SparkSpec {
     // conservation: pairs and true twins both fully accounted
     assert(got.values.map(_._1).sum == np)
     assert(got.values.map(_._2).sum == twins.length.toLong)
+  }
+
+  test("record_linkage: candidate pairs grow ~linearly in N on a planted " +
+    "2-nation skew corpus (the compound block; nation-only would be ~4x)") {
+    import graft.operators.Maintenance.{RlPrefixLen, RlSegs, RlTwinBase}
+    import spark.implicits._
+    def plant(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"rl_lin_$n")
+        .toFile.getAbsolutePath
+      (1 to n).map { k =>
+        (k.toLong, f"Customer#$k%09d", k % 2, k * 1.0, RlSegs(k % 5))
+      }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      dir
+    }
+    def pairCount(dir: String): Long =
+      graft.operators.Maintenance.recordLinkage(spark, dir)
+        .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    // local replay of the candidate count under the compound block
+    def replay(n: Int): Long = {
+      val cust = (1 to n).map(k => (k.toLong, f"Customer#$k%09d", k % 2))
+      val twins = cust.filter(_._1 % 7 == 0)
+        .map { case (k, nm, nat) => (k + RlTwinBase, nm, nat) }
+      (for {
+        (_, na, nata) <- cust
+        (_, nb, natb) <- twins
+        if nata == natb && na.take(RlPrefixLen) == nb.take(RlPrefixLen)
+      } yield 1L).sum
+    }
+    val (small, big) = (700, 1400)
+    val (pS, pB) = (pairCount(plant(small)), pairCount(plant(big)))
+    assert(pS == replay(small) && pB == replay(big),
+      s"candidate volume diverged from the blocked replay: $pS $pB")
+    val ratio = pB.toDouble / pS
+    // compound block: blocks grow with N, ratio ~2.3 here (coarse
+    // 1000-key blocks vs N=700); nation-only blocking gives exactly 4.0
+    assert(ratio < 3.0, s"pairs grew ${ratio}x on 2x data — quadratic block")
+    assert(ratio > 1.5, s"pairs grew only ${ratio}x — recall suspicious")
   }
 
   test("seq_patterns: supports replay against brute-force subsequence " +

@@ -29,6 +29,17 @@ class PlanSpec extends SparkSpec {
     assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges\n$p")
   }
 
+  test("record_linkage: candidate join is equi-hashed on the COMPOUND " +
+    "nation x name-prefix block, never cartesian") {
+    // the public result is localCheckpoint-truncated; probe the pair leg
+    val p = graft.operators.Maintenance.recordLinkagePairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"record_linkage candidate generation degenerated to all-pairs:\n$p")
+    assert(p.contains("substring(c_name"),
+      s"name-prefix missing from the join keys — block is nation-only again:\n$p")
+  }
+
   test("semi_anti_join: planned as semi/anti hash joins, not full joins") {
     val p = plan("semi_anti_join")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
