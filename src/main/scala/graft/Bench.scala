@@ -46,6 +46,13 @@ import org.apache.spark.sql.SparkSession
   *    re-measured once at end-of-run; flags that clear move to
   *    `warm_transient` (a time-windowed box episode), flags that
   *    persist stay in `warm_regressed` (see BenchDrift.splitTransient).
+  *    Since r13 the split is self-cleaning under contention: a flag
+  *    that is simultaneously `noisy` auto-discounts to transient,
+  *    and when the calibration re-read taken just before the
+  *    re-measure pass (`calib_par_pre_remeasure_ms` vs
+  *    `calib_par_run0_ms`) says the box is still contended, ALL
+  *    flags land in transient with `remeasure_contended`: true —
+  *    a contended window cannot confirm its own phantoms.
   */
 /** Cross-RUN warm-regression detection — the `noisy` flag's blind
   * spot (r9: stream_enrich measured 4.04 s warm, 2× every other run,
@@ -119,6 +126,24 @@ object BenchDrift {
   /** Extract the prior run's calib_ms, if recorded. */
   def parseCalib(json: String): Option[Double] = parseNum(json, "calib_ms")
 
+  /** Extract a prior run's top-level string field, if recorded. */
+  def parseStr(json: String, key: String): Option[String] =
+    (""""""" + key + """":"([^"]*)"""").r.findFirstMatchIn(json)
+      .map(_.group(1))
+
+  /** The prior warm timings USABLE for drift against a run at
+    * `sfDir` — empty when the committed prior was taken at a
+    * DIFFERENT SF (e.g. a local sf0.001 smoke overwrote
+    * bench_last.json): cross-SF priors would phantom-flag the whole
+    * suite (sf0.1 warm vs sf0.001 prior is ~10× everywhere). One
+    * mismatched round self-heals — the run still writes itself as
+    * the new prior, so the next same-SF run compares normally. */
+  def priorWarmFor(priorJson: String, sfDir: String): Map[String, Double] =
+    parseStr(priorJson, "sf") match {
+      case Some(priorSf) if priorSf != sfDir => Map.empty
+      case _ => parseWarm(priorJson)
+    }
+
   /** PARALLEL-spin calibration, milliseconds of wall time for
     * `threads` concurrent copies of the [[calibMs]] loop — the
     * fingerprint [[calibMs]] cannot be: the r10 driver run measured
@@ -189,15 +214,36 @@ object BenchDrift {
     * `warm_transient` field ((prior, flagged, re-measured) triple). A
     * flag that still exceeds prior×[[Ratio]] (or whose re-measure
     * failed: no evidence of clearing) stays in `warm_regressed`.
-    * Returns (persistent, transient). */
+    * Returns (persistent, transient).
+    *
+    * Two further auto-discounts (the r12 driver run published 13
+    * flags, ALL phantom on an idle re-run — both holes below were
+    * open at once):
+    *  - `noisy` flags: a query whose warm minimum exceeded its own
+    *    cold time in THIS run measured external load, not a plan
+    *    (warm > cold is impossible absent contention) — it cannot
+    *    simultaneously count as evidence of a regression, so it
+    *    lands in `warm_transient` regardless of its re-measure.
+    *  - `remeasureContended`: when the calibration re-read taken
+    *    IMMEDIATELY BEFORE the re-measure pass says the box is still
+    *    contended vs this run's own start-of-run parallel stamp, the
+    *    re-measure window cannot confirm its own phantoms — a
+    *    non-clearing re-measure is no evidence either way, so every
+    *    flag lands in `warm_transient` (the run also stamps
+    *    `remeasure_contended`: true so a consumer knows why). */
   def splitTransient(flags: Seq[(String, Double, Double)],
-                     re: Map[String, Double])
+                     re: Map[String, Double],
+                     noisy: Set[String] = Set.empty,
+                     remeasureContended: Boolean = false)
       : (Seq[(String, Double, Double)], Seq[(String, Double, Double, Double)]) = {
     val transient = flags.flatMap { case (k, p, w) =>
-      re.get(k).filter(r => r > 0 && r <= p * Ratio).map(r => (k, p, w, r))
+      val r = re.getOrElse(k, -1.0)
+      val cleared = r > 0 && r <= p * Ratio
+      if (cleared || noisy(k) || remeasureContended) Some((k, p, w, r))
+      else None
     }
-    val cleared = transient.map(_._1).toSet
-    (flags.filterNot(f => cleared(f._1)), transient)
+    val moved = transient.map(_._1).toSet
+    (flags.filterNot(f => moved(f._1)), transient)
   }
 
   /** SCAN-shaped calibration, milliseconds — the third fingerprint:
@@ -284,6 +330,10 @@ object Bench {
     // offsets (the r11 driver incident showed as one contiguous
     // alphabetical band) — the offsets let a consumer see the window
     // directly instead of inferring it from sort order.
+    // start-of-run parallel stamp: the within-run reference the
+    // pre-re-measure contention re-read compares against (prior-run
+    // stamps can be a different box; this one cannot)
+    val calibPar0 = BenchDrift.calibParMs()
     val sweepT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val start = (System.nanoTime() - sweepT0) / 1e9
@@ -317,9 +367,11 @@ object Bench {
       results.map(t => "\"" + t._1 + "\":" + r3(sel(t))).mkString("{", ",", "}")
     val failed = results.collect { case (k, c, _, _) if c < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val noisy = results.collect {
-      case (k, c, w, _) if c >= 0 && w > c => "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    val noisySet = results.collect {
+      case (k, c, w, _) if c >= 0 && w > c => k
+    }.toSet
+    val noisy = noisySet.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val slopes: Seq[(String, Double)] = results.collect {
       case (k, _, w, _) if w > 0 && slopeTimes.getOrElse(k, -1.0) > 0 =>
         k -> r3(w / slopeTimes(k))
@@ -336,16 +388,23 @@ object Bench {
     val priorJson =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("bench_last.json"))
       catch { case scala.util.control.NonFatal(_) => "" }
-    val priorWarm = BenchDrift.parseWarm(priorJson)
+    val priorWarm = BenchDrift.priorWarmFor(priorJson, sfDir)
     val drift = BenchDrift.regressed(priorWarm,
       results.collect { case (k, _, w, _) if w > 0 => (k, w) })
     // end-of-run re-measure of JUST the flagged set (one warm pass
     // each, sweep-order): flags that clear were a mid-run contention
-    // episode, not a plan regression — see BenchDrift.splitTransient
+    // episode, not a plan regression — see BenchDrift.splitTransient.
+    // Calibration re-read FIRST: if the box is still contended vs
+    // this run's own start-of-run stamp, the re-measure window can't
+    // confirm its own phantoms (the r12 driver run did exactly that).
+    val calibParPre = BenchDrift.calibParMs()
+    val remeasureContended =
+      calibPar0 > 0 && calibParPre / calibPar0 > BenchDrift.ParDriftMax
     val reMeasured: Map[String, Double] = drift.map { case (k, _, _) =>
       k -> once(SparkEntry.queries(k), sfDir)
     }.toMap
-    val (persistent, transient) = BenchDrift.splitTransient(drift, reMeasured)
+    val (persistent, transient) =
+      BenchDrift.splitTransient(drift, reMeasured, noisySet, remeasureContended)
     val driftJson = persistent.map { case (k, p, w) =>
       "\"" + k + "\":[" + r3(p) + "," + r3(w) + "]"
     }.mkString("{", ",", "}")
@@ -376,6 +435,9 @@ object Bench {
       s""""slope_flagged":$slopeFlagged,"warm_regressed":$driftJson,""" +
       s""""warm_transient":$transientJson,""" +
       s""""drift_discounted":$discounted,""" +
+      s""""remeasure_contended":$remeasureContended,""" +
+      s""""calib_par_run0_ms":${r3(calibPar0)},""" +
+      s""""calib_par_pre_remeasure_ms":${r3(calibParPre)},""" +
       s""""calib_ms":${r3(calib)},"calib_par_ms":${r3(calibPar)},""" +
       s""""calib_scan_ms":${r3(calibScan)}""" +
       calibRatio.map(r => s""","calib_vs_prior":$r""").getOrElse("") +

@@ -99,6 +99,50 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(p3 == flags && t3.isEmpty)
   }
 
+  test("a planted noisy+regressed query lands in warm_transient, not " +
+    "warm_regressed (the r12 driver phantom class)") {
+    // the r12 shape: dedup_minhash_lsh flagged 1.87->20.4 warm while
+    // ALSO noisy (warm > cold — impossible absent external load);
+    // its re-measure ran inside the same contention window and did
+    // not clear, so the flag survived. With the noisy discount it
+    // cannot: contention evidence beats a non-clearing re-measure.
+    val prior = Map("dedup_minhash_lsh" -> 1.87, "steady" -> 1.0)
+    val now = Seq("dedup_minhash_lsh" -> 20.4, "steady" -> 5.0)
+    val flags = BenchDrift.regressed(prior, now)
+    assert(flags.map(_._1).toSet == Set("dedup_minhash_lsh", "steady"))
+    val re = Map("dedup_minhash_lsh" -> 18.0, "steady" -> 4.8) // still hot
+    val (persistent, transient) = BenchDrift.splitTransient(flags, re,
+      noisy = Set("dedup_minhash_lsh"), remeasureContended = false)
+    assert(transient.map(_._1) == Seq("dedup_minhash_lsh"))
+    assert(persistent.map(_._1) == Seq("steady")) // non-noisy: still real
+  }
+
+  test("a contended re-measure window cannot confirm its own phantoms: " +
+    "remeasureContended moves every flag to transient") {
+    val prior = Map("a" -> 1.0, "b" -> 1.0)
+    val flags = BenchDrift.regressed(prior, Seq("a" -> 6.0, "b" -> 4.0))
+    assert(flags.size == 2)
+    // neither re-measure clears — but the pre-re-measure calib
+    // re-read said the box was still contended, so non-clearing is
+    // no evidence; both flags land in transient with their
+    // (non-clearing) re-measured values carried for diagnostics
+    val (persistent, transient) = BenchDrift.splitTransient(flags,
+      Map("a" -> 5.5), noisy = Set.empty, remeasureContended = true)
+    assert(persistent.isEmpty)
+    assert(transient.map(_._1).toSet == Set("a", "b"))
+    assert(transient.find(_._1 == "b").get._4 == -1.0) // missing re-measure
+  }
+
+  test("a prior taken at a different SF is ignored for drift (a local " +
+    "small-SF smoke cannot phantom-flag the next sf0.1 run)") {
+    assert(BenchDrift.parseStr(priorLine, "sf").contains("x"))
+    assert(BenchDrift.priorWarmFor(priorLine, "x").nonEmpty)
+    assert(BenchDrift.priorWarmFor(priorLine, "/root/testdata/sf0.1").isEmpty)
+    // no sf field at all (pre-r13 line): conservative — still used
+    assert(BenchDrift.priorWarmFor(
+      """{"queries_warm":{"a":1.0}}""", "anything") == Map("a" -> 1.0))
+  }
+
   test("the in-tree committed bench_last.json parses non-empty") {
     val p = java.nio.file.Paths.get("bench_last.json")
     assume(java.nio.file.Files.exists(p))
