@@ -1366,6 +1366,146 @@ object Ann {
        |FROM paths CROSS JOIN nq""".stripMargin
   }
 
+  /** [[rocAuc]] score lattice: cosine quantized ×10⁴ (the kcenter
+    * radius convention — ranks are taken on this integer lattice,
+    * never on raw doubles). */
+  val AucScale = 10000L
+
+  /** The Mann-Whitney U machinery of [[rocAuc]], factored so specs
+    * can feed planted score frames: input (cls, pos ∈ {0,1}, sc on
+    * an integer lattice), output per cls the exact pair accounting.
+    * u2 = 2·#{(pos,neg): sc_pos > sc_neg} + #{ties} — twice the
+    * U statistic, so the midrank tie convention (+½ per tied pair)
+    * stays integral; AUC = u2 / (2·n_pos·n_neg), published exactly
+    * as auc_ppm = u2·10⁶ div (2·n_pos·n_neg) on a DECIMAL(38)/
+    * HUGEINT lattice (u2·10⁶ ≤ 2·n_pos·n_neg·10⁶ needs >64 bits
+    * once n_pos·n_neg > 4.6e12 — i.e. beyond ~4M balanced rows —
+    * so BOTH engines widen: Spark DECIMAL(38,0), DuckDB HUGEINT;
+    * 10^38 holds to ~10^16 rows per class, far past 100 TB).
+    *
+    * Shape: one (cls, sc) combining aggregate (cells ≤ classes ×
+    * lattice width, corpus-size-free), a per-cls running sum over
+    * those cells, and a ≤classes-row rollup. */
+  private[graft] def aucFromScored(scored: DataFrame): DataFrame = {
+    val cells = scored.groupBy(col("cls"), col("sc"))
+      .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+    val below = Window.partitionBy(col("cls")).orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cum_neg", coalesce(sum(col("n_neg")).over(below), lit(0L)))
+      .groupBy(col("cls"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        sum(col("n_pos") * (lit(2L) * col("cum_neg") + col("n_neg"))).as("u2"))
+      .select(col("cls").cast("long").as("label"), col("n_pos"),
+        col("n_neg"), col("u2"),
+        when(col("n_pos") * col("n_neg") === 0, lit(0L))
+          .otherwise(expr("CAST(floor(CAST(u2 AS DECIMAL(38,0)) * 1000000" +
+            " / (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)) AS BIGINT)"))
+          .as("auc_ppm"))
+  }
+
+  /** K176: EXACT ROC-AUC — the area under the ROC curve via the
+    * Mann-Whitney U identity (Mann & Whitney 1947; the AUC≡U/(mn)
+    * reading popularized by Hanley & McNeil, Radiology 1982):
+    * AUC = P(score_pos > score_neg) + ½P(tie), computed as exact
+    * pair counts from rank sums — never by trapezoid-integrating a
+    * float curve. Completes the eval family: K18 recall / K151 NDCG
+    * / K164 MRR grade RANKINGS; nothing graded the BINARY quality
+    * gates (K134 clip_gate, K154 conformal_gate) a curation pipeline
+    * tunes — AUC is the threshold-free number those gates are tuned
+    * against. Classifier under eval: the nearest-centroid
+    * one-vs-rest scorer over the labeled embeddings (the K76
+    * integer-centroid construction — quantized ×[[KMeansIter.Scale]]
+    * coordinates, floor-divided centroids, BIGINT dots), scored as
+    * centroid cosine on the ×[[AucScale]] lattice; per class c the
+    * positives are label=c rows, negatives the rest, and
+    * [[aucFromScored]] turns the (cls, sc) cells into exact
+    * u2 / auc_ppm integers. Ties use the midrank convention as
+    * exact rationals (u2 = twice U keeps the ½-per-tie integral);
+    * no float ever reaches the hash gate — the only doubles are
+    * inside the per-row score quantization (sqrt/divide, identical
+    * IEEE ops in both engines, the pairCos posture).
+    *
+    * Shape: one N×d explode → (label, dim) combining aggregate for
+    * centroids (map-side partials), one dim-keyed join against the
+    * BROADCAST classes×d centroid frame (N×classes dot rows — the
+    * per-row work of any one-vs-rest eval), then the cells/rollup
+    * of [[aucFromScored]] — no shuffle wider than N×classes, no
+    * all-pairs anything: pair counts come from rank algebra, not
+    * pair enumeration. */
+  def rocAuc(s: SparkSession, dir: String): DataFrame = {
+    val S = KMeansIter.Scale
+    val q = embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("v").cast("double") * S + 0.5).cast("long").as("qv"))
+      .localCheckpoint() // N×d; read three ways below
+    val cent = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+      .select(col("label").as("cls"), col("dim"),
+        floor(col("sq").cast("double") / col("cnt")).cast("long").as("cv"))
+      .localCheckpoint() // classes × d; broadcast below
+    val cnorm = cent.groupBy(col("cls")).agg(sum(col("cv") * col("cv")).as("cn2"))
+    val vnorm = q.groupBy(col("vec_id")).agg(sum(col("qv") * col("qv")).as("vn2"))
+    val scored = q.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("label"), col("cls"))
+      .agg(sum(col("qv") * col("cv")).as("dot"))
+      .join(vnorm, "vec_id")
+      .join(broadcast(cnorm), "cls")
+      .select(col("cls"),
+        (col("label") === col("cls")).cast("long").as("pos"),
+        when(col("vn2") * col("cn2") === 0, lit(0L))
+          .otherwise(floor(col("dot").cast("double") /
+            (sqrt(col("vn2").cast("double")) * sqrt(col("cn2").cast("double")))
+            * AucScale + 0.5).cast("long")).as("sc"))
+    aucFromScored(scored)
+  }
+
+  lazy val rocAucSql: String = {
+    val S = KMeansIter.Scale
+    s"""WITH q AS (
+       |  SELECT vec_id, label, d - 1 AS dim,
+       |    CAST(floor(v::DOUBLE * $S + 0.5) AS BIGINT) AS qv
+       |  FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+       |               unnest(embedding) AS v FROM embeddings)),
+       |cent AS (
+       |  SELECT label AS cls, dim,
+       |    CAST(floor(sum(qv)::DOUBLE / count(*)) AS BIGINT) AS cv
+       |  FROM q GROUP BY 1, 2),
+       |cn AS (SELECT cls, sum(cv * cv)::BIGINT AS cn2 FROM cent GROUP BY 1),
+       |vn AS (SELECT vec_id, sum(qv * qv)::BIGINT AS vn2 FROM q GROUP BY 1),
+       |dots AS (
+       |  SELECT q.vec_id, q.label, c.cls, sum(q.qv * c.cv)::BIGINT AS dot
+       |  FROM q JOIN cent c USING (dim) GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT cls,
+       |    (CASE WHEN label = cls THEN 1 ELSE 0 END)::BIGINT AS pos,
+       |    CASE WHEN vn2 * cn2 = 0 THEN 0
+       |         ELSE CAST(floor(dot::DOUBLE /
+       |           (sqrt(vn2::DOUBLE) * sqrt(cn2::DOUBLE)) * $AucScale.0 + 0.5)
+       |           AS BIGINT) END AS sc
+       |  FROM dots JOIN vn USING (vec_id) JOIN cn USING (cls)),
+       |cells AS (
+       |  SELECT cls, sc, sum(pos)::BIGINT AS n_pos,
+       |    sum(1 - pos)::BIGINT AS n_neg
+       |  FROM scored GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT cls, n_pos, n_neg,
+       |    coalesce(sum(n_neg) OVER (PARTITION BY cls ORDER BY sc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS cum_neg
+       |  FROM cells)
+       |SELECT cls::BIGINT AS label, sum(n_pos)::BIGINT AS n_pos,
+       |  sum(n_neg)::BIGINT AS n_neg,
+       |  sum(n_pos * (2 * cum_neg + n_neg))::BIGINT AS u2,
+       |  CASE WHEN sum(n_pos) * sum(n_neg) = 0 THEN 0
+       |       ELSE (sum(n_pos * (2 * cum_neg + n_neg))::HUGEINT * 1000000
+       |             // (2::HUGEINT * sum(n_pos) * sum(n_neg)))::BIGINT
+       |  END AS auc_ppm
+       |FROM cum GROUP BY cls""".stripMargin
+  }
+
   /** ColBERT folding: 64 dims -> [[CbTokens]] sub-vectors of
     * [[CbDim]] dims, and the result depth. */
   val CbTokens = 16

@@ -741,4 +741,66 @@ class AnnSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == KcK)
     assert(radii.head > 0.0)
   }
+
+  test("roc_auc machinery: planted separable scores give AUC 1, identical " +
+    "distributions give exactly 0.5, and a planted tie lands on midrank") {
+    import spark.implicits._
+    // separable: every positive outscores every negative → u2 = 2mn
+    val sep = (1 to 20).map(i => (0, 1L, 100L + i)) ++
+      (1 to 30).map(i => (0, 0L, i.toLong))
+    // inseparable: positives and negatives share the same lattice
+    // values 1..10 → pure midrank, AUC exactly 1/2
+    val insep = (1 to 10).flatMap(v => Seq((1, 1L, v.toLong), (1, 0L, v.toLong)))
+    // one planted tie: pos at {1,3}, neg at {2,3} → pairs: (1,2) lose,
+    // (1,3) lose, (3,2) win, (3,3) tie → u2 = 2*1 + 1 = 3 of 2*2*2=8
+    val tie = Seq((2, 1L, 1L), (2, 1L, 3L), (2, 0L, 2L), (2, 0L, 3L))
+    val got = graft.operators.Ann.aucFromScored(
+      (sep ++ insep ++ tie).toDF("cls", "pos", "sc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((20L, 30L, 2L * 20 * 30, 1000000L)))
+    assert(got(1L) == ((10L, 10L, 100L, 500000L)))
+    assert(got(2L) == ((2L, 2L, 3L, 375000L)))
+  }
+
+  test("roc_auc: corpus result replays from a local nearest-centroid " +
+    "brute force; AUC is properly above chance on the labeled embeddings") {
+    import graft.operators.KMeansIter
+    import graft.operators.Ann.AucScale
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(v =>
+          math.floor(v.toDouble * KMeansIter.Scale + 0.5).toLong),
+        r.getInt(2)))
+    val dims = rows.head._2.length
+    val cents: Map[Int, Array[Long]] = rows.groupBy(_._3).view.mapValues { g =>
+      Array.tabulate(dims)(d =>
+        math.floor(g.map(_._2(d)).sum.toDouble / g.length).toLong)
+    }.toMap
+    def qscore(v: Array[Long], c: Array[Long]): Long = {
+      val dot = v.zip(c).map { case (a, b) => a * b }.sum
+      val vn2 = v.map(x => x * x).sum.toDouble
+      val cn2 = c.map(x => x * x).sum.toDouble
+      if (vn2 * cn2 == 0) 0L
+      else math.floor(dot.toDouble / (math.sqrt(vn2) * math.sqrt(cn2))
+        * AucScale + 0.5).toLong
+    }
+    val expected = cents.map { case (cls, c) =>
+      val scored = rows.map(r => (r._3 == cls, qscore(r._2, c)))
+      val pos = scored.filter(_._1).map(_._2)
+      val neg = scored.filterNot(_._1).map(_._2)
+      val u2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+      cls.toLong -> ((pos.length.toLong, neg.length.toLong, u2,
+        u2 * 1000000L / (2L * pos.length * neg.length)))
+    }
+    val got = SparkEntry.queries("roc_auc")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // the centroid scorer must beat chance on its own training labels
+    // for every class — the synthetic labels are cluster-correlated
+    assert(got.values.forall(_._4 > 500000L),
+      s"some class at/below chance: $got")
+  }
 }
