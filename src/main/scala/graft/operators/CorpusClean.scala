@@ -733,6 +733,184 @@ object CorpusClean {
        |FROM documents JOIN bfr USING (doc_id) JOIN aft USING (doc_id)
        |GROUP BY source""".stripMargin
 
+  /** [[unigramLm]] EM rounds and the word-length cap: words longer
+    * than [[UlmMaxWord]] chars are excluded from training (the
+    * SentencePiece max_sentencepiece_length / pre-split convention);
+    * this corpus' generator tops out at 8, so nothing is dropped
+    * here, and at scale the cap bounds the per-word lattice at
+    * 2^(L−1) ≤ 128 segmentations regardless of corpus size. */
+  val UlmRounds = 3
+  val UlmMaxWord = 8
+
+  /** Exact fixed-point log2 on the bit lattice: for x ≥ 1,
+    * logish(x) = msb·1024 + (the 10 mantissa bits after the msb) =
+    * ilog2(x)·2¹⁰ + ((x·2¹⁰) >> ilog2(x)) − 2¹⁰ — the classic
+    * piecewise-linear log2 (error < 0.09 %), MONOTONE in x and pure
+    * integer algebra (bin-length + shifts), so Viterbi comparisons
+    * on summed log-probabilities are bit-identical across engines —
+    * no libm log anywhere near an argmax (the record_linkage ilog2
+    * convention, widened by 10 mantissa bits so EM re-estimation
+    * actually moves scores between rounds instead of collapsing
+    * onto whole-bit ties). */
+  private def logishExpr(x: String): String =
+    s"((length(bin($x)) - 1) * 1024" +
+      s" + shiftright(($x) * 1024, CAST(length(bin($x)) - 1 AS INT)) - 1024)"
+
+  /** K177: UNIGRAM-LM TOKENIZER TRAINING — the SentencePiece unigram
+    * model (Kudo, ACL 2018: "Subword Regularization"), the OTHER
+    * production subword trainer next to BPE (K63): start from a
+    * large seed vocabulary of candidate pieces, iterate EM — E-step
+    * segments the corpus under current piece probabilities, M-step
+    * re-estimates probabilities from the segmentation counts — and
+    * let unused pieces fall out (the pruning analog). This is the
+    * HARD-EM (Viterbi) variant: each word takes its single best
+    * segmentation per round, the deterministic integer-exact form
+    * of Kudo's §3.2 loop (soft forward-backward expectations are
+    * float-valued and engine-divergent by construction; Viterbi EM
+    * is the standard deterministic degeneration and what most
+    * re-implementations ship first). All algebra exact: seed counts
+    * = substring occurrence counts weighted by word frequency,
+    * log-probabilities live on the [[logishExpr]] bit lattice
+    * (score(seg) = Σ logish(cnt_piece) − |seg|·logish(total),
+    * BIGINT), argmax tiebreak (score desc, piece-count asc, cut-mask
+    * asc) — engine-invariant integer order, no collation anywhere.
+    * The E-step is ENUMERATED, not DP: a word of length L has
+    * 2^(L−1) segmentations indexed by cut BITMASK, and piece (a,b]
+    * belongs to mask m iff bits a..b−2 of m are 0 and bits a−1, b−1
+    * are set (word-edge positions exempt) — pure shift/and algebra
+    * both engines evaluate identically; with [[UlmMaxWord]] = 8 the
+    * lattice is ≤ 128 masks × ≤ 8 pieces per DISTINCT word, built
+    * once and reused by every round (only counts change). A word's
+    * round-r winner stays valid at r+1 (its pieces were just
+    * counted), so every word always has a segmentation — single
+    * chars need no special floor. Output: the re-estimated vocab
+    * after each round (round, piece, cnt, share_ppm); the vocabulary
+    * is MONOTONE SHRINKING (round-r counts only cover round-r
+    * winners' pieces), which is the EM pruning story the spec pins
+    * alongside a full local sequential-trainer replay. Oracle: the
+    * bpe_train contract — chained MATERIALIZED CTEs recomputing
+    * their own E/M steps with zero injected constants.
+    *
+    * Shape: ONE corpus token pass (map-side combining word count) —
+    * everything after runs on the distinct-word lattice (vocab ×
+    * ≤128×8 rows, corpus-size-FREE): per round one broadcast join
+    * of piece counts onto the lattice, a (word, mask) combining
+    * aggregate, a per-word width-≤128 window argmax, and a
+    * piece-keyed recount; localCheckpoint per round (the kcore
+    * lineage convention). At 100 TB the corpus pass is the only
+    * data-proportional stage — the EM loop costs the same as at
+    * sf0.001. */
+  def unigramLm(s: SparkSession, dir: String): DataFrame = {
+    val words = documents(s, dir)
+      .select(explode(TextFns.wsTokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) <= UlmMaxWord)
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .localCheckpoint() // distinct words; lattice + seed read it
+    val pairs = words
+      .select(col("word"), col("wf"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("a"))
+      .select(col("word"), col("wf"), col("a"),
+        explode(sequence(col("a") + 1, length(col("word")))).as("b"))
+      .select(col("word"), col("wf"), col("a"), col("b"),
+        expr("substring(word, a + 1, b - a)").as("piece"))
+    val lat = pairs
+      .select(col("word"), col("wf"), col("a"), col("b"), col("piece"),
+        explode(expr(
+          "sequence(CAST(0 AS BIGINT)," +
+            " shiftleft(CAST(1 AS BIGINT)," +
+            " CAST(length(word) AS INT) - 1) - 1)")).as("mask"))
+      .filter(
+        expr("a = 0 OR (shiftright(mask, CAST(a - 1 AS INT)) & 1) = 1") &&
+        expr("b = length(word) OR (shiftright(mask, CAST(b - 1 AS INT)) & 1) = 1") &&
+        expr("(shiftright(mask, CAST(a AS INT)) &" +
+          " (shiftleft(CAST(1 AS BIGINT), CAST(b - a - 1 AS INT)) - 1)) = 0"))
+      .select(col("word"), col("wf"), col("mask"), col("piece"))
+      .localCheckpoint() // distinct-word lattice; reused every round
+    var vocab = pairs.groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+      .localCheckpoint() // seed: weighted substring occurrence counts
+    var report: DataFrame = null
+    for (round <- 1 to UlmRounds) {
+      val tot = vocab.agg(sum(col("cnt")).as("tot"))
+        .select(expr(logishExpr("tot")).as("ltot"))
+      val scored = lat.join(broadcast(vocab), "piece")
+        .groupBy(col("word"), col("mask"))
+        .agg(count(lit(1)).as("found"),
+          sum(expr(logishExpr("cnt"))).as("lsum"))
+        .withColumn("need", expr("bit_count(mask) + 1"))
+        .filter(col("found") === col("need")) // no pruned piece inside
+        .crossJoin(broadcast(tot)) // 1-row scalar frame
+        .withColumn("score", col("lsum") - col("need") * col("ltot"))
+      val win = Window.partitionBy(col("word"))
+        .orderBy(col("score").desc, col("need"), col("mask"))
+      val winners = scored
+        .withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+        .select(col("word"), col("mask"))
+      vocab = lat.join(winners, Seq("word", "mask"))
+        .groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+        .localCheckpoint() // M-step recount; next round reads it
+      val rtot = vocab.agg(sum(col("cnt")).as("rt"))
+      val rows = vocab.crossJoin(broadcast(rtot)) // 1-row scalar frame
+        .select(lit(round.toLong).as("round"), col("piece"), col("cnt"),
+          expr("(cnt * 1000000) div rt").as("share_ppm"))
+      report = if (report == null) rows else report.unionByName(rows)
+    }
+    report
+  }
+
+  lazy val unigramLmSql: String = {
+    def logish(x: String): String =
+      s"((length(bin($x)) - 1) * 1024" +
+        s" + ((($x) * 1024) >> (length(bin($x)) - 1)) - 1024)"
+    val base =
+      s"""wrd AS MATERIALIZED (
+         |  SELECT word, count(*)::BIGINT AS wf FROM (
+         |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+         |    FROM documents)
+         |  WHERE length(word) <= $UlmMaxWord GROUP BY 1),
+         |prs AS MATERIALIZED (
+         |  SELECT word, wf, a, b, substr(word, (a + 1)::INT, (b - a)::INT) AS piece
+         |  FROM wrd, unnest(range(0, length(word))) AS ta(a),
+         |       unnest(range(1, length(word) + 1)) AS tb(b)
+         |  WHERE a < b),
+         |lat AS MATERIALIZED (
+         |  SELECT word, wf, mask, piece
+         |  FROM prs, unnest(range(0, 1 << (length(word) - 1)::INT)) AS tm(mask)
+         |  WHERE (a = 0 OR ((mask >> (a - 1)::INT) & 1) = 1)
+         |    AND (b = length(word) OR ((mask >> (b - 1)::INT) & 1) = 1)
+         |    AND ((mask >> a::INT) & ((1::BIGINT << (b - a - 1)::INT) - 1)) = 0),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, sum(wf)::BIGINT AS cnt FROM prs GROUP BY 1)"""
+        .stripMargin
+    val rounds = (1 to UlmRounds).map { k =>
+      s"""lt$k AS MATERIALIZED (
+         |  SELECT ${logish("sum(cnt)")}::BIGINT AS ltot FROM v${k - 1}),
+         |sc$k AS MATERIALIZED (
+         |  SELECT word, mask, count(*)::BIGINT AS found,
+         |    bit_count(mask) + 1 AS need,
+         |    (sum(${logish("cnt")}) - (bit_count(mask) + 1) *
+         |      (SELECT ltot FROM lt$k))::BIGINT AS score
+         |  FROM lat JOIN v${k - 1} USING (piece)
+         |  GROUP BY word, mask
+         |  HAVING count(*) = bit_count(mask) + 1),
+         |wn$k AS MATERIALIZED (
+         |  SELECT word, mask FROM (
+         |    SELECT word, mask, row_number() OVER (PARTITION BY word
+         |      ORDER BY score DESC, need ASC, mask ASC) AS rn
+         |    FROM sc$k) WHERE rn = 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT piece, sum(wf)::BIGINT AS cnt
+         |  FROM lat JOIN wn$k USING (word, mask) GROUP BY 1),
+         |rt$k AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS rt FROM v$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to UlmRounds).map { k =>
+      s"""SELECT $k::BIGINT AS round, piece, cnt,
+         |  (cnt * 1000000 // (SELECT rt FROM rt$k))::BIGINT AS share_ppm
+         |FROM v$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $base,\n$rounds\n$out"
+  }
+
   /** K132: CCNET HEAD/MIDDLE/TAIL BUCKETS — the published CCNet
     * (Wenzek et al., LREC 2020) corpus partition every
     * CommonCrawl-derived training set inherits: within each language,

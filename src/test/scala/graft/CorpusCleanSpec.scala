@@ -772,4 +772,88 @@ class CorpusCleanSpec extends SparkSpec {
       q(w, w1) != cbg((w, w1)) * LmScale / ctx(w)._1 }
     assert(moved, "KN equals MLE everywhere — discount vacuous")
   }
+
+  // ---- unigram_lm: the local sequential trainer the operator must
+  // replay exactly (same logish lattice, same tiebreak) ----
+  private def ulmLogish(x: Long): Long = {
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    b * 1024L + ((x * 1024L) >> b) - 1024L
+  }
+  private def ulmPieces(word: String, mask: Long): Seq[String] = {
+    val cuts = (1 until word.length).filter(p => ((mask >> (p - 1)) & 1L) == 1L)
+    val bounds = 0 +: cuts :+ word.length
+    bounds.sliding(2).map { case Seq(a, b) => word.substring(a, b) }.toSeq
+  }
+  private def ulmTrain(words: Map[String, Long], rounds: Int)
+      : Seq[Map[String, Long]] = {
+    var vocab = words.toSeq.flatMap { case (w, f) =>
+      for (a <- 0 until w.length; b <- a + 1 to w.length)
+        yield (w.substring(a, b), f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    (1 to rounds).map { _ =>
+      val lt = ulmLogish(vocab.values.sum)
+      vocab = words.toSeq.flatMap { case (w, f) =>
+        val best = (0L until (1L << (w.length - 1))).flatMap { m =>
+          val ps = ulmPieces(w, m)
+          if (ps.forall(vocab.contains))
+            Some((ps.map(p => ulmLogish(vocab(p))).sum - ps.length * lt,
+              ps.length, m, ps))
+          else None
+        }.minBy { case (sc, np, m, _) => (-sc, np, m) }
+        best._4.map(p => (p, f))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      vocab
+    }
+  }
+
+  test("unigram_lm: every round's re-estimated vocab replays from the " +
+    "local sequential Viterbi-EM trainer; vocabulary shrinks monotonically") {
+    import graft.operators.CorpusClean.{UlmMaxWord, UlmRounds}
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => tokens(r.getString(0).toLowerCase))
+      .filter(_.length <= UlmMaxWord)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = ulmTrain(words, UlmRounds)
+    val got = run("unigram_lm").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    (1 to UlmRounds).foreach { r =>
+      assert(got(r.toLong) == expected(r - 1), s"round $r diverged")
+    }
+    // EM pruning: counts only ever cover winners' pieces
+    (2 to UlmRounds).foreach { r =>
+      assert(got(r.toLong).keySet.subsetOf(got(r - 1L).keySet))
+    }
+    assert(got(UlmRounds.toLong).nonEmpty)
+  }
+
+  test("unigram_lm: the EM loop is LIVE on a planted corpus — round 1 " +
+    "keeps a compound whole, round 2 re-segments it after mass concentrates") {
+    import graft.operators.CorpusClean.UlmRounds
+    import spark.implicits._
+    // words: aabb x12, aa x70, bb x70, ab x3. Seed mass (all
+    // substrings) keeps aabb whole in round 1; after the M-step
+    // concentrates mass on winners, aa/bb outweigh and round 2
+    // splits aabb -> aa+bb. Verified against ulmTrain below.
+    val words = Map("aabb" -> 12L, "aa" -> 70L, "bb" -> 70L, "ab" -> 3L)
+    val text = words.toSeq.sortBy(_._1)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("ulm_live")
+      .toFile.getAbsolutePath
+    Seq((1L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.CorpusClean.unigramLm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val expected = ulmTrain(words, UlmRounds)
+    (1 to UlmRounds).foreach { r =>
+      assert(got(r.toLong) == expected(r - 1), s"round $r diverged")
+    }
+    assert(got(1L).contains("aabb"), "round 1 should keep the compound")
+    assert(!got(2L).contains("aabb"), "round 2 should re-segment it")
+    assert(got(2L)("aa") == 82L && got(2L)("bb") == 82L)
+  }
 }
