@@ -1038,16 +1038,20 @@ object Graph {
     * rows — shuffle ∝ adjacency per sweep, labels localCheckpoint'd
     * (the kcore lineage convention); oracle = the sweeps unrolled as
     * MATERIALIZED CTEs (the cc_labels contract). */
-  def louvainMove(s: SparkSession, dir: String): DataFrame = {
+  /** The shared synchronous gain-sweep loop of K171 louvain_move and
+    * K178 leiden_refine: `rounds` sweeps of the strictly-improving
+    * best-community move over `adj` from `start` labels (n, lab).
+    * Candidate communities come from `adj` only — the Leiden
+    * refinement restricts moves to within-parent by handing a
+    * parent-filtered adjacency. Returns (labels, labels before the
+    * last sweep) so callers can report the final move count. */
+  private def gainSweeps(adj: DataFrame, deg: DataFrame, mF: DataFrame,
+                         start: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val edges = coEdges(s, dir).localCheckpoint()
-    val adj = lpaAdj(edges)
-    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val mF = edges.agg(count(lit(1)).as("m")) // 1-row scalar frame
-    var lab = deg.select(col("n"), col("n").as("lab")).localCheckpoint()
+    var lab = start.localCheckpoint()
     var labPrev = lab
-    for (_ <- 1 to LvRounds) {
+    for (_ <- 1 to rounds) {
       val nbc = adj
         .join(lab.select(col("n").as("nb"), col("lab").as("c")), "nb")
         .groupBy(col("n"), col("c")).agg(count(lit(1)).as("kic"))
@@ -1073,6 +1077,17 @@ object Graph {
           when(col("bs") > col("ss"), col("bc")).otherwise(col("lab")).as("lab"))
         .localCheckpoint()
     }
+    (lab, labPrev)
+  }
+
+  def louvainMove(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint()
+    val adj = lpaAdj(edges)
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val mF = edges.agg(count(lit(1)).as("m")) // 1-row scalar frame
+    val (lab, labPrev) = gainSweeps(adj, deg, mF,
+      deg.select(col("n"), col("n").as("lab")), LvRounds)
     val moved = lab.join(labPrev.withColumnRenamed("lab", "plab"), "n")
       .agg(sum(when(col("lab") =!= col("plab"), 1L).otherwise(0L))
         .as("n_moved_last"))
@@ -1099,39 +1114,50 @@ object Graph {
       .crossJoin(broadcast(moved))
   }
 
-  lazy val louvainMoveSql: String = {
-    val roundCtes = (1 to LvRounds).map { r =>
-      val prev = s"lv${r - 1}"
-      s"""nbc$r AS MATERIALIZED (
+  /** The DuckDB twin of [[gainSweeps]]: `rounds` synchronous sweeps
+    * as chained MATERIALIZED CTEs (the cc_labels contract). Labels
+    * live in `$pfx$r` frames starting from `${pfx}0`; candidates
+    * come from `adjName` — leiden_refine hands the parent-filtered
+    * adjacency, louvain_move the full one. */
+  private def gainSweepCtes(pfx: String, adjName: String,
+                            rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = s"$pfx${r - 1}"
+      s"""${pfx}nbc$r AS MATERIALIZED (
          |  SELECT a.n, l.lab AS c, count(*)::BIGINT AS kic
-         |  FROM adj a JOIN $prev l ON l.n = a.nb GROUP BY 1, 2),
-         |cand$r AS MATERIALIZED (
+         |  FROM $adjName a JOIN $prev l ON l.n = a.nb GROUP BY 1, 2),
+         |${pfx}cand$r AS MATERIALIZED (
          |  SELECT n, c, max(kic)::BIGINT AS kic FROM (
-         |    SELECT n, c, kic FROM nbc$r
+         |    SELECT n, c, kic FROM ${pfx}nbc$r
          |    UNION ALL SELECT n, lab AS c, 0 FROM $prev)
          |  GROUP BY 1, 2),
-         |tot$r AS MATERIALIZED (
+         |${pfx}tot$r AS MATERIALIZED (
          |  SELECT l.lab AS c, sum(d.deg)::BIGINT AS tot
          |  FROM $prev l JOIN deg d USING (n) GROUP BY 1),
-         |sc$r AS MATERIALIZED (
+         |${pfx}sc$r AS MATERIALIZED (
          |  SELECT cd.n, cd.c, l.lab,
          |    2 * mm.m * cd.kic - d.deg *
          |      (t.tot - CASE WHEN l.lab = cd.c THEN d.deg ELSE 0 END) AS s
-         |  FROM cand$r cd
-         |  JOIN tot$r t ON t.c = cd.c
+         |  FROM ${pfx}cand$r cd
+         |  JOIN ${pfx}tot$r t ON t.c = cd.c
          |  JOIN deg d ON d.n = cd.n
          |  JOIN $prev l ON l.n = cd.n, mm),
-         |best$r AS MATERIALIZED (
+         |${pfx}best$r AS MATERIALIZED (
          |  SELECT n, c AS bc, s AS bs FROM (
          |    SELECT n, c, s,
          |      row_number() OVER (PARTITION BY n ORDER BY s DESC, c) AS rk
-         |    FROM sc$r) WHERE rk = 1),
-         |stay$r AS MATERIALIZED (SELECT n, s AS ss FROM sc$r WHERE lab = c),
-         |lv$r AS MATERIALIZED (
+         |    FROM ${pfx}sc$r) WHERE rk = 1),
+         |${pfx}stay$r AS MATERIALIZED (
+         |  SELECT n, s AS ss FROM ${pfx}sc$r WHERE lab = c),
+         |$pfx$r AS MATERIALIZED (
          |  SELECT l.n, CASE WHEN b.bs > st.ss THEN b.bc ELSE l.lab END AS lab
-         |  FROM $prev l JOIN best$r b USING (n) JOIN stay$r st USING (n))"""
+         |  FROM $prev l JOIN ${pfx}best$r b USING (n)
+         |  JOIN ${pfx}stay$r st USING (n))"""
         .stripMargin
     }.mkString(",\n")
+
+  lazy val louvainMoveSql: String = {
+    val roundCtes = gainSweepCtes("lv", "adj", LvRounds)
     coEdgesCte + s""",
       |adj AS MATERIALIZED (
       |  SELECT s1 AS n, s2 AS nb FROM edges
@@ -1169,6 +1195,182 @@ object Graph {
       |SELECT community, n_nodes, in_edges, deg_sum, contrib_pm,
       |  q0_pm, q_pm, n_moved_last
       |FROM comm, q0, qt, mv""".stripMargin
+  }
+
+  /** Refinement sweeps for [[leidenRefine]]. Two suffice on these
+    * graphs: from singletons, sweep 1 forms the within-parent
+    * nuclei, sweep 2 absorbs stragglers (measured last-sweep move
+    * counts 1/55/6 at sf0.001/0.01/0.1 — the K171 fixed-round
+    * convention: rounds are a budget, not a convergence test, and
+    * n_moved_last in the report says how settled the partition
+    * is; the sf0.01 near-clique keeps churning because its dense
+    * parent offers many equal-gain refuges). */
+  val LrRounds = 2
+
+  /** The refinement core on an explicit edge frame + parent map —
+    * exposed so the spec can plant a Louvain-pathological parent
+    * (a barbell labeled as ONE community) and watch it split. */
+  private[graft] def leidenRefineOn(edges: DataFrame,
+                                    par: DataFrame): DataFrame = {
+    val adj = lpaAdj(edges)
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val mF = edges.agg(count(lit(1)).as("m")) // 1-row scalar frame
+    val adjP = adj
+      .join(par, "n")
+      .join(par.select(col("n").as("nb"), col("par").as("pnb")), "nb")
+      .filter(col("par") === col("pnb"))
+      .select(col("n"), col("nb"))
+      .localCheckpoint() // within-parent adjacency; joined every sweep
+    val (rlab, rlabPrev) = gainSweeps(adjP, deg, mF,
+      deg.select(col("n"), col("n").as("lab")), LrRounds)
+    val moved = rlab.join(rlabPrev.withColumnRenamed("lab", "plab"), "n")
+      .agg(sum(when(col("lab") =!= col("plab"), 1L).otherwise(0L))
+        .as("n_moved_last"))
+    def commFrame(lb: DataFrame, key: String): DataFrame = {
+      val el = edges
+        .join(lb.select(col("n").as("s1"), col("lab").as("l1")), "s1")
+        .join(lb.select(col("n").as("s2"), col("lab").as("l2")), "s2")
+      val inC = el.filter(col("l1") === col("l2"))
+        .groupBy(col("l1").as(key)).agg(count(lit(1)).as("in_edges"))
+      deg.join(lb, "n")
+        .groupBy(col("lab").as(key))
+        .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+        .join(inC, Seq(key), "left_outer")
+        .na.fill(0L, Seq("in_edges"))
+        .crossJoin(broadcast(mF))
+        .withColumn("contrib_pm",
+          expr("(in_edges * 1000000) div m - " +
+            "(deg_sum * deg_sum * 1000000) div (4 * m * m)"))
+        .drop("m")
+    }
+    val rcomm = commFrame(rlab, "community")
+      .join(broadcast(par.select(col("n").as("community"),
+        col("par").as("parent"))), "community")
+      .localCheckpoint() // refined communities; report + rollups
+    val pcomm = commFrame(par.withColumnRenamed("par", "lab"), "parent")
+      .localCheckpoint() // parent communities; the before-side q
+    val qp = pcomm.agg(sum(col("contrib_pm")).as("q_parent_pm"),
+      count(lit(1)).as("n_parents"))
+    val qr = rcomm.agg(sum(col("contrib_pm")).as("q_refined_pm"),
+      count(lit(1)).as("n_refined"))
+    val split = rcomm.groupBy(col("parent")).agg(count(lit(1)).as("k"))
+      .agg(sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_split"))
+    rcomm.select(col("parent"), col("community"), col("n_nodes"),
+        col("in_edges"), col("deg_sum"), col("contrib_pm"))
+      .crossJoin(broadcast(qp)) // 1-row scalar report frames
+      .crossJoin(broadcast(qr))
+      .crossJoin(broadcast(split))
+      .crossJoin(broadcast(moved))
+  }
+
+  /** K178: LEIDEN REFINEMENT SWEEP — the refinement phase of Traag,
+    * Waltman & van Eck 2019 ("From Louvain to Leiden: guaranteeing
+    * well-connected communities"), run after K171's local-move
+    * phase: Louvain's moves can leave a community BADLY CONNECTED —
+    * even internally disconnected, once the node that bridged two
+    * halves moves on (the paper's headline defect, their Fig. 2) —
+    * and the fix is to RE-PARTITION each community from singletons,
+    * allowing merges only WITHIN the parent community. Same
+    * deterministic synchronous gain-sweep machinery as K171 (shared
+    * [[gainSweeps]] core, BIGINT scores, (s desc, c asc) argmax,
+    * strict improvement): the only change is the parent-filtered
+    * adjacency, so a parent whose halves are held together by
+    * nothing (or by one bridge the gain algebra rejects) falls
+    * apart into its well-connected pieces — label values propagate
+    * within parents only, so refined ids never collide across
+    * parents. Output per refined community: parent, the K93
+    * contrib_pm convention, plus the partition-level read — parent
+    * vs refined modularity (on these corpora refinement trades a
+    * little modularity for connectedness, q_refined < q_parent at
+    * all three SFs, and Leiden's aggregation phase is what wins it
+    * back; a pathological parent can also IMPROVE — the barbell
+    * spec's single-community parent scores 0 and its refined split
+    * scores positive), community counts, how many parents actually
+    * split, and the last sweep's move count.
+    *
+    * Shape: the K171 shape twice (parent sweeps + refinement
+    * sweeps) — per sweep two community-keyed combining aggregates
+    * and a per-node window, shuffle ∝ adjacency, never pairwise;
+    * the parent filter only SHRINKS the swept edge set. */
+  def leidenRefine(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint()
+    val adj = lpaAdj(edges)
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val mF = edges.agg(count(lit(1)).as("m")) // 1-row scalar frame
+    val (plab, _) = gainSweeps(adj, deg, mF,
+      deg.select(col("n"), col("n").as("lab")), LvRounds)
+    leidenRefineOn(edges, plab.select(col("n"), col("lab").as("par"))
+      .localCheckpoint())
+  }
+
+  lazy val leidenRefineSql: String = {
+    val lvCtes = gainSweepCtes("lv", "adj", LvRounds)
+    val rfCtes = gainSweepCtes("rf", "adjp", LrRounds)
+    coEdgesCte + s""",
+      |adj AS MATERIALIZED (
+      |  SELECT s1 AS n, s2 AS nb FROM edges
+      |  UNION ALL SELECT s2, s1 FROM edges),
+      |deg AS MATERIALIZED (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+      |mm AS (SELECT count(*)::BIGINT AS m FROM edges),
+      |lv0 AS MATERIALIZED (SELECT n, n AS lab FROM deg),
+      |$lvCtes,
+      |prnt AS MATERIALIZED (SELECT n, lab AS par FROM lv$LvRounds),
+      |adjp AS MATERIALIZED (
+      |  SELECT a.n, a.nb FROM adj a
+      |  JOIN prnt p1 ON p1.n = a.n JOIN prnt p2 ON p2.n = a.nb
+      |  WHERE p1.par = p2.par),
+      |rf0 AS MATERIALIZED (SELECT n, n AS lab FROM deg),
+      |$rfCtes,
+      |mv AS (
+      |  SELECT sum(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_moved_last
+      |  FROM rf$LrRounds a JOIN rf${LrRounds - 1} b USING (n)),
+      |rel AS (
+      |  SELECT la.lab AS l1, lb.lab AS l2
+      |  FROM edges e JOIN rf$LrRounds la ON la.n = e.s1
+      |  JOIN rf$LrRounds lb ON lb.n = e.s2),
+      |rinc AS (SELECT l1 AS community, count(*)::BIGINT AS in_edges
+      |         FROM rel WHERE l1 = l2 GROUP BY 1),
+      |rdegc AS (
+      |  SELECT l.lab AS community, sum(d.deg)::BIGINT AS deg_sum,
+      |    count(*)::BIGINT AS n_nodes
+      |  FROM deg d JOIN rf$LrRounds l USING (n) GROUP BY 1),
+      |rcomm AS MATERIALIZED (
+      |  SELECT p.par AS parent, dc.community, dc.n_nodes,
+      |    coalesce(ic.in_edges, 0)::BIGINT AS in_edges, dc.deg_sum,
+      |    ((coalesce(ic.in_edges, 0) * 1000000) // mm.m
+      |      - (dc.deg_sum * dc.deg_sum * 1000000) // (4 * mm.m * mm.m))::BIGINT
+      |      AS contrib_pm
+      |  FROM rdegc dc LEFT JOIN rinc ic USING (community)
+      |  JOIN prnt p ON p.n = dc.community, mm),
+      |pel AS (
+      |  SELECT pa.par AS l1, pb.par AS l2
+      |  FROM edges e JOIN prnt pa ON pa.n = e.s1
+      |  JOIN prnt pb ON pb.n = e.s2),
+      |pinc AS (SELECT l1 AS parent, count(*)::BIGINT AS in_edges
+      |         FROM pel WHERE l1 = l2 GROUP BY 1),
+      |pdegc AS (
+      |  SELECT p.par AS parent, sum(d.deg)::BIGINT AS deg_sum,
+      |    count(*)::BIGINT AS n_nodes
+      |  FROM deg d JOIN prnt p USING (n) GROUP BY 1),
+      |pcomm AS MATERIALIZED (
+      |  SELECT dc.parent,
+      |    ((coalesce(ic.in_edges, 0) * 1000000) // mm.m
+      |      - (dc.deg_sum * dc.deg_sum * 1000000) // (4 * mm.m * mm.m))::BIGINT
+      |      AS contrib_pm
+      |  FROM pdegc dc LEFT JOIN pinc ic USING (parent), mm),
+      |qp AS (SELECT sum(contrib_pm)::BIGINT AS q_parent_pm,
+      |              count(*)::BIGINT AS n_parents FROM pcomm),
+      |qr AS (SELECT sum(contrib_pm)::BIGINT AS q_refined_pm,
+      |              count(*)::BIGINT AS n_refined FROM rcomm),
+      |spl AS (SELECT sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT AS n_split
+      |        FROM (SELECT parent, count(*) AS k FROM rcomm GROUP BY 1))
+      |SELECT parent, community, n_nodes, in_edges, deg_sum, contrib_pm,
+      |  q_parent_pm, n_parents, q_refined_pm, n_refined, n_split,
+      |  n_moved_last
+      |FROM rcomm, qp, qr, spl, mv""".stripMargin
   }
 
   /** BFS hop budget. At the tested SFs this exercises every regime:

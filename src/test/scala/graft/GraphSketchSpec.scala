@@ -792,4 +792,58 @@ class GraphSketchSpec extends SparkSpec {
     assert(qpm > q0, s"q $qpm vs q0 $q0")
     assert(comms.size < deg.size, "no community ever formed")
   }
+
+  test("leiden_refine: a Louvain-pathological barbell labeled as ONE " +
+    "community splits into its two cliques under refinement") {
+    import spark.implicits._
+    // K5 + K5 joined by a single bridge (5,6); the planted parent map
+    // calls the whole thing one community — the badly-connected shape
+    // Traag et al. 2019 built the refinement phase for
+    val k5a = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val k5b = for (i <- 6L to 10L; j <- (i + 1) to 10L) yield (i, j)
+    val edges = (k5a ++ k5b :+ ((5L, 6L))).toDF("s1", "s2")
+    val par = (1L to 10L).map(n => (n, 1L)).toDF("n", "par")
+    val rows = graft.operators.Graph.leidenRefineOn(edges, par).collect()
+    assert(rows.length == 2, s"expected the barbell to split: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("parent") == 1L)
+      assert(r.getAs[Long]("n_nodes") == 5L, s"uneven split: ${rows.toSeq}")
+      assert(r.getAs[Long]("in_edges") == 10L) // each side is its K5
+      assert(r.getAs[Long]("n_parents") == 1L)
+      assert(r.getAs[Long]("n_refined") == 2L)
+      assert(r.getAs[Long]("n_split") == 1L)
+      // the single-community parent scores 0; the split is strictly
+      // better — refinement can IMPROVE a pathological partition
+      assert(r.getAs[Long]("q_parent_pm") == 0L)
+      assert(r.getAs[Long]("q_refined_pm") > 0L)
+    }
+  }
+
+  test("leiden_refine: corpus report is internally consistent and the " +
+    "refinement is a true within-parent partition refinement") {
+    val rows = run("leiden_refine").collect()
+      .map(r => (r.getAs[Long]("parent"), r.getAs[Long]("community"),
+        r.getAs[Long]("n_nodes"), r.getAs[Long]("contrib_pm"),
+        r.getAs[Long]("q_parent_pm"), r.getAs[Long]("q_refined_pm"),
+        r.getAs[Long]("n_parents"), r.getAs[Long]("n_refined"),
+        r.getAs[Long]("n_split")))
+    assert(rows.nonEmpty)
+    val (qp, qr, np, nr, ns) = (rows.head._5, rows.head._6, rows.head._7,
+      rows.head._8, rows.head._9)
+    assert(rows.length.toLong == nr)
+    assert(rows.map(_._4).sum == qr, "q_refined_pm is not the contrib sum")
+    assert(rows.map(_._1).distinct.length.toLong <= np)
+    assert(rows.groupBy(_._1).count(_._2.length > 1).toLong == ns)
+    assert(nr >= np, "refinement can only split parents, never merge them")
+    // cross-operator: parents partition the same node set louvain_move
+    // reported — sizes must agree parent-by-parent
+    val louvain = run("louvain_move").collect()
+      .map(r => r.getAs[Long]("community") -> r.getAs[Long]("n_nodes")).toMap
+    val byParent = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byParent == louvain,
+      "refined sizes do not re-assemble the louvain communities")
+    assert(qp == run("louvain_move").collect()
+      .map(_.getAs[Long]("contrib_pm")).sum, "parent q differs from louvain")
+    assert(qr <= qp || ns > 0, "refined q rose without any split")
+  }
 }

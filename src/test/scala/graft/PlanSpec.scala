@@ -667,10 +667,11 @@ class PlanSpec extends SparkSpec {
     // lof consumes ONLY the persisted kNN artifact (joins over it);
     // the fact-chain link scores read the purchase-pairs artifact,
     // never the raw fact chain
-    Seq("lof_outliers", "adamic_adar", "louvain_move").foreach { name =>
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"), s"$name goes pairwise:\n$p")
-    }
+    Seq("lof_outliers", "adamic_adar", "louvain_move", "leiden_refine")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct"), s"$name goes pairwise:\n$p")
+      }
     val hits = plan("hits_scores")
     assert(!hits.contains("lineitem"),
       s"hits_scores re-derives the fact chain instead of the artifact:\n$hits")
