@@ -52,7 +52,10 @@ object ABProbe {
       "pre" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "pre"))),
     "prart" -> Seq(
       "pre" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "pre")),
-      "art" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "art"))))
+      "art" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "art"))),
+    "annevals" -> Seq(
+      "fresh" -> ((dir: String) => operators.Ann.annEvalsProbe(s, dir, art = false)),
+      "art" -> ((dir: String) => operators.Ann.annEvalsProbe(s, dir, art = true))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

@@ -290,6 +290,7 @@ object Bench {
     operators.Dedup.ensurePairStats(spark, sfDir) // the exact-similarity family reads it
     operators.Dedup.ensureMinhashSig(spark, sfDir) // minhash_est/band_tune read it
     operators.Ann.ensureKnnTopk(spark, sfDir) // knn_join/knn_label_eval read it
+    operators.Ann.ensureAnnRanked(spark, sfDir) // the eval trio reads it
     operators.Dedup.ensureClusterLabels(spark, sfDir) // dedup_apply reads it
     operators.CorpusClean.ensureBpeTokens(spark, sfDir) // bpe_apply reads it
     operators.Graph.ensureCoEdges(spark, sfDir) // the graph family reads it

@@ -639,26 +639,109 @@ object Ann {
        |  (sqq::DOUBLE / n - (sq::DOUBLE / n) * (sq::DOUBLE / n)) / 100000000.0 < $DeadVarFloor AS dead
        |FROM a""".stripMargin
 
+  /** Root for the materialized eval RANKINGS — the four ranking
+    * pipelines (D1 exact, D2 LSH, D3 IVF, K72 PQ) that the THREE
+    * eval operators (ann_recall, K151 ndcg_eval, K164 mrr_eval)
+    * each re-ran inline before r13 — ~12 ranking pipelines per
+    * eval-suite pass. At 100 TB a ranking run is a batch job whose
+    * output every eval joins (the knn_topk / purchase-pairs
+    * write-once lifecycle), never an inline recompute × 3. One
+    * frame (path, qid, nb, rnk); subdir embeds an
+    * [[graft.ingest.ArtifactCache]] token over the embeddings table
+    * + every constant all four paths read, so a parameter change
+    * self-invalidates. The per-path operators (ann_lsh …) stay
+    * fresh computations — they ARE the thing under eval; only the
+    * evals read the artifact. Measured ([[graft.ABProbe]]
+    * `annevals`, sf0.1, alternating, 4 rounds, warm med of the trio
+    * as one job): 8.19 s fresh → 1.72 s artifact (4.8×), with the
+    * build itself outside the timed path (the Bench fixture
+    * convention). */
+  val AnnRankedRoot = "target/graft_ann_ranked"
+
+  def annRankedPath(dir: String): String =
+    s"$AnnRankedRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("embeddings"),
+        s"k=$K;nq=$NumQueries;lsh=$LshBits/$LshTables;" +
+          s"ivf=$IvfCentroids/$IvfProbes;" +
+          s"pq=$PqSubDim/$PqK/$PqProbes/$PqTopK;blocks=${Dedup.CosBlocks}")
+
+  /** The from-scratch four-path ranking union — the artifact
+    * builder (and the A-side of the ABProbe pair). */
+  private[graft] def annRankedFresh(s: SparkSession, dir: String): DataFrame =
+    annBruteforce(s, dir)
+      .select(lit("exact").as("path"), col("qid"), col("nb"), col("rnk"))
+      .unionByName(annLsh(s, dir)
+        .select(lit("lsh").as("path"), col("qid"), col("nb"), col("rnk")))
+      .unionByName(annIvf(s, dir)
+        .select(lit("ivf").as("path"), col("qid"), col("nb"), col("rnk")))
+      .unionByName(annPq(s, dir)
+        .select(lit("pq").as("path"), col("probe_id").as("qid"),
+          col("neighbor").as("nb"), col("rank").as("rnk")))
+
+  def ensureAnnRanked(s: SparkSession, dir: String): String = {
+    val path = annRankedPath(dir)
+    graft.ingest.ArtifactCache.ensure(path) {
+      annRankedFresh(s, dir).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** One path's persisted ranking (qid, nb, rnk). */
+  private def rankedOf(s: SparkSession, dir: String, p: String): DataFrame =
+    s.read.parquet(ensureAnnRanked(s, dir))
+      .filter(col("path") === p).select(col("qid"), col("nb"), col("rnk"))
+
+  /** The pre-r13 inline form of [[rankedOf]] — the B-side of the
+    * `annevals` ABProbe pair and the row-identity spec's witness
+    * that the artifact changes WHERE rankings come from, never what
+    * they contain. */
+  private[graft] def freshRankedOf(s: SparkSession, dir: String,
+                                   p: String): DataFrame = p match {
+    case "exact" => annBruteforce(s, dir).select(col("qid"), col("nb"), col("rnk"))
+    case "lsh"   => annLsh(s, dir).select(col("qid"), col("nb"), col("rnk"))
+    case "ivf"   => annIvf(s, dir).select(col("qid"), col("nb"), col("rnk"))
+    case "pq"    => annPq(s, dir).select(col("probe_id").as("qid"),
+      col("neighbor").as("nb"), col("rank").as("rnk"))
+  }
+
+  /** The eval trio reduced to one frame for the ABProbe harness:
+    * every upstream stage still runs, only a 2-column projection is
+    * written. art = artifact reads vs fresh inline rankings. */
+  private[graft] def annEvalsProbe(s: SparkSession, dir: String,
+                                   art: Boolean): DataFrame = {
+    val src: String => DataFrame =
+      if (art) rankedOf(s, dir, _) else freshRankedOf(s, dir, _)
+    annRecallFrom(src)
+      .select(concat(lit("recall_"), col("qid")).as("k"),
+        col("lsh_hits").as("v"))
+      .unionByName(ndcgEvalFrom(src)
+        .select(concat(lit("ndcg_"), col("path")).as("k"),
+          col("ndcg_pm").as("v")))
+      .unionByName(mrrEvalFrom(src)
+        .select(concat(lit("mrr_"), col("path")).as("k"),
+          col("mrr_pm").as("v")))
+  }
+
   /** K-line: ANN RECALL@K calibration — per query, how many of the
     * exact top-[[K]] (D1) each approximate path (D2 LSH, D3 IVF,
     * K72 PQ) returned. The eval table a pipeline reads before
     * trusting an index's (bits, tables)/(cells, probes)/(codebook)
     * settings on a new corpus — the ANN analog of minhash_est's
-    * banding calibration. Runs the four ranking pipelines (each
-    * keeps its own scale shape; PQ shares the probe set,
-    * [[NumQueries]] = [[PqProbes]]) and reduces their pair sets with
-    * three left joins + one query-keyed aggregate; everything
-    * downstream of the rankings is probe-set-sized. Fully oracled:
-    * all four paths already replay in DuckDB, so their intersection
-    * does too. (PQ ranks by asymmetric quantized L2 rather than
-    * cosine — its recall against the cosine baseline is exactly the
-    * metric-mismatch read this table exists to surface.) */
-  def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val ex = annBruteforce(s, dir).select(col("qid"), col("nb"))
-    val lsh = annLsh(s, dir).select(col("qid"), col("nb"), lit(1L).as("l"))
-    val ivf = annIvf(s, dir).select(col("qid"), col("nb"), lit(1L).as("i"))
-    val pq = annPq(s, dir)
-      .select(col("probe_id").as("qid"), col("neighbor").as("nb"), lit(1L).as("p"))
+    * banding calibration. Since r13 the four rankings come from the
+    * PERSISTED [[ensureAnnRanked]] artifact (shared with ndcg_eval /
+    * mrr_eval); everything downstream of the artifact read is
+    * probe-set-sized. Fully oracled: all four paths replay in
+    * DuckDB, so their intersection does too. (PQ ranks by
+    * asymmetric quantized L2 rather than cosine — its recall
+    * against the cosine baseline is exactly the metric-mismatch
+    * read this table exists to surface.) */
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    annRecallFrom(rankedOf(s, dir, _))
+
+  private[graft] def annRecallFrom(src: String => DataFrame): DataFrame = {
+    val ex = src("exact").select(col("qid"), col("nb"))
+    val lsh = src("lsh").select(col("qid"), col("nb"), lit(1L).as("l"))
+    val ivf = src("ivf").select(col("qid"), col("nb"), lit(1L).as("i"))
+    val pq = src("pq").select(col("qid"), col("nb"), lit(1L).as("p"))
     ex.join(lsh, Seq("qid", "nb"), "left_outer")
       .join(ivf, Seq("qid", "nb"), "left_outer")
       .join(pq, Seq("qid", "nb"), "left_outer")
@@ -1235,8 +1318,12 @@ object Ann {
     * Shape: the three ranked pipelines are the family's documented
     * forms; everything after is probe-set-sized joins + one 3-row
     * rollup — the ann_recall posture with rank-weighted sums. */
-  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
-    val ex = annBruteforce(s, dir).select(col("qid"), col("nb"), lit(1L).as("hit"))
+  def ndcgEval(s: SparkSession, dir: String): DataFrame =
+    ndcgEvalFrom(rankedOf(s, dir, _))
+
+  private[graft] def ndcgEvalFrom(src: String => DataFrame): DataFrame = {
+    val ex = src("exact")
+      .select(col("qid"), col("nb"), lit(1L).as("hit"))
       .localCheckpoint() // K x NumQueries rows; joined by all three paths
     val wArr = array(NdcgW.map(lit): _*)
     val cwArr = array((0L +: NdcgCw).map(lit): _*)
@@ -1257,12 +1344,9 @@ object Ann {
         when(col("sum_idcg") === 0, 0L)
           .otherwise(expr("(sum_dcg * 1000) div sum_idcg"))
           .as("rank_quality_pm"))
-    scoreOf("lsh", annLsh(s, dir).select(col("qid"), col("nb"), col("rnk")))
-      .unionByName(scoreOf("ivf",
-        annIvf(s, dir).select(col("qid"), col("nb"), col("rnk"))))
-      .unionByName(scoreOf("pq", annPq(s, dir).select(
-        col("probe_id").as("qid"), col("neighbor").as("nb"),
-        col("rank").as("rnk"))))
+    scoreOf("lsh", src("lsh"))
+      .unionByName(scoreOf("ivf", src("ivf")))
+      .unionByName(scoreOf("pq", src("pq")))
   }
 
   lazy val ndcgEvalSql: String = {
@@ -1317,8 +1401,11 @@ object Ann {
     *
     * Shape: probe-set-sized joins against the broadcast exact set +
     * a per-query min + one 3-row rollup (the ndcg_eval posture). */
-  def mrrEval(s: SparkSession, dir: String): DataFrame = {
-    val ex = annBruteforce(s, dir).select(col("qid"), col("nb"))
+  def mrrEval(s: SparkSession, dir: String): DataFrame =
+    mrrEvalFrom(rankedOf(s, dir, _))
+
+  private[graft] def mrrEvalFrom(src: String => DataFrame): DataFrame = {
+    val ex = src("exact").select(col("qid"), col("nb"))
       .localCheckpoint() // K x NumQueries rows; joined by all three paths
     def scoreOf(path: String, ranked: DataFrame): DataFrame = ranked
       .filter(col("rnk") <= K)
@@ -1330,12 +1417,9 @@ object Ann {
         coalesce(col("sum_rr"), lit(0L)).as("sum_rr"))
     val nq = ex.select(col("qid")).distinct()
       .agg(count(lit(1)).as("n_queries")) // off the checkpointed ex
-    scoreOf("lsh", annLsh(s, dir).select(col("qid"), col("nb"), col("rnk")))
-      .unionByName(scoreOf("ivf",
-        annIvf(s, dir).select(col("qid"), col("nb"), col("rnk"))))
-      .unionByName(scoreOf("pq", annPq(s, dir).select(
-        col("probe_id").as("qid"), col("neighbor").as("nb"),
-        col("rank").as("rnk"))))
+    scoreOf("lsh", src("lsh"))
+      .unionByName(scoreOf("ivf", src("ivf")))
+      .unionByName(scoreOf("pq", src("pq")))
       .crossJoin(broadcast(nq)) // 1-row scalar frame
       .select(col("path"), col("n_queries"), col("n_hit"), col("sum_rr"),
         when(col("n_queries") === 0L, 0L)

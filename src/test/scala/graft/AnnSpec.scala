@@ -742,6 +742,25 @@ class AnnSpec extends SparkSpec {
     assert(radii.head > 0.0)
   }
 
+  test("ann_ranked artifact: persisted rankings are row-identical to the " +
+    "fresh pipelines, and the eval trio is unchanged by the swap") {
+    import graft.operators.{Ann => AnnOp}
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    // the artifact is the four fresh rankings, verbatim
+    assert(rows(spark.read.parquet(AnnOp.ensureAnnRanked(spark, sf)))
+      == rows(AnnOp.annRankedFresh(spark, sf)))
+    // each eval's output is identical under fresh vs artifact sources
+    val fresh = AnnOp.freshRankedOf(spark, sf, _: String)
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "ann_recall" -> AnnOp.annRecallFrom(fresh),
+      "ndcg_eval" -> AnnOp.ndcgEvalFrom(fresh),
+      "mrr_eval" -> AnnOp.mrrEvalFrom(fresh))
+      .foreach { case (name, freshDf) =>
+        assert(rows(run(name)) == rows(freshDf), s"$name diverged")
+      }
+  }
+
   test("roc_auc machinery: planted separable scores give AUC 1, identical " +
     "distributions give exactly 0.5, and a planted tie lands on midrank") {
     import spark.implicits._

@@ -678,6 +678,12 @@ class PlanSpec extends SparkSpec {
     val pr = plan("pagerank_iter")
     assert(!pr.contains("lineitem"),
       s"pagerank_iter re-derives the fact chain instead of the artifact:\n$pr")
+    // the eval trio must read the persisted rankings, never re-rank
+    Seq("ann_recall", "ndcg_eval", "mrr_eval").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("embeddings.parquet"),
+        s"$name re-derives rankings instead of reading graft_ann_ranked:\n$p")
+    }
     // bff: the <=m-row set-bit frame must BROADCAST into the probe join
     val bff = plan("bff_dedup")
     assert(bff.contains("BroadcastHashJoin"),
