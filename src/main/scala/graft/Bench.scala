@@ -201,6 +201,21 @@ object BenchDrift {
   def discountDrift(parRatio: Option[Double], scanRatio: Option[Double]): Boolean =
     discountDrift(parRatio) || scanRatio.exists(_ > ParDriftMax)
 
+  /** Any-stamp discount, with the r13 EXCHANGE fingerprint
+    * ([[calibShuffleMs]]) as the third axis. The r13 incident that
+    * motivated it: 28 warm flags on untouched queries, all phantom
+    * (idle QProbe re-runs mid-band, an r12-code worktree A/B on the
+    * same box equal-or-slower than r13) — the new box ran real
+    * shuffle-bound queries ~2× slower than the prior box while
+    * reading 2.1× FASTER on both ALU spins and flat on the scan
+    * stamp. Spin sees cores, scan sees the read path; neither sees
+    * the exchange path (row serialization, shuffle spill writes,
+    * memory bandwidth) that dominates wide-plan queries. */
+  def discountDrift(parRatio: Option[Double], scanRatio: Option[Double],
+                    shuffleRatio: Option[Double]): Boolean =
+    discountDrift(parRatio, scanRatio) ||
+      shuffleRatio.exists(_ > ParDriftMax)
+
   /** End-of-run re-measure verdict on the warm_regressed flags. The
     * r11 driver incident this answers: 41 queries flagged up to 16×
     * (dedup_clusters 1.78→18.7 s, html_extract slope 43) in ONE
@@ -261,6 +276,26 @@ object BenchDrift {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col("n_nationkey"))).collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    times.min
+  }
+
+  /** EXCHANGE-shaped calibration, milliseconds — the fourth
+    * fingerprint: a fixed synthetic 4M-row, 32-partition hash
+    * exchange (range → modulo keys → groupBy count), min of
+    * `passes`. Times the layer every wide plan pays and the other
+    * three stamps are blind to: row serialization, shuffle write +
+    * fetch, hash-aggregate memory traffic. Corpus-free by
+    * construction, so the stamp is comparable across runs, scales
+    * and boxes; see the r13 incident note on [[discountDrift]]. */
+  def calibShuffleMs(spark: SparkSession, passes: Int = 3): Double = {
+    val times = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 4000000L, 1, 32)
+        .selectExpr("id % 100000 AS k")
+        .groupBy("k").count()
+        .agg(org.apache.spark.sql.functions.sum("count")).collect()
       (System.nanoTime() - t0) / 1e6
     }
     times.min
@@ -424,12 +459,16 @@ object Bench {
     // over the SF-invariant 25-row nation table — the layer the two
     // pure-ALU spins are blind to (the r11-continuation incident)
     val calibScan = BenchDrift.calibScanMs(spark, sfDir)
+    val calibShuffle = BenchDrift.calibShuffleMs(spark)
     val calibRatio = BenchDrift.parseCalib(priorJson).map(p => r3(calib / p))
     val calibParRatio =
       BenchDrift.parseNum(priorJson, "calib_par_ms").map(p => r3(calibPar / p))
     val calibScanRatio =
       BenchDrift.parseNum(priorJson, "calib_scan_ms").map(p => r3(calibScan / p))
-    val discounted = BenchDrift.discountDrift(calibParRatio, calibScanRatio)
+    val calibShuffleRatio = BenchDrift.parseNum(priorJson, "calib_shuffle_ms")
+      .map(p => r3(calibShuffle / p))
+    val discounted = BenchDrift.discountDrift(calibParRatio, calibScanRatio,
+      calibShuffleRatio)
     val common = s""""value":$total,"unit":"sec","warm_total":$warmTotal,""" +
       s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
       s""""sf":"$sfDir","failed":$failed,"noisy":$noisy,""" +
@@ -440,10 +479,12 @@ object Bench {
       s""""calib_par_run0_ms":${r3(calibPar0)},""" +
       s""""calib_par_pre_remeasure_ms":${r3(calibParPre)},""" +
       s""""calib_ms":${r3(calib)},"calib_par_ms":${r3(calibPar)},""" +
-      s""""calib_scan_ms":${r3(calibScan)}""" +
+      s""""calib_scan_ms":${r3(calibScan)},""" +
+      s""""calib_shuffle_ms":${r3(calibShuffle)}""" +
       calibRatio.map(r => s""","calib_vs_prior":$r""").getOrElse("") +
       calibParRatio.map(r => s""","calib_par_vs_prior":$r""").getOrElse("") +
-      calibScanRatio.map(r => s""","calib_scan_vs_prior":$r""").getOrElse("")
+      calibScanRatio.map(r => s""","calib_scan_vs_prior":$r""").getOrElse("") +
+      calibShuffleRatio.map(r => s""","calib_shuffle_vs_prior":$r""").getOrElse("")
     val summary = s"""{"metric":"total_summary",$common}"""
     val line = s"""{"metric":"total",$common,"queries":${qjson(_._2)},""" +
       s""""queries_warm":${qjson(_._3)},"queries_start":${qjson(_._4)},""" +

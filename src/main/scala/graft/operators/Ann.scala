@@ -1392,8 +1392,9 @@ object Ann {
     * approximate path returns, 0 when none does. Completes the
     * ranking-eval family — K18 recall (what came back), K151 NDCG
     * (where it all landed), MRR (where the first hit landed) — all
-    * off the same persisted exact ranking and the same three
-    * approximate pipelines. Engine-portability: reciprocal ranks
+    * off the same persisted [[ensureAnnRanked]] four-path ranking
+    * artifact (since r13; one build, three consumers).
+    * Engine-portability: reciprocal ranks
     * live on the exact [[MrrLcm]] = lcm(1..K) integer lattice
     * (1/rank = MrrLcm/rank exactly, rank ≤ K), so sum_rr is an
     * order-free BIGINT sum and mrr_pm = (sum_rr·1000) div

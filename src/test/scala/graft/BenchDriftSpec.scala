@@ -99,6 +99,23 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(p3 == flags && t3.isEmpty)
   }
 
+  test("calib_shuffle: the r13 exchange fingerprint discounts the " +
+    "shuffle-bound-box incident shape the other three stamps missed") {
+    assert(BenchDrift.parseNum("""{"calib_shuffle_ms":412.7}""",
+      "calib_shuffle_ms").contains(412.7))
+    // the r13 shape: both spins FASTER (0.47), scan flat (0.88),
+    // exchange path 2x slower — flags must be stamped suspect on the
+    // shuffle evidence alone
+    assert(BenchDrift.discountDrift(Some(0.47), Some(0.88), Some(2.0)))
+    // any single stamp suffices; none -> trusted; missing prior
+    // field (pre-r13 line) -> falls back to the other stamps
+    assert(BenchDrift.discountDrift(Some(1.22), Some(1.0), Some(1.0)))
+    assert(BenchDrift.discountDrift(Some(1.0), Some(1.6), Some(1.0)))
+    assert(!BenchDrift.discountDrift(Some(1.0), Some(1.0), Some(1.05)))
+    assert(!BenchDrift.discountDrift(None, None, None))
+    assert(!BenchDrift.discountDrift(Some(0.9), Some(0.9), None))
+  }
+
   test("a planted noisy+regressed query lands in warm_transient, not " +
     "warm_regressed (the r12 driver phantom class)") {
     // the r12 shape: dedup_minhash_lsh flagged 1.87->20.4 warm while
