@@ -1484,8 +1484,13 @@ object Ann {
       .select(col("cls").cast("long").as("label"), col("n_pos"),
         col("n_neg"), col("u2"),
         when(col("n_pos") * col("n_neg") === 0, lit(0L))
-          .otherwise(expr("CAST(floor(CAST(u2 AS DECIMAL(38,0)) * 1000000" +
-            " / (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)) AS BIGINT)"))
+          // integral `div` on DECIMAL(38) operands: an EXACT floor
+          // division (the decimal `/`-then-floor form rounds the
+          // quotient to scale 6 first — round-then-floor can bump a
+          // value sitting within 5e-7 below an integer, a real
+          // parity hazard once term counts grow; r13 hardening)
+          .otherwise(expr("CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000" +
+            " div (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2) AS BIGINT)"))
           .as("auc_ppm"))
   }
 
@@ -1518,7 +1523,19 @@ object Ann {
     * of [[aucFromScored]] — no shuffle wider than N×classes, no
     * all-pairs anything: pair counts come from rank algebra, not
     * pair enumeration. */
-  def rocAuc(s: SparkSession, dir: String): DataFrame = {
+  def rocAuc(s: SparkSession, dir: String): DataFrame =
+    aucFromScored(centroidScored(s, dir))
+
+  /** The one-vs-rest nearest-centroid scorer shared by the binary
+    * eval family ([[rocAuc]] K176, [[prAuc]] K179,
+    * [[calibrationEval]] K180, [[isotonicFit]] K181): per (class,
+    * row) the centroid cosine on the ×[[AucScale]] integer lattice,
+    * with pos = 1 iff the row's label is the class. Factored (r13)
+    * exactly as [[aucFromScored]] was: the four evals are different
+    * integrals over the SAME scored frame, so the scorer lives once
+    * and each eval stays a pure cells/rollup computation its spec
+    * can drive with planted frames. */
+  private[graft] def centroidScored(s: SparkSession, dir: String): DataFrame = {
     val S = KMeansIter.Scale
     val q = embeddings(s, dir)
       .select(col("vec_id"), col("label"),
@@ -1544,12 +1561,15 @@ object Ann {
           .otherwise(floor(col("dot").cast("double") /
             (sqrt(col("vn2").cast("double")) * sqrt(col("cn2").cast("double")))
             * AucScale + 0.5).cast("long")).as("sc"))
-    aucFromScored(scored)
+    scored
   }
 
-  lazy val rocAucSql: String = {
+  /** The CTE chain producing the `scored` frame of
+    * [[centroidScored]] — the shared WITH-body prefix of the four
+    * binary-eval oracles (ends at `scored(cls, pos, sc)`). */
+  private lazy val centroidScoredCte: String = {
     val S = KMeansIter.Scale
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id, label, d - 1 AS dim,
        |    CAST(floor(v::DOUBLE * $S + 0.5) AS BIGINT) AS qv
        |  FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
@@ -1570,7 +1590,12 @@ object Ann {
        |         ELSE CAST(floor(dot::DOUBLE /
        |           (sqrt(vn2::DOUBLE) * sqrt(cn2::DOUBLE)) * $AucScale.0 + 0.5)
        |           AS BIGINT) END AS sc
-       |  FROM dots JOIN vn USING (vec_id) JOIN cn USING (cls)),
+       |  FROM dots JOIN vn USING (vec_id) JOIN cn USING (cls))"""
+      .stripMargin
+  }
+
+  lazy val rocAucSql: String = {
+    s"""WITH $centroidScoredCte,
        |cells AS (
        |  SELECT cls, sc, sum(pos)::BIGINT AS n_pos,
        |    sum(1 - pos)::BIGINT AS n_neg
@@ -1590,6 +1615,274 @@ object Ann {
        |  END AS auc_ppm
        |FROM cum GROUP BY cls""".stripMargin
   }
+
+  /** [[prAuc]]/[[aucFromScored]]-family per-threshold precision
+    * lattice: parts-per-billion, floored BEFORE the weighted sum
+    * (each threshold's precision is data-denominated — cumTP+cumFP
+    * varies per cell — so an LCM lattice is unavailable; the
+    * pre-floored ppb term keeps the sum order-free and
+    * engine-exact, error ≤ 10⁻⁹ per positive ≤ 10⁻³ ppm total). */
+  val ApTermScale = 1000000000L
+
+  /** The step-AP machinery of [[prAuc]], factored like
+    * [[aucFromScored]] so specs can feed planted (cls, pos, sc)
+    * frames. Step convention: AP = Σ_thresholds ΔR·P (the
+    * average_precision reading of the PR curve — no trapezoid, no
+    * interpolation), i.e. per distinct score cell, weight
+    * n_pos_cell by the precision at that threshold (cumTP /
+    * (cumTP+cumFP), cumulative in DESCENDING score order,
+    * inclusive). Every term is the exact integral `div` on the
+    * ×[[ApTermScale]] lattice — DECIMAL(38) numerators (n_pos_cell
+    * · cumTP · 10⁹ ≤ 10²⁷ at 10⁹ rows/class), BIGINT terms
+    * (≤ n_pos_cell·10⁹), an order-free BIGINT sum, and
+    * ap_ppm = sum_term div (n_pos·10³). */
+  private[graft] def apFromScored(scored: DataFrame): DataFrame = {
+    val cells = scored.groupBy(col("cls"), col("sc"))
+      .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+    val above = Window.partitionBy(col("cls")).orderBy(col("sc").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_tp", sum(col("n_pos")).over(above))
+      .withColumn("cum_all",
+        sum(col("n_pos") + col("n_neg")).over(above))
+      .withColumn("term", expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * cum_tp" +
+        s" * $ApTermScale div cum_all AS BIGINT)"))
+      .groupBy(col("cls"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        sum(col("term")).as("sum_term"))
+      .select(col("cls").cast("long").as("label"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0, lit(0L))
+          .otherwise(expr("sum_term div (n_pos * 1000)")).as("ap_ppm"))
+  }
+
+  /** K179: EXACT PR-AUC (AVERAGE PRECISION) — the area under the
+    * precision-recall curve as the step sum Σ ΔR·P over distinct
+    * score thresholds (the convention sklearn's
+    * average_precision_score documents, after Zhu 2004's "recall
+    * step" reading; Davis & Goadrich, ICML 2006 on why PR — not
+    * ROC — is the honest number under class imbalance). ROC-AUC
+    * (K176) weights positives and negatives symmetrically; a
+    * curation gate that keeps 2% of a corpus is tuned where
+    * negatives outnumber positives 50:1, exactly where AP and AUC
+    * disagree. Same scorer ([[centroidScored]]), same cells, a
+    * different integral: see [[apFromScored]] for the lattice.
+    *
+    * Shape: identical to K176 — the scorer's one N×d explode +
+    * broadcast centroid join, then a lattice-sized (≤ classes ×
+    * 2·10⁴ cells, corpus-size-free) window + rollup. */
+  def prAuc(s: SparkSession, dir: String): DataFrame =
+    apFromScored(centroidScored(s, dir))
+
+  lazy val prAucSql: String =
+    s"""WITH $centroidScoredCte,
+       |cells AS (
+       |  SELECT cls, sc, sum(pos)::BIGINT AS n_pos,
+       |    sum(1 - pos)::BIGINT AS n_neg
+       |  FROM scored GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT cls, n_pos, n_neg,
+       |    sum(n_pos) OVER w::BIGINT AS cum_tp,
+       |    sum(n_pos + n_neg) OVER w::BIGINT AS cum_all
+       |  FROM cells
+       |  WINDOW w AS (PARTITION BY cls ORDER BY sc DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |terms AS (
+       |  SELECT cls, n_pos, n_neg,
+       |    (n_pos::HUGEINT * cum_tp * $ApTermScale // cum_all)::BIGINT AS term
+       |  FROM cum)
+       |SELECT cls::BIGINT AS label, sum(n_pos)::BIGINT AS n_pos,
+       |  sum(n_neg)::BIGINT AS n_neg,
+       |  CASE WHEN sum(n_pos) = 0 THEN 0
+       |       ELSE sum(term) // (sum(n_pos) * 1000) END::BIGINT AS ap_ppm
+       |FROM terms GROUP BY cls""".stripMargin
+
+  /** [[calibrationEval]]/[[isotonicFit]] probability lattice: the
+    * signed ×[[AucScale]] cosine shifted to p2 = sc + AucScale ∈
+    * [0, 2·AucScale] — a ×[[PScale]] probability (the documented
+    * monotone map from similarity to a [0,1] confidence; the swap
+    * point for a real sigmoid head). Kept ×2 so the shift stays on
+    * an integer lattice (sc parity varies). */
+  val PScale = 2L * AucScale
+
+  /** Reliability bins for [[calibrationEval]] (the standard 10-bin
+    * diagram) and [[isotonicFit]] (20, so pooling is visible). */
+  val EceBins = 10
+  val IsoBins = 20
+
+  /** The ECE/Brier machinery of [[calibrationEval]], factored for
+    * planted-frame specs. All-integer: per (cls, bin) the gap
+    * numerator |pos_b·PScale − Σp2| is exact, and
+    * ece_ppm = Σ gaps · 10⁶ div (N·PScale) — the equal-width
+    * binned ECE definition (Naeini et al., AAAI 2015) with zero
+    * float accumulation; brier_ppm = Σ (p2 − pos·PScale)² · 10⁶
+    * div (N·PScale²) (Brier 1950), the sum of squares a BIGINT
+    * (≤ N·PScale² = 4·10¹⁷ at 10⁹ rows), the div DECIMAL(38). */
+  private[graft] def calibFromScored(scored: DataFrame): DataFrame = {
+    val binned = scored
+      .select(col("cls"), col("pos"), (col("sc") + lit(AucScale)).as("p2"))
+      .withColumn("bin", least(expr(s"p2 div ${PScale / EceBins}"),
+        lit(EceBins - 1L)))
+      .groupBy(col("cls"), col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("pos")).as("pos_b"),
+        sum(col("p2")).as("sum_p2"),
+        sum((col("p2") - col("pos") * PScale) *
+          (col("p2") - col("pos") * PScale)).as("sq_b"))
+      .withColumn("gap_b", abs(col("pos_b") * PScale - col("sum_p2")))
+    binned.groupBy(col("cls"))
+      .agg(sum(col("n_b")).as("n"), sum(col("gap_b")).as("sum_gap"),
+        sum(col("sq_b")).as("sum_sq"),
+        // gap·10⁶ ≤ n·PScale·10⁶ = n·2·10¹⁰ passes BIGINT past
+        // ~4.6·10⁸ rows/class — widen BOTH engines (HUGEINT twin)
+        max(expr("CAST(CAST(gap_b AS DECIMAL(38,0)) * 1000000" +
+          s" div (CAST(n_b AS DECIMAL(38,0)) * $PScale) AS BIGINT)"))
+          .as("max_bin_gap_ppm"))
+      .select(col("cls").cast("long").as("label"), col("n"),
+        expr("CAST(CAST(sum_gap AS DECIMAL(38,0)) * 1000000" +
+          s" div (CAST(n AS DECIMAL(38,0)) * $PScale) AS BIGINT)").as("ece_ppm"),
+        expr("CAST(CAST(sum_sq AS DECIMAL(38,0)) * 1000000" +
+          s" div (CAST(n AS DECIMAL(38,0)) * $PScale * $PScale)" +
+          " AS BIGINT)").as("brier_ppm"),
+        col("max_bin_gap_ppm"))
+  }
+
+  /** K180: CALIBRATION EVAL — expected calibration error over the
+    * standard [[EceBins]]-bin reliability diagram (Naeini et al.
+    * 2015; the binned-ECE form popularized by Guo et al., ICML
+    * 2017) plus the Brier score (Brier, Monthly Weather Review
+    * 1950), per class, for the same one-vs-rest scorer the other
+    * binary evals grade. AUC/AP are rank statistics — invariant to
+    * any monotone mis-scaling of the scores; a gate that THRESHOLDS
+    * (K134 clip_gate keeps score ≥ τ) needs the scores to MEAN
+    * something, which is exactly what ECE measures and what K181
+    * repairs. Confidence = the ×[[PScale]] shifted-cosine lattice
+    * (see [[PScale]]); every accumulation is an exact BIGINT.
+    *
+    * Shape: the scorer, then ONE (cls, bin) combining aggregate
+    * (≤ classes × [[EceBins]] cells) and a ≤classes-row rollup —
+    * nothing wider than the scorer itself at any corpus size. */
+  def calibrationEval(s: SparkSession, dir: String): DataFrame =
+    calibFromScored(centroidScored(s, dir))
+
+  lazy val calibrationEvalSql: String =
+    s"""WITH $centroidScoredCte,
+       |binned AS (
+       |  SELECT cls, least((sc + $AucScale) // ${PScale / EceBins},
+       |           ${EceBins - 1}) AS bin,
+       |    count(*)::BIGINT AS n_b, sum(pos)::BIGINT AS pos_b,
+       |    sum(sc + $AucScale)::BIGINT AS sum_p2,
+       |    sum((sc + $AucScale - pos * $PScale)
+       |      * (sc + $AucScale - pos * $PScale))::BIGINT AS sq_b
+       |  FROM scored GROUP BY 1, 2),
+       |gaps AS (
+       |  SELECT cls, bin, n_b, sq_b,
+       |    abs(pos_b * $PScale - sum_p2)::BIGINT AS gap_b
+       |  FROM binned)
+       |SELECT cls::BIGINT AS label, sum(n_b)::BIGINT AS n,
+       |  (sum(gap_b)::HUGEINT * 1000000
+       |    // (sum(n_b)::HUGEINT * $PScale))::BIGINT AS ece_ppm,
+       |  (sum(sq_b)::HUGEINT * 1000000
+       |    // (sum(n_b)::HUGEINT * $PScale * $PScale))::BIGINT AS brier_ppm,
+       |  max(gap_b::HUGEINT * 1000000
+       |    // (n_b::HUGEINT * $PScale))::BIGINT AS max_bin_gap_ppm
+       |FROM gaps GROUP BY cls""".stripMargin
+
+  /** The PAV machinery of [[isotonicFit]], factored for specs.
+    * Input: a binned frame (cls, bin, n_b, pos_b), n_b > 0. The
+    * isotonic (non-decreasing) least-squares fit via the exact
+    * minimax identity (Ayer et al., Ann. Math. Stat. 1955 — the
+    * closed form of Pool-Adjacent-Violators):
+    * fit_k = max_{i≤k} min_{j≥k} avg(pos / n over bins i..j),
+    * with every candidate segment average pre-floored to the ppm
+    * lattice (a_ij = seg_pos·10⁶ div seg_n) so the minimax runs on
+    * integers — flooring is monotone, so the fit stays isotonic
+    * and engine-exact. Bin count B = [[IsoBins]] bounds the pair
+    * enumeration at classes·B³ ≈ 3·10⁴ rows — corpus-size-free. */
+  private[graft] def pavFit(binned: DataFrame): DataFrame = {
+    val pre = Window.partitionBy(col("cls")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pfx = binned
+      .withColumn("cn", sum(col("n_b")).over(pre))
+      .withColumn("cp", sum(col("pos_b")).over(pre))
+      .localCheckpoint() // ≤ classes × IsoBins rows; read three ways
+    val segs = pfx.select(col("cls"), col("bin").as("i"),
+        (col("cn") - col("n_b")).as("cn_lo"), (col("cp") - col("pos_b")).as("cp_lo"))
+      .join(pfx.select(col("cls"), col("bin").as("j"),
+        col("cn").as("cn_hi"), col("cp").as("cp_hi")), Seq("cls"))
+      .where(col("i") <= col("j"))
+      .select(col("cls"), col("i"), col("j"),
+        expr("(cp_hi - cp_lo) * 1000000 div (cn_hi - cn_lo)").as("a"))
+    val mins = segs.join(pfx.select(col("cls"), col("bin").as("k")), Seq("cls"))
+      .where(col("i") <= col("k") && col("k") <= col("j"))
+      .groupBy(col("cls"), col("k"), col("i"))
+      .agg(min(col("a")).as("m"))
+      .groupBy(col("cls"), col("k")).agg(max(col("m")).as("fit_ppm"))
+      // fresh names: mins descends from binned, so joining the two on
+      // bare cols would self-reference (the trivially-true-equals trap)
+      .select(col("cls").as("f_cls"), col("k"), col("fit_ppm"))
+    binned.join(mins, col("cls") === col("f_cls") && col("bin") === col("k"))
+      .select(col("cls").cast("long").as("label"), col("bin"),
+        col("n_b").as("n"), col("pos_b").as("n_pos"),
+        expr("pos_b * 1000000 div n_b").as("rate_ppm"), col("fit_ppm"))
+  }
+
+  /** K181: ISOTONIC CALIBRATION FIT — the Pool-Adjacent-Violators
+    * solution (Ayer et al. 1955; the isotonic-regression
+    * calibration recipe of Zadrozny & Elkan, KDD 2002) mapping the
+    * scorer's confidence bins to a monotone non-decreasing
+    * probability fit — the repair step for whatever K180 measures.
+    * Computed via the exact minimax closed form, not the
+    * sequential pooling sweep: max-over-prefixes of
+    * min-over-suffixes of segment rates, every rate an exact
+    * integral div on the ppm lattice (see [[pavFit]]); the
+    * sequential PAV algorithm and the minimax formula provably
+    * coincide, and the formula is embarrassingly relational where
+    * the sweep is order-coupled. [[IsoBins]] bins over the
+    * ×[[PScale]] confidence lattice.
+    *
+    * Shape: the scorer collapses to ≤ classes × [[IsoBins]] binned
+    * rows FIRST; the B³ minimax enumeration happens on that
+    * corpus-size-free frame (broadcast self-joins, ~3·10⁴ rows) —
+    * the classic sketch-then-solve split: no per-row work depends
+    * on B, no per-bin work depends on N. */
+  def isotonicFit(s: SparkSession, dir: String): DataFrame = {
+    val binned = centroidScored(s, dir)
+      .select(col("cls"), col("pos"), (col("sc") + lit(AucScale)).as("p2"))
+      .withColumn("bin", least(expr(s"p2 div ${PScale / IsoBins}"),
+        lit(IsoBins - 1L)))
+      .groupBy(col("cls"), col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("pos")).as("pos_b"))
+    pavFit(binned)
+  }
+
+  lazy val isotonicFitSql: String =
+    s"""WITH $centroidScoredCte,
+       |binned AS (
+       |  SELECT cls, least((sc + $AucScale) // ${PScale / IsoBins},
+       |           ${IsoBins - 1}) AS bin,
+       |    count(*)::BIGINT AS n_b, sum(pos)::BIGINT AS pos_b
+       |  FROM scored GROUP BY 1, 2),
+       |pfx AS (
+       |  SELECT cls, bin, n_b, pos_b,
+       |    sum(n_b) OVER w::BIGINT AS cn, sum(pos_b) OVER w::BIGINT AS cp
+       |  FROM binned
+       |  WINDOW w AS (PARTITION BY cls ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |segs AS (
+       |  SELECT lo.cls, lo.bin AS i, hi.bin AS j,
+       |    ((hi.cp - lo.cp + lo.pos_b) * 1000000
+       |      // (hi.cn - lo.cn + lo.n_b))::BIGINT AS a
+       |  FROM pfx lo JOIN pfx hi ON lo.cls = hi.cls AND lo.bin <= hi.bin),
+       |mins AS (
+       |  SELECT s.cls, k.bin AS k, s.i, min(s.a)::BIGINT AS m
+       |  FROM segs s JOIN pfx k
+       |    ON s.cls = k.cls AND s.i <= k.bin AND k.bin <= s.j
+       |  GROUP BY 1, 2, 3),
+       |fit AS (
+       |  SELECT cls, k AS bin, max(m)::BIGINT AS fit_ppm
+       |  FROM mins GROUP BY 1, 2)
+       |SELECT b.cls::BIGINT AS label, b.bin, b.n_b AS n, b.pos_b AS n_pos,
+       |  (b.pos_b * 1000000 // b.n_b)::BIGINT AS rate_ppm, f.fit_ppm
+       |FROM binned b JOIN fit f ON b.cls = f.cls AND b.bin = f.bin""".stripMargin
 
   /** ColBERT folding: 64 dims -> [[CbTokens]] sub-vectors of
     * [[CbDim]] dims, and the result depth. */

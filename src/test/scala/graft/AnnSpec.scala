@@ -822,4 +822,80 @@ class AnnSpec extends SparkSpec {
     assert(got.values.forall(_._4 > 500000L),
       s"some class at/below chance: $got")
   }
+
+  test("pr_auc machinery: separable gives AP 1, pure ties give prevalence, " +
+    "and a 3-threshold plant lands on the exact step sum") {
+    import spark.implicits._
+    // separable: AP = 1 exactly
+    val sep = (1 to 5).map(i => (0, 1L, 100L + i)) ++
+      (1 to 7).map(i => (0, 0L, i.toLong))
+    // one tied cell (10 pos + 10 neg at one score): AP = prevalence 1/2
+    val tied = (1 to 10).flatMap(_ => Seq((1, 1L, 5L), (1, 0L, 5L)))
+    // pos at {3,1}, neg at {2}: thresholds P=1/1 then 0-weight then 2/3
+    // → AP = (1 + 2/3)/2 = 5/6 → sum_term 10⁹+666666666, ap_ppm 833333
+    val steps = Seq((2, 1L, 3L), (2, 0L, 2L), (2, 1L, 1L))
+    val got = graft.operators.Ann.apFromScored(
+      (sep ++ tied ++ steps).toDF("cls", "pos", "sc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((5L, 7L, 1000000L)))
+    assert(got(1L) == ((10L, 10L, 500000L)))
+    assert(got(2L) == ((2L, 1L, 833333L)))
+  }
+
+  test("calibration machinery: perfectly calibrated plants read ECE/Brier 0, " +
+    "a fully anti-calibrated plant reads both at the 10⁶ ceiling") {
+    import graft.operators.Ann.{AucScale, PScale}
+    import spark.implicits._
+    // confident-and-right: sc=+AucScale with pos=1 → p=1 spot-on
+    val good = (1 to 8).map(_ => (0, 1L, AucScale)) ++
+      (1 to 8).map(_ => (0, 0L, -AucScale))
+    // confident-and-wrong: p=1 on negatives, p=0 on positives
+    val bad = (1 to 8).map(_ => (1, 0L, AucScale)) ++
+      (1 to 8).map(_ => (1, 1L, -AucScale))
+    // mid-bin honesty: p = 1/2 (sc=0) on a half-positive cell → the
+    // bin gap is 0 even though Brier is 1/4
+    val mid = (1 to 4).flatMap(_ => Seq((2, 1L, 0L), (2, 0L, 0L)))
+    val got = graft.operators.Ann.calibFromScored(
+      (good ++ bad ++ mid).toDF("cls", "pos", "sc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((16L, 0L, 0L, 0L)))
+    assert(got(1L) == ((16L, 1000000L, 1000000L, 1000000L)))
+    assert(got(2L) == ((8L, 0L, 250000L, 0L)))
+  }
+
+  test("pavFit: a planted non-monotone rate sequence pools exactly as " +
+    "sequential PAV does, and the fit is isotonic") {
+    import spark.implicits._
+    // equal-n bins with rates .1 / .8 / .4 → PAV pools bins 1,2 to .6
+    val binned = Seq((0, 0L, 10L, 1L), (0, 1L, 10L, 8L), (0, 2L, 10L, 4L))
+      .toDF("cls", "bin", "n_b", "pos_b")
+    val got = graft.operators.Ann.pavFit(binned).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(0L -> ((100000L, 100000L)),
+      1L -> ((800000L, 600000L)), 2L -> ((400000L, 600000L))))
+  }
+
+  test("pr_auc / calibration_eval / isotonic_fit corpus runs: AP beats the " +
+    "prevalence baseline, ECE is a proper fraction, the fit is monotone") {
+    val ap = run("pr_auc").collect()
+    assert(ap.nonEmpty)
+    ap.foreach { r =>
+      val base = r.getLong(1) * 1000000L / (r.getLong(1) + r.getLong(2))
+      assert(r.getLong(3) > base,
+        s"class ${r.getLong(0)}: AP ${r.getLong(3)} <= prevalence $base")
+    }
+    run("calibration_eval").collect().foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+      assert(r.getLong(4) >= r.getLong(2), "max bin gap below the mean gap")
+    }
+    run("isotonic_fit").collect()
+      .groupBy(_.getLong(0)).foreach { case (cls, rows) =>
+        val fits = rows.sortBy(_.getLong(1)).map(_.getLong(5))
+        assert(fits.zip(fits.tail).forall { case (a, b) => a <= b },
+          s"class $cls fit not isotonic: ${fits.mkString(",")}")
+      }
+  }
 }
