@@ -1024,6 +1024,131 @@ object Behavior {
       |        * 1000000.0 + 0.5) / 1000000.0 AS tau_b
       |FROM j""".stripMargin
 
+  /** [[kaplanMeier]] conventions: subjects are SESSIONS (the B6
+    * 30-min-gap sessionization, [[KmGapSecs]] shared verbatim), not
+    * users — the events corpus spans 30 fully-active days at every
+    * SF, so user-grain lifetimes are vacuous (nobody churns), while
+    * session durations genuinely vary and the horizon genuinely
+    * right-censors still-open sessions. A session whose last event
+    * is within [[KmGapSecs]] of the corpus horizon may still be
+    * running → censored; any other session observably ENDED (its
+    * next event would have started a new session) → the duration is
+    * a complete observation. Durations bucket to [[KmStepSecs]]
+    * steps; survival lives on the ×[[KmScale]] (ppb) lattice. */
+  val KmGapSecs = 1800L
+  val KmStepSecs = 300L
+  val KmScale = 1000000000L
+
+  /** K183: KAPLAN-MEIER SURVIVAL CURVE — the product-limit estimator
+    * (Kaplan & Meier, JASA 1958) over session durations:
+    * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i), the standard answer to "how
+    * long does a session last" that a naive duration histogram gets
+    * wrong by ignoring RIGHT-CENSORING (a session still open at the
+    * corpus horizon hasn't ended — dropping or death-marking it
+    * both bias the curve; censoring is exactly what K-M exists
+    * for). Observation rules per [[KmGapSecs]]. The running product
+    * is the one NON-order-free computation in the family — an
+    * ordered integer fold on the ×[[KmScale]] lattice (s_k =
+    * s_{k−1}·(n_k−d_k) div n_k, floor each step): Spark folds with
+    * `aggregate` over the sorted step array (B² lambda ops on a
+    * B ≈ duration-range/[[KmStepSecs]]-row frame, one executor
+    * row), DuckDB with a recursive CTE over the same steps —
+    * identical integer ops in identical order, so the curve is
+    * engine-exact. Lattice bound: s·n ≤ 10⁹·n_sessions needs
+    * n_sessions < 9.2·10⁹ (BIGINT) — document, don't widen past any
+    * real session population.
+    *
+    * Shape: ONE events scan → the B6 user_id-windowed session
+    * assembly (one exchange) → per-session min/max (map-side
+    * combine) → the LATTICE-bound steps frame (≤ range/step rows;
+    * the single-partition window + fold run on that tiny frame,
+    * never on N rows). */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSess = when(col("ts").cast("long")
+      - lag(col("ts"), 1).over(byUser).cast("long") > KmGapSecs, 1)
+      .otherwise(0)
+    val sess = events(s, dir)
+      .withColumn("new_sess", newSess)
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts").cast("long")).as("t0"),
+        max(col("ts").cast("long")).as("t1"))
+    val h = sess.agg(max(col("t1")).as("h"))
+    kmFromDurations(sess.crossJoin(broadcast(h))
+      .select(
+        when(col("h") - col("t1") > KmGapSecs, 1L).otherwise(0L).as("died"),
+        expr(s"(t1 - t0) div $KmStepSecs").as("t")))
+  }
+
+  /** [[kaplanMeier]]'s estimator over a prepared (died, t)
+    * observation frame — factored so specs can plant censoring
+    * patterns and replay the product limit by hand. */
+  private[graft] def kmFromDurations(durs: DataFrame): DataFrame = {
+    val steps = durs.groupBy(col("t"))
+      .agg(sum(col("died")).as("d"), sum(lit(1L) - col("died")).as("c"))
+    // suffix sum = at-risk count; the frame is span-bound, so the
+    // single-partition global window is a ≤hundreds-row sort
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    steps.withColumn("n_risk", sum(col("d") + col("c")).over(atRisk))
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("n_risk"), col("d"), col("c")))).as("arr"))
+      .select(expr(
+        s"""inline(transform(arr, (x, k) -> struct(
+           |  x.t AS t_step, x.n_risk AS n_risk, x.d AS d, x.c AS c,
+           |  aggregate(slice(arr, 1, k + 1), CAST($KmScale AS BIGINT),
+           |    (acc, y) -> acc * (y.n_risk - y.d) div y.n_risk)
+           |    AS surv_ppb)))""".stripMargin))
+  }
+
+  val kaplanMeierSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, event_id,
+       |    -- floor, not ::BIGINT: duckdb rounds double->int, Spark's
+       |    -- timestamp->long cast truncates; fully-integer seconds
+       |    -- make the whole session assembly exact (vs B6's
+       |    -- double-epoch gap compare)
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+       |  FROM events),
+       |marks AS (
+       |  SELECT user_id, t, event_id,
+       |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+       |      ORDER BY t, event_id) > $KmGapSecs THEN 1 ELSE 0 END AS ns
+       |  FROM e),
+       |sess AS (
+       |  SELECT user_id,
+       |    sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid, t
+       |  FROM marks),
+       |spans AS (
+       |  SELECT user_id, sid, min(t)::BIGINT AS t0, max(t)::BIGINT AS t1
+       |  FROM sess GROUP BY 1, 2),
+       |h AS (SELECT max(t1) AS h FROM spans),
+       |durs AS (
+       |  SELECT CASE WHEN h - t1 > $KmGapSecs THEN 1 ELSE 0 END::BIGINT
+       |      AS died,
+       |    ((t1 - t0) // $KmStepSecs)::BIGINT AS t
+       |  FROM spans, h),
+       |steps AS (
+       |  SELECT t, sum(died)::BIGINT AS d, sum(1 - died)::BIGINT AS c
+       |  FROM durs GROUP BY 1),
+       |wn AS (
+       |  SELECT t, d, c,
+       |    sum(d + c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW)::BIGINT AS n_risk,
+       |    row_number() OVER (ORDER BY t)::BIGINT AS rn
+       |  FROM steps),
+       |rec(rn, s) AS (
+       |  SELECT rn, $KmScale * (n_risk - d) // n_risk FROM wn WHERE rn = 1
+       |  UNION ALL
+       |  SELECT w.rn, r.s * (w.n_risk - w.d) // w.n_risk
+       |  FROM rec r JOIN wn w ON w.rn = r.rn + 1)
+       |SELECT w.t AS t_step, w.n_risk, w.d, w.c, r.s::BIGINT AS surv_ppb
+       |FROM wn w JOIN rec r ON w.rn = r.rn""".stripMargin
+
   /** Rolling-feature frame width for [[featureLags]]. */
   val FeatWin = 5
 

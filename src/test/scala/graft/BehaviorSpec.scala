@@ -1130,6 +1130,57 @@ class BehaviorSpec extends SparkSpec {
     assert(got("mixed") == ((6L, 10L, 492L, Some(1.721457), Some(0.690066))))
   }
 
+  test("kaplan_meier machinery: a planted censoring pattern reproduces the " +
+    "hand-computed product limit, with the censored subject leaving the " +
+    "risk set without a survival drop") {
+    import spark.implicits._
+    // deaths at t=0,0,1,3 + one censored at t=1:
+    // n_risk 5/3/1, S = 3/5, then ×2/3, then ×0
+    val durs = Seq((1L, 0L), (1L, 0L), (1L, 1L), (0L, 1L), (1L, 3L))
+      .toDF("died", "t")
+    val got = graft.queries.Behavior.kmFromDurations(durs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 5L, 2L, 0L, 600000000L),
+      (1L, 3L, 1L, 1L, 400000000L), (3L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("kaplan_meier: corpus curve replays from a local sequential " +
+    "product limit over the same session assembly") {
+    val rows = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "CAST(ts AS LONG) AS t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    import graft.queries.Behavior.{KmGapSecs, KmStepSecs, KmScale}
+    val durs = rows.groupBy(_._1).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val bounds = ts.indices.filter(i => i > 0 && ts(i) - ts(i - 1) > KmGapSecs)
+      val cuts = (0 +: bounds) :+ ts.length
+      cuts.sliding(2).map { case Seq(a, b) => (ts(a), ts(b - 1)) }.toSeq
+    }.toSeq
+    val h = durs.map(_._2).max
+    val obs = durs.map { case (t0, t1) =>
+      (if (h - t1 > KmGapSecs) 1L else 0L, (t1 - t0) / KmStepSecs)
+    }
+    val steps = obs.groupBy(_._2).map { case (t, os) =>
+      (t, os.count(_._1 == 1L).toLong, os.count(_._1 == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    var s0 = KmScale; var atRisk = obs.size.toLong
+    val expected = steps.map { case (t, d, c) =>
+      s0 = s0 * (atRisk - d) / atRisk
+      val row = (t, atRisk, d, c, s0)
+      atRisk -= d + c
+      row
+    }
+    val got = SparkEntry.queries("kaplan_meier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == expected)
+    val survs = got.map(_._5)
+    assert(survs.zip(survs.tail).forall { case (a, b) => b <= a },
+      "survival not monotone")
+    assert(got.map(_._4).sum > 0, "no censored sessions — vacuous censoring")
+  }
+
   test("mann_kendall: corpus run replays from a local pair count and agrees " +
     "with trend_fit's slope sign per event type") {
     val daily = SparkEntry.queries("trend_fit")(spark, sf) // just for types
