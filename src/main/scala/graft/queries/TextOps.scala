@@ -1392,4 +1392,145 @@ object TextOps {
        |LEFT JOIN hist h ON h.f = g.r
        |LEFT JOIN hist h2 ON h2.f = g.r + 1
        |CROSS JOIN tot t""".stripMargin
+
+  /** [[textrankKeywords]] conventions: candidate tokens are
+    * lowercase alphabetic runs of ≥ [[TrMinLen]] chars outside the
+    * union stopword profile (the POS-filter stand-in — Mihalcea &
+    * Tarau keep nouns/adjectives; without a tagger, the
+    * content-word heuristic is the documented swap point);
+    * co-occurrence window [[TrWindow]] over ORIGINAL token
+    * positions; [[TrRounds]] unrolled weighted-PageRank rounds on
+    * the I10 integer lattice (×10⁶ ranks, 0.85 damping as
+    * `85·x div 100`); top [[TrTopK]] keywords per doc. */
+  val TrWindow = 2
+  val TrRounds = 2
+  val TrTopK = 3
+  val TrMinLen = 3
+  val TrScale = 1000000L
+  val TrBase = 150000L
+
+  private val trStops: Seq[String] =
+    TextFns.stopwords.values.flatten.toSeq.distinct.sorted
+
+  /** K184: TEXTRANK KEYWORD EXTRACTION — Mihalcea & Tarau's
+    * TextRank (EMNLP 2004): per document, rank candidate words by
+    * weighted PageRank over their co-occurrence graph (edge u–v
+    * with weight = co-occurrences within [[TrWindow]] positions,
+    * both directions) and keep the top [[TrTopK]] — the unsupervised
+    * keyword baseline TF-IDF (H10) can't match, because TF-IDF
+    * scores words in isolation while TextRank scores them by the
+    * company they keep. Rank recurrence on the I10 PageRankIter
+    * integer lattice: r' = 0.15·S + 0.85·Σ_u w_uv·(r_u div wdeg_u)
+    * (the per-NODE division of the I10 "pre" form — one div per
+    * node, then a multiply per edge), every division integral,
+    * [[TrRounds]] unrolled rounds — the
+    * iterative-graph-as-exact-arithmetic trick, so the oracle
+    * hash-matches. Isolated candidates (no co-survivor in window)
+    * settle at the 0.15 base and rank below any connected word.
+    *
+    * Shape: ALL documents' graphs live in one frame keyed by
+    * (doc_id, word) — one posts explode, one position self-join
+    * (window ≤ [[TrWindow]], per-doc), then each round is one
+    * co-partitioned (doc_id, src)-keyed join + one (doc_id,
+    * dst)-keyed sum: shuffle ∝ surviving posts per round, never a
+    * per-doc loop or collect. Top-K per doc is one window rank. */
+  def textrankKeywords(s: SparkSession, dir: String): DataFrame = {
+    val surv = documents(s, dir)
+      .select(col("doc_id"), posexplode(wsTokens(lower(col("text"))))
+        .as(Seq("pos", "tok")))
+      .filter(col("tok").rlike(s"^[a-z]{$TrMinLen,}$$") &&
+        !col("tok").isin(trStops: _*))
+      .localCheckpoint() // read by both self-join sides + nodes
+    val nodes = surv.select(col("doc_id"), col("tok").as("node")).distinct()
+    val edges = surv.select(col("doc_id"), col("pos").as("pa"), col("tok").as("a"))
+      .join(surv.select(col("doc_id"), col("pos").as("pb"), col("tok").as("b")),
+        Seq("doc_id"))
+      .where(col("pb") > col("pa") && col("pb") - col("pa") <= TrWindow &&
+        col("a") =!= col("b"))
+      .select(col("doc_id"), col("a").as("src"), col("b").as("dst"))
+    val sym = edges.unionByName(
+        edges.select(col("doc_id"), col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("doc_id"), col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint() // reused every round
+    // fresh names on the per-node weight frame: every round joins it
+    // against a frame that descends from the same checkpoints (the
+    // pavFit self-reference lesson)
+    val wdeg = sym.groupBy(col("doc_id"), col("src")).agg(sum(col("w")).as("wdeg"))
+      .select(col("doc_id").as("w_doc"), col("src").as("w_src"), col("wdeg"))
+
+    def step(rank: DataFrame): DataFrame = {
+      val contrib = rank.join(wdeg,
+          col("doc_id") === col("w_doc") && col("node") === col("w_src"))
+        .select(col("doc_id"), col("w_src").as("src"), expr("r div wdeg").as("rw"))
+      val m = sym.join(contrib, Seq("doc_id", "src"))
+        .groupBy(col("doc_id"), col("dst"))
+        .agg(sum(col("w") * col("rw")).as("m"))
+        .select(col("doc_id").as("m_doc"), col("dst"), col("m"))
+      nodes.join(m,
+          col("doc_id") === col("m_doc") && col("node") === col("dst"),
+          "left_outer")
+        .select(col("doc_id"), col("node"),
+          expr(s"${TrBase}L + (85 * coalesce(m, 0L)) div 100").as("r"))
+        .localCheckpoint() // O(1) lineage per round, the I10 lesson
+    }
+
+    val r0 = nodes.withColumn("r", lit(TrScale))
+    val rFinal = (1 to TrRounds).foldLeft(r0)((r, _) => step(r))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("r").desc, col("node"))
+    rFinal.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TrTopK)
+      .select(col("doc_id"), col("node").as("tok"), col("rnk"),
+        col("r").as("rank_pm"))
+  }
+
+  lazy val textrankKeywordsSql: String = {
+    val stops = trStops.map(t => s"'$t'").mkString(", ")
+    val rounds = (1 to TrRounds).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""m$i AS (
+         |  SELECT e.doc_id, e.dst,
+         |    sum(e.w * (r.r // d.wdeg))::BIGINT AS m
+         |  FROM sym e
+         |  JOIN $prev r ON e.doc_id = r.doc_id AND e.src = r.node
+         |  JOIN wdeg d ON e.doc_id = d.doc_id AND e.src = d.src
+         |  GROUP BY 1, 2),
+         |r$i AS (
+         |  SELECT n.doc_id, n.node,
+         |    ($TrBase + (85 * coalesce(m.m, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN m$i m
+         |    ON n.doc_id = m.doc_id AND n.node = m.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH surv AS (
+       |  SELECT doc_id, pos, tok FROM (
+       |    SELECT doc_id,
+       |      generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+       |    FROM (SELECT doc_id,
+       |            list_filter(string_split(lower(text), ' '), t -> t <> '')
+       |            AS toks
+       |          FROM documents))
+       |  WHERE regexp_full_match(tok, '[a-z]{$TrMinLen,}')
+       |    AND tok NOT IN ($stops)),
+       |nodes AS (SELECT DISTINCT doc_id, tok AS node FROM surv),
+       |edg AS (
+       |  SELECT a.doc_id, a.tok AS src, b.tok AS dst
+       |  FROM surv a JOIN surv b ON a.doc_id = b.doc_id
+       |    AND b.pos > a.pos AND b.pos - a.pos <= $TrWindow
+       |    AND a.tok <> b.tok),
+       |sym AS (
+       |  SELECT doc_id, src, dst, count(*)::BIGINT AS w FROM (
+       |    SELECT doc_id, src, dst FROM edg
+       |    UNION ALL SELECT doc_id, dst, src FROM edg)
+       |  GROUP BY 1, 2, 3),
+       |wdeg AS (SELECT doc_id, src, sum(w)::BIGINT AS wdeg
+       |         FROM sym GROUP BY 1, 2),
+       |r0 AS (SELECT doc_id, node, ${TrScale}::BIGINT AS r FROM nodes),
+       |$rounds
+       |SELECT doc_id, node AS tok, rnk, r AS rank_pm FROM (
+       |  SELECT doc_id, node, r,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY r DESC, node) AS rnk
+       |  FROM r$TrRounds) WHERE rnk <= $TrTopK""".stripMargin
+  }
 }

@@ -510,4 +510,41 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(0L).getAs[Long]("n_types") == 0L) // nothing observed 0 times
     assert(nr.getOrElse(1L, 0L) > 0L, "corpus has singletons (metric non-vacuous)")
   }
+
+  test("textrank_keywords: corpus top-3 replays from a local sequential " +
+    "weighted-PageRank in the same integer arithmetic") {
+    import graft.queries.TextOps._
+    val stops = graft.functions.TextFns.stopwords.values.flatten.toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val surv = toks.zipWithIndex
+        .filter { case (t, _) => t.matches(s"[a-z]{$TrMinLen,}") && !stops(t) }
+      val edges = for {
+        i <- surv.indices; j <- i + 1 until surv.length
+        if surv(j)._2 - surv(i)._2 <= TrWindow && surv(j)._2 > surv(i)._2
+        if surv(i)._1 != surv(j)._1
+        e <- Seq((surv(i)._1, surv(j)._1), (surv(j)._1, surv(i)._1))
+      } yield e
+      val w = edges.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val wdeg = w.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+      val nodes = surv.map(_._1).distinct.sorted
+      var r = nodes.map(_ -> TrScale).toMap
+      for (_ <- 1 to TrRounds) {
+        val rw = wdeg.map { case (u, d) => u -> r(u) / d }
+        r = nodes.map { n =>
+          val m = w.collect { case ((u, v), wt) if v == n => wt * rw(u) }.sum
+          n -> (TrBase + 85 * m / 100)
+        }.toMap
+      }
+      nodes.sortBy(n => (-r(n), n)).take(TrTopK).zipWithIndex
+        .map { case (n, i) => (id, n, i + 1, r(n)) }
+    }.toSet
+    val got = SparkEntry.queries("textrank_keywords")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
