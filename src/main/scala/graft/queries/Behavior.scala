@@ -1149,6 +1149,151 @@ object Behavior {
        |SELECT w.t AS t_step, w.n_risk, w.d, w.c, r.s::BIGINT AS surv_ppb
        |FROM wn w JOIN rec r ON w.rn = r.rn""".stripMargin
 
+  /** [[shapleyAttribution]] channel registry: the non-purchase event
+    * types, alphabetical, bit i = 2^i — a session's touched-set is
+    * the OR of its channels' bits; conversion = any purchase in the
+    * session. n = 4 channels ⇒ a 16-coalition lattice. */
+  val ShapChannels: Seq[(String, Long)] =
+    Seq("click" -> 1L, "error" -> 2L, "signup" -> 4L, "view" -> 8L)
+
+  /** K185: SHAPLEY MULTI-TOUCH ATTRIBUTION — the cooperative-game
+    * credit split (Shapley 1953; the simplified coalition-worth
+    * reading for channel attribution of Zhao, Mahboobi & Bagheri,
+    * arXiv:1804.05327): φ_i = Σ_{S ∌ i} |S|!(n−1−|S|)!/n! ·
+    * (v(S∪i) − v(S)), with coalition worth v(S) = conversion rate of
+    * sessions whose touched channel set is EXACTLY S. Completes the
+    * attribution family: last-touch (K141) credits one touchpoint,
+    * linear (K158) splits evenly — Shapley is the axiomatic split
+    * (efficiency/symmetry/dummy), the only one where a channel that
+    * never changes outcomes provably gets zero. Journeys = B6
+    * sessions ([[KmGapSecs]] assembly shared with K183); the game
+    * runs over TOUCHED journeys only — purchase-only sessions are
+    * organic conversions (their mask is ∅ and their conv flag is 1
+    * by construction), so v(∅) ≡ 0 rather than the tautological 1
+    * that would bill every channel for diluting it. Exact algebra:
+    * v_ppm = conv·10⁶ div tot per observed mask (absent masks worth
+    * 0); φ is published ×n! (phi_x24 = Σ
+    * |S|!(n−1−|S|)!·(v_ppm(S∪i)−v_ppm(S)), an exact BIGINT on the
+    * ppm/24 lattice) plus phi_ppm = phi_x24 div 24 (truncation
+    * parity: both engines' integral division truncates toward
+    * zero). Efficiency identity Σ_i phi_x24 = 24·v_ppm(full) holds
+    * EXACTLY on the lattice — the spec's invariant.
+    *
+    * Shape: one events scan → the B6 user_id exchange → per-session
+    * bit_or mask + conv flag (map-side combine) → a ≤2ⁿ-row mask
+    * frame; the Shapley enumeration is a broadcast join of the
+    * GENERATED 16-row coalition lattice against channels (n·2ⁿ⁻¹ =
+    * 32 terms) — corpus work is one sessionization, lattice work is
+    * constant. */
+  def shapleyAttribution(s: SparkSession, dir: String): DataFrame =
+    shapleyFromMasks(s, journeyMasks(s, dir))
+
+  /** The touched-mask frame (mask, tot, v_ppm) over B6 sessions —
+    * [[shapleyAttribution]]'s corpus half, factored for specs. */
+  private[graft] def journeyMasks(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSess = when(col("ts").cast("long")
+      - lag(col("ts"), 1).over(byUser).cast("long") > KmGapSecs, 1)
+      .otherwise(0)
+    val chanBit = ShapChannels.foldLeft(lit(0L)) { case (acc, (nm, b)) =>
+      when(col("event_type") === nm, lit(b)).otherwise(acc)
+    }
+    events(s, dir)
+      .withColumn("new_sess", newSess)
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(expr(s"bit_or(CAST(${chanToSql("event_type")} AS BIGINT))").as("mask"),
+        max((col("event_type") === "purchase").cast("long")).as("conv"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("tot"), sum(col("conv")).as("conv"))
+      // mask 0 = purchase-only ORGANIC sessions: conv = 1 there by
+      // construction (the only event type left IS purchase), so
+      // keeping them would set v(∅) = 1 tautologically and bill
+      // every channel for diluting it — the game is over touched
+      // journeys only, v(∅) ≡ 0 (the dummy/organic convention)
+      .where(col("mask") =!= 0L)
+      .select(col("mask"), col("tot"),
+        expr("conv * 1000000 div tot").as("v_ppm"))
+      .localCheckpoint() // ≤ 15 rows; read by both lattice legs
+  }
+
+  /** The 2ⁿ-coalition Shapley enumeration over a prepared (mask,
+    * tot, v_ppm) worth frame — [[shapleyAttribution]]'s lattice
+    * half, factored so specs can plant worth tables. */
+  private[graft] def shapleyFromMasks(s: SparkSession, masks: DataFrame): DataFrame = {
+    import s.implicits._
+    val lattice = s.range(1 << ShapChannels.size).toDF("sm")
+    val chans = ShapChannels.toDF("channel", "bit")
+    val fact = "CASE bit_count(sm) WHEN 0 THEN 6 WHEN 1 THEN 2" +
+      " WHEN 2 THEN 2 ELSE 6 END" // |S|!·(n−1−|S|)! for n = 4
+    lattice.crossJoin(chans)
+      .where(expr("(sm & bit) = 0"))
+      .join(broadcast(masks.select(col("mask"), col("v_ppm").as("v_s"))),
+        col("sm") === col("mask"), "left_outer")
+      .join(broadcast(masks.select(col("mask").as("mask2"), col("tot"),
+        col("v_ppm").as("v_si"))),
+        expr("(sm | bit) = mask2"), "left_outer")
+      .groupBy(col("channel"))
+      .agg(sum(coalesce(col("tot"), lit(0L))).as("n_sessions_gaining"),
+        sum(expr(s"$fact * (coalesce(v_si, 0L) - coalesce(v_s, 0L))"))
+          .as("phi_x24"))
+      .select(col("channel"), col("n_sessions_gaining"), col("phi_x24"),
+        expr("phi_x24 div 24").as("phi_ppm"))
+  }
+
+  /** The channel→bit CASE as SQL text, shared verbatim by the Spark
+    * plan (via expr) and the DuckDB oracle. */
+  private def chanToSql(c: String): String =
+    ShapChannels.map { case (nm, b) => s"WHEN '$nm' THEN ${b}" }
+      .mkString(s"CASE $c ", " ", " ELSE 0 END")
+
+  lazy val shapleyAttributionSql: String =
+    s"""WITH marks AS (
+       |  SELECT user_id, event_type,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+       |    event_id
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id, event_type, t, event_id,
+       |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+       |      ORDER BY t, event_id) > $KmGapSecs THEN 1 ELSE 0 END AS ns
+       |  FROM marks),
+       |sess AS (
+       |  SELECT user_id, event_type,
+       |    sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM g),
+       |j AS (
+       |  SELECT user_id, sid,
+       |    bit_or(${chanToSql("event_type")})::BIGINT AS mask,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+       |      AS conv
+       |  FROM sess GROUP BY 1, 2),
+       |masks AS (
+       |  SELECT mask, count(*)::BIGINT AS tot,
+       |    (sum(conv) * 1000000 // count(*))::BIGINT AS v_ppm
+       |  FROM j WHERE mask <> 0 GROUP BY 1),
+       |chans AS (SELECT * FROM (VALUES ${ShapChannels.map {
+      case (nm, b) => s"('$nm', ${b}::BIGINT)"
+    }.mkString(", ")}) AS t(channel, bit)),
+       |lattice AS (SELECT range::BIGINT AS sm FROM range(${1 << ShapChannels.size}))
+       |SELECT c.channel,
+       |  sum(coalesce(mi.tot, 0))::BIGINT AS n_sessions_gaining,
+       |  sum((CASE bit_count(l.sm) WHEN 0 THEN 6 WHEN 1 THEN 2
+       |       WHEN 2 THEN 2 ELSE 6 END)
+       |      * (coalesce(mi.v_ppm, 0) - coalesce(ms.v_ppm, 0)))::BIGINT
+       |    AS phi_x24,
+       |  (sum((CASE bit_count(l.sm) WHEN 0 THEN 6 WHEN 1 THEN 2
+       |        WHEN 2 THEN 2 ELSE 6 END)
+       |       * (coalesce(mi.v_ppm, 0) - coalesce(ms.v_ppm, 0))) // 24)::BIGINT
+       |    AS phi_ppm
+       |FROM lattice l JOIN chans c ON (l.sm & c.bit) = 0
+       |LEFT JOIN masks ms ON ms.mask = l.sm
+       |LEFT JOIN masks mi ON mi.mask = (l.sm | c.bit)
+       |GROUP BY c.channel""".stripMargin
+
   /** Rolling-feature frame width for [[featureLags]]. */
   val FeatWin = 5
 

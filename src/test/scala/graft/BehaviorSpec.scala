@@ -1181,6 +1181,48 @@ class BehaviorSpec extends SparkSpec {
     assert(got.map(_._4).sum > 0, "no censored sessions — vacuous censoring")
   }
 
+  test("shapley machinery: a planted decisive channel takes all the credit, " +
+    "a dummy channel gets exactly zero, destroyers go negative, and the " +
+    "efficiency identity holds on the x24 lattice") {
+    import spark.implicits._
+    // click converts alone (v=1) and with view (v=1); view alone never
+    // converts; error/signup are never touched (absent masks worth 0)
+    val masks = Seq((1L, 4L, 1000000L), (8L, 4L, 0L), (9L, 2L, 1000000L))
+      .toDF("mask", "tot", "v_ppm")
+    val got = graft.queries.Behavior.shapleyFromMasks(spark, masks).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // hand enumeration: phi_click = 6w*v(1) + 2w*(v(9)-v(8)) = 8e6;
+    // view marginal is 0 everywhere (dummy); error/signup each destroy
+    // click value on 2 coalitions (v absent = 0): -2e6 - 2e6
+    assert(got("click") == ((6L, 8000000L, 333333L)))
+    assert(got("view") == ((6L, 0L, 0L)))
+    assert(got("error") == ((0L, -4000000L, -166666L)))
+    assert(got("signup") == ((0L, -4000000L, -166666L)))
+    // efficiency: sums to 24*(v(full) - v(empty)) = 0 here, exactly
+    assert(got.values.map(_._2).sum == 0L)
+  }
+
+  test("shapley_attribution: corpus result replays from a local full " +
+    "coalition enumeration over the operator's own worth frame") {
+    import graft.queries.Behavior.ShapChannels
+    val masks = graft.queries.Behavior.journeyMasks(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def v(m: Long): Long = masks.get(m).map(_._2).getOrElse(0L)
+    val fact = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    val expected = ShapChannels.map { case (nm, bit) =>
+      val ss = (0 until 16).map(_.toLong).filter(s => (s & bit) == 0)
+      nm -> ((
+        ss.map(s => masks.get(s | bit).map(_._1).getOrElse(0L)).sum,
+        ss.map(s => fact(java.lang.Long.bitCount(s)) * (v(s | bit) - v(s))).sum))
+    }.toMap
+    val got = SparkEntry.queries("shapley_attribution")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._2).sum == 24L * v(15L),
+      "efficiency identity broken")
+  }
+
   test("mann_kendall: corpus run replays from a local pair count and agrees " +
     "with trend_fit's slope sign per event type") {
     val daily = SparkEntry.queries("trend_fit")(spark, sf) // just for types
