@@ -1063,7 +1063,13 @@ object Behavior {
     * combine) → the LATTICE-bound steps frame (≤ range/step rows;
     * the single-partition window + fold run on that tiny frame,
     * never on N rows). */
-  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame =
+    kmFromDurations(sessionDurations(s, dir))
+
+  /** The (died, t) observation frame shared by the survival pair
+    * (K183 [[kaplanMeier]], K186 [[nelsonAalen]]): B6 session
+    * assembly → per-session duration step + censoring flag. */
+  private[graft] def sessionDurations(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val newSess = when(col("ts").cast("long")
@@ -1077,10 +1083,10 @@ object Behavior {
       .agg(min(col("ts").cast("long")).as("t0"),
         max(col("ts").cast("long")).as("t1"))
     val h = sess.agg(max(col("t1")).as("h"))
-    kmFromDurations(sess.crossJoin(broadcast(h))
+    sess.crossJoin(broadcast(h))
       .select(
         when(col("h") - col("t1") > KmGapSecs, 1L).otherwise(0L).as("died"),
-        expr(s"(t1 - t0) div $KmStepSecs").as("t")))
+        expr(s"(t1 - t0) div $KmStepSecs").as("t"))
   }
 
   /** [[kaplanMeier]]'s estimator over a prepared (died, t)
@@ -1104,8 +1110,11 @@ object Behavior {
            |    AS surv_ppb)))""".stripMargin))
   }
 
-  val kaplanMeierSql: String =
-    s"""WITH RECURSIVE e AS (
+  /** The CTE chain from raw events to the at-risk step table
+    * `wn(t, d, c, n_risk, rn)` — the shared oracle prefix of the
+    * survival pair (K183/K186). */
+  private[graft] val kmStepsCte: String =
+    s"""e AS (
        |  SELECT user_id, event_id,
        |    -- floor, not ::BIGINT: duckdb rounds double->int, Spark's
        |    -- timestamp->long cast truncates; fully-integer seconds
@@ -1140,7 +1149,10 @@ object Behavior {
        |    sum(d + c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
        |      AND CURRENT ROW)::BIGINT AS n_risk,
        |    row_number() OVER (ORDER BY t)::BIGINT AS rn
-       |  FROM steps),
+       |  FROM steps)""".stripMargin
+
+  val kaplanMeierSql: String =
+    s"""WITH RECURSIVE $kmStepsCte,
        |rec(rn, s) AS (
        |  SELECT rn, $KmScale * (n_risk - d) // n_risk FROM wn WHERE rn = 1
        |  UNION ALL
@@ -1148,6 +1160,61 @@ object Behavior {
        |  FROM rec r JOIN wn w ON w.rn = r.rn + 1)
        |SELECT w.t AS t_step, w.n_risk, w.d, w.c, r.s::BIGINT AS surv_ppb
        |FROM wn w JOIN rec r ON w.rn = r.rn""".stripMargin
+
+  /** K186: NELSON-AALEN CUMULATIVE HAZARD — the other classical
+    * survival estimator (Nelson 1972, Technometrics; Aalen 1978,
+    * Ann. Stat.): H(t) = Σ_{t_i ≤ t} d_i/n_i over the SAME at-risk
+    * step table as K183 ([[sessionDurations]] shared verbatim, same
+    * censoring rules), plus its variance Σ d_i/n_i² (the standard
+    * large-sample form). Where K-M multiplies survival factors —
+    * forcing the ordered fold / recursive CTE — the hazard SUMS, so
+    * N-A is fully order-free: each step's hazard pre-floors to ppm
+    * (d·10⁶ div n, the per-step lattice convention; no common
+    * denominator exists since n varies) and the cumulative is one
+    * window sum of exact BIGINTs. The pair is deliberately
+    * complementary: exp(−H) estimates S (Fleming-Harrington), and a
+    * spec pins the lattice inequality surv ≤ exp-style bound via
+    * the algebraic 1−x ≤ each factor relation — concretely,
+    * cum_hazard grows exactly where surv drops.
+    *
+    * Shape: identical to K183 minus the fold — one events scan, one
+    * user_id exchange, a lattice-bound steps frame, one tiny-frame
+    * window. Variance lattice: d·10¹² div n² needs n² ≤ 9.2·10¹⁸ ⇒
+    * exact to ~3·10⁹ sessions; the div runs DECIMAL(38)/HUGEINT so
+    * past that it degrades to 0 rather than wrapping. */
+  def nelsonAalen(s: SparkSession, dir: String): DataFrame =
+    naFromDurations(sessionDurations(s, dir))
+
+  /** [[nelsonAalen]]'s estimator over a prepared (died, t) frame —
+    * factored like [[kmFromDurations]] for planted-frame specs. */
+  private[graft] def naFromDurations(durs: DataFrame): DataFrame = {
+    val steps = durs.groupBy(col("t"))
+      .agg(sum(col("died")).as("d"), sum(lit(1L) - col("died")).as("c"))
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    steps.withColumn("n_risk", sum(col("d") + col("c")).over(atRisk))
+      .withColumn("hazard_ppm", expr("d * 1000000 div n_risk"))
+      .withColumn("var_step", expr("CAST(CAST(d AS DECIMAL(38,0)) * " +
+        "1000000000000 div (CAST(n_risk AS DECIMAL(38,0)) * n_risk) " +
+        "AS BIGINT)"))
+      .select(col("t").as("t_step"), col("n_risk"), col("d"), col("c"),
+        col("hazard_ppm"),
+        sum(col("hazard_ppm")).over(cum).as("cum_hazard_ppm"),
+        sum(col("var_step")).over(cum).as("cum_var_ppt"))
+  }
+
+  val nelsonAalenSql: String =
+    s"""WITH $kmStepsCte
+       |SELECT t AS t_step, n_risk, d, c,
+       |  (d * 1000000 // n_risk)::BIGINT AS hazard_ppm,
+       |  (sum(d * 1000000 // n_risk) OVER w)::BIGINT AS cum_hazard_ppm,
+       |  (sum(d::HUGEINT * 1000000000000 // (n_risk::HUGEINT * n_risk))
+       |    OVER w)::BIGINT AS cum_var_ppt
+       |FROM wn
+       |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+       |  AND CURRENT ROW)""".stripMargin
 
   /** [[shapleyAttribution]] channel registry: the non-purchase event
     * types, alphabetical, bit i = 2^i — a session's touched-set is

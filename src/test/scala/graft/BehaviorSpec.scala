@@ -1181,6 +1181,35 @@ class BehaviorSpec extends SparkSpec {
     assert(got.map(_._4).sum > 0, "no censored sessions — vacuous censoring")
   }
 
+  test("nelson_aalen machinery: the planted K-M censoring pattern yields the " +
+    "hand-summed cumulative hazard, and hazard grows exactly where " +
+    "survival drops") {
+    import spark.implicits._
+    // same plant as the K-M spec: d=2 of 5 at t0, d=1 c=1 of 3 at t1,
+    // d=1 of 1 at t3 → hazards 400000, 333333, 1000000
+    val durs = Seq((1L, 0L), (1L, 0L), (1L, 1L), (0L, 1L), (1L, 3L))
+      .toDF("died", "t")
+    val got = graft.queries.Behavior.naFromDurations(durs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (0L, 5L, 400000L, 400000L, 80000000000L),
+      (1L, 3L, 333333L, 733333L, 191111111111L),
+      (3L, 1L, 1000000L, 1733333L, 1191111111111L)))
+    // complementarity on the corpus: every step where K-M survival
+    // drops, the cumulative hazard strictly rises, and vice versa
+    val km = SparkEntry.queries("kaplan_meier")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).sortBy(_._1)
+    val na = SparkEntry.queries("nelson_aalen")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).sortBy(_._1)
+    assert(km.map(_._1).sameElements(na.map(_._1)))
+    km.zip(na).sliding(2).filter(_.length == 2).foreach { pair =>
+      val ((_, s0), (_, h0)) = pair(0)
+      val ((_, s1), (_, h1)) = pair(1)
+      assert((s1 < s0) == (h1 > h0), s"surv/hazard disagree at $s1/$h1")
+    }
+  }
+
   test("shapley machinery: a planted decisive channel takes all the credit, " +
     "a dummy channel gets exactly zero, destroyers go negative, and the " +
     "efficiency identity holds on the x24 lattice") {
