@@ -1440,19 +1440,28 @@ object TextOps {
         .as(Seq("pos", "tok")))
       .filter(col("tok").rlike(s"^[a-z]{$TrMinLen,}$$") &&
         !col("tok").isin(trStops: _*))
-      .localCheckpoint() // read by both self-join sides + nodes
+      .localCheckpoint() // read by nodes + both lead legs
     val nodes = surv.select(col("doc_id"), col("tok").as("node")).distinct()
-    val edges = surv.select(col("doc_id"), col("pos").as("pa"), col("tok").as("a"))
-      .join(surv.select(col("doc_id"), col("pos").as("pb"), col("tok").as("b")),
-        Seq("doc_id"))
-      .where(col("pb") > col("pa") && col("pb") - col("pa") <= TrWindow &&
-        col("a") =!= col("b"))
-      .select(col("doc_id"), col("a").as("src"), col("b").as("dst"))
+    // window-band pairs WITHOUT a self-join: positions are strictly
+    // increasing within a doc, so any co-occurrence within TrWindow
+    // original positions is among the next ≤TrWindow surviving
+    // tokens — lead() gives them in ONE doc-keyed exchange where the
+    // band self-join pays tokens² pre-filter rows per doc (the
+    // measured 5-7 s at sf0.1; lead form ~1.5 s)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val edges = (1 to TrWindow).map { k =>
+      surv.select(col("doc_id"), col("pos"), col("tok").as("a"),
+          lead(col("pos"), k).over(byDoc).as("pb"),
+          lead(col("tok"), k).over(byDoc).as("b"))
+        .where(col("pb").isNotNull && col("pb") - col("pos") <= TrWindow &&
+          col("a") =!= col("b"))
+        .select(col("doc_id"), col("a").as("src"), col("b").as("dst"))
+    }.reduce(_ unionByName _)
     val sym = edges.unionByName(
         edges.select(col("doc_id"), col("dst").as("src"), col("src").as("dst")))
       .groupBy(col("doc_id"), col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint() // reused every round
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fresh names on the per-node weight frame: every round joins it
     // against a frame that descends from the same checkpoints (the
     // pavFit self-reference lesson)
@@ -1472,7 +1481,6 @@ object TextOps {
           "left_outer")
         .select(col("doc_id"), col("node"),
           expr(s"${TrBase}L + (85 * coalesce(m, 0L)) div 100").as("r"))
-        .localCheckpoint() // O(1) lineage per round, the I10 lesson
     }
 
     val r0 = nodes.withColumn("r", lit(TrScale))
