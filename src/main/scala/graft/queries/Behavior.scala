@@ -1361,6 +1361,247 @@ object Behavior {
        |LEFT JOIN masks mi ON mi.mask = (l.sm | c.bit)
        |GROUP BY c.channel""".stripMargin
 
+  /** [[markovAttribution]] step budget: journeys are truncated at
+    * [[MkSteps]] chain steps (START + touches + absorption); mass
+    * not absorbed by then is dropped — identically in both engines.
+    * Sessions here are short (median 1 touch), so the truncation
+    * dust is ppm-scale; the documented swap point for an exact
+    * absorbing-chain solve. */
+  val MkSteps = 8
+
+  /** K187: MARKOV REMOVAL-EFFECT ATTRIBUTION — the first-order
+    * Markov-chain attribution of Anderl, Becker, von Wangenheim &
+    * Schumann (IJRM 2016): model journeys as a chain over states
+    * {START, channels…, CONV, NULL}, estimate transition
+    * probabilities from observed consecutive touches, and credit
+    * channel i by its REMOVAL EFFECT — how much the chain's
+    * conversion probability drops when every transition into i is
+    * redirected to NULL. The fourth attribution lens: last-touch
+    * (K141) is positional, linear (K158) egalitarian, Shapley
+    * (K185) set-based — Markov is the only SEQUENCE-based one
+    * (channel order matters; a channel that only ever precedes
+    * dead-ends earns nothing even if it co-occurs with
+    * conversions). Journey = the B6 session's non-purchase touches
+    * in (ts, event_id) order, truncated at the first purchase,
+    * absorbed into CONV (purchase) or NULL. Exact algebra: all five
+    * chain variants (full + one per removed channel) live in ONE
+    * variant-keyed transition frame (≤ 5·7² count rows,
+    * corpus-size-free after one aggregation); absorption is
+    * [[MkSteps]] unrolled mass-propagation steps on the ppm lattice
+    * (mass·c div r per edge, floors and all — CONV/NULL self-loop
+    * with c = r = 1 so absorbed mass holds). removal_ppm = p_full −
+    * p_removed; share_pm normalizes over channels (div, truncation
+    * parity as K185).
+    *
+    * Shape: one events scan → the B6 user exchange → transition
+    * counts (map-side combine) → everything after runs on the
+    * ≤ 5·49-row lattice: K tiny join+agg steps, no corpus-sized
+    * frame ever re-touched. */
+  def markovAttribution(s: SparkSession, dir: String): DataFrame =
+    removalEffects(s, transitionCounts(s, dir))
+
+  /** The observed (src, dst, c) transition-count frame over B6
+    * session journeys — [[markovAttribution]]'s corpus half. */
+  private[graft] def transitionCounts(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSess = when(col("ts").cast("long")
+      - lag(col("ts"), 1).over(byUser).cast("long") > KmGapSecs, 1)
+      .otherwise(0)
+    val e = events(s, dir)
+      .withColumn("new_sess", newSess)
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("sess_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val bySess = Window.partitionBy(col("user_id"), col("sess_id"))
+    val ordSess = bySess.orderBy(col("ts"), col("event_id"))
+    val fp = e.withColumn("is_p", col("event_type") === "purchase")
+      .withColumn("fp_ts", min(when(col("is_p"), col("ts"))).over(bySess))
+      .withColumn("fp_id", min(when(col("is_p") &&
+        col("ts") === col("fp_ts"), col("event_id"))).over(bySess))
+    val touches = fp
+      .where(!col("is_p") && (col("fp_ts").isNull ||
+        col("ts") < col("fp_ts") ||
+        (col("ts") === col("fp_ts") && col("event_id") < col("fp_id"))))
+      .withColumn("src", coalesce(lag(col("event_type"), 1).over(ordSess),
+        lit("START")))
+      .select(col("user_id"), col("sess_id"), col("src"),
+        col("event_type").as("dst"),
+        col("ts"), col("event_id"))
+    val lastTouch = touches
+      .withColumn("rn", row_number().over(
+        bySess.orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("sess_id"), col("dst").as("src"))
+    val sessOutcome = fp.groupBy(col("user_id"), col("sess_id"))
+      .agg(max(col("is_p").cast("long")).as("conv"))
+    // terminal transition: last pre-purchase touch (or START for
+    // touchless sessions) → CONV / NULL; touch count uses the SAME
+    // pre-purchase filter as `touches` via a left join on lastTouch
+    val terminal = sessOutcome
+      .join(lastTouch, Seq("user_id", "sess_id"), "left_outer")
+      .select(coalesce(col("src"), lit("START")).as("src"),
+        when(col("conv") === 1L, "CONV").otherwise("NULL").as("dst"))
+    touches.select(col("src"), col("dst"))
+      .unionByName(terminal)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ 7² rows — the corpus collapses here
+  }
+
+  /** The removal-effect chain algebra over a prepared (src, dst, c)
+    * frame — [[markovAttribution]]'s lattice half, factored so
+    * specs can plant chains. */
+  private[graft] def removalEffects(s: SparkSession, trans: DataFrame): DataFrame = {
+    import s.implicits._
+    val variants = ("full" +: ShapChannels.map(_._1)).toDF("variant")
+    val redirected = variants.crossJoin(broadcast(trans))
+      .where(col("variant") === "full" || col("src") =!= col("variant"))
+      .select(col("variant"), col("src"),
+        when(col("variant") =!= "full" && col("dst") === col("variant"),
+          lit("NULL")).otherwise(col("dst")).as("dst"),
+        col("c"))
+      .groupBy(col("variant"), col("src"), col("dst"))
+      .agg(sum(col("c")).as("c"))
+    val selfLoops = variants.crossJoin(broadcast(
+      Seq(("CONV", "CONV", 1L), ("NULL", "NULL", 1L)).toDF("src", "dst", "c")))
+    val p = redirected.unionByName(selfLoops.select(col("variant"),
+        col("src"), col("dst"), col("c")))
+      .withColumn("r", sum(col("c")).over(
+        Window.partitionBy(col("variant"), col("src"))))
+      .localCheckpoint() // ≤ 5·51 rows; read every step
+    def step(v: DataFrame): DataFrame =
+      v.join(p.select(col("variant").as("pv"), col("src"), col("dst"),
+          col("c"), col("r")),
+        col("variant") === col("pv") && col("state") === col("src"))
+        .groupBy(col("variant"), col("dst"))
+        .agg(sum(expr("mass * c div r")).as("mass"))
+        .select(col("variant"), col("dst").as("state"), col("mass"))
+    val v0 = variants.select(col("variant"), lit("START").as("state"),
+      lit(1000000L).as("mass"))
+    val vK = (1 to MkSteps).foldLeft(v0)((v, _) => step(v))
+    // LEFT join from variants: a removal that makes CONV unreachable
+    // produces NO CONV mass row — exactly the most decisive channels
+    // — and must read p = 0, not vanish from the result
+    val pConv = variants.join(vK.where(col("state") === "CONV")
+        .select(col("variant").as("kv"), col("mass")),
+        col("variant") === col("kv"), "left_outer")
+      .select(col("variant"), coalesce(col("mass"), lit(0L)).as("p_ppm"))
+    val full = pConv.where(col("variant") === "full")
+      .select(col("p_ppm").as("p_full_ppm"))
+    val removals = pConv.where(col("variant") =!= "full")
+      .crossJoin(broadcast(full))
+      .select(col("variant").as("channel"), col("p_full_ppm"),
+        col("p_ppm").as("p_removed_ppm"),
+        (col("p_full_ppm") - col("p_ppm")).as("removal_ppm"))
+      .localCheckpoint() // 4 rows; read twice for the share rollup
+    val totRem = removals.agg(sum(col("removal_ppm")).as("tot_rem"))
+    removals.crossJoin(broadcast(totRem))
+      .select(col("channel"), col("p_full_ppm"), col("p_removed_ppm"),
+        col("removal_ppm"),
+        when(col("tot_rem") === 0L, lit(0L))
+          .otherwise(expr("removal_ppm * 1000 div tot_rem")).as("share_pm"))
+  }
+
+  lazy val markovAttributionSql: String = {
+    val chanList = ShapChannels.map { case (nm, _) => s"('$nm')" }.mkString(", ")
+    val steps = (1 to MkSteps).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""v$i AS (
+         |  SELECT p.variant, p.dst AS state,
+         |    sum(v.mass * p.c // p.r)::BIGINT AS mass
+         |  FROM $prev v JOIN p ON v.variant = p.variant AND v.state = p.src
+         |  GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+       |  FROM events),
+       |g AS (
+       |  SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+       |    ORDER BY t, event_id) > $KmGapSecs THEN 1 ELSE 0 END AS ns
+       |  FROM e),
+       |se AS (
+       |  SELECT user_id, event_id, event_type, t,
+       |    sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM g),
+       |fp AS (
+       |  SELECT *,
+       |    min(CASE WHEN event_type = 'purchase' THEN t END)
+       |      OVER (PARTITION BY user_id, sid) AS fp_t,
+       |  FROM se),
+       |fp2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t = fp_t
+       |    THEN event_id END) OVER (PARTITION BY user_id, sid) AS fp_id
+       |  FROM fp),
+       |touches AS (
+       |  SELECT user_id, sid, t, event_id,
+       |    coalesce(lag(event_type) OVER (PARTITION BY user_id, sid
+       |      ORDER BY t, event_id), 'START') AS src,
+       |    event_type AS dst
+       |  FROM fp2
+       |  WHERE event_type <> 'purchase' AND (fp_t IS NULL OR t < fp_t
+       |    OR (t = fp_t AND event_id < fp_id))),
+       |last_touch AS (
+       |  SELECT user_id, sid, dst AS src FROM (
+       |    SELECT user_id, sid, dst, row_number() OVER (
+       |      PARTITION BY user_id, sid ORDER BY t DESC, event_id DESC) AS rn
+       |    FROM touches) WHERE rn = 1),
+       |outcome AS (
+       |  SELECT user_id, sid,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM se GROUP BY 1, 2),
+       |terminal AS (
+       |  SELECT coalesce(lt.src, 'START') AS src,
+       |    CASE WHEN o.conv = 1 THEN 'CONV' ELSE 'NULL' END AS dst
+       |  FROM outcome o LEFT JOIN last_touch lt USING (user_id, sid)),
+       |trans AS (
+       |  SELECT src, dst, count(*)::BIGINT AS c FROM (
+       |    SELECT src, dst FROM touches UNION ALL SELECT src, dst FROM terminal)
+       |  GROUP BY 1, 2),
+       |variants AS (SELECT 'full' AS variant UNION ALL
+       |  SELECT col0 FROM (VALUES $chanList)),
+       |redirected AS (
+       |  SELECT v.variant, t.src,
+       |    CASE WHEN v.variant <> 'full' AND t.dst = v.variant
+       |      THEN 'NULL' ELSE t.dst END AS dst,
+       |    sum(t.c)::BIGINT AS c
+       |  FROM variants v CROSS JOIN trans t
+       |  WHERE v.variant = 'full' OR t.src <> v.variant
+       |  GROUP BY 1, 2, 3),
+       |withloops AS (
+       |  SELECT * FROM redirected
+       |  UNION ALL
+       |  SELECT v.variant, s.src, s.dst, s.c FROM variants v CROSS JOIN
+       |    (SELECT 'CONV' AS src, 'CONV' AS dst, 1::BIGINT AS c
+       |     UNION ALL SELECT 'NULL', 'NULL', 1) s),
+       |p AS (
+       |  SELECT variant, src, dst, c,
+       |    sum(c) OVER (PARTITION BY variant, src)::BIGINT AS r
+       |  FROM withloops),
+       |v0 AS (SELECT variant, 'START' AS state, 1000000::BIGINT AS mass
+       |       FROM variants),
+       |$steps,
+       |pconv AS (
+       |  SELECT v.variant, coalesce(k.mass, 0)::BIGINT AS p_ppm
+       |  FROM variants v LEFT JOIN
+       |    (SELECT variant, mass FROM v$MkSteps WHERE state = 'CONV') k
+       |    USING (variant)),
+       |fullp AS (SELECT p_ppm AS p_full_ppm FROM pconv WHERE variant = 'full'),
+       |rem AS (
+       |  SELECT pc.variant AS channel, f.p_full_ppm,
+       |    pc.p_ppm AS p_removed_ppm,
+       |    (f.p_full_ppm - pc.p_ppm)::BIGINT AS removal_ppm
+       |  FROM pconv pc CROSS JOIN fullp f WHERE pc.variant <> 'full'),
+       |tot AS (SELECT sum(removal_ppm)::BIGINT AS tot_rem FROM rem)
+       |SELECT channel, p_full_ppm, p_removed_ppm, removal_ppm,
+       |  CASE WHEN tot_rem = 0 THEN 0
+       |    ELSE removal_ppm * 1000 // tot_rem END::BIGINT AS share_pm
+       |FROM rem CROSS JOIN tot""".stripMargin
+  }
+
   /** Rolling-feature frame width for [[featureLags]]. */
   val FeatWin = 5
 

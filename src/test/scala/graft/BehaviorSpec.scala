@@ -1210,6 +1210,57 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("markov machinery: removing the only converting channel zeroes the " +
+    "chain, a dead-end channel has zero removal effect, and shares " +
+    "normalize to the decisive channel") {
+    import spark.implicits._
+    // START→click(2)→{CONV(1), NULL(1)}; START→view(1)→NULL(1);
+    // START→NULL(1): p_full = (2/4)·(1/2) = 250000 ppm exactly
+    val trans = Seq(("START", "click", 2L), ("click", "CONV", 1L),
+      ("click", "NULL", 1L), ("START", "view", 1L), ("view", "NULL", 1L),
+      ("START", "NULL", 1L)).toDF("src", "dst", "c")
+    val got = graft.queries.Behavior.removalEffects(spark, trans).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got("click") == ((250000L, 0L, 250000L, 1000L)))
+    assert(got("view") == ((250000L, 250000L, 0L, 0L)))
+    assert(got("error") == ((250000L, 250000L, 0L, 0L)))
+    assert(got("signup") == ((250000L, 250000L, 0L, 0L)))
+  }
+
+  test("markov_attribution: corpus result replays from a local chain over " +
+    "the operator's own transition counts") {
+    import graft.queries.Behavior.{ShapChannels, MkSteps}
+    val trans = graft.queries.Behavior.transitionCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def pconv(removed: Option[String]): Long = {
+      val redirected = trans
+        .filter { case (src, _, _) => !removed.contains(src) }
+        .map { case (src, dst, c) =>
+          (src, if (removed.contains(dst)) "NULL" else dst, c) }
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+      val loops = redirected ++ Map(("CONV", "CONV") -> 1L, ("NULL", "NULL") -> 1L)
+      val r = loops.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      var v = Map("START" -> 1000000L)
+      for (_ <- 1 to MkSteps) {
+        v = loops.toSeq.flatMap { case ((src, dst), c) =>
+          v.get(src).map(m => dst -> m * c / r(src))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+      v.getOrElse("CONV", 0L)
+    }
+    val pFull = pconv(None)
+    val expected = ShapChannels.map { case (nm, _) =>
+      nm -> ((pFull, pconv(Some(nm)), pFull - pconv(Some(nm))))
+    }.toMap
+    val got = SparkEntry.queries("markov_attribution")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    val totRem = expected.values.map(_._3).sum
+    assert(totRem > 0, "no removal effect anywhere — vacuous chain")
+  }
+
   test("shapley machinery: a planted decisive channel takes all the credit, " +
     "a dummy channel gets exactly zero, destroyers go negative, and the " +
     "efficiency identity holds on the x24 lattice") {
