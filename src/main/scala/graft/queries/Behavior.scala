@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -1732,6 +1732,124 @@ object Behavior {
         " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))" +
         " * (1.0 / n_a + 1.0 / n_b)), 0.0)) * 1e4 + 0.5) / 1e4").as("z"))
   }
+
+  /** [[cupedLift]] period split: the experiment window opens
+    * [[CupedSplitDay]] days after the first observed event day —
+    * everything before is the pre-period the covariate reads from.
+    * The events corpus spans 30 days at every SF, so 15/15. */
+  val CupedSplitDay = 15
+
+  /** K188: CUPED VARIANCE-REDUCED LIFT — Controlled-experiment
+    * Using Pre-Experiment Data (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013), the industry-standard variance reduction for A/B
+    * readouts: adjust each user's experiment metric y by their
+    * pre-period metric x, ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x)
+    * pooled across arms; randomization makes the adjustment
+    * unbiased while removing the between-user variance x explains
+    * (factor 1 − ρ²). K86 ab_lift reads the raw two-proportion
+    * lift; this is its variance-reduced sibling on the value
+    * metric, same user_id%2 assignment. The mean identity does the
+    * heavy lifting: mean(ŷ|arm) = ȳ_arm − θ(x̄_arm − x̄), so
+    * lift_cuped = (ȳ_T−ȳ_C) − θ(x̄_T−x̄_C) needs ONLY per-arm
+    * first moments + pooled second moments — no per-user adjusted
+    * column is ever materialized. Exactness: x/y live on the ×100
+    * value lattice (the Robust-family contract), per-arm n/Σx/Σy
+    * and pooled Σxx/Σxy/Σyy accumulate as DECIMAL(38)/HUGEINT
+    * (order-free, exact at any user count); θ, lifts, and
+    * 1−ρ² are the only doubles — identical IEEE algebra on
+    * identical integers + [[pround]], the abLift posture.
+    *
+    * Shape: one events scan → one user_id-keyed (arm, x, y)
+    * aggregate (map-side combine) → a 2-row arm rollup + a 1-row
+    * pooled-moment rollup — shuffle ∝ distinct users, constant
+    * output at any scale. */
+  def cupedLift(s: SparkSession, dir: String): DataFrame = {
+    val d0 = events(s, dir).agg(min(to_date(col("ts"))).as("d0"))
+    val users = events(s, dir).crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), col("d0")) < CupedSplitDay).as("pre"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vq"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("vq")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("vq")).otherwise(0L)).as("y"))
+      .select(pmod(col("user_id"), lit(2L)).as("variant"), col("x"), col("y"))
+    cupedFromUsers(users)
+  }
+
+  /** [[cupedLift]]'s moment algebra over a prepared (variant, x, y)
+    * user frame — factored so specs can plant covariate patterns. */
+  private[graft] def cupedFromUsers(users: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = users.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("y")) * col("y")).as("syy"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, dec(col("x")))
+        .otherwise(dec(lit(0L)))).as("sx_a"),
+      sum(when(col("variant") === 0, dec(col("y")))
+        .otherwise(dec(lit(0L)))).as("sy_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, dec(col("x")))
+        .otherwise(dec(lit(0L)))).as("sx_b"),
+      sum(when(col("variant") === 1, dec(col("y")))
+        .otherwise(dec(lit(0L)))).as("sy_b"))
+    // θ = (n·Σxy − ΣxΣy)/(n·Σxx − Σx²); ρ² = cov²/(var_x·var_y);
+    // lift_cuped = (ȳ_b − ȳ_a) − θ·(x̄_b − x̄_a) — the mean identity
+    val theta = expr("CAST(n * sxy - sx * sy AS DOUBLE)" +
+      " / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)")
+    val liftRaw = expr("CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a")
+    val dx = expr("CAST(sx_b AS DOUBLE) / n_b - CAST(sx_a AS DOUBLE) / n_a")
+    val rho2 = expr("CAST(n * sxy - sx * sy AS DOUBLE)" +
+      " * CAST(n * sxy - sx * sy AS DOUBLE)" +
+      " / nullif(CAST(n * sxx - sx * sx AS DOUBLE)" +
+      " * CAST(n * syy - sy * sy AS DOUBLE), 0.0)")
+    m.select(col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+      pround(theta, 6).as("theta"),
+      pround(liftRaw, 2).as("lift_raw_q"),
+      pround(liftRaw - theta * dx, 2).as("lift_cuped_q"),
+      pround(rho2, 6).as("var_reduction"))
+  }
+
+  lazy val cupedLiftSql: String =
+    s"""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+       |u AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN CAST(ts AS DATE) - d0 < $CupedSplitDay
+       |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+       |      ::HUGEINT AS x,
+       |    sum(CASE WHEN CAST(ts AS DATE) - d0 >= $CupedSplitDay
+       |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+       |      ::HUGEINT AS y
+       |  FROM events, d0 GROUP BY 1),
+       |uu AS (SELECT user_id % 2 AS variant, x, y FROM u),
+       |m AS (
+       |  SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::HUGEINT AS n_a,
+       |    sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS sx_a,
+       |    sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS sy_a,
+       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::HUGEINT AS n_b,
+       |    sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS sx_b,
+       |    sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS sy_b
+       |  FROM uu)
+       |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       |  floor(((n * sxy - sx * sy)::DOUBLE
+       |    / nullif((n * sxx - sx * sx)::DOUBLE, 0.0)) * 1000000.0 + 0.5)
+       |    / 1000000.0 AS theta,
+       |  floor((sy_b::DOUBLE / n_b - sy_a::DOUBLE / n_a) * 100.0 + 0.5)
+       |    / 100.0 AS lift_raw_q,
+       |  floor(((sy_b::DOUBLE / n_b - sy_a::DOUBLE / n_a)
+       |    - ((n * sxy - sx * sy)::DOUBLE
+       |       / nullif((n * sxx - sx * sx)::DOUBLE, 0.0))
+       |      * (sx_b::DOUBLE / n_b - sx_a::DOUBLE / n_a)) * 100.0 + 0.5)
+       |    / 100.0 AS lift_cuped_q,
+       |  floor(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)
+       |    / nullif((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy), 0.0))
+       |    * 1000000.0 + 0.5) / 1000000.0 AS var_reduction
+       |FROM m""".stripMargin
 
   val abLiftSql: String =
     """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view

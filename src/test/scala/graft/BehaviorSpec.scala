@@ -1210,6 +1210,52 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("cuped machinery: a NULL experiment with covariate imbalance reads a " +
+    "false raw lift that CUPED zeroes exactly, at variance reduction 1") {
+    import spark.implicits._
+    // y = 2x + 5 for EVERYONE (no treatment effect), arms imbalanced
+    // in x (control {0,10}, treat {20,30}): raw lift = 2·Δx̄ = 40 —
+    // pure covariate bias — θ = 2 exactly, CUPED lift = 0, ρ² = 1
+    val users = Seq((0L, 0L, 5L), (0L, 10L, 25L),
+      (1L, 20L, 45L), (1L, 30L, 65L)).toDF("variant", "x", "y")
+    val r = graft.queries.Behavior.cupedFromUsers(users).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0)      // theta
+    assert(r.getDouble(3) == 40.0)     // raw lift (pure imbalance bias)
+    assert(r.getDouble(4) == 0.0)      // cuped lift (the true null)
+    assert(r.getDouble(5) == 1.0)      // var_reduction = rho^2
+  }
+
+  test("cuped_lift: corpus moments replay locally and the adjustment obeys " +
+    "the mean identity") {
+    import graft.queries.Behavior.CupedSplitDay
+    val rows = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "to_date(ts) AS d",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS vq").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val d0 = rows.map(_._2).min
+    val users = rows.groupBy(_._1).map { case (uid, es) =>
+      val (pre, post) = es.partition(e =>
+        java.time.temporal.ChronoUnit.DAYS.between(d0, e._2) < CupedSplitDay)
+      (uid % 2, pre.map(_._3).sum, post.map(_._3).sum)
+    }.toSeq
+    def mean(s: Seq[Long]) = s.sum.toDouble / s.size
+    val n = users.size.toDouble
+    val sx = users.map(_._2).sum.toDouble; val sy = users.map(_._3).sum.toDouble
+    val sxy = users.map(u => u._2 * u._3).sum.toDouble
+    val sxx = users.map(u => u._2 * u._2).sum.toDouble
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = users.filter(_._1 == 0); val b = users.filter(_._1 == 1)
+    val liftRaw = mean(b.map(_._3)) - mean(a.map(_._3))
+    val cuped = liftRaw - theta * (mean(b.map(_._2)) - mean(a.map(_._2)))
+    val r = SparkEntry.queries("cuped_lift")(spark, sf).collect().head
+    assert(r.getLong(0) == a.size.toLong && r.getLong(1) == b.size.toLong)
+    assert(math.abs(r.getDouble(2) - theta) < 1e-5, "theta")
+    assert(math.abs(r.getDouble(3) - liftRaw) < 0.011, "raw lift")
+    assert(math.abs(r.getDouble(4) - cuped) < 0.011, "cuped lift")
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+  }
+
   test("markov machinery: removing the only converting channel zeroes the " +
     "chain, a dead-end channel has zero removal effect, and shares " +
     "normalize to the decisive channel") {

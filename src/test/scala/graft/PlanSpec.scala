@@ -170,6 +170,12 @@ class PlanSpec extends SparkSpec {
     "dsir_weights" -> ("the top-quartile threshold cumulates over the DISTINCT-" +
       "score histogram (the quantile_bins posture) — cardinality bounded by the " +
       "score range (sums of small ilog2 ratios), never corpus rows"),
+    "kaplan_meier" -> ("the at-risk suffix window runs over the K-M steps frame " +
+      "(<= duration-range/KmStepSecs rows — lattice-bound, never sessions; " +
+      "documented in the operator docstring)"),
+    "nelson_aalen" -> ("the at-risk suffix + cumulative-hazard windows run over " +
+      "the same lattice-bound steps frame as kaplan_meier (two windows, " +
+      "<= duration-range/KmStepSecs rows)"),
     "unimax_budget" -> ("the water-filling windows order the per-LANGUAGE frame " +
       "(localCheckpointed, <= |langs| rows at any corpus scale); the corpus-scale " +
       "work is the one lang-keyed aggregate before it"),
