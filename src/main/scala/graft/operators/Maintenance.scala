@@ -576,4 +576,81 @@ object Maintenance {
        |  sum(CASE WHEN db = da + $RlTwinBase THEN 1 ELSE 0 END)::BIGINT AS n_true
        |FROM sc GROUP BY 1, 2, 3""".stripMargin
   }
+
+  /** [[soundexBlocking]] letter→code tables (Russell & Odell's
+    * American Soundex, US patents 1261167/1435663, 1918/22 — the
+    * canonical phonetic blocking key in record linkage since
+    * Fellegi-Sunter): consonant classes 1-6, vowels+y → '0'
+    * (they BREAK duplicate runs but emit nothing), h/w deleted
+    * (they're TRANSPARENT: same-class consonants around them still
+    * collapse — the rule naive implementations drop). */
+  val SdxMatch = "bfpvcgjkqsxzdtlmnraeiouyhw"
+  val SdxReplace = "111122222222334556000000"
+
+  /** K189: SOUNDEX PHONETIC BLOCKING — encode every distinct part-
+    * name token with American Soundex and report the phonetic
+    * buckets (code, distinct tokens, total occurrences, smallest
+    * member). The blocking-key STUDY for the K167 record-linkage
+    * family: Fellegi-Sunter needs candidate pairs, candidate pairs
+    * need blocks, and Soundex is the century-old standard phonetic
+    * block (typo-tolerant where K167's name-prefix block is not —
+    * 'smith'/'smyth' share S530 but no 5-char prefix). Pure string
+    * algebra, identical in both engines: translate() maps classes
+    * and DELETES h/w (both engines drop match-chars beyond the
+    * replace string — verified), adjacent-duplicate collapse is a
+    * string-accumulator fold (Spark `aggregate` HOF / DuckDB
+    * list_reduce with a prepended-'' seed), then the first-letter
+    * code is dropped BEFORE zero-removal (a second letter sharing
+    * the first's class must collapse into it — Pfister → P236) —
+    * unless the first letter is h/w, whose code was deleted (hmm →
+    * H500, the edge naive drop-first breaks). Validated against the
+    * canonical vectors: Robert→R163, Tymczak→T522, Ashcraft→A261.
+    *
+    * Shape: one part scan → explode → per-token map-only encode
+    * (codegen'd string ops, no shuffle) → one (code)-keyed
+    * aggregate. At 100 TB the encode is the cheap half of a
+    * blocking join; the bucket histogram is the skew audit run
+    * BEFORE committing to the block key. */
+  def soundexBlocking(s: SparkSession, dir: String): DataFrame = {
+    val toks = part(s, dir)
+      .select(explode(split(lower(col("p_name")), " ")).as("tok"))
+      .where(col("tok").rlike("^[a-z]+$"))
+    val codes = translate(col("tok"), SdxMatch, SdxReplace)
+    val collapsed = expr("aggregate(filter(split(codes, ''), c -> c <> ''), " +
+      "'', (acc, c) -> CASE WHEN substring(acc, -1, 1) = c THEN acc " +
+      "ELSE concat(acc, c) END)")
+    val body = when(substring(col("tok"), 1, 1).isin("h", "w"),
+      col("collapsed")).otherwise(expr("substring(collapsed, 2)"))
+    toks.withColumn("codes", codes)
+      .withColumn("collapsed", collapsed)
+      .withColumn("sdx", concat(upper(substring(col("tok"), 1, 1)),
+        substring(concat(regexp_replace(body, "0", ""), lit("000")), 1, 3)))
+      .groupBy(col("sdx"))
+      .agg(countDistinct(col("tok")).as("n_tokens"),
+        count(lit(1)).as("n_occur"), min(col("tok")).as("rep_tok"))
+  }
+
+  val soundexBlockingSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(lower(p_name), ' ')) AS tok FROM part),
+       |ok AS (SELECT tok FROM toks WHERE regexp_full_match(tok, '[a-z]+')),
+       |c AS (SELECT tok,
+       |        translate(tok, '$SdxMatch', '$SdxReplace') AS codes
+       |      FROM ok),
+       |f AS (
+       |  SELECT tok,
+       |    list_reduce(list_prepend('', string_split(codes, '')),
+       |      (acc, ch) -> CASE WHEN substr(acc, length(acc), 1) = ch
+       |        THEN acc ELSE acc || ch END) AS collapsed
+       |  FROM c),
+       |enc AS (
+       |  SELECT tok,
+       |    upper(substr(tok, 1, 1)) ||
+       |    substr(replace(CASE WHEN substr(tok, 1, 1) IN ('h', 'w')
+       |        THEN collapsed ELSE substr(collapsed, 2) END, '0', '')
+       |      || '000', 1, 3) AS sdx
+       |  FROM f)
+       |SELECT sdx, count(DISTINCT tok)::BIGINT AS n_tokens,
+       |  count(*)::BIGINT AS n_occur, min(tok) AS rep_tok
+       |FROM enc GROUP BY 1""".stripMargin
 }

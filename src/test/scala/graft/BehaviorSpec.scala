@@ -933,6 +933,42 @@ class BehaviorSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("soundex_blocking: the canonical Soundex test vectors encode " +
+    "correctly through the corpus pipeline, and buckets conserve tokens") {
+    // encode the classic vectors by running them through the SAME
+    // Spark expression pipeline via a literal frame
+    import spark.implicits._
+    import graft.operators.Maintenance.{SdxMatch, SdxReplace}
+    val vectors = Map("robert" -> "R163", "rupert" -> "R163",
+      "ashcraft" -> "A261", "ashcroft" -> "A261", "tymczak" -> "T522",
+      "pfister" -> "P236", "honeyman" -> "H555", "hmm" -> "H500",
+      "white" -> "W300", "gag" -> "G200", "smith" -> "S530",
+      "smyth" -> "S530")
+    val got = vectors.keys.toSeq.toDF("tok")
+      .withColumn("codes", translate(col("tok"), SdxMatch, SdxReplace))
+      .withColumn("collapsed",
+        expr("aggregate(filter(split(codes, ''), c -> c <> ''), '', " +
+          "(acc, c) -> CASE WHEN substring(acc, -1, 1) = c THEN acc " +
+          "ELSE concat(acc, c) END)"))
+      .withColumn("sdx", concat(upper(substring(col("tok"), 1, 1)),
+        substring(concat(regexp_replace(
+          when(substring(col("tok"), 1, 1).isin("h", "w"), col("collapsed"))
+            .otherwise(expr("substring(collapsed, 2)")), "0", ""),
+          lit("000")), 1, 3)))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got == vectors)
+    // corpus: buckets conserve the distinct-token universe, every
+    // code is letter + 3 digits, and the blocking is non-vacuous
+    // (some bucket holds >1 distinct token)
+    val rows = SparkEntry.queries("soundex_blocking")(spark, sf).collect()
+    val nTok = graft.Tables.part(spark, sf)
+      .selectExpr("explode(split(lower(p_name), ' ')) AS tok")
+      .where("tok rlike '^[a-z]+$'").select("tok").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nTok)
+    assert(rows.forall(_.getString(0).matches("[A-Z][0-9]{3}")))
+    assert(rows.exists(_.getLong(1) > 1), "no phonetic collisions — vacuous")
+  }
+
   test("record_linkage: Fellegi-Sunter scores replay from first principles; " +
     "full-agreement pairs are links and are all true twins") {
     import graft.operators.Maintenance.{RlMBal, RlMName, RlMSeg,
