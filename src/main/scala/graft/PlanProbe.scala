@@ -2,19 +2,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-shape probe for perf triage (the verify skill's "drop a
-  * temporary main" step, made permanent): prints the executed plan of
-  * each named SparkEntry query at sf0.001 — grep for
-  * BroadcastHashJoin / PushedFilters / Exchange counts.
+  * temporary main" step, made permanent): prints the plan of each
+  * named SparkEntry query — grep for BroadcastHashJoin /
+  * PushedFilters / Exchange counts.
+  *
+  * Prints `explain("formatted")` (the optimization-guide §7.2 form:
+  * numbered operator list + per-operator details incl. PushedFilters
+  * and ReadSchema) — the round's plans/ before/after evidence
+  * files are captured with exactly this output. Set
+  * SPARK_GRAFT_PLAN_SF to probe a different scale (default sf0.001;
+  * plan SHAPE is scale-invariant here, but AQE-chosen strategies can
+  * differ — capture at the bench scale when a claim depends on one).
   *
   * Usage: runMain graft.PlanProbe <name> [name...]
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
     val spark = GraftSession.local(4)
     for (n <- args) {
       println(s"===== $n")
-      println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan.toString)
+      println(SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

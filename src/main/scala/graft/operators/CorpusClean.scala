@@ -579,6 +579,17 @@ object CorpusClean {
     var toks = documents(s, dir).select(col("doc_id"),
       posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
       .localCheckpoint()
+    // n_applied is read off TOKEN-COUNT CONSERVATION instead of a
+    // second pass: every merged occurrence (one `m` row) fuses
+    // exactly two tokens into one — the island-parity decision never
+    // marks adjacent positions, so consumed rows are distinct and
+    // tokens_removed = count(m) = n_applied. The former
+    // `staged.filter(m).count()` re-ran the whole stageMerge window
+    // chain (exchange + sort + three window passes) once for the
+    // count and AGAIN for the checkpoint; counting the checkpointed
+    // frames is a cached-partition scan instead (r13 QProbe:
+    // warm med 5.93 s → see OPTIMIZATION_r13.md).
+    var nToks = toks.count()
     val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
     for (round <- 1 to BpeTrainRounds) {
       val best = toks.withColumn("w1", lead(col("w"), 1).over(w))
@@ -587,10 +598,10 @@ object CorpusClean {
         .orderBy(col("n").desc, col("w"), col("w1")).limit(1)
         .collect()(0)
       val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      val staged = stageMerge(toks, l, r)
-      val applied = staged.filter(col("m")).count()
-      toks = applyMerge(staged, r).localCheckpoint()
-      merges += ((round, l, r, n, applied))
+      toks = applyMerge(stageMerge(toks, l, r), r).localCheckpoint()
+      val nAfter = toks.count()
+      merges += ((round, l, r, n, nToks - nAfter))
+      nToks = nAfter
     }
     (toks, merges.result())
   }

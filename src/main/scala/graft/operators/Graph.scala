@@ -1048,7 +1048,6 @@ object Graph {
   private def gainSweeps(adj: DataFrame, deg: DataFrame, mF: DataFrame,
                          start: DataFrame, rounds: Int)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     var lab = start.localCheckpoint()
     var labPrev = lab
     for (_ <- 1 to rounds) {
@@ -1065,16 +1064,25 @@ object Graph {
         .withColumn("s", lit(2L) * col("m") * col("kic") - col("deg") *
           (col("tot") - when(col("lab") === col("c"), col("deg"))
             .otherwise(lit(0L))))
-      val w = Window.partitionBy(col("n")).orderBy(col("s").desc, col("c"))
-      val best = sc.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("n"), col("c").as("bc"), col("s").as("bs"))
-      val stay = sc.filter(col("lab") === col("c"))
-        .select(col("n"), col("s").as("ss"))
+      // best-move argmax + stay-score + current label in ONE
+      // (n)-keyed aggregate over sc. The former form (row_number
+      // window for best, lab===c filter for stay, two joins back
+      // onto lab) evaluated the whole sc lineage twice per sweep and
+      // paid a per-n sort the argmax does not need.
+      // min(struct(-s, c)) replays the window's (s DESC, c ASC)
+      // order exactly: lexicographic struct min = max s, ties to the
+      // smallest community id. The stay row always exists (cand
+      // unions each node's own label at kic = 0) and is unique (cand
+      // is grouped by (n, c)); lab is constant per n, so max() reads
+      // it back deterministically.
       labPrev = lab
-      lab = lab.join(best, "n").join(stay, "n")
+      lab = sc.groupBy(col("n"))
+        .agg(min(struct((-col("s")).as("ns"), col("c"))).as("bt"),
+          max(when(col("lab") === col("c"), col("s"))).as("ss"),
+          max(col("lab")).as("lab0"))
         .select(col("n"),
-          when(col("bs") > col("ss"), col("bc")).otherwise(col("lab")).as("lab"))
+          when(-col("bt.ns") > col("ss"), col("bt.c"))
+            .otherwise(col("lab0")).as("lab"))
         .localCheckpoint()
     }
     (lab, labPrev)
