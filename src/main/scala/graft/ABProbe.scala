@@ -25,6 +25,9 @@ object ABProbe {
     "kmvx" -> Seq(
       "join" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = false)),
       "grp" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true))),
+    "kmvsu" -> Seq(
+      "win" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true, arrSu = false)),
+      "arr" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true, arrSu = true))),
     "winnow" -> Seq(
       "win" -> ((dir: String) => queries.TextOps.winnowFrame(
         queries.TextOps.winnowFps(s, dir, fanout = false))),

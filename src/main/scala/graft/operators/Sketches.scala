@@ -827,10 +827,11 @@ object Sketches {
 
   /** A/B probe twin of [[kmvIntersect]] over either exact-count form. */
   private[graft] def kmvIntersectProbe(s: SparkSession, dir: String,
-                                       grp: Boolean): DataFrame = {
+                                       grp: Boolean,
+                                       arrSu: Boolean = true): DataFrame = {
     val d = kmvPostings(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = kmvIntersectFrameWith(d, grp).localCheckpoint()
+    val out = kmvIntersectFrameWith(d, grp, arrSu).localCheckpoint()
     d.unpersist()
     out
   }
@@ -858,31 +859,58 @@ object Sketches {
   private[graft] def kmvIntersectFrame(d: DataFrame): DataFrame =
     kmvIntersectFrameWith(d, grp = true)
 
-  private[graft] def kmvIntersectFrameWith(d: DataFrame, grp: Boolean): DataFrame = {
+  private[graft] def kmvIntersectFrameWith(d: DataFrame, grp: Boolean,
+                                           arrSu: Boolean = true): DataFrame = {
     // ONE combining pass over the postings yields sketch + exact
     // count per source; the 20-row result is materialized once and
     // every small-side frame (sketch rows, source list, pair matrix,
     // n_a/n_b) derives from it — the cached postings are read only
     // here and by the exact self-join below (2 passes, not 4)
     val agg = kmvSourceSketch(d).localCheckpoint()
-    val skRows = agg.select(col("source"), explode(col("sk")).as("h"))
     val srcs = agg.select(col("source"))
     val pairs = srcs.as("pa")
       .join(broadcast(srcs.as("pb")), col("pa.source") < col("pb.source"))
       .select(col("pa.source").as("sa"), col("pb.source").as("sb"))
-    val u = skRows
-      .join(broadcast(pairs),
-        skRows("source") === col("sa") || skRows("source") === col("sb"))
-      .groupBy(col("sa"), col("sb"), col("h"))
-      .agg(max(when(col("source") === col("sa"), 1).otherwise(0)).as("ia"),
-        max(when(col("source") === col("sb"), 1).otherwise(0)).as("ib"))
-    val wPair = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
-    val su = u.withColumn("rn", row_number().over(wPair))
-      .filter(col("rn") <= K)
-      .groupBy(col("sa"), col("sb"))
-      .agg(count(lit(1)).as("sk_union_n"), max(col("h")).as("theta"),
-        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
-          .as("sk_both"))
+    // union-sketch stats straight off the two SORTED sketch arrays
+    // (KmvAgg emits ascending TreeSet order): the K smallest of the
+    // union is slice(sorted union, K); theta its last element;
+    // sk_both counts intersection hashes ≤ theta — h is in the kept
+    // union prefix iff h ≤ theta, since the union is distinct. The
+    // former form exploded every sketch row, shuffled
+    // (pair, h) tuples and ranked them with a per-pair window —
+    // three operators over rows this pair matrix never needed to
+    // leave the broadcast side for. Pure codegen HOFs on C(S,2)
+    // rows; at 100 TB the sketch algebra stays report-sized.
+    // (`arrSu = false` keeps the prior explode + shuffle + per-pair
+    // window form for the ABProbe `kmvsu` pair.)
+    val su = if (arrSu) {
+      pairs
+        .join(broadcast(agg.select(col("source").as("sa"), col("sk").as("ska"))), "sa")
+        .join(broadcast(agg.select(col("source").as("sb"), col("sk").as("skb"))), "sb")
+        .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, K))
+        .withColumn("sk_union_n", size(col("u")).cast("long"))
+        .withColumn("theta", element_at(col("u"), size(col("u"))))
+        .withColumn("sk_both",
+          size(filter(array_intersect(col("ska"), col("skb")),
+            h => h <= col("theta"))).cast("long"))
+        .select(col("sa"), col("sb"), col("sk_union_n"), col("theta"),
+          col("sk_both"))
+    } else {
+      val skRows = agg.select(col("source"), explode(col("sk")).as("h"))
+      val u = skRows
+        .join(broadcast(pairs),
+          skRows("source") === col("sa") || skRows("source") === col("sb"))
+        .groupBy(col("sa"), col("sb"), col("h"))
+        .agg(max(when(col("source") === col("sa"), 1).otherwise(0)).as("ia"),
+          max(when(col("source") === col("sb"), 1).otherwise(0)).as("ib"))
+      val wPair = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+      u.withColumn("rn", row_number().over(wPair))
+        .filter(col("rn") <= K)
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("sk_union_n"), max(col("h")).as("theta"),
+          sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
+            .as("sk_both"))
+    }
     val n = agg.select(col("source"), col("n"))
     val c = exactCommon(d, grp)
     pairs
