@@ -25,6 +25,9 @@ object ABProbe {
     "kmvx" -> Seq(
       "join" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = false)),
       "grp" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true))),
+    "bpe" -> Seq(
+      "ckpt" -> ((dir: String) => operators.CorpusClean.bpeTrainProbe(s, dir, viaPersist = false)),
+      "per" -> ((dir: String) => operators.CorpusClean.bpeTrainProbe(s, dir, viaPersist = true))),
     "kmvsu" -> Seq(
       "win" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true, arrSu = false)),
       "arr" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true, arrSu = true))),

@@ -564,9 +564,18 @@ object CorpusClean {
     * below U+E000. The corpus generator emits ASCII tokens only, so
     * the tie order is engine-invariant here; a corpus with astral
     * tokens would need an explicit codepoint-keyed tiebreak. */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainProbe(s, dir, viaPersist = true)
+
+  /** Report-frame twin over either materialization form — the
+    * ABProbe `bpe` entry; the report only needs the merge rows, so
+    * the final token cache is released here. */
+  private[graft] def bpeTrainProbe(s: SparkSession, dir: String,
+                                   viaPersist: Boolean): DataFrame = {
     import s.implicits._
-    bpeTrainRun(s, dir)._2.toDF("round", "left", "right", "n_pair", "n_applied")
+    val (toksF, merges) = bpeTrainRunWith(s, dir, viaPersist)
+    if (viaPersist) { toksF.unpersist(); () }
+    merges.toDF("round", "left", "right", "n_pair", "n_applied")
   }
 
   /** The training loop itself: returns the ENCODED token table after
@@ -574,11 +583,25 @@ object CorpusClean {
     * [[bpeTrain]] reports the merges, [[ensureBpeTokens]] persists
     * the encoded corpus for downstream consumers. */
   private[graft] def bpeTrainRun(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) =
+    bpeTrainRunWith(s, dir, viaPersist = true)
+
+  /** The loop in two A/B-able materialization forms ([[graft.ABProbe]]
+    * `bpe`): `viaPersist = true` chains per-round persist() — the
+    * cached plan keeps its hashpartitioning(doc_id) output, so every
+    * later round's window skips the exchange a localCheckpoint (plan
+    * truncation to a partitioning-blind RDD scan) forces back in;
+    * `false` is the prior checkpoint chain. */
+  private[graft] def bpeTrainRunWith(s: SparkSession, dir: String,
+                                     viaPersist: Boolean)
       : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
+    def mat(df: DataFrame): DataFrame =
+      if (viaPersist)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df.localCheckpoint()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var toks = documents(s, dir).select(col("doc_id"),
-      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
-      .localCheckpoint()
+    var toks = mat(documents(s, dir).select(col("doc_id"),
+      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w"))))
     // n_applied is read off TOKEN-COUNT CONSERVATION instead of a
     // second pass: every merged occurrence (one `m` row) fuses
     // exactly two tokens into one — the island-parity decision never
@@ -586,9 +609,8 @@ object CorpusClean {
     // tokens_removed = count(m) = n_applied. The former
     // `staged.filter(m).count()` re-ran the whole stageMerge window
     // chain (exchange + sort + three window passes) once for the
-    // count and AGAIN for the checkpoint; counting the checkpointed
-    // frames is a cached-partition scan instead (r13 QProbe:
-    // warm med 5.93 s → see OPTIMIZATION_r13.md).
+    // count and AGAIN for the materialization; counting the
+    // materialized frames is a cached-partition scan instead.
     var nToks = toks.count()
     val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
     for (round <- 1 to BpeTrainRounds) {
@@ -598,8 +620,12 @@ object CorpusClean {
         .orderBy(col("n").desc, col("w"), col("w1")).limit(1)
         .collect()(0)
       val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      toks = applyMerge(stageMerge(toks, l, r), r).localCheckpoint()
+      val prev = toks
+      toks = mat(applyMerge(stageMerge(toks, l, r), r))
       val nAfter = toks.count()
+      // round k's cache is materialized; round k-1's can go (the
+      // persist chain would otherwise hold BpeTrainRounds copies)
+      if (viaPersist) { prev.unpersist(); () }
       merges += ((round, l, r, n, nToks - nAfter))
       nToks = nAfter
     }
