@@ -25,6 +25,9 @@ object ABProbe {
     "kmvx" -> Seq(
       "join" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = false)),
       "grp" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true))),
+    "simhash" -> Seq(
+      "scal" -> ((dir: String) => operators.Dedup.dedupSimhashWideWith(s, dir, kernel = false)),
+      "ker" -> ((dir: String) => operators.Dedup.dedupSimhashWideWith(s, dir, kernel = true))),
     "bpe" -> Seq(
       "ckpt" -> ((dir: String) => operators.CorpusClean.bpeTrainProbe(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.CorpusClean.bpeTrainProbe(s, dir, viaPersist = true))),

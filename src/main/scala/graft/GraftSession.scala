@@ -113,6 +113,9 @@ object GraftFunctions {
       graft.plans.KmvAgg(exprs(0), intLit("kmv_agg", exprs(1)))),
     "minhash_agg" -> ((exprs: Seq[Expression]) =>
       graft.plans.MinhashAgg(exprs(0), intLit("minhash_agg", exprs(1)))),
+    "simhash_agg" -> ((exprs: Seq[Expression]) =>
+      graft.plans.SimhashAgg(exprs(0), intLit("simhash_agg", exprs(1)),
+        intLit("simhash_agg", exprs(2)))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

@@ -1051,11 +1051,18 @@ object Dedup {
     * token hash, so this is fully oracle-replayable too (was
     * rows-only under the two xxhash64 lanes); recall vs planted
     * near-dups stays spec-checked like C3's. */
-  def dedupSimhashWide(s: SparkSession, dir: String): DataFrame = {
+  def dedupSimhashWide(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashWideWith(s, dir, kernel = true)
+
+  /** ABProbe `simhash` twin: `kernel` picks the SimhashAgg buffer
+    * aggregate vs the 128-scalar-aggregate sketch plan. */
+  private[graft] def dedupSimhashWideWith(s: SparkSession, dir: String,
+                                          kernel: Boolean): DataFrame = {
     val toks = documents(s, dir).select(col("doc_id"),
         explode(graft.functions.TextFns.wsTokens(lower(col("text")))).as("t"))
       .select(col("doc_id"), strHash(col("t")).as("h"))
-    val sigs = simhashBandsAggPortable(toks, "doc_id", "h", 128, 8)
+    val sigs = graft.functions.HashFns.simhashBandsAggPortableWith(
+        toks, "doc_id", "h", 128, 8, kernel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"), col("sb"), posexplode(col("sb")))
       .toDF("doc_id", "sb", "idx", "v")

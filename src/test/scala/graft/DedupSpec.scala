@@ -61,6 +61,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashBandsAgg (SimhashAgg buffer) == retired per-bit scalar form, bit-exact") {
+    import org.apache.spark.sql.functions.{explode, lower}
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.wsTokens(lower(col("text")))).as("t"))
+      .select(col("doc_id"), HashFns.strHash(col("t")).as("h"))
+    for ((bits, bands) <- Seq((64, 8), (128, 8))) {
+      val ker = HashFns.simhashBandsAggPortableWith(
+          toks, "doc_id", "h", bits, bands, kernel = true)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val scalar = HashFns.simhashBandsAggPortableWith(
+          toks, "doc_id", "h", bits, bands, kernel = false)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(ker.keySet == scalar.keySet && ker.nonEmpty)
+      ker.foreach { case (id, sb) =>
+        assert(sb.length == bands && sb == scalar(id), s"doc $id @ $bits bits")
+      }
+    }
+  }
+
   test("dedup_minhash_lsh finds exactly the exact-jaccard pairs (recall 1 here)") {
     val lsh = run("dedup_minhash_lsh").select("ia", "ib").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
