@@ -25,6 +25,13 @@ object ABProbe {
     "kmvx" -> Seq(
       "join" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = false)),
       "grp" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true))),
+    "signlsh" -> Seq(
+      "scal" -> ((dir: String) => functions.VecFns.portableBucketsWith(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        operators.Dedup.CosLshBits, operators.Dedup.CosLshBands, kernel = false)),
+      "ker" -> ((dir: String) => functions.VecFns.portableBucketsWith(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        operators.Dedup.CosLshBits, operators.Dedup.CosLshBands, kernel = true))),
     "simhash" -> Seq(
       "scal" -> ((dir: String) => operators.Dedup.dedupSimhashWideWith(s, dir, kernel = false)),
       "ker" -> ((dir: String) => operators.Dedup.dedupSimhashWideWith(s, dir, kernel = true))),

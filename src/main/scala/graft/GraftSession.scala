@@ -116,6 +116,9 @@ object GraftFunctions {
     "simhash_agg" -> ((exprs: Seq[Expression]) =>
       graft.plans.SimhashAgg(exprs(0), intLit("simhash_agg", exprs(1)),
         intLit("simhash_agg", exprs(2)))),
+    "signlsh_agg" -> ((exprs: Seq[Expression]) =>
+      graft.plans.SignLshAgg(exprs(0), exprs(1),
+        intLit("signlsh_agg", exprs(2)), intLit("signlsh_agg", exprs(3)))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

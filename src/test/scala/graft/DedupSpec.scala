@@ -81,6 +81,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("portableBuckets (SignLshAgg buffer) == retired per-plane scalar form, bit-exact") {
+    val e = Tables.embeddings(spark, sf)
+    for ((bits, tables) <- Seq((4, 8), (8, 12))) {
+      val ker = graft.functions.VecFns.portableBucketsWith(
+          e, "vec_id", "embedding", bits, tables, kernel = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val scalar = graft.functions.VecFns.portableBucketsWith(
+          e, "vec_id", "embedding", bits, tables, kernel = false)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(ker.keySet == scalar.keySet && ker.nonEmpty)
+      ker.foreach { case (k, b) =>
+        assert(b == scalar(k), s"bucket $k @ $bits×$tables")
+      }
+    }
+  }
+
   test("dedup_minhash_lsh finds exactly the exact-jaccard pairs (recall 1 here)") {
     val lsh = run("dedup_minhash_lsh").select("ia", "ib").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
