@@ -836,12 +836,25 @@ object Sketches {
     out
   }
 
-  /** Distinct (source, shingle-hash) postings for [[kmvIntersect]]. */
+  /** Distinct (source, shingle-hash) postings for [[kmvIntersect]].
+    *
+    * Gram hashes come from the one-pass
+    * [[graft.plans.TokenGramHashes]] kernel instead of the
+    * shingles → explode → str_poly_hash string chain: this operator
+    * only ever keys on the HASH, so the kernel (bit-identical hash
+    * per gram, no gram strings materialized) changes nothing —
+    * per-doc duplicate grams the old array_distinct removed fall to
+    * the same (source, h) distinct. The `otherwise(array(0))` arm
+    * replays the chain's zero-token convention (shingles emits the
+    * whole-doc '' gram, strHash('') = 0) where the kernel folds the
+    * empty case away — no corpus dependence. */
   private[graft] def kmvPostings(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashFns
+    val toks = graft.functions.TextFns.wsTokens(lower(col("text")))
     graft.Tables.documents(s, dir)
-      .select(col("source"), explode(HashFns.shingles(col("text"))).as("gram"))
-      .select(col("source"), HashFns.strHash(col("gram")).as("h"))
+      .select(col("source"),
+        explode(when(size(toks) > 0,
+            call_function("token_gram_hashes", lower(col("text")), lit(3L)))
+          .otherwise(array(lit(0L)))).as("h"))
       .distinct()
   }
 
