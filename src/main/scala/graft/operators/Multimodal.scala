@@ -149,14 +149,28 @@ object Multimodal {
         ascii(decode(col("payload").substr(col("i") + 1, lit(1)), "UTF-8")).as("v"))
     val slices = bytes.groupBy(col("doc_id"), col("mime"), col("len"), col("slice"))
       .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
-    val tot = slices.groupBy(col("doc_id")).agg(sum(col("sv")).as("st"))
-    slices.join(tot, "doc_id")
-      .select(col("doc_id"), col("mime"), col("slice"),
-        (col("sv") * col("len") > col("st") * col("nv")).as("b"))
-      .groupBy(col("doc_id"), col("mime"), floor(col("slice") / PhashBandBits).as("idx"))
-      .agg(sum(when(col("b"),
-        expr(s"shiftleft(1L, CAST(${PhashBandBits - 1} - slice % $PhashBandBits AS INT))"))
-        .otherwise(0L)).as("v"))
+    // ONE doc-keyed aggregate collects the ≤ PhashBits slice cells;
+    // the global mean, the bit tests and the band fold are then HOFs
+    // over that 64-element array. The former chain re-shuffled the
+    // cells three more times (tot groupBy + the doc join + the
+    // (doc, idx) band groupBy + the sb list groupBy in the caller) to
+    // compute what never leaves one doc's row. idxs keeps only the
+    // band indices PRESENT among slices (sparse for len < PhashBits
+    // payloads) — the exact band-row set the grouped form emitted.
+    slices
+      .groupBy(col("doc_id"), col("mime"))
+      .agg(sort_array(collect_list(
+        struct(col("slice"), col("sv"), col("nv"), col("len")))).as("sl"))
+      .withColumn("st", expr("aggregate(sl, 0L, (a, x) -> a + x.sv)"))
+      .withColumn("idxs",
+        expr(s"array_distinct(transform(sl, x -> x.slice div $PhashBandBits))"))
+      .withColumn("sb", expr(
+        s"""transform(idxs, idx ->
+           |  aggregate(filter(sl, x -> x.slice div $PhashBandBits = idx), 0L,
+           |    (a, x) -> a + (CASE WHEN x.sv * x.len > st * x.nv
+           |      THEN shiftleft(1L, CAST(${PhashBandBits - 1} - x.slice % $PhashBandBits AS INT))
+           |      ELSE 0L END)))""".stripMargin))
+      .select(col("doc_id"), col("mime"), col("idxs"), col("sb"))
   }
 
   /** K-line: PERCEPTUAL near-dup detection over binary payloads — the
@@ -172,12 +186,16 @@ object Multimodal {
     * the recovered set is EXACTLY the planted (source, derived)
     * pairs — organic text near-dups stay out (see [[phashMedia]]). */
   def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val bandRows = phashBands(s, dir)
+    val sigs = phashBands(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sb = bandRows.groupBy(col("doc_id"), col("mime"))
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("v")))),
-        x => x.getField("v")).as("sb"))
-    val bands = bandRows.join(sb.select(col("doc_id"), col("sb")), "doc_id")
+    // (idx, v) band rows carry the full sketch alongside — a map-side
+    // zip-explode of the per-doc frame, where the former band-row
+    // form re-joined a separately grouped sb list back onto itself
+    val bands = sigs
+      .select(col("doc_id"), col("mime"), col("sb"),
+        explode(arrays_zip(col("idxs"), col("sb"))).as("z"))
+      .select(col("doc_id"), col("mime"), col("sb"),
+        col("z.idxs").as("idx"), col("z.sb").as("v"))
     val out = bands.as("x")
       .join(bands.as("y"),
         col("x.mime") === col("y.mime") && col("x.idx") === col("y.idx") &&
@@ -189,8 +207,8 @@ object Multimodal {
       .filter(col("hamming") <= PhashRadius)
       .dropDuplicates("ia", "ib")
       .select(col("mime"), col("ia"), col("ib"), col("hamming"))
-      .localCheckpoint() // pair-sized; release the cached band rows
-    bandRows.unpersist()
+      .localCheckpoint() // pair-sized; release the cached sketches
+    sigs.unpersist()
     out
   }
 
