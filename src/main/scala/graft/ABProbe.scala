@@ -71,7 +71,13 @@ object ABProbe {
       "art" -> ((dir: String) => operators.PageRankIter.pagerankIterProbe(s, dir, "art"))),
     "annevals" -> Seq(
       "fresh" -> ((dir: String) => operators.Ann.annEvalsProbe(s, dir, art = false)),
-      "art" -> ((dir: String) => operators.Ann.annEvalsProbe(s, dir, art = true))))
+      "art" -> ((dir: String) => operators.Ann.annEvalsProbe(s, dir, art = true))),
+    "textrank" -> Seq(
+      "unfused" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir, fused = false)),
+      "fused" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir, fused = true))),
+    "novelty" -> Seq(
+      "dist" -> ((dir: String) => queries.TextOps.ngramNoveltyProbe(s, dir, dedupSemi = true)),
+      "raw" -> ((dir: String) => queries.TextOps.ngramNoveltyProbe(s, dir, dedupSemi = false))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

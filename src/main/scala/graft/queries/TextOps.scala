@@ -764,6 +764,16 @@ object TextOps {
     out
   }
 
+  /** Full-query probe twin over either semi-build form. */
+  private[graft] def ngramNoveltyProbe(s: SparkSession, dir: String,
+                                       dedupSemi: Boolean): DataFrame = {
+    val posts = ngramPosts(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = ngramNoveltyFrameWith(s, posts, dedupSemi).localCheckpoint()
+    posts.unpersist()
+    out
+  }
+
   private[graft] def ngramPosts(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"), col("source"),
@@ -773,7 +783,16 @@ object TextOps {
     * so PlanSpec can assert the bloom/semi-join shape (the
     * jaccard_neighbors convention — localCheckpoint above truncates
     * the executed plan). */
-  private[graft] def ngramNoveltyFrame(s: SparkSession, posts: DataFrame): DataFrame = {
+  private[graft] def ngramNoveltyFrame(s: SparkSession, posts: DataFrame): DataFrame =
+    ngramNoveltyFrameWith(s, posts, dedupSemi = true)
+
+  /** `dedupSemi` A/B ([[graft.ABProbe]] `novelty`): whether the
+    * left-semi build side pre-aggregates train grams to distinct
+    * (shrinks the sort-merge sort input ~7× at sf0.1) or hands the
+    * raw postings to the join (drops one aggregate; a semi join
+    * dedups in its own build/probe logic). Same rows either way. */
+  private[graft] def ngramNoveltyFrameWith(s: SparkSession, posts: DataFrame,
+                                           dedupSemi: Boolean): DataFrame = {
     val trainPosts = posts.filter(col("doc_id") % 10 < 8)
     val evalPosts = posts.filter(col("doc_id") % 10 >= 8)
     // might_contain demands its bloom as a scalar subquery (H15's
@@ -789,7 +808,8 @@ object TextOps {
          |                    ${NoveltyBloomBits}L)
          |   FROM graft_novelty_train),
          |  xxhash64(gram))""".stripMargin)
-      .join(trainPosts.select(col("gram")).distinct(), Seq("gram"), "left_semi")
+      .join(if (dedupSemi) trainPosts.select(col("gram")).distinct()
+            else trainPosts.select(col("gram")), Seq("gram"), "left_semi")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_seen"))
     totals
@@ -1434,7 +1454,23 @@ object TextOps {
     * co-partitioned (doc_id, src)-keyed join + one (doc_id,
     * dst)-keyed sum: shuffle ∝ surviving posts per round, never a
     * per-doc loop or collect. Top-K per doc is one window rank. */
-  def textrankKeywords(s: SparkSession, dir: String): DataFrame = {
+  def textrankKeywords(s: SparkSession, dir: String): DataFrame =
+    textrankKeywordsWith(s, dir, fused = true)
+
+  /** Both rank-loop forms, A/B-able ([[graft.ABProbe]] `textrank`):
+    * `fused = true` carries each node's weighted degree INSIDE the
+    * rank frame (wdeg is round-invariant) and exploits the symmetric
+    * graph — every connected node has an incoming edge, so the
+    * round's contribution aggregate ALREADY covers the full connected
+    * node set and the per-round re-attach join against `nodes` is
+    * dead weight; isolated candidates settle at the 0.15 base after
+    * round 1 and are unioned back ONCE at the end. One equi-join +
+    * one combining aggregate per round (the edge frame is persisted
+    * pre-partitioned on the join key, so only the report-sized rank
+    * side exchanges per round) vs the unfused three joins + one
+    * aggregate. `fused = false` keeps the prior form. */
+  private[graft] def textrankKeywordsWith(s: SparkSession, dir: String,
+                                          fused: Boolean): DataFrame = {
     val surv = documents(s, dir)
       .select(col("doc_id"), posexplode(wsTokens(lower(col("text"))))
         .as(Seq("pos", "tok")))
@@ -1457,34 +1493,72 @@ object TextOps {
           col("a") =!= col("b"))
         .select(col("doc_id"), col("a").as("src"), col("b").as("dst"))
     }.reduce(_ unionByName _)
-    val sym = edges.unionByName(
+    val symBase = edges.unionByName(
         edges.select(col("doc_id"), col("dst").as("src"), col("src").as("dst")))
       .groupBy(col("doc_id"), col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // fresh names on the per-node weight frame: every round joins it
-    // against a frame that descends from the same checkpoints (the
-    // pavFit self-reference lesson)
-    val wdeg = sym.groupBy(col("doc_id"), col("src")).agg(sum(col("w")).as("wdeg"))
-      .select(col("doc_id").as("w_doc"), col("src").as("w_src"), col("wdeg"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    def step(rank: DataFrame): DataFrame = {
-      val contrib = rank.join(wdeg,
-          col("doc_id") === col("w_doc") && col("node") === col("w_src"))
-        .select(col("doc_id"), col("w_src").as("src"), expr("r div wdeg").as("rw"))
-      val m = sym.join(contrib, Seq("doc_id", "src"))
-        .groupBy(col("doc_id"), col("dst"))
-        .agg(sum(col("w") * col("rw")).as("m"))
-        .select(col("doc_id").as("m_doc"), col("dst"), col("m"))
-      nodes.join(m,
-          col("doc_id") === col("m_doc") && col("node") === col("dst"),
-          "left_outer")
-        .select(col("doc_id"), col("node"),
-          expr(s"${TrBase}L + (85 * coalesce(m, 0L)) div 100").as("r"))
+    val rFinal = if (fused) {
+      // wdeg of the DST endpoint rides the edge row: the graph is
+      // symmetric by construction (u–v and v–u carry the same count),
+      // so the dst-keyed window sum equals the src-keyed degree, and
+      // the per-round aggregate can hand every node its own divisor
+      // for the NEXT round without any join
+      val wdegW = Window.partitionBy(col("doc_id"), col("dst"))
+      val symW = symBase
+        .withColumn("wdeg_dst", sum(col("w")).over(wdegW))
+        .repartition(col("doc_id"), col("src")) // the per-round join key
+        .persist(lvl)
+      val connected = symW
+        .select(col("doc_id"), col("dst").as("node"), col("wdeg_dst").as("wdeg"))
+        .distinct()
+      def step(rank: DataFrame): DataFrame = {
+        val contrib = rank.select(col("doc_id"), col("node").as("src"),
+          expr("r div wdeg").as("rw"))
+        symW.join(contrib, Seq("doc_id", "src"))
+          .groupBy(col("doc_id"), col("dst"), col("wdeg_dst"))
+          .agg(sum(col("w") * col("rw")).as("m"))
+          .select(col("doc_id"), col("dst").as("node"),
+            col("wdeg_dst").as("wdeg"),
+            expr(s"${TrBase}L + (85 * m) div 100").as("r"))
+      }
+      val r0 = connected.withColumn("r", lit(TrScale))
+      val rC = (1 to TrRounds).foldLeft(r0)((r, _) => step(r))
+        .select(col("doc_id"), col("node"), col("r"))
+      // isolated candidates (no surviving co-occurrence partner):
+      // zero incoming mass every round, so for TrRounds >= 1 they sit
+      // at exactly the 0.15 base — no reason to drag them through the
+      // rank loop
+      val isolated = nodes
+        .join(connected.select(col("doc_id"), col("node")),
+          Seq("doc_id", "node"), "left_anti")
+        .select(col("doc_id"), col("node"), lit(TrBase).as("r"))
+      rC.unionByName(isolated)
+    } else {
+      val sym = symBase.persist(lvl)
+      // fresh names on the per-node weight frame: every round joins it
+      // against a frame that descends from the same checkpoints (the
+      // pavFit self-reference lesson)
+      val wdeg = sym.groupBy(col("doc_id"), col("src")).agg(sum(col("w")).as("wdeg"))
+        .select(col("doc_id").as("w_doc"), col("src").as("w_src"), col("wdeg"))
+      def step(rank: DataFrame): DataFrame = {
+        val contrib = rank.join(wdeg,
+            col("doc_id") === col("w_doc") && col("node") === col("w_src"))
+          .select(col("doc_id"), col("w_src").as("src"), expr("r div wdeg").as("rw"))
+        val m = sym.join(contrib, Seq("doc_id", "src"))
+          .groupBy(col("doc_id"), col("dst"))
+          .agg(sum(col("w") * col("rw")).as("m"))
+          .select(col("doc_id").as("m_doc"), col("dst"), col("m"))
+        nodes.join(m,
+            col("doc_id") === col("m_doc") && col("node") === col("dst"),
+            "left_outer")
+          .select(col("doc_id"), col("node"),
+            expr(s"${TrBase}L + (85 * coalesce(m, 0L)) div 100").as("r"))
+      }
+      val r0 = nodes.withColumn("r", lit(TrScale))
+      (1 to TrRounds).foldLeft(r0)((r, _) => step(r))
     }
-
-    val r0 = nodes.withColumn("r", lit(TrScale))
-    val rFinal = (1 to TrRounds).foldLeft(r0)((r, _) => step(r))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("r").desc, col("node"))
     rFinal.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TrTopK)
