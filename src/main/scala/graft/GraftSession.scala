@@ -16,6 +16,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // prefer shuffled-hash over sort-merge when the planner's size
+      // conditions allow (optimization-guide §3.1): drops both sort
+      // legs; falls back to SMJ whenever the build side is not
+      // provably small per partition, so spill safety is unchanged.
+      // Env-overridable for A/B and for clusters that want the
+      // always-spillable default back.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       // the 64-column sketch aggregates generate large classes; the
       // default 100-entry codegen cache thrashes when many queries
