@@ -77,7 +77,13 @@ object ABProbe {
       "fused" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir, fused = true))),
     "novelty" -> Seq(
       "dist" -> ((dir: String) => queries.TextOps.ngramNoveltyProbe(s, dir, dedupSemi = true)),
-      "raw" -> ((dir: String) => queries.TextOps.ngramNoveltyProbe(s, dir, dedupSemi = false))))
+      "raw" -> ((dir: String) => queries.TextOps.ngramNoveltyProbe(s, dir, dedupSemi = false))),
+    "gains" -> Seq(
+      "ckpt" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = false)),
+      "per" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = true))),
+    "gainslv" -> Seq(
+      "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
+      "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

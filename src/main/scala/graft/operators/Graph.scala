@@ -1047,8 +1047,32 @@ object Graph {
     * last sweep) so callers can report the final move count. */
   private def gainSweeps(adj: DataFrame, deg: DataFrame, mF: DataFrame,
                          start: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) =
+    gainSweepsWith(adj, deg, mF, start, rounds, viaPersist = false)
+
+  /** Round-boundary A/B ([[graft.ABProbe]] `gains`/`gainslv`):
+    * `viaPersist = true` was the bpe_train-precedent hypothesis —
+    * keep the argmax aggregate's hashpartitioning(n) across rounds
+    * and skip the per-round eager checkpoint job. MEASURED WORSE
+    * here, by a lot (r13-opt, sf0.1, 6 alternating rounds, warm med:
+    * louvain_move 1.39 s ckpt vs 5.26 s persist; leiden_refine
+    * 2.10 vs 4.34): unlike bpe's rounds (one consumer per round,
+    * an eager argmax collect forcing each cache in turn), each
+    * sweep here reads the label frame THREE times (neighbor counts,
+    * community totals, stay-score join) — concurrent scans of a
+    * still-unmaterialized lazily-cached frame duplicate its compute
+    * instead of sharing it, and the duplication compounds across
+    * rounds. The eager localCheckpoint materializes once per round
+    * by construction; it stays the shipped form. */
+  private[graft] def gainSweepsWith(adj: DataFrame, deg: DataFrame,
+                                    mF: DataFrame, start: DataFrame,
+                                    rounds: Int, viaPersist: Boolean)
       : (DataFrame, DataFrame) = {
-    var lab = start.localCheckpoint()
+    def pin(df: DataFrame): DataFrame =
+      if (viaPersist)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df.localCheckpoint()
+    var lab = pin(start)
     var labPrev = lab
     for (_ <- 1 to rounds) {
       val nbc = adj
@@ -1083,19 +1107,23 @@ object Graph {
         .select(col("n"),
           when(-col("bt.ns") > col("ss"), col("bt.c"))
             .otherwise(col("lab0")).as("lab"))
-        .localCheckpoint()
+      lab = pin(lab)
     }
     (lab, labPrev)
   }
 
-  def louvainMove(s: SparkSession, dir: String): DataFrame = {
+  def louvainMove(s: SparkSession, dir: String): DataFrame =
+    louvainMoveWith(s, dir, viaPersist = false)
+
+  private[graft] def louvainMoveWith(s: SparkSession, dir: String,
+                                     viaPersist: Boolean): DataFrame = {
     val edges = coEdges(s, dir).localCheckpoint()
     val adj = lpaAdj(edges)
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val mF = edges.agg(count(lit(1)).as("m")) // 1-row scalar frame
-    val (lab, labPrev) = gainSweeps(adj, deg, mF,
-      deg.select(col("n"), col("n").as("lab")), LvRounds)
+    val (lab, labPrev) = gainSweepsWith(adj, deg, mF,
+      deg.select(col("n"), col("n").as("lab")), LvRounds, viaPersist)
     val moved = lab.join(labPrev.withColumnRenamed("lab", "plab"), "n")
       .agg(sum(when(col("lab") =!= col("plab"), 1L).otherwise(0L))
         .as("n_moved_last"))
@@ -1219,7 +1247,8 @@ object Graph {
     * exposed so the spec can plant a Louvain-pathological parent
     * (a barbell labeled as ONE community) and watch it split. */
   private[graft] def leidenRefineOn(edges: DataFrame,
-                                    par: DataFrame): DataFrame = {
+                                    par: DataFrame,
+                                    viaPersist: Boolean = false): DataFrame = {
     val adj = lpaAdj(edges)
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
@@ -1230,8 +1259,8 @@ object Graph {
       .filter(col("par") === col("pnb"))
       .select(col("n"), col("nb"))
       .localCheckpoint() // within-parent adjacency; joined every sweep
-    val (rlab, rlabPrev) = gainSweeps(adjP, deg, mF,
-      deg.select(col("n"), col("n").as("lab")), LrRounds)
+    val (rlab, rlabPrev) = gainSweepsWith(adjP, deg, mF,
+      deg.select(col("n"), col("n").as("lab")), LrRounds, viaPersist)
     val moved = rlab.join(rlabPrev.withColumnRenamed("lab", "plab"), "n")
       .agg(sum(when(col("lab") =!= col("plab"), 1L).otherwise(0L))
         .as("n_moved_last"))
@@ -1301,16 +1330,20 @@ object Graph {
     * sweeps) — per sweep two community-keyed combining aggregates
     * and a per-node window, shuffle ∝ adjacency, never pairwise;
     * the parent filter only SHRINKS the swept edge set. */
-  def leidenRefine(s: SparkSession, dir: String): DataFrame = {
+  def leidenRefine(s: SparkSession, dir: String): DataFrame =
+    leidenRefineWith(s, dir, viaPersist = false)
+
+  private[graft] def leidenRefineWith(s: SparkSession, dir: String,
+                                      viaPersist: Boolean): DataFrame = {
     val edges = coEdges(s, dir).localCheckpoint()
     val adj = lpaAdj(edges)
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val mF = edges.agg(count(lit(1)).as("m")) // 1-row scalar frame
-    val (plab, _) = gainSweeps(adj, deg, mF,
-      deg.select(col("n"), col("n").as("lab")), LvRounds)
+    val (plab, _) = gainSweepsWith(adj, deg, mF,
+      deg.select(col("n"), col("n").as("lab")), LvRounds, viaPersist)
     leidenRefineOn(edges, plab.select(col("n"), col("lab").as("par"))
-      .localCheckpoint())
+      .localCheckpoint(), viaPersist)
   }
 
   lazy val leidenRefineSql: String = {
