@@ -81,6 +81,9 @@ object ABProbe {
     "gains" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = true))),
+    "decon" -> Seq(
+      "win" -> ((dir: String) => operators.TrainPrep.decontaminateWith(s, dir, arr = false)),
+      "arr" -> ((dir: String) => operators.TrainPrep.decontaminateWith(s, dir, arr = true))),
     "gainslv" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))))

@@ -293,27 +293,65 @@ object TrainPrep {
     * (codegen'd), split membership from the same arithmetic hash as
     * [[sampleSplit]], one equi-join on the gram — shuffle ∝ postings,
     * never test×train. Emits (doc_id, n_shared, n_grams, ratio). */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateWith(s, dir, arr = false)
+
+  /** Both gram-extraction forms, A/B-able ([[graft.ABProbe]] `decon`):
+    * `arr = true` builds each doc's DISTINCT 13-grams map-side with
+    * array HOFs (the shingles shape generalized to [[NGram]]) — on
+    * paper 6 exchanges → 3 (no doc window, no dropDuplicates, no
+    * totals re-join). MEASURED 2.5× WORSE (r13-opt, sf0.1, 6
+    * alternating rounds, warm med: win 2.08 s vs arr 5.34 s): at
+    * n = 13 the transform(sequence…slice…concat_ws) chain is an
+    * interpreted nested-lambda per gram (the HashFns.minhashSig
+    * lesson) and array_distinct adds a per-doc hash set, so the
+    * map-side CPU swamps the exchanges it saves — and the gs
+    * expression is inlined into BOTH consuming subtrees, paying the
+    * whole chain twice. The lead-window form stays the shipped one.
+    * Gram strings and per-doc distinct sets are identical either way
+    * (tokens[j..j+12] for j = 0..n−13, concat_ws ' '). */
+  private[graft] def decontaminateWith(s: SparkSession, dir: String,
+                                       arr: Boolean): DataFrame = {
     val splitH = pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100))
-    val toks = documents(s, dir).select(col("doc_id"), splitH.as("h"),
-      posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val withLeads = (1 until NGram).foldLeft(toks) { (df, i) =>
-      df.withColumn(s"w$i", lead(col("w"), i).over(w))
+    if (arr) {
+      val toksArr = TextFns.wsTokens(lower(col("text")))
+      val gs = when(size(toksArr) >= NGram,
+          array_distinct(transform(sequence(lit(0), size(toksArr) - NGram),
+            i => concat_ws(" ", slice(toksArr, i + 1, lit(NGram))))))
+        .otherwise(array().cast("array<string>"))
+      val docGrams = documents(s, dir)
+        .select(col("doc_id"), splitH.as("h"), gs.as("gs"))
+      val trainGrams = docGrams.filter(col("h") < 80)
+        .select(explode(col("gs")).as("gram")).distinct()
+      val test = docGrams.filter(col("h") >= 90)
+        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+          explode(col("gs")).as("gram"))
+      test.join(trainGrams, "gram")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("doc_id"), col("n_shared"), col("n_grams"),
+          pround(col("n_shared").cast("double") / col("n_grams"), 4).as("ratio"))
+    } else {
+      val toks = documents(s, dir).select(col("doc_id"), splitH.as("h"),
+        posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val withLeads = (1 until NGram).foldLeft(toks) { (df, i) =>
+        df.withColumn(s"w$i", lead(col("w"), i).over(w))
+      }
+      val gramCols = col("w") +: (1 until NGram).map(i => col(s"w$i"))
+      val posts = withLeads
+        .filter(col(s"w${NGram - 1}").isNotNull)
+        .select(col("doc_id"), col("h"), concat_ws(" ", gramCols: _*).as("gram"))
+        .dropDuplicates("doc_id", "gram")
+      val trainGrams = posts.filter(col("h") < 80).select(col("gram")).distinct()
+      val test = posts.filter(col("h") >= 90)
+      val nGrams = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      test.join(trainGrams, "gram")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .join(nGrams, "doc_id")
+        .select(col("doc_id"), col("n_shared"), col("n_grams"),
+          pround(col("n_shared").cast("double") / col("n_grams"), 4).as("ratio"))
     }
-    val gramCols = col("w") +: (1 until NGram).map(i => col(s"w$i"))
-    val posts = withLeads
-      .filter(col(s"w${NGram - 1}").isNotNull)
-      .select(col("doc_id"), col("h"), concat_ws(" ", gramCols: _*).as("gram"))
-      .dropDuplicates("doc_id", "gram")
-    val trainGrams = posts.filter(col("h") < 80).select(col("gram")).distinct()
-    val test = posts.filter(col("h") >= 90)
-    val nGrams = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    test.join(trainGrams, "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      .join(nGrams, "doc_id")
-      .select(col("doc_id"), col("n_shared"), col("n_grams"),
-        pround(col("n_shared").cast("double") / col("n_grams"), 4).as("ratio"))
   }
 
   val decontaminateSql: String = {
