@@ -81,6 +81,9 @@ object ABProbe {
     "gains" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = true))),
+    "margin" -> Seq(
+      "join" -> ((dir: String) => operators.Retrieval.bitextMineLshProbe(s, dir, fused = false)),
+      "fused" -> ((dir: String) => operators.Retrieval.bitextMineLshProbe(s, dir, fused = true))),
     "decon" -> Seq(
       "win" -> ((dir: String) => operators.TrainPrep.decontaminateWith(s, dir, arr = false)),
       "arr" -> ((dir: String) => operators.TrainPrep.decontaminateWith(s, dir, arr = true))),

@@ -17,14 +17,30 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.PlanProbe <name> [name...]
   */
 object PlanProbe {
+  /** Internal frames whose PUBLIC query plan is localCheckpoint-
+    * truncated (Scan ExistingRDD): probe these names to see the real
+    * shape the checkpoint hides. */
+  private def frames: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "bitext_margin_fused" -> ((s, d) =>
+      operators.Retrieval.marginMineWith(
+        operators.Retrieval.bitextLshPairs(s, d), fused = true, ckpt = false)),
+    "bitext_margin_join" -> ((s, d) =>
+      operators.Retrieval.marginMineWith(
+        operators.Retrieval.bitextLshPairs(s, d), fused = false, ckpt = false)),
+    "ngram_novelty_frame" -> ((s, d) =>
+      queries.TextOps.ngramNoveltyFrame(s, queries.TextOps.ngramPosts(s, d))),
+    "kmv_intersect_frame" -> ((s, d) =>
+      operators.Sketches.kmvIntersectFrame(operators.Sketches.kmvPostings(s, d))))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
     val spark = GraftSession.local(4)
     for (n <- args) {
       println(s"===== $n")
-      println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+      val df = frames.get(n).map(_(spark, sfDir))
+        .getOrElse(SparkEntry.queries(n)(spark, sfDir))
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

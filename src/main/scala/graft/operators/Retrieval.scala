@@ -189,31 +189,70 @@ object Retrieval {
     * is this one function. Persists the pair frame (three consumers:
     * two neighborhood windows + the final scoring join);
     * localCheckpoints the ∝-non-en-docs result before releasing it. */
-  private[graft] def marginMine(pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wx = Window.partitionBy(col("va")).orderBy(col("c4").desc, col("vb"))
-    val sx = pairs.withColumn("r", row_number().over(wx))
-      .filter(col("r") <= BtK)
-      .groupBy(col("va")).agg(sum(col("c4")).as("sxa"))
-    val wy = Window.partitionBy(col("vb")).orderBy(col("c4").desc, col("va"))
-    val sy = pairs.withColumn("r", row_number().over(wy))
-      .filter(col("r") <= BtK)
-      .groupBy(col("vb")).agg(sum(col("c4")).as("syb"))
-    val wBest = Window.partitionBy(col("vb"))
-      .orderBy(col("margin_pm").desc, col("va"))
-    val out = pairs
-      .join(sx, Seq("va")).join(sy, Seq("vb"))
-      .withColumn("margin_pm",
-        expr(s"(${2 * BtK}L * c4 * 1000) div (sxa + syb)"))
-      .withColumn("r", row_number().over(wBest))
-      .filter(col("r") === 1 && col("margin_pm") >= BtMarginFloor)
-      .select(col("vb"), col("lang"), col("va"),
-        col("c4").as("cos_q4"), col("margin_pm"))
-      .localCheckpoint() // result ∝ non-en docs; release the pairs
-    pairs.unpersist()
-    out
-  }
+  private[graft] def marginMine(pairsIn: DataFrame): DataFrame =
+    marginMineWith(pairsIn, fused = true)
+
+  /** Both margin forms, A/B-able ([[graft.ABProbe]] `margin`):
+    * `fused = true` computes each side's top-[[BtK]] neighborhood sum
+    * as a conditional window sum SHARING the rank window's partition
+    * key, and the best-margin pick rides the vb partitioning the syb
+    * window just established — the pair frame flows ONCE through
+    * hash(va) then hash(vb) (2 exchanges, 0 joins, no persist)
+    * where the unfused form pays 5 pair-frame exchanges (two rank
+    * windows, two group-sum re-joins, the best window) plus the
+    * cache round-trip. Row algebra is unchanged: sum(c4 | rank ≤ K)
+    * over the partition equals the filtered groupBy, and the inner
+    * re-joins matched every row by construction (sx/sy were built
+    * from the same pairs). */
+  private[graft] def marginMineWith(pairsIn: DataFrame,
+                                    fused: Boolean,
+                                    ckpt: Boolean = true): DataFrame =
+    if (fused) {
+      val wxO = Window.partitionBy(col("va")).orderBy(col("c4").desc, col("vb"))
+      val wxA = Window.partitionBy(col("va"))
+      val wyO = Window.partitionBy(col("vb")).orderBy(col("c4").desc, col("va"))
+      val wyA = Window.partitionBy(col("vb"))
+      val wBest = Window.partitionBy(col("vb"))
+        .orderBy(col("margin_pm").desc, col("va"))
+      pairsIn
+        .withColumn("rx", row_number().over(wxO))
+        .withColumn("sxa", sum(when(col("rx") <= BtK, col("c4"))).over(wxA))
+        .withColumn("ry", row_number().over(wyO))
+        .withColumn("syb", sum(when(col("ry") <= BtK, col("c4"))).over(wyA))
+        .withColumn("margin_pm",
+          expr(s"(${2 * BtK}L * c4 * 1000) div (sxa + syb)"))
+        .withColumn("r", row_number().over(wBest))
+        .filter(col("r") === 1 && col("margin_pm") >= BtMarginFloor)
+        .select(col("vb"), col("lang"), col("va"),
+          col("c4").as("cos_q4"), col("margin_pm"))
+        // ckpt=false leaves the plan visible for PlanProbe captures
+        .transform(d => if (ckpt) d.localCheckpoint() else d)
+    } else {
+      val pairs = pairsIn
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wx = Window.partitionBy(col("va")).orderBy(col("c4").desc, col("vb"))
+      val sx = pairs.withColumn("r", row_number().over(wx))
+        .filter(col("r") <= BtK)
+        .groupBy(col("va")).agg(sum(col("c4")).as("sxa"))
+      val wy = Window.partitionBy(col("vb")).orderBy(col("c4").desc, col("va"))
+      val sy = pairs.withColumn("r", row_number().over(wy))
+        .filter(col("r") <= BtK)
+        .groupBy(col("vb")).agg(sum(col("c4")).as("syb"))
+      val wBest = Window.partitionBy(col("vb"))
+        .orderBy(col("margin_pm").desc, col("va"))
+      val out = pairs
+        .join(sx, Seq("va")).join(sy, Seq("vb"))
+        .withColumn("margin_pm",
+          expr(s"(${2 * BtK}L * c4 * 1000) div (sxa + syb)"))
+        .withColumn("r", row_number().over(wBest))
+        .filter(col("r") === 1 && col("margin_pm") >= BtMarginFloor)
+        .select(col("vb"), col("lang"), col("va"),
+          col("c4").as("cos_q4"), col("margin_pm"))
+        // result ∝ non-en docs; release the pairs
+        .transform(d => if (ckpt) d.localCheckpoint() else d)
+      if (ckpt) { pairs.unpersist(); () }
+      out
+    }
 
   /** K135-LSH: the REGISTERED index-side swap for [[bitextMine]]
     * (r11 VERDICT item 4 — every other D/K-family exact baseline has
@@ -234,7 +273,15 @@ object Retrieval {
     * vectors×tables frame is tiny — localCheckpoint'd, the K1
     * convention), and the DuckDB oracle replays the whole pipeline
     * since the buckets are the portable integer projections. */
-  def bitextMineLsh(s: SparkSession, dir: String): DataFrame = {
+  def bitextMineLsh(s: SparkSession, dir: String): DataFrame =
+    marginMine(bitextLshPairs(s, dir))
+
+  /** Probe twin over either margin form. */
+  private[graft] def bitextMineLshProbe(s: SparkSession, dir: String,
+                                        fused: Boolean): DataFrame =
+    marginMineWith(bitextLshPairs(s, dir), fused)
+
+  private[graft] def bitextLshPairs(s: SparkSession, dir: String): DataFrame = {
     val lang = documents(s, dir).select(col("doc_id"), col("lang"))
     val e = embeddings(s, dir).join(lang, col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("embedding"), col("lang"),
@@ -260,7 +307,7 @@ object Retrieval {
       .withColumn("c4", floor(col("cos") * 10000 + 0.5).cast("long"))
       .filter(col("c4") > 0)
       .select(col("va"), col("vb"), col("lang"), col("c4"))
-    marginMine(pairs)
+    pairs
   }
 
   /** Margin-tail CTEs shared by both oracle legs — the literal
