@@ -81,6 +81,9 @@ object ABProbe {
     "gains" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = true))),
+    "markov" -> Seq(
+      "rel" -> ((dir: String) => queries.Behavior.markovAttributionWith(s, dir, drv = false)),
+      "drv" -> ((dir: String) => queries.Behavior.markovAttributionWith(s, dir, drv = true))),
     "margin" -> Seq(
       "join" -> ((dir: String) => operators.Retrieval.bitextMineLshProbe(s, dir, fused = false)),
       "fused" -> ((dir: String) => operators.Retrieval.bitextMineLshProbe(s, dir, fused = true))),

@@ -1398,7 +1398,72 @@ object Behavior {
     * ≤ 5·49-row lattice: K tiny join+agg steps, no corpus-sized
     * frame ever re-touched. */
   def markovAttribution(s: SparkSession, dir: String): DataFrame =
-    removalEffects(s, transitionCounts(s, dir))
+    markovAttributionWith(s, dir, drv = true)
+
+  /** Both absorption forms, A/B-able ([[graft.ABProbe]] `markov`):
+    * `drv = true` collects the variant-keyed transition matrix —
+    * ≤ 5·(channels+3)² rows BY CONSTRUCTION, corpus-size-free after
+    * [[transitionCounts]]'s one aggregation — and runs the
+    * [[MkSteps]] mass-propagation steps as a constant-size driver
+    * loop (the bounded-collect convention: kcenter's K-round argmax,
+    * pca_power's d² Gram). The relational form schedules 8 sequential
+    * join+aggregate stage barriers over ≤ 255-row frames — pure
+    * machinery at any scale, since nothing after the transition
+    * aggregate grows with the corpus. Arithmetic is the identical
+    * ppm-lattice integer chain (mass·c div r, non-negative longs),
+    * so rows match bit-for-bit. */
+  private[graft] def markovAttributionWith(s: SparkSession, dir: String,
+                                           drv: Boolean): DataFrame =
+    if (drv) removalEffectsLocal(s, transitionCounts(s, dir))
+    else removalEffects(s, transitionCounts(s, dir))
+
+  /** Driver-side twin of [[removalEffects]] over the SAME prepared
+    * (src, dst, c) frame: builds the redirected variants, runs the
+    * [[MkSteps]] chain steps locally, returns the 4-row report. */
+  private[graft] def removalEffectsLocal(s: SparkSession,
+                                         trans: DataFrame): DataFrame = {
+    import s.implicits._
+    val base = trans.collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+        r.getAs[Long]("c")))
+    val variants = "full" +: ShapChannels.map(_._1)
+    // per variant: redirect transitions INTO the removed channel to
+    // NULL, drop rows OUT of it, add the CONV/NULL self-loops, then
+    // r = per-src row sum — the exact relational algebra, locally
+    val pByVariant: Map[String, Map[(String, String), (Long, Long)]] =
+      variants.map { v =>
+        val redirected = base
+          .filter { case (src, _, _) => v == "full" || src != v }
+          .map { case (src, dst, c) =>
+            ((src, if (v != "full" && dst == v) "NULL" else dst), c)
+          }
+        val merged = (redirected ++ Seq((("CONV", "CONV"), 1L), (("NULL", "NULL"), 1L)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val rBySrc = merged.toSeq.groupBy(_._1._1).view
+          .mapValues(_.map(_._2).sum).toMap
+        v -> merged.map { case ((src, dst), c) => (src, dst) -> (c, rBySrc(src)) }
+      }.toMap
+    val pConv: Map[String, Long] = variants.map { v =>
+      val edges = pByVariant(v).toSeq
+        .map { case ((src, dst), (c, r)) => (src, dst, c, r) }
+      var mass = Map("START" -> 1000000L)
+      for (_ <- 1 to MkSteps) {
+        mass = edges.flatMap { case (src, dst, c, r) =>
+          mass.get(src).map(m => dst -> m * c / r)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+      v -> mass.getOrElse("CONV", 0L)
+    }.toMap
+    val pFull = pConv("full")
+    val rem = ShapChannels.map(_._1)
+      .map(ch => (ch, pFull, pConv(ch), pFull - pConv(ch)))
+    val totRem = rem.map(_._4).sum
+    val out = rem.map { case (ch, pf, pr, d) =>
+      (ch, pf, pr, d, if (totRem == 0L) 0L else d * 1000 / totRem)
+    }
+    out.toDF("channel", "p_full_ppm", "p_removed_ppm", "removal_ppm",
+      "share_pm")
+  }
 
   /** The observed (src, dst, c) transition-count frame over B6
     * session journeys — [[markovAttribution]]'s corpus half. */

@@ -1343,6 +1343,15 @@ class BehaviorSpec extends SparkSpec {
     assert(totRem > 0, "no removal effect anywhere — vacuous chain")
   }
 
+  test("markov_attribution: driver-absorb and relational forms are " +
+    "row-identical (the r13-opt swap)") {
+    val a = graft.queries.Behavior.markovAttributionWith(spark, sf, drv = true)
+      .collect().map(_.toSeq).toSet
+    val b = graft.queries.Behavior.markovAttributionWith(spark, sf, drv = false)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("shapley machinery: a planted decisive channel takes all the credit, " +
     "a dummy channel gets exactly zero, destroyers go negative, and the " +
     "efficiency identity holds on the x24 lattice") {
