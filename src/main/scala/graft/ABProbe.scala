@@ -81,6 +81,21 @@ object ABProbe {
     "gains" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = true))),
+    "shjbpe" -> Seq(
+      "smj" -> ((dir: String) => { s.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        SparkEntry.queries("bpe_train")(s, dir) }),
+      "shj" -> ((dir: String) => { s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        SparkEntry.queries("bpe_train")(s, dir) })),
+    "shjrl" -> Seq(
+      "smj" -> ((dir: String) => { s.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        SparkEntry.queries("record_linkage")(s, dir) }),
+      "shj" -> ((dir: String) => { s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        SparkEntry.queries("record_linkage")(s, dir) })),
+    "shjngram" -> Seq(
+      "smj" -> ((dir: String) => { s.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        SparkEntry.queries("ngram_novelty")(s, dir) }),
+      "shj" -> ((dir: String) => { s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        SparkEntry.queries("ngram_novelty")(s, dir) })),
     "markov" -> Seq(
       "rel" -> ((dir: String) => queries.Behavior.markovAttributionWith(s, dir, drv = false)),
       "drv" -> ((dir: String) => queries.Behavior.markovAttributionWith(s, dir, drv = true))),
