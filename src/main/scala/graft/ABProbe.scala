@@ -96,6 +96,9 @@ object ABProbe {
         SparkEntry.queries("ngram_novelty")(s, dir) }),
       "shj" -> ((dir: String) => { s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
         SparkEntry.queries("ngram_novelty")(s, dir) })),
+    "bande" -> Seq(
+      "hof" -> ((dir: String) => operators.Multimodal.audioFingerprintWith(s, dir, kernel = false)),
+      "ker" -> ((dir: String) => operators.Multimodal.audioFingerprintWith(s, dir, kernel = true))),
     "markov" -> Seq(
       "rel" -> ((dir: String) => queries.Behavior.markovAttributionWith(s, dir, drv = false)),
       "drv" -> ((dir: String) => queries.Behavior.markovAttributionWith(s, dir, drv = true))),

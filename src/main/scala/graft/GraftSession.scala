@@ -127,6 +127,8 @@ object GraftFunctions {
     "signlsh_agg" -> ((exprs: Seq[Expression]) =>
       graft.plans.SignLshAgg(exprs(0), exprs(1),
         intLit("signlsh_agg", exprs(2)), intLit("signlsh_agg", exprs(3)))),
+    "band_energies" -> ((exprs: Seq[Expression]) =>
+      graft.plans.BandEnergies(exprs(0), intLit("band_energies", exprs(1)))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

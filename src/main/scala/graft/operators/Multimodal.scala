@@ -965,7 +965,18 @@ object Multimodal {
     * equi-join with per-hash fanout ≤ C([[AfDfCap]], 2) · in-doc
     * multiplicity, then a pair-keyed vote aggregate — nothing
     * pairwise over the corpus. */
-  def audioFingerprint(s: SparkSession, dir: String): DataFrame = {
+  def audioFingerprint(s: SparkSession, dir: String): DataFrame =
+    audioFingerprintWith(s, dir, kernel = true)
+
+  /** Both band-energy forms, A/B-able ([[graft.ABProbe]] `bande`):
+    * `kernel = true` computes all [[AfBands]] energies in ONE
+    * code-point pass per frame via the codegen'd
+    * [[graft.plans.BandEnergies]]; `kernel = false` keeps the prior
+    * per-band interpreted `aggregate` HOF (bands boxed folds +
+    * bands substring/ascii evaluations per character). Energies are
+    * identical by construction — both index code points. */
+  private[graft] def audioFingerprintWith(s: SparkSession, dir: String,
+                                          kernel: Boolean): DataFrame = {
     val base = mediaTable(s, dir)
       .filter(col("meta.mime") === "audio/wav")
       .select(col("doc_id"), decode(col("payload"), "UTF-8").as("t"))
@@ -986,7 +997,10 @@ object Multimodal {
          |          * (ascii(substring(frame, p, 1)) - 32L))""".stripMargin))
       .otherwise(0L)
     val cells = frames.select(col("doc_id"), col("idx"),
-      posexplode(array((0 until AfBands).map(bandE): _*)).as(Seq("band", "energy")))
+      posexplode(if (kernel)
+          call_function("band_energies", col("frame"), lit(AfBands.toLong))
+        else array((0 until AfBands).map(bandE): _*))
+        .as(Seq("band", "energy")))
     val wBand = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("band")).orderBy(col("idx"))
     val peaks = cells

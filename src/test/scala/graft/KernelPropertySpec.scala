@@ -261,4 +261,28 @@ class KernelPropertySpec extends AnyFunSuite {
       got == ref(s, w, mask)
     })
   }
+
+  test("BandEnergies.compute equals the per-band positional fold " +
+    "(ASCII, spaces, astral code points)") {
+    val scalar: Gen[Int] = Gen.frequency(
+      6 -> Gen.choose(33, 126),
+      1 -> Gen.const(32),
+      1 -> Gen.choose(0x10000, 0x14000))
+    val gen = for {
+      s <- Gen.listOf(scalar).map(_.flatMap(Character.toChars(_)).mkString)
+      bands <- Gen.choose(1, 6)
+    } yield (s, bands)
+    // the definitional form the HOF computed: per band b, sum of
+    // (cp − 32)² over 1-based code-point positions p ≡ b+1 (mod bands)
+    def ref(s: String, bands: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 until bands).map { b =>
+        (b until cps.length by bands)
+          .map(p => { val d = cps(p).toLong - 32L; d * d }).sum
+      }
+    }
+    check(forAll(gen) { case (s, bands) =>
+      graft.plans.BandEnergies.compute(s, bands).toSeq == ref(s, bands)
+    })
+  }
 }
