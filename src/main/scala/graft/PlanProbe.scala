@@ -27,6 +27,8 @@ object PlanProbe {
     "bitext_margin_join" -> ((s, d) =>
       operators.Retrieval.marginMineWith(
         operators.Retrieval.bitextLshPairs(s, d), fused = false, ckpt = false)),
+    "markov_relational" -> ((s, d) =>
+      queries.Behavior.markovAttributionWith(s, d, drv = false)),
     "ngram_novelty_frame" -> ((s, d) =>
       queries.TextOps.ngramNoveltyFrame(s, queries.TextOps.ngramPosts(s, d))),
     "kmv_intersect_frame" -> ((s, d) =>
