@@ -110,7 +110,13 @@ object ABProbe {
       "arr" -> ((dir: String) => operators.TrainPrep.decontaminateWith(s, dir, arr = true))),
     "gainslv" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
-      "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))))
+      "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))),
+    "lvart" -> Seq(
+      "fresh" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
+      "art" -> ((dir: String) => operators.Graph.louvainMove(s, dir))),
+    "lrart" -> Seq(
+      "fresh" -> ((dir: String) => operators.Graph.leidenRefineWith(s, dir, viaPersist = false)),
+      "art" -> ((dir: String) => operators.Graph.leidenRefine(s, dir))))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("keyness").split(",").toSeq

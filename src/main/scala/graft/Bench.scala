@@ -330,6 +330,7 @@ object Bench {
     operators.CorpusClean.ensureBpeTokens(spark, sfDir) // bpe_apply reads it
     operators.Graph.ensureCoEdges(spark, sfDir) // the graph family reads it
     operators.Graph.ensurePurchasePairs(spark, sfDir) // hits_scores reads it
+    operators.Graph.ensureLvLabels(spark, sfDir) // louvain_move + leiden_refine read it
   }
 
   def main(args: Array[String]): Unit = {

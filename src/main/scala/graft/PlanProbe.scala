@@ -32,7 +32,11 @@ object PlanProbe {
     "ngram_novelty_frame" -> ((s, d) =>
       queries.TextOps.ngramNoveltyFrame(s, queries.TextOps.ngramPosts(s, d))),
     "kmv_intersect_frame" -> ((s, d) =>
-      operators.Sketches.kmvIntersectFrame(operators.Sketches.kmvPostings(s, d))))
+      operators.Sketches.kmvIntersectFrame(operators.Sketches.kmvPostings(s, d))),
+    "louvain_move_fresh" -> ((s, d) =>
+      operators.Graph.louvainMoveWith(s, d, viaPersist = false)),
+    "leiden_refine_fresh" -> ((s, d) =>
+      operators.Graph.leidenRefineWith(s, d, viaPersist = false)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")

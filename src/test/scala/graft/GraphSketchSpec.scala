@@ -793,6 +793,27 @@ class GraphSketchSpec extends SparkSpec {
     assert(comms.size < deg.size, "no community ever formed")
   }
 
+  test("lv_labels artifact: artifact-fed labels are row-identical to a " +
+    "fresh gain sweep, and both consumers read the SAME parent map") {
+    // r14: louvain_move + leiden_refine share the write-once parent
+    // labels (the coEdges lifecycle). The artifact must be a pure
+    // materialization — same (n, lab, plab) rows as an in-query sweep.
+    val fresh = graft.operators.Graph.lvLabelsFresh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("lab"), r.getAs[Long]("plab")))
+      .sortBy(_._1).toSeq
+    val art = graft.operators.Graph.lvLabels(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("lab"), r.getAs[Long]("plab")))
+      .sortBy(_._1).toSeq
+    assert(art == fresh, "artifact labels diverge from a fresh sweep")
+    // and the probe twin (fresh-sweep louvain_move) reports the same
+    // rows as the artifact-fed default path
+    val viaArt = run("louvain_move").collect().map(_.toSeq).toSet
+    val viaFresh = graft.operators.Graph
+      .louvainMoveWith(spark, sf, viaPersist = false)
+      .collect().map(_.toSeq).toSet
+    assert(viaArt == viaFresh, "artifact-fed louvain_move diverges")
+  }
+
   test("leiden_refine: a Louvain-pathological barbell labeled as ONE " +
     "community splits into its two cliques under refinement") {
     import spark.implicits._
