@@ -75,6 +75,16 @@ object ABProbe {
     "textrank" -> Seq(
       "unfused" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir, fused = false)),
       "fused" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir, fused = true))),
+    "trstack" -> Seq(
+      "legs" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
+        fused = true, stacked = false, pin = true)),
+      "stack" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
+        fused = true, stacked = true, pin = true))),
+    "trsurv" -> Seq(
+      "ckpt" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
+        fused = true, stacked = true, pin = true)),
+      "none" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
+        fused = true, stacked = true, pin = false))),
     "novelty" -> Seq(
       "dist" -> ((dir: String) => queries.TextOps.ngramNoveltyProbe(s, dir, dedupSemi = true)),
       "raw" -> ((dir: String) => queries.TextOps.ngramNoveltyProbe(s, dir, dedupSemi = false))),

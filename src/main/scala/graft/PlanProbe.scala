@@ -35,6 +35,9 @@ object PlanProbe {
       operators.Sketches.kmvIntersectFrame(operators.Sketches.kmvPostings(s, d))),
     "louvain_move_fresh" -> ((s, d) =>
       operators.Graph.louvainMoveWith(s, d, viaPersist = false)),
+    "textrank_legs" -> ((s, d) =>
+      queries.TextOps.textrankKeywordsWith(s, d,
+        fused = true, stacked = false, pin = true)),
     "leiden_refine_fresh" -> ((s, d) =>
       operators.Graph.leidenRefineWith(s, d, viaPersist = false)))
 

@@ -1470,13 +1470,27 @@ object TextOps {
     * side exchanges per round) vs the unfused three joins + one
     * aggregate. `fused = false` keeps the prior form. */
   private[graft] def textrankKeywordsWith(s: SparkSession, dir: String,
-                                          fused: Boolean): DataFrame = {
-    val surv = documents(s, dir)
+                                          fused: Boolean): DataFrame =
+    textrankKeywordsWith(s, dir, fused, stacked = true, pin = true)
+
+  /** r14 edge-builder forms, A/B-able ([[graft.ABProbe]] `trstack`,
+    * `trsurv`): `stacked = true` computes ALL [[TrWindow]] lead pairs
+    * in ONE window pass (one doc-keyed exchange + sort carrying
+    * 2·TrWindow lead functions, pairs exploded from an array) where
+    * the per-k legs each paid their own scan + window before the
+    * union; `pin = false` drops the surv localCheckpoint (with the
+    * stacked builder surv has only two consumers — the window leg and
+    * the nodes distinct — so the explode may be cheaper to recompute
+    * than to materialize). */
+  private[graft] def textrankKeywordsWith(s: SparkSession, dir: String,
+                                          fused: Boolean, stacked: Boolean,
+                                          pin: Boolean): DataFrame = {
+    val surv0 = documents(s, dir)
       .select(col("doc_id"), posexplode(wsTokens(lower(col("text"))))
         .as(Seq("pos", "tok")))
       .filter(col("tok").rlike(s"^[a-z]{$TrMinLen,}$$") &&
         !col("tok").isin(trStops: _*))
-      .localCheckpoint() // read by nodes + both lead legs
+    val surv = if (pin) surv0.localCheckpoint() else surv0
     val nodes = surv.select(col("doc_id"), col("tok").as("node")).distinct()
     // window-band pairs WITHOUT a self-join: positions are strictly
     // increasing within a doc, so any co-occurrence within TrWindow
@@ -1485,7 +1499,20 @@ object TextOps {
     // band self-join pays tokens² pre-filter rows per doc (the
     // measured 5-7 s at sf0.1; lead form ~1.5 s)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val edges = (1 to TrWindow).map { k =>
+    val edges = if (stacked) {
+      // two selects: a generator may not share a projection with
+      // window expressions, so the leads land as an array column
+      // first and explode in the next operator
+      surv.select(col("doc_id"), col("pos"), col("tok").as("a"),
+          array((1 to TrWindow).map(k =>
+            struct(lead(col("pos"), k).over(byDoc).as("pb"),
+              lead(col("tok"), k).over(byDoc).as("b"))): _*).as("cand"))
+        .select(col("doc_id"), col("pos"), col("a"),
+          explode(col("cand")).as("c"))
+        .where(col("c.pb").isNotNull && col("c.pb") - col("pos") <= TrWindow &&
+          col("a") =!= col("c.b"))
+        .select(col("doc_id"), col("a").as("src"), col("c.b").as("dst"))
+    } else (1 to TrWindow).map { k =>
       surv.select(col("doc_id"), col("pos"), col("tok").as("a"),
           lead(col("pos"), k).over(byDoc).as("pb"),
           lead(col("tok"), k).over(byDoc).as("b"))
