@@ -121,6 +121,9 @@ object ABProbe {
     "gainslv" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))),
+    "dsirh" -> Seq(
+      "twoagg" -> ((dir: String) => operators.TrainPrep.dsirWeightsWith(s, dir, merged = false)),
+      "merged" -> ((dir: String) => operators.TrainPrep.dsirWeightsWith(s, dir, merged = true))),
     "lvart" -> Seq(
       "fresh" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "art" -> ((dir: String) => operators.Graph.louvainMove(s, dir))),

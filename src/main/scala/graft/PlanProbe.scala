@@ -35,6 +35,8 @@ object PlanProbe {
       operators.Sketches.kmvIntersectFrame(operators.Sketches.kmvPostings(s, d))),
     "louvain_move_fresh" -> ((s, d) =>
       operators.Graph.louvainMoveWith(s, d, viaPersist = false)),
+    "dsir_twoagg" -> ((s, d) =>
+      operators.TrainPrep.dsirWeightsWith(s, d, merged = false)),
     "textrank_legs" -> ((s, d) =>
       queries.TextOps.textrankKeywordsWith(s, d,
         fused = true, stacked = false, pin = true)),

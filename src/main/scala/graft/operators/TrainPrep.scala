@@ -1459,7 +1459,20 @@ object TrainPrep {
     * rows-scale shuffles are the ≤2·[[DsirB]]-key histogram
     * aggregates (map-side combine) and one doc-keyed score sum; the
     * llr table broadcasts (≤ [[DsirB]] rows). */
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsWith(s, dir, merged = true)
+
+  /** Both histogram forms, A/B-able ([[graft.ABProbe]] `dsirh`):
+    * `merged = true` computes raw and target bucket counts in ONE
+    * aggregate over one gram pass (ctgt as a conditional sum — the
+    * left_outer re-join + fill(0) is definitionally the same number)
+    * and localCheckpoints the ≤[[DsirB]]-row histogram so the masses
+    * and llr frames derive from it instead of re-running the
+    * tokenize+explode lineage; the unmerged form re-scanned the gram
+    * pipeline FIVE times (raw, tgt, both mass aggregates, the llr
+    * join's two legs). */
+  private[graft] def dsirWeightsWith(s: SparkSession, dir: String,
+                                     merged: Boolean): DataFrame = {
     // tokens materialize as a COLUMN before the slice fanout —
     // Catalyst expressions are trees, so inlining the tokenizer into
     // each slice would re-run it per reference (the keyness lesson)
@@ -1476,13 +1489,19 @@ object TrainPrep {
             .otherwise(array().cast("array<string>")))).as("g"))
     val feats = grams.select(col("doc_id"), col("lang"),
       pmod(graft.functions.HashFns.strHash(col("g")), lit(DsirB)).as("f"))
-    val raw = feats.groupBy(col("f")).agg(count(lit(1)).as("craw"))
-    val tgt = feats.filter(col("lang") === "en")
-      .groupBy(col("f")).agg(count(lit(1)).as("ctgt"))
-    val masses = raw.agg(sum(col("craw")).as("rtot"))
-      .crossJoin(tgt.agg(sum(col("ctgt")).as("ttot"))) // 1-row scalar frame
-    val llr = raw.join(tgt, Seq("f"), "left_outer")
-      .na.fill(0L, Seq("ctgt"))
+    val cnt =
+      if (!merged) {
+        val raw = feats.groupBy(col("f")).agg(count(lit(1)).as("craw"))
+        val tgt = feats.filter(col("lang") === "en")
+          .groupBy(col("f")).agg(count(lit(1)).as("ctgt"))
+        raw.join(tgt, Seq("f"), "left_outer").na.fill(0L, Seq("ctgt"))
+      } else feats.groupBy(col("f"))
+        .agg(count(lit(1)).as("craw"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ctgt"))
+        .localCheckpoint() // ≤ DsirB rows; masses + llr read it
+    val masses = cnt.agg(sum(col("craw")).as("rtot"),
+      sum(col("ctgt")).as("ttot")) // 1-row scalar frame
+    val llr = cnt
       .crossJoin(broadcast(masses))
       .select(col("f"), expr(
         """(length(bin(ctgt + 1)) - 1) - (length(bin(craw + 1)) - 1)
