@@ -121,6 +121,15 @@ object ABProbe {
     "gainslv" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))),
+    "lapk" -> Seq(
+      "hof" -> ((dir: String) => operators.Multimodal.mmBlurDetectWith(s, dir, kernel = false)),
+      "ker" -> ((dir: String) => operators.Multimodal.mmBlurDetectWith(s, dir, kernel = true))),
+    "vadk" -> Seq(
+      "hof" -> ((dir: String) => operators.Multimodal.mmEnergyVadWith(s, dir, kernel = false)),
+      "ker" -> ((dir: String) => operators.Multimodal.mmEnergyVadWith(s, dir, kernel = true))),
+    "lumak" -> Seq(
+      "hof" -> ((dir: String) => operators.Multimodal.sceneCutWith(s, dir, kernel = false)),
+      "ker" -> ((dir: String) => operators.Multimodal.sceneCutWith(s, dir, kernel = true))),
     "dsirh" -> Seq(
       "twoagg" -> ((dir: String) => operators.TrainPrep.dsirWeightsWith(s, dir, merged = false)),
       "merged" -> ((dir: String) => operators.TrainPrep.dsirWeightsWith(s, dir, merged = true))),

@@ -129,6 +129,10 @@ object GraftFunctions {
         intLit("signlsh_agg", exprs(2)), intLit("signlsh_agg", exprs(3)))),
     "band_energies" -> ((exprs: Seq[Expression]) =>
       graft.plans.BandEnergies(exprs(0), intLit("band_energies", exprs(1)))),
+    "cp_sum" -> ((exprs: Seq[Expression]) =>
+      graft.plans.CpSum(exprs(0))),
+    "lap_energy" -> ((exprs: Seq[Expression]) =>
+      graft.plans.LapEnergy(exprs(0))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

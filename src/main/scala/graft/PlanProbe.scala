@@ -35,6 +35,12 @@ object PlanProbe {
       operators.Sketches.kmvIntersectFrame(operators.Sketches.kmvPostings(s, d))),
     "louvain_move_fresh" -> ((s, d) =>
       operators.Graph.louvainMoveWith(s, d, viaPersist = false)),
+    "mm_blur_detect_hof" -> ((s, d) =>
+      operators.Multimodal.mmBlurDetectWith(s, d, kernel = false)),
+    "mm_energy_vad_hof" -> ((s, d) =>
+      operators.Multimodal.mmEnergyVadWith(s, d, kernel = false)),
+    "scene_cut_hof" -> ((s, d) =>
+      operators.Multimodal.sceneCutWith(s, d, kernel = false)),
     "dsir_twoagg" -> ((s, d) =>
       operators.TrainPrep.dsirWeightsWith(s, d, merged = false)),
     "textrank_legs" -> ((s, d) =>

@@ -444,25 +444,43 @@ object Multimodal {
     * shared by [[mmBlurDetect]] and the streaming media gate
     * ([[graft.streaming.StreamMediaGate]]). Drops payloads shorter
     * than 3 bytes (no interior position). */
-  private[graft] def withLap(df: DataFrame): DataFrame = df
-    .withColumn("cs", expr("filter(split(t, ''), c -> c <> '')"))
-    .filter(size(col("cs")) >= 3)
-    .withColumn("lap_q", expr(
-      """aggregate(sequence(2, size(cs) - 1), 0L, (acc, i) ->
-        |  acc + CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
-        |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
-        |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT)
-        |      * CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
-        |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
-        |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT))"""
-        .stripMargin))
-    .withColumn("lap_per_pos", expr("(lap_q * 1000) div (size(cs) - 2)"))
+  private[graft] def withLap(df: DataFrame): DataFrame =
+    withLapWith(df, kernel = true)
+
+  /** Both Laplacian forms, A/B-able ([[graft.ABProbe]] `lapk`):
+    * `kernel = true` is the one-pass codegen [[graft.plans.LapEnergy]]
+    * code-point loop; `kernel = false` the prior interpreted HOF fold
+    * (six element_at + ascii evaluations per interior position).
+    * length(t) counts code points, exactly what size of the
+    * filtered split array counted. */
+  private[graft] def withLapWith(df: DataFrame, kernel: Boolean): DataFrame =
+    if (kernel) df
+      .filter(length(col("t")) >= 3)
+      .withColumn("lap_q", call_function("lap_energy", col("t")))
+      .withColumn("lap_per_pos", expr("(lap_q * 1000) div (length(t) - 2)"))
+    else df
+      .withColumn("cs", expr("filter(split(t, ''), c -> c <> '')"))
+      .filter(size(col("cs")) >= 3)
+      .withColumn("lap_q", expr(
+        """aggregate(sequence(2, size(cs) - 1), 0L, (acc, i) ->
+          |  acc + CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
+          |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
+          |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT)
+          |      * CAST(ascii(element_at(cs, CAST(i - 1 AS INT)))
+          |           - 2 * ascii(element_at(cs, CAST(i AS INT)))
+          |           + ascii(element_at(cs, CAST(i + 1 AS INT))) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("lap_per_pos", expr("(lap_q * 1000) div (size(cs) - 2)"))
 
   def mmBlurDetect(s: SparkSession, dir: String): DataFrame =
-    withLap(mediaTable(s, dir)
+    mmBlurDetectWith(s, dir, kernel = true)
+
+  private[graft] def mmBlurDetectWith(s: SparkSession, dir: String,
+                                      kernel: Boolean): DataFrame =
+    withLapWith(mediaTable(s, dir)
       .filter(col("meta.mime") === "image/png")
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-        decode(col("payload"), "UTF-8").as("t")))
+        decode(col("payload"), "UTF-8").as("t")), kernel)
       .select(col("doc_id"), col("n_bytes"), col("lap_q"), col("lap_per_pos"),
         (col("lap_per_pos") < BlurThresh).as("blurry"))
 
@@ -563,13 +581,28 @@ object Multimodal {
        |  (n_items * 1000 // n_total)::BIGINT AS share_permille
        |FROM b, t""".stripMargin
 
-  def mmEnergyVad(s: SparkSession, dir: String): DataFrame = {
+  def mmEnergyVad(s: SparkSession, dir: String): DataFrame =
+    mmEnergyVadWith(s, dir, kernel = true)
+
+  /** Both frame-energy forms, A/B-able ([[graft.ABProbe]] `vadk`):
+    * `kernel = true` reads the Σ(cp−32)² frame energy from
+    * [[graft.plans.BandEnergies]] at bands = 1 (the audio_fingerprint
+    * kernel — band 0 of one band IS the whole-frame energy);
+    * `kernel = false` the prior interpreted HOF fold. */
+  private[graft] def mmEnergyVadWith(s: SparkSession, dir: String,
+                                     kernel: Boolean): DataFrame = {
     val audio = mediaTable(s, dir)
       .filter(col("meta.mime") === "audio/wav")
       .select(col("doc_id"), decode(col("payload"), "UTF-8").as("t"))
       .withColumn("nf", expr(s"(length(t) + ${VadFrame - 1}) div $VadFrame"))
       // sequence() descends on empty payloads — see phashBands
       .filter(col("nf") > 0)
+    val energyCol =
+      if (kernel) element_at(call_function("band_energies", col("frame"), lit(1)), 1)
+      else aggregate(
+        filter(split(col("frame"), ""), c => c =!= ""),
+        lit(0L),
+        (acc, c) => acc + (ascii(c).cast("long") - 32L) * (ascii(c).cast("long") - 32L))
     val frames = audio
       .select(col("doc_id"), col("nf"),
         explode(sequence(lit(0L), col("nf") - 1)).as("idx"),
@@ -577,10 +610,7 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring(t, CAST(idx * $VadFrame + 1 AS INT), $VadFrame)"))
       .withColumn("energy", when(pmod(col("idx"), lit(3L)) === pmod(col("doc_id"), lit(3L)), 0L)
-        .otherwise(aggregate(
-          filter(split(col("frame"), ""), c => c =!= ""),
-          lit(0L),
-          (acc, c) => acc + (ascii(c).cast("long") - 32L) * (ascii(c).cast("long") - 32L))))
+        .otherwise(energyCol))
       .select(col("doc_id"), col("nf"), col("idx"), col("energy"))
     val active = frames.filter(col("energy") > 0)
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -753,19 +783,28 @@ object Multimodal {
     * by payload size, never corpus-wide); two combining aggregates
     * end the plan. At 100 TB this is the per-shard frame scan it is
     * in production, shuffle volume ∝ frames x 24 bytes. */
-  def sceneCut(s: SparkSession, dir: String): DataFrame = {
+  def sceneCut(s: SparkSession, dir: String): DataFrame =
+    sceneCutWith(s, dir, kernel = true)
+
+  /** Both luma-fold forms, A/B-able ([[graft.ABProbe]] `lumak`):
+    * `kernel = true` is the codegen [[graft.plans.CpSum]] code-point
+    * loop; `kernel = false` the prior interpreted HOF fold. */
+  private[graft] def sceneCutWith(s: SparkSession, dir: String,
+                                  kernel: Boolean): DataFrame = {
     val video = mediaTable(s, dir)
       .filter(col("meta.mime") === "video/mp4")
       .select(col("doc_id"), decode(col("payload"), "UTF-8").as("t"))
       .withColumn("nf", expr(s"(length(t) + ${SceneFrame - 1}) div $SceneFrame"))
       .filter(col("nf") > 0) // sequence() descends on empty payloads
+    val lumaBase =
+      if (kernel) call_function("cp_sum", col("frame"))
+      else aggregate(filter(split(col("frame"), ""), c => c =!= ""), lit(0L),
+        (acc, c) => acc + ascii(c).cast("long"))
     val frames = video
       .select(col("doc_id"), explode(sequence(lit(0L), col("nf") - 1)).as("idx"), col("t"))
       .withColumn("frame",
         expr(s"substring(t, CAST(idx * $SceneFrame + 1 AS INT), $SceneFrame)"))
-      .withColumn("luma",
-        aggregate(filter(split(col("frame"), ""), c => c =!= ""), lit(0L),
-          (acc, c) => acc + ascii(c).cast("long"))
+      .withColumn("luma", lumaBase
           + lit(1000L) * pmod(expr(s"idx div $SceneShotLen") + col("doc_id"), lit(3L)))
       .select(col("doc_id"), col("idx"), col("luma"))
     val wDoc = org.apache.spark.sql.expressions.Window

@@ -285,4 +285,52 @@ class KernelPropertySpec extends AnyFunSuite {
       graft.plans.BandEnergies.compute(s, bands).toSeq == ref(s, bands)
     })
   }
+
+  private val mediaPayload: Gen[String] = {
+    val scalar: Gen[Int] = Gen.frequency(
+      6 -> Gen.choose(33, 126),
+      1 -> Gen.const(32),
+      1 -> Gen.choose(0x10000, 0x14000))
+    Gen.listOf(scalar).map(_.flatMap(Character.toChars(_)).mkString)
+  }
+
+  test("CpSum.compute equals the per-code-point ascii fold " +
+    "(ASCII, spaces, astral code points)") {
+    check(forAll(mediaPayload) { s =>
+      graft.plans.CpSum.compute(s) ==
+        s.codePoints().toArray.map(_.toLong).sum
+    })
+  }
+
+  test("LapEnergy.compute equals the interior second-difference fold " +
+    "(ASCII, spaces, astral code points; < 3 code points gives 0)") {
+    // the definitional form the HOF computed: for 1-based positions
+    // i = 2 .. n-1 over the code-point array, Σ (c[i−1] − 2c[i] + c[i+1])²
+    def ref(s: String): Long = {
+      val cps = s.codePoints().toArray.map(_.toLong)
+      if (cps.length < 3) 0L
+      else (1 to cps.length - 2).map { i =>
+        val d = cps(i - 1) - 2L * cps(i) + cps(i + 1); d * d
+      }.sum
+    }
+    check(forAll(mediaPayload) { s =>
+      graft.plans.LapEnergy.compute(s) == ref(s)
+    })
+    assert(graft.plans.LapEnergy.compute("") == 0L)
+    assert(graft.plans.LapEnergy.compute("ab") == 0L)
+  }
+
+  test("cp_sum / lap_energy expression eval (UTF8String round-trip) " +
+    "matches compute on astral input") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    check(forAll(mediaPayload) { s =>
+      val lit = Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)
+      graft.plans.CpSum(lit).eval(null).asInstanceOf[Long] ==
+        graft.plans.CpSum.compute(s) &&
+      graft.plans.LapEnergy(lit).eval(null).asInstanceOf[Long] ==
+        graft.plans.LapEnergy.compute(s)
+    })
+  }
 }
