@@ -121,6 +121,9 @@ object ABProbe {
     "gainslv" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))),
+    "encadv" -> Seq(
+      "six" -> ((dir: String) => operators.ScalePatterns.encodingAdvisorWith(s, dir, expand = false)),
+      "exp" -> ((dir: String) => operators.ScalePatterns.encodingAdvisorWith(s, dir, expand = true))),
     "lapk" -> Seq(
       "hof" -> ((dir: String) => operators.Multimodal.mmBlurDetectWith(s, dir, kernel = false)),
       "ker" -> ((dir: String) => operators.Multimodal.mmBlurDetectWith(s, dir, kernel = true))),
