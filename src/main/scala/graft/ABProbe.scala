@@ -121,6 +121,9 @@ object ABProbe {
     "gainslv" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))),
+    "bink" -> Seq(
+      "hof" -> ((dir: String) => queries.Robust.quantileBinsWith(s, dir, hof = true)),
+      "cmp" -> ((dir: String) => queries.Robust.quantileBinsWith(s, dir, hof = false))),
     "encadv" -> Seq(
       "six" -> ((dir: String) => operators.ScalePatterns.encodingAdvisorWith(s, dir, expand = false)),
       "exp" -> ((dir: String) => operators.ScalePatterns.encodingAdvisorWith(s, dir, expand = true))),

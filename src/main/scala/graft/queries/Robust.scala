@@ -27,6 +27,20 @@ object Robust {
 
   val Bins = 10
 
+  /** Codegen count-edges-below: Σ 1[v > edges[i]] over the fixed-width
+    * broadcast edge array — bin assignment for the equi-depth family.
+    * `size(filter(edges, e -> v > e))` evaluates an interpreted
+    * ArrayFilter lambda PER ROW of the binning scan (guide §4.1);
+    * unrolling the ≤ Bins−1 comparisons keeps the whole projection in
+    * whole-stage codegen. Null edge cells count 0 in both forms (the
+    * lambda's null compare is filtered, the when() falls through).
+    * `hof = true` keeps the prior form ([[graft.ABProbe]] `bink`). */
+  private def binOf(v: Column, edges: Column, n: Int,
+                    hof: Boolean = false): Column =
+    if (hof) size(filter(edges, e => v > e))
+    else (1 to n).map(i =>
+      when(v > element_at(edges, i), 1).otherwise(0)).reduce(_ + _)
+
   /** Exact interpolated percentiles over bounded value-grid cells.
     * `cells` must carry `groupCols`, `valueCol`, and a `cnt` count.
     * Returns one row per group with a column per `(p, name)`:
@@ -99,13 +113,18 @@ object Robust {
     * then counts the edges below it, so binning is map-side and the
     * only rows-scale shuffles are the cell count and the final
     * per-bin aggregate. The same shape holds verbatim at 100 TB. */
-  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+  def quantileBins(s: SparkSession, dir: String): DataFrame =
+    quantileBinsWith(s, dir, hof = false)
+
+  private[graft] def quantileBinsWith(s: SparkSession, dir: String,
+                                      hof: Boolean): DataFrame = {
     val cells = lineitem(s, dir)
       .groupBy(col("l_extendedprice")).agg(count(lit(1)).as("cnt"))
     val edges = gridPct(cells, Nil, "l_extendedprice", edgePs)
       .select(array(edgePs.map(p => col(p._2)): _*).as("edges"))
     lineitem(s, dir).select(col("l_extendedprice")).crossJoin(broadcast(edges))
-      .withColumn("bin", size(filter(col("edges"), e => col("l_extendedprice") > e)))
+      .withColumn("bin",
+        binOf(col("l_extendedprice"), col("edges"), edgePs.size, hof))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_rows"),
         graft.Portable.pround(min(col("l_extendedprice")), 4).as("lo"),
@@ -168,7 +187,7 @@ object Robust {
         Nil, valueCol, quartPs)
         .select(array(col("q1"), col("q2"), col("q3")).as(as))
     def code(v: String, edges: String) =
-      size(filter(col(edges), e => col(v).cast("double") > e))
+      binOf(col(v).cast("double"), col(edges), quartPs.size)
     per
       .crossJoin(broadcast(edgeRow("r_days", "re")))
       .crossJoin(broadcast(edgeRow("freq", "fe")))
@@ -276,7 +295,7 @@ object Robust {
       .select(col("event_type"), col("value"),
         (expr("unix_timestamp(ts) div 86400") % 2).as("cohort"))
       .crossJoin(broadcast(edges))
-      .withColumn("bin", size(filter(col("edges"), e => col("value") > e)))
+      .withColumn("bin", binOf(col("value"), col("edges"), edgePs.size))
       .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("a"),
         sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("b"))
