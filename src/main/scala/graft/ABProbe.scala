@@ -121,6 +121,16 @@ object ABProbe {
     "gainslv" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))),
+    "shingk" -> Seq(
+      "hof" -> ((dir: String) => {
+        val posts = queries.TextOps.ngramPostsWith(s, dir, hof = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = queries.TextOps.ngramNoveltyFrame(s, posts).localCheckpoint()
+        posts.unpersist(); out }),
+      "ker" -> ((dir: String) => SparkEntry.queries("ngram_novelty")(s, dir))),
+    "satk" -> Seq(
+      "hof" -> ((dir: String) => operators.TrainPrep.saturationCurveWith(s, dir, hof = true)),
+      "ker" -> ((dir: String) => operators.TrainPrep.saturationCurveWith(s, dir, hof = false))),
     "bink" -> Seq(
       "hof" -> ((dir: String) => queries.Robust.quantileBinsWith(s, dir, hof = true)),
       "cmp" -> ((dir: String) => queries.Robust.quantileBinsWith(s, dir, hof = false))),

@@ -131,6 +131,9 @@ object GraftFunctions {
       graft.plans.BandEnergies(exprs(0), intLit("band_energies", exprs(1)))),
     "cp_sum" -> ((exprs: Seq[Expression]) =>
       graft.plans.CpSum(exprs(0))),
+    "token_grams" -> ((exprs: Seq[Expression]) =>
+      graft.plans.TokenGrams(exprs(0),
+        posLongLit("token_grams", "n", exprs(1)))),
     "lap_energy" -> ((exprs: Seq[Expression]) =>
       graft.plans.LapEnergy(exprs(0))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>

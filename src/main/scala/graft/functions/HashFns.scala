@@ -116,8 +116,15 @@ object HashFns {
   }
 
   /** Distinct n-gram token shingles of `text` ("w1 w2 w3" strings).
-    * Docs shorter than n tokens get a single whole-doc shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
+    * Docs shorter than n tokens get a single whole-doc shingle.
+    * Shipped form is the codegen [[graft.plans.TokenGrams]] kernel;
+    * `shinglesHof` keeps the interpreted column chain as the probe
+    * twin ([[graft.ABProbe]] `shingk`) — bit-identical by the kernel's
+    * contract (ScalaCheck-pinned). */
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("token_grams", lower(text), lit(n.toLong))
+
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val toks = TextFns.wsTokens(lower(text))
     when(size(toks) >= n,
       array_distinct(

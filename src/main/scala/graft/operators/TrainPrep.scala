@@ -1022,7 +1022,11 @@ object TrainPrep {
     * exactly. A further 10× drives the ratio toward the asymptotic
     * 10 of any single-scan linear operator — the healthy shape; a
     * ratio ABOVE the data growth is what would mark a defect. */
-  def saturationCurve(s: SparkSession, dir: String): DataFrame = {
+  def saturationCurve(s: SparkSession, dir: String): DataFrame =
+    saturationCurveWith(s, dir, hof = false)
+
+  private[graft] def saturationCurveWith(s: SparkSession, dir: String,
+                                         hof: Boolean): DataFrame = {
     val pct = expr(s"(doc_id % $PriP) * $PriMult % $PriP % 100")
     val bucket = when(pct < SatCuts(0), 1L).when(pct < SatCuts(1), 2L)
       .when(pct < SatCuts(2), 3L).when(pct < SatCuts(3), 4L).otherwise(5L)
@@ -1033,7 +1037,8 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"))
     val firstB = base
       .select(col("bucket"),
-        explode(graft.functions.HashFns.shingles(col("text"))).as("gram"))
+        explode(if (hof) graft.functions.HashFns.shinglesHof(col("text"))
+                else graft.functions.HashFns.shingles(col("text"))).as("gram"))
       .groupBy(col("gram")).agg(min(col("bucket")).as("bucket"))
     val gramHist = firstB.groupBy(col("bucket"))
       .agg(count(lit(1)).as("new_grams"))

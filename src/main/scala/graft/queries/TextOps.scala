@@ -775,9 +775,14 @@ object TextOps {
   }
 
   private[graft] def ngramPosts(s: SparkSession, dir: String): DataFrame =
+    ngramPostsWith(s, dir, hof = false)
+
+  private[graft] def ngramPostsWith(s: SparkSession, dir: String,
+                                    hof: Boolean): DataFrame =
     documents(s, dir)
       .select(col("doc_id"), col("source"),
-        explode(graft.functions.HashFns.shingles(col("text"))).as("gram"))
+        explode(if (hof) graft.functions.HashFns.shinglesHof(col("text"))
+                else graft.functions.HashFns.shingles(col("text"))).as("gram"))
 
   /** The un-checkpointed novelty plan over given postings, split out
     * so PlanSpec can assert the bloom/semi-join shape (the

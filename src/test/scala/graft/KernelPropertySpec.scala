@@ -320,6 +320,34 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(graft.plans.LapEnergy.compute("ab") == 0L)
   }
 
+  test("TokenGrams equals the split/slice/concat_ws/array_distinct chain " +
+    "(spaces, short docs, empties, astral code points)") {
+    // the definitional chain shinglesHof computes (on pre-lowercased
+    // text): ws-tokenize, n-gram join by single spaces, keep-first
+    // distinct; < n tokens collapse to one whole-doc shingle ("" for
+    // an empty doc)
+    def ref(s: String, n: Int): Seq[String] = {
+      val toks = s.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+    val scalar: Gen[Int] = Gen.frequency(
+      5 -> Gen.choose(33, 126),
+      2 -> Gen.const(32),
+      1 -> Gen.choose(0x10000, 0x14000))
+    val gen = for {
+      s <- Gen.listOf(scalar).map(_.flatMap(Character.toChars(_)).mkString)
+      n <- Gen.choose(1, 5)
+    } yield (s, n)
+    check(forAll(gen) { case (s, n) =>
+      val got = graft.plans.TokenGrams
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      got == ref(s, n)
+    })
+  }
+
   test("cp_sum / lap_energy expression eval (UTF8String round-trip) " +
     "matches compute on astral input") {
     import org.apache.spark.sql.catalyst.expressions.Literal
