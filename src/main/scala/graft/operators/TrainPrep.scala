@@ -294,28 +294,44 @@ object TrainPrep {
     * [[sampleSplit]], one equi-join on the gram — shuffle ∝ postings,
     * never test×train. Emits (doc_id, n_shared, n_grams, ratio). */
   def decontaminate(s: SparkSession, dir: String): DataFrame =
-    decontaminateWith(s, dir, arr = false)
+    decontaminateWith(s, dir, arr = true, kernel = true)
 
-  /** Both gram-extraction forms, A/B-able ([[graft.ABProbe]] `decon`):
-    * `arr = true` builds each doc's DISTINCT 13-grams map-side with
-    * array HOFs (the shingles shape generalized to [[NGram]]) — on
+  /** The gram-extraction forms, A/B-able ([[graft.ABProbe]] `decon`,
+    * `deconk`): `arr = true` builds each doc's DISTINCT 13-grams
+    * map-side (the shingles shape generalized to [[NGram]]) — on
     * paper 6 exchanges → 3 (no doc window, no dropDuplicates, no
-    * totals re-join). MEASURED 2.5× WORSE (r13-opt, sf0.1, 6
-    * alternating rounds, warm med: win 2.08 s vs arr 5.34 s): at
-    * n = 13 the transform(sequence…slice…concat_ws) chain is an
-    * interpreted nested-lambda per gram (the HashFns.minhashSig
-    * lesson) and array_distinct adds a per-doc hash set, so the
-    * map-side CPU swamps the exchanges it saves — and the gs
-    * expression is inlined into BOTH consuming subtrees, paying the
-    * whole chain twice. The lead-window form stays the shipped one.
-    * Gram strings and per-doc distinct sets are identical either way
-    * (tokens[j..j+12] for j = 0..n−13, concat_ws ' '). */
+    * totals re-join). With the INTERPRETED HOF chain this MEASURED
+    * 2.5× WORSE (r13-opt, warm med: win 2.08 s vs arr 5.34 s — a
+    * nested lambda per gram, the chain inlined into both consuming
+    * subtrees); with the codegen [[graft.plans.TokenGrams]] kernel
+    * the same plan shape WINS 2.4× (r14, 6 alternating rounds, warm
+    * med: win 2.216 s vs arrk 0.925, first pass 7.2 vs 1.8) — the
+    * r13 loss was the lambda interpreter, not the shape, so the
+    * kernel-arr form is the shipped one. Gram strings and per-doc
+    * distinct sets are identical in every form (tokens[j..j+12] for
+    * j = 0..n−13, concat_ws ' '; < NGram-token docs emit nothing). */
   private[graft] def decontaminateWith(s: SparkSession, dir: String,
-                                       arr: Boolean): DataFrame = {
+                                       arr: Boolean): DataFrame =
+    decontaminateWith(s, dir, arr, kernel = false)
+
+  /** `kernel = true` re-runs the r13-negative arr form with the gram
+    * chain swapped for the codegen [[graft.plans.TokenGrams]] kernel
+    * (ABProbe `deconk`) — the measured 2.5× map-side CPU loss was the
+    * INTERPRETED lambda chain, which the kernel removes; the
+    * whole-doc-shingle fallback the kernel carries for < NGram-token
+    * docs is masked off by the same size guard (those docs emit no
+    * grams in every form). */
+  private[graft] def decontaminateWith(s: SparkSession, dir: String,
+                                       arr: Boolean,
+                                       kernel: Boolean): DataFrame = {
     val splitH = pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100))
     if (arr) {
       val toksArr = TextFns.wsTokens(lower(col("text")))
-      val gs = when(size(toksArr) >= NGram,
+      val gs =
+        if (kernel) when(TextFns.wsTokenCount(lower(col("text"))) >= NGram,
+            graft.functions.HashFns.shingles(col("text"), NGram))
+          .otherwise(array().cast("array<string>"))
+        else when(size(toksArr) >= NGram,
           array_distinct(transform(sequence(lit(0), size(toksArr) - NGram),
             i => concat_ws(" ", slice(toksArr, i + 1, lit(NGram))))))
         .otherwise(array().cast("array<string>"))
