@@ -152,6 +152,9 @@ object ABProbe {
     "dsirh" -> Seq(
       "twoagg" -> ((dir: String) => operators.TrainPrep.dsirWeightsWith(s, dir, merged = false)),
       "merged" -> ((dir: String) => operators.TrainPrep.dsirWeightsWith(s, dir, merged = true))),
+    "dsirg" -> Seq(
+      "chain" -> ((dir: String) => operators.TrainPrep.dsirWeightsWith(s, dir, merged = true, gramKernel = false)),
+      "ker" -> ((dir: String) => operators.TrainPrep.dsirWeightsWith(s, dir, merged = true, gramKernel = true))),
     "lvart" -> Seq(
       "fresh" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "art" -> ((dir: String) => operators.Graph.louvainMove(s, dir))),

@@ -1481,7 +1481,7 @@ object TrainPrep {
     * aggregates (map-side combine) and one doc-keyed score sum; the
     * llr table broadcasts (≤ [[DsirB]] rows). */
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
-    dsirWeightsWith(s, dir, merged = true)
+    dsirWeightsWith(s, dir, merged = true, gramKernel = true)
 
   /** Both histogram forms, A/B-able ([[graft.ABProbe]] `dsirh`):
     * `merged = true` computes raw and target bucket counts in ONE
@@ -1493,23 +1493,50 @@ object TrainPrep {
     * pipeline FIVE times (raw, tgt, both mass aggregates, the llr
     * join's two legs). */
   private[graft] def dsirWeightsWith(s: SparkSession, dir: String,
-                                     merged: Boolean): DataFrame = {
+                                     merged: Boolean): DataFrame =
+    dsirWeightsWith(s, dir, merged, gramKernel = false)
+
+  /** `gramKernel = true` ([[graft.ABProbe]] `dsirg`) builds the
+    * hashed features with [[graft.plans.TokenGramHashes]] — unigram
+    * and bigram hashes in one code-point pass each, never
+    * materializing a gram string — where the chain form tokenizes,
+    * zip_withs bigram strings through an interpreted lambda, explodes
+    * the strings and re-folds each one char-by-char. Bit-identical
+    * feature ids: token_gram_hashes IS strHash of the space-joined
+    * gram by the kernel's composition contract; the < 2-token guard
+    * masks its whole-doc fallback exactly like the zip_with guard. */
+  private[graft] def dsirWeightsWith(s: SparkSession, dir: String,
+                                     merged: Boolean,
+                                     gramKernel: Boolean): DataFrame = {
     // tokens materialize as a COLUMN before the slice fanout —
     // Catalyst expressions are trees, so inlining the tokenizer into
     // each slice would re-run it per reference (the keyness lesson)
     val ws = col("ws")
-    val grams = documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        TextFns.wsTokens(lower(col("text"))).as("ws"))
-      .select(col("doc_id"), col("lang"),
-        explode(concat(ws,
-          when(size(ws) >= 2,
-            zip_with(slice(ws, lit(1), size(ws) - 1),
-              slice(ws, lit(2), size(ws) - 1),
-              (a, b) => concat(a, lit(" "), b)))
-            .otherwise(array().cast("array<string>")))).as("g"))
-    val feats = grams.select(col("doc_id"), col("lang"),
-      pmod(graft.functions.HashFns.strHash(col("g")), lit(DsirB)).as("f"))
+    val feats = if (gramKernel) {
+      val t2 = lower(col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(concat(
+            call_function("token_gram_hashes", t2, lit(1L)),
+            when(TextFns.wsTokenCount(t2) >= 2,
+              call_function("token_gram_hashes", t2, lit(2L)))
+              .otherwise(array().cast("array<bigint>")))).as("gh"))
+        .select(col("doc_id"), col("lang"),
+          pmod(col("gh"), lit(DsirB)).as("f"))
+    } else {
+      val grams = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFns.wsTokens(lower(col("text"))).as("ws"))
+        .select(col("doc_id"), col("lang"),
+          explode(concat(ws,
+            when(size(ws) >= 2,
+              zip_with(slice(ws, lit(1), size(ws) - 1),
+                slice(ws, lit(2), size(ws) - 1),
+                (a, b) => concat(a, lit(" "), b)))
+              .otherwise(array().cast("array<string>")))).as("g"))
+      grams.select(col("doc_id"), col("lang"),
+        pmod(graft.functions.HashFns.strHash(col("g")), lit(DsirB)).as("f"))
+    }
     val cnt =
       if (!merged) {
         val raw = feats.groupBy(col("f")).agg(count(lit(1)).as("craw"))
