@@ -121,6 +121,9 @@ object ABProbe {
     "gainslv" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))),
+    "pqpin" -> Seq(
+      "none" -> ((dir: String) => operators.Ann.annPqWith(s, dir, pin = false)),
+      "pin" -> ((dir: String) => operators.Ann.annPqWith(s, dir, pin = true))),
     "deconk" -> Seq(
       "win" -> ((dir: String) => operators.TrainPrep.decontaminateWith(s, dir, arr = false)),
       "arrk" -> ((dir: String) => operators.TrainPrep.decontaminateWith(s, dir, arr = true, kernel = true))),

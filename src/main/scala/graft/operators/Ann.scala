@@ -988,13 +988,24 @@ object Ann {
     * sums; encoding is the same assignment; query-time cost is
     * codes ⋈ broadcast LUT (probes × K × subs rows) + one top-k
     * window per probe — the big side never exchanges. */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
-    val pts = embeddings(s, dir)
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    annPqWith(s, dir, pin = true)
+
+  /** `pin` A/B ([[graft.ABProbe]] `pqpin`): the quantized subvector
+    * cells feed FIVE subtrees (seed centroids, two assignment passes,
+    * the re-centering aggregate, the probe slices) — persist scans
+    * the explode once; `pin = false` recomputes it per consumer. */
+  private[graft] def annPqWith(s: SparkSession, dir: String,
+                               pin: Boolean): DataFrame = {
+    val pts0 = embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
       .select(col("vec_id"),
         (col("d") / PqSubDim).cast("int").as("sub"),
         (col("d") % PqSubDim).as("sd"),
         floor(col("v").cast("double") * KMeansIter.Scale + 0.5).cast("long").as("qv"))
+    val pts = if (pin)
+      pts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pts0
     val c0 = pts.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), col("sub"), col("sd"), col("qv").as("cv"))
     def assign(c: DataFrame): DataFrame =
