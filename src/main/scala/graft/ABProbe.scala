@@ -121,6 +121,9 @@ object ABProbe {
     "gainslv" -> Seq(
       "ckpt" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.Graph.louvainMoveWith(s, dir, viaPersist = true))),
+    "afpin" -> Seq(
+      "none" -> ((dir: String) => operators.Multimodal.audioFingerprintWith(s, dir, kernel = true, pin = false)),
+      "pin" -> ((dir: String) => operators.Multimodal.audioFingerprintWith(s, dir, kernel = true, pin = true))),
     "pqpin" -> Seq(
       "none" -> ((dir: String) => operators.Ann.annPqWith(s, dir, pin = false)),
       "pin" -> ((dir: String) => operators.Ann.annPqWith(s, dir, pin = true))),

@@ -1015,7 +1015,21 @@ object Multimodal {
     * bands substring/ascii evaluations per character). Energies are
     * identical by construction — both index code points. */
   private[graft] def audioFingerprintWith(s: SparkSession, dir: String,
-                                          kernel: Boolean): DataFrame = {
+                                          kernel: Boolean): DataFrame =
+    audioFingerprintWith(s, dir, kernel, pin = false)
+
+  /** `pin` A/B ([[graft.ABProbe]] `afpin`): hypothesis was that the
+    * landmark-hash frame `fps` (df-cut aggregate + both sides of the
+    * match self-join) replays its pipeline three times and a persist
+    * would share it. MEASURED WORSE WARM (r14, 6 alternating rounds,
+    * sf0.1: med 2.055 s pinned vs 1.799 unpinned; first pass 4.4 vs
+    * 8.9) — exchange reuse already shares the identical subtrees and
+    * the cache write + partitioning-blind cache scans cost more than
+    * the leftover replay. Unpinned stays shipped; the gainSweeps
+    * persist lesson again. */
+  private[graft] def audioFingerprintWith(s: SparkSession, dir: String,
+                                          kernel: Boolean,
+                                          pin: Boolean): DataFrame = {
     val base = mediaTable(s, dir)
       .filter(col("meta.mime") === "audio/wav")
       .select(col("doc_id"), decode(col("payload"), "UTF-8").as("t"))
@@ -1064,10 +1078,13 @@ object Multimodal {
         s"""((((b1 * $AfBands + b2) * ${AfTz + 1} + dt) * 1048576
            | + least(e1, 1048575L)) * 1048576
            | + least(e2, 1048575L))""".stripMargin).as("h"))
-    val rare = fps.groupBy(col("h"))
+    val fpsP = if (pin)
+      fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fps
+    val rare = fpsP.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("dfh"))
       .filter(col("dfh") <= AfDfCap).select(col("h"))
-    val kept = fps.join(rare, "h")
+    val kept = fpsP.join(rare, "h")
     val votes = kept.as("x").join(kept.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
