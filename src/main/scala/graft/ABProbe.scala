@@ -20,8 +20,9 @@ object ABProbe {
       "zip" -> ((dir: String) => queries.TextOps.keynessFrame(
         queries.TextOps.keynessCells(s, dir)))),
     "gram" -> Seq(
-      "win" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, arr = false)),
-      "arr" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, arr = true))),
+      "win" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, "win")),
+      "zip" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, "zip")),
+      "ker" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, "ker"))),
     "kmvx" -> Seq(
       "join" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = false)),
       "grp" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true))),

@@ -42,7 +42,23 @@ object Dedup {
     * window's doc-keyed sort exchange, which only grows with
     * corpus size. (The earlier "interpreted array lambda measured
     * ~4×" note predates zip_with's codegen'd slice form.) */
-  private def rawGramPosts(docs: DataFrame): DataFrame = {
+  /** Per-doc DISTINCT 3-gram postings — the gram-dedup family's
+    * shared input. Shipped form is one [[graft.plans.TokenGrams]]
+    * kernel pass: the kernel dedups map-side (keep-first, exactly
+    * what dropDuplicates(doc_id, gram) kept), so the zip form's
+    * distinct EXCHANGE disappears along with its interpreted
+    * nested-lambda gram build. [[rawGramPostsZip]]/[[rawGramPostsWin]]
+    * stay as probe twins ([[graft.ABProbe]] `gram`); all three emit
+    * the same (doc_id, gram) set (whole-doc gram under 3 tokens,
+    * "" for an empty doc). */
+  private def rawGramPosts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.HashFns.shingles(col("text"))).as("gram"))
+
+  /** A/B probe twin: the r10-r13 shipped map-side zip_with build +
+    * dropDuplicates (interpreted lambdas; the distinct pays an
+    * exchange). */
+  private[graft] def rawGramPostsZip(docs: DataFrame): DataFrame = {
     val ts = col("ts")
     val g3 = zip_with(
       zip_with(slice(ts, lit(1), size(ts) - 2), slice(ts, lit(2), size(ts) - 2),
@@ -84,10 +100,16 @@ object Dedup {
   private[graft] def minhashLshFrame(s: SparkSession, dir: String): DataFrame =
     lshPairs(gramPosts(s, dir))
 
-  /** A/B probe twin of [[dedupMinhashLsh]] over either gram build. */
+  /** A/B probe twin of [[dedupMinhashLsh]] over any gram build:
+    * "ker" (shipped kernel), "zip" (map-side lambdas), "win"
+    * (window leads). */
   private[graft] def dedupMinhashLshProbe(s: SparkSession, dir: String,
-                                          arr: Boolean): DataFrame = {
-    val raw = if (arr) rawGramPosts(documents(s, dir)) else rawGramPostsWin(documents(s, dir))
+                                          form: String): DataFrame = {
+    val raw = form match {
+      case "ker" => rawGramPosts(documents(s, dir))
+      case "zip" => rawGramPostsZip(documents(s, dir))
+      case _ => rawGramPostsWin(documents(s, dir))
+    }
     val lowDf = raw.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= DfCap)
       .select(col("gram"))
