@@ -26,6 +26,15 @@ object ABProbe {
     "kmvx" -> Seq(
       "join" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = false)),
       "grp" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true))),
+    "phashk" -> Seq(
+      "chain" -> ((dir: String) => operators.Multimodal.mmPhashDedupWith(s, dir, kernel = false)),
+      "ker" -> ((dir: String) => operators.Multimodal.mmPhashDedupWith(s, dir, kernel = true))),
+    "patchk" -> Seq(
+      "chain" -> ((dir: String) => operators.Multimodal.mmPatchEmbedWith(s, dir, kernel = false)),
+      "ker" -> ((dir: String) => operators.Multimodal.mmPatchEmbedWith(s, dir, kernel = true))),
+    "clipk" -> Seq(
+      "chain" -> ((dir: String) => operators.Multimodal.clipGateWith(s, dir, kernel = false)),
+      "ker" -> ((dir: String) => operators.Multimodal.clipGateWith(s, dir, kernel = true))),
     "signlsh" -> Seq(
       "scal" -> ((dir: String) => functions.VecFns.portableBucketsWith(
         Tables.embeddings(s, dir), "vec_id", "embedding",

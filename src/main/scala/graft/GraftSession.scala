@@ -136,6 +136,11 @@ object GraftFunctions {
         posLongLit("token_grams", "n", exprs(1)))),
     "lap_energy" -> ((exprs: Seq[Expression]) =>
       graft.plans.LapEnergy(exprs(0))),
+    "phash_sketch" -> ((exprs: Seq[Expression]) =>
+      graft.plans.PhashSketch(exprs(0),
+        intLit("phash_sketch", exprs(1)), intLit("phash_sketch", exprs(2)))),
+    "patch_sums" -> ((exprs: Seq[Expression]) =>
+      graft.plans.PatchSums(exprs(0), intLit("patch_sums", exprs(1)))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

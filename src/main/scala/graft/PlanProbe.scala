@@ -47,7 +47,15 @@ object PlanProbe {
       queries.TextOps.textrankKeywordsWith(s, d,
         fused = true, stacked = false, pin = true)),
     "leiden_refine_fresh" -> ((s, d) =>
-      operators.Graph.leidenRefineWith(s, d, viaPersist = false)))
+      operators.Graph.leidenRefineWith(s, d, viaPersist = false)),
+    "mm_phash_chain" -> ((s, d) =>
+      operators.Multimodal.mmPhashDedupWith(s, d, kernel = false, ckpt = false)),
+    "mm_phash_kernel" -> ((s, d) =>
+      operators.Multimodal.mmPhashDedupWith(s, d, kernel = true, ckpt = false)),
+    "mm_patch_embed_chain" -> ((s, d) =>
+      operators.Multimodal.mmPatchEmbedWith(s, d, kernel = false)),
+    "clip_gate_chain" -> ((s, d) =>
+      operators.Multimodal.clipGateWith(s, d, kernel = false)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")

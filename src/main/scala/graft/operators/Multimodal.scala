@@ -133,14 +133,34 @@ object Multimodal {
     * after is two (doc-keyed) combining aggregates. Emits (doc_id,
     * mime, idx, v) band rows — band value doubles as the LSH bucket
     * key, exactly like [[graft.functions.HashFns.simhashBandsAggPortable]]. */
-  def phashBands(s: SparkSession, dir: String): DataFrame = {
+  def phashBands(s: SparkSession, dir: String): DataFrame =
+    phashBandsWith(s, dir, kernel = true)
+
+  private[graft] def phashBandsWith(s: SparkSession, dir: String,
+                                    kernel: Boolean): DataFrame = {
     val m = phashMedia(s, dir)
       .withColumn("len", length(col("payload")))
       // Spark's sequence() auto-DESCENDS when start > stop, so a
       // zero-length payload would explode to [0, -1] — rows range()
       // on the oracle side never produces. Guard, don't assume the
-      // corpus keeps its min-length invariant.
+      // corpus keeps its min-length invariant. (The kernel form needs
+      // the guard too: a 0-byte payload yields empty idxs/sb arrays
+      // where the chain emits NO row for the doc.)
       .filter(col("len") > 0)
+    if (kernel)
+      // Shipped form: the whole per-doc sketch is ONE
+      // [[graft.plans.PhashSketch]] pass over the payload bytes — no
+      // per-byte explode, no (doc, slice) aggregate, no doc-keyed
+      // re-aggregate, no interpreted HOF folds; the operator's first
+      // exchange is its consumer's. The relational chain below stays
+      // as the A/B probe twin (ABProbe `phashk`) and the kernel's
+      // definitional pin (KernelPropertySpec).
+      return m
+        .select(col("doc_id"), col("mime"),
+          call_function("phash_sketch", col("payload"),
+            lit(PhashBits), lit(PhashBandBits)).as("pb"))
+        .select(col("doc_id"), col("mime"),
+          col("pb.idxs").as("idxs"), col("pb.sb").as("sb"))
     val bytes = m
       .select(col("doc_id"), col("mime"), col("len"), col("payload"),
         explode(sequence(lit(0), col("len") - 1)).as("i"))
@@ -185,8 +205,16 @@ object Multimodal {
     * (the sketch is 8 longs). Fully DuckDB-oracled; the spec proves
     * the recovered set is EXACTLY the planted (source, derived)
     * pairs — organic text near-dups stay out (see [[phashMedia]]). */
-  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val sigs = phashBands(s, dir)
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame =
+    mmPhashDedupWith(s, dir, kernel = true)
+
+  /** A/B probe twin over either band build (ABProbe `phashk`);
+    * `ckpt = false` exposes the executed plan the public query's
+    * localCheckpoint hides (the PlanProbe convention). */
+  private[graft] def mmPhashDedupWith(s: SparkSession, dir: String,
+                                      kernel: Boolean,
+                                      ckpt: Boolean = true): DataFrame = {
+    val sigs = phashBandsWith(s, dir, kernel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (idx, v) band rows carry the full sketch alongside — a map-side
     // zip-explode of the per-doc frame, where the former band-row
@@ -207,9 +235,10 @@ object Multimodal {
       .filter(col("hamming") <= PhashRadius)
       .dropDuplicates("ia", "ib")
       .select(col("mime"), col("ia"), col("ib"), col("hamming"))
-      .localCheckpoint() // pair-sized; release the cached sketches
+    if (!ckpt) return out
+    val cp = out.localCheckpoint() // pair-sized; release the cached sketches
     sigs.unpersist()
-    out
+    cp
   }
 
   /** DuckDB twin: same integer slice-mean bits, band fold, within-mime
@@ -280,23 +309,38 @@ object Multimodal {
     * (source, patch) cells — bounded by docs × [[PatchN]] and
     * sources × [[PatchN]]. Swapping the byte kernel for real luma
     * decode changes only the per-byte projection. */
-  def mmPatchEmbed(s: SparkSession, dir: String): DataFrame = {
+  def mmPatchEmbed(s: SparkSession, dir: String): DataFrame =
+    mmPatchEmbedWith(s, dir, kernel = true)
+
+  private[graft] def mmPatchEmbedWith(s: SparkSession, dir: String,
+                                      kernel: Boolean): DataFrame = {
     val imgs = documents(s, dir).filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("source"),
         encode(col("text"), "UTF-8").as("payload"))
       .withColumn("len", length(col("payload")))
       // sequence() descends on empty payloads — see phashBands
       .filter(col("len") > 0)
-    val bytes = imgs
-      .select(col("doc_id"), col("source"), col("len"),
-        explode(sequence(lit(0), col("len") - 1)).as("i"),
-        col("payload"))
-      .select(col("doc_id"), col("source"),
-        floor((col("i") * PatchN).cast("double") / col("len")).cast("long").as("patch"),
-        ascii(decode(col("payload").substr(col("i") + 1, lit(1)), "UTF-8")).as("v"))
-    val perPatch = bytes.groupBy(col("doc_id"), col("source"), col("patch"))
-      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
-      .withColumn("pm", expr("(sv * 1000) div nv"))
+    // Shipped form: the (doc, patch) cells come out of ONE
+    // [[graft.plans.PatchSums]] pass per payload — no per-byte
+    // explode, no corpus-bytes aggregate; the first exchange is the
+    // (source, patch) roll-up below. Chain kept as the A/B probe
+    // twin (ABProbe `patchk`) and the kernel's definitional pin.
+    val perPatch =
+      if (kernel) imgs
+        .select(col("doc_id"), col("source"),
+          explode(call_function("patch_sums", col("payload"), lit(PatchN))).as("c"))
+        .select(col("doc_id"), col("source"), col("c.k").as("patch"),
+          expr("(c.sv * 1000) div c.nv").as("pm"))
+      else imgs
+        .select(col("doc_id"), col("source"), col("len"),
+          explode(sequence(lit(0), col("len") - 1)).as("i"),
+          col("payload"))
+        .select(col("doc_id"), col("source"),
+          floor((col("i") * PatchN).cast("double") / col("len")).cast("long").as("patch"),
+          ascii(decode(col("payload").substr(col("i") + 1, lit(1)), "UTF-8")).as("v"))
+        .groupBy(col("doc_id"), col("source"), col("patch"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+        .withColumn("pm", expr("(sv * 1000) div nv"))
     val srcPatch = perPatch.groupBy(col("source"), col("patch"))
       .agg(count(lit(1)).as("n_docs"), sum(col("pm")).as("spm"))
       .withColumn("avg_pm", expr("spm div n_docs")).drop("spm")
@@ -691,20 +735,32 @@ object Multimodal {
     * contract), and the whole gate is rows-linear at any scale.
     * Swapping real CLIP towers changes only the two tower
     * projections. */
-  def clipGate(s: SparkSession, dir: String): DataFrame = {
+  def clipGate(s: SparkSession, dir: String): DataFrame =
+    clipGateWith(s, dir, kernel = true)
+
+  private[graft] def clipGateWith(s: SparkSession, dir: String,
+                                  kernel: Boolean): DataFrame = {
     val imgs = documents(s, dir).filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("source"),
         encode(col("text"), "UTF-8").as("payload"))
       .withColumn("len", length(col("payload")))
       .filter(col("len") > 0)
-    val imgTower = imgs
-      .select(col("doc_id"), col("source"), col("len"),
-        explode(sequence(lit(0), col("len") - 1)).as("i"), col("payload"))
-      .select(col("doc_id"), col("source"),
-        floor((col("i") * PatchN).cast("double") / col("len")).cast("long").as("k"),
-        ascii(decode(col("payload").substr(col("i") + 1, lit(1)), "UTF-8")).as("v"))
-      .groupBy(col("doc_id"), col("source"), col("k"))
-      .agg(expr("(sum(v) * 1000) div count(1)").as("pm"))
+    // kernel: the mmPatchEmbedWith form — per-doc cells in one pass,
+    // no per-byte explode/aggregate (ABProbe `clipk`)
+    val imgTower =
+      if (kernel) imgs
+        .select(col("doc_id"), col("source"),
+          explode(call_function("patch_sums", col("payload"), lit(PatchN))).as("c"))
+        .select(col("doc_id"), col("source"), col("c.k").as("k"),
+          expr("(c.sv * 1000) div c.nv").as("pm"))
+      else imgs
+        .select(col("doc_id"), col("source"), col("len"),
+          explode(sequence(lit(0), col("len") - 1)).as("i"), col("payload"))
+        .select(col("doc_id"), col("source"),
+          floor((col("i") * PatchN).cast("double") / col("len")).cast("long").as("k"),
+          ascii(decode(col("payload").substr(col("i") + 1, lit(1)), "UTF-8")).as("v"))
+        .groupBy(col("doc_id"), col("source"), col("k"))
+        .agg(expr("(sum(v) * 1000) div count(1)").as("pm"))
     val txtTower = embeddings(s, dir)
       .select(col("vec_id").as("doc_id"),
         posexplode(col("embedding")).as(Seq("j", "x")))

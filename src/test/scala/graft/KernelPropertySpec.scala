@@ -348,6 +348,71 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PhashSketch.compute equals the explode/aggregate/HOF band chain " +
+    "on ASCII payloads; malformed bytes throw like strict decode") {
+    // the definitional chain: one row per byte i with
+    // slice = floor((i·bits)::double / len), v = ascii(decode(byte)),
+    // grouped to (slice, sv, nv) cells, st = Σsv, then per present
+    // band (ascending; keep-first of the slice-sorted distinct) the
+    // fold Σ [sv·len > st·nv] << (bandBits−1 − slice % bandBits)
+    def ref(bytes: Array[Byte], bits: Int, bandBits: Int): (Seq[Long], Seq[Long]) = {
+      val n = bytes.length
+      val cells = bytes.indices
+        .map(i => (math.floor((i * bits).toDouble / n).toLong, bytes(i).toLong))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (sl, vs) => (sl, vs.map(_._2).sum, vs.length.toLong) }
+      val st = cells.map(_._2).sum
+      val byBand = cells.groupBy(_._1 / bandBits).toSeq.sortBy(_._1)
+      (byBand.map(_._1),
+        byBand.map { case (_, cs) =>
+          cs.map { case (sl, sv, nv) =>
+            if (sv * n > st * nv) 1L << (bandBits - 1 - (sl % bandBits).toInt) else 0L
+          }.sum
+        })
+    }
+    val gen = for {
+      bytes <- Gen.nonEmptyListOf(Gen.choose(0, 127)).map(_.map(_.toByte).toArray)
+      bandBits <- Gen.choose(1, 8)
+      nBands <- Gen.choose(1, 8)
+    } yield (bytes, nBands * bandBits, bandBits)
+    check(forAll(gen) { case (bytes, bits, bandBits) =>
+      val row = graft.plans.PhashSketch.compute(bytes, bits, bandBits)
+      val got = (row.getArray(0).toLongArray().toSeq, row.getArray(1).toLongArray().toSeq)
+      got == ref(bytes, bits, bandBits)
+    })
+    // a lone byte ≥ 0x80 is malformed single-byte UTF-8: the chain's
+    // strict decode throws, so the kernel must too, not silently score
+    intercept[IllegalArgumentException] {
+      graft.plans.PhashSketch.compute(Array[Byte](65, -17, 66), 64, 8)
+    }
+  }
+
+  test("PatchSums.compute equals the explode/aggregate patch chain on " +
+    "ASCII payloads; malformed bytes throw like strict decode") {
+    def ref(bytes: Array[Byte], n: Int): Seq[(Long, Long, Long)] = {
+      val len = bytes.length
+      bytes.indices
+        .map(i => (math.floor((i * n).toDouble / len).toLong, bytes(i).toLong))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (k, vs) => (k, vs.map(_._2).sum, vs.length.toLong) }
+    }
+    val gen = for {
+      bytes <- Gen.nonEmptyListOf(Gen.choose(0, 127)).map(_.map(_.toByte).toArray)
+      n <- Gen.choose(1, 24)
+    } yield (bytes, n)
+    check(forAll(gen) { case (bytes, n) =>
+      val arr = graft.plans.PatchSums.compute(bytes, n)
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      got == ref(bytes, n)
+    })
+    intercept[IllegalArgumentException] {
+      graft.plans.PatchSums.compute(Array[Byte](65, -17, 66), 16)
+    }
+  }
+
   test("cp_sum / lap_energy expression eval (UTF8String round-trip) " +
     "matches compute on astral input") {
     import org.apache.spark.sql.catalyst.expressions.Literal
