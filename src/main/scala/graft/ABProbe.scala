@@ -35,6 +35,9 @@ object ABProbe {
     "clipk" -> Seq(
       "chain" -> ((dir: String) => operators.Multimodal.clipGateWith(s, dir, kernel = false)),
       "ker" -> ((dir: String) => operators.Multimodal.clipGateWith(s, dir, kernel = true))),
+    "mmrdrv" -> Seq(
+      "rel" -> ((dir: String) => operators.Retrieval.mmrDiversifyWith(s, dir, drv = false)),
+      "drv" -> ((dir: String) => operators.Retrieval.mmrDiversifyWith(s, dir, drv = true))),
     "signlsh" -> Seq(
       "scal" -> ((dir: String) => functions.VecFns.portableBucketsWith(
         Tables.embeddings(s, dir), "vec_id", "embedding",

@@ -55,7 +55,11 @@ object PlanProbe {
     "mm_patch_embed_chain" -> ((s, d) =>
       operators.Multimodal.mmPatchEmbedWith(s, d, kernel = false)),
     "clip_gate_chain" -> ((s, d) =>
-      operators.Multimodal.clipGateWith(s, d, kernel = false)))
+      operators.Multimodal.clipGateWith(s, d, kernel = false)),
+    "mmr_relational" -> ((s, d) =>
+      operators.Retrieval.mmrDiversifyWith(s, d, drv = false)),
+    "mmr_pairs_frame" -> ((s, d) =>
+      operators.Retrieval.mmrCandsPairs(s, d)._2))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")

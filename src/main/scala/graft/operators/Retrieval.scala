@@ -404,34 +404,29 @@ object Retrieval {
     * (probe-set-sized: ≤ C·|probes| and C²·|probes| rows), and every
     * round is an integer join + argmax window over those persisted
     * frames — nothing after the scan touches the corpus. */
-  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Ann
-    val lat = (c: org.apache.spark.sql.Column) =>
-      floor(c * 10000 + 0.5).cast("long")
-    // top-C cosine candidates per probe, embeddings kept for sims
-    val qs = embeddings(s, dir).filter(col("vec_id") < Ann.NumQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("qn", VecFns.norm(col("qe")))
-    val scored = embeddings(s, dir)
-      .select(col("vec_id").as("nb"), col("embedding").as("ne"))
-      .withColumn("nn", VecFns.norm(col("ne")))
-      .join(broadcast(qs), col("nb") =!= col("qid"))
-      .withColumn("cos", when(col("qn") * col("nn") === 0, lit(0.0))
-        .otherwise(VecFns.dot(col("qe"), col("ne")) / (col("qn") * col("nn"))))
-    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
-    val cands = scored
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= MmrC)
-      .select(col("qid"), col("nb"), lat(col("cos")).as("rel4"), col("ne"), col("nn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = cands.select(col("qid"), col("nb").as("a"),
-      col("ne").as("ea"), col("nn").as("na"))
-    val b = cands.select(col("qid"), col("nb").as("b"),
-      col("ne").as("eb"), col("nn").as("nb2"))
-    val pairs = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
-      .withColumn("sim4", lat(when(col("na") * col("nb2") === 0, lit(0.0))
-        .otherwise(VecFns.dot(col("ea"), col("eb")) / (col("na") * col("nb2")))))
-      .select(col("qid"), col("a"), col("b"), col("sim4"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame =
+    mmrDiversifyWith(s, dir, drv = true)
+
+  /** Both greedy forms, A/B-able ([[graft.ABProbe]] `mmrdrv`):
+    * `drv = true` collects the candidate scores and their pairwise
+    * sims — ≤ C·|probes| and C·(C−1)·|probes| rows BY CONSTRUCTION,
+    * corpus-size-free after the top-C window — and runs the
+    * [[MmrK]]-round greedy argmax locally (the markov_attribution
+    * bounded-collect convention). ALL float math (cosines, the ×10⁴
+    * lattice) stays in the distributed form either way; only the
+    * integer greedy moves, so rows match bit-for-bit. The relational
+    * form scheduled [[MmrK]] sequential join+window+checkpoint
+    * barriers over those constant-size frames — pure machinery at
+    * any scale. */
+  private[graft] def mmrDiversifyWith(s: SparkSession, dir: String,
+                                      drv: Boolean): DataFrame = {
+    val (cands, pairs) = mmrCandsPairs(s, dir)
+    if (drv) {
+      val out = mmrGreedyLocal(s,
+        cands.select(col("qid"), col("nb"), col("rel4")), pairs)
+      cands.unpersist(); pairs.unpersist()
+      return out
+    }
     val ws = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nb"))
     // each round's pick materializes EAGERLY (<= |probes| rows): the
     // greedy recursion otherwise re-evaluates every earlier round's
@@ -460,6 +455,75 @@ object Retrieval {
       selected = selected.unionByName(p.select(col("qid"), col("nb")))
     }
     picked
+  }
+
+  /** The distributed half both greedy forms share — top-[[MmrC]]
+    * cosine candidates per probe (broadcast probes, one corpus scan)
+    * and their pairwise sims, both persisted (probe-set-sized). */
+  private[graft] def mmrCandsPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.operators.Ann
+    val lat = (c: org.apache.spark.sql.Column) =>
+      floor(c * 10000 + 0.5).cast("long")
+    // top-C cosine candidates per probe, embeddings kept for sims
+    val qs = embeddings(s, dir).filter(col("vec_id") < Ann.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn", VecFns.norm(col("qe")))
+    val scored = embeddings(s, dir)
+      .select(col("vec_id").as("nb"), col("embedding").as("ne"))
+      .withColumn("nn", VecFns.norm(col("ne")))
+      .join(broadcast(qs), col("nb") =!= col("qid"))
+      .withColumn("cos", when(col("qn") * col("nn") === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("qe"), col("ne")) / (col("qn") * col("nn"))))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+    val cands = scored
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= MmrC)
+      .select(col("qid"), col("nb"), lat(col("cos")).as("rel4"), col("ne"), col("nn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cands.select(col("qid"), col("nb").as("a"),
+      col("ne").as("ea"), col("nn").as("na"))
+    val b = cands.select(col("qid"), col("nb").as("b"),
+      col("ne").as("eb"), col("nn").as("nb2"))
+    val pairs = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+      .withColumn("sim4", lat(when(col("na") * col("nb2") === 0, lit(0.0))
+        .otherwise(VecFns.dot(col("ea"), col("eb")) / (col("na") * col("nb2")))))
+      .select(col("qid"), col("a"), col("b"), col("sim4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (cands, pairs)
+  }
+
+  /** Driver-side twin of the [[MmrK]]-round greedy over the SAME
+    * prepared (qid, nb, rel4) candidates and (qid, a, b, sim4) sims:
+    * identical integer lattice, identical (score DESC, nb ASC)
+    * argmax, identical round-r pool algebra — returns the same
+    * (qid, nb, rnk, score) rows. */
+  private[graft] def mmrGreedyLocal(s: SparkSession, cands: DataFrame,
+                                    pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val cs = cands.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nb"), r.getAs[Long]("rel4")))
+    val ps = pairs.collect()
+      .map(r => ((r.getAs[Long]("qid"), r.getAs[Long]("a"), r.getAs[Long]("b")),
+        r.getAs[Long]("sim4"))).toMap
+    val byQid = cs.groupBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for ((qid, all) <- byQid) {
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      for (r <- 1 to MmrK) {
+        val pool = all.filterNot { case (_, nb, _) => selected.contains(nb) }
+        if (pool.nonEmpty) {
+          val scored = pool.map { case (_, nb, rel4) =>
+            val ms =
+              if (r == 1) 0L // round 1 is pure relevance (S empty)
+              else selected.map(b => ps.getOrElse((qid, nb, b), 0L)).max
+            (nb, MmrLambda10 * rel4 - (10 - MmrLambda10) * ms)
+          }
+          val (nb, score) = scored.minBy { case (n, sc) => (-sc, n) }
+          out += ((qid, nb, r.toLong, score))
+          selected += nb
+        }
+      }
+    }
+    out.sortBy(t => (t._1, t._3)).toSeq.toDF("qid", "nb", "rnk", "score")
   }
 
   val mmrDiversifySql: String = {

@@ -173,4 +173,14 @@ class RetrievalSpec extends SparkSpec {
     }.toMap
     assert(qids.exists(q => mmrSets(q) != topkSets(q)))
   }
+
+  test("mmr_diversify: driver-absorbed greedy emits exactly the relational rows") {
+    def rows(drv: Boolean): Set[(Long, Long, Long, Long)] =
+      graft.operators.Retrieval.mmrDiversifyWith(spark, sf, drv = drv)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nb"),
+          r.getAs[Long]("rnk"), r.getAs[Long]("score"))).toSet
+    val drv = rows(drv = true)
+    assert(drv == rows(drv = false))
+    assert(drv.nonEmpty)
+  }
 }
