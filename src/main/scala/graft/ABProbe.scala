@@ -35,6 +35,10 @@ object ABProbe {
     "clipk" -> Seq(
       "chain" -> ((dir: String) => operators.Multimodal.clipGateWith(s, dir, kernel = false)),
       "ker" -> ((dir: String) => operators.Multimodal.clipGateWith(s, dir, kernel = true))),
+    "cluart" -> Seq(
+      "fresh" -> ((dir: String) => operators.Dedup.dedupClustersImpl(
+        s, dir, operators.Dedup.LocalClusterEdges)),
+      "art" -> ((dir: String) => operators.Dedup.dedupClusters(s, dir))),
     "mmrdrv" -> Seq(
       "rel" -> ((dir: String) => operators.Retrieval.mmrDiversifyWith(s, dir, drv = false)),
       "drv" -> ((dir: String) => operators.Retrieval.mmrDiversifyWith(s, dir, drv = true))),

@@ -331,6 +331,7 @@ object Bench {
     operators.Graph.ensureCoEdges(spark, sfDir) // the graph family reads it
     operators.Graph.ensurePurchasePairs(spark, sfDir) // hits_scores reads it
     operators.Graph.ensureLvLabels(spark, sfDir) // louvain_move + leiden_refine read it
+    operators.Dedup.ensureLshPairs(spark, sfDir) // dedup_clusters reads it
   }
 
   def main(args: Array[String]): Unit = {

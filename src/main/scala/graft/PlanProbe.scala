@@ -59,7 +59,17 @@ object PlanProbe {
     "mmr_relational" -> ((s, d) =>
       operators.Retrieval.mmrDiversifyWith(s, d, drv = false)),
     "mmr_pairs_frame" -> ((s, d) =>
-      operators.Retrieval.mmrCandsPairs(s, d)._2))
+      operators.Retrieval.mmrCandsPairs(s, d)._2),
+    "dedup_clusters_fresh" -> ((s, d) =>
+      operators.Dedup.dedupClustersImpl(s, d, operators.Dedup.LocalClusterEdges)),
+    // dedup_clusters materializes its pair list EAGERLY (count +
+    // collect during construction), so the public plan shows only the
+    // withSingletons tail either way; the artifact delta lives in the
+    // PAIRS frame these two expose (fresh C2 sweep vs parquet read)
+    "dedup_clusters_pairs_fresh" -> ((s, d) =>
+      operators.Dedup.minhashLshFrame(s, d)),
+    "dedup_clusters_pairs_artifact" -> ((s, d) =>
+      operators.Dedup.lshPairsArtifact(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")

@@ -186,6 +186,41 @@ object Dedup {
     verifyJaccardPosts(cand, gp)
   }
 
+  /** Root for the materialized verified LSH pair list — the
+    * write-once artifact K-line dedup_clusters reads (the
+    * lv_labels/purchase-pairs lifecycle): cluster labeling is BY
+    * DEFINITION a pass over the near-dup pair list, and before this
+    * artifact dedup_clusters recomputed the entire C2 sweep
+    * (postings → signatures → banding → exact-Jaccard verify, ~2.5 s
+    * of its 2.9 s warm) that dedup_minhash_lsh had already run.
+    * dedup_minhash_lsh itself stays a FRESH computation — it IS the
+    * pair sweep under eval (the ann_ranked convention: per-path
+    * operators fresh, downstream consumers read the artifact). The
+    * subdir embeds an [[graft.ingest.ArtifactCache]] token over the
+    * corpus and the signature constants, so a regenerated corpus or
+    * a parameter bump self-invalidates. */
+  val LshPairsRoot = "target/graft_lsh_pairs"
+
+  def lshPairsPath(dir: String): String = {
+    import graft.functions.HashFns.{Bands, NumHashes, P => HashP}
+    s"$LshPairsRoot/${new java.io.File(dir).getName}_" +
+      graft.ingest.ArtifactCache.token(dir, Seq("documents"),
+        s"minhash=${NumHashes}x$HashP;bands=$Bands;df=$DfCap;j>=0.5;v1")
+  }
+
+  /** Build the verified pair list at most once per (JVM, scale dir);
+    * concurrent first callers serialize on the ArtifactCache lock. */
+  def ensureLshPairs(s: SparkSession, dir: String): String =
+    graft.ingest.ArtifactCache.ensure(lshPairsPath(dir)) {
+      val gp = gramPosts(s, dir)
+      lshPairs(gp).write.mode("overwrite").parquet(lshPairsPath(dir))
+      gp.unpersist()
+    }
+
+  /** The PERSISTED (ia, ib, jaccard) pair list — set semantics. */
+  private[graft] def lshPairsArtifact(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureLshPairs(s, dir))
+
   /** The stand-in "today's arrivals" predicate for the incremental
     * family: doc_id ≡ 7 mod 10 is the daily batch, the rest is the
     * existing corpus. */
@@ -1163,15 +1198,25 @@ object Dedup {
   val LocalClusterEdges: Long = 2000000L
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    dedupClustersImpl(s, dir, LocalClusterEdges)
+    dedupClustersOn(s, dir, lshPairsArtifact(s, dir), LocalClusterEdges)
 
+  /** Probe twin ([[graft.ABProbe]] `cluart`): the C2 pair sweep
+    * recomputed in-query (what the default path cost before sharing
+    * [[lshPairsArtifact]] with dedup_minhash_lsh). */
   private[graft] def dedupClustersImpl(s: SparkSession, dir: String,
                                        localLimit: Long): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val gp = gramPosts(s, dir)
-    val pairs = lshPairs(gp).select(col("ia"), col("ib")).persist(lvl)
-    val nPairs = pairs.count() // materialize so the postings cache can go now
+    val out = dedupClustersOn(s, dir, lshPairs(gp), localLimit)
     gp.unpersist()
+    out
+  }
+
+  private def dedupClustersOn(s: SparkSession, dir: String,
+                              pairsIn: DataFrame,
+                              localLimit: Long): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = pairsIn.select(col("ia"), col("ib")).persist(lvl)
+    val nPairs = pairs.count() // materialize so upstream caches can go now
 
     if (nPairs <= localLimit) {
       // driver union-find over the (small) edge list; min id per

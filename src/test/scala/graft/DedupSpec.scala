@@ -199,6 +199,15 @@ class DedupSpec extends SparkSpec {
     assert(local == dist, s"local=${local.size} dist=${dist.size}")
   }
 
+  test("lsh_pairs artifact rows equal the fresh C2 sweep (dedup_minhash_lsh)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"),
+        r.getAs[Double]("jaccard"))).toSet
+    val art = rows(graft.operators.Dedup.lshPairsArtifact(spark, sf))
+    assert(art == rows(run("dedup_minhash_lsh")))
+    assert(art.nonEmpty)
+  }
+
   test("dedup_embedding: pairs symmetric-free, cos in [0.4, 1]") {
     val rows = run("dedup_embedding").collect()
     assert(rows.nonEmpty)
