@@ -35,6 +35,18 @@ object ABProbe {
     "clipk" -> Seq(
       "chain" -> ((dir: String) => operators.Multimodal.clipGateWith(s, dir, kernel = false)),
       "ker" -> ((dir: String) => operators.Multimodal.clipGateWith(s, dir, kernel = true))),
+    "lmart" -> Seq(
+      "fresh" -> ((dir: String) => operators.TrainPrep.conformalGateWith(s, dir, artifact = false)),
+      "art" -> ((dir: String) => operators.TrainPrep.conformalGateWith(s, dir, artifact = true))),
+    "lmartc" -> Seq(
+      "fresh" -> ((dir: String) => operators.CorpusClean.ccnetBucketsWith(s, dir, artifact = false)),
+      "art" -> ((dir: String) => operators.CorpusClean.ccnetBucketsWith(s, dir, artifact = true))),
+    "lmartq" -> Seq(
+      "fresh" -> ((dir: String) => operators.TrainPrep.qualityAgreementWith(s, dir, artifact = false)),
+      "art" -> ((dir: String) => operators.TrainPrep.qualityAgreementWith(s, dir, artifact = true))),
+    "lmartp" -> Seq(
+      "fresh" -> ((dir: String) => operators.TrainPrep.paretoQualityGateWith(s, dir, artifact = false)),
+      "art" -> ((dir: String) => operators.TrainPrep.paretoQualityGateWith(s, dir, artifact = true))),
     "cluart" -> Seq(
       "fresh" -> ((dir: String) => operators.Dedup.dedupClustersImpl(
         s, dir, operators.Dedup.LocalClusterEdges)),

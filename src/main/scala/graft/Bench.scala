@@ -332,6 +332,7 @@ object Bench {
     operators.Graph.ensurePurchasePairs(spark, sfDir) // hits_scores reads it
     operators.Graph.ensureLvLabels(spark, sfDir) // louvain_move + leiden_refine read it
     operators.Dedup.ensureLshPairs(spark, sfDir) // dedup_clusters reads it
+    operators.CorpusClean.ensureLmScores(spark, sfDir) // the gate/bucket family reads it
   }
 
   def main(args: Array[String]): Unit = {

@@ -69,7 +69,22 @@ object PlanProbe {
     "dedup_clusters_pairs_fresh" -> ((s, d) =>
       operators.Dedup.minhashLshFrame(s, d)),
     "dedup_clusters_pairs_artifact" -> ((s, d) =>
-      operators.Dedup.lshPairsArtifact(s, d)))
+      operators.Dedup.lshPairsArtifact(s, d)),
+    "conformal_gate_fresh" -> ((s, d) =>
+      operators.TrainPrep.conformalGateWith(s, d, artifact = false)),
+    "ccnet_buckets_fresh" -> ((s, d) =>
+      operators.CorpusClean.ccnetBucketsWith(s, d, artifact = false)),
+    "quality_agreement_fresh" -> ((s, d) =>
+      operators.TrainPrep.qualityAgreementWith(s, d, artifact = false)),
+    "pareto_quality_gate_fresh" -> ((s, d) =>
+      operators.TrainPrep.paretoQualityGateWith(s, d, artifact = false)),
+    // the gate/bucket consumers checkpoint their cells during
+    // construction, so their public plans hide the scoring half
+    // either way; the artifact delta lives in the SCORES frame
+    "lm_scores_fresh" -> ((s, d) =>
+      operators.CorpusClean.lmPerDoc(s, d, barrier = false)),
+    "lm_scores_artifact" -> ((s, d) =>
+      operators.CorpusClean.lmScoresArtifact(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")

@@ -1317,13 +1317,17 @@ object TrainPrep {
     * Shape: the two per-doc scans + one doc-keyed join, ONE 16-row
     * cell aggregate; every agreement statistic derives from the
     * checkpointed cells, never from a corpus re-scan. */
-  def qualityAgreement(s: SparkSession, dir: String): DataFrame = {
+  def qualityAgreement(s: SparkSession, dir: String): DataFrame =
+    qualityAgreementWith(s, dir, artifact = true)
+
+  private[graft] def qualityAgreementWith(s: SparkSession, dir: String,
+                                          artifact: Boolean): DataFrame = {
     val q = documents(s, dir).select(col("doc_id"),
         TextFns.wsTokenCount(col("text")).cast("long").as("toks"),
         TextFns.langScore(col("text"), "en").cast("long").as("hits"))
       .withColumn("wq", expr("least(100L, (hits * 200L) div greatest(toks, 1L))"))
       .withColumn("a_bucket", expr("least(3L, wq div 8)"))
-    val lm = CorpusClean.lmPerDoc(s, dir)
+    val lm = CorpusClean.lmScoresWith(s, dir, artifact)
     val cells = q.join(lm, Seq("doc_id"), "left_outer")
       .withColumn("fq", coalesce(
         expr(s"(sum_q * 1000) div (n_bigrams * ${CorpusClean.LmScale}L)"), lit(0L)))
@@ -1791,10 +1795,14 @@ object TrainPrep {
     * cum-histogram (quantile_bins posture, cells never rows); each α
     * is a 1-row broadcast threshold joined against the test lane —
     * |alphas| passes over a lane, never the corpus. */
-  def conformalGate(s: SparkSession, dir: String): DataFrame = {
+  def conformalGate(s: SparkSession, dir: String): DataFrame =
+    conformalGateWith(s, dir, artifact = true)
+
+  private[graft] def conformalGateWith(s: SparkSession, dir: String,
+                                       artifact: Boolean): DataFrame = {
     import graft.operators.CorpusClean
     val scored = documents(s, dir).select(col("doc_id"))
-      .join(CorpusClean.lmPerDoc(s, dir), Seq("doc_id"), "left_outer")
+      .join(CorpusClean.lmScoresWith(s, dir, artifact), Seq("doc_id"), "left_outer")
       .withColumn("fq", coalesce(
         expr(s"(sum_q * 1000) div (n_bigrams * ${CorpusClean.LmScale}L)"), lit(0L)))
       .withColumn("h", pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100)))
@@ -1907,10 +1915,14 @@ object TrainPrep {
     * left join; the CDF is a ≤|distinct fq| cell frame broadcast
     * back; everything after is map-only integer algebra into a
     * ≤11-row decile aggregate — admission itself never shuffles. */
-  def paretoQualityGate(s: SparkSession, dir: String): DataFrame = {
+  def paretoQualityGate(s: SparkSession, dir: String): DataFrame =
+    paretoQualityGateWith(s, dir, artifact = true)
+
+  private[graft] def paretoQualityGateWith(s: SparkSession, dir: String,
+                                           artifact: Boolean): DataFrame = {
     import graft.operators.CorpusClean
     val base = documents(s, dir).select(col("doc_id"))
-      .join(CorpusClean.lmPerDoc(s, dir), Seq("doc_id"), "left_outer")
+      .join(CorpusClean.lmScoresWith(s, dir, artifact), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(expr(

@@ -856,4 +856,13 @@ class CorpusCleanSpec extends SparkSpec {
     assert(!got(2L).contains("aabb"), "round 2 should re-segment it")
     assert(got(2L)("aa") == 82L && got(2L)("bb") == 82L)
   }
+
+  test("lm_scores artifact rows equal the fresh lmPerDoc sweep") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("sum_q"))).toSet
+    val art = rows(graft.operators.CorpusClean.lmScoresArtifact(spark, sf))
+    assert(art == rows(graft.operators.CorpusClean.lmPerDoc(spark, sf)))
+    assert(art.nonEmpty)
+  }
 }
