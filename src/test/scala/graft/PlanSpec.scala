@@ -706,4 +706,28 @@ class PlanSpec extends SparkSpec {
     val nsw = plan("ann_nsw")
     assert(!nsw.contains("CartesianProduct"), s"ann_nsw goes pairwise:\n$nsw")
   }
+
+  test("SHJ session default stays size-guarded: the biggest join queries " +
+    "plan hash joins chosen by the planner's build-side conditions") {
+    // preferSortMergeJoin=false (the r13 session default) only lets
+    // the planner pick ShuffledHashJoin when its build-side size
+    // conditions hold — it must never degrade the dimension joins
+    // below broadcast/hash, and a future conf change that silently
+    // flips the suite to SHJ-everywhere (or back to SMJ) fails here
+    // instead of at the next scale step (guide §3 spill-safety).
+    // Formatted plans: plans/r14/<q>_join_audit.txt.
+    for (q <- Seq("q5_multijoin", "q7_nation_trade", "q9_profit_proxy",
+        "q21_late_solo", "trade_volume")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: a join fell back to SMJ under the session default:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+        s"$q: expected hash join strategies:\n$p")
+    }
+    // and the one query whose SMJ is the point — bucket-aligned,
+    // exchange-free — must keep it (also pinned in ScalePatternsSpec)
+    assert(plan("bucketed_join").contains("SortMergeJoin"),
+      "bucketed_join lost its bucket-aligned SMJ")
+  }
 }
