@@ -18,6 +18,8 @@ object ABProbe {
       "win" -> ((dir: String) => queries.TextOps.keynessFrame(
         queries.TextOps.keynessCellsWin(s, dir))),
       "zip" -> ((dir: String) => queries.TextOps.keynessFrame(
+        queries.TextOps.keynessCellsZip(s, dir))),
+      "ker" -> ((dir: String) => queries.TextOps.keynessFrame(
         queries.TextOps.keynessCells(s, dir)))),
     "gram" -> Seq(
       "win" -> ((dir: String) => operators.Dedup.dedupMinhashLshProbe(s, dir, "win")),

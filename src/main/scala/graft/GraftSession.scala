@@ -141,6 +141,9 @@ object GraftFunctions {
         intLit("phash_sketch", exprs(1)), intLit("phash_sketch", exprs(2)))),
     "patch_sums" -> ((exprs: Seq[Expression]) =>
       graft.plans.PatchSums(exprs(0), intLit("patch_sums", exprs(1)))),
+    "token_grams_all" -> ((exprs: Seq[Expression]) =>
+      graft.plans.TokenGramsAll(exprs(0),
+        posLongLit("token_grams_all", "n", exprs(1)))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

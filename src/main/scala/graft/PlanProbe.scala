@@ -81,6 +81,10 @@ object PlanProbe {
     // the gate/bucket consumers checkpoint their cells during
     // construction, so their public plans hide the scoring half
     // either way; the artifact delta lives in the SCORES frame
+    "keyness_zip" -> ((s, d) =>
+      queries.TextOps.keynessFrame(queries.TextOps.keynessCellsZip(s, d))),
+    "keyness_kernel" -> ((s, d) =>
+      queries.TextOps.keynessFrame(queries.TextOps.keynessCells(s, d))),
     "lm_scores_fresh" -> ((s, d) =>
       operators.CorpusClean.lmPerDoc(s, d, barrier = false)),
     "lm_scores_artifact" -> ((s, d) =>

@@ -650,7 +650,23 @@ object TextOps {
     * window form's 1.34/1.22 — the judge-r8 0.82 s mark came from
     * an outlier-fast bench run (builder-box r8-close measured the
     * WINDOW form at 1.72 s warm mid-bench; see SURVEY §4). */
+  /** Shipped form: bigram instances from the one-pass
+    * [[graft.plans.TokenGramsAll]] kernel — same (source, gram)
+    * multiset as the zip_with chain (the kernel emits the sliding
+    * grams in order, multiplicity kept; < 2-token docs yield an
+    * empty array exactly where the chain's size guard dropped them),
+    * without the interpreted slice/concat lambda per gram. Chain and
+    * window forms stay as probe twins ([[graft.ABProbe]] `keyness`). */
   private[graft] def keynessCells(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"),
+        explode(call_function("token_grams_all",
+          lower(col("text")), lit(2L))).as("gram"))
+      .groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("a"))
+
+  /** A/B probe twin: the r9-r13 shipped zip_with instance chain. */
+  private[graft] def keynessCellsZip(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("source"), TextFns.wsTokens(lower(col("text"))).as("ts"))
       .filter(size(col("ts")) >= 2) // slice length must be >= 0

@@ -38,7 +38,8 @@ class ExtensionsSpec extends AnyFunSuite {
       Set("vec_dot", "str_poly_hash", "token_gram_hashes", "maxsim_score",
         "cdc_boundaries", "kmv_agg", "minhash_agg", "bloom_agg",
         "bloom_contains", "simhash_agg", "signlsh_agg", "band_energies",
-        "cp_sum", "lap_energy", "token_grams", "phash_sketch", "patch_sums"))
+        "cp_sum", "lap_energy", "token_grams", "phash_sketch", "patch_sums",
+        "token_grams_all"))
   }
 
   test("sketch sizes must be positive integer literals — analysis error, not a CCE") {

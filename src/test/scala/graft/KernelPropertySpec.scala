@@ -387,6 +387,33 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TokenGramsAll equals the zip_with instance chain (multiplicity " +
+    "kept, order kept, < n tokens -> empty, astral code points)") {
+    // the definitional chain: ws-tokenize, sliding n-grams joined by
+    // single spaces, ALL instances in document order; the size guard
+    // leaves docs under n tokens gram-less
+    def ref(s: String, n: Int): Seq[String] = {
+      val toks = s.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val scalar: Gen[Int] = Gen.frequency(
+      5 -> Gen.choose(33, 126),
+      2 -> Gen.const(32),
+      1 -> Gen.choose(0x10000, 0x14000))
+    val gen = for {
+      s <- Gen.listOf(scalar).map(_.flatMap(Character.toChars(_)).mkString)
+      n <- Gen.choose(1, 5)
+    } yield (s, n)
+    check(forAll(gen) { case (s, n) =>
+      val got = graft.plans.TokenGramsAll
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      got == ref(s, n)
+    })
+  }
+
   test("PatchSums.compute equals the explode/aggregate patch chain on " +
     "ASCII payloads; malformed bytes throw like strict decode") {
     def ref(bytes: Array[Byte], n: Int): Seq[(Long, Long, Long)] = {
