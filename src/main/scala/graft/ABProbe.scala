@@ -69,6 +69,9 @@ object ABProbe {
     "bpe" -> Seq(
       "ckpt" -> ((dir: String) => operators.CorpusClean.bpeTrainProbe(s, dir, viaPersist = false)),
       "per" -> ((dir: String) => operators.CorpusClean.bpeTrainProbe(s, dir, viaPersist = true))),
+    "bpearr" -> Seq(
+      "row" -> ((dir: String) => operators.CorpusClean.bpeTrainProbe(s, dir, viaPersist = true)),
+      "arr" -> ((dir: String) => operators.CorpusClean.bpeTrain(s, dir))),
     "kmvsu" -> Seq(
       "win" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true, arrSu = false)),
       "arr" -> ((dir: String) => operators.Sketches.kmvIntersectProbe(s, dir, grp = true, arrSu = true))),

@@ -144,6 +144,10 @@ object GraftFunctions {
     "token_grams_all" -> ((exprs: Seq[Expression]) =>
       graft.plans.TokenGramsAll(exprs(0),
         posLongLit("token_grams_all", "n", exprs(1)))),
+    "tok_pairs" -> ((exprs: Seq[Expression]) =>
+      graft.plans.TokPairs(exprs(0))),
+    "bpe_merge" -> ((exprs: Seq[Expression]) =>
+      graft.plans.BpeMerge(exprs(0), exprs(1), exprs(2))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))),

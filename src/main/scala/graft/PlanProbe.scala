@@ -81,6 +81,30 @@ object PlanProbe {
     // the gate/bucket consumers checkpoint their cells during
     // construction, so their public plans hide the scoring half
     // either way; the artifact delta lives in the SCORES frame
+    // bpe_train collects per round, so neither form's full loop shows
+    // in one plan; these expose ONE round's pair-count frame — the
+    // row form's sort-window lead vs the array form's kernel explode
+    "bpe_round_pairs_row" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(org.apache.spark.sql.functions.col("doc_id"))
+        .orderBy(org.apache.spark.sql.functions.col("pos"))
+      import org.apache.spark.sql.functions._
+      Tables.documents(s, d).select(col("doc_id"),
+          posexplode(functions.TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+        .withColumn("w1", lead(col("w"), 1).over(w))
+        .filter(col("w1").isNotNull)
+        .groupBy(col("w"), col("w1")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"), col("w1")).limit(1)
+    }),
+    "bpe_round_pairs_arr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.documents(s, d).select(col("doc_id"),
+          functions.TextFns.wsTokens(lower(col("text"))).as("ts"))
+        .select(explode(call_function("tok_pairs", col("ts"))).as("p"))
+        .select(col("p.w").as("w"), col("p.w1").as("w1"))
+        .groupBy(col("w"), col("w1")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"), col("w1")).limit(1)
+    }),
     "keyness_zip" -> ((s, d) =>
       queries.TextOps.keynessFrame(queries.TextOps.keynessCellsZip(s, d))),
     "keyness_kernel" -> ((s, d) =>

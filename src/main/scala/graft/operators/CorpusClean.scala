@@ -601,12 +601,16 @@ object CorpusClean {
     * below U+E000. The corpus generator emits ASCII tokens only, so
     * the tie order is engine-invariant here; a corpus with astral
     * tokens would need an explicit codepoint-keyed tiebreak. */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrainProbe(s, dir, viaPersist = true)
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrainArrReport(s, dir)
+      .toDF("round", "left", "right", "n_pair", "n_applied")
+  }
 
-  /** Report-frame twin over either materialization form — the
-    * ABProbe `bpe` entry; the report only needs the merge rows, so
-    * the final token cache is released here. */
+  /** Report-frame twin over either ROW-frame materialization form —
+    * the ABProbe `bpe` entry and the `bpearr` row side; the report
+    * only needs the merge rows, so the final token cache is released
+    * here. */
   private[graft] def bpeTrainProbe(s: SparkSession, dir: String,
                                    viaPersist: Boolean): DataFrame = {
     import s.implicits._
@@ -621,7 +625,75 @@ object CorpusClean {
     * the encoded corpus for downstream consumers. */
   private[graft] def bpeTrainRun(s: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, String, String, Long, Long)]) =
-    bpeTrainRunWith(s, dir, viaPersist = true)
+    bpeTrainRunArr(s, dir)
+
+  /** The training loop on the ARRAY-PER-DOC frame: tokens ride one
+    * array column, adjacent pairs come from the one-pass
+    * [[graft.plans.TokPairs]] kernel (a map-side projection) and the
+    * merge round from [[graft.plans.BpeMerge]] — the sequential
+    * greedy scanner the island-parity window chain is spec-pinned
+    * against, now AS the executable form. The row-frame loop below
+    * ([[bpeTrainRunWith]], ABProbe `bpe`/`bpearr`) paid per round: a
+    * doc-keyed sort window for lead(w) over corpus-token ROWS, then
+    * the three-window stageMerge/applyMerge chain and a re-index
+    * window; here each round is one pair-count aggregate + one
+    * map-only merge over doc-count rows. Same merges, same encoded
+    * corpus (posexplode at the end re-derives the 1-based
+    * positions), bit-for-bit — pinned by the artifact
+    * delete→rebuild spec and the kernel property specs. */
+  /** The array-form loop core: returns the PERSISTED final token
+    * arrays (caller unpersists) plus the merge report rows. */
+  private def bpeLoopArr(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
+    def mat(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def nTok(df: DataFrame): Long = df
+      .agg(coalesce(sum(size(col("ts")).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    var toks = mat(documents(s, dir).select(col("doc_id"),
+      TextFns.wsTokens(lower(col("text"))).as("ts")))
+    var nToks = nTok(toks)
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (round <- 1 to BpeTrainRounds) {
+      val best = toks
+        .select(explode(call_function("tok_pairs", col("ts"))).as("p"))
+        .select(col("p.w").as("w"), col("p.w1").as("w1"))
+        .groupBy(col("w"), col("w1")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"), col("w1")).limit(1)
+        .collect()(0)
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      val prev = toks
+      toks = mat(toks.select(col("doc_id"),
+        call_function("bpe_merge", col("ts"), lit(l), lit(r)).as("ts")))
+      val nAfter = nTok(toks)
+      prev.unpersist()
+      merges += ((round, l, r, n, nToks - nAfter))
+      nToks = nAfter
+    }
+    (toks, merges.result())
+  }
+
+  /** Merge report only — the public bpe_train path (the final token
+    * frame is never materialized beyond the loop's own cache). */
+  private[graft] def bpeTrainArrReport(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long, Long)] = {
+    val (toks, merges) = bpeLoopArr(s, dir)
+    toks.unpersist()
+    merges
+  }
+
+  private[graft] def bpeTrainRunArr(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
+    val (toks, merges) = bpeLoopArr(s, dir)
+    // re-derive the (doc_id, pos, w) row frame the artifact persists;
+    // positions are 1-based like applyMerge's row_number re-index
+    val out = toks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+      .localCheckpoint()
+    toks.unpersist()
+    (out, merges)
+  }
 
   /** The loop in two A/B-able materialization forms ([[graft.ABProbe]]
     * `bpe`): `viaPersist = true` chains per-round persist() — the

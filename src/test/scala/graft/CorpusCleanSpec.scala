@@ -857,6 +857,17 @@ class CorpusCleanSpec extends SparkSpec {
     assert(got(2L)("aa") == 82L && got(2L)("bb") == 82L)
   }
 
+  test("bpe_train array-form loop emits the row-form merges and token frame, bit-for-bit") {
+    val (rowToks, rowMerges) = CorpusClean.bpeTrainRunWith(spark, sf, viaPersist = true)
+    val arrMerges = CorpusClean.bpeTrainArrReport(spark, sf)
+    assert(arrMerges == rowMerges, s"arr=$arrMerges row=$rowMerges")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[String]("w"))).toSet
+    val (arrToks, _) = CorpusClean.bpeTrainRunArr(spark, sf)
+    assert(rows(arrToks) == rows(rowToks))
+    rowToks.unpersist()
+  }
+
   test("lm_scores artifact rows equal the fresh lmPerDoc sweep") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),

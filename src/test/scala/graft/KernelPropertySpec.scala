@@ -387,6 +387,46 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TokPairs equals sliding adjacent pairs; BpeMerge equals the " +
+    "sequential greedy scanner (runs, overlaps, empties)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def toArr(ts: Seq[String]): ArrayData =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ts.map(UTF8String.fromString).toArray[AnyRef])
+    def pairsOf(a: ArrayData): Seq[(String, String)] =
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+      }
+    def strsOf(a: ArrayData): Seq[String] =
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    // run-heavy 2-letter alphabet: the worst case for greedy overlap
+    val tokGen = Gen.listOf(Gen.frequency(2 -> Gen.const("a"),
+      1 -> Gen.const("b"), 1 -> Gen.const("a_b")))
+    def sequential(d: List[String], l: String, r: String): List[String] = {
+      val out = List.newBuilder[String]
+      var i = 0
+      while (i < d.length) {
+        if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
+          out += s"${l}_$r"; i += 2
+        } else { out += d(i); i += 1 }
+      }
+      out.result()
+    }
+    check(forAll(tokGen) { ts =>
+      pairsOf(graft.plans.TokPairs.compute(toArr(ts))) ==
+        (if (ts.length < 2) Seq.empty else ts.sliding(2).map(p => (p(0), p(1))).toSeq)
+    })
+    val mergeGen = Gen.zip(tokGen,
+      Gen.oneOf(("a", "a"), ("a", "b"), ("b", "a"), ("a_b", "a")))
+    check(forAll(mergeGen) { case (ts, (l, r)) =>
+      strsOf(graft.plans.BpeMerge.compute(toArr(ts),
+        UTF8String.fromString(l), UTF8String.fromString(r))) ==
+        sequential(ts, l, r)
+    })
+  }
+
   test("TokenGramsAll equals the zip_with instance chain (multiplicity " +
     "kept, order kept, < n tokens -> empty, astral code points)") {
     // the definitional chain: ws-tokenize, sliding n-grams joined by
