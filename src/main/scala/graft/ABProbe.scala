@@ -109,6 +109,11 @@ object ABProbe {
     "textrank" -> Seq(
       "unfused" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir, fused = false)),
       "fused" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir, fused = true))),
+    "trker" -> Seq(
+      "row" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
+        fused = true, stacked = true, pin = true)),
+      "ker" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
+        fused = true, stacked = true, pin = true, kernel = true))),
     "trstack" -> Seq(
       "legs" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
         fused = true, stacked = false, pin = true)),

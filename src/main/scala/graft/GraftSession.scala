@@ -86,6 +86,18 @@ object GraftFunctions {
         "paramName" -> "`k`", "paramType" -> "positive \"INT\" literal"))
   }
 
+  /** String config args (e.g. a stopword vocabulary) must be
+    * plan-time constants — they are parsed once into the expression
+    * node, never per row. Same analysis-time contract as [[intLit]]. */
+  private def strLit(fn: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map("funcName" -> s"`$fn`",
+        "paramName" -> "`stops`", "paramType" -> "\"STRING\" literal"))
+  }
+
   /** Window/divisor args of the scalar kernels must be POSITIVE
     * plan-time constants: `cdc_boundaries(text, 8, 0)` would hit
     * modulo-by-zero and `maxsim_score(a, b, 0)` divide-by-zero at
@@ -146,6 +158,10 @@ object GraftFunctions {
         posLongLit("token_grams_all", "n", exprs(1)))),
     "tok_pairs" -> ((exprs: Seq[Expression]) =>
       graft.plans.TokPairs(exprs(0))),
+    "tr_surv_pairs" -> ((exprs: Seq[Expression]) =>
+      graft.plans.TrSurvPairs(exprs(0),
+        intLit("tr_surv_pairs", exprs(1)), intLit("tr_surv_pairs", exprs(2)),
+        strLit("tr_surv_pairs", exprs(3)))),
     "bpe_merge" -> ((exprs: Seq[Expression]) =>
       graft.plans.BpeMerge(exprs(0), exprs(1), exprs(2))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>

@@ -105,6 +105,7 @@ object PlanProbe {
         .groupBy(col("w"), col("w1")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w"), col("w1")).limit(1)
     }),
+    "textrank_sp_frame" -> ((s, d) => queries.TextOps.trSpFrame(s, d)),
     "keyness_zip" -> ((s, d) =>
       queries.TextOps.keynessFrame(queries.TextOps.keynessCellsZip(s, d))),
     "keyness_kernel" -> ((s, d) =>

@@ -1476,7 +1476,8 @@ object TextOps {
     * dst)-keyed sum: shuffle ∝ surviving posts per round, never a
     * per-doc loop or collect. Top-K per doc is one window rank. */
   def textrankKeywords(s: SparkSession, dir: String): DataFrame =
-    textrankKeywordsWith(s, dir, fused = true)
+    textrankKeywordsWith(s, dir, fused = true, stacked = true, pin = true,
+      kernel = true)
 
   /** Both rank-loop forms, A/B-able ([[graft.ABProbe]] `textrank`):
     * `fused = true` carries each node's weighted degree INSIDE the
@@ -1505,7 +1506,24 @@ object TextOps {
     * than to materialize). */
   private[graft] def textrankKeywordsWith(s: SparkSession, dir: String,
                                           fused: Boolean, stacked: Boolean,
-                                          pin: Boolean): DataFrame = {
+                                          pin: Boolean,
+                                          kernel: Boolean = false): DataFrame = {
+    if (kernel) {
+      // Shipped form: survivors AND banded pairs from ONE
+      // [[graft.plans.TrSurvPairs]] pass per doc — no corpus-token
+      // posexplode/checkpoint, no doc-keyed sort window for the
+      // leads; the (doc, toks, pairs) frame is doc-count rows,
+      // checkpointed once (the surv-checkpoint role at a fraction of
+      // the rows). The row chain below stays as the probe twin
+      // (ABProbe `trker`).
+      val sp = trSpFrame(s, dir).localCheckpoint()
+      val nodes = sp
+        .select(col("doc_id"), explode(col("sp.toks")).as("node")).distinct()
+      val edges = sp
+        .select(col("doc_id"), explode(col("sp.pairs")).as("c"))
+        .select(col("doc_id"), col("c.src").as("src"), col("c.dst").as("dst"))
+      return textrankRankTail(edges, nodes, fused)
+    }
     val surv0 = documents(s, dir)
       .select(col("doc_id"), posexplode(wsTokens(lower(col("text"))))
         .as(Seq("pos", "tok")))
@@ -1541,6 +1559,23 @@ object TextOps {
           col("a") =!= col("b"))
         .select(col("doc_id"), col("a").as("src"), col("b").as("dst"))
     }.reduce(_ unionByName _)
+    textrankRankTail(edges, nodes, fused)
+  }
+
+  /** The un-checkpointed kernel survivor/pairs frame (PlanProbe
+    * `textrank_sp_frame` — the localCheckpoint above hides the
+    * executed kernel plan). */
+  private[graft] def trSpFrame(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        call_function("tr_surv_pairs", lower(col("text")),
+          lit(TrMinLen), lit(TrWindow),
+          lit(trStops.mkString(" "))).as("sp"))
+
+  /** The shared rank tail: symmetrize+weight the edges, TrRounds of
+    * weighted PageRank, top-K per doc. */
+  private def textrankRankTail(edges: DataFrame, nodes: DataFrame,
+                               fused: Boolean): DataFrame = {
     val symBase = edges.unionByName(
         edges.select(col("doc_id"), col("dst").as("src"), col("src").as("dst")))
       .groupBy(col("doc_id"), col("src"), col("dst"))

@@ -387,6 +387,55 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TrSurvPairs equals the posexplode + rlike/stopword filter + " +
+    "banded-lead chain (survivors, pair band, order, multiplicity)") {
+    val stops = Set("the", "and", "for")
+    val hs = new java.util.HashSet[String]()
+    stops.foreach(hs.add)
+    def ref(s: String, minLen: Int, window: Int)
+        : (Seq[String], Seq[(String, String)]) = {
+      val surv = s.split(" ").filter(_.nonEmpty).zipWithIndex
+        .filter { case (t, _) =>
+          t.length >= minLen && t.forall(c => c >= 'a' && c <= 'z') &&
+            !stops.contains(t)
+        }
+      val toks = surv.map(_._1).toSeq
+      val pairs = for {
+        a <- surv.indices
+        b <- (a + 1) until surv.length
+        if surv(b)._2 - surv(a)._2 <= window && surv(a)._1 != surv(b)._1
+      } yield (surv(a)._1, surv(b)._1)
+      (toks, pairs)
+    }
+    val word: Gen[String] = Gen.frequency(
+      4 -> Gen.choose(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.choose('a', 'e')).map(_.mkString)),
+      1 -> Gen.const("the"), 1 -> Gen.const("and"),
+      1 -> Gen.const("x1"), 1 -> Gen.const(""))
+    val gen = for {
+      ws <- Gen.listOf(word)
+      minLen <- Gen.choose(1, 4)
+      window <- Gen.choose(1, 4)
+    } yield (ws.mkString(" "), minLen, window)
+    check(forAll(gen) { case (s, minLen, window) =>
+      val row = graft.plans.TrSurvPairs.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        minLen, window, hs)
+      val toks = {
+        val a = row.getArray(0)
+        (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      }
+      val pairs = {
+        val a = row.getArray(1)
+        (0 until a.numElements()).map { i =>
+          val p = a.getStruct(i, 2)
+          (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        }
+      }
+      (toks, pairs) == ref(s, minLen, window)
+    })
+  }
+
   test("TokPairs equals sliding adjacent pairs; BpeMerge equals the " +
     "sequential greedy scanner (runs, overlaps, empties)") {
     import org.apache.spark.sql.catalyst.util.ArrayData
