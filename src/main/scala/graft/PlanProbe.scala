@@ -106,6 +106,19 @@ object PlanProbe {
         .orderBy(col("n").desc, col("w"), col("w1")).limit(1)
     }),
     "textrank_sp_frame" -> ((s, d) => queries.TextOps.trSpFrame(s, d)),
+    "ngram_novelty_hof" -> ((s, d) =>
+      queries.TextOps.ngramNoveltyFrame(s,
+        queries.TextOps.ngramPostsWith(s, d, hof = true))),
+    "saturation_curve_hof" -> ((s, d) =>
+      operators.TrainPrep.saturationCurveWith(s, d, hof = true)),
+    "decontaminate_win" -> ((s, d) =>
+      operators.TrainPrep.decontaminateWith(s, d, arr = false)),
+    "quantile_bins_hof" -> ((s, d) =>
+      queries.Robust.quantileBinsWith(s, d, hof = true)),
+    "dsir_weights_kernel" -> ((s, d) =>
+      operators.TrainPrep.dsirWeightsWith(s, d, merged = true, gramKernel = true)),
+    "ann_pq_unpinned" -> ((s, d) =>
+      operators.Ann.annPqWith(s, d, pin = false)),
     "keyness_zip" -> ((s, d) =>
       queries.TextOps.keynessFrame(queries.TextOps.keynessCellsZip(s, d))),
     "keyness_kernel" -> ((s, d) =>
