@@ -112,8 +112,10 @@ object ABProbe {
     "trker" -> Seq(
       "row" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
         fused = true, stacked = true, pin = true)),
-      "ker" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
-        fused = true, stacked = true, pin = true, kernel = true))),
+      "spk" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
+        fused = true, stacked = true, pin = true, kernel = true)),
+      "full" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
+        fused = true, stacked = true, pin = true, full = true))),
     "trstack" -> Seq(
       "legs" -> ((dir: String) => queries.TextOps.textrankKeywordsWith(s, dir,
         fused = true, stacked = false, pin = true)),

@@ -162,6 +162,10 @@ object GraftFunctions {
       graft.plans.TrSurvPairs(exprs(0),
         intLit("tr_surv_pairs", exprs(1)), intLit("tr_surv_pairs", exprs(2)),
         strLit("tr_surv_pairs", exprs(3)))),
+    "tr_rank" -> ((exprs: Seq[Expression]) =>
+      graft.plans.TrRank(exprs(0),
+        intLit("tr_rank", exprs(1)), intLit("tr_rank", exprs(2)),
+        intLit("tr_rank", exprs(3)).toLong, intLit("tr_rank", exprs(4)).toLong)),
     "bpe_merge" -> ((exprs: Seq[Expression]) =>
       graft.plans.BpeMerge(exprs(0), exprs(1), exprs(2))),
     "bloom_agg" -> ((exprs: Seq[Expression]) =>

@@ -1477,7 +1477,7 @@ object TextOps {
     * per-doc loop or collect. Top-K per doc is one window rank. */
   def textrankKeywords(s: SparkSession, dir: String): DataFrame =
     textrankKeywordsWith(s, dir, fused = true, stacked = true, pin = true,
-      kernel = true)
+      full = true)
 
   /** Both rank-loop forms, A/B-able ([[graft.ABProbe]] `textrank`):
     * `fused = true` carries each node's weighted degree INSIDE the
@@ -1507,7 +1507,24 @@ object TextOps {
   private[graft] def textrankKeywordsWith(s: SparkSession, dir: String,
                                           fused: Boolean, stacked: Boolean,
                                           pin: Boolean,
-                                          kernel: Boolean = false): DataFrame = {
+                                          kernel: Boolean = false,
+                                          full: Boolean = false): DataFrame = {
+    if (full)
+      // Shipped form: the WHOLE query is map-side — every operator of
+      // the rank tail is doc-keyed, so nothing ever needs to cross
+      // docs, and [[graft.plans.TrRank]] runs the symmetrize/weight/
+      // wdeg/rounds/top-k pipeline per doc on the [[TrSurvPairs]]
+      // struct. Zero exchanges, zero checkpoints; the distributed
+      // tails below stay as probe twins (ABProbe `trker`) and the
+      // full-corpus sequential-replay spec pins the output.
+      return documents(s, dir)
+        .select(col("doc_id"),
+          explode(call_function("tr_rank",
+            call_function("tr_surv_pairs", lower(col("text")),
+              lit(TrMinLen), lit(TrWindow), lit(trStops.mkString(" "))),
+            lit(TrRounds), lit(TrTopK), lit(TrScale), lit(TrBase))).as("k"))
+        .select(col("doc_id"), col("k.tok").as("tok"),
+          col("k.rnk").as("rnk"), col("k.rank_pm").as("rank_pm"))
     if (kernel) {
       // Shipped form: survivors AND banded pairs from ONE
       // [[graft.plans.TrSurvPairs]] pass per doc — no corpus-token

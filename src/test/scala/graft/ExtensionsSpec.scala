@@ -39,7 +39,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "cdc_boundaries", "kmv_agg", "minhash_agg", "bloom_agg",
         "bloom_contains", "simhash_agg", "signlsh_agg", "band_energies",
         "cp_sum", "lap_energy", "token_grams", "phash_sketch", "patch_sums",
-        "token_grams_all", "tok_pairs", "bpe_merge", "tr_surv_pairs"))
+        "token_grams_all", "tok_pairs", "bpe_merge", "tr_surv_pairs",
+        "tr_rank"))
   }
 
   test("sketch sizes must be positive integer literals — analysis error, not a CCE") {

@@ -511,6 +511,18 @@ class TextOpsSpec extends SparkSpec {
     assert(nr.getOrElse(1L, 0L) > 0L, "corpus has singletons (metric non-vacuous)")
   }
 
+  test("textrank_keywords: full-kernel form emits exactly the distributed rows") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tok"),
+        r.getAs[Int]("rnk"), r.getAs[Long]("rank_pm"))).toSet
+    val full = rows(graft.queries.TextOps.textrankKeywordsWith(spark, sf,
+      fused = true, stacked = true, pin = true, full = true))
+    val dist = rows(graft.queries.TextOps.textrankKeywordsWith(spark, sf,
+      fused = true, stacked = true, pin = true))
+    assert(full == dist, s"full=${full.size} dist=${dist.size}")
+    assert(full.nonEmpty)
+  }
+
   test("textrank_keywords: corpus top-3 replays from a local sequential " +
     "weighted-PageRank in the same integer arithmetic") {
     import graft.queries.TextOps._
