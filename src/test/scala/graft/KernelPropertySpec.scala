@@ -436,6 +436,60 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TrRank equals a direct replay of the relational rank algebra " +
+    "(multi-edges, ties, isolated nodes, empty docs)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(toks: Seq[String], pairs: Seq[(String, String)], rounds: Int,
+            topK: Int, scale: Long, base: Long): Seq[(String, Int, Long)] = {
+      val sym = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val wdeg = sym.toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      val nodes = toks.distinct
+      var r: Map[String, Long] =
+        nodes.map(n => n -> (if (wdeg.contains(n)) scale else base)).toMap
+      for (_ <- 1 to rounds) {
+        val m = sym.toSeq.groupBy(_._1._2).view.mapValues(_.map {
+          case ((src, _), w) => w * (r(src) / wdeg(src))
+        }.sum).toMap
+        r = r.map { case (n, v) =>
+          n -> (if (wdeg.contains(n)) base + (85L * m.getOrElse(n, 0L)) / 100L
+                else v)
+        }
+      }
+      nodes.sortBy(n => (-r(n), n)).take(topK)
+        .zipWithIndex.map { case (n, i) => (n, i + 1, r(n)) }
+    }
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val gen = for {
+      toks <- Gen.listOf(word)
+      // pairs drawn from the token list so the TrSurvPairs invariant
+      // (pair endpoints are survivors, src != dst) holds
+      pairs <- Gen.listOf(Gen.zip(Gen.oneOf(word, word), word))
+        .map(_.filter { case (a, b) => a != b }
+          .filter { case (a, b) => toks.contains(a) && toks.contains(b) })
+      rounds <- Gen.choose(1, 3)
+      topK <- Gen.choose(1, 5)
+    } yield (toks, pairs, rounds, topK)
+    check(forAll(gen) { case (toks, pairs, rounds, topK) =>
+      val sp = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            toks.map(UTF8String.fromString).toArray[AnyRef]),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            pairs.map(p =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](UTF8String.fromString(p._1),
+                  UTF8String.fromString(p._2)))).toArray[AnyRef])))
+      val arr = graft.plans.TrRank.compute(sp, rounds, topK, 1000000L, 150000L)
+      val got = (0 until arr.numElements()).map { i =>
+        val s = arr.getStruct(i, 3)
+        (s.getUTF8String(0).toString, s.getInt(1), s.getLong(2))
+      }
+      got == ref(toks, pairs, rounds, topK, 1000000L, 150000L)
+    })
+  }
+
   test("TokPairs equals sliding adjacent pairs; BpeMerge equals the " +
     "sequential greedy scanner (runs, overlaps, empties)") {
     import org.apache.spark.sql.catalyst.util.ArrayData
